@@ -1,13 +1,135 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BalanceAnalytics, FifoMatcher, Validators}
+import graft.queries.{BalanceQueries, OracleSql, RelationalQueries}
+import graft.queries.OracleSql.Params
+import graft.sources.Tables
+
+/** Driver contract — see SURVEY.md §7 and the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB twin in [[oracleSql]] with
+  * identical column names and deterministic row order (the correctness gate
+  * hash-compares both).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared pipeline stages (lazy plans, built per call) ----
+  private def txns(s: SparkSession, dir: String): DataFrame = Tables.transactions(s, dir)
+  private def matched(s: SparkSession, dir: String): DataFrame =
+    FifoMatcher.matchTransactions(txns(s, dir))
+  private def history(s: SparkSession, dir: String): DataFrame =
+    BalanceAnalytics.balanceHistory(matched(s, dir))
+  private def current(s: SparkSession, dir: String): DataFrame =
+    BalanceAnalytics.currentBalances(history(s, dir))
+
+  private val matchedOrder = Seq(col("CUSTOMERID"), col("CREATEDAT"), col("TRANS_ID"))
+
+  /** Flagship: the full FIFO-matched ledger on sf0.001 (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    matched(spark, "/root/testdata/sf0.001").orderBy(matchedOrder: _*)
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.8 the bespoke FIFO matcher — three formulations, one contract
+    "fifo_match" -> ((s, d) => matched(s, d).orderBy(matchedOrder: _*)),
+    "fifo_match_rankjoin" -> ((s, d) =>
+      FifoMatcher.matchRankJoin(txns(s, d)).orderBy(matchedOrder: _*)),
+    "fifo_match_queue" -> ((s, d) =>
+      FifoMatcher.matchQueue(txns(s, d)).orderBy(matchedOrder: _*)),
+
+    // §2.5 W4 cumulative balance analytics
+    "balance_history" -> ((s, d) =>
+      history(s, d).orderBy("customer_id", "transaction_date", "transaction_id")),
+    "current_balances" -> ((s, d) => current(s, d).orderBy("customer_id")),
+
+    // §3.3 the 12-query analytic corpus
+    "q01_balance_asof" -> ((s, d) =>
+      BalanceQueries.q1BalanceAsOf(history(s, d), Seq(Params.CustA, Params.CustB), Params.AsOf)),
+    "q02_current_balance" -> ((s, d) =>
+      BalanceQueries.q2CurrentBalance(current(s, d), Seq(Params.CustA, Params.CustB))),
+    "q03_history" -> ((s, d) => BalanceQueries.q3History(history(s, d), Params.CustA)),
+    "q04_month_end" -> ((s, d) => BalanceQueries.q4MonthEnd(history(s, d), Params.CustA)),
+    "q05_above_threshold" -> ((s, d) =>
+      BalanceQueries.q5AboveThreshold(history(s, d), Params.AsOf, Params.Threshold)),
+    "q06_balance_change" -> ((s, d) =>
+      BalanceQueries.q6BalanceChange(history(s, d), Params.CustA, Params.Start, Params.End)),
+    "q07_top_balances" -> ((s, d) => BalanceQueries.q7TopBalances(history(s, d), Params.AsOf)),
+    "q08_zero_balance" -> ((s, d) => BalanceQueries.q8ZeroBalance(history(s, d), Params.AsOf)),
+    "q09_balance_stats" -> ((s, d) => BalanceQueries.q9BalanceStats(history(s, d), Params.AsOf)),
+    "q10_day_transactions" -> ((s, d) =>
+      BalanceQueries.q10DayTransactions(history(s, d), Params.CustA, Params.Day)),
+    "q11_daily_snapshots" -> ((s, d) =>
+      BalanceQueries.q11DailySnapshots(history(s, d), Params.CustA, Params.MonthFrom, Params.MonthUntil)),
+    "q12_never_spent" -> ((s, d) => BalanceQueries.q12NeverSpent(current(s, d))),
+
+    // §2.9 validation surface
+    "v_source_quality" -> ((s, d) => Validators.sourceQuality(txns(s, d))),
+    "v_referential_integrity" -> ((s, d) =>
+      Validators.invalidRedeemIds(matched(s, d)).orderBy("REDEEMID")),
+    "v_balance_equation" -> ((s, d) => {
+      val eq = Validators.balanceEquation(matched(s, d))
+      eq.select(col("customer_id"),
+          round(col("earned_total"), 2).as("earned_total"),
+          round(col("spent_total"), 2).as("spent_total"),
+          round(col("expired_total"), 2).as("expired_total"),
+          round(col("remaining_unmatched"), 2).as("remaining_unmatched"),
+          round(col("discrepancy"), 2).as("discrepancy"),
+          col("balanced"))
+        .orderBy("customer_id")
+    }),
+    "v_chronology" -> ((s, d) =>
+      Validators.chronologyViolations(matched(s, d)).orderBy("customer_id", "earned_id")),
+    "v_dup_pairs" -> ((s, d) =>
+      Validators.duplicatePairs(matched(s, d)).orderBy("TRANS_ID", "REDEEMID")),
+    "v_result_summary" -> ((s, d) => {
+      val r = Validators.resultSummary(matched(s, d))
+      r.select(col("total_rows"), col("rows_with_redeemid"), col("rows_without_redeemid"),
+        round(col("total_earned"), 2).as("total_earned"),
+        round(col("total_spent"), 2).as("total_spent"),
+        round(col("total_expired"), 2).as("total_expired"),
+        col("unmatched_spent_expired"))
+    }),
+
+    // generic relational inventory (scan/filter/agg/join/window/top-k)
+    "agg_pricing_summary" -> ((s, d) =>
+      RelationalQueries.aggPricingSummary(Tables.lineitem(s, d))),
+    "join_revenue_by_nation" -> ((s, d) =>
+      RelationalQueries.revenueByNation(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "topk_orders" -> ((s, d) => RelationalQueries.topkOrders(Tables.orders(s, d))),
+    "window_customer_order_rank" -> ((s, d) =>
+      RelationalQueries.customerOrderRank(Tables.orders(s, d))))
+
+  /** DuckDB twins of [[queries]] — same columns, same order, same values. */
+  def oracleSql: Map[String, String] = Map(
+    "fifo_match" -> OracleSql.fifoMatch,
+    "fifo_match_rankjoin" -> OracleSql.fifoMatch,
+    "fifo_match_queue" -> OracleSql.fifoMatch,
+    "balance_history" -> OracleSql.balanceHistory,
+    "current_balances" -> OracleSql.currentBalances,
+    "q01_balance_asof" -> OracleSql.q1,
+    "q02_current_balance" -> OracleSql.q2,
+    "q03_history" -> OracleSql.q3,
+    "q04_month_end" -> OracleSql.q4,
+    "q05_above_threshold" -> OracleSql.q5,
+    "q06_balance_change" -> OracleSql.q6,
+    "q07_top_balances" -> OracleSql.q7,
+    "q08_zero_balance" -> OracleSql.q8,
+    "q09_balance_stats" -> OracleSql.q9,
+    "q10_day_transactions" -> OracleSql.q10,
+    "q11_daily_snapshots" -> OracleSql.q11,
+    "q12_never_spent" -> OracleSql.q12,
+    "v_source_quality" -> OracleSql.vSourceQuality,
+    "v_referential_integrity" -> OracleSql.vReferentialIntegrity,
+    "v_balance_equation" -> OracleSql.vBalanceEquation,
+    "v_chronology" -> OracleSql.vChronology,
+    "v_dup_pairs" -> OracleSql.vDupPairs,
+    "v_result_summary" -> OracleSql.vResultSummary,
+    "agg_pricing_summary" -> OracleSql.aggPricingSummary,
+    "join_revenue_by_nation" -> OracleSql.revenueByNation,
+    "topk_orders" -> OracleSql.topkOrders,
+    "window_customer_order_rank" -> OracleSql.customerOrderRank)
 }

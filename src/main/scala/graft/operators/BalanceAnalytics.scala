@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cumulative-balance analytics over the matched output
+  * (reference: src/thrive_cash_processing_dag.py:426-560).
+  *
+  * The reference iterates customers and accumulates running totals row by
+  * row (:452-487); here the whole history is ONE window pass — a single
+  * shuffle on CUSTOMERID, whole-stage-codegen'd, no joins.
+  *
+  * Frame contract: `rowsBetween(unboundedPreceding, currentRow)` — NOT the
+  * default `rangeBetween` — so duplicate timestamps keep the reference's
+  * row-at-a-time semantics; ties are broken by TRANS_ID (SURVEY.md §7.5).
+  */
+object BalanceAnalytics {
+
+  /** `customer_balance_history`
+    * (reference: src/thrive_cash_processing_dag.py:477-487):
+    * per customer in CREATEDAT order, running |amount| sums per type and
+    * `current_balance = cumulative_earned − cumulative_spent − cumulative_expired` (:474). */
+  def balanceHistory(matched: DataFrame): DataFrame = {
+    val w = Window.partitionBy("customer_id")
+      .orderBy("transaction_date", "transaction_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Rounded to cents: the true cumulative is a multiple of 0.01 (sums of
+    // 2-decimal amounts), but engines associate float additions differently —
+    // rounding pins both to the identical double, making every downstream
+    // comparison (> threshold, = 0, rank by balance) engine-deterministic.
+    def cum(tpe: String) =
+      round(sum(when(col("transaction_type") === tpe, abs(col("transaction_amount"))).otherwise(0.0)).over(w), 2)
+    matched.select(
+        col("CUSTOMERID").as("customer_id"),
+        col("CREATEDAT").as("transaction_date"),
+        col("TRANS_ID").as("transaction_id"),
+        col("TCTYPE").as("transaction_type"),
+        col("AMOUNT").as("transaction_amount"))
+      .withColumn("cumulative_earned", cum("earned"))
+      .withColumn("cumulative_spent", cum("spent"))
+      .withColumn("cumulative_expired", cum("expired"))
+      .withColumn("current_balance",
+        round(col("cumulative_earned") - col("cumulative_spent") - col("cumulative_expired"), 2))
+  }
+
+  /** `customer_current_balances`
+    * (reference: src/thrive_cash_processing_dag.py:504-510). The reference's
+    * pandas `.last()` is positional and correct only because history was
+    * appended pre-sorted (:456); here the ordering is explicit. */
+  def currentBalances(history: DataFrame): DataFrame = {
+    val w = Window.partitionBy("customer_id")
+      .orderBy(col("transaction_date").desc, col("transaction_id").desc)
+    history
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("customer_id", "current_balance", "cumulative_earned",
+        "cumulative_spent", "cumulative_expired")
+  }
+
+  /** Summary block of the analytics report
+    * (reference: src/thrive_cash_processing_dag.py:518-537), as a 1-row DF:
+    * total customers, totals per type, total current balance, count with
+    * positive balance. The reference's success-alert reads keys the report
+    * never emits (:584-592 vs :525-530); this schema is the unified one
+    * (SURVEY.md §3.1). */
+  def reportSummary(matched: DataFrame, current: DataFrame): DataFrame = {
+    val totals = matched.agg(
+      count(lit(1)).as("total_transactions"),
+      sum(when(col("TCTYPE") === "earned", col("AMOUNT")).otherwise(0.0)).as("total_earned"),
+      sum(when(col("TCTYPE") === "spent", abs(col("AMOUNT"))).otherwise(0.0)).as("total_spent"),
+      sum(when(col("TCTYPE") === "expired", abs(col("AMOUNT"))).otherwise(0.0)).as("total_expired"),
+      sum(when(col("TCTYPE") === "earned" && col("REDEEMID").isNotNull, 1L).otherwise(0L))
+        .as("matching_records_count"))
+    val balances = current.agg(
+      count(lit(1)).as("total_customers"),
+      sum(col("current_balance")).as("total_current_balance"),
+      sum(when(col("current_balance") > 0, 1L).otherwise(0L)).as("customers_with_positive_balance"))
+    totals.crossJoin(balances)
+  }
+
+  /** Top-K customers by current balance
+    * (reference: src/thrive_cash_processing_dag.py:532 — `nlargest(10)`).
+    * orderBy+limit plans as TakeOrderedAndProject: no global sort at scale. */
+  def topBalances(current: DataFrame, k: Int = 10): DataFrame =
+    current.orderBy(col("current_balance").desc, col("customer_id")).limit(k)
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** A single transaction in canonical input shape (FIXTURES.md §1). */
+case class Tx(
+    transaction_id: String,
+    customer_id: String,
+    amount: Double,
+    timestamp: java.time.LocalDateTime,
+    transaction_type: String)
+
+/** A matched output row (FIXTURES.md §2). */
+case class MatchedTx(
+    TRANS_ID: String,
+    TCTYPE: String,
+    CREATEDAT: java.time.LocalDateTime,
+    CUSTOMERID: String,
+    AMOUNT: Double,
+    REDEEMID: Option[String])
+
+/** FIFO matcher — the reference's centerpiece operator
+  * (reference: src/fifo_matching.py:23-130), re-expressed as declarative
+  * Catalyst plans.
+  *
+  * Semantics (reference: src/fifo_matching.py:7-13, README.md:123-127):
+  *  - per customer, the i-th oldest `earned` (by CREATEDAT) is redeemed by the
+  *    i-th oldest `spent|expired`; amounts and relative dates are ignored
+  *    (1:1 matching, no partial redemption, no chronology constraint);
+  *  - REDEEMID is populated only on earned rows and points to the redeeming
+  *    spent/expired TRANS_ID; spent/expired rows always carry NULL;
+  *  - each TRANS_ID is used at most once on each side.
+  *
+  * Equivalence of the queue algorithm to a rank join: the queue starts as
+  * earned sorted ascending, the k-th pop removes the k-th oldest earned, and
+  * pops happen in spent/expired CREATEDAT order — so "pop oldest available"
+  * IS "equi-join on per-side rank" (SURVEY.md §2.8).
+  *
+  * Tie-break contract: equal-CREATEDAT order in the reference depends on
+  * pandas' stable sort of input file order (src/fifo_matching.py:75); we fix
+  * the deterministic secondary key `TRANS_ID` (SURVEY.md §7.5).
+  *
+  * Scale: both formulations shuffle on CUSTOMERID (+rank) only — no
+  * driver-side state, no per-customer loops. A whale customer bounds one
+  * window partition; the state per row is O(1).
+  */
+object FifoMatcher {
+
+  private val canonicalRename = Map(
+    "transaction_id"   -> "TRANS_ID",
+    "transaction_type" -> "TCTYPE",
+    "timestamp"        -> "CREATEDAT",
+    "customer_id"      -> "CUSTOMERID",
+    "amount"           -> "AMOUNT")
+
+  /** Rename canonical input columns to the spec output names
+    * (reference: src/fifo_matching.py:54-61). */
+  def renameToSpec(txns: DataFrame): DataFrame =
+    txns.withColumnsRenamed(canonicalRename)
+      .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT")
+
+  /** Primary formulation: single scan, two window passes, zero joins.
+    *
+    * Pass 1 ranks each row within its (customer, side) where side =
+    * earned vs spent|expired; pass 2 pairs equal ranks through a window over
+    * (CUSTOMERID, rk) — each such partition holds at most one earned and one
+    * spent/expired row, so `max(TRANS_ID of the non-earned row)` transfers
+    * the redeemer id onto the earned row without a join.
+    *
+    * Physical plan: Exchange(CUSTOMERID, is_earned) → Sort → Window(rank) →
+    * Exchange(CUSTOMERID, rk) → Window(max) — two shuffles of one stream,
+    * cheaper than the rank-join's four exchanges + SMJ.
+    */
+  def matchTransactions(txns: DataFrame): DataFrame = {
+    val t = renameToSpec(txns)
+    val ranked = t
+      .withColumn("is_earned", col("TCTYPE") === "earned")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("CUSTOMERID"), col("is_earned"))
+          .orderBy(col("CREATEDAT"), col("TRANS_ID"))))
+    val pair = Window.partitionBy("CUSTOMERID", "rk")
+    ranked
+      .withColumn("REDEEMID",
+        when(col("is_earned"),
+          max(when(!col("is_earned"), col("TRANS_ID"))).over(pair))
+          .otherwise(lit(null).cast(StringType)))
+      .drop("is_earned", "rk")
+  }
+
+  /** Alternate formulation: two ranked branches + left equi-join on
+    * (CUSTOMERID, rank) — the exact shape the reference names as its own
+    * billion-row migration path (reference: README.md:696). Kept as a
+    * plan-diversity cross-check; [[matchTransactions]] is the default. */
+  def matchRankJoin(txns: DataFrame): DataFrame = {
+    val t = renameToSpec(txns)
+    val w = Window.partitionBy("CUSTOMERID").orderBy("CREATEDAT", "TRANS_ID")
+    val e  = t.filter(col("TCTYPE") === "earned").withColumn("rk", row_number().over(w))
+    val se = t.filter(col("TCTYPE").isin("spent", "expired")).withColumn("rk", row_number().over(w))
+    val matchedEarned = e.join(
+      se.select(col("CUSTOMERID"), col("rk"), col("TRANS_ID").as("REDEEMID")),
+      Seq("CUSTOMERID", "rk"), "left")
+    val seOut = se.withColumn("REDEEMID", lit(null).cast(StringType))
+    matchedEarned.drop("rk")
+      .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")
+      .unionByName(seOut.drop("rk")
+        .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID"))
+  }
+
+  /** Differential-testing oracle: a literal translation of the reference's
+    * per-customer queue loop (src/fifo_matching.py:71-122) confined to
+    * `flatMapGroups`. Materializes one customer's rows at a time — used by
+    * the test suite to validate the declarative formulations, not by the
+    * pipeline (a whale customer would bound executor memory here). */
+  def matchQueue(txns: DataFrame): DataFrame = {
+    val spark = txns.sparkSession
+    implicit val txEnc = Encoders.product[Tx]
+    implicit val outEnc = Encoders.product[MatchedTx]
+    implicit val strEnc = Encoders.STRING
+    txns.select("transaction_id", "customer_id", "amount", "timestamp", "transaction_type")
+      .as[Tx]
+      .groupByKey(_.customer_id)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toIndexedSeq.sortBy(t => (t.timestamp, t.transaction_id))(
+          Ordering.Tuple2(Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _), Ordering.String))
+        val earned = rows.filter(_.transaction_type == "earned")
+        val se     = rows.filter(t => t.transaction_type == "spent" || t.transaction_type == "expired")
+        val queue  = scala.collection.mutable.Queue(earned.map(_.transaction_id): _*)
+        val earnedToRedeemer = scala.collection.mutable.Map.empty[String, String]
+        se.foreach { t => if (queue.nonEmpty) earnedToRedeemer(queue.dequeue()) = t.transaction_id }
+        rows.iterator.map { t =>
+          val redeem = if (t.transaction_type == "earned") earnedToRedeemer.get(t.transaction_id) else None
+          MatchedTx(t.transaction_id, t.transaction_type, t.timestamp, t.customer_id, t.amount, redeem)
+        }
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality validation surface
+  * (reference: src/thrive_cash_processing_dag.py:289-423 and :639-679).
+  *
+  * Each check is a declarative DataFrame the caller can count / collect /
+  * union into a validation report — all checks scan the same cached matched
+  * result, none loops over customers.
+  */
+object Validators {
+
+  /** Layer-1 source validation V1-V4
+    * (reference: src/thrive_cash_processing_dag.py:639-679): per-required-
+    * field null counts, non-numeric amount count, invalid enum count —
+    * one aggregate row. */
+  def sourceQuality(txns: DataFrame): DataFrame = {
+    def nulls(c: String) = sum(col(c).isNull.cast("long")).as(s"null_$c")
+    txns.agg(
+      count(lit(1)).as("row_count"),
+      nulls("transaction_id"), nulls("customer_id"), nulls("amount"),
+      nulls("timestamp"), nulls("transaction_type"),
+      // non-numeric amount (reference :658-669): here amount is typed double,
+      // so the try_cast path is exercised via its string form
+      sum((expr("try_cast(cast(amount AS string) AS double)").isNull
+        && col("amount").isNotNull).cast("long")).as("non_numeric_amount"),
+      sum((!col("transaction_type").isin("earned", "spent", "expired")).cast("long"))
+        .as("invalid_type_count"))
+  }
+
+  /** V7 referential integrity
+    * (reference: src/thrive_cash_processing_dag.py:325-333).
+    *
+    * NOTE a reference bug: the original compares REDEEMIDs against *earned*
+    * TRANS_IDs, but REDEEMID always holds a spent/expired id
+    * (src/fifo_matching.py:95), so on any matched data the original check
+    * would flag every REDEEMID and abort the DAG. We implement the *intended*
+    * invariant — every REDEEMID references a valid spent/expired TRANS_ID —
+    * as a left-anti join; empty result = pass. */
+  def invalidRedeemIds(matched: DataFrame): DataFrame = {
+    val redeems = matched.filter(col("REDEEMID").isNotNull)
+      .select(col("REDEEMID"), col("TRANS_ID").as("earned_id"))
+    val seIds = matched.filter(col("TCTYPE").isin("spent", "expired"))
+      .select(col("TRANS_ID").as("se_id"))
+    redeems.join(seIds, redeems("REDEEMID") === seIds("se_id"), "left_anti")
+  }
+
+  /** V8 per-customer balance equation
+    * (reference: src/thrive_cash_processing_dag.py:335-355):
+    * |earned_total − (|spent| + |expired| + remaining_unmatched_earned)| ≤ 0.01.
+    *
+    * Faithful semantics: with 1:1 amount-ignoring matching this only balances
+    * when each matched earned's amount equals its redeemer's — mismatches are
+    * *expected* on real data and surface per customer here rather than
+    * aborting silently. One grouped aggregate replaces the O(customers) loop. */
+  def balanceEquation(matched: DataFrame, tolerance: Double = 0.01): DataFrame =
+    matched.groupBy(col("CUSTOMERID").as("customer_id"))
+      .agg(
+        sum(when(col("TCTYPE") === "earned", col("AMOUNT")).otherwise(0.0)).as("earned_total"),
+        abs(sum(when(col("TCTYPE") === "spent", col("AMOUNT")).otherwise(0.0))).as("spent_total"),
+        abs(sum(when(col("TCTYPE") === "expired", col("AMOUNT")).otherwise(0.0))).as("expired_total"),
+        sum(when(col("TCTYPE") === "earned" && col("REDEEMID").isNull, col("AMOUNT")).otherwise(0.0))
+          .as("remaining_unmatched"))
+      .withColumn("discrepancy",
+        abs(col("earned_total") - (col("spent_total") + col("expired_total") + col("remaining_unmatched"))))
+      .withColumn("balanced", col("discrepancy") <= tolerance)
+
+  /** V9 chronology check, strict mode
+    * (reference: src/thrive_cash_processing_dag.py:357-374).
+    *
+    * The reference loop is dead code — it iterates REDEEMID.notna() rows then
+    * requires TCTYPE in (spent, expired), which never co-occur — so the
+    * faithful default is a no-op. This is the *intended* check: earned rows
+    * matched to a redeemer that precedes them chronologically. */
+  def chronologyViolations(matched: DataFrame): DataFrame = {
+    val earned = matched.filter(col("REDEEMID").isNotNull)
+      .select(col("TRANS_ID").as("earned_id"), col("CUSTOMERID").as("customer_id"),
+        col("CREATEDAT").as("earned_at"), col("REDEEMID"))
+    val se = matched.filter(col("TCTYPE").isin("spent", "expired"))
+      .select(col("TRANS_ID").as("se_id"), col("CREATEDAT").as("redeemed_at"))
+    earned.join(se, earned("REDEEMID") === se("se_id"))
+      .filter(col("earned_at") > col("redeemed_at"))
+      .select("customer_id", "earned_id", "earned_at", "REDEEMID", "redeemed_at")
+  }
+
+  /** V10 duplicate (TRANS_ID, REDEEMID) pairs
+    * (reference: src/thrive_cash_processing_dag.py:376-383, log-only). */
+  def duplicatePairs(matched: DataFrame): DataFrame =
+    matched.groupBy("TRANS_ID", "REDEEMID").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** V6/V11 result summary metrics
+    * (reference: src/thrive_cash_processing_dag.py:385-417), one row. */
+  def resultSummary(matched: DataFrame): DataFrame =
+    matched.agg(
+      count(lit(1)).as("total_rows"),
+      sum(col("REDEEMID").isNotNull.cast("long")).as("rows_with_redeemid"),
+      sum(col("REDEEMID").isNull.cast("long")).as("rows_without_redeemid"),
+      sum(when(col("TCTYPE") === "earned", col("AMOUNT")).otherwise(0.0)).as("total_earned"),
+      abs(sum(when(col("TCTYPE") === "spent", col("AMOUNT")).otherwise(0.0))).as("total_spent"),
+      abs(sum(when(col("TCTYPE") === "expired", col("AMOUNT")).otherwise(0.0))).as("total_expired"),
+      sum((col("TCTYPE").isin("spent", "expired") && col("REDEEMID").isNull).cast("long"))
+        .as("unmatched_spent_expired"))
+}

@@ -1,0 +1,347 @@
+package graft.queries
+
+/** DuckDB oracle SQL — the ANSI-SQL twin of every Spark query in
+  * [[graft.SparkEntry]], run by the driver over the same parquet tables.
+  *
+  * Mirroring contract (must hold for hash equality):
+  *  - identical output column aliases (the comparator sorts columns by name);
+  *  - identical deterministic total ORDER BY with tie-breaks;
+  *  - identical ns→µs truncation (`CAST(ts AS TIMESTAMP)` truncates, exactly
+  *    like Spark's `timestamp_micros(ts div 1000)`);
+  *  - money outputs of *grouped* aggregates rounded to 2 decimals on both
+  *    sides (summation order across engines differs by ~1e-12); running
+  *    *window* sums are left unrounded — both engines accumulate
+  *    sequentially in the same (CREATEDAT, TRANS_ID) order, so they are
+  *    bit-identical.
+  */
+object OracleSql {
+
+  // ---- query parameters (shared with SparkEntry) ----
+  object Params {
+    val CustA = "1"
+    val CustB = "2"
+    val AsOf = "2024-01-15 00:00:00"
+    val Start = "2024-01-05 00:00:00"
+    val End = "2024-01-25 00:00:00"
+    val Day = "2024-01-15"
+    val MonthFrom = "2024-01-01 00:00:00"
+    val MonthUntil = "2024-02-01 00:00:00"
+    val Threshold = 100.0
+  }
+  import Params._
+
+  /** Shared pipeline CTEs: events → transactions → FIFO-matched →
+    * balance history → current balances (mirrors Tables.transactions,
+    * FifoMatcher.matchTransactions, BalanceAnalytics). */
+  val pipelineCtes: String = """
+txns AS (
+  SELECT CAST(event_id AS VARCHAR) AS transaction_id,
+         CAST(user_id AS VARCHAR)  AS customer_id,
+         CASE WHEN event_type IN ('purchase','error') THEN -value ELSE value END AS amount,
+         CAST(ts AS TIMESTAMP)     AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN 'spent'
+              WHEN event_type = 'error'    THEN 'expired'
+              ELSE 'earned' END    AS transaction_type
+  FROM events
+),
+ranked AS (
+  SELECT transaction_id AS TRANS_ID, transaction_type AS TCTYPE, ts_us AS CREATEDAT,
+         customer_id AS CUSTOMERID, amount AS AMOUNT,
+         (transaction_type = 'earned') AS is_earned,
+         ROW_NUMBER() OVER (PARTITION BY customer_id, (transaction_type = 'earned')
+                            ORDER BY ts_us, transaction_id) AS rk
+  FROM txns
+),
+matched AS (
+  SELECT e.TRANS_ID, e.TCTYPE, e.CREATEDAT, e.CUSTOMERID, e.AMOUNT,
+         se.TRANS_ID AS REDEEMID
+  FROM ranked e
+  LEFT JOIN ranked se
+    ON se.CUSTOMERID = e.CUSTOMERID AND se.rk = e.rk AND NOT se.is_earned
+  WHERE e.is_earned
+  UNION ALL
+  SELECT TRANS_ID, TCTYPE, CREATEDAT, CUSTOMERID, AMOUNT, NULL AS REDEEMID
+  FROM ranked WHERE NOT is_earned
+),
+history0 AS (
+  SELECT CUSTOMERID AS customer_id, CREATEDAT AS transaction_date,
+         TRANS_ID AS transaction_id, TCTYPE AS transaction_type,
+         AMOUNT AS transaction_amount,
+         ROUND(SUM(CASE WHEN TCTYPE = 'earned'  THEN ABS(AMOUNT) ELSE 0.0 END) OVER wcum, 2) AS cumulative_earned,
+         ROUND(SUM(CASE WHEN TCTYPE = 'spent'   THEN ABS(AMOUNT) ELSE 0.0 END) OVER wcum, 2) AS cumulative_spent,
+         ROUND(SUM(CASE WHEN TCTYPE = 'expired' THEN ABS(AMOUNT) ELSE 0.0 END) OVER wcum, 2) AS cumulative_expired
+  FROM matched
+  WINDOW wcum AS (PARTITION BY CUSTOMERID ORDER BY CREATEDAT, TRANS_ID
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+balance_history AS (
+  SELECT *, ROUND(cumulative_earned - cumulative_spent - cumulative_expired, 2) AS current_balance
+  FROM history0
+),
+current_balances AS (
+  SELECT customer_id, current_balance, cumulative_earned, cumulative_spent, cumulative_expired
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id
+                    ORDER BY transaction_date DESC, transaction_id DESC) AS rn
+        FROM balance_history) t
+  WHERE rn = 1
+)"""
+
+  private def pipelined(body: String): String = s"WITH $pipelineCtes\n$body"
+
+  val fifoMatch: String = pipelined(
+    """SELECT TRANS_ID, TCTYPE, CREATEDAT, CUSTOMERID, AMOUNT, REDEEMID
+FROM matched ORDER BY CUSTOMERID, CREATEDAT, TRANS_ID""")
+
+  val balanceHistory: String = pipelined(
+    """SELECT customer_id, transaction_date, transaction_id, transaction_type,
+       transaction_amount, cumulative_earned, cumulative_spent, cumulative_expired,
+       current_balance
+FROM balance_history ORDER BY customer_id, transaction_date, transaction_id""")
+
+  val currentBalances: String = pipelined(
+    """SELECT customer_id, current_balance, cumulative_earned, cumulative_spent, cumulative_expired
+FROM current_balances ORDER BY customer_id""")
+
+  // ---- Q1-Q12 (reference: src/sample_queries.sql) ----
+
+  val q1: String = pipelined(s"""
+, ranked_balances AS (
+  SELECT customer_id, transaction_date, current_balance,
+         ROW_NUMBER() OVER (PARTITION BY customer_id
+                            ORDER BY transaction_date DESC, transaction_id DESC) AS rn
+  FROM balance_history
+  WHERE customer_id IN ('$CustA', '$CustB') AND transaction_date <= TIMESTAMP '$AsOf'
+)
+SELECT customer_id, transaction_date AS balance_as_of_date,
+       current_balance AS thrive_cash_balance
+FROM ranked_balances WHERE rn = 1 ORDER BY customer_id""")
+
+  val q2: String = pipelined(s"""
+SELECT customer_id, current_balance AS thrive_cash_balance,
+       cumulative_earned, cumulative_spent, cumulative_expired
+FROM current_balances WHERE customer_id IN ('$CustA', '$CustB') ORDER BY customer_id""")
+
+  val q3: String = pipelined(s"""
+SELECT customer_id, transaction_date, transaction_id, transaction_type,
+       transaction_amount, cumulative_earned, cumulative_spent, cumulative_expired,
+       current_balance
+FROM balance_history WHERE customer_id = '$CustA'
+ORDER BY transaction_date, transaction_id""")
+
+  val q4: String = pipelined(s"""
+, monthly AS (
+  SELECT customer_id, CAST(DATE_TRUNC('month', transaction_date) AS TIMESTAMP) AS month,
+         transaction_date, current_balance,
+         ROW_NUMBER() OVER (PARTITION BY customer_id, DATE_TRUNC('month', transaction_date)
+                            ORDER BY transaction_date DESC, transaction_id DESC) AS rn
+  FROM balance_history WHERE customer_id = '$CustA'
+)
+SELECT customer_id, month, transaction_date AS last_transaction_date,
+       current_balance AS month_end_balance
+FROM monthly WHERE rn = 1 ORDER BY month""")
+
+  val q5: String = pipelined(s"""
+, on_date AS (
+  SELECT customer_id, transaction_date, current_balance,
+         ROW_NUMBER() OVER (PARTITION BY customer_id
+                            ORDER BY transaction_date DESC, transaction_id DESC) AS rn
+  FROM balance_history WHERE transaction_date <= TIMESTAMP '$AsOf'
+)
+SELECT customer_id, transaction_date AS balance_as_of_date, current_balance
+FROM on_date WHERE rn = 1 AND current_balance > $Threshold
+ORDER BY current_balance DESC, customer_id""")
+
+  val q6: String = pipelined(s"""
+, bs AS (
+  SELECT customer_id, current_balance AS start_balance
+  FROM (SELECT customer_id, current_balance,
+               ROW_NUMBER() OVER (PARTITION BY customer_id
+                                  ORDER BY transaction_date DESC, transaction_id DESC) AS rn
+        FROM balance_history
+        WHERE customer_id = '$CustA' AND transaction_date <= TIMESTAMP '$Start') t
+  WHERE rn = 1
+),
+be AS (
+  SELECT customer_id, current_balance AS end_balance
+  FROM (SELECT customer_id, current_balance,
+               ROW_NUMBER() OVER (PARTITION BY customer_id
+                                  ORDER BY transaction_date DESC, transaction_id DESC) AS rn
+        FROM balance_history
+        WHERE customer_id = '$CustA' AND transaction_date <= TIMESTAMP '$End') t
+  WHERE rn = 1
+)
+SELECT bs.customer_id, bs.start_balance, be.end_balance,
+       (be.end_balance - bs.start_balance) AS balance_change,
+       ROUND((be.end_balance - bs.start_balance) / NULLIF(bs.start_balance, 0) * 100, 2) AS pct_change
+FROM bs JOIN be ON bs.customer_id = be.customer_id""")
+
+  val q7: String = pipelined(s"""
+, on_date AS (
+  SELECT customer_id, transaction_date, current_balance, cumulative_earned,
+         cumulative_spent, cumulative_expired,
+         ROW_NUMBER() OVER (PARTITION BY customer_id
+                            ORDER BY transaction_date DESC, transaction_id DESC) AS rn
+  FROM balance_history WHERE transaction_date <= TIMESTAMP '$AsOf'
+)
+SELECT customer_id, transaction_date AS balance_as_of_date, current_balance,
+       cumulative_earned, cumulative_spent, cumulative_expired
+FROM on_date WHERE rn = 1
+ORDER BY current_balance DESC, customer_id LIMIT 10""")
+
+  val q8: String = pipelined(s"""
+, on_date AS (
+  SELECT customer_id, transaction_date, current_balance,
+         ROW_NUMBER() OVER (PARTITION BY customer_id
+                            ORDER BY transaction_date DESC, transaction_id DESC) AS rn
+  FROM balance_history WHERE transaction_date <= TIMESTAMP '$AsOf'
+)
+SELECT customer_id, transaction_date AS balance_as_of_date, current_balance
+FROM on_date WHERE rn = 1 AND current_balance = 0 ORDER BY customer_id""")
+
+  val q9: String = pipelined(s"""
+, on_date AS (
+  SELECT customer_id, current_balance,
+         ROW_NUMBER() OVER (PARTITION BY customer_id
+                            ORDER BY transaction_date DESC, transaction_id DESC) AS rn
+  FROM balance_history WHERE transaction_date <= TIMESTAMP '$AsOf'
+)
+SELECT COUNT(DISTINCT customer_id) AS total_customers,
+       ROUND(AVG(current_balance), 2) AS avg_balance,
+       ROUND(MIN(current_balance), 2) AS min_balance,
+       ROUND(MAX(current_balance), 2) AS max_balance,
+       ROUND(SUM(current_balance), 2) AS total_balance
+FROM on_date WHERE rn = 1""")
+
+  val q10: String = pipelined(s"""
+SELECT customer_id, transaction_date, transaction_id, transaction_type,
+       transaction_amount, current_balance AS balance_after_transaction
+FROM balance_history
+WHERE customer_id = '$CustA' AND CAST(transaction_date AS DATE) = DATE '$Day'
+ORDER BY transaction_date, transaction_id""")
+
+  val q11: String = pipelined(s"""
+, daily AS (
+  SELECT customer_id, CAST(transaction_date AS DATE) AS date,
+         transaction_date, current_balance,
+         ROW_NUMBER() OVER (PARTITION BY customer_id, CAST(transaction_date AS DATE)
+                            ORDER BY transaction_date DESC, transaction_id DESC) AS rn
+  FROM balance_history
+  WHERE customer_id = '$CustA'
+    AND transaction_date >= TIMESTAMP '$MonthFrom'
+    AND transaction_date <  TIMESTAMP '$MonthUntil'
+)
+SELECT customer_id, date, transaction_date AS last_transaction_time, current_balance
+FROM daily WHERE rn = 1 ORDER BY date""")
+
+  val q12: String = pipelined(s"""
+SELECT customer_id, current_balance, cumulative_earned, cumulative_spent, cumulative_expired
+FROM current_balances
+WHERE cumulative_spent = 0 AND cumulative_expired = 0 AND cumulative_earned > 0
+ORDER BY cumulative_earned DESC, customer_id""")
+
+  // ---- validation surface (reference: src/thrive_cash_processing_dag.py) ----
+
+  val vSourceQuality: String = pipelined(s"""
+SELECT COUNT(*) AS row_count,
+       SUM(CASE WHEN transaction_id   IS NULL THEN 1 ELSE 0 END) AS null_transaction_id,
+       SUM(CASE WHEN customer_id      IS NULL THEN 1 ELSE 0 END) AS null_customer_id,
+       SUM(CASE WHEN amount           IS NULL THEN 1 ELSE 0 END) AS null_amount,
+       SUM(CASE WHEN ts_us            IS NULL THEN 1 ELSE 0 END) AS null_timestamp,
+       SUM(CASE WHEN transaction_type IS NULL THEN 1 ELSE 0 END) AS null_transaction_type,
+       SUM(CASE WHEN TRY_CAST(CAST(amount AS VARCHAR) AS DOUBLE) IS NULL
+                 AND amount IS NOT NULL THEN 1 ELSE 0 END) AS non_numeric_amount,
+       SUM(CASE WHEN transaction_type NOT IN ('earned','spent','expired')
+                THEN 1 ELSE 0 END) AS invalid_type_count
+FROM txns""")
+
+  val vReferentialIntegrity: String = pipelined(s"""
+SELECT m.REDEEMID, m.TRANS_ID AS earned_id
+FROM matched m
+WHERE m.REDEEMID IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM matched s
+                  WHERE s.TCTYPE IN ('spent','expired') AND s.TRANS_ID = m.REDEEMID)
+ORDER BY m.REDEEMID""")
+
+  val vBalanceEquation: String = pipelined(s"""
+, eq AS (
+  SELECT CUSTOMERID AS customer_id,
+         SUM(CASE WHEN TCTYPE = 'earned' THEN AMOUNT ELSE 0.0 END) AS earned_total,
+         ABS(SUM(CASE WHEN TCTYPE = 'spent' THEN AMOUNT ELSE 0.0 END)) AS spent_total,
+         ABS(SUM(CASE WHEN TCTYPE = 'expired' THEN AMOUNT ELSE 0.0 END)) AS expired_total,
+         SUM(CASE WHEN TCTYPE = 'earned' AND REDEEMID IS NULL THEN AMOUNT ELSE 0.0 END) AS remaining_unmatched
+  FROM matched GROUP BY CUSTOMERID
+)
+SELECT customer_id,
+       ROUND(earned_total, 2) AS earned_total,
+       ROUND(spent_total, 2) AS spent_total,
+       ROUND(expired_total, 2) AS expired_total,
+       ROUND(remaining_unmatched, 2) AS remaining_unmatched,
+       ROUND(ABS(earned_total - (spent_total + expired_total + remaining_unmatched)), 2) AS discrepancy,
+       (ABS(earned_total - (spent_total + expired_total + remaining_unmatched)) <= 0.01) AS balanced
+FROM eq ORDER BY customer_id""")
+
+  val vChronology: String = pipelined(s"""
+SELECT e.CUSTOMERID AS customer_id, e.TRANS_ID AS earned_id, e.CREATEDAT AS earned_at,
+       e.REDEEMID, s.CREATEDAT AS redeemed_at
+FROM matched e
+JOIN matched s ON s.TCTYPE IN ('spent','expired') AND s.TRANS_ID = e.REDEEMID
+WHERE e.REDEEMID IS NOT NULL AND e.CREATEDAT > s.CREATEDAT
+ORDER BY customer_id, earned_id""")
+
+  val vDupPairs: String = pipelined(s"""
+SELECT TRANS_ID, REDEEMID, COUNT(*) AS cnt
+FROM matched GROUP BY TRANS_ID, REDEEMID HAVING COUNT(*) > 1
+ORDER BY TRANS_ID, REDEEMID""")
+
+  val vResultSummary: String = pipelined(s"""
+SELECT COUNT(*) AS total_rows,
+       SUM(CASE WHEN REDEEMID IS NOT NULL THEN 1 ELSE 0 END) AS rows_with_redeemid,
+       SUM(CASE WHEN REDEEMID IS NULL THEN 1 ELSE 0 END) AS rows_without_redeemid,
+       ROUND(SUM(CASE WHEN TCTYPE = 'earned' THEN AMOUNT ELSE 0.0 END), 2) AS total_earned,
+       ROUND(ABS(SUM(CASE WHEN TCTYPE = 'spent' THEN AMOUNT ELSE 0.0 END)), 2) AS total_spent,
+       ROUND(ABS(SUM(CASE WHEN TCTYPE = 'expired' THEN AMOUNT ELSE 0.0 END)), 2) AS total_expired,
+       SUM(CASE WHEN TCTYPE IN ('spent','expired') AND REDEEMID IS NULL THEN 1 ELSE 0 END) AS unmatched_spent_expired
+FROM matched""")
+
+  // ---- generic relational inventory over the TPC-H-ish tables ----
+
+  val aggPricingSummary: String = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+  val revenueByNation: String = """
+SELECT r_name AS region, n_name AS nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS lineitem_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY revenue DESC, nation"""
+
+  val topkOrders: String = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+
+  val customerOrderRank: String = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+WHERE rnk <= 3
+ORDER BY o_custkey, rnk"""
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operator inventory over the TPC-H-ish tables —
+  * exercises scan→filter→agg, multi-way joins with broadcast dimensions,
+  * top-k, and ranking windows at benchmark scale.
+  */
+object RelationalQueries {
+
+  /** Pricing summary (TPC-H Q1 shape): single-pass grouped aggregate;
+    * partial aggregation map-side, one shuffle on the two group keys. */
+  def aggPricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+          .as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue rollup across the full join tree. The fact table shuffles on
+    * join keys; `nation`/`region` (and `customer` at any realistic scale
+    * ratio) are explicitly broadcast — no shuffle for the dimension sides. */
+  def revenueByNation(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("lineitem_count"))
+      .orderBy(col("revenue").desc, col("nation"))
+
+  /** Top-k orders by value — plans as TakeOrderedAndProject (per-partition
+    * heap + driver merge), never a global sort. */
+  def topkOrders(orders: DataFrame, k: Int = 10): DataFrame =
+    orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Top-3 orders per customer via ranking window — one shuffle on
+    * o_custkey; AQE handles skewed customers. */
+  def customerOrderRank(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk")
+  }
+}
