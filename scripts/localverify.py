@@ -31,6 +31,9 @@ def compare(name, spark_df, duck_df):
     a, b = normalize(spark_df), normalize(duck_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+    dt = [c for c in a.columns if str(a[c].dtype) != str(b[c].dtype)]
+    if dt:
+        print(f"    [dtype warn] {[(c, str(a[c].dtype), str(b[c].dtype)) for c in dt]}")
     if len(a) != len(b):
         return f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
     exact = True

@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BalanceAnalytics, FifoMatcher, Validators}
-import graft.queries.{BalanceQueries, OracleSql, RelationalQueries}
+import graft.functions.TextOps
+import graft.operators.{BalanceAnalytics, Dedup, FifoMatcher, Multimodal, Similarity, Validators}
+import graft.queries.{BalanceQueries, OracleSql, OracleSqlText, RelationalQueries}
 import graft.queries.OracleSql.Params
 import graft.sources.Tables
 
@@ -101,7 +102,30 @@ object SparkEntry {
         Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "topk_orders" -> ((s, d) => RelationalQueries.topkOrders(Tables.orders(s, d))),
     "window_customer_order_rank" -> ((s, d) =>
-      RelationalQueries.customerOrderRank(Tables.orders(s, d))))
+      RelationalQueries.customerOrderRank(Tables.orders(s, d))),
+
+    // training-data pipeline: deduplication
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "text_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+
+    // training-data pipeline: text analysis
+    "text_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    "text_langid" -> ((s, d) => TextOps.languageId(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+
+    // training-data pipeline: similarity search over embeddings
+    "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), nPlanes = 4)),
+    "embed_neardup_pairs" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.45)),
+
+    // training-data pipeline: multimodal binary plumbing (decode is stubbed)
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.withMedia(Tables.documents(s, d)))
+        .select("doc_id", "n_bytes", "content_md5").orderBy("doc_id")))
 
   /** DuckDB twins of [[queries]] — same columns, same order, same values. */
   def oracleSql: Map[String, String] = Map(
@@ -131,5 +155,18 @@ object SparkEntry {
     "agg_pricing_summary" -> OracleSql.aggPricingSummary,
     "join_revenue_by_nation" -> OracleSql.revenueByNation,
     "topk_orders" -> OracleSql.topkOrders,
-    "window_customer_order_rank" -> OracleSql.customerOrderRank)
+    "window_customer_order_rank" -> OracleSql.customerOrderRank,
+    "dedup_exact" -> OracleSqlText.dedupExact,
+    "dedup_ngram_jaccard" -> OracleSqlText.ngramJaccard,
+    "dedup_minhash_lsh" -> OracleSqlText.minhashLsh,
+    "text_simhash" -> OracleSqlText.simhash,
+    "dedup_simhash_pairs" -> OracleSqlText.simhashPairs,
+    "text_token_stats" -> OracleSqlText.tokenStats,
+    "text_quality" -> OracleSqlText.qualityScore,
+    "text_langid" -> OracleSqlText.languageId,
+    "text_fingerprint" -> OracleSqlText.fingerprint,
+    "ann_cosine_topk" -> OracleSqlText.annTopK,
+    "ann_lsh_topk" -> OracleSqlText.annLshTopK,
+    "embed_neardup_pairs" -> OracleSqlText.nearDupPairs,
+    "mm_features" -> OracleSqlText.mmFeatures)
 }

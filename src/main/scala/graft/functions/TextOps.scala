@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Cross-engine portability rules (every op has a DuckDB oracle twin):
+  * only integer arithmetic, string ops, md5, and single divisions of
+  * identical integers — no transcendentals, no engine-specific hashes.
+  * All are narrow per-row transformations: no shuffle except where a
+  * groupBy/window is the semantic (language-ID vote).
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles (default 3), the dedup unit.
+    * Guarded so short docs yield an empty set — Spark's `sequence(1, k)`
+    * would count *down* for k<1. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-doc token stats: count, unique count, type-token ratio. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_unique_tokens"))
+      .withColumn("type_token_ratio",
+        round(col("n_unique_tokens").cast("double") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, and a
+    * simple bounded composite — the filter-stage signal of a data pipeline. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val stopCount = size(filter(toks, t => t.isin(Stopwords.map(lit): _*)))
+    val punctCount = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTokens.cast("long").as("n_tokens"),
+        stopCount.cast("long").as("n_stopwords"),
+        punctCount.cast("long").as("n_punct"))
+      .withColumn("stopword_ratio", round(col("n_stopwords").cast("double") / col("n_tokens"), 4))
+      .withColumn("punct_ratio", round(col("n_punct").cast("double") / col("n_chars"), 4))
+      .withColumn("quality_score",
+        round(least(col("n_tokens"), lit(200)).cast("double") / 200.0 *
+          (lit(1.0) - col("punct_ratio")), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Language markers: tiny high-frequency stopword lists per language.
+    * (The heuristic n-gram approach of fastText-style ID, reduced to its
+    * portable core: marker-token voting.) */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "to", "en" -> "with",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les", "fr" -> "des",
+    "es" -> "el", "es" -> "los", "es" -> "las", "es" -> "una", "es" -> "que",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das", "de" -> "ein",
+    "zh" -> "的", "zh" -> "是", "zh" -> "了")
+
+  /** Language ID by marker-token vote: explode tokens, join the (broadcast)
+    * marker table, majority vote per doc with deterministic tie-break,
+    * `und` when no marker hits. One shuffle on doc_id. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = broadcast(LangMarkers.toDF("cand_lang", "word"))
+    val exploded = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val votes = exploded.join(markers, Seq("word"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("doc_id").orderBy(col("votes").desc, col("cand_lang"))
+    val best = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang"), col("votes"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cand_lang"), lit("und")).as("predicted_lang"),
+        coalesce(col("votes"), lit(0L)).as("marker_votes"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint: md5 over the normalized text (lowercase,
+    * alphanumerics only) — byte-identical content maps to one id, the
+    * canonical exact-dedup key modulo formatting. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "").cast("binary"))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the correctness baseline: queries are a small
+  * set broadcast against the corpus, so the scan parallelizes over corpus
+  * partitions with no shuffle until the final per-query top-k (a window over
+  * query_id). The LSH-bucketed variant is the 100 TB path: sign-random-
+  * projection buckets shrink each probe to one bucket's worth of candidates.
+  *
+  * Determinism contract with the DuckDB oracle: dot products accumulate
+  * element-wise in index order with every element cast to double first
+  * (float accumulation would diverge), similarity is rounded before ranking,
+  * and ranking ties break on vec_id.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two float vectors, accumulated as double in index order. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k neighbors by cosine for a query subset (vec_id < nQueries).
+    * The query side is broadcast; the corpus side streams. */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val queries = broadcast(
+      embeddings.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = queries.join(embeddings.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", round(cosine(col("q_emb"), col("embedding")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** All pairs at or above a cosine threshold (embedding near-dedup).
+    * Block-nested join over the corpus with itself on vec_id < vec_id —
+    * at real scale this is replaced by [[lshBuckets]]-restricted pairing;
+    * kept exact here as the oracle-checkable baseline. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select("vec_a", "vec_b", "cosine_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Sign-random-projection LSH bucket id (nPlanes bits). Hyperplane
+    * components are md5-derived pseudo-randoms in [-0.5, 0.5), identical in
+    * any engine: plane p, dim d → (md5("p:d") first 8 hex as int)/2³² − 0.5.
+    * Vectors in the same bucket are near-dup candidates; expected bucket
+    * population is n/2^nPlanes. */
+  /** md5-derived pseudo-random hyperplane component in [-0.5, 0.5) for
+    * plane p, dimension d — a driver-side constant, shared verbatim with the
+    * DuckDB oracle (OracleSqlText embeds the same literals). */
+  def planeComponent(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+  }
+
+  def lshBucket(emb: Column, nPlanes: Int = 8, dim: Int = 64): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val dot = (0 until dim).map(d =>
+        element_at(emb, d + 1).cast("double") * lit(planeComponent(p, d))).reduce(_ + _)
+      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: same output shape as [[bruteForceTopK]] but each query
+    * only scores its own LSH bucket — the recall/throughput trade at scale. */
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5, nPlanes: Int = 4): DataFrame = {
+    val withBucket = embeddings.withColumn("bucket", lshBucket(col("embedding"), nPlanes))
+    val queries = broadcast(
+      withBucket.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket")))
+    val scored = queries.join(
+        withBucket.select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", round(cosine(col("q_emb"), col("embedding")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+}

@@ -137,7 +137,9 @@ object BalanceQueries {
     history
       .filter(col("customer_id") === customer &&
         col("transaction_date") >= ts(from) && col("transaction_date") < ts(until))
-      .withColumn("date", to_date(col("transaction_date")))
+      // midnight NTZ rather than DATE: date-typed parquet round-trips
+      // differently across readers (object vs datetime64), timestamps don't
+      .withColumn("date", to_date(col("transaction_date")).cast(TimestampNTZType))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("customer_id"), col("date"),

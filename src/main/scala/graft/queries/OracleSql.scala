@@ -221,7 +221,7 @@ ORDER BY transaction_date, transaction_id""")
 
   val q11: String = pipelined(s"""
 , daily AS (
-  SELECT customer_id, CAST(transaction_date AS DATE) AS date,
+  SELECT customer_id, CAST(CAST(transaction_date AS DATE) AS TIMESTAMP) AS date,
          transaction_date, current_balance,
          ROW_NUMBER() OVER (PARTITION BY customer_id, CAST(transaction_date AS DATE)
                             ORDER BY transaction_date DESC, transaction_id DESC) AS rn
@@ -243,15 +243,15 @@ ORDER BY cumulative_earned DESC, customer_id""")
 
   val vSourceQuality: String = pipelined(s"""
 SELECT COUNT(*) AS row_count,
-       SUM(CASE WHEN transaction_id   IS NULL THEN 1 ELSE 0 END) AS null_transaction_id,
-       SUM(CASE WHEN customer_id      IS NULL THEN 1 ELSE 0 END) AS null_customer_id,
-       SUM(CASE WHEN amount           IS NULL THEN 1 ELSE 0 END) AS null_amount,
-       SUM(CASE WHEN ts_us            IS NULL THEN 1 ELSE 0 END) AS null_timestamp,
-       SUM(CASE WHEN transaction_type IS NULL THEN 1 ELSE 0 END) AS null_transaction_type,
-       SUM(CASE WHEN TRY_CAST(CAST(amount AS VARCHAR) AS DOUBLE) IS NULL
-                 AND amount IS NOT NULL THEN 1 ELSE 0 END) AS non_numeric_amount,
-       SUM(CASE WHEN transaction_type NOT IN ('earned','spent','expired')
-                THEN 1 ELSE 0 END) AS invalid_type_count
+       CAST(SUM(CASE WHEN transaction_id   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_transaction_id,
+       CAST(SUM(CASE WHEN customer_id      IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_customer_id,
+       CAST(SUM(CASE WHEN amount           IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_amount,
+       CAST(SUM(CASE WHEN ts_us            IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_timestamp,
+       CAST(SUM(CASE WHEN transaction_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_transaction_type,
+       CAST(SUM(CASE WHEN TRY_CAST(CAST(amount AS VARCHAR) AS DOUBLE) IS NULL
+                 AND amount IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_numeric_amount,
+       CAST(SUM(CASE WHEN transaction_type NOT IN ('earned','spent','expired')
+                THEN 1 ELSE 0 END) AS BIGINT) AS invalid_type_count
 FROM txns""")
 
   val vReferentialIntegrity: String = pipelined(s"""
@@ -295,12 +295,12 @@ ORDER BY TRANS_ID, REDEEMID""")
 
   val vResultSummary: String = pipelined(s"""
 SELECT COUNT(*) AS total_rows,
-       SUM(CASE WHEN REDEEMID IS NOT NULL THEN 1 ELSE 0 END) AS rows_with_redeemid,
-       SUM(CASE WHEN REDEEMID IS NULL THEN 1 ELSE 0 END) AS rows_without_redeemid,
+       CAST(SUM(CASE WHEN REDEEMID IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_redeemid,
+       CAST(SUM(CASE WHEN REDEEMID IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_without_redeemid,
        ROUND(SUM(CASE WHEN TCTYPE = 'earned' THEN AMOUNT ELSE 0.0 END), 2) AS total_earned,
        ROUND(ABS(SUM(CASE WHEN TCTYPE = 'spent' THEN AMOUNT ELSE 0.0 END)), 2) AS total_spent,
        ROUND(ABS(SUM(CASE WHEN TCTYPE = 'expired' THEN AMOUNT ELSE 0.0 END)), 2) AS total_expired,
-       SUM(CASE WHEN TCTYPE IN ('spent','expired') AND REDEEMID IS NULL THEN 1 ELSE 0 END) AS unmatched_spent_expired
+       CAST(SUM(CASE WHEN TCTYPE IN ('spent','expired') AND REDEEMID IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched_spent_expired
 FROM matched""")
 
   // ---- generic relational inventory over the TPC-H-ish tables ----

@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.functions.TextOps
+
+/** DuckDB oracle SQL for the text / dedup / similarity operators.
+  *
+  * Much of this is *generated* from the same constants the Spark operators
+  * use (stopword list, language markers, minhash seeds, LSH hyperplane
+  * components) so the two sides cannot drift. All hashing is md5 → identical
+  * hex in both engines; integer outputs are BIGINT on both sides; float
+  * accumulation is element-wise double in index order.
+  */
+object OracleSqlText {
+
+  /** Shared CTE: whitespace tokens per document. */
+  private val toksCte =
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+
+  /** Shared CTE: distinct 3-gram shingles per document (docs with ≥3 tokens). */
+  private val shinglesCte =
+    """sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM toks WHERE len(toks) >= 3
+)"""
+
+  val dedupExact: String = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS group_size
+FROM documents GROUP BY md5(text) ORDER BY content_hash"""
+
+  private val verifySql = """
+v AS (
+  SELECT doc_a, doc_b,
+         ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+
+  val ngramJaccard: String = s"""
+WITH $toksCte,
+$shinglesCte,
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+$verifySql"""
+
+  /** Band key b: concatenated min-hashes for seeds 3b..3b+2 (must mirror
+    * Dedup.minhashLsh: bands=4, rowsPerBand=3, substr(md5(x ∥ '#' ∥ seed),1,8)). */
+  private def bandKeySql(b: Int): String =
+    (0 until 3).map(j =>
+      s"list_min(list_transform(sh, x -> substr(md5(x || '#${b * 3 + j}'), 1, 8)))")
+      .mkString(" || ")
+
+  val minhashLsh: String = s"""
+WITH $toksCte,
+$shinglesCte,
+banded AS (
+${(0 until 4).map(b =>
+    s"  SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sh")
+    .mkString("\n  UNION ALL\n")}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+$verifySql"""
+
+  /** First-4-hex-chars-of-md5 as an integer (DuckDB has no conv()). */
+  private def hex4IntSql(arg: String): String =
+    (0 until 4).map { i =>
+      val mult = math.pow(16, 3 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5($arg), ${i + 1}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+
+  val simhash: String = s"""
+WITH $toksCte,
+hv AS (
+  SELECT doc_id,
+         list_transform(list_distinct(toks), t -> ${hex4IntSql("t")}) AS hv
+  FROM toks
+)
+SELECT doc_id,
+       CAST(${(0 until 16).map(b =>
+    s"(CASE WHEN list_sum(list_transform(hv, v -> ((v >> $b) & 1) * 2 - 1)) >= 0 THEN ${1 << b} ELSE 0 END)")
+    .mkString(" + ")} AS BIGINT) AS simhash16
+FROM hv ORDER BY doc_id"""
+
+  val simhashPairs: String = s"""
+WITH $toksCte,
+hv AS (
+  SELECT doc_id,
+         list_transform(list_distinct(toks), t -> ${hex4IntSql("t")}) AS hv
+  FROM toks
+),
+s AS (
+  SELECT doc_id,
+         CAST(${(0 until 16).map(b =>
+    s"(CASE WHEN list_sum(list_transform(hv, v -> ((v >> $b) & 1) * 2 - 1)) >= 0 THEN ${1 << b} ELSE 0 END)")
+    .mkString(" + ")} AS BIGINT) AS simhash16
+  FROM hv
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash16
+FROM s a JOIN s b ON a.simhash16 = b.simhash16 AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b"""
+
+  val tokenStats: String = s"""
+WITH $toksCte
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique_tokens,
+       ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS type_token_ratio
+FROM toks ORDER BY doc_id"""
+
+  private val stopwordIn = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val qualityScore: String = s"""
+WITH $toksCte,
+q AS (
+  SELECT t.doc_id,
+         length(d.text) AS n_chars,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ($stopwordIn))) AS n_stopwords,
+         length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) AS n_punct
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+)
+SELECT doc_id, n_chars, n_tokens, n_stopwords, n_punct,
+       ROUND(n_stopwords::DOUBLE / n_tokens, 4) AS stopword_ratio,
+       ROUND(n_punct::DOUBLE / n_chars, 4) AS punct_ratio,
+       ROUND(LEAST(n_tokens, 200)::DOUBLE / 200.0 *
+             (1.0 - ROUND(n_punct::DOUBLE / n_chars, 4)), 4) AS quality_score
+FROM q ORDER BY doc_id"""
+
+  private val markerValues =
+    TextOps.LangMarkers.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+
+  val languageId: String = s"""
+WITH markers(cand_lang, word) AS (VALUES $markerValues),
+ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+votes AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS votes
+  FROM ex JOIN markers USING (word) GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang, votes
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY votes DESC, cand_lang) AS rn
+        FROM votes) t
+  WHERE rn = 1
+)
+SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS predicted_lang,
+       COALESCE(b.votes, 0) AS marker_votes
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+ORDER BY d.doc_id"""
+
+  val fingerprint: String = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+FROM documents ORDER BY doc_id"""
+
+  /** Element-wise double dot product in index order (mirrors
+    * Similarity.dotProduct). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  private def cosSql(a: String, b: String): String =
+    s"ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  val annTopK: String = s"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ${cosSql("q.q_emb", "e.embedding")} AS cosine_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored) t
+WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  val nearDupPairs: String = s"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ${cosSql("a.embedding", "b.embedding")} AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
+ORDER BY vec_a, vec_b"""
+
+  /** Sign-random-projection bucket id — embeds the exact hyperplane
+    * constants Similarity.lshBucket computes driver-side, summed in the same
+    * left-to-right order so the sign decisions are bit-identical. */
+  private def bucketSql(embCol: String, nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map { p =>
+      val dot = (0 until dim).map(d =>
+        s"$embCol[${d + 1}]::DOUBLE * ${graft.operators.Similarity.planeComponent(p, d)}")
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val annLshTopK: String = s"""
+WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding", 4, 64)} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ${cosSql("q.q_emb", "e.embedding")} AS cosine_sim
+  FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored) t
+WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Multimodal plumbing oracle: byte length + content hash of the binary
+    * payload (the Spark side synthesizes `media = encode(text)`; real decode
+    * is a stubbed executor-side function — see Multimodal.scala). */
+  val mmFeatures: String = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+FROM documents ORDER BY doc_id"""
+}

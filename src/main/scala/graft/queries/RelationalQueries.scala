@@ -57,6 +57,7 @@ object RelationalQueries {
     orders.select("o_custkey", "o_orderkey", "o_totalprice")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
+      .withColumn("rnk", col("rnk").cast("long"))
       .orderBy("o_custkey", "rnk")
   }
 }
