@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextOps
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick brown fox jumps over the lazy cat", // near-dup of 1
+    3L -> "completely different words about spark engines here",
+    4L -> "the quick brown fox jumps over the lazy dog", // exact dup of 1
+    5L -> "tiny")
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exact(corpus).collect()
+    val dupGroup = groups.filter(_.getAs[Long]("group_size") > 1)
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head.getAs[Long]("canonical_doc_id") === 1L)
+    assert(dupGroup.head.getAs[Long]("group_size") === 2L)
+  }
+
+  test("ngram jaccard finds near and exact dups, skips short docs") {
+    val pairs = Dedup.ngramJaccard(corpus)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup → jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // near dup (7/9 shingles shared... ≥ 0.5)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // < 3 tokens: no shingles
+  }
+
+  test("minhash LSH finds the same dups as exact jaccard here") {
+    val lsh = Dedup.minhashLsh(corpus)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh.contains((1L, 4L)))
+    assert(lsh.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs share sketch; near-dups are close") {
+    val s = Dedup.simhash(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash16")).toMap
+    assert(s(1L) === s(4L))
+    val hamming = java.lang.Long.bitCount(s(1L) ^ s(2L))
+    assert(hamming <= 6, s"near-dup hamming distance $hamming")
+    val pairs = Dedup.simhashPairs(corpus)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("token stats, quality, language id, fingerprint") {
+    val st = TextOps.tokenStats(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(st(1L).getAs[Long]("n_tokens") === 9L)
+    assert(st(1L).getAs[Long]("n_unique_tokens") === 8L) // "the" twice
+
+    val q = TextOps.qualityScore(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(q(1L).getAs[Long]("n_stopwords") === 2L) // "the" ×2
+    assert(q(1L).getAs[Double]("punct_ratio") === 0.0)
+
+    val lang = TextOps.languageId(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(lang(1L) === "en")
+    assert(lang(5L) === "und")
+
+    val fp = TextOps.fingerprint(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
+    assert(fp(1L) === fp(4L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  private def embeddings(rows: (Long, Seq[Float])*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private val vecs = embeddings(
+    0L -> Seq(1f, 0f, 0f, 0f),
+    1L -> Seq(0.9f, 0.1f, 0f, 0f), // close to 0
+    2L -> Seq(0f, 1f, 0f, 0f),
+    3L -> Seq(0f, 0f, 1f, 0f),
+    4L -> Seq(-1f, 0f, 0f, 0f))
+
+  test("brute-force cosine top-k ranks by similarity") {
+    val res = Similarity.bruteForceTopK(vecs, nQueries = 1, k = 2).collect()
+    assert(res.length === 2)
+    assert(res(0).getAs[Long]("neighbor_id") === 1L) // most similar to vec 0
+    assert(res(0).getAs[Double]("cosine_sim") > 0.99)
+    assert(res(1).getAs[Double]("cosine_sim") === 0.0)
+  }
+
+  test("near-dup pairs by cosine threshold") {
+    val pairs = Similarity.nearDupPairs(vecs, 0.9).collect()
+    assert(pairs.length === 1)
+    assert((pairs.head.getAs[Long]("vec_a"), pairs.head.getAs[Long]("vec_b")) === (0L, 1L))
+  }
+
+  test("lsh bucketing keeps identical vectors together") {
+    val dup = embeddings(0L -> Seq.fill(64)(0.5f), 1L -> Seq.fill(64)(0.5f),
+      2L -> Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f))
+    val b = dup.withColumn("bucket", Similarity.lshBucket(org.apache.spark.sql.functions.col("embedding"), 4))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("bucket")).toMap
+    assert(b(0L) === b(1L))
+  }
+
+  test("multimodal plumbing round-trips binary with deterministic features") {
+    val media = Multimodal.withMedia(corpus)
+    assert(media.schema("media").dataType.typeName === "binary")
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(feats(1L).getAs[Long]("n_bytes") === 43L)
+    assert(feats(1L).getAs[String]("content_md5") === feats(4L).getAs[String]("content_md5"))
+    val f1 = feats(1L).getSeq[Float](feats(1L).fieldIndex("features"))
+    assert(f1.length === 4)
+    assert(f1.head === 43f)
+  }
+}

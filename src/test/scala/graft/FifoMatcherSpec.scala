@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.FifoMatcher
+
+/** Ports the reference's 10 matcher scenarios
+  * (reference: test/test_fifo_matching.py:33-428) against all three
+  * formulations; plus the hand-verified golden case from
+  * doc/FIFO_MATCHING_FLOW.md:84-148.
+  */
+class FifoMatcherSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val impls: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "windowed" -> FifoMatcher.matchTransactions,
+    "rankJoin" -> FifoMatcher.matchRankJoin,
+    "queue" -> FifoMatcher.matchQueue)
+
+  private def forAllImpls(input: DataFrame)(check: (String, Map[String, Option[String]]) => Unit): Unit =
+    impls.foreach { case (name, impl) => check(name, redeemMap(impl(input))) }
+
+  // Test 1 (reference :33-66): simple one-to-one
+  test("simple one-to-one matching") {
+    val in = tx(
+      ("E001", "C001", 100.0, "2024-01-01", "earned"),
+      ("S001", "C001", -100.0, "2024-01-05", "spent"))
+    forAllImpls(in) { (name, m) =>
+      assert(m("E001") === Some("S001"), name)
+      assert(m("S001") === None, name)
+    }
+  }
+
+  // Test 2 (reference :71-105): amounts ignored, no partial redemption
+  test("1:1 matching ignores amounts") {
+    val in = tx(
+      ("E001", "C001", 100.0, "2024-01-01", "earned"),
+      ("S001", "C001", -60.0, "2024-01-05", "spent"))
+    forAllImpls(in) { (name, m) =>
+      assert(m("E001") === Some("S001"), name)
+      assert(m("S001") === None, name)
+    }
+  }
+
+  // Test 3 (reference :110-151): oldest earned matched first
+  test("FIFO order with multiple earned") {
+    val in = tx(
+      ("E001", "C001", 50.0, "2024-01-01", "earned"),
+      ("E002", "C001", 30.0, "2024-01-02", "earned"),
+      ("E003", "C001", 20.0, "2024-01-03", "earned"),
+      ("S001", "C001", -70.0, "2024-01-10", "spent"))
+    forAllImpls(in) { (name, m) =>
+      assert(m("E001") === Some("S001"), name)
+      assert(m("E002") === None, name)
+      assert(m("E003") === None, name)
+    }
+  }
+
+  // Test 4 (reference :156-196): one earned, multiple spent — first spent wins
+  test("one earned, multiple spent") {
+    val in = tx(
+      ("E001", "C001", 100.0, "2024-01-01", "earned"),
+      ("S001", "C001", -30.0, "2024-01-05", "spent"),
+      ("S002", "C001", -40.0, "2024-01-06", "spent"),
+      ("S003", "C001", -20.0, "2024-01-07", "spent"))
+    forAllImpls(in) { (name, m) =>
+      assert(m("E001") === Some("S001"), name)
+      assert(m("S001") === None, name)
+      assert(m("S002") === None, name)
+      assert(m("S003") === None, name)
+    }
+  }
+
+  // Test 5 (reference :201-242): customers independent
+  test("multiple customers matched independently") {
+    val in = tx(
+      ("E001", "C001", 100.0, "2024-01-01", "earned"),
+      ("E002", "C002", 50.0, "2024-01-01", "earned"),
+      ("S001", "C001", -50.0, "2024-01-05", "spent"),
+      ("S002", "C002", -30.0, "2024-01-05", "spent"))
+    forAllImpls(in) { (name, m) =>
+      assert(m("E001") === Some("S001"), name)
+      assert(m("E002") === Some("S002"), name)
+    }
+  }
+
+  // Test 6 (reference :247-278): expired behaves exactly like spent
+  test("expired transactions redeem like spent") {
+    val in = tx(
+      ("E001", "C001", 100.0, "2024-01-01", "earned"),
+      ("E002", "C001", 50.0, "2024-01-02", "earned"),
+      ("S001", "C001", -60.0, "2024-01-05", "spent"),
+      ("X001", "C001", -40.0, "2024-01-06", "expired"))
+    forAllImpls(in) { (name, m) =>
+      assert(m("E001") === Some("S001"), name)
+      assert(m("E002") === Some("X001"), name)
+      assert(m("X001") === None, name)
+    }
+  }
+
+  // Test 7 (reference :283-303): no earned → nothing matched
+  test("no earned transactions") {
+    val in = tx(
+      ("S001", "C001", -50.0, "2024-01-05", "spent"),
+      ("X001", "C001", -20.0, "2024-01-06", "expired"))
+    forAllImpls(in) { (name, m) =>
+      assert(m("S001") === None, name)
+      assert(m("X001") === None, name)
+    }
+  }
+
+  // Test 8 (reference :307-333): dates are NOT compared — a spent that
+  // precedes all earned still consumes the queue head. The reference test's
+  // chronology assertion is vacuous (asserts on the spent row, which is NULL
+  // by construction); this pins the ACTUAL semantics.
+  test("spent before any earned still matches (no chronology constraint)") {
+    val in = tx(
+      ("S001", "C001", -50.0, "2024-01-01", "spent"),
+      ("E001", "C001", 100.0, "2024-01-05", "earned"))
+    forAllImpls(in) { (name, m) =>
+      assert(m("E001") === Some("S001"), name)
+      assert(m("S001") === None, name)
+    }
+  }
+
+  // Test 9 (reference :337-381): each TRANS_ID used at most once per side
+  test("each trans id used once") {
+    val in = tx(
+      ("E001", "C001", 30.0, "2024-01-01", "earned"),
+      ("E002", "C001", 40.0, "2024-01-02", "earned"),
+      ("S001", "C001", -30.0, "2024-01-05", "spent"),
+      ("S002", "C001", -40.0, "2024-01-06", "spent"),
+      ("S003", "C001", -10.0, "2024-01-07", "spent"))
+    forAllImpls(in) { (name, m) =>
+      assert(m("E001") === Some("S001"), name)
+      assert(m("E002") === Some("S002"), name)
+      val redeemers = m.values.flatten.toSeq
+      assert(redeemers.distinct.size === redeemers.size, s"$name: redeemer reused")
+    }
+  }
+
+  // Test 10 (reference :386-428): FIFO by CREATEDAT, not input order
+  test("FIFO by CREATEDAT not input order") {
+    val in = tx(
+      ("E002", "C001", 30.0, "2024-01-03", "earned"), // newer, listed first
+      ("E001", "C001", 50.0, "2024-01-01", "earned"), // older, listed second
+      ("S001", "C001", -40.0, "2024-01-10", "spent"))
+    forAllImpls(in) { (name, m) =>
+      assert(m("E001") === Some("S001"), s"$name: oldest by CREATEDAT wins")
+      assert(m("E002") === None, name)
+    }
+  }
+
+  // Golden case (reference: doc/FIFO_MATCHING_FLOW.md:84-148)
+  test("documented walkthrough case") {
+    val in = tx(
+      ("E001", "C001", 100.0, "2024-01-01", "earned"),
+      ("E002", "C001", 50.0, "2024-01-02", "earned"),
+      ("E003", "C001", 75.0, "2024-01-03", "earned"),
+      ("S001", "C001", -80.0, "2024-01-05", "spent"),
+      ("S002", "C001", -40.0, "2024-01-06", "spent"),
+      ("X001", "C001", -30.0, "2024-06-01", "expired"))
+    forAllImpls(in) { (name, m) =>
+      assert(m("E001") === Some("S001"), name)
+      assert(m("E002") === Some("S002"), name)
+      assert(m("E003") === Some("X001"), name)
+      assert(m("S001") === None, name)
+      assert(m("S002") === None, name)
+      assert(m("X001") === None, name)
+    }
+  }
+
+  // Determinism on duplicate timestamps (SURVEY §7.5 tie-break contract)
+  test("deterministic tie-break on equal CREATEDAT") {
+    val in = tx(
+      ("E002", "C001", 10.0, "2024-01-01", "earned"),
+      ("E001", "C001", 20.0, "2024-01-01", "earned"), // same ts: E001 < E002 wins
+      ("S001", "C001", -5.0, "2024-01-02", "spent"))
+    forAllImpls(in) { (name, m) =>
+      assert(m("E001") === Some("S001"), s"$name: TRANS_ID tie-break")
+      assert(m("E002") === None, name)
+    }
+  }
+
+  test("empty input produces empty output with correct schema") {
+    val in = tx()
+    impls.foreach { case (name, impl) =>
+      val out = impl(in)
+      assert(out.count() === 0, name)
+      assert(out.columns.toSet ===
+        Set("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID"), name)
+    }
+  }
+}
