@@ -18,29 +18,43 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles (default 3), the dedup unit.
+  /** (doc_id, text, toks): tokens projected into their own column FIRST.
+    * Load-bearing for performance — expressions that reference `toks` many
+    * times (shingling references it per n-gram index) must see an attribute,
+    * not an inlined `split(text)`: CollapseProject keeps expensive
+    * multi-referenced aliases in their own projection, so the split runs
+    * once per row instead of once per downstream reference. */
+  def withTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+
+  /** Distinct word n-gram shingles over a pre-projected token column.
     * Guarded so short docs yield an empty set — Spark's `sequence(1, k)`
     * would count *down* for k<1. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  def shinglesOf(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** (doc_id, sh): distinct n-gram shingle sets, docs with ≥n tokens. */
+  def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    withTokens(docs).select(col("doc_id"), shinglesOf(col("toks"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Compatibility single-Column form (tests, ad-hoc use) — prefer
+    * [[withShingles]] in operators. */
+  def shingles(text: Column, n: Int = 3): Column = shinglesOf(tokens(text), n)
 
   /** Per-doc token stats: count, unique count, type-token ratio. */
-  def tokenStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(
+  def tokenStats(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
         col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_unique_tokens"))
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_unique_tokens"))
       .withColumn("type_token_ratio",
         round(col("n_unique_tokens").cast("double") / col("n_tokens"), 4))
       .orderBy("doc_id")
-  }
 
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for")
@@ -48,14 +62,12 @@ object TextOps {
   /** Quality scoring: length, punctuation ratio, stopword ratio, and a
     * simple bounded composite — the filter-stage signal of a data pipeline. */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTokens = size(toks)
-    val stopCount = size(filter(toks, t => t.isin(Stopwords.map(lit): _*)))
+    val stopCount = size(filter(col("toks"), t => t.isin(Stopwords.map(lit): _*)))
     val punctCount = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-    docs.select(
+    withTokens(docs).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        nTokens.cast("long").as("n_tokens"),
+        size(col("toks")).cast("long").as("n_tokens"),
         stopCount.cast("long").as("n_stopwords"),
         punctCount.cast("long").as("n_punct"))
       .withColumn("stopword_ratio", round(col("n_stopwords").cast("double") / col("n_tokens"), 4))

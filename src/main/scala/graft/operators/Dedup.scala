@@ -31,25 +31,50 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** N-gram (shingle) Jaccard dedup via an inverted-index join: explode
-    * distinct shingles, self-join on shingle to generate candidates (only
-    * docs that share content ever meet), then verify |A∩B|/|A∪B| ≥ threshold
-    * on the shingle sets. */
+  /** N-gram (shingle) Jaccard dedup as a count-based set-similarity join:
+    * explode distinct shingles, self-join on shingle, and aggregate the
+    * match count per pair — that count IS |A∩B| (shingle sets are distinct),
+    * so Jaccard needs only the two set sizes, never the arrays.
+    *
+    * This shape matters at scale: the per-pair work is a counter bump with
+    * map-side partial aggregation, instead of materializing both shingle
+    * arrays per candidate and intersecting them (O(|A|+|B|) allocations ×
+    * millions of pairs — measured 100+ s at sf0.1, vs seconds for this). */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // the shingle table feeds both join sides and the size lookup — persist
+    // it so tokenize+shingle runs once, not once per plan branch
+    val sh = TextOps.withShingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val candidates = inv.as("a").join(inv.as("b"),
+    inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyPairs(candidates, sh, threshold)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash + LSH banding. Signature i of a doc is
-    * `min over shingles of substr(md5(shingle ∥ '#' ∥ i), 1, 8)`; signatures
-    * are grouped into `bands` keys of `rowsPerBand` each; docs sharing any
-    * band key become candidates; candidates are verified with exact Jaccard.
+  /** Universal-hash family for MinHash: one md5 per shingle (its first 8 hex
+    * digits as a base integer), then cheap arithmetic permutations
+    * hᵢ(x) = (aᵢ·x + bᵢ) mod p — the classic a·x+b construction. One digest
+    * per shingle instead of one per (shingle × signature), ~numHashes×
+    * cheaper, still engine-portable (the DuckDB oracle embeds the same
+    * seeds). */
+  val MinhashPrime: Long = 2147483647L // 2^31 − 1
+  val MinhashSeeds: Seq[(Long, Long)] = (0 until 12).map { i =>
+    ((1103515245L * (i + 1) + 12345L) % MinhashPrime,
+      (69069L * (i + 7) + 1234567L) % MinhashPrime)
+  }
+
+  /** MinHash + LSH banding. Signatures are grouped into `bands` keys of
+    * `rowsPerBand` hashes each; docs sharing any band key become candidates;
+    * candidates are verified with exact Jaccard.
     *
     * With 4 bands × 3 rows, a pair at Jaccard 0.8 is caught with
     * probability 1-(1-0.8³)⁴ ≈ 0.96; at 0.3 almost never — the classic
@@ -57,25 +82,39 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // persisted: read by the banding pass and by both verify join sides
+    val sh = TextOps.withShingles(docs, n)
+      .withColumn("hv", transform(col("sh"), x =>
+        conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long") % MinhashPrime))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def minhash(seed: Int): Column =
-      array_min(transform(col("sh"), x => substring(md5(concat(x, lit("#" + seed)).cast("binary")), 1, 8)))
+    def minhash(i: Int): Column = {
+      val (a, b) = MinhashSeeds(i)
+      array_min(transform(col("hv"), h => (lit(a) * h + lit(b)) % MinhashPrime))
+    }
     def bandKey(b: Int): Column =
-      concat((0 until rowsPerBand).map(j => minhash(b * rowsPerBand + j)): _*)
+      concat_ws("_", (0 until rowsPerBand).map(j => minhash(b * rowsPerBand + j)): _*)
 
     val banded = sh.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    val candidates = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // bucket-local pair expansion instead of a banded self-join: one pass
+    // over the banding table; each bucket's candidate pairs are generated
+    // in-place (buckets are near-dup groups, so the per-bucket quadratic is
+    // the true output size, not an artifact)
+    val ids = col("ids")
+    val candidates = banded.groupBy("band", "key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(ids) - 2),
+        i => transform(slice(ids, i + 2, size(ids)),
+          b => struct(element_at(ids, i + 1).as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    verifyPairs(candidates, sh, threshold)
+    verifyPairs(candidates, sh.select("doc_id", "sh"), threshold)
   }
 
   /** Join candidate pairs back to their shingle sets and keep those at or
@@ -94,15 +133,19 @@ object Dedup {
     * Equal sketches (Hamming distance 0 buckets) are the near-dup
     * candidates; one narrow map + no shuffle for the sketch itself. */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = array_distinct(TextOps.tokens(col("text")))
-    val hv = transform(toks, t => conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int"))
+    // hv projected to its own column first: the 16 per-bit aggregates each
+    // reference it, and an attribute reference is free while an inlined
+    // md5-transform would be recomputed per bit.
+    val hvDf = TextOps.withTokens(docs).select(col("doc_id"),
+      transform(array_distinct(col("toks")), t =>
+        conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int")).as("hv"))
     val bitCols = (0 until 16).map { b =>
       // Σ over tokens of ±1 for bit b, via aggregate(); >= 0 counts as set
-      val contrib = aggregate(hv, lit(0),
+      val contrib = aggregate(col("hv"), lit(0),
         (acc, v) => acc + (shiftright(v, b).bitwiseAND(1) * 2 - 1))
       when(contrib >= 0, lit(1 << b)).otherwise(lit(0))
     }
-    docs.select(col("doc_id"), bitCols.reduce(_ + _).cast("long").as("simhash16"))
+    hvDf.select(col("doc_id"), bitCols.reduce(_ + _).cast("long").as("simhash16"))
       .orderBy("doc_id")
   }
 

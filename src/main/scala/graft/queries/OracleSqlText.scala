@@ -50,19 +50,35 @@ cand AS (
 ),
 $verifySql"""
 
-  /** Band key b: concatenated min-hashes for seeds 3b..3b+2 (must mirror
-    * Dedup.minhashLsh: bands=4, rowsPerBand=3, substr(md5(x ∥ '#' ∥ seed),1,8)). */
-  private def bandKeySql(b: Int): String =
-    (0 until 3).map(j =>
-      s"list_min(list_transform(sh, x -> substr(md5(x || '#${b * 3 + j}'), 1, 8)))")
-      .mkString(" || ")
+  /** First-8-hex-chars-of-md5 as a base integer for the minhash universal
+    * hash family (DuckDB has no conv()). */
+  private def hex8IntSql(arg: String): String =
+    (0 until 8).map { i =>
+      val mult = java.lang.Long.parseLong("1" + "0" * (7 - i), 16) // 16^(7-i)
+      s"(strpos('0123456789abcdef', substr(md5($arg), ${i + 1}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+
+  /** Band key b: concat of arithmetic-permutation min-hashes for seeds
+    * 3b..3b+2 — mirrors Dedup.minhashLsh (same prime, same (a,b) seeds). */
+  private def bandKeySql(b: Int): String = {
+    val p = graft.operators.Dedup.MinhashPrime
+    (0 until 3).map { j =>
+      val (a, bb) = graft.operators.Dedup.MinhashSeeds(b * 3 + j)
+      s"list_min(list_transform(hv, h -> ($a * h + $bb) % $p))"
+    }.mkString("concat_ws('_', ", ", ", ")")
+  }
 
   val minhashLsh: String = s"""
 WITH $toksCte,
 $shinglesCte,
+shv AS (
+  SELECT doc_id, sh,
+         list_transform(sh, x -> (${hex8IntSql("x")}) % ${graft.operators.Dedup.MinhashPrime}) AS hv
+  FROM sh
+),
 banded AS (
 ${(0 until 4).map(b =>
-    s"  SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sh")
+    s"  SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM shv")
     .mkString("\n  UNION ALL\n")}
 ),
 cand AS (
