@@ -1,0 +1,194 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BalanceAnalytics, FifoMatcher, Validators}
+import graft.sources.Tables
+
+/** End-to-end pipeline — the Spark re-expression of the reference's 6-task
+  * Airflow DAG (reference: src/thrive_cash_processing_dag.py:50-738):
+  *
+  *   ingest → validate_source → fifo_match → validate_results →
+  *   build_analytics → alert
+  *
+  * Stage boundaries stay parquet writes under `stagingDir` (the DAG's
+  * restartability contract, :631-636); deliverables are single-file CSVs
+  * (:252-253, :493-494) and one JSON report document (:540-542). Airflow's
+  * XCom metadata becomes the returned [[RunReport]].
+  *
+  * Scale notes: every stage is a declarative plan — the only driver-side
+  * materializations are validation error samples (limited) and the one-row
+  * report aggregates. Single-file CSV is a deliberate contract cost,
+  * isolated here (`coalesce(1)` on final, already-reduced outputs only).
+  */
+object ThrivePipeline {
+
+  case class Config(
+      stagingDir: String,
+      outputDir: String,
+      /** keep the reference's dead-code chronology check a no-op (J3/V9 —
+        * SURVEY §7.5); strict mode enables the intended check */
+      strictChronology: Boolean = false,
+      /** V8 balance-equation tolerance (reference :351) */
+      tolerance: Double = 0.01,
+      /** V8 aborts the reference DAG on any mismatch; with 1:1
+        * amount-ignoring matching that fires on most real data, so the
+        * default here reports instead of aborting */
+      failOnBalanceMismatch: Boolean = false)
+
+  case class StageResult(stage: String, rows: Long, seconds: Double)
+
+  case class RunReport(
+      status: String,
+      stages: Seq[StageResult],
+      validationErrors: Seq[String],
+      totalTransactions: Long,
+      matchedCount: Long,
+      totalCustomers: Long,
+      totalEarned: Double,
+      totalSpent: Double,
+      totalExpired: Double,
+      totalCurrentBalance: Double,
+      customersWithPositiveBalance: Long,
+      alertMessage: String) {
+
+    /** One JSON document (NOT JSONL — the reference report is a single
+      * nested dict, :518-542). */
+    def toJson: String = {
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val stagesJson = stages.map(s =>
+        s"""{"stage": ${q(s.stage)}, "rows": ${s.rows}, "seconds": ${s.seconds}}""")
+        .mkString("[", ", ", "]")
+      val errsJson = validationErrors.map(q).mkString("[", ", ", "]")
+      s"""{
+         |  "status": ${q(status)},
+         |  "stages": $stagesJson,
+         |  "validation_errors": $errsJson,
+         |  "total_transactions": $totalTransactions,
+         |  "matching_records_count": $matchedCount,
+         |  "total_customers": $totalCustomers,
+         |  "total_earned": $totalEarned,
+         |  "total_spent": $totalSpent,
+         |  "total_expired": $totalExpired,
+         |  "total_current_balance": $totalCurrentBalance,
+         |  "customers_with_positive_balance": $customersWithPositiveBalance,
+         |  "alert": ${q(alertMessage)}
+         |}""".stripMargin
+    }
+  }
+
+  private def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Single human-readable CSV deliverable (reference contract,
+    * README.md:154-158) — only ever called on final reduced outputs. */
+  private def writeSingleCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def run(spark: SparkSession, sourceDir: String, cfg: Config): RunReport = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
+    def stage[T](name: String)(f: => (Long, T)): T = {
+      val t0 = System.nanoTime()
+      val (rows, out) = f
+      stages += StageResult(name, rows, (System.nanoTime() - t0) / 1e9)
+      out
+    }
+
+    // Stage 1 — ingest: derive canonical transactions, split by type into
+    // staging parquet (the reference's download_data task, :60-158; the
+    // 3-way type split at :110-112 is part of the staging contract)
+    val txns = stage("ingest") {
+      val t = Tables.transactions(spark, sourceDir)
+      Seq("earned", "spent", "expired").foreach { tpe =>
+        writeParquet(t.filter(col("transaction_type") === tpe), s"${cfg.stagingDir}/$tpe.parquet")
+      }
+      val staged = spark.read.parquet(
+        s"${cfg.stagingDir}/earned.parquet",
+        s"${cfg.stagingDir}/spent.parquet",
+        s"${cfg.stagingDir}/expired.parquet")
+      (staged.count(), staged)
+    }
+
+    // Stage 2 — validate_source: V1-V5, fail fast (reference :161-226)
+    val sourceErrors = stage("validate_source") {
+      val q = Validators.sourceQuality(txns).collect().head
+      val errs = Seq(
+        "null_transaction_id", "null_customer_id", "null_amount",
+        "null_timestamp", "null_transaction_type", "non_numeric_amount",
+        "invalid_type_count")
+        .filter(k => q.getAs[Long](k) > 0)
+        .map(k => s"$k=${q.getAs[Long](k)}")
+      (q.getAs[Long]("row_count"), errs)
+    }
+    if (sourceErrors.nonEmpty)
+      return failed(stages.toSeq, sourceErrors.map("source validation: " + _))
+
+    // Stage 3 — fifo matching + dual-format sinks (reference :229-286)
+    val matched = stage("fifo_match") {
+      val m = FifoMatcher.matchTransactions(txns)
+        .orderBy("CUSTOMERID", "CREATEDAT", "TRANS_ID")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      writeParquet(m, s"${cfg.outputDir}/tc_data_with_redemptions.parquet")
+      writeSingleCsv(m, s"${cfg.outputDir}/tc_data_with_redemptions.csv")
+      (m.count(), m)
+    }
+
+    // Stage 4 — validate_results: V6-V11 (reference :289-423)
+    val resultErrors = stage("validate_results") {
+      val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val badRefs = Validators.invalidRedeemIds(matched).count()
+      if (badRefs > 0) errs += s"invalid REDEEMIDs: $badRefs"
+      val unbalanced = Validators.balanceEquation(matched, cfg.tolerance)
+        .filter(!col("balanced")).count()
+      if (unbalanced > 0 && cfg.failOnBalanceMismatch)
+        errs += s"balance equation mismatches: $unbalanced customers"
+      if (cfg.strictChronology) {
+        val chrono = Validators.chronologyViolations(matched).count()
+        if (chrono > 0) errs += s"chronology violations: $chrono"
+      }
+      (matched.count(), errs.toSeq)
+    }
+    if (resultErrors.nonEmpty) return failed(stages.toSeq, resultErrors)
+
+    // Stage 5 — analytics: history, current balances, report (reference :426-560)
+    val (history, current) = stage("build_analytics") {
+      val h = BalanceAnalytics.balanceHistory(matched)
+        .orderBy("customer_id", "transaction_date", "transaction_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c = BalanceAnalytics.currentBalances(h)
+      writeSingleCsv(h, s"${cfg.outputDir}/customer_balance_history.csv")
+      writeSingleCsv(c, s"${cfg.outputDir}/customer_current_balances.csv")
+      (h.count(), (h, c))
+    }
+
+    // Stage 6 — report + alert (reference :518-542, :563-598; unified keys)
+    val summary = BalanceAnalytics.reportSummary(matched, current).collect().head
+    val report = RunReport(
+      status = "success",
+      stages = stages.toSeq,
+      validationErrors = Seq.empty,
+      totalTransactions = summary.getAs[Long]("total_transactions"),
+      matchedCount = summary.getAs[Long]("matching_records_count"),
+      totalCustomers = summary.getAs[Long]("total_customers"),
+      totalEarned = summary.getAs[Double]("total_earned"),
+      totalSpent = summary.getAs[Double]("total_spent"),
+      totalExpired = summary.getAs[Double]("total_expired"),
+      totalCurrentBalance = summary.getAs[Double]("total_current_balance"),
+      customersWithPositiveBalance = summary.getAs[Long]("customers_with_positive_balance"),
+      alertMessage = s"Thrive Cash processing succeeded: " +
+        s"${summary.getAs[Long]("total_transactions")} transactions, " +
+        s"${summary.getAs[Long]("matching_records_count")} matched, " +
+        s"${summary.getAs[Long]("total_customers")} customers")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${cfg.outputDir}/analytics_report.json"),
+      report.toJson)
+    history.unpersist()
+    matched.unpersist()
+    report
+  }
+
+  private def failed(stages: Seq[StageResult], errors: Seq[String]): RunReport =
+    RunReport("failed", stages, errors, 0, 0, 0, 0, 0, 0, 0, 0,
+      s"Thrive Cash processing FAILED: ${errors.take(10).mkString("; ")}")
+}

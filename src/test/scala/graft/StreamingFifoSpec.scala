@@ -1,0 +1,92 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Tx
+import graft.streaming.StreamingFifo
+
+/** Incremental matcher over a MemoryStream: state (the unmatched-earned
+  * queue) must carry across micro-batches and produce the same matches the
+  * batch matcher computes on the full data. */
+class StreamingFifoSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(day: Int): LocalDateTime = LocalDateTime.of(2024, 1, day, 0, 0)
+
+  test("queue state carries matches across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Tx]
+    val query = StreamingFifo.matchStream(input.toDS())
+      .writeStream.format("memory").queryName("fifo_events")
+      .outputMode("append").start()
+
+    try {
+      // batch 1: two earned, one spent → E1 matched to S1, E2 left in state
+      input.addData(
+        Tx("E1", "C1", 100.0, ts(1), "earned"),
+        Tx("E2", "C1", 50.0, ts(2), "earned"),
+        Tx("S1", "C1", -80.0, ts(3), "spent"))
+      query.processAllAvailable()
+      val batch1 = spark.table("fifo_events").as[StreamingFifo.MatchEvent].collect()
+      assert(batch1.map(e => (e.EARNED_ID, e.REDEEMID)).toSet === Set(("E1", "S1")))
+
+      // batch 2: a spent arrives with no new earned → must consume E2 from STATE
+      input.addData(Tx("X1", "C1", -30.0, ts(4), "expired"))
+      query.processAllAvailable()
+      val all = spark.table("fifo_events").as[StreamingFifo.MatchEvent].collect()
+      assert(all.map(e => (e.EARNED_ID, e.REDEEMID)).toSet ===
+        Set(("E1", "S1"), ("E2", "X1")))
+      assert(all.find(_.EARNED_ID == "E2").get.REDEEMER_TYPE === "expired")
+
+      // batch 3: spent with empty queue → no event
+      input.addData(Tx("S9", "C1", -10.0, ts(5), "spent"))
+      query.processAllAvailable()
+      assert(spark.table("fifo_events").count() === 2)
+
+      // customers stay independent
+      input.addData(
+        Tx("E9", "C2", 10.0, ts(6), "earned"),
+        Tx("S8", "C2", -10.0, ts(7), "spent"))
+      query.processAllAvailable()
+      val c2 = spark.table("fifo_events").as[StreamingFifo.MatchEvent].collect()
+        .filter(_.CUSTOMERID == "C2")
+      assert(c2.map(e => (e.EARNED_ID, e.REDEEMID)).toSet === Set(("E9", "S8")))
+    } finally {
+      query.stop()
+    }
+  }
+
+  test("streaming match log agrees with the batch matcher on replayed data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val data = Seq(
+      Tx("E1", "C1", 10.0, ts(1), "earned"),
+      Tx("S1", "C1", -5.0, ts(2), "spent"),
+      Tx("E2", "C1", 20.0, ts(3), "earned"),
+      Tx("E3", "C1", 30.0, ts(4), "earned"),
+      Tx("X1", "C1", -7.0, ts(5), "expired"),
+      Tx("S2", "C1", -2.0, ts(6), "spent"))
+
+    val input = MemoryStream[Tx]
+    val query = StreamingFifo.matchStream(input.toDS())
+      .writeStream.format("memory").queryName("fifo_replay")
+      .outputMode("append").start()
+    try {
+      data.grouped(2).foreach { chunk => input.addData(chunk: _*); query.processAllAvailable() }
+      val streamed = spark.table("fifo_replay").as[StreamingFifo.MatchEvent].collect()
+        .map(e => (e.EARNED_ID, e.REDEEMID)).toSet
+
+      val batch = redeemMap(graft.operators.FifoMatcher.matchTransactions(data.toDF()))
+        .collect { case (id, Some(r)) => (id, r) }.toSet
+      assert(streamed === batch)
+    } finally {
+      query.stop()
+    }
+  }
+}
