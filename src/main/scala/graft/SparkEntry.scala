@@ -132,6 +132,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.languageId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "text_bpe_tokens" -> ((s, d) => TextOps.bpeTokenStats(Tables.documents(s, d))),
+    "text_rolling_hash" -> ((s, d) => TextOps.rollingHash(Tables.documents(s, d))),
 
     // training-data pipeline: similarity search over embeddings
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
@@ -181,6 +183,8 @@ object SparkEntry {
     "text_quality" -> OracleSqlText.qualityScore,
     "text_langid" -> OracleSqlText.languageId,
     "text_fingerprint" -> OracleSqlText.fingerprint,
+    "text_bpe_tokens" -> OracleSqlText.bpeTokenStats,
+    "text_rolling_hash" -> OracleSqlText.rollingHash,
     "ann_cosine_topk" -> OracleSqlText.annTopK,
     "ann_lsh_topk" -> OracleSqlText.annLshTopK,
     "embed_neardup_pairs" -> OracleSqlText.nearDupPairs,

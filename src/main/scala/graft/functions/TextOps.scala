@@ -117,4 +117,40 @@ object TextOps {
         md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "").cast("binary"))
           .as("fingerprint"))
       .orderBy("doc_id")
+
+  /** BPE-ish subword token pattern (GPT-2 style, reduced to what RE2 — the
+    * DuckDB oracle's regex engine — supports: no lookahead): an optional
+    * leading space glued to a letter run, digit run, or punctuation run. */
+  val BpePattern: String = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+  /** Subword token counting with the BPE-ish regex (the LLM-pipeline token
+    * budget estimator), alongside the whitespace count for comparison. */
+  def bpeTokenStats(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long")
+          .as("n_bpe_tokens"),
+        size(col("toks")).cast("long").as("n_ws_tokens"))
+      .withColumn("tokens_per_word",
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4))
+      .orderBy("doc_id")
+
+  val RollingHashBase: Long = 31L
+  val RollingHashMod: Long = 2147483647L // 2^31 − 1
+
+  /** Polynomial (Karp-Rabin) document fingerprint: Horner fold of character
+    * codes, acc = (acc·31 + ascii(c)) mod p — the building block of
+    * content-defined chunking / winnowing. Pure integer arithmetic, so the
+    * DuckDB oracle reproduces it exactly via list_reduce. */
+  def rollingHash(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        // empty-text guard: sequence(1, 0) counts DOWN in Spark
+        when(length(col("text")) === 0, lit(0L)).otherwise(
+          aggregate(
+            transform(sequence(lit(1), length(col("text"))),
+              i => ascii(col("text").substr(i, lit(1)))),
+            lit(0L),
+            (acc, c) => (acc * RollingHashBase + c) % RollingHashMod)).as("rolling_hash"))
+      .orderBy("doc_id")
 }

@@ -179,6 +179,27 @@ ORDER BY d.doc_id"""
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
 FROM documents ORDER BY doc_id"""
 
+  val bpeTokenStats: String = s"""
+WITH $toksCte,
+c AS (
+  SELECT t.doc_id,
+         CAST(len(regexp_extract_all(d.text, '${TextOps.BpePattern}')) AS BIGINT) AS n_bpe_tokens,
+         len(toks) AS n_ws_tokens
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+)
+SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+       ROUND(n_bpe_tokens::DOUBLE / n_ws_tokens, 4) AS tokens_per_word
+FROM c ORDER BY doc_id"""
+
+  val rollingHash: String = s"""
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(0, list_transform(generate_series(1, length(text)),
+                                        i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+         (acc, c) -> (acc * ${TextOps.RollingHashBase} + c) % ${TextOps.RollingHashMod}) AS BIGINT)
+         AS rolling_hash
+FROM documents ORDER BY doc_id"""
+
   /** Element-wise double dot product in index order (mirrors
     * Similarity.dotProduct). */
   private def dotSql(a: String, b: String): String =

@@ -29,7 +29,13 @@ import graft.operators.Tx
   */
 object StreamingFifo {
 
-  case class CustomerQueue(availableEarned: Seq[String])
+  /** Two-sided queue state: unmatched earned AND unmatched spent/expired.
+    * Carrying the se side is required for batch-parity — the reference's
+    * queue holds the customer's FULL earned list (later-dated earned
+    * included), so an se arriving before any earned still matches the first
+    * earned that ever arrives. At most one of the two queues is non-empty.
+    * pendingSe holds (transaction_id, transaction_type). */
+  case class CustomerQueue(availableEarned: Seq[String], pendingSe: Seq[(String, String)])
 
   case class MatchEvent(
       CUSTOMERID: String,
@@ -50,23 +56,34 @@ object StreamingFifo {
             Ordering.Tuple2(
               Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _),
               Ordering.String))
-          var queue = state.getOption.map(_.availableEarned.toList).getOrElse(Nil)
+          var earned = state.getOption.map(_.availableEarned.toList).getOrElse(Nil)
+          var pendingSe = state.getOption.map(_.pendingSe.toList).getOrElse(Nil)
           val events = Seq.newBuilder[MatchEvent]
           sorted.foreach { t =>
             t.transaction_type match {
-              case "earned" => queue = queue :+ t.transaction_id
+              case "earned" =>
+                pendingSe match {
+                  case (seId, seType) :: rest =>
+                    // an older se was waiting for balance — this earned redeems it
+                    events += MatchEvent(customerId, t.transaction_id, seId, seType, t.timestamp)
+                    pendingSe = rest
+                  case Nil => earned = earned :+ t.transaction_id
+                }
               case "spent" | "expired" =>
-                queue match {
+                earned match {
                   case oldest :: rest =>
                     events += MatchEvent(customerId, oldest, t.transaction_id,
                       t.transaction_type, t.timestamp)
-                    queue = rest
-                  case Nil => // no balance available — spent stays unmatched
+                    earned = rest
+                  case Nil =>
+                    // no balance yet — waits for a future earned (batch parity:
+                    // the k-th se always matches the k-th earned, dates ignored)
+                    pendingSe = pendingSe :+ ((t.transaction_id, t.transaction_type))
                 }
               case _ => // invalid types are the validation layer's concern
             }
           }
-          state.update(CustomerQueue(queue))
+          state.update(CustomerQueue(earned, pendingSe))
           events.result().iterator
       }
   }
