@@ -10,14 +10,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Materialize the shared pipeline stages once, up front, and report that
+    // cost as its own line item: the matched ledger + balance history are
+    // ETL-once/query-many intermediates (the reference parquets them between
+    // DAG tasks), so charging them to whichever query runs first would
+    // misattribute ~all of the pipeline cost to one arbitrary query.
+    val tMat0 = System.nanoTime()
+    try {
+      SparkEntry.queries("fifo_match")(spark, sfDir).count()
+      SparkEntry.queries("balance_history")(spark, sfDir).count()
+    } catch { case _: Throwable => }
+    val materializeSec = (System.nanoTime() - tMat0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (("_pipeline_materialize" -> materializeSec) +: results)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = materializeSec + results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -82,6 +82,19 @@ object SparkEntry {
       BalanceQueries.q11DailySnapshots(history(s, d), Params.CustA, Params.MonthFrom, Params.MonthUntil)),
     "q12_never_spent" -> ((s, d) => BalanceQueries.q12NeverSpent(current(s, d))),
 
+    // report block (reference :518-542) + top-K (A6)
+    "report_summary" -> ((s, d) => {
+      val r = BalanceAnalytics.reportSummary(matched(s, d), current(s, d))
+      r.select(col("total_transactions"),
+        round(col("total_earned"), 2).as("total_earned"),
+        round(col("total_spent"), 2).as("total_spent"),
+        round(col("total_expired"), 2).as("total_expired"),
+        col("matching_records_count"), col("total_customers"),
+        round(col("total_current_balance"), 2).as("total_current_balance"),
+        col("customers_with_positive_balance"))
+    }),
+    "top_balances" -> ((s, d) => BalanceAnalytics.topBalances(current(s, d))),
+
     // §2.9 validation surface
     "v_source_quality" -> ((s, d) => Validators.sourceQuality(txns(s, d))),
     "v_referential_integrity" -> ((s, d) =>
@@ -164,6 +177,8 @@ object SparkEntry {
     "q10_day_transactions" -> OracleSql.q10,
     "q11_daily_snapshots" -> OracleSql.q11,
     "q12_never_spent" -> OracleSql.q12,
+    "report_summary" -> OracleSql.reportSummary,
+    "top_balances" -> OracleSql.topBalances,
     "v_source_quality" -> OracleSql.vSourceQuality,
     "v_referential_integrity" -> OracleSql.vReferentialIntegrity,
     "v_balance_equation" -> OracleSql.vBalanceEquation,

@@ -239,6 +239,33 @@ FROM current_balances
 WHERE cumulative_spent = 0 AND cumulative_expired = 0 AND cumulative_earned > 0
 ORDER BY cumulative_earned DESC, customer_id""")
 
+  val reportSummary: String = pipelined(s"""
+, totals AS (
+  SELECT COUNT(*) AS total_transactions,
+         ROUND(SUM(CASE WHEN TCTYPE = 'earned' THEN AMOUNT ELSE 0.0 END), 2) AS total_earned,
+         ROUND(SUM(CASE WHEN TCTYPE = 'spent' THEN ABS(AMOUNT) ELSE 0.0 END), 2) AS total_spent,
+         ROUND(SUM(CASE WHEN TCTYPE = 'expired' THEN ABS(AMOUNT) ELSE 0.0 END), 2) AS total_expired,
+         CAST(SUM(CASE WHEN TCTYPE = 'earned' AND REDEEMID IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS matching_records_count
+  FROM matched
+),
+balances AS (
+  SELECT COUNT(*) AS total_customers,
+         ROUND(SUM(current_balance), 2) AS total_current_balance,
+         CAST(SUM(CASE WHEN current_balance > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS customers_with_positive_balance
+  FROM current_balances
+)
+SELECT total_transactions, total_earned, total_spent, total_expired,
+       matching_records_count, total_customers, total_current_balance,
+       customers_with_positive_balance
+FROM totals CROSS JOIN balances""")
+
+  val topBalances: String = pipelined(s"""
+SELECT customer_id, current_balance, cumulative_earned, cumulative_spent, cumulative_expired
+FROM current_balances
+ORDER BY current_balance DESC, customer_id LIMIT 10""")
+
   // ---- validation surface (reference: src/thrive_cash_processing_dag.py) ----
 
   val vSourceQuality: String = pipelined(s"""
