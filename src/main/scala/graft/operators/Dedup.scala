@@ -149,6 +149,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup clusters from a near-dup pair list (doc_a < doc_b): iterative
+    * min-label propagation — every node adopts the smallest doc_id reachable
+    * from it; converges in O(cluster diameter) rounds (near-dup clusters are
+    * shallow, so a handful). Returns (doc_id, cluster_id); the cluster_id is
+    * the canonical (minimum) member, i.e. the doc a dedup pass keeps.
+    *
+    * Each round is two shuffles (join + min-aggregate) over the pair graph —
+    * no driver-side graph state, so it scales with edges, not with cluster
+    * count. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nb_label")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nb_label")).as("nb_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.orderBy("doc_id")
+  }
+
   /** Near-dup candidate groups from equal SimHash sketches. */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val s = simhash(docs)

@@ -73,6 +73,32 @@ object Tables {
     * amount keeps the sign convention earned>0, spent/expired<0
     * (reference: README.md:439-443).
     */
+  /** The enforced transaction input contract (reference validates this
+    * post-hoc at src/thrive_cash_processing_dag.py:642; here it is
+    * schema-on-read). */
+  val transactionSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("transaction_id", StringType, nullable = false),
+      StructField("customer_id", StringType, nullable = false),
+      StructField("amount", DoubleType, nullable = false),
+      StructField("timestamp", TimestampNTZType, nullable = false),
+      StructField("transaction_type", StringType, nullable = false)))
+  }
+
+  /** CSV ingestion with the enforced schema (the reference's raw feed is
+    * tabular-with-header; schema-on-read replaces its infer-then-validate).
+    * Malformed rows surface as nulls for the validation layer (PERMISSIVE),
+    * never as silent type drift. */
+  def readTransactionsCsv(spark: SparkSession, path: String): DataFrame = {
+    ensureConf(spark)
+    spark.read
+      .schema(transactionSchema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+  }
+
   def transactions(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(
       col("event_id").cast("string").as("transaction_id"),
