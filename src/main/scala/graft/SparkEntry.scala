@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
 import graft.operators.{BalanceAnalytics, Dedup, FifoMatcher, Multimodal, Similarity, Validators}
-import graft.queries.{BalanceQueries, OracleSql, OracleSqlText, RelationalQueries}
+import graft.queries.{BalanceQueries, EventQueries, OracleSql, OracleSqlText, RelationalQueries}
 import graft.queries.OracleSql.Params
 import graft.sources.Tables
 
@@ -123,6 +123,11 @@ object SparkEntry {
         col("unmatched_spent_expired"))
     }),
 
+    // event-stream analytics (sessionization, time buckets, JSON props)
+    "events_sessionize" -> ((s, d) => EventQueries.sessionize(Tables.events(s, d))),
+    "events_hourly" -> ((s, d) => EventQueries.hourlyRollup(Tables.events(s, d))),
+    "events_props_json" -> ((s, d) => EventQueries.propsJson(Tables.events(s, d))),
+
     // generic relational inventory (scan/filter/agg/join/window/top-k)
     "agg_pricing_summary" -> ((s, d) =>
       RelationalQueries.aggPricingSummary(Tables.lineitem(s, d))),
@@ -185,6 +190,9 @@ object SparkEntry {
     "v_chronology" -> OracleSql.vChronology,
     "v_dup_pairs" -> OracleSql.vDupPairs,
     "v_result_summary" -> OracleSql.vResultSummary,
+    "events_sessionize" -> OracleSql.eventsSessionize,
+    "events_hourly" -> OracleSql.eventsHourly,
+    "events_props_json" -> OracleSql.eventsPropsJson,
     "agg_pricing_summary" -> OracleSql.aggPricingSummary,
     "join_revenue_by_nation" -> OracleSql.revenueByNation,
     "topk_orders" -> OracleSql.topkOrders,

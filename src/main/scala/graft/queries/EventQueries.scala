@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the raw `events` table: sessionization,
+  * time-bucket rollups, and semi-structured (JSON) field extraction — the
+  * generic clickstream shapes a finance/product pipeline runs next to the
+  * ledger workload.
+  */
+object EventQueries {
+
+  /** Gap-based sessionization (30-minute inactivity): lag → new-session
+    * flag → running sum = session id → per-session rollup. Two window
+    * passes and a grouped aggregate, all shuffled once on user_id. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select("event_id", "user_id", "ts", "value")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(cum).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Tumbling-hour rollup per event type. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** JSON field extraction from the semi-structured props column +
+    * per-type aggregate over the extracted value. */
+  def propsJson(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k").isNull.cast("long")).as("n_missing_k"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy("event_type")
+}

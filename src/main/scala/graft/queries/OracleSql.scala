@@ -330,6 +330,44 @@ SELECT COUNT(*) AS total_rows,
        CAST(SUM(CASE WHEN TCTYPE IN ('spent','expired') AND REDEEMID IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched_spent_expired
 FROM matched""")
 
+  // ---- event-stream analytics over raw events ----
+
+  private val evCte =
+    """ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value, props
+  FROM events)"""
+
+  val eventsSessionize: String = s"""
+WITH $evCte,
+g AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  val eventsHourly: String = s"""
+WITH $evCte
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM ev GROUP BY 1, 2 ORDER BY hour, event_type"""
+
+  val eventsPropsJson: String = s"""
+WITH $evCte,
+x AS (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM ev)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       ROUND(AVG(k), 4) AS avg_k
+FROM x GROUP BY event_type ORDER BY event_type"""
+
   // ---- generic relational inventory over the TPC-H-ish tables ----
 
   val aggPricingSummary: String = """
