@@ -131,6 +131,12 @@ object SparkEntry {
     // generic relational inventory (scan/filter/agg/join/window/top-k)
     "agg_pricing_summary" -> ((s, d) =>
       RelationalQueries.aggPricingSummary(Tables.lineitem(s, d))),
+    "agg_pricing_filtered" -> ((s, d) =>
+      RelationalQueries.aggPricingFiltered(Tables.lineitem(s, d), "1998-09-02 00:00:00")),
+    "join_semi_big_orders" -> ((s, d) =>
+      RelationalQueries.customersWithBigOrders(Tables.customer(s, d), Tables.orders(s, d), 400000.0)),
+    "join_anti_no_orders" -> ((s, d) =>
+      RelationalQueries.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "join_revenue_by_nation" -> ((s, d) =>
       RelationalQueries.revenueByNation(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
@@ -194,6 +200,9 @@ object SparkEntry {
     "events_hourly" -> OracleSql.eventsHourly,
     "events_props_json" -> OracleSql.eventsPropsJson,
     "agg_pricing_summary" -> OracleSql.aggPricingSummary,
+    "agg_pricing_filtered" -> OracleSql.aggPricingFiltered,
+    "join_semi_big_orders" -> OracleSql.customersWithBigOrders,
+    "join_anti_no_orders" -> OracleSql.customersWithoutOrders,
     "join_revenue_by_nation" -> OracleSql.revenueByNation,
     "topk_orders" -> OracleSql.topkOrders,
     "window_customer_order_rank" -> OracleSql.customerOrderRank,

@@ -396,6 +396,34 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 ORDER BY revenue DESC, nation"""
 
+  val aggPricingFiltered: String = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+  val customersWithBigOrders: String = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice >= 400000)
+ORDER BY c_custkey"""
+
+  val customersWithoutOrders: String = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey"""
+
   val topkOrders: String = """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
 FROM orders

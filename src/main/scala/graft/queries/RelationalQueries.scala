@@ -42,6 +42,29 @@ object RelationalQueries {
         count(lit(1)).as("lineitem_count"))
       .orderBy(col("revenue").desc, col("nation"))
 
+  /** Date-filtered pricing summary — the filter reaches the parquet scan
+    * as PushedFilters (verified in PLANS.md), so partitions outside the
+    * range never leave storage. */
+  def aggPricingFiltered(lineitem: DataFrame, maxShipDate: String): DataFrame =
+    aggPricingSummary(lineitem.filter(
+      col("l_shipdate") <= lit(maxShipDate).cast("timestamp_ntz")))
+
+  /** Customers with at least one high-value order — left semi join
+    * (existence only, no row multiplication, build side streams). */
+  def customersWithBigOrders(customer: DataFrame, orders: DataFrame,
+      minTotal: Double): DataFrame =
+    customer.join(orders.filter(col("o_totalprice") >= minTotal),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** Customers with no orders at all — left anti join (the set-difference
+    * shape the reference uses for referential integrity, J2/O7). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
   /** Top-k orders by value — plans as TakeOrderedAndProject (per-partition
     * heap + driver merge), never a global sort. */
   def topkOrders(orders: DataFrame, k: Int = 10): DataFrame =
