@@ -162,6 +162,10 @@ object SparkEntry {
     // training-data pipeline: similarity search over embeddings
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), nPlanes = 4)),
+    // no oracle entry (driver records rows-only): the k-means quantizer is
+    // not SQL-expressible; exactness vs brute force is pinned in tests via
+    // the nProbe = nCentroids degeneration property
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "embed_neardup_pairs" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.45)),
 
     // training-data pipeline: multimodal binary plumbing (decode is stubbed)

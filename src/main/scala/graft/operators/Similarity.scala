@@ -101,6 +101,84 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer assigns every
+    * vector to a cell; queries probe only the `nProbe` nearest cells and
+    * score exactly within them — the other classic scale path next to LSH.
+    *
+    * Deterministic throughout: centroids initialize from the `nCentroids`
+    * lowest vec_ids and refine with `iters` Lloyd rounds (distributed
+    * assign, centroid means collected — nCentroids×dim doubles, driver-side
+    * by design, exactly like MLlib's k-means driver state).
+    *
+    * With nProbe = nCentroids this degenerates to exact brute force — the
+    * property the test suite pins; smaller nProbe trades recall for a
+    * 1/nCentroids·nProbe scan fraction. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nCentroids: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    def centroidCol(c: Seq[Float]): Column =
+      array(c.map(v => lit(v)): _*).cast("array<float>")
+    // squared L2 distance via the codegen dot products:
+    // ‖v−c‖² = v·v − 2·v·c + c·c ; v·v is rank-invariant per row but kept so
+    // the argmin is a true distance (readability over micro-savings here)
+    def dist2(v: Column, c: Seq[Float]): Column = {
+      val cc = c.map(x => x.toDouble * x.toDouble).sum
+      dotProduct(v, v) - lit(2.0) * dotProduct(v, centroidCol(c)) + lit(cc)
+    }
+    def nearestCell(v: Column, cents: IndexedSeq[Seq[Float]]): Column = {
+      // argmin over cells: fold (bestId, bestDist) pairs as a struct
+      val init = struct(lit(0).as("cell"), dist2(v, cents(0)).as("d"))
+      cents.indices.drop(1).foldLeft(init) { (best, i) =>
+        val d = dist2(v, cents(i))
+        when(d < best.getField("d"), struct(lit(i).as("cell"), d.as("d"))).otherwise(best)
+      }.getField("cell")
+    }
+
+    // init: lowest vec_ids; refine with Lloyd rounds
+    var centroids: IndexedSeq[Seq[Float]] = embeddings.orderBy("vec_id").limit(nCentroids)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toIndexedSeq.asInstanceOf[Seq[Float]]).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val assigned = embeddings.withColumn("cell", nearestCell(col("embedding"), centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+        .groupBy("cell", "pos").agg(avg(col("comp")).as("mean"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("mean").cast("float")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+
+    val cells = embeddings
+      .withColumn("cell", nearestCell(col("embedding"), centroids))
+      .withColumn("norm", l2Norm(col("embedding")))
+    // each query probes its nProbe nearest cells
+    def probeCells(v: Column): Column = {
+      val ds = centroids.indices.map(i => struct(dist2(v, centroids(i)).as("d"), lit(i).as("cell")))
+      slice(transform(array_sort(array(ds: _*)), s => s.getField("cell")), 1, nProbe)
+    }
+    val queries = broadcast(
+      cells.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"), explode(probeCells(col("embedding"))).as("cell")))
+    val scored = queries.join(
+        cells.select(col("vec_id").as("neighbor_id"), col("embedding"), col("norm"), col("cell")),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        round(dotProduct(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Bucketed ANN: same output shape as [[bruteForceTopK]] but each query
     * only scores its own LSH bucket — the recall/throughput trade at scale. */
   def lshTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5, nPlanes: Int = 4): DataFrame = {

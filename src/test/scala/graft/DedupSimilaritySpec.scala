@@ -112,6 +112,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(b(0L) === b(1L))
   }
 
+  test("IVF with full probing equals brute force; partial probing has recall") {
+    val emb = graft.sources.Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 5, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // probing ALL cells must reproduce exact brute force
+    val full = Similarity.ivfTopK(emb, nQueries = 5, k = 5, nCentroids = 4, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full === bf)
+    // partial probing: sane output shape and non-trivial recall
+    val part = Similarity.ivfTopK(emb, nQueries = 5, k = 5, nCentroids = 4, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(part.size === 25)
+    val recall = (part intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("multimodal plumbing round-trips binary with deterministic features") {
     val media = Multimodal.withMedia(corpus)
     assert(media.schema("media").dataType.typeName === "binary")
