@@ -60,4 +60,54 @@ object Multimodal {
       if (n > 0) bytes(n - 1).toFloat else 0f,
       bytes.foldLeft(0)((a, b) => (a + (b & 0xff)) % 9973).toFloat)
   }
+
+  case class ResizedMedia(doc_id: Long, media: Array[Byte], orig_bytes: Long)
+
+  /** "Resize" over opaque bytes: deterministic stride-downsample to at most
+    * `targetBytes`. STUB for a real image resize — the partition-wise typed
+    * traversal, binary-in/binary-out schema, and size contract are the
+    * production shape; only the byte math is fake. */
+  def resize(media: DataFrame, targetBytes: Int = 64): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[ResizedMedia]
+    media.select("doc_id", "media").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val n = r.media.length
+          val out =
+            if (n <= targetBytes) r.media
+            else {
+              val stride = n.toDouble / targetBytes
+              Array.tabulate(targetBytes)(i => r.media((i * stride).toInt))
+            }
+          ResizedMedia(r.doc_id, out, n.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  case class Frame(doc_id: Long, frame_index: Int, offset: Long, n_bytes: Long,
+      frame_md5: String)
+
+  /** Frame sampling: split the payload into fixed-size chunks and keep every
+    * `everyNth` — the explode shape of video processing (one output row per
+    * sampled frame, metadata travels with each). STUB for a real demuxer;
+    * the flatMap plumbing and per-frame metadata schema are real. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 32, everyNth: Int = 2): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[Frame]
+    media.select("doc_id", "media").as[MediaRow]
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          r.media.grouped(frameBytes).zipWithIndex
+            .filter { case (_, i) => i % everyNth == 0 }
+            .map { case (chunk, i) =>
+              Frame(r.doc_id, i, i.toLong * frameBytes, chunk.length.toLong,
+                digest.digest(chunk).map("%02x".format(_)).mkString)
+            }
+        }
+      }
+      .toDF()
+  }
 }

@@ -121,28 +121,27 @@ object Similarity {
 
     def centroidCol(c: Seq[Float]): Column =
       array(c.map(v => lit(v)): _*).cast("array<float>")
-    // squared L2 distance via the codegen dot products:
-    // ‖v−c‖² = v·v − 2·v·c + c·c ; v·v is rank-invariant per row but kept so
-    // the argmin is a true distance (readability over micro-savings here)
-    def dist2(v: Column, c: Seq[Float]): Column = {
-      val cc = c.map(x => x.toDouble * x.toDouble).sum
-      dotProduct(v, v) - lit(2.0) * dotProduct(v, centroidCol(c)) + lit(cc)
-    }
-    def nearestCell(v: Column, cents: IndexedSeq[Seq[Float]]): Column = {
-      // argmin over cells: fold (bestId, bestDist) pairs as a struct
-      val init = struct(lit(0).as("cell"), dist2(v, cents(0)).as("d"))
-      cents.indices.drop(1).foldLeft(init) { (best, i) =>
-        val d = dist2(v, cents(i))
-        when(d < best.getField("d"), struct(lit(i).as("cell"), d.as("d"))).otherwise(best)
-      }.getField("cell")
-    }
+    // per-cell score = c·c − 2·v·c : the ‖v−c‖² argmin with the
+    // rank-invariant v·v dropped — one vec_dot per (row, centroid).
+    // Scores live in ONE array column computed in its own projection so the
+    // argmin/argsort below reference an attribute (a folded when-chain
+    // argmin would duplicate every distance subtree per comparison level —
+    // measured 15.8 s before this shape, ~2 s after).
+    def scoreArray(v: Column, cents: IndexedSeq[Seq[Float]]): Column =
+      array(cents.map { c =>
+        val cc = c.map(x => x.toDouble * x.toDouble).sum
+        lit(cc) - lit(2.0) * dotProduct(v, centroidCol(c))
+      }: _*)
+    def withCell(df: DataFrame, cents: IndexedSeq[Seq[Float]]): DataFrame =
+      df.withColumn("dists", scoreArray(col("embedding"), cents))
+        .withColumn("cell", (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
 
     // init: lowest vec_ids; refine with Lloyd rounds
     var centroids: IndexedSeq[Seq[Float]] = embeddings.orderBy("vec_id").limit(nCentroids)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toIndexedSeq.asInstanceOf[Seq[Float]]).toIndexedSeq
     for (_ <- 1 to iters) {
-      val assigned = embeddings.withColumn("cell", nearestCell(col("embedding"), centroids))
+      val assigned = withCell(embeddings, centroids)
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "comp")))
         .groupBy("cell", "pos").agg(avg(col("comp")).as("mean"))
@@ -153,18 +152,23 @@ object Similarity {
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
 
-    val cells = embeddings
-      .withColumn("cell", nearestCell(col("embedding"), centroids))
+    val cells = withCell(embeddings, centroids)
       .withColumn("norm", l2Norm(col("embedding")))
-    // each query probes its nProbe nearest cells
-    def probeCells(v: Column): Column = {
-      val ds = centroids.indices.map(i => struct(dist2(v, centroids(i)).as("d"), lit(i).as("cell")))
-      slice(transform(array_sort(array(ds: _*)), s => s.getField("cell")), 1, nProbe)
-    }
+      .drop("dists")
+    // each query probes its nProbe nearest cells — argsort of the same
+    // score array, again referencing the projected attribute
+    val probeCells: Column = slice(
+      transform(
+        array_sort(transform(sequence(lit(0), lit(nCentroids - 1)),
+          i => struct(element_at(col("dists"), i + 1).as("d"), i.as("cell")))),
+        s => s.getField("cell")),
+      1, nProbe)
     val queries = broadcast(
-      cells.filter(col("vec_id") < nQueries)
+      withCell(embeddings, centroids)
+        .filter(col("vec_id") < nQueries)
+        .withColumn("norm", l2Norm(col("embedding")))
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("norm").as("q_norm"), explode(probeCells(col("embedding"))).as("cell")))
+          col("norm").as("q_norm"), explode(probeCells).as("cell")))
     val scored = queries.join(
         cells.select(col("vec_id").as("neighbor_id"), col("embedding"), col("norm"), col("cell")),
         Seq("cell"))

@@ -139,4 +139,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(f1.length === 4)
     assert(f1.head === 43f)
   }
+
+  test("multimodal resize and frame sampling keep schema and determinism") {
+    val media = Multimodal.withMedia(corpus)
+    val resized = Multimodal.resize(media, targetBytes = 16).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(resized(1L).getAs[Array[Byte]]("media").length === 16)
+    assert(resized(1L).getAs[Long]("orig_bytes") === 43L)
+    assert(resized(5L).getAs[Array[Byte]]("media").length === 4) // "tiny" shorter than target
+    // deterministic: same input → same bytes
+    val again = Multimodal.resize(media, targetBytes = 16).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("media").toSeq).toMap
+    assert(again(1L) === resized(1L).getAs[Array[Byte]]("media").toSeq)
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 10, everyNth = 2).collect()
+      .filter(_.getAs[Long]("doc_id") == 1L)
+    // 43 bytes → 5 chunks (10,10,10,10,3) → sampled indexes 0,2,4
+    assert(frames.map(_.getAs[Int]("frame_index")).sorted.toSeq === Seq(0, 2, 4))
+    assert(frames.find(_.getAs[Int]("frame_index") == 4).get.getAs[Long]("n_bytes") === 3L)
+    assert(frames.forall(_.getAs[String]("frame_md5").length === 32))
+  }
 }
