@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object Validators {
 
+  /** V1 required-fields check (reference: src/thrive_cash_processing_dag.py:642-647):
+    * structural comparison against the enforced contract — returns the list
+    * of missing column names (empty = pass). Purely driver-side schema
+    * metadata, no job runs. */
+  def missingRequiredFields(df: DataFrame): Seq[String] = {
+    val present = df.schema.fieldNames.map(_.toLowerCase).toSet
+    graft.sources.Tables.transactionSchema.fieldNames.toSeq
+      .filterNot(f => present(f.toLowerCase))
+  }
+
   /** Layer-1 source validation V1-V4
     * (reference: src/thrive_cash_processing_dag.py:639-679): per-required-
     * field null counts, non-numeric amount count, invalid enum count —

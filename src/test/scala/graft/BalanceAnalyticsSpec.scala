@@ -72,6 +72,13 @@ class BalanceAnalyticsSpec extends AnyFunSuite {
     assert(v.head.getAs[String]("earned_id") === "E001")
   }
 
+  test("required-fields check names missing columns") {
+    val full = tx(("T1", "C1", 1.0, "2024-01-01", "earned"))
+    assert(Validators.missingRequiredFields(full) === Seq.empty)
+    assert(Validators.missingRequiredFields(full.drop("amount", "timestamp")) ===
+      Seq("amount", "timestamp"))
+  }
+
   test("source quality counts nulls and bad enums") {
     val dirty = tx(
       ("T1", "C1", 10.0, "2024-01-01", "earned"),
