@@ -157,6 +157,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextOps.languageId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_bpe_tokens" -> ((s, d) => TextOps.bpeTokenStats(Tables.documents(s, d))),
+    "text_winnow_fingerprints" -> ((s, d) => TextOps.winnowFingerprints(Tables.documents(s, d))),
     "text_rolling_hash" -> ((s, d) => TextOps.rollingHash(Tables.documents(s, d))),
 
     // training-data pipeline: similarity search over embeddings
@@ -220,6 +221,7 @@ object SparkEntry {
     "text_langid" -> OracleSqlText.languageId,
     "text_fingerprint" -> OracleSqlText.fingerprint,
     "text_bpe_tokens" -> OracleSqlText.bpeTokenStats,
+    "text_winnow_fingerprints" -> OracleSqlText.winnowFingerprints,
     "text_rolling_hash" -> OracleSqlText.rollingHash,
     "ann_cosine_topk" -> OracleSqlText.annTopK,
     "ann_lsh_topk" -> OracleSqlText.annLshTopK,

@@ -135,6 +135,29 @@ object TextOps {
         round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (the MOSS scheme): positional word-3-gram
+    * hashes, a sliding window of `w` takes each window's minimum, the
+    * distinct minima are the document's fingerprint set. Guarantees any
+    * shared run of ≥ n+w−1 tokens yields a shared fingerprint — the
+    * local-dedup complement to MinHash's global signatures. One row per
+    * (doc, fingerprint); join on fingerprint = candidate pairs. */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val posShingles = transform(
+      sequence(lit(1), size(col("toks")) - lit(n - 1)),
+      i => concat_ws(" ", slice(col("toks"), i, lit(n))))
+    val hashes = transform(col("sh_pos"), x =>
+      conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long"))
+    val windowMins = transform(
+      sequence(lit(1), size(col("hv")) - lit(w - 1)),
+      j => array_min(slice(col("hv"), j, lit(w))))
+    withTokens(docs)
+      .filter(size(col("toks")) >= n + w - 1) // need at least one full window
+      .select(col("doc_id"), posShingles.as("sh_pos"))
+      .select(col("doc_id"), hashes.as("hv"))
+      .select(col("doc_id"), explode(array_distinct(windowMins)).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+  }
+
   val RollingHashBase: Long = 31L
   val RollingHashMod: Long = 2147483647L // 2^31 − 1
 

@@ -179,6 +179,25 @@ ORDER BY d.doc_id"""
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
 FROM documents ORDER BY doc_id"""
 
+  val winnowFingerprints: String = s"""
+WITH $toksCte,
+p AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' ')) AS sh_pos
+  FROM toks WHERE len(toks) >= 6
+),
+h AS (
+  SELECT doc_id, list_transform(sh_pos, x -> ${hex8IntSql("x")}) AS hv FROM p
+),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(hv) - 3),
+                                      j -> list_min(hv[j:j+3]))) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM m ORDER BY doc_id, fingerprint"""
+
   val bpeTokenStats: String = s"""
 WITH $toksCte,
 c AS (
