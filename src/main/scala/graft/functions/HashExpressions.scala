@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Whole-signature MinHash in one array traversal.
+  *
+  * The naive formulation — one `array_min(transform(hv, h -> (aᵢ·h+bᵢ) mod p))`
+  * per signature position — re-traverses the hash array once per position as
+  * an interpreted higher-order function: 12 positions × per-element closure
+  * dispatch, measured at 64 s for the sf0.1 LSH pass. This expression folds
+  * the array once inside whole-stage codegen, carrying all k running minima,
+  * with arithmetic identical to the per-position form (same (a·h+b) mod p in
+  * 64-bit integers, same min), so band keys — and the DuckDB oracle, which
+  * keeps the per-position formulation — are bit-identical.
+  *
+  * Returns NULL for an empty input array, mirroring `array_min`'s NULL on
+  * empty so downstream `concat_ws` behavior is unchanged.
+  */
+case class MinHashSignature(child: Expression, seedsA: Array[Long], seedsB: Array[Long], prime: Long)
+    extends UnaryExpression {
+
+  require(seedsA.length == seedsB.length, "seed arrays must be the same length")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"minhash_sig expects array<bigint>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private def k: Int = seedsA.length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hv = input.asInstanceOf[ArrayData]
+    val n = hv.numElements()
+    if (n == 0) return null
+    val m = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hv.getLong(i)
+      var s = 0
+      while (s < k) {
+        val v = (seedsA(s) * h + seedsB(s)) % prime
+        if (v < m(s)) m(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("seedsA", seedsA, "long[]")
+    val bRef = ctx.addReferenceObj("seedsB", seedsB, "long[]")
+    nullSafeCodeGen(ctx, ev, hv => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = $hv.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $m = new long[$k];
+         |  java.util.Arrays.fill($m, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $hv.getLong($i);
+         |    for (int $s = 0; $s < $k; $s++) {
+         |      long $v = ($aRef[$s] * $h + $bRef[$s]) % ${prime}L;
+         |      if ($v < $m[$s]) $m[$s] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($m);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  /** Register `minhash_sig` (with the graft MinHash seed family baked in) on
+    * the session's function registry. Idempotent, runtime-safe. */
+  def register(spark: SparkSession): Unit = {
+    val seedsA = graft.operators.Dedup.MinhashSeeds.map(_._1).toArray
+    val seedsB = graft.operators.Dedup.MinhashSeeds.map(_._2).toArray
+    val prime = graft.operators.Dedup.MinhashPrime
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSignature(children.head, seedsA, seedsB, prime))
+  }
+}

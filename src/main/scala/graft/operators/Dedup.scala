@@ -82,20 +82,24 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
     // persisted: read by the banding pass and by both verify join sides
     val sh = TextOps.withShingles(docs, n)
       .withColumn("hv", transform(col("sh"), x =>
         conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long") % MinhashPrime))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def minhash(i: Int): Column = {
-      val (a, b) = MinhashSeeds(i)
-      array_min(transform(col("hv"), h => (lit(a) * h + lit(b)) % MinhashPrime))
-    }
+    // the full 12-value signature in ONE codegen'd traversal of hv (the
+    // per-position array_min(transform(...)) form re-traverses hv once per
+    // position, interpreted — measured 64 s vs ~6 s at sf0.1). Projected to
+    // its own column so the band keys below reference an attribute.
+    val sig = sh.select(col("doc_id"),
+      call_function("minhash_sig", col("hv")).as("sig"))
     def bandKey(b: Int): Column =
-      concat_ws("_", (0 until rowsPerBand).map(j => minhash(b * rowsPerBand + j)): _*)
+      concat_ws("_", (0 until rowsPerBand).map(j =>
+        element_at(col("sig"), b * rowsPerBand + j + 1)): _*)
 
-    val banded = sh.select(col("doc_id"),
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
