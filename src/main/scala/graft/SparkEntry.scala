@@ -167,7 +167,11 @@ object SparkEntry {
     // not SQL-expressible; exactness vs brute force is pinned in tests via
     // the nProbe = nCentroids degeneration property
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
-    "embed_neardup_pairs" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.45)),
+    // the scale path (LSH blocking + exact verify); the all-pairs form stays
+    // gated as embed_neardup_exact, the differential baseline — on gate data
+    // the two must produce identical rows (100% LSH recall, see scaladoc)
+    "embed_neardup_pairs" -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 0.45)),
+    "embed_neardup_exact" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.45)),
 
     // training-data pipeline: multimodal binary plumbing (decode is stubbed)
     "mm_features" -> ((s, d) =>
@@ -225,6 +229,7 @@ object SparkEntry {
     "text_rolling_hash" -> OracleSqlText.rollingHash,
     "ann_cosine_topk" -> OracleSqlText.annTopK,
     "ann_lsh_topk" -> OracleSqlText.annLshTopK,
-    "embed_neardup_pairs" -> OracleSqlText.nearDupPairs,
+    "embed_neardup_pairs" -> OracleSqlText.nearDupPairsLsh(),
+    "embed_neardup_exact" -> OracleSqlText.nearDupPairs,
     "mm_features" -> OracleSqlText.mmFeatures)
 }

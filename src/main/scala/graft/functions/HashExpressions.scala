@@ -89,6 +89,87 @@ case class MinHashSignature(child: Expression, seedsA: Array[Long], seedsB: Arra
     copy(child = newChild)
 }
 
+/** Sign-random-projection codes for `tables` LSH tables of `bits` planes
+  * each, in one codegen'd pass: code t = Σ_j (dot(v, plane_{t·bits+j}) ≥ 0) << j.
+  *
+  * Every dot product accumulates element-wise in index order with a double
+  * accumulator (float element widened first) — the exact sequence the DuckDB
+  * oracle's `list_sum(list_transform(generate_series(1,dim), d -> v[d]::DOUBLE
+  * * comps[d]))` produces, so the sign decisions are bit-identical across
+  * engines. `planes` is the flattened [plane][dim] component matrix.
+  *
+  * The naive column formulation (64 element_at terms per plane × 240 planes)
+  * would be a 15k-node expression tree — this keeps it one expression and
+  * one tight loop. */
+case class SrpCodes(child: Expression, planes: Array[Double], bits: Int, tables: Int, dim: Int)
+    extends UnaryExpression {
+
+  require(planes.length == bits * tables * dim, "plane matrix shape mismatch")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"srp_codes expects array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_codes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0L
+      var j = 0
+      while (j < bits) {
+        val base = (t * bits + j) * dim
+        var acc = 0.0
+        var d = 0
+        while (d < n) { acc += v.getFloat(d).toDouble * planes(base + d); d += 1 }
+        if (acc >= 0) code |= (1L << j)
+        j += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      val code = ctx.freshName("code")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $code = 0L;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    int $base = ($t * $bits + $j) * $dim;
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $acc += ((double) $v.getFloat($d)) * $pRef[$base + $d];
+         |    }
+         |    if ($acc >= 0) $code |= (1L << $j);
+         |  }
+         |  $out[$t] = $code;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Register `minhash_sig` (with the graft MinHash seed family baked in) on
     * the session's function registry. Idempotent, runtime-safe. */
@@ -100,5 +181,14 @@ object HashExpressions {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSignature(children.head, seedsA, seedsB, prime))
+  }
+
+  /** Register `srp_codes` with a given plane matrix (flattened [plane][dim]).
+    * Re-registering with different constants replaces the previous binding. */
+  def registerSrp(spark: SparkSession, planes: Array[Double], bits: Int, tables: Int, dim: Int): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("srp_codes"),
+      new ExpressionInfo(classOf[SrpCodes].getName, "srp_codes"),
+      (children: Seq[Expression]) => SrpCodes(children.head, planes, bits, tables, dim))
   }
 }

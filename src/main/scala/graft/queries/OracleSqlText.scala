@@ -247,6 +247,43 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
 ORDER BY vec_a, vec_b"""
 
+  /** Multi-table SRP-LSH near-dup twin (mirrors Similarity.nearDupPairsLsh):
+    * the same 240 hyperplanes as a VALUES CTE, the same index-order double
+    * dot products for the sign bits, the same (table, code) equality
+    * candidates, the same exact verify. */
+  def nearDupPairsLsh(threshold: Double = 0.45, bits: Int = 5, tables: Int = 48, dim: Int = 64): String = {
+    val planeRows = (0 until bits * tables).map { p =>
+      val comps = (0 until dim)
+        .map(d => graft.operators.Similarity.planeComponent(p, d)).mkString("[", ", ", "]")
+      s"($p, $comps)"
+    }.mkString(",\n  ")
+    s"""
+WITH planes(p, comps) AS (VALUES
+  $planeRows),
+bits AS (
+  SELECT e.vec_id, p.p,
+         CASE WHEN list_sum(list_transform(generate_series(1, $dim),
+                    d -> e.embedding[d]::DOUBLE * p.comps[d])) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+codes AS (
+  SELECT vec_id, p // $bits AS tbl, CAST(SUM(bit * (1 << (p % $bits))) AS BIGINT) AS code
+  FROM bits GROUP BY vec_id, p // $bits
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM codes a JOIN codes b ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id
+),
+v AS (
+  SELECT c.vec_a, c.vec_b, ${cosSql("a.embedding", "b.embedding")} AS cosine_sim
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.vec_a
+  JOIN embeddings b ON b.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine_sim FROM v WHERE cosine_sim >= $threshold
+ORDER BY vec_a, vec_b"""
+  }
+
   /** Sign-random-projection bucket id — embeds the exact hyperplane
     * constants Similarity.lshBucket computes driver-side, summed in the same
     * left-to-right order so the sign decisions are bit-identical. */

@@ -104,6 +104,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((pairs.head.getAs[Long]("vec_a"), pairs.head.getAs[Long]("vec_b")) === (0L, 1L))
   }
 
+  test("LSH-blocked near-dup pairs equal the exact all-pairs result on sf0.001") {
+    val emb = graft.sources.Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
+    val exact = Similarity.nearDupPairs(emb, 0.45).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    val lsh = Similarity.nearDupPairsLsh(emb, 0.45)
+    // the scale property: candidate generation is keyed joins, never a
+    // cartesian/broadcast-nested-loop product
+    assert(!lsh.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val got = lsh.collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    assert(got === exact) // 100% recall with the b=5,T=48 plane family
+  }
+
   test("lsh bucketing keeps identical vectors together") {
     val dup = embeddings(0L -> Seq.fill(64)(0.5f), 1L -> Seq.fill(64)(0.5f),
       2L -> Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f))
