@@ -163,9 +163,6 @@ object SparkEntry {
     // training-data pipeline: similarity search over embeddings
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), nPlanes = 4)),
-    // no oracle entry (driver records rows-only): the k-means quantizer is
-    // not SQL-expressible; exactness vs brute force is pinned in tests via
-    // the nProbe = nCentroids degeneration property
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // the scale path (LSH blocking + exact verify); the all-pairs form stays
     // gated as embed_neardup_exact, the differential baseline — on gate data
@@ -229,6 +226,9 @@ object SparkEntry {
     "text_rolling_hash" -> OracleSqlText.rollingHash,
     "ann_cosine_topk" -> OracleSqlText.annTopK,
     "ann_lsh_topk" -> OracleSqlText.annLshTopK,
+    // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
+    // rounds, order-invariant rounded means) — the oracle unrolls it in SQL
+    "ann_ivf_topk" -> OracleSqlText.annIvfTopK(),
     "embed_neardup_pairs" -> OracleSqlText.nearDupPairsLsh(),
     "embed_neardup_exact" -> OracleSqlText.nearDupPairs,
     "mm_features" -> OracleSqlText.mmFeatures)

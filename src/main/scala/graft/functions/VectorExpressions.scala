@@ -105,6 +105,80 @@ case class FloatVectorNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-centroid quantizer scores ‖c‖² − 2·v·c (the ‖v−c‖² argmin with the
+  * rank-invariant v·v dropped) for all k centroids in one pass.
+  *
+  * Centroids ride along as a reference object, NOT as literals: the
+  * generated source is identical across Lloyd iterations, so the janino
+  * codegen cache is hit instead of recompiling a fresh plan per iteration
+  * (the literal-array formulation re-JIT'd every round — the dominant cost
+  * of ivfTopK's training loop at small scale).
+  *
+  * Arithmetic contract (shared with the DuckDB oracle): cc accumulates
+  * centroid components squared in index order (double), the dot accumulates
+  * v[d]·c[d] in index order (double), score = cc − 2·dot. */
+case class CentroidScores(child: Expression, cents: Array[Float], k: Int, dim: Int)
+    extends UnaryExpression {
+
+  require(cents.length == k * dim, "centroid matrix shape mismatch")
+
+  private lazy val cc: Array[Double] = Array.tabulate(k) { i =>
+    var acc = 0.0
+    var d = 0
+    while (d < dim) { val x = cents(i * dim + d).toDouble; acc += x * x; d += 1 }
+    acc
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"ivf_scores expects array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "ivf_scores"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += v.getFloat(d).toDouble * cents(i * dim + d).toDouble; d += 1 }
+      out(i) = cc(i) - 2.0 * acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "float[]")
+    val ccRef = ctx.addReferenceObj("cc", cc, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |double[] $out = new double[$k];
+         |for (int $i = 0; $i < $k; $i++) {
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $acc += ((double) $v.getFloat($d)) * ((double) $cRef[$i * $dim + $d]);
+         |  }
+         |  $out[$i] = $ccRef[$i] - 2.0 * $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Register `vec_dot` / `vec_norm` on the session's function registry so
     * they are callable from expr()/SQL. Idempotent, runtime-safe on any
@@ -119,5 +193,16 @@ object VectorExpressions {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[FloatVectorNorm].getName, "vec_norm"),
       (children: Seq[Expression]) => FloatVectorNorm(children.head))
+  }
+
+  /** (Re-)bind `ivf_scores` to a centroid matrix (flattened [cell][dim]).
+    * Column analysis is eager, so a caller that registers, builds its
+    * DataFrame, and registers again for the next Lloyd round gets the right
+    * binding in each plan. */
+  def registerCentroidScores(spark: SparkSession, cents: Array[Float], k: Int, dim: Int): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ivf_scores"),
+      new ExpressionInfo(classOf[CentroidScores].getName, "ivf_scores"),
+      (children: Seq[Expression]) => CentroidScores(children.head, cents, k, dim))
   }
 }

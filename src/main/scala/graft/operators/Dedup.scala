@@ -31,33 +31,44 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** N-gram (shingle) Jaccard dedup as a count-based set-similarity join:
-    * explode distinct shingles, self-join on shingle, and aggregate the
-    * match count per pair — that count IS |A∩B| (shingle sets are distinct),
-    * so Jaccard needs only the two set sizes, never the arrays.
+  /** N-gram (shingle) Jaccard dedup as a prefix-filtered set-similarity
+    * join (the All-Pairs/PPJoin family): candidates come from an inverted
+    * index over each document's *prefix* — its first |A| − ⌈t·|A|⌉ + 1
+    * shingles under a global (doc-frequency, shingle) order — and survivors
+    * are verified exactly.
     *
-    * This shape matters at scale: the per-pair work is a counter bump with
-    * map-side partial aggregation, instead of materializing both shingle
-    * arrays per candidate and intersecting them (O(|A|+|B|) allocations ×
-    * millions of pairs — measured 100+ s at sf0.1, vs seconds for this). */
+    * The prefix filter is LOSSLESS at threshold t: J(A,B) ≥ t implies
+    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets overlapping that much must
+    * share an element inside both prefixes under any common total order
+    * (Bayardo et al., WWW'07) — so the output is identical to the full
+    * inverted-index join, and the DuckDB oracle keeps the simple
+    * formulation.
+    *
+    * This shape is what survives 100 TB: a stopword-like shingle appearing
+    * in k documents contributes k² candidate pairs to a plain
+    * inverted-index self-join (quadratic in the hottest posting list), but
+    * frequency-ascending prefixes systematically exclude hot shingles, so
+    * candidate volume tracks true near-duplication instead of token
+    * popularity. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // the shingle table feeds both join sides and the size lookup — persist
-    // it so tokenize+shingle runs once, not once per plan branch
+    // the shingle table feeds candidate generation, the size lookup, and
+    // verification — persist so tokenize+shingle runs once
     val sh = TextOps.withShingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    inv.as("a").join(inv.as("b"),
+    val inv = sh.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    // global doc-frequency order: rare shingles first
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("dfreq", "shingle")
+    val prefix = inv.join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("doc_id", "shingle")
+    val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(candidates, sh.select("doc_id", "sh"), threshold)
   }
 
   /** Universal-hash family for MinHash: one md5 per shingle (its first 8 hex

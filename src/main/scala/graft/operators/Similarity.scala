@@ -164,35 +164,42 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
       nCentroids: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(embeddings.sparkSession)
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+    // the training loop and the final assignment all scan this — persist
+    // once instead of re-reading parquet per Lloyd round
+    val emb = embeddings.select("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def centroidCol(c: Seq[Float]): Column =
-      array(c.map(v => lit(v)): _*).cast("array<float>")
     // per-cell score = c·c − 2·v·c : the ‖v−c‖² argmin with the
-    // rank-invariant v·v dropped — one vec_dot per (row, centroid).
-    // Scores live in ONE array column computed in its own projection so the
-    // argmin/argsort below reference an attribute (a folded when-chain
-    // argmin would duplicate every distance subtree per comparison level —
-    // measured 15.8 s before this shape, ~2 s after).
-    def scoreArray(v: Column, cents: IndexedSeq[Seq[Float]]): Column =
-      array(cents.map { c =>
-        val cc = c.map(x => x.toDouble * x.toDouble).sum
-        lit(cc) - lit(2.0) * dotProduct(v, centroidCol(c))
-      }: _*)
+    // rank-invariant v·v dropped. One codegen'd expression with the
+    // centroid matrix as a REFERENCE OBJECT, not literals: generated source
+    // is identical across Lloyd rounds, so the codegen cache is hit instead
+    // of re-JIT-ing a fresh plan every iteration (the literal-array form
+    // recompiled per round — the dominant cost of the training loop).
+    // Scores live in ONE projected column so the argmin/argsort below
+    // reference an attribute.
+    def scoreArray(v: Column, cents: IndexedSeq[Seq[Float]]): Column = {
+      val flat = new Array[Float](nCentroids * 64)
+      cents.zipWithIndex.foreach { case (c, i) => c.copyToArray(flat, i * 64) }
+      graft.functions.VectorExpressions.registerCentroidScores(
+        embeddings.sparkSession, flat, nCentroids, 64)
+      call_function("ivf_scores", v)
+    }
     def withCell(df: DataFrame, cents: IndexedSeq[Seq[Float]]): DataFrame =
       df.withColumn("dists", scoreArray(col("embedding"), cents))
         .withColumn("cell", (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
 
-    // init: lowest vec_ids; refine with Lloyd rounds
-    var centroids: IndexedSeq[Seq[Float]] = embeddings.orderBy("vec_id").limit(nCentroids)
+    // init: lowest vec_ids; refine with Lloyd rounds. Means are rounded to
+    // 6 decimals BEFORE the float cast so the centroid values are invariant
+    // to double-summation order — the property that lets the DuckDB oracle
+    // (which unrolls the same Lloyd rounds in SQL) reproduce them bit-for-bit.
+    var centroids: IndexedSeq[Seq[Float]] = emb.orderBy("vec_id").limit(nCentroids)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toIndexedSeq.asInstanceOf[Seq[Float]]).toIndexedSeq
     for (_ <- 1 to iters) {
-      val assigned = withCell(embeddings, centroids)
+      val assigned = withCell(emb, centroids)
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "comp")))
-        .groupBy("cell", "pos").agg(avg(col("comp")).as("mean"))
+        .groupBy("cell", "pos").agg(round(avg(col("comp")), 6).as("mean"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("mean").cast("float")).as("centroid"))
@@ -200,7 +207,7 @@ object Similarity {
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
 
-    val cells = withCell(embeddings, centroids)
+    val cells = withCell(emb, centroids)
       .withColumn("norm", l2Norm(col("embedding")))
       .drop("dists")
     // each query probes its nProbe nearest cells — argsort of the same
@@ -212,7 +219,7 @@ object Similarity {
         s => s.getField("cell")),
       1, nProbe)
     val queries = broadcast(
-      withCell(embeddings, centroids)
+      withCell(emb, centroids)
         .filter(col("vec_id") < nQueries)
         .withColumn("norm", l2Norm(col("embedding")))
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),

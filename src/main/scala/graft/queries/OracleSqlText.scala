@@ -309,6 +309,76 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored) t
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** IVF ANN oracle: the k-means quantizer IS SQL-expressible once the Lloyd
+    * rounds are unrolled — init from the `nCentroids` lowest vec_ids, then
+    * per round: assign by argmin of ‖c‖² − 2·v·c (ties → lowest cell, the
+    * array_position-of-min semantics), recompute per-(cell,pos) means
+    * ROUND(AVG, 6)::FLOAT (the rounding pins double-summation order on both
+    * engines), empty cells keep their previous centroid. Mirrors
+    * Similarity.ivfTopK arithmetic exactly: index-order double accumulation
+    * for cc and dots, score = cc − 2·dot. */
+  def annIvfTopK(nQueries: Int = 5, k: Int = 5, nCentroids: Int = 8,
+      nProbe: Int = 2, iters: Int = 3, dim: Int = 64): String = {
+    def scoresCte(i: Int, prev: String) = s"""
+s$i AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         list_sum(list_transform(generate_series(1, $dim),
+                  d -> c.centroid[d]::DOUBLE * c.centroid[d]::DOUBLE))
+         - 2.0 * list_sum(list_transform(generate_series(1, $dim),
+                  d -> e.embedding[d]::DOUBLE * c.centroid[d]::DOUBLE)) AS score
+  FROM embeddings e CROSS JOIN $prev c
+)"""
+    def lloydCtes(i: Int): String = s"""${scoresCte(i, s"c${i - 1}")},
+a$i AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn FROM s$i) t
+  WHERE rn = 1
+),
+m$i AS (
+  SELECT cell, pos, ROUND(AVG(comp), 6)::FLOAT AS mean FROM (
+    SELECT cell, unnest(embedding) AS comp,
+           unnest(generate_series(1, len(embedding))) AS pos
+    FROM a$i) u
+  GROUP BY cell, pos
+),
+c$i AS (
+  SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
+  FROM c${i - 1} p
+  LEFT JOIN (SELECT cell, list(mean ORDER BY pos) AS centroid FROM m$i GROUP BY cell) n
+    USING (cell)
+)"""
+    s"""
+WITH c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT $nCentroids
+),
+${(1 to iters).map(lloydCtes).mkString(",")},
+${scoresCte(iters + 1, s"c$iters")},
+cells AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+    FROM s${iters + 1}) t
+  WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+    FROM s${iters + 1} WHERE vec_id < $nQueries) t
+  WHERE rn <= $nProbe
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         ${cosSql("p.q_emb", "c.embedding")} AS cosine_sim
+  FROM probe p JOIN cells c USING (cell)
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored) t
+WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** Multimodal plumbing oracle: byte length + content hash of the binary
     * payload (the Spark side synthesizes `media = encode(text)`; real decode
     * is a stubbed executor-side function — see Multimodal.scala). */
