@@ -170,10 +170,30 @@ object SparkEntry {
     "embed_neardup_pairs" -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 0.45)),
     "embed_neardup_exact" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.45)),
 
+    // near-dup clusters over the simhash pair graph (min-label propagation)
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(Dedup.simhashPairs(Tables.documents(s, d)))),
+
+    // incremental (two-delta) matching must equal the full rebuild — the
+    // oracle IS the fifo_match SQL
+    "incremental_match" -> ((s, d) =>
+      graft.operators.IncrementalMatcher.twoBatchLedger(txns(s, d)).orderBy(matchedOrder: _*)),
+
     // training-data pipeline: multimodal binary plumbing (decode is stubbed)
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.withMedia(Tables.documents(s, d)))
-        .select("doc_id", "n_bytes", "content_md5").orderBy("doc_id")))
+        .select("doc_id", "n_bytes", "content_md5").orderBy("doc_id")),
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resize(Multimodal.withMedia(Tables.documents(s, d)))
+        .select(col("doc_id"), col("orig_bytes"),
+          length(col("media")).cast("long").as("n_out_bytes"),
+          md5(col("media")).as("out_md5"))
+        .orderBy("doc_id")),
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.withMedia(Tables.documents(s, d)))
+        .select(col("doc_id"), col("frame_index").cast("long").as("frame_index"),
+          col("offset"), col("n_bytes"), col("frame_md5"))
+        .orderBy("doc_id", "frame_index")))
 
   /** DuckDB twins of [[queries]] — same columns, same order, same values. */
   def oracleSql: Map[String, String] = Map(
@@ -231,5 +251,9 @@ object SparkEntry {
     "ann_ivf_topk" -> OracleSqlText.annIvfTopK(),
     "embed_neardup_pairs" -> OracleSqlText.nearDupPairsLsh(),
     "embed_neardup_exact" -> OracleSqlText.nearDupPairs,
-    "mm_features" -> OracleSqlText.mmFeatures)
+    "mm_features" -> OracleSqlText.mmFeatures,
+    "mm_resize" -> OracleSqlText.mmResize,
+    "mm_frames" -> OracleSqlText.mmFrames,
+    "dedup_clusters" -> OracleSqlText.dedupClusters,
+    "incremental_match" -> OracleSql.fifoMatch)
 }

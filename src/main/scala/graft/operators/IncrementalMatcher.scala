@@ -88,4 +88,25 @@ object IncrementalMatcher {
 
     (matches, leftEarned.unionByName(leftSe))
   }
+
+  /** Correctness-gate harness: split the canonical transactions at the
+    * midpoint timestamp, run two [[matchDelta]] passes (state parqueted
+    * in-session via persist), and rebuild the full matched ledger in the
+    * fifo_match output shape. Under the append-only contract the result
+    * must equal a single full [[FifoMatcher.matchTransactions]] run — the
+    * gated oracle IS the fifo_match SQL. */
+  def twoBatchLedger(txns: DataFrame): DataFrame = {
+    val cols = Seq("customer_id", "transaction_id", "timestamp", "amount", "transaction_type")
+    val t = txns.select(cols.map(col): _*)
+    val mm = t.agg(min("timestamp"), max("timestamp")).collect()(0)
+    val (lo, hi) = (mm.getAs[java.time.LocalDateTime](0), mm.getAs[java.time.LocalDateTime](1))
+    val pivot = lo.plusSeconds(java.time.Duration.between(lo, hi).toSeconds / 2)
+    val (m1, s1raw) = matchDelta(emptyState(txns.sparkSession), t.filter(col("timestamp") < lit(pivot)))
+    val s1 = s1raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (m2, _) = matchDelta(s1, t.filter(col("timestamp") >= lit(pivot)))
+    val matches = m1.unionByName(m2)
+      .select(col("earned_id").as("TRANS_ID"), col("redeem_id").as("REDEEMID"))
+    FifoMatcher.renameToSpec(t).join(matches, Seq("TRANS_ID"), "left")
+      .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")
+  }
 }

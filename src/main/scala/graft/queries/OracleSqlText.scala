@@ -385,4 +385,67 @@ WHERE rank <= $k ORDER BY query_id, rank"""
   val mmFeatures: String = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
 FROM documents ORDER BY doc_id"""
+
+  /** Resize oracle: the stride-downsample byte math of Multimodal.resize in
+    * SQL. Valid because the corpus is pure ASCII (byte i == char i, checked
+    * across all SFs), so substr-by-char reconstructs the exact byte the
+    * Spark side picks: index floor(i·n/target) for i in 0..target-1. */
+  val mmResize: String = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS orig_bytes,
+       CAST(LEAST(length(text), 64) AS BIGINT) AS n_out_bytes,
+       CASE WHEN length(text) <= 64 THEN md5(text)
+            ELSE md5(array_to_string(list_transform(generate_series(0, 63),
+                   i -> substr(text, CAST(FLOOR(i * (length(text)::DOUBLE / 64)) AS INT) + 1, 1)), ''))
+       END AS out_md5
+FROM documents ORDER BY doc_id"""
+
+  /** Frame-sampling oracle: fixed 32-byte chunks, every 2nd kept — one row
+    * per sampled frame with offset/size/md5 (ASCII byte==char as above). */
+  val mmFrames: String = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(list_filter(generate_series(0, CAST(CEIL(length(text) / 32.0) AS INT) - 1),
+                            i -> i % 2 = 0)) AS frame_index
+  FROM documents
+)
+SELECT doc_id,
+       CAST(frame_index AS BIGINT) AS frame_index,
+       CAST(frame_index * 32 AS BIGINT) AS "offset",
+       CAST(LEAST(32, length(text) - frame_index * 32) AS BIGINT) AS n_bytes,
+       md5(substr(text, frame_index * 32 + 1, 32)) AS frame_md5
+FROM f ORDER BY doc_id, frame_index"""
+
+  /** Dedup-clusters oracle: connected components over the simhash pair
+    * graph as a recursive transitive closure; cluster id = minimum reachable
+    * doc_id — exactly Dedup.dedupClusters' min-label fixpoint. */
+  val dedupClusters: String = s"""
+WITH RECURSIVE $toksCte,
+hv AS (
+  SELECT doc_id,
+         list_transform(list_distinct(toks), t -> ${hex4IntSql("t")}) AS hv
+  FROM toks
+),
+s AS (
+  SELECT doc_id,
+         CAST(${(0 until 16).map(b =>
+    s"(CASE WHEN list_sum(list_transform(hv, v -> ((v >> $b) & 1) * 2 - 1)) >= 0 THEN ${1 << b} ELSE 0 END)")
+    .mkString(" + ")} AS BIGINT) AS simhash16
+  FROM hv
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s a JOIN s b ON a.simhash16 = b.simhash16 AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+)
+SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id"""
 }
