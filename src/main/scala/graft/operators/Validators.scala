@@ -40,6 +40,32 @@ object Validators {
         .as("invalid_type_count"))
   }
 
+  /** Offending-row samples for the source checks that failed (reference
+    * :651-655 logs the first 10 offending ids per check): one small
+    * `limit(n)` collect per FAILED check only — the caller passes the names
+    * reported by [[sourceQuality]], so clean runs cost zero extra jobs.
+    * Rows whose transaction_id is itself null surface as `<null>`. */
+  def sourceQualitySamples(txns: DataFrame, failedChecks: Seq[String], n: Int = 10): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.Column
+    def cond(check: String): Column = check match {
+      case "null_transaction_id"   => col("transaction_id").isNull
+      case "null_customer_id"      => col("customer_id").isNull
+      case "null_amount"           => col("amount").isNull
+      case "null_timestamp"        => col("timestamp").isNull
+      case "null_transaction_type" => col("transaction_type").isNull
+      case "non_numeric_amount" =>
+        expr("try_cast(cast(amount AS string) AS double)").isNull && col("amount").isNotNull
+      case "invalid_type_count" => !col("transaction_type").isin("earned", "spent", "expired")
+    }
+    failedChecks.map { check =>
+      val sample = txns.filter(cond(check))
+        .select(coalesce(col("transaction_id"), lit("<null>")).as("id"))
+        .orderBy("id").limit(n)
+        .collect().map(_.getString(0)).toSeq
+      check -> sample
+    }.toMap
+  }
+
   /** V7 referential integrity
     * (reference: src/thrive_cash_processing_dag.py:325-333).
     *

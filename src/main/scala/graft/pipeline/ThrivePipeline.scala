@@ -27,6 +27,12 @@ object ThrivePipeline {
   case class Config(
       stagingDir: String,
       outputDir: String,
+      /** execution date (YYYYMMDD) for the per-run staging namespace —
+        * reference `:84` stages under `/tmp/thrive_cash_staging/<YYYYMMDD>/`
+        * so a restarted run overwrites its own staging, never another
+        * day's. Defaults to today (UTC), like Airflow's `{{ ds_nodash }}`. */
+      executionDate: String = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE),
       /** keep the reference's dead-code chronology check a no-op (J3/V9 —
         * SURVEY §7.5); strict mode enables the intended check */
       strictChronology: Boolean = false,
@@ -95,30 +101,38 @@ object ThrivePipeline {
       out
     }
 
-    // Stage 1 — ingest: derive canonical transactions, split by type into
-    // staging parquet (the reference's download_data task, :60-158; the
-    // 3-way type split at :110-112 is part of the staging contract)
+    // Stage 1 — ingest: derive canonical transactions, stage them under the
+    // per-execution-date namespace split by type (the reference's
+    // download_data task, :60-158; its 3-way type split at :110-112 and
+    // dated path at :84 are part of the staging contract). ONE source scan:
+    // write.partitionBy lays out transaction_type=earned/spent/expired
+    // directories in a single pass — the previous one-filtered-write-per-type
+    // form scanned the source three times. Overwrite keeps same-day reruns
+    // idempotent (the DAG's restartability contract, :631-636).
+    val stagingRoot = s"${cfg.stagingDir}/${cfg.executionDate}"
     val txns = stage("ingest") {
       val t = Tables.transactions(spark, sourceDir)
-      Seq("earned", "spent", "expired").foreach { tpe =>
-        writeParquet(t.filter(col("transaction_type") === tpe), s"${cfg.stagingDir}/$tpe.parquet")
-      }
-      val staged = spark.read.parquet(
-        s"${cfg.stagingDir}/earned.parquet",
-        s"${cfg.stagingDir}/spent.parquet",
-        s"${cfg.stagingDir}/expired.parquet")
+      t.write.mode(SaveMode.Overwrite)
+        .partitionBy("transaction_type")
+        .parquet(s"$stagingRoot/transactions.parquet")
+      val staged = spark.read.parquet(s"$stagingRoot/transactions.parquet")
+        .select(t.columns.map(col).toIndexedSeq: _*) // partition col back in canonical position
       (staged.count(), staged)
     }
 
-    // Stage 2 — validate_source: V1-V5, fail fast (reference :161-226)
+    // Stage 2 — validate_source: V1-V5, fail fast (reference :161-226);
+    // failed checks carry the first-10 offending transaction ids
+    // (reference :651-655 "first 10 shown")
     val sourceErrors = stage("validate_source") {
       val q = Validators.sourceQuality(txns).collect().head
-      val errs = Seq(
+      val failedChecks = Seq(
         "null_transaction_id", "null_customer_id", "null_amount",
         "null_timestamp", "null_transaction_type", "non_numeric_amount",
         "invalid_type_count")
         .filter(k => q.getAs[Long](k) > 0)
-        .map(k => s"$k=${q.getAs[Long](k)}")
+      val samples = Validators.sourceQualitySamples(txns, failedChecks)
+      val errs = failedChecks.map(k =>
+        s"$k=${q.getAs[Long](k)} (first ${samples(k).size}: ${samples(k).mkString(", ")})")
       (q.getAs[Long]("row_count"), errs)
     }
     if (sourceErrors.nonEmpty)
@@ -136,16 +150,25 @@ object ThrivePipeline {
 
     // Stage 4 — validate_results: V6-V11 (reference :289-423)
     val resultErrors = stage("validate_results") {
+      def sampleIds(df: DataFrame, idCol: String, n: Int = 10): String =
+        df.select(col(idCol)).orderBy(idCol).limit(n)
+          .collect().map(_.getString(0)).mkString(", ")
       val errs = scala.collection.mutable.ArrayBuffer.empty[String]
-      val badRefs = Validators.invalidRedeemIds(matched).count()
-      if (badRefs > 0) errs += s"invalid REDEEMIDs: $badRefs"
-      val unbalanced = Validators.balanceEquation(matched, cfg.tolerance)
-        .filter(!col("balanced")).count()
+      val badRefDf = Validators.invalidRedeemIds(matched)
+      val badRefs = badRefDf.count()
+      if (badRefs > 0)
+        errs += s"invalid REDEEMIDs: $badRefs (first 10: ${sampleIds(badRefDf, "REDEEMID")})"
+      val unbalancedDf = Validators.balanceEquation(matched, cfg.tolerance)
+        .filter(!col("balanced"))
+      val unbalanced = unbalancedDf.count()
       if (unbalanced > 0 && cfg.failOnBalanceMismatch)
-        errs += s"balance equation mismatches: $unbalanced customers"
+        errs += s"balance equation mismatches: $unbalanced customers " +
+          s"(first 10: ${sampleIds(unbalancedDf, "customer_id")})"
       if (cfg.strictChronology) {
-        val chrono = Validators.chronologyViolations(matched).count()
-        if (chrono > 0) errs += s"chronology violations: $chrono"
+        val chronoDf = Validators.chronologyViolations(matched)
+        val chrono = chronoDf.count()
+        if (chrono > 0)
+          errs += s"chronology violations: $chrono (first 10: ${sampleIds(chronoDf, "earned_id")})"
       }
       (matched.count(), errs.toSeq)
     }

@@ -14,7 +14,7 @@ class PipelineSpec extends AnyFunSuite {
   test("full pipeline run produces deliverables and a sane report") {
     val tmp = Files.createTempDirectory("graft-pipeline").toString
     val report = ThrivePipeline.run(spark, "/root/testdata/sf0.001",
-      ThrivePipeline.Config(s"$tmp/staging", s"$tmp/out"))
+      ThrivePipeline.Config(s"$tmp/staging", s"$tmp/out", executionDate = "20260812"))
 
     assert(report.status === "success")
     assert(report.totalTransactions === 1000L)
@@ -37,13 +37,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(json.contains("\"status\": \"success\""))
     assert(json.contains("\"matching_records_count\""))
 
-    // staged splits are re-readable (restartability contract)
-    val earned = spark.read.parquet(s"$tmp/staging/earned.parquet")
-    assert(earned.count() > 0)
+    // staged split is re-readable under the dated namespace, per type
+    // (restartability contract; partitionBy layout = the 3-way split)
+    val staged = spark.read.parquet(s"$tmp/staging/20260812/transactions.parquet")
+    assert(staged.filter(org.apache.spark.sql.functions
+      .col("transaction_type") === "earned").count() > 0)
 
     // matched parquet row count equals input
     val m = spark.read.parquet(s"$tmp/out/tc_data_with_redemptions.parquet")
     assert(m.count() === 1000L)
+
+    // same-day rerun is idempotent: staging + outputs overwritten, same report
+    val rerun = ThrivePipeline.run(spark, "/root/testdata/sf0.001",
+      ThrivePipeline.Config(s"$tmp/staging", s"$tmp/out", executionDate = "20260812"))
+    assert(rerun.status === "success")
+    assert(rerun.totalTransactions === report.totalTransactions)
+    assert(rerun.totalCurrentBalance === report.totalCurrentBalance)
+    assert(spark.read.parquet(s"$tmp/staging/20260812/transactions.parquet").count() === 1000L)
+
+    // a different execution date stages separately, leaving the first intact
+    val other = ThrivePipeline.run(spark, "/root/testdata/sf0.001",
+      ThrivePipeline.Config(s"$tmp/staging", s"$tmp/out", executionDate = "20260813"))
+    assert(other.status === "success")
+    assert(Files.exists(Paths.get(s"$tmp/staging/20260812/transactions.parquet")))
+    assert(Files.exists(Paths.get(s"$tmp/staging/20260813/transactions.parquet")))
   }
 
   test("pipeline fails fast on invalid source data") {
@@ -58,5 +75,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(report.status === "failed")
     assert(report.validationErrors.nonEmpty)
     assert(report.alertMessage.contains("FAILED"))
+    // V5 parity detail: failed checks carry offending-id samples
+    assert(report.validationErrors.exists(_.contains("first 10:")),
+      s"expected sample ids in: ${report.validationErrors}")
+  }
+
+  test("source validation failures carry first-10 offending transaction ids") {
+    val bad = tx(
+      ("T1", "C1", 10.0, "2024-01-01", "earned"),
+      ("T2", "C1", 5.0, "2024-01-02", "badtype"),
+      ("T3", "C1", 5.0, "2024-01-03", "badtype"))
+    val samples = graft.operators.Validators.sourceQualitySamples(bad, Seq("invalid_type_count"))
+    assert(samples("invalid_type_count") === Seq("T2", "T3"))
   }
 }
