@@ -141,6 +141,9 @@ object SparkEntry {
       RelationalQueries.revenueByNation(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "topk_orders" -> ((s, d) => RelationalQueries.topkOrders(Tables.orders(s, d))),
+    // the replicated-salt join, oracle-checked against the plain join
+    "join_salted_revenue" -> ((s, d) =>
+      RelationalQueries.saltedRevenueByPriority(Tables.lineitem(s, d), Tables.orders(s, d))),
     "window_customer_order_rank" -> ((s, d) =>
       RelationalQueries.customerOrderRank(Tables.orders(s, d))),
 
@@ -231,6 +234,7 @@ object SparkEntry {
     "join_anti_no_orders" -> OracleSql.customersWithoutOrders,
     "join_revenue_by_nation" -> OracleSql.revenueByNation,
     "topk_orders" -> OracleSql.topkOrders,
+    "join_salted_revenue" -> OracleSql.saltedRevenueByPriority,
     "window_customer_order_rank" -> OracleSql.customerOrderRank,
     "dedup_exact" -> OracleSqlText.dedupExact,
     "dedup_ngram_jaccard" -> OracleSqlText.ngramJaccard,

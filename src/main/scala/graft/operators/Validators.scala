@@ -28,14 +28,22 @@ object Validators {
     * one aggregate row. */
   def sourceQuality(txns: DataFrame): DataFrame = {
     def nulls(c: String) = sum(col(c).isNull.cast("long")).as(s"null_$c")
+    // non-numeric amount (reference :658-669): the try_cast scan only runs
+    // when the feed is actually untyped (string amounts — raw CSV/xlsx);
+    // a schema-typed numeric column CANNOT hold a non-numeric value, so the
+    // per-row double→string→double round-trip would be pure dead weight at
+    // scale (constant 0, same value the oracle computes on typed parquet)
+    val nonNumeric = txns.schema("amount").dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        sum((expr("try_cast(amount AS double)").isNull
+          && col("amount").isNotNull).cast("long"))
+      case _ => lit(0L)
+    }
     txns.agg(
       count(lit(1)).as("row_count"),
       nulls("transaction_id"), nulls("customer_id"), nulls("amount"),
       nulls("timestamp"), nulls("transaction_type"),
-      // non-numeric amount (reference :658-669): here amount is typed double,
-      // so the try_cast path is exercised via its string form
-      sum((expr("try_cast(cast(amount AS string) AS double)").isNull
-        && col("amount").isNotNull).cast("long")).as("non_numeric_amount"),
+      nonNumeric.as("non_numeric_amount"),
       sum((!col("transaction_type").isin("earned", "spent", "expired")).cast("long"))
         .as("invalid_type_count"))
   }

@@ -424,6 +424,16 @@ FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 ORDER BY c_custkey"""
 
+  /** Plain-join twin of the salted join (salting is a physical rewrite —
+    * the result multiset is identical by construction). */
+  val saltedRevenueByPriority: String = """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS lineitem_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
   val topkOrders: String = """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
 FROM orders

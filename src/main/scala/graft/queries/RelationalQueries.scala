@@ -65,6 +65,24 @@ object RelationalQueries {
       .select("c_custkey", "c_name", "c_acctbal")
       .orderBy("c_custkey")
 
+  /** Revenue per order priority through a SALTED fact⋈dimension join —
+    * the [[graft.operators.Skew.saltedJoin]] replicated-salt shape wired
+    * into a gated query: the result multiset is identical to the plain
+    * equi-join (the oracle IS the plain SQL join), while a whale orderkey's
+    * rows spread over `buckets` reducers. The remaining-gap tool for
+    * shuffled joins AQE can't split. */
+  def saltedRevenueByPriority(lineitem: DataFrame, orders: DataFrame,
+      buckets: Int = 8): DataFrame =
+    graft.operators.Skew.saltedJoin(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        Seq("l_orderkey"), buckets)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("lineitem_count"))
+      .orderBy("o_orderpriority")
+
   /** Top-k orders by value — plans as TakeOrderedAndProject (per-partition
     * heap + driver merge), never a global sort. */
   def topkOrders(orders: DataFrame, k: Int = 10): DataFrame =
