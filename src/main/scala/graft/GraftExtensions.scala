@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVectorDot, FloatVectorNorm}
+import graft.functions.{FloatVectorDot, FloatVectorNorm, MinHashSignature}
 
 /** SparkSessionExtensions entry point: makes the engine's native functions
   * available to ANY session via
@@ -26,5 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[FloatVectorNorm].getName, "vec_norm"),
       (children: Seq[Expression]) => FloatVectorNorm(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSignature(children.head,
+        graft.operators.Dedup.MinhashSeeds.map(_._1).toArray,
+        graft.operators.Dedup.MinhashSeeds.map(_._2).toArray,
+        graft.operators.Dedup.MinhashPrime)))
+    // srp_codes / ivf_scores bind to operator-chosen constant matrices at
+    // call time (HashExpressions.registerSrp / registerCentroidScores) and
+    // are deliberately not part of the static extension surface.
   }
 }
