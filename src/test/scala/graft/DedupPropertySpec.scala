@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.Dedup
+
+/** Property-based pins for the two lossless rewrites landed in round 2:
+  *
+  *  1. the prefix-filtered ngramJaccard must equal the plain full
+  *     inverted-index join on arbitrary corpora (the Bayardo-style filter
+  *     is provably lossless at the threshold; this checks our
+  *     prefix-length/ordering arithmetic against a reference impl);
+  *  2. the single-pass codegen MinHash signature must equal the
+  *     per-position array_min(transform(...)) formulation bit-for-bit.
+  *
+  * Small vocabularies deliberately force hot (high-doc-frequency) shingles,
+  * repeated docs, and boundary-size documents (< n tokens).
+  */
+class DedupPropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def check(prop: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genDocs: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 25)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "dog", "cat")) // tiny vocab → hot shingles
+    } yield toks.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def docsDf(docs: List[(Long, String)]) = {
+    import org.apache.spark.sql.Encoders
+    spark.createDataset(docs)(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .toDF("doc_id", "text")
+  }
+
+  /** The plain (unfiltered) inverted-index join — the pre-round-2 reference
+    * formulation, kept here as the differential baseline. */
+  private def ngramJaccardFull(docs: org.apache.spark.sql.DataFrame,
+      n: Int = 3, threshold: Double = 0.5) = {
+    val sh = graft.functions.TextOps.withShingles(docs, n)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  test("prefix-filtered ngramJaccard equals the full inverted-index join") {
+    check(Prop.forAll(genDocs) { docs =>
+      val df = docsDf(docs)
+      val got = Dedup.ngramJaccard(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = ngramJaccardFull(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      got == want
+    })
+  }
+
+  test("single-pass minhash signature equals the per-position formulation") {
+    graft.functions.HashExpressions.register(spark)
+    check(Prop.forAll(genDocs) { docs =>
+      val hv = graft.functions.TextOps.withShingles(docsDf(docs), 3)
+        .withColumn("hv", transform(col("sh"), x =>
+          conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long") % Dedup.MinhashPrime))
+      val perPosition = (0 until 12).map { i =>
+        val (a, b) = Dedup.MinhashSeeds(i)
+        array_min(transform(col("hv"), h => (lit(a) * h + lit(b)) % Dedup.MinhashPrime))
+      }
+      val rows = hv.select(col("doc_id"),
+          call_function("minhash_sig", col("hv")).as("sig"),
+          array(perPosition: _*).as("ref")).collect()
+      rows.forall(r => r.getSeq[Long](1) == r.getSeq[Long](2))
+    }, n = 10)
+  }
+}
