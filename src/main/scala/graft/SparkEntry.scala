@@ -173,6 +173,10 @@ object SparkEntry {
     "embed_neardup_pairs" -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 0.45)),
     "embed_neardup_exact" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.45)),
 
+    // deterministic KMV distinct-count sketch (HLL's oracle-checkable twin)
+    "sketch_kmv_distinct" -> ((s, d) =>
+      graft.operators.Sketches.kmvDistinct(Tables.events(s, d), "user_id")),
+
     // near-dup clusters over the simhash pair graph (min-label propagation)
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.simhashPairs(Tables.documents(s, d)))),
@@ -259,5 +263,6 @@ object SparkEntry {
     "mm_resize" -> OracleSqlText.mmResize,
     "mm_frames" -> OracleSqlText.mmFrames,
     "dedup_clusters" -> OracleSqlText.dedupClusters,
+    "sketch_kmv_distinct" -> OracleSqlText.sketchKmvDistinct,
     "incremental_match" -> OracleSql.fifoMatch)
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sketches for approximate analytics at scale.
+  *
+  * Spark's own `approx_count_distinct` (HyperLogLog++) is the usual tool,
+  * but its sketch bytes are engine-specific — no cross-engine oracle can
+  * check it. KMV (k-minimum-values) is the classic alternative whose
+  * estimate is a pure function of an md5 hash order, so DuckDB reproduces
+  * it bit-for-bit: keep the k smallest distinct hash values; if fewer than
+  * k exist the count is exact, otherwise estimate (k−1)·2³² / h_k with h_k
+  * the k-th smallest of a uniform [0, 2³²) hash (Bar-Yossef et al. 2002).
+  *
+  * Scale shape: map-side partial distinct → TakeOrdered(k) per-partition
+  * heaps + driver merge of k values — no global sort, no full distinct set
+  * on any single node beyond k entries. Error ≈ 1/√k (k=256 → ~6%).
+  */
+object Sketches {
+
+  /** First-8-hex-of-md5 as a uniform value in [0, 2³²) — the same
+    * construction every hash in this engine uses, shared with the oracle. */
+  private def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Global distinct-count sketch of `keyCol`: one row
+    * (k, kth_hash, kmv_estimate, exact_distinct, rel_error). The exact
+    * count rides along here for gate/error visibility; a production
+    * pipeline would drop it (that is the entire point of the sketch). */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+    val hashes = df.select(hash32(col(keyCol)).as("hv")).distinct()
+    val topK = hashes.orderBy("hv").limit(k)
+      .agg(count(lit(1)).as("m"), max(col("hv")).as("kth_hash"))
+    val exact = hashes.agg(count(lit(1)).as("exact_distinct"))
+    topK.crossJoin(exact)
+      .select(
+        lit(k.toLong).as("k"),
+        col("kth_hash"),
+        round(when(col("m") < k, col("m").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash")), 4)
+          .as("kmv_estimate"),
+        col("exact_distinct"))
+      .withColumn("rel_error",
+        round(abs(col("kmv_estimate") - col("exact_distinct")) / col("exact_distinct"), 4))
+  }
+}

@@ -309,6 +309,29 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored) t
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** KMV distinct-count sketch twin (mirrors Sketches.kmvDistinct over
+    * events.user_id, k=256): same md5-derived [0,2³²) hashes, same k-th
+    * order statistic, same (k−1)·2³²/h_k estimator. */
+  val sketchKmvDistinct: String = s"""
+WITH h AS (
+  SELECT DISTINCT (${hex8IntSql("user_id::VARCHAR")}) AS hv FROM events
+),
+t AS (
+  SELECT COUNT(*) AS m, MAX(hv) AS kth_hash
+  FROM (SELECT hv FROM h ORDER BY hv LIMIT 256) s
+),
+e AS (SELECT COUNT(*) AS exact_distinct FROM h),
+r AS (
+  SELECT CAST(256 AS BIGINT) AS k, kth_hash,
+         ROUND(CASE WHEN m < 256 THEN m::DOUBLE
+                    ELSE 255.0 * 4294967296.0 / kth_hash END, 4) AS kmv_estimate,
+         exact_distinct
+  FROM t, e
+)
+SELECT k, kth_hash, kmv_estimate, exact_distinct,
+       ROUND(ABS(kmv_estimate - exact_distinct) / exact_distinct, 4) AS rel_error
+FROM r"""
+
   /** IVF ANN oracle: the k-means quantizer IS SQL-expressible once the Lloyd
     * rounds are unrolled — init from the `nCentroids` lowest vec_ids, then
     * per round: assign by argmin of ‖c‖² − 2·v·c (ties → lowest cell, the
