@@ -174,13 +174,23 @@ object Dedup {
     * no driver-side graph state, so it scales with edges, not with cluster
     * count. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the pair input so the bidirectional union evaluates the
+    // upstream candidate plan (often an expensive dedup pass) once, then
+    // materialize the edge list that every round re-reads
+    val p = pairs.persist(lvl)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    edges.count()
+    p.unpersist()
+    // each round carries prev alongside the new label, so convergence is a
+    // filter-count on the just-persisted frame — no second join per round
+    var cached = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("prev"), col("doc_id").as("cluster_id"))
+      .persist(lvl)
+    var labels = cached.select("doc_id", "cluster_id")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -189,13 +199,13 @@ object Dedup {
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nb_label")).as("nb_min"))
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+        .persist(lvl)
+      val changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("doc_id", "cluster_id")
       converged = changed == 0
       iter += 1
     }
