@@ -26,4 +26,19 @@ object StreamingAnalytics {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming exact deduplication — the ingest-time twin of
+    * [[graft.operators.Dedup.exact]]: first arrival of each content hash
+    * passes through, replays and duplicates within the watermark horizon
+    * are dropped, and `dropDuplicatesWithinWatermark` evicts per-hash state
+    * once the watermark passes it — state is bounded by the horizon's
+    * distinct-content volume, not the stream's lifetime (the property that
+    * makes dedup viable on an unbounded crawl feed).
+    *
+    * Input: a streaming frame with (ts: timestamp, doc_id, text). */
+  def streamingDedup(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

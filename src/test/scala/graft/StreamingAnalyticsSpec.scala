@@ -41,4 +41,25 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       assert(closed === Set(("click", 3L, 7.0))) // straggler included
     } finally query.stop()
   }
+
+  test("streaming dedup passes first arrivals and drops in-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val query = graft.streaming.StreamingAnalytics.streamingDedup(
+        input.toDF().toDF("ts", "doc_id", "text"), lateness = "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0, 0), 1L, "alpha"), (ts(0, 5), 2L, "beta"))
+      query.processAllAvailable()
+      input.addData((ts(0, 10), 3L, "alpha")) // duplicate content within horizon
+      query.processAllAvailable()
+      input.addData((ts(0, 20), 4L, "gamma"))
+      query.processAllAvailable()
+      val out = spark.table("dedup").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(out === Set(1L, 2L, 4L)) // doc 3 dropped as a content duplicate
+    } finally query.stop()
+  }
 }
