@@ -127,6 +127,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => EventQueries.sessionize(Tables.events(s, d))),
     "events_hourly" -> ((s, d) => EventQueries.hourlyRollup(Tables.events(s, d))),
     "events_props_json" -> ((s, d) => EventQueries.propsJson(Tables.events(s, d))),
+    "events_quantiles" -> ((s, d) => EventQueries.valueQuantiles(Tables.events(s, d))),
 
     // generic relational inventory (scan/filter/agg/join/window/top-k)
     "agg_pricing_summary" -> ((s, d) =>
@@ -232,6 +233,7 @@ object SparkEntry {
     "events_sessionize" -> OracleSql.eventsSessionize,
     "events_hourly" -> OracleSql.eventsHourly,
     "events_props_json" -> OracleSql.eventsPropsJson,
+    "events_quantiles" -> OracleSql.eventsQuantiles,
     "agg_pricing_summary" -> OracleSql.aggPricingSummary,
     "agg_pricing_filtered" -> OracleSql.aggPricingFiltered,
     "join_semi_big_orders" -> OracleSql.customersWithBigOrders,

@@ -40,6 +40,25 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** Exact value-distribution quantiles per event type (p25/p50/p75/p95,
+    * linear interpolation — the same definition DuckDB's `quantile_cont`
+    * computes, so the oracle hash-matches after rounding). At 100 TB the
+    * same call sites take `approx_percentile` (t-digest) — exact
+    * percentile is a sort-based aggregate; both are one shuffled
+    * aggregation on the group key. */
+  def valueQuantiles(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))").as("q"))
+      .select(col("event_type"), col("n_events"),
+        round(element_at(col("q"), 1), 4).as("p25"),
+        round(element_at(col("q"), 2), 4).as("p50"),
+        round(element_at(col("q"), 3), 4).as("p75"),
+        round(element_at(col("q"), 4), 4).as("p95"))
+      .orderBy("event_type")
+
   /** JSON field extraction from the semi-structured props column +
     * per-type aggregate over the extracted value. */
   def propsJson(events: DataFrame): DataFrame =

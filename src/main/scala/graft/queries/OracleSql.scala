@@ -368,6 +368,15 @@ SELECT event_type, COUNT(*) AS n_events,
        ROUND(AVG(k), 4) AS avg_k
 FROM x GROUP BY event_type ORDER BY event_type"""
 
+  val eventsQuantiles: String = s"""
+WITH $evCte
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(quantile_cont(value, 0.25), 4) AS p25,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.75), 4) AS p75,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95
+FROM ev GROUP BY event_type ORDER BY event_type"""
+
   // ---- generic relational inventory over the TPC-H-ish tables ----
 
   val aggPricingSummary: String = """
