@@ -174,6 +174,10 @@ object SparkEntry {
     "embed_neardup_pairs" -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 0.45)),
     "embed_neardup_exact" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.45)),
 
+    // the composed curation pass: quality -> language -> dedup-canonical
+    "curation_pipeline" -> ((s, d) =>
+      graft.operators.Curation.curate(Tables.documents(s, d))),
+
     // deterministic KMV distinct-count sketch (HLL's oracle-checkable twin)
     "sketch_kmv_distinct" -> ((s, d) =>
       graft.operators.Sketches.kmvDistinct(Tables.events(s, d), "user_id")),
@@ -266,5 +270,6 @@ object SparkEntry {
     "mm_frames" -> OracleSqlText.mmFrames,
     "dedup_clusters" -> OracleSqlText.dedupClusters,
     "sketch_kmv_distinct" -> OracleSqlText.sketchKmvDistinct,
+    "curation_pipeline" -> OracleSqlText.curation,
     "incremental_match" -> OracleSql.fifoMatch)
 }

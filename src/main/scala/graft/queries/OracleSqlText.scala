@@ -309,6 +309,45 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored) t
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Composed curation twin (mirrors Curation.curate with the default
+    * thresholds): quality ≥ 0.3 ∧ n_tokens ≥ 5 ∧ lang = en, then exact-dedup
+    * canonicalization among the survivors. */
+  val curation: String = s"""
+WITH $toksCte,
+q AS (
+  SELECT t.doc_id, d.text,
+         len(toks) AS n_tokens,
+         ROUND(LEAST(len(toks), 200)::DOUBLE / 200.0 *
+               (1.0 - ROUND(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                            / length(d.text), 4)), 4) AS quality_score
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+),
+markers(cand_lang, word) AS (VALUES $markerValues),
+ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+votes AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS votes
+  FROM ex JOIN markers USING (word) GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY votes DESC, cand_lang) AS rn
+    FROM votes) t
+  WHERE rn = 1
+),
+lang AS (
+  SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS predicted_lang
+  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+),
+f AS (
+  SELECT q.doc_id, q.text, q.n_tokens, q.quality_score, lang.predicted_lang
+  FROM q JOIN lang ON lang.doc_id = q.doc_id
+  WHERE q.quality_score >= 0.3 AND q.n_tokens >= 5 AND lang.predicted_lang = 'en'
+),
+c AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text))
+SELECT f.doc_id, CAST(f.n_tokens AS BIGINT) AS n_tokens, f.quality_score, f.predicted_lang
+FROM f JOIN c USING (doc_id) ORDER BY f.doc_id"""
+
   /** KMV distinct-count sketch twin (mirrors Sketches.kmvDistinct over
     * events.user_id, k=256): same md5-derived [0,2³²) hashes, same k-th
     * order statistic, same (k−1)·2³²/h_k estimator. */
