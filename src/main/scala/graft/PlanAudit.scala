@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: sweep every SparkEntry query's physical plan for join/scan
+  * red flags (nested-loop or cartesian joins outside the known-intentional
+  * set). `sbt "runMain graft.PlanAudit"` — prints one line per query. */
+object PlanAudit {
+  // broadcast-NLJ or cross products that are deliberate:
+  //  - ann_cosine_topk / embed_neardup_exact: documented brute-force baselines
+  //  - report_summary / sketch_kmv_distinct / v_result_summary / q09 etc:
+  //    1-row x 1-row crossJoin of two aggregates
+  private val intentional = Set(
+    "ann_cosine_topk", "embed_neardup_exact", "report_summary",
+    "sketch_kmv_distinct")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val nlj = plan.contains("BroadcastNestedLoopJoin")
+        val cart = plan.contains("CartesianProduct")
+        val flag =
+          if ((nlj || cart) && !intentional(name)) { flagged += 1; "UNEXPECTED-NLJ" }
+          else if (nlj || cart) "nlj-intentional"
+          else "ok"
+        println(f"[audit] $name%-28s $flag")
+      } catch { case e: Throwable => println(f"[audit] $name%-28s ERROR ${e.getMessage.take(80)}") }
+    }
+    println(s"[audit] flagged=$flagged")
+    spark.stop()
+  }
+}
