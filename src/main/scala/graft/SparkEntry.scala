@@ -82,6 +82,20 @@ object SparkEntry {
       BalanceQueries.q11DailySnapshots(history(s, d), Params.CustA, Params.MonthFrom, Params.MonthUntil)),
     "q12_never_spent" -> ((s, d) => BalanceQueries.q12NeverSpent(current(s, d))),
 
+    // general as-of join: every customer probed at three fixed instants
+    "asof_balance_join" -> ((s, d) => {
+      val h = history(s, d)
+        .select("customer_id", "transaction_date", "transaction_id", "current_balance")
+      val probes = h.select("customer_id").distinct()
+        .withColumn("transaction_date", explode(array(
+          Seq(Params.Start, Params.AsOf, Params.End)
+            .map(t => lit(t).cast("timestamp_ntz")): _*)))
+      graft.operators.AsOfJoin.asOf(h, probes, "customer_id", "transaction_date",
+          tieCol = "transaction_id", valueCols = Seq("current_balance"))
+        .withColumnRenamed("transaction_date", "as_of_ts")
+        .orderBy("customer_id", "as_of_ts")
+    }),
+
     // report block (reference :518-542) + top-K (A6)
     "report_summary" -> ((s, d) => {
       val r = BalanceAnalytics.reportSummary(matched(s, d), current(s, d))
@@ -227,6 +241,7 @@ object SparkEntry {
     "q11_daily_snapshots" -> OracleSql.q11,
     "q12_never_spent" -> OracleSql.q12,
     "report_summary" -> OracleSql.reportSummary,
+    "asof_balance_join" -> OracleSql.asofBalanceJoin,
     "top_balances" -> OracleSql.topBalances,
     "v_source_quality" -> OracleSql.vSourceQuality,
     "v_referential_integrity" -> OracleSql.vReferentialIntegrity,

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General as-of (point-in-time) join — the operator Spark lacks natively
+  * (reference workload: "balance as of date X" queries, SURVEY §3.3 Q1/Q5,
+  * which the query corpus answers one probe-set at a time via the rank
+  * idiom).
+  *
+  * Formulation: UNION the probe rows into the timeline, one window pass per
+  * key carrying the last known value forward, keep the probe rows. This is
+  * the scale-correct shape — one shuffle on the key, state per row O(1),
+  * probes amortized into the same sort as the timeline — versus the
+  * per-probe rank-join (re-scans the timeline per probe set) or a
+  * non-equi range join (quadratic per key). No custom SparkStrategy is
+  * needed: the composition plans as Exchange → Sort → Window → Filter,
+  * which is exactly the physical plan a bespoke as-of operator would emit.
+  *
+  * Ordering contract at equal timestamps: timeline rows order before the
+  * probe (a probe at time T sees events AT T), multiple timeline rows at T
+  * resolve by `tieCol` — both pinned so the DuckDB oracle reproduces row
+  * choice exactly.
+  */
+object AsOfJoin {
+
+  /** For each probe (keyCol, tsCol) return the latest timeline row at or
+    * before it: (keyCol, tsCol, valueCols*) — null values when the probe
+    * predates the key's first event (left semantics). */
+  def asOf(timeline: DataFrame, probes: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCols: Seq[String]): DataFrame = {
+    val vals = valueCols.map(c => col(c))
+    val tl = timeline.select(
+      (Seq(col(keyCol), col(tsCol), lit(0).as("_probe"), col(tieCol).cast("string").as("_tie")) ++ vals): _*)
+    val pr = probes.select(
+      (Seq(col(keyCol), col(tsCol), lit(1).as("_probe"), lit("").as("_tie")) ++
+        valueCols.map(c => lit(null).cast(timeline.schema(c).dataType).as(c))): _*)
+    // probe sorts AFTER timeline rows at the same instant (sees events AT T)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_probe"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tl.unionByName(pr)
+      .select((Seq(col(keyCol), col(tsCol), col("_probe")) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .filter(col("_probe") === 1)
+      .drop("_probe")
+  }
+}

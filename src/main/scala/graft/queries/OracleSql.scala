@@ -102,6 +102,25 @@ FROM balance_history ORDER BY customer_id, transaction_date, transaction_id""")
     """SELECT customer_id, current_balance, cumulative_earned, cumulative_spent, cumulative_expired
 FROM current_balances ORDER BY customer_id""")
 
+  /** As-of join twin: per (customer, probe instant), the latest history row
+    * at or before it — rank formulation with the same (date, id) tie-break
+    * the union-window operator pins; LEFT keeps pre-history probes as null. */
+  val asofBalanceJoin: String = pipelined(s"""
+, probes AS (
+  SELECT customer_id, ts
+  FROM (SELECT DISTINCT customer_id FROM balance_history) c
+  CROSS JOIN (VALUES (TIMESTAMP '$Start'), (TIMESTAMP '$AsOf'), (TIMESTAMP '$End')) t(ts)
+),
+j AS (
+  SELECT p.customer_id, p.ts AS as_of_ts, h.current_balance,
+         ROW_NUMBER() OVER (PARTITION BY p.customer_id, p.ts
+                            ORDER BY h.transaction_date DESC, h.transaction_id DESC) AS rn
+  FROM probes p LEFT JOIN balance_history h
+    ON h.customer_id = p.customer_id AND h.transaction_date <= p.ts
+)
+SELECT customer_id, as_of_ts, current_balance
+FROM j WHERE rn = 1 ORDER BY customer_id, as_of_ts""")
+
   // ---- Q1-Q12 (reference: src/sample_queries.sql) ----
 
   val q1: String = pipelined(s"""
