@@ -158,6 +158,29 @@ object TextOps {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** Repetition quality signals (the Gopher/C4 filter family, reduced to
+    * its token-bigram core since the corpus is single-line): per doc, the
+    * fraction of bigram occurrences that are repeats and the share of the
+    * single most frequent bigram. High values flag boilerplate/spam for the
+    * curation filter. Positional (non-distinct) bigrams; docs need ≥2
+    * tokens. Two keyed shuffles (bigram count, per-doc rollup). */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n"),
+        max(col("c")).as("mx"),
+        count(lit(1)).as("dn"))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_bigrams"),
+        round(lit(1.0) - col("dn").cast("double") / col("n"), 4).as("dup_bigram_frac"),
+        round(col("mx").cast("double") / col("n"), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+
   val RollingHashBase: Long = 31L
   val RollingHashMod: Long = 2147483647L // 2^31 − 1
 

@@ -210,6 +210,21 @@ SELECT doc_id, n_bpe_tokens, n_ws_tokens,
        ROUND(n_bpe_tokens::DOUBLE / n_ws_tokens, 4) AS tokens_per_word
 FROM c ORDER BY doc_id"""
 
+  val repetitionStats: String = s"""
+WITH $toksCte,
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+  FROM toks WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+agg AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx, COUNT(*) AS dn FROM cnt GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+       ROUND(1.0 - dn::DOUBLE / n, 4) AS dup_bigram_frac,
+       ROUND(mx::DOUBLE / n, 4) AS top_bigram_frac
+FROM agg ORDER BY doc_id"""
+
   val rollingHash: String = s"""
 SELECT doc_id,
        CAST(list_reduce(
