@@ -178,6 +178,7 @@ object SparkEntry {
     "text_winnow_fingerprints" -> ((s, d) => TextOps.winnowFingerprints(Tables.documents(s, d))),
     "text_rolling_hash" -> ((s, d) => TextOps.rollingHash(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
+    "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
 
     // training-data pipeline: similarity search over embeddings
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
@@ -275,6 +276,7 @@ object SparkEntry {
     "text_winnow_fingerprints" -> OracleSqlText.winnowFingerprints,
     "text_rolling_hash" -> OracleSqlText.rollingHash,
     "text_repetition" -> OracleSqlText.repetitionStats,
+    "dedup_winnow_pairs" -> OracleSqlText.winnowPairs,
     "ann_cosine_topk" -> OracleSqlText.annTopK,
     "ann_lsh_topk" -> OracleSqlText.annLshTopK,
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd

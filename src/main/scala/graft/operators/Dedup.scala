@@ -213,6 +213,25 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** Local-overlap near-dup pairs from shared winnowing fingerprints
+    * (MOSS-style): two docs sharing ≥ `minShared` fingerprints contain
+    * matching token runs (any shared run of ≥ n+w−1 tokens is guaranteed
+    * to surface — the winnowing property), which global-signature schemes
+    * like MinHash can miss for partial plagiarism/quoting. Inverted-index
+    * equi-join on fingerprint, count per pair — fingerprints are window
+    * minima of content hashes, so no posting list concentrates the way a
+    * stopword shingle does. */
+  def winnowPairs(docs: DataFrame, n: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fp = TextOps.winnowFingerprints(docs, n, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fp.as("a").join(fp.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Near-dup candidate groups from equal SimHash sketches. */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val s = simhash(docs)

@@ -198,6 +198,32 @@ m AS (
 )
 SELECT doc_id, unnest(fps) AS fingerprint FROM m ORDER BY doc_id, fingerprint"""
 
+  /** Winnow-pair twin: same fingerprint CTEs as winnowFingerprints, then
+    * the inverted-index pair count at minShared = 2. */
+  val winnowPairs: String = s"""
+WITH $toksCte,
+p AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' ')) AS sh_pos
+  FROM toks WHERE len(toks) >= 6
+),
+h AS (
+  SELECT doc_id, list_transform(sh_pos, x -> ${hex8IntSql("x")}) AS hv FROM p
+),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(hv) - 3),
+                                      j -> list_min(hv[j:j+3]))) AS fps
+  FROM h
+),
+fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM m)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fingerprints
+FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+ORDER BY doc_a, doc_b"""
+
   val bpeTokenStats: String = s"""
 WITH $toksCte,
 c AS (
