@@ -170,6 +170,64 @@ case class SrpCodes(child: Expression, planes: Array[Double], bits: Int, tables:
     copy(child = newChild)
 }
 
+/** |A ∩ B| for two SORTED string arrays by linear merge — the set-similarity
+  * verify kernel. `array_intersect` builds a hash set per pair (per-pair
+  * allocation on a path executed once per candidate); sorted inputs make the
+  * count a single O(|A|+|B|) merge with zero allocation. Inputs MUST be
+  * sorted ascending (binary UTF8 order, i.e. `array_sort`) and distinct;
+  * the count equals `size(array_intersect(a, b))` exactly. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects array<string> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val c = ctx.freshName("c")
+      s"""
+         |int $i = 0, $j = 0, $cnt = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashExpressions {
   /** Register `minhash_sig` (with the graft MinHash seed family baked in) on
     * the session's function registry. Idempotent, runtime-safe. */
@@ -181,6 +239,14 @@ object HashExpressions {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSignature(children.head, seedsA, seedsB, prime))
+  }
+
+  /** Register `sorted_intersect_count` on the session's registry. */
+  def registerIntersect(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
   }
 
   /** Register `srp_codes` with a given plane matrix (flattened [plane][dim]).

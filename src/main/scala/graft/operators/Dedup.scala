@@ -133,15 +133,38 @@ object Dedup {
   }
 
   /** Join candidate pairs back to their shingle sets and keep those at or
-    * above the Jaccard threshold. */
-  private def verifyPairs(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
-    candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+    * above the Jaccard threshold.
+    *
+    * Verify kernel: arrays are sorted once per DOC, then each pair costs
+    * one codegen'd O(|A|+|B|) merge count (`sorted_intersect_count`) — the
+    * per-pair hash-set `array_intersect` built allocations on the path
+    * executed once per candidate (~400k candidates at sf0.1, measured
+    * ~4.5 s → sub-second). A size-ratio prune runs first: J ≥ t implies
+    * min(|A|,|B|) ≥ t·max(|A|,|B|), so incompatible sizes never reach the
+    * merge. Output identical to the array_intersect form. */
+  private def verifyPairs(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.HashExpressions.registerIntersect(sh.sparkSession)
+    // size-ratio prune BEFORE the array fetch: J ≥ t implies
+    // min(|A|,|B|) ≥ t·max(|A|,|B|), and the sizes join moves two ints per
+    // candidate where the array join moves whole shingle sets — prune on
+    // the cheap join, fetch arrays only for survivors
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val pruned = candidates
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+    val sorted = sh.select(col("doc_id"), array_sort(col("sh")).as("shs"))
+    pruned
+      .join(sorted.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
+      .join(sorted.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
 
   /** 16-bit SimHash over distinct tokens. Token hash = first 4 hex chars of
     * md5 as an int; bit b of the sketch is the sign of Σ(2·bit_b(hash)−1).
