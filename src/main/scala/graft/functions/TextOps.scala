@@ -37,10 +37,17 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
 
-  /** (doc_id, sh): distinct n-gram shingle sets, docs with ≥n tokens. */
-  def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    withTokens(docs).select(col("doc_id"), shinglesOf(col("toks"), n).as("sh"))
+  /** (doc_id, sh): distinct n-gram shingle sets, docs with ≥n tokens.
+    * Uses the compiled [[WordNgrams]] kernel (same strings, same
+    * first-occurrence distinct order as [[shinglesOf]] — property-tested);
+    * the declarative form dispatches an interpreted lambda per position on
+    * the hottest corpus-pass path. */
+  def withShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    TextExpressions.register(docs.sparkSession, n)
+    withTokens(docs)
+      .select(col("doc_id"), call_function(s"word_ngrams_distinct_$n", col("toks")).as("sh"))
       .filter(size(col("sh")) > 0)
+  }
 
   /** Compatibility single-Column form (tests, ad-hoc use) — prefer
     * [[withShingles]] in operators. */
@@ -142,9 +149,8 @@ object TextOps {
     * local-dedup complement to MinHash's global signatures. One row per
     * (doc, fingerprint); join on fingerprint = candidate pairs. */
   def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
-    val posShingles = transform(
-      sequence(lit(1), size(col("toks")) - lit(n - 1)),
-      i => concat_ws(" ", slice(col("toks"), i, lit(n))))
+    TextExpressions.register(docs.sparkSession, n)
+    val posShingles = call_function(s"word_ngrams_pos_$n", col("toks"))
     val hashes = transform(col("sh_pos"), x =>
       conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long"))
     val windowMins = transform(

@@ -70,6 +70,24 @@ class DedupPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("compiled word_ngrams kernel equals the declarative shingle formulation") {
+    graft.functions.TextExpressions.register(spark, 3)
+    check(Prop.forAll(genDocs) { docs =>
+      val df = graft.functions.TextOps.withTokens(docsDf(docs))
+      val rows = df.select(col("doc_id"),
+          call_function("word_ngrams_distinct_3", col("toks")).as("fast"),
+          graft.functions.TextOps.shinglesOf(col("toks"), 3).as("ref"),
+          call_function("word_ngrams_pos_3", col("toks")).as("fast_pos"),
+          when(size(col("toks")) >= 3, transform(
+            sequence(lit(1), size(col("toks")) - lit(2)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+            .otherwise(array().cast("array<string>")).as("ref_pos"))
+        .collect()
+      rows.forall(r => r.getSeq[String](1) == r.getSeq[String](2) &&
+        r.getSeq[String](3) == r.getSeq[String](4))
+    }, n = 10)
+  }
+
   test("single-pass minhash signature equals the per-position formulation") {
     graft.functions.HashExpressions.register(spark)
     check(Prop.forAll(genDocs) { docs =>
