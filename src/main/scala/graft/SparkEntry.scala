@@ -142,6 +142,13 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => EventQueries.hourlyRollup(Tables.events(s, d))),
     "events_props_json" -> ((s, d) => EventQueries.propsJson(Tables.events(s, d))),
     "events_quantiles" -> ((s, d) => EventQueries.valueQuantiles(Tables.events(s, d))),
+    // interval-overlap (range) join: per-session concurrency via binning
+    "sessions_concurrency" -> ((s, d) => {
+      val sess = EventQueries.sessionize(Tables.events(s, d))
+        .select("user_id", "session_id", "session_start", "session_end")
+      graft.operators.RangeJoin.overlapCounts(sess,
+        Seq("user_id", "session_id"), "session_start", "session_end")
+    }),
 
     // generic relational inventory (scan/filter/agg/join/window/top-k)
     "agg_pricing_summary" -> ((s, d) =>
@@ -255,6 +262,7 @@ object SparkEntry {
     "events_hourly" -> OracleSql.eventsHourly,
     "events_props_json" -> OracleSql.eventsPropsJson,
     "events_quantiles" -> OracleSql.eventsQuantiles,
+    "sessions_concurrency" -> OracleSql.sessionsConcurrency,
     "agg_pricing_summary" -> OracleSql.aggPricingSummary,
     "agg_pricing_filtered" -> OracleSql.aggPricingFiltered,
     "join_semi_big_orders" -> OracleSql.customersWithBigOrders,

@@ -387,6 +387,37 @@ SELECT event_type, COUNT(*) AS n_events,
        ROUND(AVG(k), 4) AS avg_k
 FROM x GROUP BY event_type ORDER BY event_type"""
 
+  /** Interval-overlap concurrency twin: plain non-equi self-join (DuckDB
+    * plans an IEJoin); the Spark side bins intervals and verifies exactly,
+    * producing the identical counts. */
+  val sessionsConcurrency: String = s"""
+WITH $evCte,
+g AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s0 AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g
+),
+sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM s0 GROUP BY user_id, session_id
+),
+c AS (
+  SELECT a.user_id, a.session_id, COUNT(*) AS cnt
+  FROM sessions a JOIN sessions b
+    ON a.session_start <= b.session_end AND b.session_start <= a.session_end
+   AND NOT (a.user_id = b.user_id AND a.session_id = b.session_id)
+  GROUP BY a.user_id, a.session_id
+)
+SELECT s.user_id, s.session_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_concurrent
+FROM sessions s LEFT JOIN c USING (user_id, session_id)
+ORDER BY user_id, session_id"""
+
   val eventsQuantiles: String = s"""
 WITH $evCte
 SELECT event_type, COUNT(*) AS n_events,
