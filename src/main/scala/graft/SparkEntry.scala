@@ -185,6 +185,7 @@ object SparkEntry {
     "text_winnow_fingerprints" -> ((s, d) => TextOps.winnowFingerprints(Tables.documents(s, d))),
     "text_rolling_hash" -> ((s, d) => TextOps.rollingHash(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
+    "text_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
 
     // training-data pipeline: similarity search over embeddings
@@ -284,6 +285,7 @@ object SparkEntry {
     "text_winnow_fingerprints" -> OracleSqlText.winnowFingerprints,
     "text_rolling_hash" -> OracleSqlText.rollingHash,
     "text_repetition" -> OracleSqlText.repetitionStats,
+    "text_top_tokens" -> OracleSqlText.topTokens,
     "dedup_winnow_pairs" -> OracleSqlText.winnowPairs,
     "ann_cosine_topk" -> OracleSqlText.annTopK,
     "ann_lsh_topk" -> OracleSqlText.annLshTopK,

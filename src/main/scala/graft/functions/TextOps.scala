@@ -187,6 +187,19 @@ object TextOps {
         round(col("mx").cast("double") / col("n"), 4).as("top_bigram_frac"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary head: global top-k tokens by occurrence count with
+    * doc frequency — the stopword/vocab diagnostic every corpus report
+    * carries. One explode + two-level aggregate (map-side partial combine
+    * absorbs hot tokens); top-k plans as TakeOrderedAndProject. */
+  def topTokens(docs: DataFrame, k: Int = 20): DataFrame =
+    withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_frequency"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(k)
+
   val RollingHashBase: Long = 31L
   val RollingHashMod: Long = 2147483647L // 2^31 − 1
 

@@ -236,6 +236,12 @@ SELECT doc_id, n_bpe_tokens, n_ws_tokens,
        ROUND(n_bpe_tokens::DOUBLE / n_ws_tokens, 4) AS tokens_per_word
 FROM c ORDER BY doc_id"""
 
+  val topTokens: String = s"""
+WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_frequency
+FROM ex GROUP BY token
+ORDER BY occurrences DESC, token LIMIT 20"""
+
   val repetitionStats: String = s"""
 WITH $toksCte,
 bg AS (
