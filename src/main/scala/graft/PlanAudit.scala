@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   // broadcast-NLJ or cross products that are deliberate:
   //  - ann_cosine_topk / embed_neardup_exact: documented brute-force baselines
-  //  - report_summary / sketch_kmv_distinct / v_result_summary / q09 etc:
-  //    1-row x 1-row crossJoin of two aggregates
+  //  - report_summary / sketch_kmv_distinct: 1-row × 1-row crossJoin of two
+  //    aggregates (the other summary queries are single aggregates, no join)
   private val intentional = Set(
     "ann_cosine_topk", "embed_neardup_exact", "report_summary",
     "sketch_kmv_distinct")

@@ -33,6 +33,8 @@ case class MinHashSignature(child: Expression, seedsA: Array[Long], seedsB: Arra
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  // NULL on empty input regardless of child nullability
+  override def nullable: Boolean = true
 
   private def k: Int = seedsA.length
 

@@ -27,22 +27,33 @@ object AsOfJoin {
 
   /** For each probe (keyCol, tsCol) return the latest timeline row at or
     * before it: (keyCol, tsCol, valueCols*) — null values when the probe
-    * predates the key's first event (left semantics). */
+    * predates the key's first event (left semantics).
+    *
+    * The carried state is the whole row as ONE struct (null only on probe
+    * rows), so the result is always a row that actually existed — a
+    * legitimately-null value column stays null rather than resurrecting an
+    * older value, and multiple value columns never mix across rows. The
+    * tie column keeps its native type (a string cast would order numeric
+    * ids lexicographically). */
   def asOf(timeline: DataFrame, probes: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, valueCols: Seq[String]): DataFrame = {
-    val vals = valueCols.map(c => col(c))
     val tl = timeline.select(
-      (Seq(col(keyCol), col(tsCol), lit(0).as("_probe"), col(tieCol).cast("string").as("_tie")) ++ vals): _*)
+      col(keyCol), col(tsCol), lit(0).as("_probe"), col(tieCol).as("_tie"),
+      struct(valueCols.map(col): _*).as("_row"))
     val pr = probes.select(
-      (Seq(col(keyCol), col(tsCol), lit(1).as("_probe"), lit("").as("_tie")) ++
-        valueCols.map(c => lit(null).cast(timeline.schema(c).dataType).as(c))): _*)
-    // probe sorts AFTER timeline rows at the same instant (sees events AT T)
+      col(keyCol), col(tsCol), lit(1).as("_probe"),
+      lit(null).cast(timeline.schema(tieCol).dataType).as("_tie"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        valueCols.map(c => timeline.schema(c).copy(nullable = true)))).as("_row"))
+    // probe sorts AFTER timeline rows at the same instant (sees events AT
+    // T); _tie only orders within the timeline side (_probe separates the
+    // sides first), so the probes' null tie never participates
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_probe"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tl.unionByName(pr)
-      .select((Seq(col(keyCol), col(tsCol), col("_probe")) ++
-        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .withColumn("_last", last(col("_row"), ignoreNulls = true).over(w))
       .filter(col("_probe") === 1)
-      .drop("_probe")
+      .select((Seq(col(keyCol), col(tsCol)) ++
+        valueCols.map(c => col("_last").getField(c).as(c))): _*)
   }
 }

@@ -31,12 +31,14 @@ object Curation {
       .filter(col("quality_score") >= minQuality &&
         col("n_tokens") >= minTokens &&
         col("predicted_lang") === lang)
-    val canonical = filtered
-      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
+    // canonical = min doc_id per content hash AMONG SURVIVORS, as a window
+    // over the filtered frame — one pass, no agg + self-semi-join (which
+    // would evaluate the quality/language subplan twice)
+    val byContent = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
     filtered
-      .join(canonical, Seq("doc_id"), "left_semi")
+      .withColumn("_canon", min(col("doc_id")).over(byContent))
+      .filter(col("doc_id") === col("_canon"))
       .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
       .orderBy("doc_id")
   }

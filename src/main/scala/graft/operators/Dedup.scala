@@ -159,9 +159,16 @@ object Dedup {
       .join(sorted.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
       .join(sorted.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
+      // filter on the RAW jaccard, round only the output column: the prefix
+      // filter and size prune guarantee recall exactly for J ≥ t, so a
+      // rounded filter (J ≥ t − 5e-5 after ROUND) would admit boundary
+      // pairs the candidate generation is allowed to miss — the oracle
+      // filters raw identically (one division of identical ints is
+      // IEEE-exact on both engines)
+      .withColumn("jaccard_raw",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard_raw") >= threshold)
+      .withColumn("jaccard", round(col("jaccard_raw"), 4))
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -196,7 +203,7 @@ object Dedup {
     * Each round is two shuffles (join + min-aggregate) over the pair graph —
     * no driver-side graph state, so it scales with edges, not with cluster
     * count. */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist the pair input so the bidirectional union evaluates the
     // upstream candidate plan (often an expensive dedup pass) once, then
@@ -232,6 +239,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // a silently-unconverged result is WRONG (labels above the true
+    // component minimum); fail loudly — component diameter > maxIter means
+    // the caller should raise maxIter (or the graph is pathological)
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxIter rounds — component diameter exceeds maxIter")
     edges.unpersist()
     labels.orderBy("doc_id")
   }

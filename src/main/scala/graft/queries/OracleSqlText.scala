@@ -29,16 +29,20 @@ object OracleSqlText {
 SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS group_size
 FROM documents GROUP BY md5(text) ORDER BY content_hash"""
 
+  /** Raw-jaccard filter, rounded output — mirrors Dedup.verifyPairs: the
+    * Spark side's lossless candidate filters guarantee recall only for
+    * J ≥ t exactly, so the threshold must compare the unrounded value. */
   private val verifySql = """
 v AS (
   SELECT doc_a, doc_b,
-         ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+         len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard_raw
   FROM cand
   JOIN sh sa ON sa.doc_id = cand.doc_a
   JOIN sh sb ON sb.doc_id = cand.doc_b
 )
-SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+SELECT doc_a, doc_b, ROUND(jaccard_raw, 4) AS jaccard
+FROM v WHERE jaccard_raw >= 0.5 ORDER BY doc_a, doc_b"""
 
   val ngramJaccard: String = s"""
 WITH $toksCte,

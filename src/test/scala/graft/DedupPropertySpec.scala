@@ -53,9 +53,10 @@ class DedupPropertySpec extends AnyFunSuite {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard_raw",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard_raw") >= threshold)
+      .withColumn("jaccard", round(col("jaccard_raw"), 4))
       .select("doc_a", "doc_b", "jaccard")
   }
 
