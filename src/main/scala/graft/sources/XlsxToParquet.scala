@@ -23,6 +23,9 @@ object XlsxToParquet {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: XlsxToParquet <xlsx> <outDir>")
     val (xlsx, outDir) = (args(0), args(1))
+    // getOrCreate may return a pre-existing session (e.g. the test
+    // harness's) — only stop what this main itself created
+    val preExisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
@@ -39,6 +42,6 @@ object XlsxToParquet {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$out.parquet")
     }
     println(s"staged ${txns.count()} transactions + sales + customers under $outDir")
-    spark.stop()
+    if (!preExisting) spark.stop()
   }
 }

@@ -121,6 +121,17 @@ class XlsxSpec extends AnyFunSuite {
     assert(err.getMessage.contains("TC_Data"))
   }
 
+  test("XlsxToParquet main stages all three tables end-to-end") {
+    val out = Files.createTempDirectory("graft-xlsx-out").toString
+    graft.sources.XlsxToParquet.main(Array(fixture(), out))
+    val txns = spark.read.parquet(s"$out/transactions.parquet")
+    assert(txns.count() === 4)
+    // partitioned staging layout by type
+    assert(txns.select("transaction_type").distinct().count() === 2)
+    assert(spark.read.parquet(s"$out/sales.parquet").count() === 2)
+    assert(spark.read.parquet(s"$out/customers.parquet").count() === 2)
+  }
+
   test("converted transactions flow through the FIFO matcher") {
     val df = XlsxReader.readTransactions(spark, fixture())
       .filter(org.apache.spark.sql.functions.col("amount").isNotNull)
