@@ -105,10 +105,15 @@ object Similarity {
     graft.functions.VectorExpressions.register(embeddings.sparkSession)
     val planes = Array.tabulate(bits * tables * dim) { i => planeComponent(i / dim, i % dim) }
     graft.functions.HashExpressions.registerSrp(embeddings.sparkSession, planes, bits, tables, dim)
+    // persisted: codes feed BOTH self-join sides (the 240-dot srp_codes
+    // pass is the dominant per-row cost) and withNorm feeds both verify
+    // fetches; persisted for the session like the other dedup stage tables
     val withNorm = embeddings.select(col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("norm"))
+        l2Norm(col("embedding")).as("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codes = embeddings.select(col("vec_id"),
         posexplode(call_function("srp_codes", col("embedding"))).as(Seq("tbl", "code")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = codes.as("a").join(codes.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.code") === col("b.code") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -178,10 +183,10 @@ object Similarity {
     // Scores live in ONE projected column so the argmin/argsort below
     // reference an attribute.
     def scoreArray(v: Column, cents: IndexedSeq[Seq[Float]]): Column = {
-      val flat = new Array[Float](nCentroids * 64)
+      val flat = new Array[Float](cents.length * 64)
       cents.zipWithIndex.foreach { case (c, i) => c.copyToArray(flat, i * 64) }
       graft.functions.VectorExpressions.registerCentroidScores(
-        embeddings.sparkSession, flat, nCentroids, 64)
+        embeddings.sparkSession, flat, cents.length, 64)
       call_function("ivf_scores", v)
     }
     def withCell(df: DataFrame, cents: IndexedSeq[Seq[Float]]): DataFrame =
@@ -195,6 +200,10 @@ object Similarity {
     var centroids: IndexedSeq[Seq[Float]] = emb.orderBy("vec_id").limit(nCentroids)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toIndexedSeq.asInstanceOf[Seq[Float]]).toIndexedSeq
+    // a corpus smaller than nCentroids must not fabricate phantom all-zero
+    // cells (the oracle's init CTE only has the actual rows) — clamp
+    val k2 = centroids.length
+    val probe = math.min(nProbe, k2)
     for (_ <- 1 to iters) {
       val assigned = withCell(emb, centroids)
       val means = assigned
@@ -210,14 +219,14 @@ object Similarity {
     val cells = withCell(emb, centroids)
       .withColumn("norm", l2Norm(col("embedding")))
       .drop("dists")
-    // each query probes its nProbe nearest cells — argsort of the same
+    // each query probes its `probe` nearest cells — argsort of the same
     // score array, again referencing the projected attribute
     val probeCells: Column = slice(
       transform(
-        array_sort(transform(sequence(lit(0), lit(nCentroids - 1)),
+        array_sort(transform(sequence(lit(0), lit(k2 - 1)),
           i => struct(element_at(col("dists"), i + 1).as("d"), i.as("cell")))),
         s => s.getField("cell")),
-      1, nProbe)
+      1, probe)
     val queries = broadcast(
       withCell(emb, centroids)
         .filter(col("vec_id") < nQueries)

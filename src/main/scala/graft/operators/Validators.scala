@@ -64,6 +64,7 @@ object Validators {
       case "non_numeric_amount" =>
         expr("try_cast(cast(amount AS string) AS double)").isNull && col("amount").isNotNull
       case "invalid_type_count" => !col("transaction_type").isin("earned", "spent", "expired")
+      case other => throw new IllegalArgumentException(s"unknown source-quality check: $other")
     }
     failedChecks.map { check =>
       val sample = txns.filter(cond(check))

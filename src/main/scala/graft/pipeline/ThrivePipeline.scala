@@ -150,25 +150,27 @@ object ThrivePipeline {
 
     // Stage 4 — validate_results: V6-V11 (reference :289-423)
     val resultErrors = stage("validate_results") {
-      def sampleIds(df: DataFrame, idCol: String, n: Int = 10): String =
-        df.select(col(idCol)).orderBy(idCol).limit(n)
-          .collect().map(_.getString(0)).mkString(", ")
+      def sampleIds(df: DataFrame, idCol: String, n: Int = 10): String = {
+        val ids = df.select(col(idCol)).orderBy(idCol).limit(n)
+          .collect().map(_.getString(0))
+        s"first ${ids.length}: ${ids.mkString(", ")}"
+      }
       val errs = scala.collection.mutable.ArrayBuffer.empty[String]
       val badRefDf = Validators.invalidRedeemIds(matched)
       val badRefs = badRefDf.count()
       if (badRefs > 0)
-        errs += s"invalid REDEEMIDs: $badRefs (first 10: ${sampleIds(badRefDf, "REDEEMID")})"
+        errs += s"invalid REDEEMIDs: $badRefs (${sampleIds(badRefDf, "REDEEMID")})"
       val unbalancedDf = Validators.balanceEquation(matched, cfg.tolerance)
         .filter(!col("balanced"))
       val unbalanced = unbalancedDf.count()
       if (unbalanced > 0 && cfg.failOnBalanceMismatch)
         errs += s"balance equation mismatches: $unbalanced customers " +
-          s"(first 10: ${sampleIds(unbalancedDf, "customer_id")})"
+          s"(${sampleIds(unbalancedDf, "customer_id")})"
       if (cfg.strictChronology) {
         val chronoDf = Validators.chronologyViolations(matched)
         val chrono = chronoDf.count()
         if (chrono > 0)
-          errs += s"chronology violations: $chrono (first 10: ${sampleIds(chronoDf, "earned_id")})"
+          errs += s"chronology violations: $chrono (${sampleIds(chronoDf, "earned_id")})"
       }
       (matched.count(), errs.toSeq)
     }

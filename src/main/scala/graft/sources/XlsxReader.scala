@@ -104,25 +104,32 @@ object XlsxReader {
       val rows = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[(Int, String)]]
       var cells: mutable.ArrayBuffer[(Int, String)] = null
       var cellCol = -1
+      var lastCol = -1 // fallback index tracks EVERY cell (valued or empty)
       var cellType = ""
+      var hadValue = false
       var inV = false
       val v = new StringBuilder
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-            case "row" => cells = mutable.ArrayBuffer.empty
+            case "row" => cells = mutable.ArrayBuffer.empty; lastCol = -1
             case "c" =>
               cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex)
-                .getOrElse(if (cells.isEmpty) 0 else cells.last._1 + 1)
+                .getOrElse(lastCol + 1)
+              lastCol = cellCol
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
-            case "t" | "v" => inV = true; v.clear()
+              v.clear()
+              hadValue = false
+            // buffer persists across <t> runs so rich-text inlineStr cells
+            // concatenate like the sharedStrings path does
+            case "t" | "v" => inV = true
             case _ =>
           }
-          case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText)
+          case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText); hadValue = true
           case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
-            case "t" | "v" =>
-              inV = false
-              if (cellCol >= 0) {
+            case "t" | "v" => inV = false
+            case "c" =>
+              if (cellCol >= 0 && hadValue) {
                 val value = cellType match {
                   case "s" =>
                     val i = v.toString.trim.toInt
@@ -132,7 +139,7 @@ object XlsxReader {
                 }
                 cells += ((cellCol, value))
               }
-            case "c" => cellCol = -1
+              cellCol = -1
             case "row" => if (cells != null) { rows += cells; cells = null }
             case _ =>
           }

@@ -121,6 +121,32 @@ class XlsxSpec extends AnyFunSuite {
     assert(err.getMessage.contains("TC_Data"))
   }
 
+  test("parser handles inlineStr runs, r-less cells, and empty cells") {
+    val path = Files.createTempDirectory("graft-xlsx-raw").resolve("raw.xlsx").toString
+    val zip = new ZipOutputStream(Files.newOutputStream(java.nio.file.Paths.get(path)))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name)); zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    // row 1: header (no r attrs). row 2: rich-text inlineStr (two runs),
+    // an EMPTY cell, then an r-less numeric cell that must land in col C.
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c t="inlineStr"><is><t>a</t></is></c><c t="inlineStr"><is><t>b</t></is></c><c t="inlineStr"><is><t>c</t></is></c></row>
+        |<row r="2"><c t="inlineStr"><is><r><t>Ada </t></r><r><t>Lovelace</t></r></is></c><c/><c><v>42</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    val sheet = XlsxReader.readSheet(path, "S")
+    assert(sheet.header === Seq("a", "b", "c"))
+    assert(sheet.rows === Seq(Seq(Some("Ada Lovelace"), None, Some("42"))))
+  }
+
   test("XlsxToParquet main stages all three tables end-to-end") {
     val out = Files.createTempDirectory("graft-xlsx-out").toString
     graft.sources.XlsxToParquet.main(Array(fixture(), out))
