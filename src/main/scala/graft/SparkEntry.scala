@@ -205,6 +205,8 @@ object SparkEntry {
     // deterministic KMV distinct-count sketch (HLL's oracle-checkable twin)
     "sketch_kmv_distinct" -> ((s, d) =>
       graft.operators.Sketches.kmvDistinct(Tables.events(s, d), "user_id")),
+    "sketch_kmv_by_type" -> ((s, d) =>
+      graft.operators.Sketches.kmvDistinctByGroup(Tables.events(s, d), "event_type", "user_id", k = 64)),
 
     // near-dup clusters over the simhash pair graph (min-label propagation)
     "dedup_clusters" -> ((s, d) =>
@@ -299,6 +301,7 @@ object SparkEntry {
     "mm_frames" -> OracleSqlText.mmFrames,
     "dedup_clusters" -> OracleSqlText.dedupClusters,
     "sketch_kmv_distinct" -> OracleSqlText.sketchKmvDistinct,
+    "sketch_kmv_by_type" -> OracleSqlText.sketchKmvByType,
     "curation_pipeline" -> OracleSqlText.curation,
     "incremental_match" -> OracleSql.fifoMatch)
 }

@@ -24,6 +24,38 @@ object Sketches {
   private def hash32(c: Column): Column =
     conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** Per-group distinct-count sketch: the k smallest distinct hashes PER
+    * GROUP via a ranking window — where KMV actually earns its keep at
+    * scale: exact `countDistinct` shuffles every distinct (group, value)
+    * pair to one reducer per group, while the sketch caps per-group state
+    * at k values regardless of cardinality. Output one row per group:
+    * (groupCol, k, kth_hash, kmv_estimate, exact_distinct, rel_error) —
+    * exact rides along for gate/error visibility. */
+  def kmvDistinctByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 256): DataFrame = {
+    val hashes = df.select(col(groupCol), hash32(col(keyCol)).as("hv")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("hv")
+    val topK = hashes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("m"), max(col("hv")).as("kth_hash"))
+    val exact = hashes.groupBy(groupCol).agg(count(lit(1)).as("exact_distinct"))
+    topK.join(exact, Seq(groupCol))
+      .select(
+        col(groupCol),
+        lit(k.toLong).as("k"),
+        col("kth_hash"),
+        round(when(col("m") < k, col("m").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash")), 4)
+          .as("kmv_estimate"),
+        col("exact_distinct"))
+      .withColumn("rel_error",
+        round(abs(col("kmv_estimate") - col("exact_distinct")) / col("exact_distinct"), 4))
+      .orderBy(groupCol)
+  }
+
   /** Global distinct-count sketch of `keyCol`: one row
     * (k, kth_hash, kmv_estimate, exact_distinct, rel_error). The exact
     * count rides along here for gate/error visibility; a production

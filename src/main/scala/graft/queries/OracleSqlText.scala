@@ -422,6 +422,30 @@ SELECT k, kth_hash, kmv_estimate, exact_distinct,
        ROUND(ABS(kmv_estimate - exact_distinct) / exact_distinct, 4) AS rel_error
 FROM r"""
 
+  /** Per-group KMV twin (events.user_id distinct per event_type, k=64). */
+  val sketchKmvByType: String = s"""
+WITH h AS (
+  SELECT DISTINCT event_type, (${hex8IntSql("user_id::VARCHAR")}) AS hv FROM events
+),
+t AS (
+  SELECT event_type, COUNT(*) AS m, MAX(hv) AS kth_hash FROM (
+    SELECT event_type, hv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h) s
+  WHERE rn <= 64 GROUP BY event_type
+),
+e AS (SELECT event_type, COUNT(*) AS exact_distinct FROM h GROUP BY event_type),
+r AS (
+  SELECT t.event_type, CAST(64 AS BIGINT) AS k, t.kth_hash,
+         ROUND(CASE WHEN t.m < 64 THEN t.m::DOUBLE
+                    ELSE 63.0 * 4294967296.0 / t.kth_hash END, 4) AS kmv_estimate,
+         e.exact_distinct
+  FROM t JOIN e ON e.event_type = t.event_type
+)
+SELECT event_type, k, kth_hash, kmv_estimate, exact_distinct,
+       ROUND(ABS(kmv_estimate - exact_distinct) / exact_distinct, 4) AS rel_error
+FROM r ORDER BY event_type"""
+
   /** IVF ANN oracle: the k-means quantizer IS SQL-expressible once the Lloyd
     * rounds are unrolled — init from the `nCentroids` lowest vec_ids, then
     * per round: assign by argmin of ‖c‖² − 2·v·c (ties → lowest cell, the
