@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Build an adversarial stress dataset for the correctness gate.
+
+Copies the sf0.001 tables and injects the degenerate rows real corpora
+contain but the driver's clean synthetic data never exercises: empty
+documents, single-token docs, exact duplicates, whitespace runs, long
+repetitive docs, boundary near-dup pairs, duplicate embedding vectors
+(cosine exactly 1), and an all-zero embedding (cosine undefined).
+
+Usage: python3 scripts/stressdata.py [outDir=/tmp/stressdata]
+Then:  sbt "runMain graft.Verify /tmp/stressdata /tmp/vstress"
+       python3 scripts/localverify.py /tmp/stressdata /tmp/vstress
+
+Found round 2: Spark 4's default ANSI mode turns division-by-zero into a
+crash — empty docs (quality punct_ratio) and zero vectors (cosine norms)
+killed five operators until the null-safe guards landed on both engines.
+"""
+import sys, glob, shutil, os
+import duckdb
+
+src = '/root/testdata/sf0.001'
+dst = sys.argv[1] if len(sys.argv) > 1 else '/tmp/stressdata'
+os.makedirs(dst, exist_ok=True)
+for p in glob.glob(f'{src}/*.parquet'):
+    shutil.copy(p, dst)
+con = duckdb.connect()
+con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/documents.parquet')
+  UNION ALL
+  SELECT doc_id, text, 'en' AS lang, 'stress' AS source, length(text) AS n_chars FROM (VALUES
+    (CAST(90001 AS BIGINT), ''),
+    (90002, 'single'),
+    (90003, 'dup dup dup content here'),
+    (90004, 'dup dup dup content here'),
+    (90005, 'a  b   c'),
+    (90006, repeat('spam ham ', 200) || 'end'),
+    (90007, repeat('spam ham ', 200) || 'fin'),
+    (90008, 'one two three four five six seven eight'),
+    (90009, 'one two three four five six seven nine')
+  ) t(doc_id, text)
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/embeddings.parquet')
+  UNION ALL
+  SELECT 90001 AS vec_id, embedding, label FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 10
+  UNION ALL
+  SELECT 90002, embedding, label FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 10
+  UNION ALL
+  SELECT 90003, list_transform(embedding, x -> 0.0::FLOAT), label FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 10
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+""")
+print(f"stress dataset written to {dst}")

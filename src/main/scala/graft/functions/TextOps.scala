@@ -77,8 +77,12 @@ object TextOps {
         size(col("toks")).cast("long").as("n_tokens"),
         stopCount.cast("long").as("n_stopwords"),
         punctCount.cast("long").as("n_punct"))
+      // ANSI-safe: an empty document (n_chars = 0) must yield null ratios,
+      // not a DIVIDE_BY_ZERO crash — the oracle NULLIFs identically
       .withColumn("stopword_ratio", round(col("n_stopwords").cast("double") / col("n_tokens"), 4))
-      .withColumn("punct_ratio", round(col("n_punct").cast("double") / col("n_chars"), 4))
+      .withColumn("punct_ratio",
+        when(col("n_chars") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_punct").cast("double") / col("n_chars"), 4)))
       .withColumn("quality_score",
         round(least(col("n_tokens"), lit(200)).cast("double") / 200.0 *
           (lit(1.0) - col("punct_ratio")), 4))

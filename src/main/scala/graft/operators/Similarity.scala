@@ -30,8 +30,15 @@ object Similarity {
   def l2Norm(a: Column): Column =
     call_function("vec_norm", a)
 
+  /** Zero denominator (a zero vector) yields null, not an ANSI
+    * DIVIDE_BY_ZERO crash — cosine is undefined there; the DuckDB oracles
+    * NULLIF identically, and null similarities sort last under every
+    * ranking here (DESC = NULLS LAST on both engines). */
+  def safeDenom(c: Column): Column =
+    when(c === 0, lit(null).cast("double")).otherwise(c)
+
   def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    dotProduct(a, b) / safeDenom(l2Norm(a) * l2Norm(b))
 
   /** Exact top-k neighbors by cosine for a query subset (vec_id < nQueries).
     * The query side is broadcast; the corpus side streams. Norms are
@@ -49,7 +56,7 @@ object Similarity {
         withNorm.select(col("vec_id").as("neighbor_id"), col("embedding"), col("norm")),
         col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim",
-        round(dotProduct(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+        round(dotProduct(col("q_emb"), col("embedding")) / safeDenom(col("q_norm") * col("norm")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -72,7 +79,7 @@ object Similarity {
       col("norm").as("norm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cosine_sim",
-        round(dotProduct(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6))
+        round(dotProduct(col("emb_a"), col("emb_b")) / safeDenom(col("norm_a") * col("norm_b")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select("vec_a", "vec_b", "cosine_sim")
       .orderBy("vec_a", "vec_b")
@@ -125,7 +132,7 @@ object Similarity {
       .join(withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
         col("norm").as("norm_b")), Seq("vec_b"))
       .withColumn("cosine_sim",
-        round(dotProduct(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6))
+        round(dotProduct(col("emb_a"), col("emb_b")) / safeDenom(col("norm_a") * col("norm_b")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select("vec_a", "vec_b", "cosine_sim")
       .orderBy("vec_a", "vec_b")
@@ -238,7 +245,7 @@ object Similarity {
         Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim",
-        round(dotProduct(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+        round(dotProduct(col("q_emb"), col("embedding")) / safeDenom(col("q_norm") * col("norm")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -264,7 +271,7 @@ object Similarity {
         Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim",
-        round(dotProduct(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+        round(dotProduct(col("q_emb"), col("embedding")) / safeDenom(col("q_norm") * col("norm")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

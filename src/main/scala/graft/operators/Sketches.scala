@@ -48,7 +48,8 @@ object Sketches {
         lit(k.toLong).as("k"),
         col("kth_hash"),
         round(when(col("m") < k, col("m").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash")), 4)
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            when(col("kth_hash") === 0, lit(null).cast("double")).otherwise(col("kth_hash"))), 4)
           .as("kmv_estimate"),
         col("exact_distinct"))
       .withColumn("rel_error",
@@ -70,7 +71,8 @@ object Sketches {
         lit(k.toLong).as("k"),
         col("kth_hash"),
         round(when(col("m") < k, col("m").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash")), 4)
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            when(col("kth_hash") === 0, lit(null).cast("double")).otherwise(col("kth_hash"))), 4)
           .as("kmv_estimate"),
         col("exact_distinct"))
       .withColumn("rel_error",

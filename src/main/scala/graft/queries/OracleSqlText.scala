@@ -152,9 +152,9 @@ q AS (
 )
 SELECT doc_id, n_chars, n_tokens, n_stopwords, n_punct,
        ROUND(n_stopwords::DOUBLE / n_tokens, 4) AS stopword_ratio,
-       ROUND(n_punct::DOUBLE / n_chars, 4) AS punct_ratio,
+       ROUND(n_punct::DOUBLE / NULLIF(n_chars, 0), 4) AS punct_ratio,
        ROUND(LEAST(n_tokens, 200)::DOUBLE / 200.0 *
-             (1.0 - ROUND(n_punct::DOUBLE / n_chars, 4)), 4) AS quality_score
+             (1.0 - ROUND(n_punct::DOUBLE / NULLIF(n_chars, 0), 4)), 4) AS quality_score
 FROM q ORDER BY doc_id"""
 
   private val markerValues =
@@ -275,8 +275,11 @@ FROM documents ORDER BY doc_id"""
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
 
+  /** NULLIF denominator mirrors Similarity.safeDenom — a zero vector makes
+    * cosine null on both engines instead of crashing (Spark ANSI) or
+    * producing inf (DuckDB IEEE). */
   private def cosSql(a: String, b: String): String =
-    s"ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+    s"ROUND(${dotSql(a, b)} / NULLIF(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}), 0), 6)"
 
   val annTopK: String = s"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
@@ -370,7 +373,7 @@ q AS (
          len(toks) AS n_tokens,
          ROUND(LEAST(len(toks), 200)::DOUBLE / 200.0 *
                (1.0 - ROUND(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g'))::DOUBLE
-                            / length(d.text), 4)), 4) AS quality_score
+                            / NULLIF(length(d.text), 0), 4)), 4) AS quality_score
   FROM toks t JOIN documents d ON d.doc_id = t.doc_id
 ),
 markers(cand_lang, word) AS (VALUES $markerValues),
@@ -414,7 +417,7 @@ e AS (SELECT COUNT(*) AS exact_distinct FROM h),
 r AS (
   SELECT CAST(256 AS BIGINT) AS k, kth_hash,
          ROUND(CASE WHEN m < 256 THEN m::DOUBLE
-                    ELSE 255.0 * 4294967296.0 / kth_hash END, 4) AS kmv_estimate,
+                    ELSE 255.0 * 4294967296.0 / NULLIF(kth_hash, 0) END, 4) AS kmv_estimate,
          exact_distinct
   FROM t, e
 )
@@ -438,7 +441,7 @@ e AS (SELECT event_type, COUNT(*) AS exact_distinct FROM h GROUP BY event_type),
 r AS (
   SELECT t.event_type, CAST(64 AS BIGINT) AS k, t.kth_hash,
          ROUND(CASE WHEN t.m < 64 THEN t.m::DOUBLE
-                    ELSE 63.0 * 4294967296.0 / t.kth_hash END, 4) AS kmv_estimate,
+                    ELSE 63.0 * 4294967296.0 / NULLIF(t.kth_hash, 0) END, 4) AS kmv_estimate,
          e.exact_distinct
   FROM t JOIN e ON e.event_type = t.event_type
 )
