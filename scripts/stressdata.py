@@ -52,4 +52,21 @@ COPY (
   SELECT 90003, list_transform(embedding, x -> 0.0::FLOAT), label FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 10
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """)
+con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/events.parquet')
+  UNION ALL
+  SELECT * FROM (VALUES
+    -- same user, identical timestamp, different ids (tie-break paths)
+    (CAST(900001 AS BIGINT), TIMESTAMP '2024-01-10 12:00:00', CAST(7 AS BIGINT), 'click',   0.0,  '{{"k": 1}}'),
+    (900002, TIMESTAMP '2024-01-10 12:00:00', 7, 'purchase', 0.0,  '{{"k": 2}}'),
+    (900003, TIMESTAMP '2024-01-10 12:00:00', 7, 'click',    50.0, NULL),
+    -- a user with ONLY purchases (spent with empty earned pool)
+    (900004, TIMESTAMP '2024-01-11 00:00:00', 9901, 'purchase', 10.0, '{{}}'),
+    (900005, TIMESTAMP '2024-01-11 00:00:01', 9901, 'purchase', 20.0, 'not json'),
+    -- midnight boundary + zero-value earned
+    (900006, TIMESTAMP '2024-01-12 00:00:00', 9902, 'view', 0.0, '{{"k": -5}}')
+  ) t(event_id, ts, user_id, event_type, value, props)
+) TO '{dst}/events.parquet' (FORMAT PARQUET)
+""")
 print(f"stress dataset written to {dst}")

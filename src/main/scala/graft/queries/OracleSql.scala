@@ -380,7 +380,13 @@ FROM ev GROUP BY 1, 2 ORDER BY hour, event_type"""
 
   val eventsPropsJson: String = s"""
 WITH $evCte,
-x AS (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM ev)
+x AS (SELECT event_type,
+             -- null-on-malformed parity with Spark's get_json_object + cast:
+             -- DuckDB json_extract_string THROWS on invalid JSON and CAST
+             -- throws on non-numeric values; guard + TRY_CAST both
+             TRY_CAST(CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+                           ELSE json_extract_string(props, '$$.k') END AS BIGINT) AS k
+      FROM ev)
 SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,
        CAST(SUM(k) AS BIGINT) AS sum_k,
