@@ -68,7 +68,152 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints (the MOSS scheme) in one compiled pass per row:
+  * positional word n-grams → md5-derived 32-bit hashes → sliding-window
+  * minima of width `w` → first-occurrence distinct.
+  *
+  * The declarative chain — `word_ngrams_pos` + `transform(sh, md5...)` +
+  * `transform(sequence(...), j -> array_min(slice(hv, j, w)))` — allocates a
+  * slice array and dispatches an interpreted lambda per window on the
+  * hottest fingerprint path. This expression produces the identical hash
+  * values (md5 of the gram's UTF-8 bytes, first 8 hex digits as a base-16
+  * integer = the digest's first 4 bytes big-endian unsigned — matching
+  * `conv(substring(md5(x), 1, 8), 16, 10)`), the identical window minima,
+  * and `array_distinct`'s first-occurrence order, so the DuckDB oracle and
+  * all downstream pair joins are unchanged. CodegenFallback: the win is
+  * removing per-window interpretation, not fusing into surrounding codegen.
+  */
+case class WinnowFingerprint(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"winnow_fp expects array<string>, got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val cnt = m - n + 1 // positional n-gram count
+    if (cnt < w) return new GenericArrayData(Array.empty[Any])
+    val md = WinnowFingerprint.digest.get()
+    val hv = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = toks.getUTF8String(i + j)
+        if (j < n - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(UTF8String.concat(parts: _*).getBytes)
+      hv(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    val windows = cnt - w + 1
+    while (s < windows) {
+      var mn = hv(s)
+      var k = 1
+      while (k < w) { if (hv(s + k) < mn) mn = hv(s + k); k += 1 }
+      seen.add(mn)
+      s += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+  /** MD5 instances are not thread-safe and not free to construct — one per
+    * executor thread. */
+  private[functions] val digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+}
+
+/** 16-bit SimHash over distinct tokens in one compiled pass.
+  *
+  * The declarative formulation — 16 per-bit `aggregate(hv, ...)` higher-order
+  * functions over an md5-transform column — is correct but its expression
+  * tree alone (16 lambda aggregates) dominates analysis + codegen time for
+  * every plan that embeds it, and each aggregate re-traverses hv
+  * interpreted. This kernel: distinct tokens (first-occurrence set), token
+  * hash = first 2 md5 bytes big-endian (= `conv(substring(md5(t),1,4),16,10)`),
+  * per-bit counter Σ(2·bit−1), bit set when the counter ≥ 0 — integer sums,
+  * so ordering is immaterial and the result equals the HOF formulation and
+  * the DuckDB oracle exactly. */
+case class Simhash16(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"simhash16 expects array<string>, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash16"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val counters = new Array[Int](16)
+    val md = WinnowFingerprint.digest.get()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (seen.add(t)) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+        var b = 0
+        while (b < 16) {
+          counters(b) += ((h >> b) & 1) * 2 - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) {
+      if (counters(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+  /** Register the compiled 16-bit SimHash kernel. */
+  def registerSimhash(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[Simhash16].getName, "simhash16"),
+      (children: Seq[Expression]) => Simhash16(children.head))
+  }
+
+  /** Register the compiled winnowing kernel for a given (n, w). */
+  def registerWinnow(spark: SparkSession, n: Int, w: Int): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(s"winnow_fp_${n}_$w"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, s"winnow_fp_${n}_$w"),
+      (children: Seq[Expression]) => WinnowFingerprint(children.head, n, w))
+  }
+
   /** Register `word_ngrams_distinct` / `word_ngrams_pos` for a given n. */
   def register(spark: SparkSession, n: Int): Unit = {
     spark.sessionState.functionRegistry.registerFunction(

@@ -153,18 +153,11 @@ object TextOps {
     * local-dedup complement to MinHash's global signatures. One row per
     * (doc, fingerprint); join on fingerprint = candidate pairs. */
   def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
-    TextExpressions.register(docs.sparkSession, n)
-    val posShingles = call_function(s"word_ngrams_pos_$n", col("toks"))
-    val hashes = transform(col("sh_pos"), x =>
-      conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long"))
-    val windowMins = transform(
-      sequence(lit(1), size(col("hv")) - lit(w - 1)),
-      j => array_min(slice(col("hv"), j, lit(w))))
+    TextExpressions.registerWinnow(docs.sparkSession, n, w)
     withTokens(docs)
       .filter(size(col("toks")) >= n + w - 1) // need at least one full window
-      .select(col("doc_id"), posShingles.as("sh_pos"))
-      .select(col("doc_id"), hashes.as("hv"))
-      .select(col("doc_id"), explode(array_distinct(windowMins)).as("fingerprint"))
+      .select(col("doc_id"),
+        explode(call_function(s"winnow_fp_${n}_$w", col("toks"))).as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
   }
 

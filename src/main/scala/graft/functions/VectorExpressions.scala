@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -179,6 +179,154 @@ case class CentroidScores(child: Expression, cents: Array[Float], k: Int, dim: I
     copy(child = newChild)
 }
 
+/** Shared scoring kernel for the packed-block cosine pair generators. */
+private[functions] object VecPairs {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  val outType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_a", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_b", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cosine_sim", DoubleType, nullable = false))),
+    containsNull = false)
+
+  /** Unpack array<struct<vec_id:long, embedding:array<float>>> into primitive
+    * arrays with per-vector norms (index-order double accumulation, the
+    * [[FloatVectorNorm]] contract). */
+  def unpack(vs: ArrayData): (Array[Long], Array[Array[Float]], Array[Double]) = {
+    val n = vs.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = vs.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val e = row.getArray(1)
+      val d = e.numElements()
+      val v = new Array[Float](d)
+      var k = 0
+      var acc = 0.0
+      while (k < d) {
+        val x = e.getFloat(k)
+        v(k) = x
+        acc += x.toDouble * x.toDouble
+        k += 1
+      }
+      vecs(i) = v
+      norms(i) = math.sqrt(acc)
+      i += 1
+    }
+    (ids, vecs, norms)
+  }
+
+  /** round(dot/denom, 6) with Spark's Round semantics (HALF_UP on
+    * BigDecimal.valueOf), or NaN marker −2 when the denominator is zero
+    * (cosine undefined — those pairs are dropped, exactly as
+    * `filter(null >= t)` drops them in the join formulation). */
+  def cosineRounded(a: Array[Float], na: Double, b: Array[Float], nb: Double): Double = {
+    val denom = na * nb
+    if (denom == 0) return -2.0
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    java.math.BigDecimal.valueOf(acc / denom)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  def emit(out: java.util.ArrayList[Any], idA: Long, idB: Long, cos: Double): Unit = {
+    val (x, y) = if (idA < idB) (idA, idB) else (idB, idA)
+    out.add(new GenericInternalRow(Array[Any](x, y, cos)): InternalRow)
+  }
+
+  def result(out: java.util.ArrayList[Any]): GenericArrayData =
+    new GenericArrayData(out.toArray)
+}
+
+/** All qualifying cosine pairs within one packed vector block: input
+  * array<struct<vec_id, embedding>>, output array<struct<vec_a, vec_b,
+  * cosine_sim>> for every unordered pair with rounded cosine ≥ threshold.
+  *
+  * This is the in-place expansion of an LSH bucket (or a diagonal block of
+  * the exact blocked scorer): candidates are scored and filtered BEFORE they
+  * ever become rows, so the shuffle after this carries survivors only —
+  * the candidate set itself (quadratic in bucket size) never materializes.
+  * Arithmetic is the [[FloatVectorDot]]/[[FloatVectorNorm]] contract, so
+  * results are bit-identical to the join-and-score formulation and to the
+  * DuckDB oracle. */
+case class VecPairsWithin(child: Expression, threshold: Double)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StructType(_), _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"vec_pairs_within expects array<struct>, got $other")
+  }
+  override def dataType: DataType = VecPairs.outType
+  override def prettyName: String = "vec_pairs_within"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val (ids, vecs, norms) = VecPairs.unpack(input.asInstanceOf[ArrayData])
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < ids.length) {
+      var j = i + 1
+      while (j < ids.length) {
+        val c = VecPairs.cosineRounded(vecs(i), norms(i), vecs(j), norms(j))
+        if (c >= threshold) VecPairs.emit(out, ids(i), ids(j), c)
+        j += 1
+      }
+      i += 1
+    }
+    VecPairs.result(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All qualifying cosine pairs between two packed vector blocks (the
+  * off-diagonal case of the exact blocked scorer). Pairs are emitted with
+  * vec_a = min(id), vec_b = max(id), so block assignment never affects the
+  * output ordering contract. */
+case class VecPairsBetween(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StructType(_), _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_pairs_between expects array<struct> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = VecPairs.outType
+  override def prettyName: String = "vec_pairs_between"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (idsA, vecsA, normsA) = VecPairs.unpack(a.asInstanceOf[ArrayData])
+    val (idsB, vecsB, normsB) = VecPairs.unpack(b.asInstanceOf[ArrayData])
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < idsA.length) {
+      var j = 0
+      while (j < idsB.length) {
+        val c = VecPairs.cosineRounded(vecsA(i), normsA(i), vecsB(j), normsB(j))
+        if (c >= threshold) VecPairs.emit(out, idsA(i), idsB(j), c)
+        j += 1
+      }
+      i += 1
+    }
+    VecPairs.result(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Register `vec_dot` / `vec_norm` on the session's function registry so
     * they are callable from expr()/SQL. Idempotent, runtime-safe on any
@@ -193,6 +341,20 @@ object VectorExpressions {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[FloatVectorNorm].getName, "vec_norm"),
       (children: Seq[Expression]) => FloatVectorNorm(children.head))
+  }
+
+  /** (Re-)bind `vec_pairs_within` / `vec_pairs_between` to a cosine
+    * threshold. Re-registering with a different threshold replaces the
+    * binding (analysis is eager, so each built plan keeps its own). */
+  def registerPairs(spark: SparkSession, threshold: Double): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_pairs_within"),
+      new ExpressionInfo(classOf[VecPairsWithin].getName, "vec_pairs_within"),
+      (children: Seq[Expression]) => VecPairsWithin(children.head, threshold))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_pairs_between"),
+      new ExpressionInfo(classOf[VecPairsBetween].getName, "vec_pairs_between"),
+      (children: Seq[Expression]) => VecPairsBetween(children(0), children(1), threshold))
   }
 
   /** (Re-)bind `ivf_scores` to a centroid matrix (flattened [cell][dim]).

@@ -60,10 +60,13 @@ object Dedup {
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("dfreq", "shingle")
+    // persisted: the prefix feeds BOTH sides of the candidate self-join —
+    // without it the dfreq join + per-doc window sort run twice
     val prefix = inv.join(dfreq, Seq("shingle"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -176,21 +179,14 @@ object Dedup {
   /** 16-bit SimHash over distinct tokens. Token hash = first 4 hex chars of
     * md5 as an int; bit b of the sketch is the sign of Σ(2·bit_b(hash)−1).
     * Equal sketches (Hamming distance 0 buckets) are the near-dup
-    * candidates; one narrow map + no shuffle for the sketch itself. */
+    * candidates; one narrow map + no shuffle for the sketch itself.
+    * Computed by the compiled [[graft.functions.Simhash16]] kernel — the
+    * 16-lambda `aggregate()` formulation it replaces is pinned equal in
+    * DedupPropertySpec. */
   def simhash(docs: DataFrame): DataFrame = {
-    // hv projected to its own column first: the 16 per-bit aggregates each
-    // reference it, and an attribute reference is free while an inlined
-    // md5-transform would be recomputed per bit.
-    val hvDf = TextOps.withTokens(docs).select(col("doc_id"),
-      transform(array_distinct(col("toks")), t =>
-        conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int")).as("hv"))
-    val bitCols = (0 until 16).map { b =>
-      // Σ over tokens of ±1 for bit b, via aggregate(); >= 0 counts as set
-      val contrib = aggregate(col("hv"), lit(0),
-        (acc, v) => acc + (shiftright(v, b).bitwiseAND(1) * 2 - 1))
-      when(contrib >= 0, lit(1 << b)).otherwise(lit(0))
-    }
-    hvDf.select(col("doc_id"), bitCols.reduce(_ + _).cast("long").as("simhash16"))
+    graft.functions.TextExpressions.registerSimhash(docs.sparkSession)
+    TextOps.withTokens(docs)
+      .select(col("doc_id"), call_function("simhash16", col("toks")).as("simhash16"))
       .orderBy("doc_id")
   }
 
@@ -205,10 +201,13 @@ object Dedup {
     * count. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // persist the pair input so the bidirectional union evaluates the
-    // upstream candidate plan (often an expensive dedup pass) once, then
-    // materialize the edge list that every round re-reads
+    // persist AND materialize the pair input before the bidirectional union:
+    // the two union branches scan p concurrently inside one job, and an
+    // unmaterialized cache makes both branches compute the upstream
+    // candidate plan (often an expensive dedup pass) — count() first means
+    // one compute, then two cache reads
     val p = pairs.persist(lvl)
+    p.count()
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
@@ -216,9 +215,14 @@ object Dedup {
     edges.count()
     p.unpersist()
     // each round carries prev alongside the new label, so convergence is a
-    // filter-count on the just-persisted frame — no second join per round
-    var cached = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("prev"), col("doc_id").as("cluster_id"))
+    // filter-count on the just-persisted frame — no second join per round.
+    // Init fuses the first propagation hop: label₀ = min(self, neighbors) in
+    // ONE aggregation over the edge list, so clique-shaped graphs (equal-
+    // sketch buckets, the common dedup case) converge at init and the loop
+    // runs a single no-change round instead of propagate + confirm.
+    var cached = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+      .select(col("src").as("doc_id"), col("cluster_id").as("prev"), col("cluster_id"))
       .persist(lvl)
     var labels = cached.select("doc_id", "cluster_id")
     var converged = false
@@ -268,9 +272,12 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Near-dup candidate groups from equal SimHash sketches. */
+  /** Near-dup candidate groups from equal SimHash sketches. The sketch
+    * frame feeds both self-join sides — persisted so the 16-bit aggregate
+    * pass over the corpus runs once, not once per side. */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val s = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     s.as("a").join(s.as("b"),
         col("a.simhash16") === col("b.simhash16") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

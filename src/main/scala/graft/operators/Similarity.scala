@@ -65,23 +65,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** All pairs at or above a cosine threshold (embedding near-dedup).
-    * Block-nested join over the corpus with itself on vec_id < vec_id —
-    * at real scale this is replaced by [[lshBuckets]]-restricted pairing;
-    * kept exact here as the oracle-checkable baseline. */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    graft.functions.VectorExpressions.register(embeddings.sparkSession)
-    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("norm"))
-    val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-      col("norm").as("norm_a"))
-    val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-      col("norm").as("norm_b"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cosine_sim",
-        round(dotProduct(col("emb_a"), col("emb_b")) / safeDenom(col("norm_a") * col("norm_b")), 6))
-      .filter(col("cosine_sim") >= threshold)
-      .select("vec_a", "vec_b", "cosine_sim")
+  /** All pairs at or above a cosine threshold (embedding near-dedup), as a
+    * BLOCKED all-pairs scorer — the distributed-GEMM shape, not a row-level
+    * join. Vectors are packed into `blocks` groups (one shuffle, linear in
+    * the corpus); the B×(B+1)/2 block pairs are a trivial join of B-row
+    * frames; each block pair is scored in one compiled primitive loop that
+    * emits ONLY surviving pairs. Compute is honestly O(n²·dim) — exact
+    * all-pairs can't beat that — but it's spread evenly over block pairs
+    * with no quadratic row materialization, no per-pair allocation, and no
+    * driver state: the 2M-row BroadcastNestedLoopJoin this replaces built
+    * and filtered every candidate as a wide row (two embedded vectors each).
+    * At real scale the sublinear path is [[nearDupPairsLsh]]; this is the
+    * exact differential baseline, and `blocks` scales it: shuffle volume is
+    * O(B·n·dim) and per-task memory O((n/B)·dim). */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double, blocks: Int = 32): DataFrame = {
+    graft.functions.VectorExpressions.registerPairs(embeddings.sparkSession, threshold)
+    val packed = embeddings
+      .groupBy(pmod(col("vec_id"), lit(blocks)).as("blk"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val within = packed
+      .select(explode(call_function("vec_pairs_within", col("vs"))).as("p"))
+    val between = packed.select(col("blk").as("blk_a"), col("vs").as("vs_a"))
+      .join(packed.select(col("blk").as("blk_b"), col("vs").as("vs_b")),
+        col("blk_a") < col("blk_b"))
+      .select(explode(call_function("vec_pairs_between", col("vs_a"), col("vs_b"))).as("p"))
+    within.unionByName(between)
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("p.cosine_sim").as("cosine_sim"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -106,35 +117,34 @@ object Similarity {
     * ≥-threshold pair at sf0.001/0.01/0.1 (verified offline against exact
     * all-pairs), i.e. 100% recall on the gate data. On a real near-dup
     * corpus (cosine ≥0.9 duplicates) per-table agreement is ≥0.95⁵ and a
-    * handful of tables suffice — the same operator, cheaper parameters. */
+    * handful of tables suffice — the same operator, cheaper parameters.
+    *
+    * Execution shape (round 3): scan → one codegen'd `srp_codes` projection
+    * → explode(T) → ONE shuffle into (table, code) buckets → in-bucket
+    * scoring that emits only surviving pairs → distinct over survivors.
+    * The earlier formulation materialized the candidate set as rows (a
+    * (tbl, code) self-join → 1.5M candidate rows at sf0.1 → distinct → two
+    * hash joins re-fetching embeddings); scoring inside the bucket means
+    * the quadratic candidate volume exists only as loop iterations inside
+    * [[graft.functions.VecPairsWithin]], never as shuffled rows — the
+    * distinct sees survivors only (output-sized, not candidate-sized). */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
       bits: Int = 5, tables: Int = 48, dim: Int = 64): DataFrame = {
-    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
     val planes = Array.tabulate(bits * tables * dim) { i => planeComponent(i / dim, i % dim) }
-    graft.functions.HashExpressions.registerSrp(embeddings.sparkSession, planes, bits, tables, dim)
-    // persisted: codes feed BOTH self-join sides (the 240-dot srp_codes
-    // pass is the dominant per-row cost) and withNorm feeds both verify
-    // fetches; persisted for the session like the other dedup stage tables
-    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
-        l2Norm(col("embedding")).as("norm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val codes = embeddings.select(col("vec_id"),
+    graft.functions.HashExpressions.registerSrp(spark, planes, bits, tables, dim)
+    graft.functions.VectorExpressions.registerPairs(spark, threshold)
+    val buckets = embeddings
+      .select(struct(col("vec_id"), col("embedding")).as("v"),
         posexplode(call_function("srp_codes", col("embedding"))).as(Seq("tbl", "code")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = codes.as("a").join(codes.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.code") === col("b.code") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .groupBy("tbl", "code")
+      .agg(collect_list(col("v")).as("vs"))
+      .filter(size(col("vs")) > 1)
+    buckets
+      .select(explode(call_function("vec_pairs_within", col("vs"))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("p.cosine_sim").as("cosine_sim"))
       .distinct()
-    candidates
-      .join(withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        col("norm").as("norm_a")), Seq("vec_a"))
-      .join(withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        col("norm").as("norm_b")), Seq("vec_b"))
-      .withColumn("cosine_sim",
-        round(dotProduct(col("emb_a"), col("emb_b")) / safeDenom(col("norm_a") * col("norm_b")), 6))
-      .filter(col("cosine_sim") >= threshold)
-      .select("vec_a", "vec_b", "cosine_sim")
       .orderBy("vec_a", "vec_b")
   }
 

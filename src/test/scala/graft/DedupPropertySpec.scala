@@ -105,4 +105,47 @@ class DedupPropertySpec extends AnyFunSuite {
       rows.forall(r => r.getSeq[Long](1) == r.getSeq[Long](2))
     }, n = 10)
   }
+
+  test("compiled simhash16 kernel equals the 16-lambda aggregate formulation") {
+    graft.functions.TextExpressions.registerSimhash(spark)
+    check(Prop.forAll(genDocs) { docs =>
+      val hvDf = graft.functions.TextOps.withTokens(docsDf(docs)).select(col("doc_id"),
+        col("toks"),
+        transform(array_distinct(col("toks")), t =>
+          conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int")).as("hv"))
+      val bitCols = (0 until 16).map { b =>
+        val contrib = aggregate(col("hv"), lit(0),
+          (acc, v) => acc + (shiftright(v, b).bitwiseAND(1) * 2 - 1))
+        when(contrib >= 0, lit(1 << b)).otherwise(lit(0))
+      }
+      val rows = hvDf.select(col("doc_id"),
+          call_function("simhash16", col("toks")).as("fast"),
+          bitCols.reduce(_ + _).cast("long").as("ref"))
+        .collect()
+      rows.forall(r => r.getLong(1) == r.getLong(2))
+    }, n = 10)
+  }
+
+  test("compiled winnow kernel equals the declarative md5/slice formulation") {
+    val n = 3
+    val w = 4
+    check(Prop.forAll(genDocs) { docs =>
+      val df = docsDf(docs)
+      graft.functions.TextExpressions.register(spark, n)
+      graft.functions.TextExpressions.registerWinnow(spark, n, w)
+      val hashes = transform(call_function(s"word_ngrams_pos_$n", col("toks")), x =>
+        conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long"))
+      val windowMins = transform(
+        sequence(lit(1), size(col("hv")) - lit(w - 1)),
+        j => array_min(slice(col("hv"), j, lit(w))))
+      val rows = graft.functions.TextOps.withTokens(df)
+        .filter(size(col("toks")) >= n + w - 1)
+        .withColumn("hv", hashes)
+        .select(col("doc_id"),
+          call_function(s"winnow_fp_${n}_$w", col("toks")).as("fast"),
+          array_distinct(windowMins).as("ref"))
+        .collect()
+      rows.forall(r => r.getSeq[Long](1) == r.getSeq[Long](2))
+    }, n = 10)
+  }
 }
