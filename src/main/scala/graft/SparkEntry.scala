@@ -202,6 +202,13 @@ object SparkEntry {
     "curation_pipeline" -> ((s, d) =>
       graft.operators.Curation.curate(Tables.documents(s, d))),
 
+    // training-set preparation: deterministic hash split + sharded
+    // token-stream sequence packing
+    "train_splits" -> ((s, d) =>
+      graft.operators.TrainPrep.assignSplits(Tables.documents(s, d))),
+    "train_pack_sequences" -> ((s, d) =>
+      graft.operators.TrainPrep.packSequences(Tables.documents(s, d))),
+
     // deterministic KMV distinct-count sketch (HLL's oracle-checkable twin)
     "sketch_kmv_distinct" -> ((s, d) =>
       graft.operators.Sketches.kmvDistinct(Tables.events(s, d), "user_id")),
@@ -216,6 +223,12 @@ object SparkEntry {
     // oracle IS the fifo_match SQL
     "incremental_match" -> ((s, d) =>
       graft.operators.IncrementalMatcher.twoBatchLedger(txns(s, d)).orderBy(matchedOrder: _*)),
+
+    // the streaming matcher replayed over 3 event-ordered micro-batches
+    // (state carries across chunk boundaries) must ALSO equal the batch
+    // rebuild — same oracle; §2.10 gated through the hash gate, not just specs
+    "streaming_match" -> ((s, d) =>
+      graft.streaming.StreamingFifo.replayLedger(txns(s, d)).orderBy(matchedOrder: _*)),
 
     // training-data pipeline: multimodal binary plumbing (decode is stubbed)
     "mm_features" -> ((s, d) =>
@@ -303,5 +316,8 @@ object SparkEntry {
     "sketch_kmv_distinct" -> OracleSqlText.sketchKmvDistinct,
     "sketch_kmv_by_type" -> OracleSqlText.sketchKmvByType,
     "curation_pipeline" -> OracleSqlText.curation,
-    "incremental_match" -> OracleSql.fifoMatch)
+    "incremental_match" -> OracleSql.fifoMatch,
+    "streaming_match" -> OracleSql.fifoMatch,
+    "train_splits" -> OracleSqlText.trainSplits(),
+    "train_pack_sequences" -> OracleSqlText.packSequences())
 }

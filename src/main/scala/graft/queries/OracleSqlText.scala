@@ -588,4 +588,38 @@ reach(doc_id, r) AS (
   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
 )
 SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Mirrors TrainPrep.assignSplits: md5-of-id bucket, threshold split. */
+  def trainSplits(valPct: Int = 10, testPct: Int = 10, buckets: Int = 100): String = s"""
+WITH b AS (
+  SELECT doc_id,
+         CAST((${hex8IntSql("doc_id::VARCHAR")}) % $buckets AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < $testPct THEN 'test'
+            WHEN bucket < ${testPct + valPct} THEN 'validation'
+            ELSE 'train' END AS split
+FROM b ORDER BY doc_id"""
+
+  /** Mirrors TrainPrep.packSequences: sharded token-stream packing. */
+  def packSequences(maxTokens: Int = 512, docsPerShard: Int = 1000): String = s"""
+WITH $toksCte,
+t AS (
+  SELECT doc_id,
+         CAST(FLOOR(doc_id / $docsPerShard) AS BIGINT) AS shard,
+         len(toks)::BIGINT AS n_tokens
+  FROM toks
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM t
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(FLOOR(prior / $maxTokens) AS BIGINT) AS pack_id,
+       prior - CAST(FLOOR(prior / $maxTokens) AS BIGINT) * $maxTokens AS pack_offset
+FROM c ORDER BY doc_id"""
 }

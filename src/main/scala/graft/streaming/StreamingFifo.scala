@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.Tx
@@ -86,5 +87,52 @@ object StreamingFifo {
           state.update(CustomerQueue(earned, pendingSe))
           events.result().iterator
       }
+  }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Replay a batch transaction table through [[matchStream]] in
+    * `batches` event-ordered micro-batches and rebuild the full matched
+    * ledger from the emitted match log — the correctness-gate harness that
+    * proves streaming ≡ batch ≡ the DuckDB oracle (its oracle IS the batch
+    * `fifo_match` SQL).
+    *
+    * The MemoryStream feed is driver-side BY CONSTRUCTION (it is Spark's
+    * test source; a production deployment reads Kafka/files and never
+    * collects) — what is being gated is the `flatMapGroupsWithState`
+    * operator itself: chunk boundaries deliberately split customers'
+    * histories mid-queue, so state carry-over across micro-batches is what
+    * the hash gate exercises. Rows are fed in global (timestamp,
+    * transaction_id) order — arrival order stands in for event order,
+    * matching the operator's documented contract. */
+  def replayLedger(txns: DataFrame, batches: Int = 3): DataFrame = {
+    val spark = txns.sparkSession
+    implicit val sqlCtx = spark.sqlContext
+    implicit val txEnc = Encoders.product[Tx]
+    val rows = txns
+      .select("transaction_id", "customer_id", "amount", "timestamp", "transaction_type")
+      .as[Tx]
+      .collect()
+      .sortBy(t => (t.timestamp, t.transaction_id))(
+        Ordering.Tuple2(
+          Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _),
+          Ordering.String))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Tx]
+    val sinkName = s"streaming_fifo_replay_${replaySeq.incrementAndGet()}"
+    val query = matchStream(input.toDS())
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+      rows.grouped(chunk).foreach { g =>
+        input.addData(g.toIndexedSeq)
+        query.processAllAvailable() // one micro-batch per chunk
+      }
+    } finally query.stop()
+    val log = spark.table(sinkName)
+      .select(col("EARNED_ID").as("TRANS_ID"), col("REDEEMID"))
+    graft.operators.FifoMatcher.renameToSpec(txns)
+      .join(log, Seq("TRANS_ID"), "left")
+      .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")
   }
 }

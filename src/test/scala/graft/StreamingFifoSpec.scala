@@ -89,4 +89,21 @@ class StreamingFifoSpec extends AnyFunSuite {
       query.stop()
     }
   }
+
+  test("replayLedger rebuilds the exact batch ledger across chunked state") {
+    import spark.implicits._
+    val data = Seq(
+      Tx("E1", "C1", 10.0, ts(1), "earned"),
+      Tx("S1", "C2", -5.0, ts(2), "spent"), // se before any earned for C2
+      Tx("E2", "C1", 20.0, ts(3), "earned"),
+      Tx("E9", "C2", 30.0, ts(4), "earned"),
+      Tx("X1", "C1", -7.0, ts(5), "expired"),
+      Tx("S2", "C1", -2.0, ts(6), "spent"),
+      Tx("E3", "C1", 40.0, ts(7), "earned"))
+    val ledger = graft.streaming.StreamingFifo.replayLedger(data.toDF(), batches = 4)
+      .orderBy("TRANS_ID").collect()
+    val batch = graft.operators.FifoMatcher.matchTransactions(data.toDF())
+      .orderBy("TRANS_ID").collect()
+    assert(ledger.toSeq === batch.toSeq)
+  }
 }

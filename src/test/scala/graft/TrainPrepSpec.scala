@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainPrep
+
+/** Semantics pins for the training-set preparation operators. */
+class TrainPrepSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs(rows: (Long, String)*) = {
+    import org.apache.spark.sql.Encoders
+    spark.createDataset(rows.toSeq)(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .toDF("doc_id", "text")
+  }
+
+  test("splits are growth-stable: adding docs never moves an existing doc") {
+    val small = TrainPrep.assignSplits(docs((1L, "a"), (2L, "b"), (3L, "c")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val grown = TrainPrep.assignSplits(
+      docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    small.foreach { case (id, split) => assert(grown(id) === split) }
+  }
+
+  test("split fractions are content-independent and roughly honored") {
+    val many = docs((0L until 1000L).map(i => (i, s"doc $i")): _*)
+    val byText = TrainPrep.assignSplits(many)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash of doc_id, 10/10/80 buckets of 100 — exact counts are a property
+    // of md5, but each class must be populated and train must dominate
+    assert(byText.keySet === Set("train", "validation", "test"))
+    assert(byText("train") > byText("validation") && byText("train") > byText("test"))
+    assert(byText.values.sum === 1000L)
+  }
+
+  test("packing is a contiguous token stream per shard") {
+    // 3 docs of 300 tokens in one shard with maxTokens=512:
+    // doc 0 at (pack 0, offset 0); doc 1 starts at 300 and SPANS into pack 1;
+    // doc 2 starts at 600 -> pack 1, offset 88
+    val text300 = Seq.fill(300)("w").mkString(" ")
+    val out = TrainPrep.packSequences(
+        docs((0L, text300), (1L, text300), (2L, text300)), maxTokens = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((0L, 300L, 0L, 0L), (1L, 300L, 0L, 300L), (2L, 300L, 1L, 88L)))
+  }
+
+  test("shards pack independently") {
+    val text300 = Seq.fill(300)("w").mkString(" ")
+    // docsPerShard=2: docs 0,1 in shard 0; doc 2 restarts at (shard 1, pack 0, offset 0)
+    val out = TrainPrep.packSequences(
+        docs((0L, text300), (1L, text300), (2L, text300)),
+        maxTokens = 512, docsPerShard = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((0L, 0L, 0L, 0L), (1L, 0L, 0L, 300L), (2L, 1L, 0L, 0L)))
+  }
+}
