@@ -171,6 +171,19 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** [[lshBucket]] via the compiled [[graft.functions.SrpCodes]] kernel
+    * (tables = 1): identical plane constants, identical index-order double
+    * accumulation, identical sign→bit packing — so the bucket ids are
+    * bit-identical to the declarative column (property-pinned), without the
+    * (nPlanes × dim)-node expression tree the declarative form hands every
+    * plan that embeds it. */
+  def lshBucketCompiled(spark: org.apache.spark.sql.SparkSession, emb: Column,
+      nPlanes: Int = 8, dim: Int = 64): Column = {
+    val planes = Array.tabulate(nPlanes * dim) { i => planeComponent(i / dim, i % dim) }
+    graft.functions.HashExpressions.registerSrp(spark, planes, nPlanes, 1, dim)
+    element_at(call_function("srp_codes", emb), 1)
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer assigns every
     * vector to a cell; queries probe only the `nProbe` nearest cells and
     * score exactly within them — the other classic scale path next to LSH.
@@ -269,7 +282,7 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5, nPlanes: Int = 4): DataFrame = {
     graft.functions.VectorExpressions.register(embeddings.sparkSession)
     val withBucket = embeddings
-      .withColumn("bucket", lshBucket(col("embedding"), nPlanes))
+      .withColumn("bucket", lshBucketCompiled(embeddings.sparkSession, col("embedding"), nPlanes))
       .withColumn("norm", l2Norm(col("embedding")))
     val queries = broadcast(
       withBucket.filter(col("vec_id") < nQueries)

@@ -124,6 +124,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(b(0L) === b(1L))
   }
 
+  test("compiled lsh bucket equals the declarative column on real vectors") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
+    val rows = emb
+      .withColumn("ref", Similarity.lshBucket(col("embedding"), 4))
+      .withColumn("fast", Similarity.lshBucketCompiled(TestSpark.spark, col("embedding"), 4))
+      .select(col("ref").cast("long"), col("fast"))
+      .collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("IVF with full probing equals brute force; partial probing has recall") {
     val emb = graft.sources.Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
     val bf = Similarity.bruteForceTopK(emb, nQueries = 5, k = 5).collect()
