@@ -25,14 +25,14 @@ object Bench {
       SparkEntry.queries("balance_history")(spark, sfDir).count()
     } catch { case _: Throwable => }
     val materializeSec = (System.nanoTime() - tMat0) / 1e9
-    // session-lived stage caches stay; each query's own persists are dropped
-    // after its action so 60+ queries don't accumulate storage churn
-    val protect = RunHygiene.persistedIds(spark)
+    // session-lived stage caches live in SparkEntry (never registered with
+    // RunHygiene); each query's own stage persists drain after its action so
+    // 70 queries don't accumulate storage churn
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      RunHygiene.dropNewPersists(spark, protect)
+      RunHygiene.drainStages(spark)
       name -> sec
     }
     val qs = (("_pipeline_materialize" -> materializeSec) +: results)

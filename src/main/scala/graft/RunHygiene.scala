@@ -1,31 +1,48 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
-/** Storage hygiene for many-query sessions (Bench / Verify run 60+ queries
+/** Storage hygiene for many-query sessions (Bench / Verify run 70 queries
   * in one SparkSession).
   *
   * Operators persist their stage tables (shingle sets, packed blocks,
   * fingerprints) for reuse WITHIN one query plan; nothing can unpersist
-  * them at the right time from inside a lazy DataFrame. Left alone, 60+
-  * queries accumulate every such cache in the storage pool — harmless on an
-  * idle 128 GiB box, but under memory pressure it turns into eviction/GC
-  * churn that inflates exactly the allocation-heavy queries. The runner
-  * drops per-query leftovers once the query's action completes, keeping
-  * only the shared pipeline stage cache (matched ledger / balance history),
-  * which IS meant to live for the session.
+  * them at the right time from inside a lazy DataFrame. Left alone, 70
+  * queries accumulate every such cache in the storage pool — harmless on
+  * an idle 128 GiB box, but under memory pressure it turns into
+  * eviction/GC churn that inflates exactly the allocation-heavy queries.
+  *
+  * Operators register their per-query caches here ([[stage]]); runners
+  * drop them once the query's action completes ([[drainStages]]). Cleanup
+  * goes through `Dataset.unpersist` — NOT `rdd.unpersist` — so the SQL
+  * CacheManager entry is removed too: killing only the RDD leaves a dead
+  * CacheManager entry that silently turns every later `persist()` of the
+  * same plan into a no-op that recomputes per access.
+  *
+  * The session-lived pipeline stage caches (matched ledger / balance
+  * history in [[SparkEntry]]) are deliberately NOT registered, so a drain
+  * can never evict them.
   */
 object RunHygiene {
-  /** RDD ids persisted right now — snapshot after materializing the shared
-    * stages; those are the session-lived caches to protect. */
-  def persistedIds(spark: SparkSession): Set[Int] =
-    spark.sparkContext.getPersistentRDDs.keySet.toSet
+  private val pool =
+    scala.collection.mutable.Map.empty[org.apache.spark.sql.SparkSession, scala.collection.mutable.Buffer[DataFrame]]
 
-  /** Unpersist everything persisted since the `protect` snapshot. */
-  def dropNewPersists(spark: SparkSession, protect: Set[Int]): Unit = {
-    val now = spark.sparkContext.getPersistentRDDs
-    now.keysIterator.filterNot(protect).foreach { id =>
-      now.get(id).foreach(_.unpersist(blocking = false))
-    }
+  /** Persist a per-query stage table (MEMORY_AND_DISK) and register it for
+    * the next [[drainStages]]. */
+  def stage(df: DataFrame): DataFrame = track(df.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Register an already-persisted frame for the next [[drainStages]]. */
+  def track(df: DataFrame): DataFrame = synchronized {
+    pool.getOrElseUpdate(df.sparkSession, scala.collection.mutable.Buffer.empty) += df
+    df
+  }
+
+  /** Unpersist every stage table registered since the last drain.
+    * Double-unpersist (an operator already cleaned up internally) is a
+    * no-op, and frames persisted by a failed query drain safely. */
+  def drainStages(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val drained = synchronized { pool.remove(spark) }
+    drained.foreach(_.foreach(_.unpersist(blocking = false)))
   }
 }

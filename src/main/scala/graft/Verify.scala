@@ -15,20 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // materialize the session-lived stage caches first, then snapshot them
-    // so per-query persists can be dropped after each write (see RunHygiene)
-    try {
-      SparkEntry.queries("fifo_match")(spark, sfDir).count()
-      SparkEntry.queries("balance_history")(spark, sfDir).count()
-    } catch { case _: Throwable => }
-    val protect = RunHygiene.persistedIds(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      RunHygiene.dropNewPersists(spark, protect)
+      // per-query stage caches drain here; the session-lived pipeline
+      // stages live in SparkEntry and are never registered for draining
+      RunHygiene.drainStages(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

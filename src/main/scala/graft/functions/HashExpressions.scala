@@ -251,12 +251,19 @@ object HashExpressions {
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
   }
 
-  /** Register `srp_codes` with a given plane matrix (flattened [plane][dim]).
-    * Re-registering with different constants replaces the previous binding. */
-  def registerSrp(spark: SparkSession, planes: Array[Double], bits: Int, tables: Int, dim: Int): Unit = {
+  /** Register the SRP code kernel for a given plane matrix (flattened
+    * [plane][dim]) and return the registered name. The name is keyed on the
+    * (bits, tables, dim) configuration so two operators with different
+    * table families in one session can never capture each other's binding
+    * through deferred Column resolution (the plane constants themselves are
+    * a pure function of (plane, dim) via planeComponent, so a name equals
+    * exactly one plane matrix). */
+  def registerSrp(spark: SparkSession, planes: Array[Double], bits: Int, tables: Int, dim: Int): String = {
+    val name = s"srp_codes_${bits}x${tables}x$dim"
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("srp_codes"),
-      new ExpressionInfo(classOf[SrpCodes].getName, "srp_codes"),
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[SrpCodes].getName, name),
       (children: Seq[Expression]) => SrpCodes(children.head, planes, bits, tables, dim))
+    name
   }
 }

@@ -185,6 +185,22 @@ private[functions] object VecPairs {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
+  /** The packed-block element shape both generators require: reading any
+    * other struct layout through getLong/getFloat would silently
+    * reinterpret bytes, so the analyzer must reject it. */
+  def checkPackedInput(dt: DataType, name: String): TypeCheckResult = dt match {
+    case ArrayType(org.apache.spark.sql.types.StructType(fields), _)
+        if fields.length == 2 &&
+          fields(0).dataType == org.apache.spark.sql.types.LongType &&
+          (fields(1).dataType match {
+            case ArrayType(FloatType, _) => true
+            case _ => false
+          }) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<struct<bigint, array<float>>>, got $other")
+  }
+
   val outType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_a", org.apache.spark.sql.types.LongType, nullable = false),
@@ -237,7 +253,11 @@ private[functions] object VecPairs {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
+  /** Equal ids never pair: the join formulations this kernel replaces used
+    * a strict `vec_id < vec_id` condition (as does the DuckDB oracle), so a
+    * duplicated vec_id must not produce an (x, x, 1.0) self-pair here. */
   def emit(out: java.util.ArrayList[Any], idA: Long, idB: Long, cos: Double): Unit = {
+    if (idA == idB) return
     val (x, y) = if (idA < idB) (idA, idB) else (idB, idA)
     out.add(new GenericInternalRow(Array[Any](x, y, cos)): InternalRow)
   }
@@ -260,10 +280,8 @@ private[functions] object VecPairs {
 case class VecPairsWithin(child: Expression, threshold: Double)
     extends UnaryExpression with CodegenFallback {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(org.apache.spark.sql.types.StructType(_), _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(s"vec_pairs_within expects array<struct>, got $other")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecPairs.checkPackedInput(child.dataType, prettyName)
   override def dataType: DataType = VecPairs.outType
   override def prettyName: String = "vec_pairs_within"
 
@@ -294,15 +312,9 @@ case class VecPairsWithin(child: Expression, threshold: Double)
 case class VecPairsBetween(left: Expression, right: Expression, threshold: Double)
     extends BinaryExpression with CodegenFallback {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(org.apache.spark.sql.types.StructType(_), _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"vec_pairs_between expects array<struct> inputs, got ${left.dataType} / ${right.dataType}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).map(e => VecPairs.checkPackedInput(e.dataType, prettyName))
+      .find(_.isFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
   override def dataType: DataType = VecPairs.outType
   override def prettyName: String = "vec_pairs_between"
 

@@ -53,8 +53,7 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // the shingle table feeds candidate generation, the size lookup, and
     // verification — persist so tokenize+shingle runs once
-    val sh = TextOps.withShingles(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.RunHygiene.stage(TextOps.withShingles(docs, n))
     val inv = sh.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
     // global doc-frequency order: rare shingles first
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
@@ -62,11 +61,10 @@ object Dedup {
       .partitionBy("doc_id").orderBy("dfreq", "shingle")
     // persisted: the prefix feeds BOTH sides of the candidate self-join —
     // without it the dfreq join + per-doc window sort run twice
-    val prefix = inv.join(dfreq, Seq("shingle"))
+    val prefix = graft.RunHygiene.stage(inv.join(dfreq, Seq("shingle"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("doc_id", "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select("doc_id", "shingle"))
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -98,10 +96,9 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
     // persisted: read by the banding pass and by both verify join sides
-    val sh = TextOps.withShingles(docs, n)
+    val sh = graft.RunHygiene.stage(TextOps.withShingles(docs, n)
       .withColumn("hv", transform(col("sh"), x =>
-        conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long") % MinhashPrime))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long") % MinhashPrime)))
 
     // the full 12-value signature in ONE codegen'd traversal of hv (the
     // per-position array_min(transform(...)) form re-traverses hv once per
@@ -250,6 +247,9 @@ object Dedup {
       throw new IllegalStateException(
         s"dedupClusters did not converge within $maxIter rounds — component diameter exceeds maxIter")
     edges.unpersist()
+    // the final label frame backs the returned (lazy) result — registered
+    // for the runner's post-query drain rather than unpersisted here
+    graft.RunHygiene.track(cached)
     labels.orderBy("doc_id")
   }
 
@@ -262,8 +262,7 @@ object Dedup {
     * minima of content hashes, so no posting list concentrates the way a
     * stopword shingle does. */
   def winnowPairs(docs: DataFrame, n: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
-    val fp = TextOps.winnowFingerprints(docs, n, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = graft.RunHygiene.stage(TextOps.winnowFingerprints(docs, n, w))
     fp.as("a").join(fp.as("b"),
         col("a.fingerprint") === col("b.fingerprint") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -276,8 +275,7 @@ object Dedup {
     * frame feeds both self-join sides — persisted so the 16-bit aggregate
     * pass over the corpus runs once, not once per side. */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val s = simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = graft.RunHygiene.stage(simhash(docs))
     s.as("a").join(s.as("b"),
         col("a.simhash16") === col("b.simhash16") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -102,7 +102,7 @@ object IncrementalMatcher {
     val (lo, hi) = (mm.getAs[java.time.LocalDateTime](0), mm.getAs[java.time.LocalDateTime](1))
     val pivot = lo.plusSeconds(java.time.Duration.between(lo, hi).toSeconds / 2)
     val (m1, s1raw) = matchDelta(emptyState(txns.sparkSession), t.filter(col("timestamp") < lit(pivot)))
-    val s1 = s1raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s1 = graft.RunHygiene.stage(s1raw)
     val (m2, _) = matchDelta(s1, t.filter(col("timestamp") >= lit(pivot)))
     val matches = m1.unionByName(m2)
       .select(col("earned_id").as("TRANS_ID"), col("redeem_id").as("REDEEMID"))

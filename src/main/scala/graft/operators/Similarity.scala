@@ -80,10 +80,9 @@ object Similarity {
     * O(B·n·dim) and per-task memory O((n/B)·dim). */
   def nearDupPairs(embeddings: DataFrame, threshold: Double, blocks: Int = 32): DataFrame = {
     graft.functions.VectorExpressions.registerPairs(embeddings.sparkSession, threshold)
-    val packed = embeddings
+    val packed = graft.RunHygiene.stage(embeddings
       .groupBy(pmod(col("vec_id"), lit(blocks)).as("blk"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs")))
     val within = packed
       .select(explode(call_function("vec_pairs_within", col("vs"))).as("p"))
     val between = packed.select(col("blk").as("blk_a"), col("vs").as("vs_a"))
@@ -132,11 +131,11 @@ object Similarity {
       bits: Int = 5, tables: Int = 48, dim: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     val planes = Array.tabulate(bits * tables * dim) { i => planeComponent(i / dim, i % dim) }
-    graft.functions.HashExpressions.registerSrp(spark, planes, bits, tables, dim)
+    val srp = graft.functions.HashExpressions.registerSrp(spark, planes, bits, tables, dim)
     graft.functions.VectorExpressions.registerPairs(spark, threshold)
     val buckets = embeddings
       .select(struct(col("vec_id"), col("embedding")).as("v"),
-        posexplode(call_function("srp_codes", col("embedding"))).as(Seq("tbl", "code")))
+        posexplode(call_function(srp, col("embedding"))).as(Seq("tbl", "code")))
       .groupBy("tbl", "code")
       .agg(collect_list(col("v")).as("vs"))
       .filter(size(col("vs")) > 1)
@@ -180,8 +179,8 @@ object Similarity {
   def lshBucketCompiled(spark: org.apache.spark.sql.SparkSession, emb: Column,
       nPlanes: Int = 8, dim: Int = 64): Column = {
     val planes = Array.tabulate(nPlanes * dim) { i => planeComponent(i / dim, i % dim) }
-    graft.functions.HashExpressions.registerSrp(spark, planes, nPlanes, 1, dim)
-    element_at(call_function("srp_codes", emb), 1)
+    val srp = graft.functions.HashExpressions.registerSrp(spark, planes, nPlanes, 1, dim)
+    element_at(call_function(srp, emb), 1)
   }
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer assigns every
@@ -201,8 +200,7 @@ object Similarity {
     graft.functions.VectorExpressions.register(embeddings.sparkSession)
     // the training loop and the final assignment all scan this — persist
     // once instead of re-reading parquet per Lloyd round
-    val emb = embeddings.select("vec_id", "embedding")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
 
     // per-cell score = c·c − 2·v·c : the ‖v−c‖² argmin with the
     // rank-invariant v·v dropped. One codegen'd expression with the

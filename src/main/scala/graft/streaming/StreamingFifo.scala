@@ -129,8 +129,12 @@ object StreamingFifo {
         query.processAllAvailable() // one micro-batch per chunk
       }
     } finally query.stop()
+    // the DataFrame resolves the sink's relation eagerly at table() time, so
+    // the catalog entry can be dropped right away — repeated replays in one
+    // session must not accumulate driver-resident match logs in the catalog
     val log = spark.table(sinkName)
       .select(col("EARNED_ID").as("TRANS_ID"), col("REDEEMID"))
+    spark.catalog.dropTempView(sinkName)
     graft.operators.FifoMatcher.renameToSpec(txns)
       .join(log, Seq("TRANS_ID"), "left")
       .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")

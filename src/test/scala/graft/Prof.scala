@@ -71,9 +71,9 @@ object Prof {
       graft.functions.VectorExpressions.register(spark)
       val planes = Array.tabulate(5 * 48 * 64) { i =>
         graft.operators.Similarity.planeComponent(i / 64, i % 64) }
-      graft.functions.HashExpressions.registerSrp(spark, planes, 5, 48, 64)
+      val srp = graft.functions.HashExpressions.registerSrp(spark, planes, 5, 48, 64)
       val codes = emb.select(col("vec_id"),
-          posexplode(call_function("srp_codes", col("embedding"))).as(Seq("tbl", "code")))
+          posexplode(call_function(srp, col("embedding"))).as(Seq("tbl", "code")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("lsh-codes")(codes.count())
       val candidates = codes.as("a").join(codes.as("b"),
