@@ -26,11 +26,6 @@ object Dedup {
         count(lit(1)).as("group_size"))
       .orderBy("content_hash")
 
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    inter.cast("double") / (size(a) + size(b) - inter)
-  }
-
   /** N-gram (shingle) Jaccard dedup as a prefix-filtered set-similarity
     * join (the All-Pairs/PPJoin family): candidates come from an inverted
     * index over each document's *prefix* — its first |A| − ⌈t·|A|⌉ + 1
