@@ -25,8 +25,13 @@ import org.apache.spark.storage.StorageLevel
   * can never evict them.
   */
 object RunHygiene {
+  // weak session keys: a session that ends without ever draining (tests,
+  // ad-hoc library use) must not pin itself or its frames forever. Within a
+  // LIVE session that never drains, registration is bookkeeping only — a
+  // buffer of plan references, not extra cached data (the caches exist
+  // regardless; draining is what frees them early).
   private val pool =
-    scala.collection.mutable.Map.empty[org.apache.spark.sql.SparkSession, scala.collection.mutable.Buffer[DataFrame]]
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, scala.collection.mutable.Buffer[DataFrame]]
 
   /** Persist a per-query stage table (MEMORY_AND_DISK) and register it for
     * the next [[drainStages]]. */
@@ -34,7 +39,12 @@ object RunHygiene {
 
   /** Register an already-persisted frame for the next [[drainStages]]. */
   def track(df: DataFrame): DataFrame = synchronized {
-    pool.getOrElseUpdate(df.sparkSession, scala.collection.mutable.Buffer.empty) += df
+    var b = pool.get(df.sparkSession)
+    if (b == null) {
+      b = scala.collection.mutable.Buffer.empty
+      pool.put(df.sparkSession, b)
+    }
+    b += df
     df
   }
 
@@ -43,6 +53,6 @@ object RunHygiene {
     * no-op, and frames persisted by a failed query drain safely. */
   def drainStages(spark: org.apache.spark.sql.SparkSession): Unit = {
     val drained = synchronized { pool.remove(spark) }
-    drained.foreach(_.foreach(_.unpersist(blocking = false)))
+    if (drained != null) drained.foreach(_.unpersist(blocking = false))
   }
 }

@@ -9,6 +9,24 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Space-joined n-gram assembly shared by every kernel whose output must
+  * stay byte-identical to `concat_ws(" ", slice(toks, i, n))` — one copy so
+  * the winnow kernel's hashes can never drift from word_ngrams' strings. */
+private[functions] object Grams {
+  private val space = UTF8String.fromString(" ")
+
+  def gram(toks: ArrayData, start: Int, n: Int): UTF8String = {
+    val parts = new Array[UTF8String](2 * n - 1)
+    var j = 0
+    while (j < n) {
+      parts(2 * j) = toks.getUTF8String(start + j)
+      if (j < n - 1) parts(2 * j + 1) = space
+      j += 1
+    }
+    UTF8String.concat(parts: _*)
+  }
+}
+
 /** Word n-gram construction in one compiled loop per row.
   *
   * The declarative formulation — `transform(sequence(1, m-n+1),
@@ -30,8 +48,6 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
 
-  private val space = UTF8String.fromString(" ")
-
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val m = toks.numElements()
@@ -41,27 +57,16 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
       val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
       var i = 0
       while (i < count) {
-        seen.add(gram(toks, i))
+        seen.add(Grams.gram(toks, i, n))
         i += 1
       }
       new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
     } else {
       val out = new Array[Any](count)
       var i = 0
-      while (i < count) { out(i) = gram(toks, i); i += 1 }
+      while (i < count) { out(i) = Grams.gram(toks, i, n); i += 1 }
       new GenericArrayData(out)
     }
-  }
-
-  private def gram(toks: ArrayData, start: Int): UTF8String = {
-    val parts = new Array[UTF8String](2 * n - 1)
-    var j = 0
-    while (j < n) {
-      parts(2 * j) = toks.getUTF8String(start + j)
-      if (j < n - 1) parts(2 * j + 1) = space
-      j += 1
-    }
-    UTF8String.concat(parts: _*)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -94,8 +99,6 @@ case class WinnowFingerprint(child: Expression, n: Int, w: Int)
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "winnow_fp"
 
-  private val space = UTF8String.fromString(" ")
-
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val m = toks.numElements()
@@ -105,15 +108,8 @@ case class WinnowFingerprint(child: Expression, n: Int, w: Int)
     val hv = new Array[Long](cnt)
     var i = 0
     while (i < cnt) {
-      val parts = new Array[UTF8String](2 * n - 1)
-      var j = 0
-      while (j < n) {
-        parts(2 * j) = toks.getUTF8String(i + j)
-        if (j < n - 1) parts(2 * j + 1) = space
-        j += 1
-      }
       md.reset()
-      val d = md.digest(UTF8String.concat(parts: _*).getBytes)
+      val d = md.digest(Grams.gram(toks, i, n).getBytes)
       hv(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       i += 1

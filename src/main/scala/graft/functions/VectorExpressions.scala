@@ -210,48 +210,68 @@ private[functions] object VecPairs {
 
   /** Unpack array<struct<vec_id:long, embedding:array<float>>> into primitive
     * arrays with per-vector norms (index-order double accumulation, the
-    * [[FloatVectorNorm]] contract). */
+    * [[FloatVectorNorm]] contract). Entries with a null id or null embedding
+    * are skipped — the join formulation dropped them through null
+    * propagation (null join keys never match; vec_dot of null is null). */
   def unpack(vs: ArrayData): (Array[Long], Array[Array[Float]], Array[Double]) = {
     val n = vs.numElements()
     val ids = new Array[Long](n)
     val vecs = new Array[Array[Float]](n)
     val norms = new Array[Double](n)
+    var m = 0
     var i = 0
     while (i < n) {
       val row = vs.getStruct(i, 2)
-      ids(i) = row.getLong(0)
-      val e = row.getArray(1)
-      val d = e.numElements()
-      val v = new Array[Float](d)
-      var k = 0
-      var acc = 0.0
-      while (k < d) {
-        val x = e.getFloat(k)
-        v(k) = x
-        acc += x.toDouble * x.toDouble
-        k += 1
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        ids(m) = row.getLong(0)
+        val e = row.getArray(1)
+        val d = e.numElements()
+        val v = new Array[Float](d)
+        var k = 0
+        var acc = 0.0
+        while (k < d) {
+          val x = e.getFloat(k)
+          v(k) = x
+          acc += x.toDouble * x.toDouble
+          k += 1
+        }
+        vecs(m) = v
+        norms(m) = math.sqrt(acc)
+        m += 1
       }
-      vecs(i) = v
-      norms(i) = math.sqrt(acc)
       i += 1
     }
-    (ids, vecs, norms)
+    if (m == n) (ids, vecs, norms)
+    else (ids.take(m), vecs.take(m), norms.take(m))
   }
 
-  /** round(dot/denom, 6) with Spark's Round semantics (HALF_UP on
-    * BigDecimal.valueOf), or NaN marker −2 when the denominator is zero
-    * (cosine undefined — those pairs are dropped, exactly as
-    * `filter(null >= t)` drops them in the join formulation). */
+  /** Sentinel meaning "this pair is dropped" — the zero-denominator case,
+    * where the join formulation produced null and `filter(null >= t)`
+    * dropped the row (the DuckDB oracle NULLIFs identically). */
+  val Dropped: Double = java.lang.Double.NEGATIVE_INFINITY
+
+  /** round(dot/denom, 6) with Spark's Round semantics: HALF_UP on
+    * BigDecimal.valueOf, and NaN/±Infinity pass through unchanged (Spark's
+    * RoundBase guards them; BigDecimal.valueOf would throw on NaN). */
   def cosineRounded(a: Array[Float], na: Double, b: Array[Float], nb: Double): Double = {
     val denom = na * nb
-    if (denom == 0) return -2.0
+    if (denom == 0) return Dropped
     val n = math.min(a.length, b.length)
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    java.math.BigDecimal.valueOf(acc / denom)
+    val r = acc / denom
+    if (java.lang.Double.isNaN(r) || java.lang.Double.isInfinite(r)) r
+    else java.math.BigDecimal.valueOf(r)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
+
+  /** The join formulation's threshold filter under Spark SQL comparison
+    * semantics, which order NaN GREATER than every number — so a NaN cosine
+    * passes `>= t` on both engines and must be emitted, not dropped. −Inf
+    * (the [[Dropped]] sentinel and any true −Inf cosine) never passes. */
+  def passes(c: Double, threshold: Double): Boolean =
+    java.lang.Double.isNaN(c) || c >= threshold
 
   /** Equal ids never pair: the join formulations this kernel replaces used
     * a strict `vec_id < vec_id` condition (as does the DuckDB oracle), so a
@@ -293,7 +313,7 @@ case class VecPairsWithin(child: Expression, threshold: Double)
       var j = i + 1
       while (j < ids.length) {
         val c = VecPairs.cosineRounded(vecs(i), norms(i), vecs(j), norms(j))
-        if (c >= threshold) VecPairs.emit(out, ids(i), ids(j), c)
+        if (VecPairs.passes(c, threshold)) VecPairs.emit(out, ids(i), ids(j), c)
         j += 1
       }
       i += 1
@@ -327,7 +347,7 @@ case class VecPairsBetween(left: Expression, right: Expression, threshold: Doubl
       var j = 0
       while (j < idsB.length) {
         val c = VecPairs.cosineRounded(vecsA(i), normsA(i), vecsB(j), normsB(j))
-        if (c >= threshold) VecPairs.emit(out, idsA(i), idsB(j), c)
+        if (VecPairs.passes(c, threshold)) VecPairs.emit(out, idsA(i), idsB(j), c)
         j += 1
       }
       i += 1

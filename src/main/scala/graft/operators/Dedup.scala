@@ -60,6 +60,9 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("doc_id", "shingle"))
+    // materialized BEFORE the self-join: its two input stages run
+    // concurrently, and each would compute the unfilled cache independently
+    prefix.count()
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -198,12 +201,17 @@ object Dedup {
     // unmaterialized cache makes both branches compute the upstream
     // candidate plan (often an expensive dedup pass) — count() first means
     // one compute, then two cache reads
-    val p = pairs.persist(lvl)
+    // p/edges/every round's frame are ALSO registered with RunHygiene: on
+    // the non-convergence throw below nothing after it runs, and the
+    // runner's drain must still release whatever the loop materialized
+    // (double-unpersist of the frames cleaned up here is a no-op)
+    val p = graft.RunHygiene.track(pairs.persist(lvl))
     p.count()
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .persist(lvl)
+    val edges = graft.RunHygiene.track(
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct()
+        .persist(lvl))
     edges.count()
     p.unpersist()
     // each round carries prev alongside the new label, so convergence is a
@@ -212,10 +220,10 @@ object Dedup {
     // ONE aggregation over the edge list, so clique-shaped graphs (equal-
     // sketch buckets, the common dedup case) converge at init and the loop
     // runs a single no-change round instead of propagate + confirm.
-    var cached = edges.groupBy(col("src"))
+    var cached = graft.RunHygiene.track(edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
       .select(col("src").as("doc_id"), col("cluster_id").as("prev"), col("cluster_id"))
-      .persist(lvl)
+      .persist(lvl))
     var labels = cached.select("doc_id", "cluster_id")
     var converged = false
     var iter = 0
@@ -224,10 +232,10 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nb_label")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nb_label")).as("nb_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val next = graft.RunHygiene.track(labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
-        .persist(lvl)
+        .persist(lvl))
       val changed = next.filter(col("cluster_id") =!= col("prev")).count()
       cached.unpersist()
       cached = next
@@ -242,9 +250,6 @@ object Dedup {
       throw new IllegalStateException(
         s"dedupClusters did not converge within $maxIter rounds — component diameter exceeds maxIter")
     edges.unpersist()
-    // the final label frame backs the returned (lazy) result — registered
-    // for the runner's post-query drain rather than unpersisted here
-    graft.RunHygiene.track(cached)
     labels.orderBy("doc_id")
   }
 
@@ -258,6 +263,7 @@ object Dedup {
     * stopword shingle does. */
   def winnowPairs(docs: DataFrame, n: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
     val fp = graft.RunHygiene.stage(TextOps.winnowFingerprints(docs, n, w))
+    fp.count() // fill the cache once before the self-join's concurrent sides
     fp.as("a").join(fp.as("b"),
         col("a.fingerprint") === col("b.fingerprint") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -271,6 +277,7 @@ object Dedup {
     * pass over the corpus runs once, not once per side. */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val s = graft.RunHygiene.stage(simhash(docs))
+    s.count() // fill the cache once before the self-join's concurrent sides
     s.as("a").join(s.as("b"),
         col("a.simhash16") === col("b.simhash16") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -83,6 +83,9 @@ object Similarity {
     val packed = graft.RunHygiene.stage(embeddings
       .groupBy(pmod(col("vec_id"), lit(blocks)).as("blk"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs")))
+    // three scans consume packed concurrently (within + both between sides)
+    // — fill the cache once first
+    packed.count()
     val within = packed
       .select(explode(call_function("vec_pairs_within", col("vs"))).as("p"))
     val between = packed.select(col("blk").as("blk_a"), col("vs").as("vs_a"))

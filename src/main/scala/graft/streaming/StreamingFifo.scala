@@ -122,19 +122,21 @@ object StreamingFifo {
     val query = matchStream(input.toDS())
       .writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
-    try {
-      val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
-      rows.grouped(chunk).foreach { g =>
-        input.addData(g.toIndexedSeq)
-        query.processAllAvailable() // one micro-batch per chunk
-      }
-    } finally query.stop()
-    // the DataFrame resolves the sink's relation eagerly at table() time, so
-    // the catalog entry can be dropped right away — repeated replays in one
-    // session must not accumulate driver-resident match logs in the catalog
-    val log = spark.table(sinkName)
-      .select(col("EARNED_ID").as("TRANS_ID"), col("REDEEMID"))
-    spark.catalog.dropTempView(sinkName)
+    // the catalog entry is dropped on EVERY path (the DataFrame resolves
+    // the sink's relation eagerly at table() time) — repeated replays in
+    // one session must not accumulate driver-resident match logs, failed
+    // replays included
+    val log = try {
+      try {
+        val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+        rows.grouped(chunk).foreach { g =>
+          input.addData(g.toIndexedSeq)
+          query.processAllAvailable() // one micro-batch per chunk
+        }
+      } finally query.stop()
+      spark.table(sinkName)
+        .select(col("EARNED_ID").as("TRANS_ID"), col("REDEEMID"))
+    } finally spark.catalog.dropTempView(sinkName)
     graft.operators.FifoMatcher.renameToSpec(txns)
       .join(log, Seq("TRANS_ID"), "left")
       .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")

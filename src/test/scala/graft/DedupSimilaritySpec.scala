@@ -124,6 +124,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(b(0L) === b(1L))
   }
 
+  test("pair kernels mirror the join formulation on degenerate vectors") {
+    import org.apache.spark.sql.functions.col
+    // duplicate vec_id (never a self-pair), zero vector (null cosine →
+    // dropped), NaN component (NaN sorts greatest in both engines' SQL
+    // comparison, so a NaN cosine PASSES the threshold and is emitted —
+    // Spark's round() passes NaN through; BigDecimal.valueOf would throw)
+    val df = embeddings(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      0L -> Seq(1f, 0f, 0f, 0f), // duplicated id
+      1L -> Seq(0f, 0f, 0f, 0f), // zero vector
+      2L -> Seq(Float.NaN, 1f, 0f, 0f),
+      3L -> Seq(0.99f, 0.14f, 0f, 0f))
+    val out = graft.operators.Similarity.nearDupPairs(df, 0.9, blocks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(!out.exists(p => p._1 == p._2), "no self-pairs from duplicate ids")
+    // zero vector: denom 0 against finite vectors → null cosine → dropped;
+    // against the NaN vector denom is 0·NaN = NaN (NaN === 0 is false, so
+    // safeDenom passes it through) → NaN cosine → emitted, like the join
+    assert(!out.exists(p => Set(p._1, p._2) == Set(0L, 1L) || Set(p._1, p._2) == Set(1L, 3L)),
+      "zero vector drops against finite vectors (null cosine)")
+    val nanPairs = out.filter(p => p._1 == 2L || p._2 == 2L)
+    assert(nanPairs.nonEmpty && nanPairs.forall(p => p._3.isNaN),
+      "NaN cosine passes the threshold as in Spark SQL comparison semantics")
+    assert(out.exists(p => (p._1, p._2) == (0L, 3L) && p._3 >= 0.9))
+  }
+
+  test("pair kernels skip null embeddings like the join's null propagation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((0L, Some(Seq(1f, 0f))), (1L, Option.empty[Seq[Float]]),
+        (2L, Some(Seq(1f, 0f))))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.nearDupPairs(df, 0.5, blocks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((0L, 2L)))
+  }
+
   test("compiled lsh bucket equals the declarative column on real vectors") {
     import org.apache.spark.sql.functions.col
     val emb = graft.sources.Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
