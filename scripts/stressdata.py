@@ -5,7 +5,10 @@ Copies the sf0.001 tables and injects the degenerate rows real corpora
 contain but the driver's clean synthetic data never exercises: empty
 documents, single-token docs, exact duplicates, whitespace runs, long
 repetitive docs, boundary near-dup pairs, duplicate embedding vectors
-(cosine exactly 1), and an all-zero embedding (cosine undefined).
+(cosine exactly 1), an all-zero embedding (cosine undefined), and a
+NaN-component embedding (NaN orders greatest in both engines' SQL, so its
+cosines pass thresholds as NaN — round 3's compiled kernels must mirror
+that instead of crashing in BigDecimal rounding).
 
 Usage: python3 scripts/stressdata.py [outDir=/tmp/stressdata]
 Then:  sbt "runMain graft.Verify /tmp/stressdata /tmp/vstress"
@@ -50,6 +53,11 @@ COPY (
   SELECT 90002, embedding, label FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 10
   UNION ALL
   SELECT 90003, list_transform(embedding, x -> 0.0::FLOAT), label FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 10
+  UNION ALL
+  -- NaN component: both engines order NaN above every number, so its NaN
+  -- cosines PASS thresholds and must round-trip the gate as NaN, not crash
+  -- the compiled kernels (BigDecimal.valueOf(NaN) throws if unguarded)
+  SELECT 90004, list_transform(embedding, x -> 'NaN'::FLOAT), label FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 10
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """)
 con.execute(f"""

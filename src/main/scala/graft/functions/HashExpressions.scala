@@ -128,7 +128,10 @@ case class SrpCodes(child: Expression, planes: Array[Double], bits: Int, tables:
         var acc = 0.0
         var d = 0
         while (d < n) { acc += v.getFloat(d).toDouble * planes(base + d); d += 1 }
-        if (acc >= 0) code |= (1L << j)
+        // !(acc < 0), not acc >= 0: SQL comparison orders NaN above every
+        // number on both engines, so a NaN dot sets the bit — Java's >=
+        // would drop it and diverge from the declarative column and DuckDB
+        if (!(acc < 0)) code |= (1L << j)
         j += 1
       }
       out(t) = code
@@ -159,7 +162,7 @@ case class SrpCodes(child: Expression, planes: Array[Double], bits: Int, tables:
          |    for (int $d = 0; $d < $n; $d++) {
          |      $acc += ((double) $v.getFloat($d)) * $pRef[$base + $d];
          |    }
-         |    if ($acc >= 0) $code |= (1L << $j);
+         |    if (!($acc < 0)) $code |= (1L << $j); // NaN sets the bit (SQL NaN ordering)
          |  }
          |  $out[$t] = $code;
          |}
