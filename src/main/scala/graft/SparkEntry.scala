@@ -206,6 +206,12 @@ object SparkEntry {
     // token-stream sequence packing
     "train_splits" -> ((s, d) =>
       graft.operators.TrainPrep.assignSplits(Tables.documents(s, d))),
+    // benchmark decontamination: training docs sharing >=3 word-3-grams
+    // with a deterministic probe subset standing in for the eval set
+    "text_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairs(docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    }),
     "train_pack_sequences" -> ((s, d) =>
       graft.operators.TrainPrep.packSequences(Tables.documents(s, d))),
 
@@ -319,5 +325,6 @@ object SparkEntry {
     "incremental_match" -> OracleSql.fifoMatch,
     "streaming_match" -> OracleSql.fifoMatch,
     "train_splits" -> OracleSqlText.trainSplits(),
+    "text_contamination" -> OracleSqlText.contamination(),
     "train_pack_sequences" -> OracleSqlText.packSequences())
 }

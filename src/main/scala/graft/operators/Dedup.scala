@@ -253,6 +253,32 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: training documents sharing ≥ `minShared`
+    * word n-grams with any probe (benchmark/eval) document — the
+    * train-test contamination check every training-data pipeline runs
+    * before shipping a corpus (the n-gram overlap criterion of the
+    * GPT-3/PaLM decontamination appendices, exact rather than hashed).
+    *
+    * Shape: the probe corpus's distinct shingles form the inverted index
+    * (probes are benchmark-sized — orders of magnitude smaller than the
+    * training corpus), the training side streams through one equi-join on
+    * shingle, and one count-aggregate per (train, probe) pair scores the
+    * overlap. Shuffles are keyed on shingles; nothing is quadratic in the
+    * training corpus — fan-out per training shingle is its frequency in
+    * the PROBE set, bounded by benchmark size. */
+  def contaminationPairs(docs: DataFrame, probes: DataFrame, n: Int = 3,
+      minShared: Int = 3): DataFrame = {
+    val trainSh = TextOps.withShingles(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val probeSh = TextOps.withShingles(probes, n)
+      .select(col("doc_id").as("probe_id"), explode(col("sh")).as("shingle"))
+    trainSh.join(probeSh, Seq("shingle"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared && col("doc_id") =!= col("probe_id"))
+      .orderBy("doc_id", "probe_id")
+  }
+
   /** Local-overlap near-dup pairs from shared winnowing fingerprints
     * (MOSS-style): two docs sharing ≥ `minShared` fingerprints contain
     * matching token runs (any shared run of ≥ n+w−1 tokens is guaranteed

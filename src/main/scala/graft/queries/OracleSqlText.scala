@@ -589,6 +589,18 @@ reach(doc_id, r) AS (
 )
 SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors Dedup.contaminationPairs over a doc_id % `mod` probe subset. */
+  def contamination(n: Int = 3, minShared: Int = 3, mod: Int = 97): String = s"""
+WITH $toksCte,
+$shinglesCte,
+tr AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+pr AS (SELECT doc_id AS probe_id, unnest(sh) AS shingle FROM sh WHERE doc_id % $mod = 0)
+SELECT tr.doc_id, pr.probe_id, COUNT(*) AS shared_ngrams
+FROM tr JOIN pr USING (shingle)
+GROUP BY tr.doc_id, pr.probe_id
+HAVING COUNT(*) >= $minShared AND tr.doc_id != pr.probe_id
+ORDER BY doc_id, probe_id"""
+
   /** Mirrors TrainPrep.assignSplits: md5-of-id bucket, threshold split. */
   def trainSplits(valPct: Int = 10, testPct: Int = 10, buckets: Int = 100): String = s"""
 WITH b AS (
