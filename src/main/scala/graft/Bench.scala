@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,16 +31,29 @@ object Bench {
     // 70 queries don't accumulate storage churn
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failure must surface as an explicit error entry, never as a
+      // plausible-looking timing (a broken query would otherwise bench
+      // "fast" and vanish)
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
       val sec = (System.nanoTime() - t0) / 1e9
       RunHygiene.drainStages(spark)
-      name -> sec
+      (name, sec, err)
     }
-    val qs = (("_pipeline_materialize" -> materializeSec) +: results)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = (("_pipeline_materialize", materializeSec) +: results.map(r => (r._1, r._2)))
+      .map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (n, _, Some(m)) => jstr(n) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = materializeSec + results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

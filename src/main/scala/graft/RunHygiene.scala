@@ -25,13 +25,24 @@ import org.apache.spark.storage.StorageLevel
   * can never evict them.
   */
 object RunHygiene {
-  // weak session keys: a session that ends without ever draining (tests,
-  // ad-hoc library use) must not pin itself or its frames forever. Within a
-  // LIVE session that never drains, registration is bookkeeping only — a
-  // buffer of plan references, not extra cached data (the caches exist
-  // regardless; draining is what frees them early).
+  // Frames must be held STRONGLY: a drain right after a query's action has
+  // to find them, and a weak value could be collected in the gap between
+  // action and drain, silently skipping the unpersist. The buffered
+  // DataFrames reference their SparkSession, so the map key can never be
+  // weakly collected while its entry lives — the no-eternal-pinning
+  // guarantee therefore comes from [[sweep]], not from key weakness: every
+  // track/drain drops entries whose session has STOPPED, so a session that
+  // ends without draining is released at the next touch of RunHygiene from
+  // anywhere (and a live session's entry is bookkeeping only — a buffer of
+  // plan references, not extra cached data; the caches exist regardless,
+  // draining is what frees them early).
   private val pool =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, scala.collection.mutable.Buffer[DataFrame]]
+    new java.util.HashMap[org.apache.spark.sql.SparkSession, scala.collection.mutable.Buffer[DataFrame]]
+
+  private def sweep(): Unit = {
+    val it = pool.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+  }
 
   /** Persist a per-query stage table (MEMORY_AND_DISK) and register it for
     * the next [[drainStages]]. */
@@ -39,6 +50,7 @@ object RunHygiene {
 
   /** Register an already-persisted frame for the next [[drainStages]]. */
   def track(df: DataFrame): DataFrame = synchronized {
+    sweep()
     var b = pool.get(df.sparkSession)
     if (b == null) {
       b = scala.collection.mutable.Buffer.empty
@@ -52,7 +64,7 @@ object RunHygiene {
     * Double-unpersist (an operator already cleaned up internally) is a
     * no-op, and frames persisted by a failed query drain safely. */
   def drainStages(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val drained = synchronized { pool.remove(spark) }
+    val drained = synchronized { sweep(); pool.remove(spark) }
     if (drained != null) drained.foreach(_.unpersist(blocking = false))
   }
 }

@@ -166,6 +166,9 @@ object SparkEntry {
     // the replicated-salt join, oracle-checked against the plain join
     "join_salted_revenue" -> ((s, d) =>
       RelationalQueries.saltedRevenueByPriority(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // the co-bucketed exchange-free join, same oracle as the salted form
+    "join_bucketed_revenue" -> ((s, d) =>
+      RelationalQueries.bucketedRevenueByPriority(s, d)),
     "window_customer_order_rank" -> ((s, d) =>
       RelationalQueries.customerOrderRank(Tables.orders(s, d))),
 
@@ -236,6 +239,14 @@ object SparkEntry {
     "streaming_match" -> ((s, d) =>
       graft.streaming.StreamingFifo.replayLedger(txns(s, d)).orderBy(matchedOrder: _*)),
 
+    // streaming analytics replayed the same way: the windowed rollup must
+    // equal the batch tumbling GROUP BY once the watermark closes every
+    // window; streaming dedup must pass exactly one survivor per hash
+    "streaming_rollup" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.replayRollup(Tables.events(s, d))),
+    "streaming_dedup" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.replayDedup(Tables.documents(s, d))),
+
     // training-data pipeline: multimodal binary plumbing (decode is stubbed)
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.withMedia(Tables.documents(s, d)))
@@ -292,6 +303,7 @@ object SparkEntry {
     "join_revenue_by_nation" -> OracleSql.revenueByNation,
     "topk_orders" -> OracleSql.topkOrders,
     "join_salted_revenue" -> OracleSql.saltedRevenueByPriority,
+    "join_bucketed_revenue" -> OracleSql.saltedRevenueByPriority,
     "window_customer_order_rank" -> OracleSql.customerOrderRank,
     "dedup_exact" -> OracleSqlText.dedupExact,
     "dedup_ngram_jaccard" -> OracleSqlText.ngramJaccard,
@@ -324,6 +336,8 @@ object SparkEntry {
     "curation_pipeline" -> OracleSqlText.curation,
     "incremental_match" -> OracleSql.fifoMatch,
     "streaming_match" -> OracleSql.fifoMatch,
+    "streaming_rollup" -> OracleSql.streamingRollup,
+    "streaming_dedup" -> OracleSqlText.streamingDedup,
     "train_splits" -> OracleSqlText.trainSplits(),
     "text_contamination" -> OracleSqlText.contamination(),
     "train_pack_sequences" -> OracleSqlText.packSequences())

@@ -159,6 +159,16 @@ case class Simhash16(child: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "simhash16"
 
+  // a NULL token array hashes to 0, never NULL: the declarative 16-lambda
+  // formulation and the DuckDB oracle both send null through their
+  // CASE/ELSE-0 arm (list_sum(NULL) >= 0 is not true), so the kernel must
+  // not take UnaryExpression's default null-intercepting path
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else nullSafeEval(v)
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()

@@ -375,18 +375,28 @@ object VectorExpressions {
       (children: Seq[Expression]) => FloatVectorNorm(children.head))
   }
 
-  /** (Re-)bind `vec_pairs_within` / `vec_pairs_between` to a cosine
-    * threshold. Re-registering with a different threshold replaces the
-    * binding (analysis is eager, so each built plan keeps its own). */
-  def registerPairs(spark: SparkSession, threshold: Double): Unit = {
+  /** Bind `vec_pairs_within` / `vec_pairs_between` to a cosine threshold
+    * under threshold-ENCODED function names (as registerSrp does for its
+    * constants) and return the `(within, between)` names to call. A bare
+    * shared name rebound per call would make plan correctness depend on
+    * analysis happening eagerly between two registrations — two operators
+    * building plans concurrently on one session (or a future lazy-analysis
+    * path) could silently capture the wrong threshold. Name-encoding makes
+    * every binding immutable; re-registering the same threshold is an
+    * idempotent overwrite with an identical builder. */
+  def registerPairs(spark: SparkSession, threshold: Double): (String, String) = {
+    val tag = java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(threshold))
+    val within = s"vec_pairs_within_$tag"
+    val between = s"vec_pairs_between_$tag"
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("vec_pairs_within"),
-      new ExpressionInfo(classOf[VecPairsWithin].getName, "vec_pairs_within"),
+      FunctionIdentifier(within),
+      new ExpressionInfo(classOf[VecPairsWithin].getName, within),
       (children: Seq[Expression]) => VecPairsWithin(children.head, threshold))
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("vec_pairs_between"),
-      new ExpressionInfo(classOf[VecPairsBetween].getName, "vec_pairs_between"),
+      FunctionIdentifier(between),
+      new ExpressionInfo(classOf[VecPairsBetween].getName, between),
       (children: Seq[Expression]) => VecPairsBetween(children(0), children(1), threshold))
+    (within, between)
   }
 
   /** (Re-)bind `ivf_scores` to a centroid matrix (flattened [cell][dim]).

@@ -79,7 +79,8 @@ object Similarity {
     * exact differential baseline, and `blocks` scales it: shuffle volume is
     * O(B·n·dim) and per-task memory O((n/B)·dim). */
   def nearDupPairs(embeddings: DataFrame, threshold: Double, blocks: Int = 32): DataFrame = {
-    graft.functions.VectorExpressions.registerPairs(embeddings.sparkSession, threshold)
+    val (pairsWithin, pairsBetween) =
+      graft.functions.VectorExpressions.registerPairs(embeddings.sparkSession, threshold)
     val packed = graft.RunHygiene.stage(embeddings
       .groupBy(pmod(col("vec_id"), lit(blocks)).as("blk"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs")))
@@ -87,11 +88,11 @@ object Similarity {
     // — fill the cache once first
     packed.count()
     val within = packed
-      .select(explode(call_function("vec_pairs_within", col("vs"))).as("p"))
+      .select(explode(call_function(pairsWithin, col("vs"))).as("p"))
     val between = packed.select(col("blk").as("blk_a"), col("vs").as("vs_a"))
       .join(packed.select(col("blk").as("blk_b"), col("vs").as("vs_b")),
         col("blk_a") < col("blk_b"))
-      .select(explode(call_function("vec_pairs_between", col("vs_a"), col("vs_b"))).as("p"))
+      .select(explode(call_function(pairsBetween, col("vs_a"), col("vs_b"))).as("p"))
     within.unionByName(between)
       .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
         col("p.cosine_sim").as("cosine_sim"))
@@ -129,13 +130,26 @@ object Similarity {
     * hash joins re-fetching embeddings); scoring inside the bucket means
     * the quadratic candidate volume exists only as loop iterations inside
     * [[graft.functions.VecPairsWithin]], never as shuffled rows — the
-    * distinct sees survivors only (output-sized, not candidate-sized). */
+    * distinct sees survivors only (output-sized, not candidate-sized).
+    *
+    * Operating envelope (per-bucket packing): one collect_list row holds an
+    * entire (table, code) bucket and one task scores it O(bucket²·dim), so
+    * the shape assumes buckets stay far below a partition's memory —
+    * expected n/2^bits per table, and in the worst case bounded by the
+    * largest set of mutually sign-agreeing vectors. A corpus of k near-
+    * identical embeddings concentrates one k-row bucket per table; but
+    * such a corpus also has Θ(k²) TRUE near-dup pairs, so the output
+    * itself is quadratic there and no candidate generator can be
+    * sub-quadratic — the right lever at that point is upstream exact dedup
+    * (dedup_exact collapses byte-identical payloads first), or the blocked
+    * [[nearDupPairs]] whose `blocks` knob spreads a degenerate cluster
+    * over B² block pairs instead of one task. */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
       bits: Int = 5, tables: Int = 48, dim: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     val planes = Array.tabulate(bits * tables * dim) { i => planeComponent(i / dim, i % dim) }
     val srp = graft.functions.HashExpressions.registerSrp(spark, planes, bits, tables, dim)
-    graft.functions.VectorExpressions.registerPairs(spark, threshold)
+    val (pairsWithin, _) = graft.functions.VectorExpressions.registerPairs(spark, threshold)
     val buckets = embeddings
       .select(struct(col("vec_id"), col("embedding")).as("v"),
         posexplode(call_function(srp, col("embedding"))).as(Seq("tbl", "code")))
@@ -143,7 +157,7 @@ object Similarity {
       .agg(collect_list(col("v")).as("vs"))
       .filter(size(col("vs")) > 1)
     buckets
-      .select(explode(call_function("vec_pairs_within", col("vs"))).as("p"))
+      .select(explode(call_function(pairsWithin, col("vs"))).as("p"))
       .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
         col("p.cosine_sim").as("cosine_sim"))
       .distinct()

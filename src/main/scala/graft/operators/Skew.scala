@@ -13,22 +13,42 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted equi-join: the skewed (big) side gets a deterministic per-row
-    * salt in [0, buckets); the other side is replicated `buckets` times.
-    * Each big-side row meets exactly the replica carrying its salt, so the
-    * result multiset is identical to the plain join while the whale key's
-    * rows spread over `buckets` reducers.
+  /** Salted equi-join, whale-only (round 4; the original form salted every
+    * key): a first cheap pass finds keys with at least `whaleMinRows`
+    * rows on the skewed side (map-side combine absorbs the count, and the
+    * result — keys above a frequency floor — is small by definition, so it
+    * broadcasts). Only those whale keys are salted: whale rows on the
+    * skewed side get a deterministic salt in [0, buckets) and their
+    * matching `other` rows replicate ×buckets; the long tail joins plainly
+    * under a constant salt of 0. One shuffled join either way — the split
+    * lives in the salt expression, not in a union — so the result multiset
+    * is identical to the plain join while replicated-shuffle volume drops
+    * from ×buckets on ALL of `other` to ×buckets on the whale slice only.
     *
-    * Cost: small side shuffles ×buckets — choose `buckets` ≈ (whale-key
-    * rows / target-partition rows). The salt is a hash of the whole row, so
-    * retries recompute the same assignment (no rand()).
+    * Cost: one extra aggregation scan of the skewed side (the whale
+    * census) + a broadcast of the whale key set to both sides. The salt is
+    * a hash of the whole row, so retries recompute the same assignment
+    * (no rand()).
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
-      buckets: Int = 16): DataFrame = {
-    val saltCol = pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(buckets))
-    val left = skewed.withColumn("_salt", saltCol)
-    val right = other.withColumn("_salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
+      buckets: Int = 16, whaleMinRows: Long = 1L << 20): DataFrame = {
+    val keyCols = keys.map(col)
+    val whales = broadcast(
+      skewed.groupBy(keyCols: _*).agg(count(lit(1)).as("_kn"))
+        .filter(col("_kn") >= whaleMinRows)
+        .select(keyCols: _*)
+        .withColumn("_whale", lit(true)))
+    val left = skewed.join(whales, keys, "left")
+      .withColumn("_salt",
+        when(col("_whale").isNotNull,
+          pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+          .otherwise(lit(0)))
+      .drop("_whale")
+    val right = other.join(whales, keys, "left")
+      .withColumn("_salt",
+        explode(when(col("_whale").isNotNull, sequence(lit(0), lit(buckets - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("_whale")
     left.join(right, keys :+ "_salt").drop("_salt")
   }
 

@@ -65,6 +65,9 @@ object TrainPrep {
       .withColumn("pack_id", floor(col("prior") / maxTokens))
       .withColumn("pack_offset", col("prior") - col("pack_id") * maxTokens)
       .select("doc_id", "n_tokens", "shard", "pack_id", "pack_offset")
-      .orderBy("doc_id")
+      // doc_id is already a unique total order; sorting on every output
+      // column besides it is belt-and-braces against any physical-row-order
+      // variable in the Verify dump (round-3 gate flaked on hash only).
+      .orderBy("doc_id", "n_tokens", "shard", "pack_id", "pack_offset")
   }
 }

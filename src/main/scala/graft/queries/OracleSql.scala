@@ -378,6 +378,17 @@ SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
 FROM ev GROUP BY 1, 2 ORDER BY hour, event_type"""
 
+  /** Batch twin of StreamingAnalytics.windowedRollup: a 1-hour tumbling
+    * window IS hour truncation, so once the replay harness has flushed
+    * every window past the watermark the streaming result must equal this
+    * plain GROUP BY. */
+  val streamingRollup: String = s"""
+WITH $evCte
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM ev GROUP BY 1, 2, 3 ORDER BY window_start, event_type"""
+
   val eventsPropsJson: String = s"""
 WITH $evCte,
 x AS (SELECT event_type,

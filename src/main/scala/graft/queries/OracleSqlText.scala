@@ -29,6 +29,14 @@ object OracleSqlText {
 SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS group_size
 FROM documents GROUP BY md5(text) ORDER BY content_hash"""
 
+  /** Batch twin of StreamingAnalytics.streamingDedup's CONTRACT — exactly
+    * one survivor per content hash (the replay harness counts emitted rows
+    * per hash; survivor identity is arrival-order-nondeterministic within
+    * a micro-batch and deliberately not pinned). */
+  val streamingDedup: String = """
+SELECT md5(text) AS content_hash, CAST(1 AS BIGINT) AS n_passed
+FROM documents GROUP BY md5(text) ORDER BY content_hash"""
+
   /** Raw-jaccard filter, rounded output — mirrors Dedup.verifyPairs: the
     * Spark side's lossless candidate filters guarantee recall only for
     * J ≥ t exactly, so the threshold must compare the unrounded value. */
@@ -624,14 +632,16 @@ t AS (
   FROM toks
 ),
 c AS (
+  -- DuckDB's windowed SUM(BIGINT) yields HUGEINT; CAST back so prior and
+  -- every value derived from it stay BIGINT like the Spark side.
   SELECT doc_id, shard, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY shard ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
   FROM t
 )
 SELECT doc_id, n_tokens, shard,
        CAST(FLOOR(prior / $maxTokens) AS BIGINT) AS pack_id,
-       prior - CAST(FLOOR(prior / $maxTokens) AS BIGINT) * $maxTokens AS pack_offset
+       CAST(prior - CAST(FLOOR(prior / $maxTokens) AS BIGINT) * $maxTokens AS BIGINT) AS pack_offset
 FROM c ORDER BY doc_id"""
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,18 +70,59 @@ object RelationalQueries {
     * into a gated query: the result multiset is identical to the plain
     * equi-join (the oracle IS the plain SQL join), while a whale orderkey's
     * rows spread over `buckets` reducers. The remaining-gap tool for
-    * shuffled joins AQE can't split. */
+    * shuffled joins AQE can't split.
+    *
+    * `whaleMinRows = 4` is deliberately low for the gate: lineitem carries
+    * 1–7 rows per orderkey, so the whale census genuinely splits the keys
+    * and BOTH the salted-whale and plain-tail paths are hash-gated (a
+    * production threshold would be millions). */
   def saltedRevenueByPriority(lineitem: DataFrame, orders: DataFrame,
       buckets: Int = 8): DataFrame =
     graft.operators.Skew.saltedJoin(
         lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
         orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
-        Seq("l_orderkey"), buckets)
+        Seq("l_orderkey"), buckets, whaleMinRows = 4)
       .groupBy("o_orderpriority")
       .agg(
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("lineitem_count"))
       .orderBy("o_orderpriority")
+
+  /** Revenue per order priority through CO-BUCKETED staged tables — the
+    * storage-layout half of the 100 TB join strategy, wired into a gated
+    * query: both sides stage ONCE via [[graft.sources.Bucketing]] bucketed
+    * (and per-bucket sorted) on the join key, so the recurring fact⋈fact
+    * join sort-merges with NO Exchange and no Sort below the join — bucket
+    * i reads against bucket i straight off storage. The merge hint forces
+    * the SMJ shape bucketing targets (a broadcast join at toy scale would
+    * bypass the bucket layout and prove nothing); the only shuffle left in
+    * the plan is the 5-group rollup above the join (PlanPinSpec pins
+    * this). Oracle = the plain join SQL, identical to the salted variant's.
+    *
+    * Staging paths/table names are keyed by the source dir, so sf0.01 and
+    * sf0.1 runs coexist and re-runs overwrite idempotently. */
+  def bucketedRevenueByPriority(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame = {
+    import graft.sources.{Bucketing, Tables}
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_bucketed/$tag"
+    val liTable = s"graft_bkt_lineitem_$tag"
+    val ordTable = s"graft_bkt_orders_$tag"
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+      liTable, s"$root/lineitem", "l_orderkey", buckets)
+    Bucketing.writeBucketed(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      ordTable, s"$root/orders", "l_orderkey", buckets)
+    Bucketing.table(spark, liTable)
+      .join(Bucketing.table(spark, ordTable).hint("merge"), "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("lineitem_count"))
+      .orderBy("o_orderpriority")
+  }
 
   /** Top-k orders by value — plans as TakeOrderedAndProject (per-partition
     * heap + driver merge), never a global sort. */

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.time.LocalDateTime
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File-source replay staging for the streaming correctness gates.
+  *
+  * The round-3 harness fed replays through `MemoryStream`, which collects
+  * the entire input table to the driver by construction. This helper keeps
+  * the replay DISTRIBUTED end to end: the input frame is split into
+  * `batches` event-time-range chunk files (each written by a Spark job —
+  * the driver never materializes a row), and a `readStream` file source
+  * with `maxFilesPerTrigger=1` replays them oldest-first, one micro-batch
+  * per chunk. That is exactly the state-carry-over shape the gates
+  * exercise, and the same files-on-a-landing-dir deployment shape a
+  * production stream tails.
+  *
+  * Chunking is by event-time range (global min/max: one two-value
+  * aggregate), so chunk k holds strictly earlier events than chunk k+1 —
+  * arrival order stands in for event order across micro-batches, matching
+  * the streaming operators' documented contract. Each chunk coalesces to
+  * ONE file: if a chunk split into several part files the source would
+  * turn each into its own micro-batch with an arbitrary relative order,
+  * and event order across batches would be lost. File mtimes are set
+  * strictly increasing (2 s apart) because the file source processes
+  * oldest-mtime-first when `maxFilesPerTrigger` is set.
+  *
+  * The replay root (chunks + sink output + checkpoint) lives under
+  * `java.io.tmpdir` and is deliberately left on disk: the batch frames
+  * returned by [[runToParquet]] read the sink files lazily, so nothing may
+  * delete them while the calling query is still consumable.
+  */
+object FileReplay {
+
+  /** One replay's directory layout: `in/` chunk files (what the file
+    * source tails), `out/` the parquet sink, `ckpt/` the checkpoint. */
+  final case class ReplayDirs(root: Path) {
+    def in: Path = root.resolve("in")
+    def out: Path = root.resolve("out")
+    def ckpt: Path = root.resolve("ckpt")
+  }
+
+  private val epoch = LocalDateTime.of(1970, 1, 1, 0, 0)
+  private def micros(t: LocalDateTime): Long = ChronoUnit.MICROS.between(epoch, t)
+  private def fromMicros(u: Long): LocalDateTime = epoch.plus(u, ChronoUnit.MICROS)
+
+  /** Stage `df` (with a TIMESTAMP_NTZ event-time column `tsCol`) into
+    * `batches` event-time-range chunk files, appending any `sentinels` as
+    * their own strictly-later chunks (watermark-flush rows for append-mode
+    * aggregations). If every timestamp is identical the range degenerates
+    * and all rows land in the last chunk — still event-ordered, just fewer
+    * effective batches. */
+  def stageChunks(df: DataFrame, tsCol: String, batches: Int,
+      sentinels: Seq[DataFrame] = Nil): ReplayDirs = {
+    val dirs = ReplayDirs(Files.createTempDirectory("graft_replay_"))
+    Files.createDirectories(dirs.in)
+    val mm = df.agg(min(col(tsCol)), max(col(tsCol))).head()
+    val chunks: Seq[DataFrame] =
+      if (mm.isNullAt(0)) Seq(df) // empty input: one empty chunk keeps the schema on disk
+      else {
+        val lo = micros(mm.getAs[LocalDateTime](0))
+        val span = micros(mm.getAs[LocalDateTime](1)) - lo + 1
+        (0 until batches).map { k =>
+          val a = fromMicros(lo + span * k / batches)
+          val b = fromMicros(lo + span * (k + 1) / batches)
+          df.filter(col(tsCol) >= lit(a) && col(tsCol) < lit(b))
+        }
+      }
+    val base = System.currentTimeMillis()
+    (chunks ++ sentinels).zipWithIndex.foreach { case (c, k) =>
+      writeChunk(c, dirs.in, k, base)
+    }
+    dirs
+  }
+
+  /** Write one chunk as a single parquet file with mtime base + 2k seconds
+    * (the source's replay order). The staging dir is dot-prefixed so the
+    * file source's listing never sees the in-flight write. */
+  private def writeChunk(c: DataFrame, in: Path, k: Int, base: Long): Unit = {
+    val stage = in.resolve(s".stage_$k")
+    c.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = {
+      val s = Files.list(stage)
+      try s.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally s.close()
+    }
+    val dest = in.resolve(f"chunk_$k%05d.parquet")
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(stage)
+    dest.toFile.setLastModified(base + k * 2000L)
+  }
+
+  /** The chunk-replaying stream: one staged file per micro-batch,
+    * oldest first. */
+  def stream(spark: SparkSession, schema: StructType, dirs: ReplayDirs): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dirs.in.toString)
+
+  /** Drive `streamed` through a parquet sink until every staged chunk has
+    * been processed, then return the batch read-back of the sink — the
+    * distributed replacement for a driver-resident memory sink. */
+  def runToParquet(streamed: DataFrame, dirs: ReplayDirs): DataFrame = {
+    val query = streamed.writeStream.format("parquet")
+      .option("path", dirs.out.toString)
+      .option("checkpointLocation", dirs.ckpt.toString)
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    streamed.sparkSession.read.parquet(dirs.out.toString)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally s.close()
+  }
+}

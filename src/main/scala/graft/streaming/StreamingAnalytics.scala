@@ -41,4 +41,67 @@ object StreamingAnalytics {
       .withColumn("content_hash", md5(col("text").cast("binary")))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Correctness-gate replay of [[windowedRollup]] over the batch `events`
+    * frame (ts TIMESTAMP_NTZ, event_type, value): chunked file-source
+    * replay ([[FileReplay]], no driver collect), with two far-future
+    * `__flush__` sentinel chunks appended so the watermark closes every
+    * real window — append mode only ever emits closed windows, and the
+    * watermark the eviction pass sees comes from the PREVIOUS batch, so
+    * flushing takes two sentinel batches: the first advances event time,
+    * the second runs with that advanced watermark and emits everything.
+    * The sentinels' own window never closes (nothing follows them) and is
+    * filtered defensively anyway.
+    *
+    * Watermarks track instants, so the NTZ column is cast to TIMESTAMP for
+    * the stream and window bounds cast back after the sink read — a
+    * wall-clock no-op under the engine's fixed UTC session zone. Oracle:
+    * the batch tumbling-window GROUP BY (hour truncation). */
+  def replayRollup(events: DataFrame, batches: Int = 3,
+      windowLength: String = "1 hour", lateness: String = "30 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    val src = events.select(col("ts"), col("event_type"), col("value"))
+    val mx = src.agg(max("ts")).head().getAs[java.time.LocalDateTime](0)
+    def sentinel(i: Int): DataFrame = spark.range(1).select(
+      lit(mx.plusHours(3 + i)).as("ts"),
+      lit("__flush__").as("event_type"),
+      lit(0.0).as("value"))
+    val dirs = FileReplay.stageChunks(src, "ts", batches,
+      sentinels = Seq(sentinel(0), sentinel(1)))
+    val streamed = windowedRollup(
+      FileReplay.stream(spark, src.schema, dirs)
+        .withColumn("ts", col("ts").cast("timestamp")),
+      windowLength, lateness)
+    FileReplay.runToParquet(streamed, dirs)
+      .filter(col("event_type") =!= "__flush__")
+      .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("window_end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Correctness-gate replay of [[streamingDedup]] over the batch
+    * `documents` table: arrival time is synthesized as doc_id seconds past
+    * a fixed origin, the table replays in event-ordered chunks, and the
+    * emitted survivors are rolled up per content hash. Which duplicate
+    * wins WITHIN one micro-batch is arrival-order-nondeterministic
+    * (post-shuffle row order), so the gate pins the operator's actual
+    * contract — exactly ONE survivor per content hash, none dropped, none
+    * doubled — rather than the survivor's identity. Oracle: one row per
+    * distinct md5(text) with n_passed = 1. */
+  def replayDedup(docs: DataFrame, batches: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val src = docs.select(
+      expr("timestampadd(SECOND, CAST(doc_id AS INT), TIMESTAMP_NTZ '2024-01-01 00:00:00')")
+        .as("ts"),
+      col("doc_id"), col("text"))
+    val dirs = FileReplay.stageChunks(src, "ts", batches)
+    val streamed = streamingDedup(
+      FileReplay.stream(spark, src.schema, dirs)
+        .withColumn("ts", col("ts").cast("timestamp")))
+    FileReplay.runToParquet(streamed, dirs)
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_passed"))
+      .orderBy("content_hash")
+  }
 }

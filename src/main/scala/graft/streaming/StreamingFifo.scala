@@ -89,54 +89,30 @@ object StreamingFifo {
       }
   }
 
-  private val replaySeq = new java.util.concurrent.atomic.AtomicLong()
-
   /** Replay a batch transaction table through [[matchStream]] in
     * `batches` event-ordered micro-batches and rebuild the full matched
     * ledger from the emitted match log — the correctness-gate harness that
     * proves streaming ≡ batch ≡ the DuckDB oracle (its oracle IS the batch
     * `fifo_match` SQL).
     *
-    * The MemoryStream feed is driver-side BY CONSTRUCTION (it is Spark's
-    * test source; a production deployment reads Kafka/files and never
-    * collects) — what is being gated is the `flatMapGroupsWithState`
-    * operator itself: chunk boundaries deliberately split customers'
-    * histories mid-queue, so state carry-over across micro-batches is what
-    * the hash gate exercises. Rows are fed in global (timestamp,
-    * transaction_id) order — arrival order stands in for event order,
-    * matching the operator's documented contract. */
+    * Fully distributed (round 4 — the MemoryStream harness this replaces
+    * collected the input table to the driver): chunks are staged by a
+    * Spark job per event-time range, replayed through a `readStream` file
+    * source one file per trigger, and the match log lands in a parquet
+    * sink read back as a batch frame. Chunk boundaries still split
+    * customers' histories mid-queue, so state carry-over across
+    * micro-batches is what the hash gate exercises; event-time-range
+    * chunking preserves the operator's arrival-order-is-event-order
+    * contract across batches ([[FileReplay]]). */
   def replayLedger(txns: DataFrame, batches: Int = 3): DataFrame = {
     val spark = txns.sparkSession
-    implicit val sqlCtx = spark.sqlContext
     implicit val txEnc = Encoders.product[Tx]
-    val rows = txns
+    val src = txns
       .select("transaction_id", "customer_id", "amount", "timestamp", "transaction_type")
-      .as[Tx]
-      .collect()
-      .sortBy(t => (t.timestamp, t.transaction_id))(
-        Ordering.Tuple2(
-          Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _),
-          Ordering.String))
-    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Tx]
-    val sinkName = s"streaming_fifo_replay_${replaySeq.incrementAndGet()}"
-    val query = matchStream(input.toDS())
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
-    // the catalog entry is dropped on EVERY path (the DataFrame resolves
-    // the sink's relation eagerly at table() time) — repeated replays in
-    // one session must not accumulate driver-resident match logs, failed
-    // replays included
-    val log = try {
-      try {
-        val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
-        rows.grouped(chunk).foreach { g =>
-          input.addData(g.toIndexedSeq)
-          query.processAllAvailable() // one micro-batch per chunk
-        }
-      } finally query.stop()
-      spark.table(sinkName)
-        .select(col("EARNED_ID").as("TRANS_ID"), col("REDEEMID"))
-    } finally spark.catalog.dropTempView(sinkName)
+    val dirs = FileReplay.stageChunks(src, "timestamp", batches)
+    val events = matchStream(FileReplay.stream(spark, src.schema, dirs).as[Tx])
+    val log = FileReplay.runToParquet(events.toDF(), dirs)
+      .select(col("EARNED_ID").as("TRANS_ID"), col("REDEEMID"))
     graft.operators.FifoMatcher.renameToSpec(txns)
       .join(log, Seq("TRANS_ID"), "left")
       .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")

@@ -42,6 +42,35 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("replayRollup flushes every window and equals the batch rollup") {
+    import spark.implicits._
+    val ldt = (h: Int, m: Int) => java.time.LocalDateTime.of(2024, 1, 1, h, m)
+    val events = Seq(
+      (ldt(0, 10), "click", 1.5), (ldt(0, 40), "click", 2.0),
+      (ldt(0, 50), "view", 3.0), (ldt(1, 5), "click", 4.0),
+      (ldt(2, 30), "view", 0.5), (ldt(2, 45), "view", 1.0))
+      .toDF("ts", "event_type", "value")
+    val streamed = StreamingAnalytics.replayRollup(events, batches = 2)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("window_start"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))).toSet
+    // the LAST window must be present too — only the flush sentinels make
+    // append mode emit it
+    assert(streamed === Set(
+      (ldt(0, 0), "click", 2L, 3.5), (ldt(0, 0), "view", 1L, 3.0),
+      (ldt(1, 0), "click", 1L, 4.0), (ldt(2, 0), "view", 2L, 1.5)))
+  }
+
+  test("replayDedup emits exactly one survivor per content hash") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"),
+      (5L, "beta"), (6L, "alpha")).toDF("doc_id", "text")
+    val out = StreamingAnalytics.replayDedup(docs, batches = 3).collect()
+    assert(out.length === 3) // alpha, beta, gamma
+    assert(out.forall(_.getAs[Long]("n_passed") === 1L))
+  }
+
   test("streaming dedup passes first arrivals and drops in-horizon duplicates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
