@@ -103,14 +103,30 @@ object FileReplay {
 
   /** Drive `streamed` through a parquet sink until every staged chunk has
     * been processed, then return the batch read-back of the sink — the
-    * distributed replacement for a driver-resident memory sink. */
-  def runToParquet(streamed: DataFrame, dirs: ReplayDirs): DataFrame = {
-    val query = streamed.writeStream.format("parquet")
-      .option("path", dirs.out.toString)
-      .option("checkpointLocation", dirs.ckpt.toString)
-      .outputMode("append").start()
+    * distributed replacement for a driver-resident memory sink.
+    *
+    * A streaming query fixes its STATE partition count from
+    * `spark.sql.shuffle.partitions` at first-batch time and every
+    * micro-batch then commits every state partition; at gate scale 32
+    * partitions × 5+ batches is pure state-store overhead, so the conf is
+    * pinned to `statePartitions` for the (synchronous) lifetime of the
+    * replay and restored before returning — the read-back frame is planned
+    * by the caller after restore, so only the stream is affected. On a
+    * real deployment the operator runs under the session's own sizing. */
+  def runToParquet(streamed: DataFrame, dirs: ReplayDirs,
+      statePartitions: Int = 8): DataFrame = {
+    val spark = streamed.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        streamed.writeStream.format("parquet")
+          .option("path", dirs.out.toString)
+          .option("checkpointLocation", dirs.ckpt.toString)
+          .outputMode("append").start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try query.processAllAvailable() finally query.stop()
-    streamed.sparkSession.read.parquet(dirs.out.toString)
+    spark.read.parquet(dirs.out.toString)
   }
 
   private def deleteRecursively(p: Path): Unit = {
