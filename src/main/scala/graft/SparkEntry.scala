@@ -246,6 +246,13 @@ object SparkEntry {
       graft.streaming.StreamingAnalytics.replayRollup(Tables.events(s, d))),
     "streaming_dedup" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replayDedup(Tables.documents(s, d))),
+    "streaming_sessions" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.replaySessions(Tables.events(s, d))),
+
+    // two-stage salted aggregation gated against the plain GROUP BY
+    "agg_salted_sum" -> ((s, d) =>
+      graft.operators.Skew.saltedSum(Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")
+        .orderBy("l_returnflag")),
 
     // training-data pipeline: multimodal binary plumbing (decode is stubbed)
     "mm_features" -> ((s, d) =>
@@ -338,6 +345,8 @@ object SparkEntry {
     "streaming_match" -> OracleSql.fifoMatch,
     "streaming_rollup" -> OracleSql.streamingRollup,
     "streaming_dedup" -> OracleSqlText.streamingDedup,
+    "streaming_sessions" -> OracleSql.streamingSessions,
+    "agg_salted_sum" -> OracleSql.aggSaltedSum,
     "train_splits" -> OracleSqlText.trainSplits(),
     "text_contamination" -> OracleSqlText.contamination(),
     "train_pack_sequences" -> OracleSqlText.packSequences())

@@ -378,6 +378,35 @@ SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
 FROM ev GROUP BY 1, 2 ORDER BY hour, event_type"""
 
+  /** Batch twin of StreamingAnalytics.sessionRollup: gap-sessionization
+    * with the session-window bounds — start = first event, end = last
+    * event + gap. Split rule ts > prev + gap matches session_window's
+    * touching-windows-merge semantics (spec-pinned at the exact boundary). */
+  val streamingSessions: String = s"""
+WITH $evCte,
+g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g
+)
+SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM s GROUP BY user_id, sess ORDER BY user_id, session_start"""
+
+  /** Oracle for the two-stage salted aggregation: partial sums per
+    * (key, salt) then the final rollup must equal the plain GROUP BY
+    * (l_quantity is integral-valued, so double summation order is moot). */
+  val aggSaltedSum: String = """
+SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** Batch twin of StreamingAnalytics.windowedRollup: a 1-hour tumbling
     * window IS hour truncation, so once the replay harness has flushed
     * every window past the watermark the streaming result must equal this

@@ -80,6 +80,51 @@ object StreamingAnalytics {
       .orderBy("window_start", "event_type")
   }
 
+  /** Gap-based session windows per user — the Structured Streaming twin of
+    * [[graft.queries.EventQueries.sessionize]]. `session_window` keeps an
+    * event in the current session while its timestamp lies within `gap` of
+    * the session's end (touching windows merge), so a new session begins
+    * only when ts > prev + gap — the SAME boundary rule as the batch
+    * operator's lag comparison (pinned by spec, exact-gap case included).
+    * State per (user, open session) is one aggregate row; the watermark
+    * closes a session once it passes last_event + gap, which is when
+    * append mode emits it. */
+  def sessionRollup(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Correctness-gate replay of [[sessionRollup]] over the batch `events`
+    * frame — same harness shape as [[replayRollup]] (event-time chunks, two
+    * flush sentinels under the reserved user_id -1, filtered out). Oracle:
+    * the batch gap-sessionization CTE with session_end = max(ts) + gap
+    * (the session-window end is last event + gap by definition). */
+  def replaySessions(events: DataFrame, batches: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    val src = events.select(col("ts"), col("user_id"), col("value"))
+    val mx = src.agg(max("ts")).head().getAs[java.time.LocalDateTime](0)
+    def sentinel(i: Int): DataFrame = spark.range(1).select(
+      lit(mx.plusHours(3 + i)).as("ts"),
+      lit(-1L).as("user_id"),
+      lit(0.0).as("value"))
+    val dirs = FileReplay.stageChunks(src, "ts", batches,
+      sentinels = Seq(sentinel(0), sentinel(1)))
+    val streamed = sessionRollup(
+      FileReplay.stream(spark, src.schema, dirs)
+        .withColumn("ts", col("ts").cast("timestamp")))
+    FileReplay.runToParquet(streamed, dirs)
+      .filter(col("user_id") >= 0)
+      .select(col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Correctness-gate replay of [[streamingDedup]] over the batch
     * `documents` table: arrival time is synthesized as doc_id seconds past
     * a fixed origin, the table replays in event-ordered chunks, and the

@@ -62,6 +62,27 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       (ldt(1, 0), "click", 1L, 4.0), (ldt(2, 0), "view", 2L, 1.5)))
   }
 
+  test("replaySessions: session windows merge at the exact-gap boundary like batch") {
+    import spark.implicits._
+    val ldt = (h: Int, m: Int) => java.time.LocalDateTime.of(2024, 1, 1, h, m)
+    // user 1: 0:00 then 0:30 — EXACTLY the 30-min gap; session_window's
+    // touching-windows-merge must agree with the batch rule (ts > prev+gap
+    // splits, equality merges). 1:30 is a genuine split. user 2 isolates.
+    val events = Seq(
+      (ldt(0, 0), 1L, 1.0), (ldt(0, 30), 1L, 2.0), (ldt(1, 30), 1L, 4.0),
+      (ldt(0, 5), 2L, 8.0))
+      .toDF("ts", "user_id", "value")
+    val got = StreamingAnalytics.replaySessions(events, batches = 2).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.time.LocalDateTime]("session_start"),
+        r.getAs[java.time.LocalDateTime]("session_end"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(got === Set(
+      (1L, ldt(0, 0), ldt(1, 0), 2L, 3.0), // exact-gap event merged; end = last + gap
+      (1L, ldt(1, 30), ldt(2, 0), 1L, 4.0),
+      (2L, ldt(0, 5), ldt(0, 35), 1L, 8.0)))
+  }
+
   test("replayDedup emits exactly one survivor per content hash") {
     import spark.implicits._
     val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"),
