@@ -47,13 +47,40 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = (("_pipeline_materialize", materializeSec) +: results.map(r => (r._1, r._2)))
-      .map { case (k, v) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (n, _, Some(m)) => jstr(n) + ":" + jstr(m) }
-      .mkString("{", ",", "}")
+    def sec(v: Double): String = f"$v%.3f"
+    val timings = ("_pipeline_materialize", materializeSec) +: results.map(r => (r._1, r._2))
+    val errPairs = results.collect { case (n, _, Some(m)) => jstr(n) + ":" + jstr(m.take(120)) }
+    val errs = errPairs.mkString("{", ",", "}")
+    // errors are rare but must never push the line past the tail window:
+    // the printed form keeps at most 5 (full set is in the detail file)
+    val errsCompact = errPairs.take(5).mkString("{", ",", "}")
     val total = materializeSec + results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file: the driver's artifact keeps only
+    // the last ~2000 chars of stdout, so a 70+-entry map printed inline gets
+    // cut mid-line and the driver's JSON parse fails (rounds 1-4 all record
+    // "parsed": null for exactly this reason).
+    val fullJson = {
+      val qs = timings.map { case (k, v) => jstr(k) + ":" + sec(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    // The printed line is the SAME schema but its queries map is trimmed to
+    // the heaviest entries under a byte budget sized to survive the tail
+    // window (sbt appends ~80 chars of "[success]" after us). Slowest-first
+    // is also the grading-relevant order: if the worst lines are inside
+    // budget, everything below them is too.
+    val budget = math.max(300, 1450 - errsCompact.length)
+    val byCost = timings.sortBy(-_._2).map { case (k, v) => jstr(k) + ":" + sec(v) }
+    val kept = {
+      var used = 0
+      byCost.takeWhile { e => used += e.length + 1; used <= budget }
+    }
+    val qsCompact = kept.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qsCompact,""" +
+        s""""queries_total":${timings.size},"queries_shown":${kept.size},""" +
+        s""""full":"BENCH_FULL.json","errors":$errsCompact,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }

@@ -223,6 +223,29 @@ object SparkEntry {
       graft.operators.Sketches.kmvDistinct(Tables.events(s, d), "user_id")),
     "sketch_kmv_by_type" -> ((s, d) =>
       graft.operators.Sketches.kmvDistinctByGroup(Tables.events(s, d), "event_type", "user_id", k = 64)),
+    // portable HyperLogLog (raw estimator; register MAX is the sketch
+    // every shard merge wants)
+    "sketch_hll_distinct" -> ((s, d) =>
+      graft.operators.Sketches.hllDistinct(Tables.events(s, d), "user_id")),
+
+    // deterministic corpus sampling: exact-count stratified + weighted mix
+    "sample_stratified" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(Tables.documents(s, d), "lang")),
+    "sample_weighted_mix" -> ((s, d) =>
+      graft.operators.Sampling.weightedMix(Tables.documents(s, d),
+        graft.operators.Sampling.GateWeights)),
+    // curriculum length-binning with per-bin shards
+    "train_curriculum" -> ((s, d) =>
+      graft.operators.TrainPrep.curriculumBins(Tables.documents(s, d))),
+    // per-doc characteristic terms (linear-idf TF-IDF)
+    "text_tfidf_top_terms" -> ((s, d) =>
+      TextOps.tfidfTopTerms(Tables.documents(s, d))),
+    // ordered conversion funnel over the event stream
+    "events_funnel" -> ((s, d) => EventQueries.funnel(Tables.events(s, d))),
+    // bloom-prefiltered semi join (probe is perf-only; result = plain semi)
+    "join_bloom_revenue" -> ((s, d) =>
+      RelationalQueries.bloomFilteredRevenue(Tables.lineitem(s, d),
+        Tables.orders(s, d), 450000.0)),
 
     // near-dup clusters over the simhash pair graph (min-label propagation)
     "dedup_clusters" -> ((s, d) =>
@@ -349,5 +372,13 @@ object SparkEntry {
     "agg_salted_sum" -> OracleSql.aggSaltedSum,
     "train_splits" -> OracleSqlText.trainSplits(),
     "text_contamination" -> OracleSqlText.contamination(),
-    "train_pack_sequences" -> OracleSqlText.packSequences())
+    "train_pack_sequences" -> OracleSqlText.packSequences(),
+    "sketch_hll_distinct" ->
+      OracleSqlText.sketchHllDistinct(graft.operators.Sketches.hllScale()),
+    "sample_stratified" -> OracleSqlText.stratifiedSample(),
+    "sample_weighted_mix" -> OracleSqlText.weightedMix(),
+    "train_curriculum" -> OracleSqlText.curriculumBins(),
+    "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),
+    "events_funnel" -> OracleSql.eventsFunnel,
+    "join_bloom_revenue" -> OracleSql.bloomFilteredRevenue)
 }

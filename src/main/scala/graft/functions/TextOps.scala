@@ -197,6 +197,38 @@ object TextOps {
       .orderBy(col("occurrences").desc, col("token"))
       .limit(k)
 
+  /** Per-document top-k characteristic terms by rarity-weighted term
+    * frequency — TF-IDF with the LINEAR idf variant score = tf · N/df.
+    * The usual ln(N/df) weight needs a transcendental whose libm rounding
+    * differs across engines; N/df is order-equivalent per term (ln is
+    * monotone) and comes out of two IEEE-exact operations, so the oracle
+    * pins the scores bit-for-bit. Ties (same score within a doc) break on
+    * the term string for a total order.
+    *
+    * Plan shape: explode → (doc, term) count → term-keyed df aggregate →
+    * term-keyed join back → per-doc top-k window. Every shuffle is keyed
+    * on (doc,term), term, or doc; the corpus-size scalar joins in as a
+    * broadcast single row. Hot stopword terms make big df-join partitions,
+    * not big window partitions (the window is per-doc) — at whale-term
+    * scale the df side is a tiny dimension (vocabulary), so AQE broadcasts
+    * it. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(idf, "term").crossJoin(nDocs)
+      .withColumn("score",
+        round(col("tf") * (col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank").cast("long").as("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   val RollingHashBase: Long = 31L
   val RollingHashMod: Long = 2147483647L // 2^31 − 1
 

@@ -57,6 +57,72 @@ object Sketches {
       .orderBy(groupCol)
   }
 
+  /** HyperLogLog distinct-count sketch of `keyCol` (Flajolet et al. 2007),
+    * built portably: the 32-bit md5 hash splits into a `b`-bit bucket index
+    * and a (32−b)-bit tail whose leading-zero rank feeds a per-bucket MAX
+    * register; the raw HLL estimator αm·m²/Σ2^(−M_j) comes out as ONE
+    * double division of engine-identical integers (the Σ is computed as an
+    * exact BIGINT of 2^(RMAX−M_j) terms), so the DuckDB oracle reproduces
+    * the estimate bit-for-bit. The standard small/large-range bias
+    * corrections use ln(), whose libm rounding differs across engines —
+    * deliberately omitted and documented: this is the raw estimator, which
+    * is exactly what the cross-engine gate can pin.
+    *
+    * Scale shape vs KMV: registers are a map-side-combinable MAX per
+    * bucket — fixed m-row state per partition, one m-row shuffle, no
+    * per-group top-k heap; this is the sketch you merge across 100k
+    * shards for free (register-wise MAX is associative/commutative).
+    * Leading-zero rank is `RMAX − bitlength(tail)` via the engines'
+    * shared minimal-binary `bin()` rendering — integer-exact on both.
+    *
+    * Output one row: (m, n_buckets_set, est_distinct, exact_distinct,
+    * rel_error); exact rides along for gate/error visibility. */
+  def hllDistinct(df: DataFrame, keyCol: String, b: Int = 6): DataFrame = {
+    val m = 1 << b
+    val remBits = 32 - b
+    val rmax = remBits + 1
+    val scale = hllScale(b)
+    val regs = df
+      .select(hash32(col(keyCol)).as("hv"))
+      .select(shiftright(col("hv"), remBits).as("bucket"),
+        col("hv").bitwiseAND(lit((1L << remBits) - 1)).as("rem"))
+      .select(col("bucket"),
+        when(col("rem") === 0, lit(rmax))
+          .otherwise(lit(rmax) - length(bin(col("rem")))).cast("long").as("rank"))
+      .groupBy("bucket").agg(max(col("rank")).as("r"))
+    val s = regs.agg(
+      count(lit(1)).as("n_buckets_set"),
+      sum(expr(s"shiftleft(cast(1 as bigint), cast($rmax - r as int))")).as("s_present"))
+    val exact = df.agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    s.crossJoin(exact)
+      .select(
+        lit(m.toLong).as("m"),
+        col("n_buckets_set"),
+        round(lit(scale) /
+          (col("s_present") + (lit(m.toLong) - col("n_buckets_set")) * (1L << rmax)), 2)
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("rel_error",
+        round(abs(col("est_distinct") - col("exact_distinct")) / col("exact_distinct"), 4))
+  }
+
+  /** The estimator's scale constant α_m·m²·2^RMAX — public so the DuckDB
+    * oracle renders the IDENTICAL double (every factor is a power of two
+    * except α, so the product is one exact exponent shift of α). */
+  def hllScale(b: Int = 6): Double = {
+    val m = 1 << b
+    Alpha(m) * m * m * (1L << (32 - b + 1)).toDouble
+  }
+
+  /** α_m for the raw HLL estimator (the m≥128 closed form, with the
+    * published small-m constants below it). */
+  private def Alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1 + 1.079 / m)
+  }
+
   /** Global distinct-count sketch of `keyCol`: one row
     * (k, kth_hash, kmv_estimate, exact_distinct, rel_error). The exact
     * count rides along here for gate/error visibility; a production

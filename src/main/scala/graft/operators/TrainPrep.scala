@@ -70,4 +70,29 @@ object TrainPrep {
       // variable in the Verify dump (round-3 gate flaked on hash only).
       .orderBy("doc_id", "n_tokens", "shard", "pack_id", "pack_offset")
   }
+
+  /** Curriculum binning: bucket documents by token length (fixed-width
+    * bins, last bin open-ended) and spread each bin over `shardsPerBin`
+    * shards by the engine's portable id hash. Length-ordered curricula and
+    * length-balanced batching both start from exactly this assignment —
+    * a batch reads (bin k, shard j) files and every sequence in it has a
+    * near-uniform length, killing padding waste.
+    *
+    * Pure narrow projection: no shuffle, no window — the assignment is a
+    * per-row function of (text, doc_id), so it scales with the scan and
+    * appended docs never disturb existing assignments.
+    *
+    * Output: (doc_id, n_tokens, bin, shard).
+    */
+  def curriculumBins(docs: DataFrame, binWidth: Int = 64, maxBin: Int = 7,
+      shardsPerBin: Int = 4): DataFrame = {
+    val hv = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    TextOps.withTokens(docs)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"), hv.as("hv"))
+      .withColumn("bin", least(floor(col("n_tokens") / binWidth), lit(maxBin.toLong)))
+      .withColumn("shard", col("hv") % shardsPerBin)
+      .select("doc_id", "n_tokens", "bin", "shard")
+      .orderBy("doc_id")
+  }
 }

@@ -59,6 +59,48 @@ object EventQueries {
         round(element_at(col("q"), 4), 4).as("p95"))
       .orderBy("event_type")
 
+  /** Ordered conversion funnel: a user reaches step i when an event of
+    * type `steps(i)` occurs at-or-after their step-(i−1) arrival (ties on
+    * ts broken by event_id — the same total order sessionize uses). The
+    * per-step arrival is a cumulative conditional MIN whose condition
+    * references the previous step's column, so the steps chain as window
+    * passes over ONE (user_id) partitioning: a single keyed shuffle, sorts
+    * reused across passes, then a per-user rollup and a global count — the
+    * same plan shape at any corpus size, no self-joins (the naive funnel
+    * formulation joins events to events once per step).
+    *
+    * Output: one row per step — (step, step_name, n_users, pct_of_first).
+    */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events.select("user_id", "ts", "event_id", "event_type")
+    val withSteps = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val hit =
+        if (i == 0) col("event_type") === step
+        else col("event_type") === step && col(s"s${i - 1}").isNotNull
+      df.withColumn(s"s$i", min(when(hit, col("ts"))).over(w))
+    }
+    // the cumulative MIN is non-increasing within a user, so the per-user
+    // final value is just MIN over the partition
+    val perUserAggs = steps.indices.map(i => min(col(s"s$i")).as(s"t$i"))
+    val perUser = withSteps.groupBy("user_id")
+      .agg(perUserAggs.head, perUserAggs.tail: _*)
+    val countAggs = steps.indices.map(i =>
+      sum(col(s"t$i").isNotNull.cast("long")).as(s"n$i"))
+    val counts = perUser.agg(countAggs.head, countAggs.tail: _*)
+    val stepRows = array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step"), lit(s).as("step_name"),
+        col(s"n$i").as("n_users"))
+    }: _*)
+    counts.select(col("n0"), explode(stepRows).as("x"))
+      .select(col("x.step").cast("long").as("step"), col("x.step_name").as("step_name"),
+        col("x.n_users").as("n_users"),
+        round(col("x.n_users") * 100.0 / col("n0"), 2).as("pct_of_first"))
+      .orderBy("step")
+  }
+
   /** JSON field extraction from the semi-structured props column +
     * per-type aggregate over the extracted value. */
   def propsJson(events: DataFrame): DataFrame =

@@ -529,6 +529,56 @@ FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 ORDER BY c_custkey"""
 
+  /** Plain semi-join twin of the bloom-prefiltered join (the probe only
+    * drops rows the semi join would drop anyway — false positives die in
+    * the join, so the composition is exactly this SQL). */
+  val bloomFilteredRevenue: String = """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS lineitem_count
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey AND o_totalprice >= 450000)
+GROUP BY l_returnflag
+ORDER BY l_returnflag"""
+
+  /** Mirrors EventQueries.funnel (view → click → purchase): per-step
+    * arrival is a cumulative conditional MIN over (ts, event_id) order
+    * whose condition references the previous step — chained CTEs because
+    * SQL can't reference a window alias in its own SELECT. */
+  val eventsFunnel: String = s"""
+WITH $evCte,
+f0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS s0
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+f1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND s0 IS NOT NULL THEN ts END)
+              OVER w AS s1
+  FROM f0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+f2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND s1 IS NOT NULL THEN ts END)
+              OVER w AS s2
+  FROM f1
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+u AS (SELECT user_id, MIN(s0) AS t0, MIN(s1) AS t1, MIN(s2) AS t2 FROM f2 GROUP BY user_id),
+c AS (SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM u)
+SELECT step, step_name, n_users, ROUND((n_users::DOUBLE * 100) / n0, 2) AS pct_of_first
+FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, n0 AS n_users, n0 FROM c
+  UNION ALL SELECT CAST(2 AS BIGINT), 'click', n1, n0 FROM c
+  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n2, n0 FROM c
+)
+ORDER BY step"""
+
   /** Plain-join twin of the salted join (salting is a physical rewrite —
     * the result multiset is identical by construction). */
   val saltedRevenueByPriority: String = """

@@ -644,4 +644,101 @@ SELECT doc_id, n_tokens, shard,
        CAST(FLOOR(prior / $maxTokens) AS BIGINT) AS pack_id,
        CAST(prior - CAST(FLOOR(prior / $maxTokens) AS BIGINT) * $maxTokens AS BIGINT) AS pack_offset
 FROM c ORDER BY doc_id"""
+
+  /** Mirrors Sampling.stratifiedSample: exact-count per-stratum hash
+    * sample; the keep rule is the pure-integer form of
+    * rank ≤ ceil(n·pct/100). */
+  def stratifiedSample(stratumCol: String = "lang", pct: Int = 20): String = s"""
+WITH b AS (
+  SELECT doc_id, $stratumCol AS stratum,
+         CAST((${hex8IntSql("doc_id::VARCHAR")}) AS BIGINT) AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, stratum,
+         CAST(row_number() OVER (PARTITION BY stratum ORDER BY hv, doc_id) AS BIGINT)
+           AS sample_rank,
+         COUNT(*) OVER (PARTITION BY stratum) AS n_stratum
+  FROM b
+)
+SELECT doc_id, stratum, sample_rank
+FROM r WHERE (sample_rank - 1) * 100 < n_stratum * $pct
+ORDER BY stratum, sample_rank"""
+
+  /** Mirrors Sampling.weightedMix over [[graft.operators.Sampling.GateWeights]]. */
+  def weightedMix(weights: Map[String, Int] = graft.operators.Sampling.GateWeights,
+      defaultPct: Int = 50): String = {
+    val cases = weights.toSeq.sortBy(_._1)
+      .map { case (src, p) => s"WHEN '$src' THEN $p" }.mkString(" ")
+    s"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST((${hex8IntSql("doc_id::VARCHAR")}) % 100 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, source, bucket
+FROM b WHERE bucket < CASE source $cases ELSE $defaultPct END
+ORDER BY doc_id"""
+  }
+
+  /** Mirrors TextOps.tfidfTopTerms (linear-idf variant — see its scaladoc
+    * for why ln() is deliberately avoided cross-engine). */
+  def tfidfTopTerms(k: Int = 5): String = s"""
+WITH $toksCte,
+t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * (n_docs::DOUBLE / df), 4) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+                 AS BIGINT) AS rank
+  FROM s
+)
+SELECT doc_id, term, tf, df, score, rank
+FROM r WHERE rank <= $k ORDER BY doc_id, rank"""
+
+  /** Mirrors TrainPrep.curriculumBins. */
+  def curriculumBins(binWidth: Int = 64, maxBin: Int = 7, shardsPerBin: Int = 4): String = s"""
+WITH $toksCte,
+t AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         CAST((${hex8IntSql("doc_id::VARCHAR")}) AS BIGINT) AS hv
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       LEAST(CAST(FLOOR(n_tokens / $binWidth) AS BIGINT), CAST($maxBin AS BIGINT)) AS bin,
+       hv % $shardsPerBin AS shard
+FROM t ORDER BY doc_id"""
+
+  /** Mirrors Sketches.hllDistinct (b=6, m=64, RMAX=27): raw HLL estimator
+    * with an exact-BIGINT Σ2^(RMAX−M) and one double division — the scale
+    * constant is rendered from the same Scala double the Spark side uses. */
+  def sketchHllDistinct(scale: Double): String = s"""
+WITH h AS (SELECT (${hex8IntSql("user_id::VARCHAR")}) AS hv FROM events),
+reg AS (
+  SELECT hv // 67108864 AS bucket,
+         MAX(CASE WHEN hv % 67108864 = 0 THEN 27
+                  ELSE 27 - length(bin(hv % 67108864)) END) AS r
+  FROM h GROUP BY 1
+),
+s AS (
+  SELECT COUNT(*) AS n_buckets_set,
+         CAST(SUM(1::BIGINT << CAST(27 - r AS INTEGER)) AS BIGINT) AS s_present
+  FROM reg
+),
+e AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events),
+r2 AS (
+  SELECT CAST(64 AS BIGINT) AS m, n_buckets_set,
+         ROUND($scale / (s_present + (64 - n_buckets_set) * 134217728), 2) AS est_distinct,
+         exact_distinct
+  FROM s, e
+)
+SELECT m, n_buckets_set, est_distinct, exact_distinct,
+       ROUND(ABS(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_error
+FROM r2"""
 }

@@ -124,6 +124,39 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Lineitem revenue for high-value orders through a BLOOM-PREFILTERED
+    * semi join: the filtered dimension keys build a Bloom filter (one
+    * aggregate job, ~10 bits/key at 1% fpp), and every fact row probes it
+    * map-side BEFORE the shuffle — rows that cannot match never leave the
+    * scan stage, so the semi join's shuffle volume tracks the SELECTED
+    * fraction of the fact table instead of all of it. False positives pass
+    * the probe but die in the real semi join above, so the result is
+    * exactly the plain semi join (the oracle IS that SQL). This is the
+    * explicit, composable form of Spark's runtime bloom-filter join
+    * optimization — built once, reusable across queries, and the filter
+    * side can be persisted with the dimension.
+    *
+    * Scale envelope: pays when |keys| ≪ |fact| (here ~4% of orders
+    * against a 4×-larger lineitem); the filter is ~1.2 MB per million
+    * keys at 1% fpp, broadcast once per executor. */
+  def bloomFilteredRevenue(lineitem: DataFrame, orders: DataFrame,
+      minTotal: Double): DataFrame = {
+    val keys = orders.filter(col("o_totalprice") >= minTotal)
+      .select(col("o_orderkey"))
+    val nKeys = math.max(keys.count(), 1L)
+    val probe = graft.functions.BloomExpressions.registerBloom(
+      lineitem.sparkSession, keys.stat.bloomFilter("o_orderkey", nKeys, 0.01))
+    lineitem
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .filter(call_function(probe, col("l_orderkey")))
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("lineitem_count"))
+      .orderBy("l_returnflag")
+  }
+
   /** Top-k orders by value — plans as TakeOrderedAndProject (per-partition
     * heap + driver merge), never a global sort. */
   def topkOrders(orders: DataFrame, k: Int = 10): DataFrame =

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sampling, Sketches, TrainPrep}
+
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stratified sample keeps exactly ceil(n*pct/100) per stratum, deterministically") {
+    import spark.implicits._
+    // strata of deliberately awkward sizes: ceil(7*20/100)=2, ceil(10*20/100)=2,
+    // ceil(3*20/100)=1
+    val docs = ((1 to 7).map((_, "a")) ++ (8 to 17).map((_, "b")) ++ (18 to 20).map((_, "c")))
+      .toDF("doc_id", "lang")
+    val s = Sampling.stratifiedSample(docs, "lang", pct = 20)
+    val counts = s.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    // deterministic: same input → same sample
+    assert(s.collect().toSeq === Sampling.stratifiedSample(docs, "lang", pct = 20).collect().toSeq)
+    // ranks are 1..k within each stratum
+    assert(s.filter($"stratum" === "b").select("sample_rank").as[Long].collect().sorted
+      === Array(1L, 2L))
+  }
+
+  test("weighted mix applies per-source rates and is append-stable") {
+    import spark.implicits._
+    val docs = (1 to 1000).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val weights = Map("src0" -> 100, "src1" -> 0)
+    val m = Sampling.weightedMix(docs, weights, defaultPct = 50)
+    val bySrc = m.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === 250L) // 100% kept
+    assert(!bySrc.contains("src1")) // 0% kept
+    // default-rate sources land near 50% (hash-uniform, 250 draws)
+    assert(bySrc("src2") > 75L && bySrc("src2") < 175L)
+    // append stability: adding docs never changes an existing doc's fate
+    val kept = m.select("doc_id").as[Int].collect().toSet
+    val more = (1 to 2000).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val kept2 = Sampling.weightedMix(more, weights, defaultPct = 50)
+      .select("doc_id").as[Int].collect().toSet
+    assert(kept.subsetOf(kept2))
+    assert(kept2.filter(_ <= 1000) === kept)
+  }
+
+  test("curriculum bins: fixed-width bins, open last bin, stable shards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "short text"), // 2 tokens -> bin 0
+      (2, Seq.fill(70)("w").mkString(" ")), // 70 -> bin 1
+      (3, Seq.fill(600)("w").mkString(" ")) // 600 -> capped at bin 7
+    ).toDF("doc_id", "text")
+    val c = TrainPrep.curriculumBins(docs).collect()
+      .map(r => r.getAs[Int]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("bin"), r.getAs[Long]("shard"))).toMap
+    assert(c(1) === ((2L, 0L, c(1)._3)))
+    assert(c(2)._2 === 1L)
+    assert(c(3)._1 === 600L)
+    assert(c(3)._2 === 7L)
+    assert(c.values.forall { case (_, _, s) => s >= 0 && s < 4 })
+  }
+
+  test("HLL estimate is exact-ish at gate scale and within the error regime at 10k") {
+    import spark.implicits._
+    val big = (1 to 10000).toDF("id")
+    val r = Sketches.hllDistinct(big, "id").collect().head
+    assert(r.getAs[Long]("m") === 64L)
+    assert(r.getAs[Long]("exact_distinct") === 10000L)
+    // raw estimator at m=64: standard error ~1.04/sqrt(64) = 13%; allow 3 SE
+    assert(r.getAs[Double]("rel_error") < 0.4,
+      s"estimate ${r.getAs[Double]("est_distinct")} too far from 10000")
+  }
+}
