@@ -227,6 +227,11 @@ object SparkEntry {
     // every shard merge wants)
     "sketch_hll_distinct" -> ((s, d) =>
       graft.operators.Sketches.hllDistinct(Tables.events(s, d), "user_id")),
+    // the cross-shard merge path: 16 independently-built register tables
+    // merged by register-wise MAX must equal the single pass bit-for-bit
+    // (associativity) — the oracle IS the single-pass SQL
+    "sketch_hll_merged" -> ((s, d) =>
+      graft.operators.Sketches.hllMergedDistinct(Tables.events(s, d), "user_id")),
 
     // deterministic corpus sampling: exact-count stratified + weighted mix
     "sample_stratified" -> ((s, d) =>
@@ -374,6 +379,8 @@ object SparkEntry {
     "text_contamination" -> OracleSqlText.contamination(),
     "train_pack_sequences" -> OracleSqlText.packSequences(),
     "sketch_hll_distinct" ->
+      OracleSqlText.sketchHllDistinct(graft.operators.Sketches.hllScale()),
+    "sketch_hll_merged" ->
       OracleSqlText.sketchHllDistinct(graft.operators.Sketches.hllScale()),
     "sample_stratified" -> OracleSqlText.stratifiedSample(),
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),

@@ -42,20 +42,78 @@ object Sampling {
     * rate-based sampling only achieves in expectation. The hash order makes
     * the per-stratum choice uniform; the id tie-break makes it total.
     *
+    * Whale guard: exact-count ranking is inherently one sort per stratum,
+    * so a stratum above `whaleBound` rows would concentrate in one task.
+    * Such strata are instead hash-split into `shares` sub-partitions, the
+    * stratum quota K = ceil(n·pct/100) is apportioned across the observed
+    * share sizes by largest-remainder (base floor(n_j·pct/100), the
+    * R = K − Σbase leftovers to the largest remainders, remainder ties to
+    * the lowest share id) — provably Σq_j = K and q_j ≤ n_j for any
+    * 1 ≤ pct ≤ 100 — and ranking happens within shares, bounding every
+    * sort at ~n/shares rows. The kept SET above the bound differs from the
+    * global-rank order (it is a uniform hash sample either way), and
+    * `sample_rank` there is the share-interleaved id
+    * (rank_in_share−1)·shares + share + 1 — unique per stratum but not
+    * dense; dense ranking is exactly the bottleneck being avoided. Gate
+    * strata sit far below the default bound, so the oracle (global-rank
+    * SQL) is unchanged.
+    *
     * Output: (doc_id, stratum, sample_rank) of kept docs.
     */
   def stratifiedSample(docs: DataFrame, stratumCol: String, pct: Int = 20,
-      idCol: String = "doc_id"): DataFrame = {
-    docs.select(col(idCol), col(stratumCol).as("stratum"), hash32(col(idCol)).as("hv"))
+      idCol: String = "doc_id", whaleBound: Long = 1L << 20,
+      shares: Int = 32): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    require(shares >= 1, s"shares must be >= 1, got $shares")
+    val base = docs.select(col(idCol), col(stratumCol).as("stratum"),
+      hash32(col(idCol)).as("hv"))
+    // strata are low-cardinality by construction: the census is tiny and
+    // rides back in as a broadcast, replacing the count-over-stratum window
+    // (same one shuffle for the small path's rank; none added)
+    val counts = base.groupBy("stratum").agg(count(lit(1)).as("n_stratum"))
+    val tagged = base.join(broadcast(counts), Seq("stratum"))
+
+    val small = tagged.filter(col("n_stratum") <= whaleBound)
       .withColumn("sample_rank", row_number().over(
           Window.partitionBy("stratum").orderBy(col("hv"), col(idCol)))
         .cast("long"))
-      .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy("stratum")))
       // rank ≤ ceil(n·pct/100) ⟺ (rank−1)·100 < n·pct — pure integer
       // comparison, no division to disagree on across engines
       .filter((col("sample_rank") - 1) * 100 < col("n_stratum") * pct)
       .select(col(idCol), col("stratum"), col("sample_rank"))
-      .orderBy("stratum", "sample_rank")
+
+    val whales = tagged.filter(col("n_stratum") > whaleBound)
+      .withColumn("share", pmod(col("hv"), lit(shares.toLong)))
+    // largest-remainder apportionment over the observed share sizes —
+    // (whale strata × shares) rows, computed once, broadcast back
+    val quotas = whales.groupBy("stratum", "share")
+      .agg(count(lit(1)).as("n_share"), max(col("n_stratum")).as("n_stratum"))
+      .withColumn("base", expr(s"(n_share * $pct) div 100"))
+      .withColumn("rem", expr(s"(n_share * $pct) % 100"))
+      .withColumn("k_total", expr(s"(n_stratum * $pct + 99) div 100"))
+      .withColumn("sum_base", sum(col("base")).over(Window.partitionBy("stratum")))
+      .withColumn("rem_rank", row_number().over(
+        Window.partitionBy("stratum").orderBy(col("rem").desc, col("share"))))
+      .withColumn("q", col("base") +
+        when(col("rem_rank") <= col("k_total") - col("sum_base"), 1L).otherwise(0L))
+      .select("stratum", "share", "q")
+    val whaleKept = whales.join(broadcast(quotas), Seq("stratum", "share"))
+      .withColumn("rk", row_number().over(
+          Window.partitionBy("stratum", "share").orderBy(col("hv"), col(idCol)))
+        .cast("long"))
+      .filter(col("rk") <= col("q"))
+      .select(col(idCol), col("stratum"),
+        ((col("rk") - 1) * shares + col("share") + 1).cast("long").as("sample_rank"))
+
+    small.unionByName(whaleKept).orderBy("stratum", "sample_rank")
+  }
+
+  /** The whale-path share an id hashes to — the JVM-side twin of
+    * `pmod(hash32(id), shares)`, exposed for tests and skew diagnostics. */
+  def shareOf(id: String, shares: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(id.getBytes("UTF-8"))
+    val hex = md.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % shares
   }
 
   /** Rate-based weighted domain mix: each source keeps `weights(source)`

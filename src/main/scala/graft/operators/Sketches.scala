@@ -77,19 +77,68 @@ object Sketches {
     *
     * Output one row: (m, n_buckets_set, est_distinct, exact_distinct,
     * rel_error); exact rides along for gate/error visibility. */
-  def hllDistinct(df: DataFrame, keyCol: String, b: Int = 6): DataFrame = {
-    val m = 1 << b
+  def hllDistinct(df: DataFrame, keyCol: String, b: Int = 6): DataFrame =
+    hllEstimate(hllRegisters(df, keyCol, b), df, keyCol, b)
+
+  /** The HLL register table (bucket, r) for a frame — the sketch's whole
+    * state, m rows max. Map-side-combinable (partial MAX per bucket before
+    * the shuffle); register tables from disjoint shards merge by
+    * register-wise MAX, which [[hllMerge]] provides. */
+  def hllRegisters(df: DataFrame, keyCol: String, b: Int = 6): DataFrame = {
     val remBits = 32 - b
     val rmax = remBits + 1
-    val scale = hllScale(b)
-    val regs = df
-      .select(hash32(col(keyCol)).as("hv"))
+    df.select(hash32(col(keyCol)).as("hv"))
       .select(shiftright(col("hv"), remBits).as("bucket"),
         col("hv").bitwiseAND(lit((1L << remBits) - 1)).as("rem"))
       .select(col("bucket"),
         when(col("rem") === 0, lit(rmax))
           .otherwise(lit(rmax) - length(bin(col("rem")))).cast("long").as("rank"))
       .groupBy("bucket").agg(max(col("rank")).as("r"))
+  }
+
+  /** Merge per-shard register tables into one: register-wise MAX. This is
+    * the 100k-shard path the sketch exists for — each shard publishes its
+    * ≤m-row register table with its data, and a global distinct estimate is
+    * one GROUP BY over (shards × m) tiny rows instead of a re-scan of the
+    * corpus. Associativity/commutativity of MAX makes the merged registers
+    * IDENTICAL to a single pass over the union — the `sketch_hll_merged`
+    * gate pins that equality against the single-pass oracle. */
+  def hllMerge(perShardRegs: DataFrame): DataFrame =
+    perShardRegs.groupBy("bucket").agg(max(col("r")).as("r"))
+
+  /** Sharded-build HLL: split the frame into `nShards` disjoint hash shards,
+    * build each shard's register table independently, merge with
+    * [[hllMerge]], estimate. Must equal [[hllDistinct]] bit-for-bit. */
+  def hllMergedDistinct(df: DataFrame, keyCol: String, nShards: Int = 16,
+      b: Int = 6): DataFrame = {
+    val remBits = 32 - b
+    val rmax = remBits + 1
+    // shard assignment uses a DIFFERENT hash family (xxhash64) than the
+    // sketch's md5-derived value: correlation between shard and bucket
+    // would not break correctness (MAX merge is total), but independent
+    // sharding is the honest model of arbitrary data placement
+    val sharded = df.select(col(keyCol),
+      pmod(xxhash64(col(keyCol).cast("string")), lit(nShards)).as("shard"))
+    val perShard = sharded
+      .select(col("shard"), hash32(col(keyCol)).as("hv"))
+      .select(col("shard"),
+        shiftright(col("hv"), remBits).as("bucket"),
+        col("hv").bitwiseAND(lit((1L << remBits) - 1)).as("rem"))
+      .select(col("shard"), col("bucket"),
+        when(col("rem") === 0, lit(rmax))
+          .otherwise(lit(rmax) - length(bin(col("rem")))).cast("long").as("rank"))
+      .groupBy("shard", "bucket").agg(max(col("rank")).as("r"))
+    hllEstimate(hllMerge(perShard), df, keyCol, b)
+  }
+
+  /** Raw-estimator readout over a merged register table (see
+    * [[hllDistinct]] for why the estimator is the raw, un-bias-corrected
+    * form: it pins bit-for-bit across engines). */
+  private def hllEstimate(regs: DataFrame, df: DataFrame, keyCol: String,
+      b: Int): DataFrame = {
+    val m = 1 << b
+    val rmax = 32 - b + 1
+    val scale = hllScale(b)
     val s = regs.agg(
       count(lit(1)).as("n_buckets_set"),
       sum(expr(s"shiftleft(cast(1 as bigint), cast($rmax - r as int))")).as("s_present"))

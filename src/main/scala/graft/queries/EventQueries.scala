@@ -97,7 +97,11 @@ object EventQueries {
     counts.select(col("n0"), explode(stepRows).as("x"))
       .select(col("x.step").cast("long").as("step"), col("x.step_name").as("step_name"),
         col("x.n_users").as("n_users"),
-        round(col("x.n_users") * 100.0 / col("n0"), 2).as("pct_of_first"))
+        // zero guard matches the oracle's NULLIF: an empty step-0 cohort
+        // yields NULL on both sides (unguarded Spark would emit NaN while
+        // DuckDB's division by zero returns NULL)
+        when(col("n0") === 0, lit(null).cast("double"))
+          .otherwise(round(col("x.n_users") * 100.0 / col("n0"), 2)).as("pct_of_first"))
       .orderBy("step")
   }
 

@@ -571,7 +571,7 @@ f2 AS (
 ),
 u AS (SELECT user_id, MIN(s0) AS t0, MIN(s1) AS t1, MIN(s2) AS t2 FROM f2 GROUP BY user_id),
 c AS (SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM u)
-SELECT step, step_name, n_users, ROUND((n_users::DOUBLE * 100) / n0, 2) AS pct_of_first
+SELECT step, step_name, n_users, ROUND((n_users::DOUBLE * 100) / NULLIF(n0, 0), 2) AS pct_of_first
 FROM (
   SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, n0 AS n_users, n0 FROM c
   UNION ALL SELECT CAST(2 AS BIGINT), 'click', n1, n0 FROM c

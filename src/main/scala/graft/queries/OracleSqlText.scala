@@ -715,30 +715,39 @@ SELECT doc_id, n_tokens,
        hv % $shardsPerBin AS shard
 FROM t ORDER BY doc_id"""
 
-  /** Mirrors Sketches.hllDistinct (b=6, m=64, RMAX=27): raw HLL estimator
-    * with an exact-BIGINT Σ2^(RMAX−M) and one double division — the scale
-    * constant is rendered from the same Scala double the Spark side uses. */
-  def sketchHllDistinct(scale: Double): String = s"""
+  /** Mirrors Sketches.hllDistinct: raw HLL estimator with an exact-BIGINT
+    * Σ2^(RMAX−M) and one double division — the scale constant is rendered
+    * from the same Scala double the Spark side uses, and every power-of-two
+    * constant is derived from the SAME `b` the Spark side is called with
+    * (divisor 2^(32−b), rank cap RMAX=32−b+1, Σ fill-in 2^RMAX, m=2^b), so
+    * changing the precision on one side cannot silently desync the gate. */
+  def sketchHllDistinct(scale: Double, b: Int = 6): String = {
+    val m = 1 << b
+    val div = 1L << (32 - b)   // bucket divisor = 2^(32-b)
+    val rmax = 32 - b + 1
+    val fill = 1L << rmax      // empty-bucket Σ term = 2^RMAX
+    s"""
 WITH h AS (SELECT (${hex8IntSql("user_id::VARCHAR")}) AS hv FROM events),
 reg AS (
-  SELECT hv // 67108864 AS bucket,
-         MAX(CASE WHEN hv % 67108864 = 0 THEN 27
-                  ELSE 27 - length(bin(hv % 67108864)) END) AS r
+  SELECT hv // $div AS bucket,
+         MAX(CASE WHEN hv % $div = 0 THEN $rmax
+                  ELSE $rmax - length(bin(hv % $div)) END) AS r
   FROM h GROUP BY 1
 ),
 s AS (
   SELECT COUNT(*) AS n_buckets_set,
-         CAST(SUM(1::BIGINT << CAST(27 - r AS INTEGER)) AS BIGINT) AS s_present
+         CAST(SUM(1::BIGINT << CAST($rmax - r AS INTEGER)) AS BIGINT) AS s_present
   FROM reg
 ),
 e AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events),
 r2 AS (
-  SELECT CAST(64 AS BIGINT) AS m, n_buckets_set,
-         ROUND($scale / (s_present + (64 - n_buckets_set) * 134217728), 2) AS est_distinct,
+  SELECT CAST($m AS BIGINT) AS m, n_buckets_set,
+         ROUND($scale / (s_present + ($m - n_buckets_set) * $fill), 2) AS est_distinct,
          exact_distinct
   FROM s, e
 )
 SELECT m, n_buckets_set, est_distinct, exact_distinct,
        ROUND(ABS(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_error
 FROM r2"""
+  }
 }

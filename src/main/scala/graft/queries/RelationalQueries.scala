@@ -141,8 +141,11 @@ object RelationalQueries {
     * keys at 1% fpp, broadcast once per executor. */
   def bloomFilteredRevenue(lineitem: DataFrame, orders: DataFrame,
       minTotal: Double): DataFrame = {
+    // cache-then-count (the Dedup fill-cache-before-reuse convention): the
+    // filtered dimension is read three times below (count, bloomFilter
+    // aggregate, semi join) and must scan storage only once
     val keys = orders.filter(col("o_totalprice") >= minTotal)
-      .select(col("o_orderkey"))
+      .select(col("o_orderkey")).cache()
     val nKeys = math.max(keys.count(), 1L)
     val probe = graft.functions.BloomExpressions.registerBloom(
       lineitem.sparkSession, keys.stat.bloomFilter("o_orderkey", nKeys, 0.01))

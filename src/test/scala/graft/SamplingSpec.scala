@@ -24,6 +24,36 @@ class SamplingSpec extends AnyFunSuite {
       === Array(1L, 2L))
   }
 
+  test("whale stratum splits across hash shares and keeps exact counts") {
+    import spark.implicits._
+    // one whale stratum (5000 rows) over a small bound, two tail strata
+    val docs = ((1 to 5000).map((_, "whale")) ++ (5001 to 5007).map((_, "a")) ++
+      (5008 to 5017).map((_, "b"))).toDF("doc_id", "lang")
+    val s = Sampling.stratifiedSample(docs, "lang", pct = 20,
+      whaleBound = 1000, shares = 8)
+    val rows = s.collect()
+    val counts = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // exact ceil(n*pct/100) per stratum even through the apportioned path
+    assert(counts === Map("whale" -> 1000, "a" -> 2, "b" -> 2))
+    // small strata take the global-rank path: identical to the unguarded call
+    val unguarded = Sampling.stratifiedSample(docs.filter($"lang" =!= "whale"), "lang", pct = 20)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.filter(_.getString(1) != "whale")
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet === unguarded)
+    // sample_rank stays unique per stratum (share-interleaved id)
+    val whaleRanks = rows.filter(_.getString(1) == "whale").map(_.getLong(2))
+    assert(whaleRanks.distinct.length === whaleRanks.length)
+    // multi-task execution: the ranking window runs per (stratum, share) —
+    // the plan partitions on both, and the kept set spans many shares
+    assert(s.queryExecution.executedPlan.toString.contains("hashpartitioning(stratum"))
+    val keptShares = s.filter($"stratum" === "whale").select("doc_id").as[Int].collect()
+      .map(id => Sampling.shareOf(id.toString, 8)).distinct
+    assert(keptShares.length === 8, s"kept docs landed in only ${keptShares.length} shares")
+    // determinism through the apportioned path
+    assert(Sampling.stratifiedSample(docs, "lang", pct = 20, whaleBound = 1000, shares = 8)
+      .collect().toSeq === rows.toSeq)
+  }
+
   test("weighted mix applies per-source rates and is append-stable") {
     import spark.implicits._
     val docs = (1 to 1000).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
