@@ -38,11 +38,13 @@ import org.apache.spark.sql.types.StructType
 object FileReplay {
 
   /** One replay's directory layout: `in/` chunk files (what the file
-    * source tails), `out/` the parquet sink, `ckpt/` the checkpoint. */
+    * source tails), `out/` the parquet sink, `ckpt/` the checkpoint.
+    * `tag` separates the sink/checkpoint of queries SHARING one staged
+    * chunk set (the rollup and sessions gates replay the same `in/`). */
   final case class ReplayDirs(root: Path) {
     def in: Path = root.resolve("in")
-    def out: Path = root.resolve("out")
-    def ckpt: Path = root.resolve("ckpt")
+    def out(tag: String = ""): Path = root.resolve(s"out$tag")
+    def ckpt(tag: String = ""): Path = root.resolve(s"ckpt$tag")
   }
 
   private val epoch = LocalDateTime.of(1970, 1, 1, 0, 0)
@@ -114,19 +116,19 @@ object FileReplay {
     * by the caller after restore, so only the stream is affected. On a
     * real deployment the operator runs under the session's own sizing. */
   def runToParquet(streamed: DataFrame, dirs: ReplayDirs,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8, tag: String = ""): DataFrame = {
     val spark = streamed.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val query =
       try {
         spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
         streamed.writeStream.format("parquet")
-          .option("path", dirs.out.toString)
-          .option("checkpointLocation", dirs.ckpt.toString)
+          .option("path", dirs.out(tag).toString)
+          .option("checkpointLocation", dirs.ckpt(tag).toString)
           .outputMode("append").start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try query.processAllAvailable() finally query.stop()
-    spark.read.parquet(dirs.out.toString)
+    spark.read.parquet(dirs.out(tag).toString)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -14,6 +14,61 @@ import org.apache.spark.sql.functions._
   */
 object StreamingAnalytics {
 
+  // ---- shared replay staging ----
+  // Staging a chunk set costs a min/max aggregate plus `batches` filtered
+  // single-file writes; the rollup and sessions gates replay the SAME
+  // events source, so they stage ONE 4-column chunk set (sentinel rows
+  // carry both flush markers) and differ only in sink/checkpoint tag.
+  // Keyed by the source's canonicalized logical plan: two reads of the
+  // same table at the same dir canonicalize equal, different dirs (or
+  // tables) don't — the same per-(session, source) memoization SparkEntry
+  // uses for the matched-ledger stages.
+  private val chunkCache = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    FileReplay.ReplayDirs]
+
+  private def stagedShared(src: DataFrame, batches: Int,
+      sentinels: DataFrame => Seq[DataFrame]): FileReplay.ReplayDirs =
+    synchronized {
+      val key = (src.sparkSession, src.queryExecution.analyzed.canonicalized, batches)
+      chunkCache.getOrElseUpdate(key,
+        FileReplay.stageChunks(src, "ts", batches, sentinels(src)))
+    }
+
+  /** Number of distinct staged chunk sets this session — visible to the
+    * spec that pins the rollup/sessions staging reuse. */
+  private[graft] def stagedChunkSets: Int = synchronized(chunkCache.size)
+
+  /** The union replay projection both event gates stream from. Missing
+    * columns (unit-test frames carry only their gate's subset) are filled
+    * with neutral defaults; such frames canonicalize differently and so
+    * cache separately. */
+  private def eventReplaySrc(events: DataFrame): DataFrame = {
+    val have = events.columns.toSet
+    events
+      .withColumn("event_type",
+        if (have("event_type")) col("event_type") else lit("n/a"))
+      .withColumn("user_id",
+        if (have("user_id")) col("user_id") else lit(0L))
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+  }
+
+  /** Two far-future flush sentinels carrying BOTH gates' markers
+    * (event_type `__flush__` for the rollup filter, user_id −1 for the
+    * sessions filter): append mode only emits watermark-closed groups, and
+    * the eviction pass sees the PREVIOUS batch's watermark, so flushing
+    * takes two sentinel batches — the first advances event time, the
+    * second runs with that advanced watermark and emits everything. */
+  private def eventSentinels(src: DataFrame): Seq[DataFrame] = {
+    val mx = src.agg(max("ts")).head().getAs[java.time.LocalDateTime](0)
+    (0 until 2).map(i => src.sparkSession.range(1).select(
+      lit(mx.plusHours(3 + i)).as("ts"),
+      lit("__flush__").as("event_type"),
+      lit(-1L).as("user_id"),
+      lit(0.0).as("value")))
+  }
+
   /** Tumbling-window counts/sums per event type over a streaming frame with
     * columns (ts: timestamp, event_type, value). Append mode emits each
     * window once it is closed by the watermark. */
@@ -60,19 +115,13 @@ object StreamingAnalytics {
   def replayRollup(events: DataFrame, batches: Int = 3,
       windowLength: String = "1 hour", lateness: String = "30 minutes"): DataFrame = {
     val spark = events.sparkSession
-    val src = events.select(col("ts"), col("event_type"), col("value"))
-    val mx = src.agg(max("ts")).head().getAs[java.time.LocalDateTime](0)
-    def sentinel(i: Int): DataFrame = spark.range(1).select(
-      lit(mx.plusHours(3 + i)).as("ts"),
-      lit("__flush__").as("event_type"),
-      lit(0.0).as("value"))
-    val dirs = FileReplay.stageChunks(src, "ts", batches,
-      sentinels = Seq(sentinel(0), sentinel(1)))
+    val src = eventReplaySrc(events)
+    val dirs = stagedShared(src, batches, eventSentinels)
     val streamed = windowedRollup(
       FileReplay.stream(spark, src.schema, dirs)
         .withColumn("ts", col("ts").cast("timestamp")),
       windowLength, lateness)
-    FileReplay.runToParquet(streamed, dirs)
+    FileReplay.runToParquet(streamed, dirs, tag = "_rollup")
       .filter(col("event_type") =!= "__flush__")
       .select(col("window_start").cast("timestamp_ntz").as("window_start"),
         col("window_end").cast("timestamp_ntz").as("window_end"),
@@ -106,18 +155,12 @@ object StreamingAnalytics {
     * (the session-window end is last event + gap by definition). */
   def replaySessions(events: DataFrame, batches: Int = 3): DataFrame = {
     val spark = events.sparkSession
-    val src = events.select(col("ts"), col("user_id"), col("value"))
-    val mx = src.agg(max("ts")).head().getAs[java.time.LocalDateTime](0)
-    def sentinel(i: Int): DataFrame = spark.range(1).select(
-      lit(mx.plusHours(3 + i)).as("ts"),
-      lit(-1L).as("user_id"),
-      lit(0.0).as("value"))
-    val dirs = FileReplay.stageChunks(src, "ts", batches,
-      sentinels = Seq(sentinel(0), sentinel(1)))
+    val src = eventReplaySrc(events)
+    val dirs = stagedShared(src, batches, eventSentinels)
     val streamed = sessionRollup(
       FileReplay.stream(spark, src.schema, dirs)
         .withColumn("ts", col("ts").cast("timestamp")))
-    FileReplay.runToParquet(streamed, dirs)
+    FileReplay.runToParquet(streamed, dirs, tag = "_sessions")
       .filter(col("user_id") >= 0)
       .select(col("session_start").cast("timestamp_ntz").as("session_start"),
         col("session_end").cast("timestamp_ntz").as("session_end"),
@@ -140,11 +183,11 @@ object StreamingAnalytics {
       expr("timestampadd(SECOND, CAST(doc_id AS INT), TIMESTAMP_NTZ '2024-01-01 00:00:00')")
         .as("ts"),
       col("doc_id"), col("text"))
-    val dirs = FileReplay.stageChunks(src, "ts", batches)
+    val dirs = stagedShared(src, batches, _ => Nil)
     val streamed = streamingDedup(
       FileReplay.stream(spark, src.schema, dirs)
         .withColumn("ts", col("ts").cast("timestamp")))
-    FileReplay.runToParquet(streamed, dirs)
+    FileReplay.runToParquet(streamed, dirs, tag = "_dedup")
       .groupBy("content_hash")
       .agg(count(lit(1)).as("n_passed"))
       .orderBy("content_hash")

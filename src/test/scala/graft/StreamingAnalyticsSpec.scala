@@ -83,6 +83,29 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       (2L, ldt(0, 5), ldt(0, 35), 1L, 8.0)))
   }
 
+  test("rollup and sessions replay the same staged chunk set") {
+    import spark.implicits._
+    val ldt = (h: Int, m: Int) => java.time.LocalDateTime.of(2024, 1, 1, h, m)
+    // full event schema → both gates derive the IDENTICAL replay source and
+    // the second gate must reuse the first's staged chunks
+    val events = Seq(
+      (ldt(0, 10), "click", 1L, 1.5), (ldt(0, 40), "view", 1L, 2.0),
+      (ldt(1, 30), "click", 2L, 4.0))
+      .toDF("ts", "event_type", "user_id", "value")
+    val before = StreamingAnalytics.stagedChunkSets
+    val rollup = StreamingAnalytics.replayRollup(events, batches = 2).collect()
+    val afterRollup = StreamingAnalytics.stagedChunkSets
+    val sessions = StreamingAnalytics.replaySessions(events, batches = 2).collect()
+    assert(StreamingAnalytics.stagedChunkSets === afterRollup,
+      "sessions gate staged a second chunk set instead of reusing the rollup's")
+    assert(afterRollup === before + 1)
+    // and both gates still produce their own correct results off it
+    assert(rollup.map(r => (r.getAs[java.time.LocalDateTime]("window_start"),
+      r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+      === Set((ldt(0, 0), "click", 1L), (ldt(0, 0), "view", 1L), (ldt(1, 0), "click", 1L)))
+    assert(sessions.map(_.getAs[Long]("user_id")).toSet === Set(1L, 2L))
+  }
+
   test("replayDedup emits exactly one survivor per content hash") {
     import spark.implicits._
     val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"),
