@@ -252,6 +252,11 @@ object SparkEntry {
       RelationalQueries.bloomFilteredRevenue(Tables.lineitem(s, d),
         Tables.orders(s, d), 450000.0)),
 
+    // cross-document exact substring-span dedup (Lee et al. 2021 family,
+    // hash-blocked: window hashes -> inverted index -> exact verify -> merge)
+    "dedup_substring_spans" -> ((s, d) =>
+      Dedup.substringSpans(Tables.documents(s, d))),
+
     // near-dup clusters over the simhash pair graph (min-label propagation)
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.simhashPairs(Tables.documents(s, d)))),
@@ -366,6 +371,7 @@ object SparkEntry {
     "mm_resize" -> OracleSqlText.mmResize,
     "mm_frames" -> OracleSqlText.mmFrames,
     "dedup_clusters" -> OracleSqlText.dedupClusters,
+    "dedup_substring_spans" -> OracleSqlText.substringSpans(),
     "sketch_kmv_distinct" -> OracleSqlText.sketchKmvDistinct,
     "sketch_kmv_by_type" -> OracleSqlText.sketchKmvByType,
     "curation_pipeline" -> OracleSqlText.curation,

@@ -138,6 +138,51 @@ object WinnowFingerprint {
     java.security.MessageDigest.getInstance("MD5"))
 }
 
+/** Positional n-token window hashes in one compiled pass per row: for m
+  * tokens, an array of m−n+1 60-bit hashes, hash i covering the n-gram at
+  * 1-based position i+1. The hash is the md5 digest's first 15 hex digits
+  * as a base-16 integer (= first 7 bytes big-endian plus the 8th byte's
+  * high nibble — matching `conv(substring(md5(x), 1, 15), 16, 10)`), wide
+  * enough that at 10¹² corpus windows the expected collision count stays
+  * negligible next to the verify stage that removes them. This is the
+  * corpus-pass kernel of the substring-span dedup operator (Lee et al.
+  * 2021's exact-substring family, hash-blocked); the winnow kernel above
+  * differs in window-minima selection, this one keeps EVERY position so
+  * span boundaries can be reconstructed. */
+case class SpanHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"span_hashes expects array<string>, got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "span_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val md = WinnowFingerprint.digest.get()
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      md.reset()
+      val d = md.digest(Grams.gram(toks, i, n).getBytes)
+      out(i) = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+        ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >> 4)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 16-bit SimHash over distinct tokens in one compiled pass.
   *
   * The declarative formulation — 16 per-bit `aggregate(hv, ...)` higher-order
@@ -218,6 +263,14 @@ object TextExpressions {
       FunctionIdentifier(s"winnow_fp_${n}_$w"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, s"winnow_fp_${n}_$w"),
       (children: Seq[Expression]) => WinnowFingerprint(children.head, n, w))
+  }
+
+  /** Register the compiled positional span-hash kernel for a given n. */
+  def registerSpanHashes(spark: SparkSession, n: Int): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(s"span_hashes_$n"),
+      new ExpressionInfo(classOf[SpanHashes].getName, s"span_hashes_$n"),
+      (children: Seq[Expression]) => SpanHashes(children.head, n))
   }
 
   /** Register `word_ngrams_distinct` / `word_ngrams_pos` for a given n. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
@@ -296,6 +297,74 @@ object Dedup {
       .agg(count(lit(1)).as("shared_fingerprints"))
       .filter(col("shared_fingerprints") >= minShared)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Cross-document exact substring-span dedup (the suffix-array family of
+    * Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed hash-blocked for Spark): find every token span
+    * of ≥ `minSpanTokens` that occurs verbatim in at least two DISTINCT
+    * documents, and emit per document the MAXIMAL removal spans
+    * (doc_id, span_start, span_end, span_len, n_windows; positions
+    * 1-based, token units) after merging overlapping/adjacent flagged
+    * windows. Within-document-only repetition is deliberately not flagged
+    * (this is the cross-doc operator; policy for which copy to keep is
+    * downstream's).
+    *
+    * Shape — no suffix array, same guarantee: a repeated span of length
+    * s ≥ L contains s−L+1 repeated L-windows, so flagging every L-window
+    * whose content recurs in another doc and merging adjacent flags
+    * reconstructs exactly the maximal repeated spans.
+    *  1. corpus pass: compiled [[graft.functions.SpanHashes]] kernel →
+    *     (doc_id, pos, hv) per L-window, hv a 60-bit md5-derived hash;
+    *  2. census: hashes seen in ≥2 distinct docs — min(doc_id) ≠
+    *     max(doc_id) per hv, a plain map-side-combinable MIN/MAX aggregate
+    *     (no count-distinct expand), then an hv-keyed semi-join back;
+    *  3. verify: candidate positions re-derive their gram strings (one
+    *     doc_id-keyed join against the token table — strings shuffle only
+    *     for the candidate slice, never the whole corpus) and must agree
+    *     on (hv, gram) across ≥2 docs, so hash collisions cannot produce
+    *     a false span: the result is EXACT;
+    *  4. merge: per-doc gaps-and-islands window (break when
+    *     pos > prev + L), one keyed shuffle on doc_id.
+    * Candidate volume is inverted-index bounded: posting lists are per
+    * 60-bit content hash, so nothing concentrates except true duplication,
+    * and stage 3+ touch only flagged positions. */
+  def substringSpans(docs: DataFrame, minSpanTokens: Int = 8): DataFrame = {
+    val L = minSpanTokens
+    graft.functions.TextExpressions.registerSpanHashes(docs.sparkSession, L)
+    val toks = TextOps.withTokens(docs).select(col("doc_id"), col("toks"))
+    val pos = graft.RunHygiene.stage(
+      toks.filter(size(col("toks")) >= L)
+        .select(col("doc_id"),
+          posexplode(call_function(s"span_hashes_$L", col("toks"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("hv")))
+    pos.count() // fill the cache once: the census and the join-back both read it
+    val repeated = pos.groupBy("hv")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("hv")
+    val cand = pos.join(repeated, Seq("hv"))
+    val grams = cand.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("hv"),
+        concat_ws(" ", slice(col("toks"), col("pos").cast("int"), lit(L))).as("gram"))
+    val verified = grams.groupBy("hv", "gram")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("hv", "gram")
+    val vpos = grams.join(verified, Seq("hv", "gram")).select("doc_id", "pos")
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    vpos
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(wOrd) + L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (L - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_windows"))
+      .orderBy("doc_id", "span_start")
   }
 
   /** Near-dup candidate groups from equal SimHash sketches. The sketch

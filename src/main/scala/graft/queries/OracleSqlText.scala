@@ -100,6 +100,15 @@ cand AS (
 ),
 $verifySql"""
 
+  /** First-15-hex-chars-of-md5 as a 60-bit integer (DuckDB has no conv()) —
+    * the span-hash width: wide enough that corpus-scale window counts don't
+    * saturate the hash space, still inside signed BIGINT. */
+  private def hex15IntSql(arg: String): String =
+    (0 until 15).map { i =>
+      val mult = java.lang.Long.parseLong("1" + "0" * (14 - i), 16) // 16^(14-i)
+      s"(strpos('0123456789abcdef', substr(md5($arg), ${i + 1}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+
   /** First-4-hex-chars-of-md5 as an integer (DuckDB has no conv()). */
   private def hex4IntSql(arg: String): String =
     (0 until 4).map { i =>
@@ -714,6 +723,40 @@ SELECT doc_id, n_tokens,
        LEAST(CAST(FLOOR(n_tokens / $binWidth) AS BIGINT), CAST($maxBin AS BIGINT)) AS bin,
        hv % $shardsPerBin AS shard
 FROM t ORDER BY doc_id"""
+
+  /** Mirrors Dedup.substringSpans: positional L-token window hashes →
+    * multi-doc census (MIN≠MAX on doc_id, the same expand-free form the
+    * Spark side uses) → exact gram verification per (hv, gram) → per-doc
+    * gaps-and-islands merge. Parallel unnest zips positions with grams. */
+  def substringSpans(l: Int = 8): String = s"""
+WITH $toksCte,
+p AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks) - ${l - 1}))::BIGINT AS pos,
+         unnest(list_transform(generate_series(1, len(toks) - ${l - 1}),
+                               i -> array_to_string(toks[i:i+${l - 1}], ' '))) AS gram
+  FROM toks WHERE len(toks) >= $l
+),
+ph AS (SELECT doc_id, pos, gram, (${hex15IntSql("gram")}) AS hv FROM p),
+cand AS (SELECT hv FROM ph GROUP BY hv HAVING MIN(doc_id) <> MAX(doc_id)),
+cpos AS (SELECT ph.* FROM ph JOIN cand USING (hv)),
+ver AS (SELECT hv, gram FROM cpos GROUP BY hv, gram HAVING MIN(doc_id) <> MAX(doc_id)),
+vpos AS (SELECT doc_id, pos FROM cpos JOIN ver USING (hv, gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $l
+              THEN 1 ELSE 0 END AS brk
+  FROM vpos
+),
+g2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${l - 1} AS span_end,
+       MAX(pos) + $l - MIN(pos) AS span_len, COUNT(*) AS n_windows
+FROM g2 GROUP BY doc_id, island ORDER BY doc_id, span_start"""
 
   /** Mirrors Sketches.hllDistinct: raw HLL estimator with an exact-BIGINT
     * Σ2^(RMAX−M) and one double division — the scale constant is rendered
