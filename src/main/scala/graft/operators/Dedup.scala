@@ -344,9 +344,10 @@ object Dedup {
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
       .filter(col("d0") =!= col("d1")).select("hv")
     val cand = pos.join(repeated, Seq("hv"))
-    val grams = cand.join(toks, Seq("doc_id"))
+    val grams = graft.RunHygiene.stage(cand.join(toks, Seq("doc_id"))
       .select(col("doc_id"), col("pos"), col("hv"),
-        concat_ws(" ", slice(col("toks"), col("pos").cast("int"), lit(L))).as("gram"))
+        concat_ws(" ", slice(col("toks"), col("pos").cast("int"), lit(L))).as("gram")))
+    grams.count() // fill once: feeds both the verify census and the join-back
     val verified = grams.groupBy("hv", "gram")
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
       .filter(col("d0") =!= col("d1")).select("hv", "gram")
