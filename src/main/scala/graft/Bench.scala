@@ -68,6 +68,9 @@ object Bench {
     // are emitted. Five rounds of driver BENCH files have recorded phantom
     // 10x regressions from box contention that only a judge re-measure could
     // adjudicate; the {cold, warm} pair makes the artifact self-adjudicating.
+    // Caveat a reader needs: for streaming replay gates the warm number is a
+    // checkpoint/sink read-back (the staged chunks are already consumed), so
+    // it bounds the non-stream overhead rather than re-measuring the stream.
     val warm: Seq[(String, Double)] = results.collect {
       case (name, cold, None)
         if cold > 8.0 || history.get(name).exists(h => cold > 3 * h && cold > 1.0) =>
