@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Build a one-decade scale-up of the sf0.1 tables for scaling checks.
+
+documents and events are replicated 10x with shifted ids; every replica's
+text additionally mutates one token in seven (replica-tagged), so the
+scaled corpus keeps a realistic duplication rate instead of giving every
+document nine identical twins — exact replication would turn the dedup
+operators' outputs quadratic in the replica count and measure the
+pathology, not the operator. user_id is offset per replica so distinct
+cardinalities also scale 10x (the HLL/funnel axis). Other tables copy
+through unchanged.
+
+Usage: python3 scripts/scaledata.py [outDir=/tmp/sfbig]
+Then:  SPARK_GRAFT_SF_DIR=/tmp/sfbig sbt "runMain graft.BenchOne <queries>"
+"""
+import sys, glob, shutil, os
+import duckdb
+
+src = '/root/testdata/sf0.1'
+dst = sys.argv[1] if len(sys.argv) > 1 else '/tmp/sfbig'
+os.makedirs(dst, exist_ok=True)
+for p in glob.glob(f'{src}/*.parquet'):
+    if os.path.basename(p) not in ('documents.parquet', 'events.parquet'):
+        shutil.copy(p, dst)
+
+con = duckdb.connect()
+con.execute(f"""
+COPY (
+  SELECT doc_id + k * 10000000 AS doc_id,
+         CASE WHEN k = 0 THEN text
+              ELSE array_to_string(
+                list_transform(string_split(text, ' '),
+                  (t, i) -> CASE WHEN (i % 7) = (k % 7) THEN t || '~' || k
+                                 ELSE t END), ' ')
+         END AS text,
+         lang, source,
+         length(CASE WHEN k = 0 THEN text
+                     ELSE array_to_string(
+                       list_transform(string_split(text, ' '),
+                         (t, i) -> CASE WHEN (i % 7) = (k % 7) THEN t || '~' || k
+                                        ELSE t END), ' ')
+                END)::BIGINT AS n_chars
+  FROM read_parquet('{src}/documents.parquet')
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k)
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+COPY (
+  SELECT event_id + k * 100000000 AS event_id,
+         CAST(ts AS TIMESTAMP_NS) AS ts,
+         user_id + k * 10000000 AS user_id,
+         event_type, value, props
+  FROM read_parquet('{src}/events.parquet')
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k)
+) TO '{dst}/events.parquet' (FORMAT PARQUET)
+""")
+for t in ('documents', 'events'):
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
+    print(f"{t}: {n} rows")
