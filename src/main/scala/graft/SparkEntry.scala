@@ -232,6 +232,14 @@ object SparkEntry {
     // (associativity) — the oracle IS the single-pass SQL
     "sketch_hll_merged" -> ((s, d) =>
       graft.operators.Sketches.hllMergedDistinct(Tables.events(s, d), "user_id")),
+    // the production-common per-group shape: distinct users per event type
+    "sketch_hll_by_type" -> ((s, d) =>
+      graft.operators.Sketches.hllDistinctByGroup(Tables.events(s, d), "event_type", "user_id")),
+    // Count-Min frequency sketch read out at the exact top-k tokens
+    "sketch_cms_tokens" -> ((s, d) =>
+      graft.operators.Sketches.cmsTokenCounts(Tables.documents(s, d))),
+    // n-gram novelty: share of a doc's distinct shingles unique to it
+    "text_novelty" -> ((s, d) => TextOps.noveltyStats(Tables.documents(s, d))),
 
     // deterministic corpus sampling: exact-count stratified + weighted mix
     "sample_stratified" -> ((s, d) =>
@@ -388,6 +396,10 @@ object SparkEntry {
       OracleSqlText.sketchHllDistinct(graft.operators.Sketches.hllScale()),
     "sketch_hll_merged" ->
       OracleSqlText.sketchHllDistinct(graft.operators.Sketches.hllScale()),
+    "sketch_hll_by_type" ->
+      OracleSqlText.sketchHllByType(graft.operators.Sketches.hllScale()),
+    "sketch_cms_tokens" -> OracleSqlText.cmsTokenCounts(),
+    "text_novelty" -> OracleSqlText.noveltyStats,
     "sample_stratified" -> OracleSqlText.stratifiedSample(),
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),
     "train_curriculum" -> OracleSqlText.curriculumBins(),

@@ -229,6 +229,29 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** N-gram novelty scoring — the curation-side complement of the dedup
+    * family: per document, how much of its distinct n-gram content appears
+    * in NO other document. Low novelty flags boilerplate/templated docs
+    * for down-weighting even when no single pair crosses a dedup
+    * threshold. Shape: distinct shingles (compiled kernel) → one
+    * shingle-keyed df census (map-side combinable count) → join back →
+    * per-doc rollup; the same inverted-index discipline as the dedup
+    * operators, nothing pairwise. Docs with < n tokens have no shingles
+    * and are excluded (the winnow convention). */
+  def noveltyStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = graft.RunHygiene.stage(withShingles(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("shingle")))
+    sh.count() // fill once: the df census and the join-back both read it
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum((col("df") === 1).cast("long")).as("n_novel"))
+      .withColumn("novelty_ratio",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+  }
+
   val RollingHashBase: Long = 31L
   val RollingHashMod: Long = 2147483647L // 2^31 − 1
 

@@ -172,6 +172,80 @@ object Sketches {
     case _ => 0.7213 / (1 + 1.079 / m)
   }
 
+  /** Per-group HLL distinct sketch — the production-common shape (distinct
+    * users per event type / per domain): registers build per (group,
+    * bucket) in ONE map-side-combinable aggregate whose state is ≤ m rows
+    * per group regardless of cardinality, unlike exact countDistinct's
+    * per-(group, value) shuffle. Estimator identical to [[hllDistinct]];
+    * exact rides along for gate/error visibility. */
+  def hllDistinctByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      b: Int = 6): DataFrame = {
+    val m = 1 << b
+    val remBits = 32 - b
+    val rmax = remBits + 1
+    val scale = hllScale(b)
+    val regs = df
+      .select(col(groupCol), hash32(col(keyCol)).as("hv"))
+      .select(col(groupCol),
+        shiftright(col("hv"), remBits).as("bucket"),
+        col("hv").bitwiseAND(lit((1L << remBits) - 1)).as("rem"))
+      .select(col(groupCol), col("bucket"),
+        when(col("rem") === 0, lit(rmax))
+          .otherwise(lit(rmax) - length(bin(col("rem")))).cast("long").as("rank"))
+      .groupBy(groupCol, "bucket").agg(max(col("rank")).as("r"))
+    val s = regs.groupBy(groupCol).agg(
+      count(lit(1)).as("n_buckets_set"),
+      sum(expr(s"shiftleft(cast(1 as bigint), cast($rmax - r as int))")).as("s_present"))
+    val exact = df.groupBy(groupCol)
+      .agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    s.join(exact, Seq(groupCol))
+      .select(
+        col(groupCol),
+        lit(m.toLong).as("m"),
+        col("n_buckets_set"),
+        round(lit(scale) /
+          (col("s_present") + (lit(m.toLong) - col("n_buckets_set")) * (1L << rmax)), 2)
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("rel_error",
+        round(abs(col("est_distinct") - col("exact_distinct")) / col("exact_distinct"), 4))
+      .orderBy(groupCol)
+  }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over a token stream,
+    * read out at the exact global top-k tokens so the gate can see both
+    * the estimate and its one-sided error. The sketch is a d×w counter
+    * matrix: each occurrence increments counter (j, h_j(token) mod w) for
+    * j < d; a token's estimate is the MIN of its d counters, which can
+    * only over-count (collisions add, never subtract). Counters build in
+    * one map-side-combinable GROUP BY whose state is ≤ d·w rows per
+    * partition — the fixed-size frequency sketch you merge across shards
+    * by plain +, the heavy-hitter complement to HLL's distinct counting.
+    * Hash family: the engine's standard md5 construction, salted by j, so
+    * the DuckDB oracle replays the exact counters. Output one row per
+    * top-k token: (token, occurrences, cms_estimate, overestimate). */
+  def cmsTokenCounts(docs: DataFrame, d: Int = 4, w: Int = 64,
+      k: Int = 20): DataFrame = {
+    val occ = graft.functions.TextOps.withTokens(docs)
+      .select(explode(col("toks")).as("token"))
+    val rows = occ.select(col("token"),
+      explode(array((0 until d).map(lit): _*)).as("j"))
+      .select(col("j"),
+        pmod(hash32(concat_ws("_", col("j"), col("token"))), lit(w.toLong)).as("bucket"))
+    val counters = rows.groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+    val top = occ.groupBy("token").agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("token")).limit(k)
+    val probes = top.select(col("token"), col("occurrences"),
+        explode(array((0 until d).map(lit): _*)).as("j"))
+      .select(col("token"), col("occurrences"), col("j"),
+        pmod(hash32(concat_ws("_", col("j"), col("token"))), lit(w.toLong)).as("bucket"))
+    probes.join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy("token", "occurrences").agg(min(col("c")).as("cms_estimate"))
+      .select(col("token"), col("occurrences"), col("cms_estimate"),
+        (col("cms_estimate") - col("occurrences")).as("overestimate"))
+      .orderBy(col("occurrences").desc, col("token"))
+  }
+
   /** Global distinct-count sketch of `keyCol`: one row
     * (k, kth_hash, kmv_estimate, exact_distinct, rel_error). The exact
     * count rides along here for gate/error visibility; a production

@@ -724,6 +724,46 @@ SELECT doc_id, n_tokens,
        hv % $shardsPerBin AS shard
 FROM t ORDER BY doc_id"""
 
+  /** Mirrors TextOps.noveltyStats: distinct shingles → df census →
+    * per-doc novel (df = 1) rollup. */
+  def noveltyStats: String = s"""
+WITH $toksCte,
+$shinglesCte,
+s AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+d AS (SELECT shingle, COUNT(*) AS df FROM s GROUP BY 1)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS novelty_ratio
+FROM s JOIN d USING (shingle)
+GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Mirrors Sketches.cmsTokenCounts: d×w salted-md5 counter matrix, MIN
+    * readout at the exact top-k tokens. Every constant renders from the
+    * same (d, w, k) the Spark call uses. */
+  def cmsTokenCounts(d: Int = 4, w: Int = 64, k: Int = 20): String = s"""
+WITH $toksCte,
+occ AS (SELECT unnest(toks) AS token FROM toks),
+rows_ AS (
+  SELECT j, (${hex8IntSql("j::VARCHAR || '_' || token")}) % $w AS bucket
+  FROM occ CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1})) AS j)
+),
+counters AS (SELECT j, bucket, COUNT(*) AS c FROM rows_ GROUP BY 1, 2),
+top AS (
+  SELECT token, COUNT(*) AS occurrences FROM occ GROUP BY 1
+  ORDER BY occurrences DESC, token LIMIT $k
+),
+probes AS (
+  SELECT token, occurrences, j,
+         (${hex8IntSql("j::VARCHAR || '_' || token")}) % $w AS bucket
+  FROM top CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1})) AS j)
+)
+SELECT token, occurrences, MIN(c) AS cms_estimate,
+       MIN(c) - occurrences AS overestimate
+FROM probes JOIN counters USING (j, bucket)
+GROUP BY token, occurrences
+ORDER BY occurrences DESC, token"""
+
   /** Mirrors Dedup.substringSpans: positional L-token window hashes →
     * multi-doc census (MIN≠MAX on doc_id, the same expand-free form the
     * Spark side uses) → exact gram verification per (hv, gram) → per-doc
@@ -792,5 +832,38 @@ r2 AS (
 SELECT m, n_buckets_set, est_distinct, exact_distinct,
        ROUND(ABS(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_error
 FROM r2"""
+  }
+
+  /** Mirrors Sketches.hllDistinctByGroup over (event_type, user_id) —
+    * the single-pass estimator with a GROUP BY threaded through every
+    * stage; constants derive from `b` exactly like [[sketchHllDistinct]]. */
+  def sketchHllByType(scale: Double, b: Int = 6): String = {
+    val m = 1 << b
+    val div = 1L << (32 - b)
+    val rmax = 32 - b + 1
+    val fill = 1L << rmax
+    s"""
+WITH h AS (SELECT event_type, (${hex8IntSql("user_id::VARCHAR")}) AS hv FROM events),
+reg AS (
+  SELECT event_type, hv // $div AS bucket,
+         MAX(CASE WHEN hv % $div = 0 THEN $rmax
+                  ELSE $rmax - length(bin(hv % $div)) END) AS r
+  FROM h GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n_buckets_set,
+         CAST(SUM(1::BIGINT << CAST($rmax - r AS INTEGER)) AS BIGINT) AS s_present
+  FROM reg GROUP BY 1
+),
+e AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1),
+r2 AS (
+  SELECT event_type, CAST($m AS BIGINT) AS m, n_buckets_set,
+         ROUND($scale / (s_present + ($m - n_buckets_set) * $fill), 2) AS est_distinct,
+         exact_distinct
+  FROM s JOIN e USING (event_type)
+)
+SELECT event_type, m, n_buckets_set, est_distinct, exact_distinct,
+       ROUND(ABS(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_error
+FROM r2 ORDER BY event_type"""
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextOps
+import graft.operators.Sketches
+
+/** Round-6 additions: per-group HLL, Count-Min sketch, n-gram novelty. */
+class RoundSixOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("per-group HLL matches the global sketch when there is one group") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ("only", s"u$i")).toDF("g", "id")
+    val grouped = Sketches.hllDistinctByGroup(df, "g", "id").collect().head
+    val global = Sketches.hllDistinct(df.select("id"), "id").collect().head
+    assert(grouped.getAs[Double]("est_distinct") === global.getAs[Double]("est_distinct"))
+    assert(grouped.getAs[Long]("exact_distinct") === 5000L)
+  }
+
+  test("per-group HLL keeps groups independent") {
+    import spark.implicits._
+    // group a: 1000 distinct; group b: the SAME 10 ids repeated
+    val df = ((1 to 1000).map(i => ("a", s"u$i")) ++
+      (1 to 500).map(i => ("b", s"u${i % 10}"))).toDF("g", "id")
+    val r = Sketches.hllDistinctByGroup(df, "g", "id").collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("exact_distinct")).toMap
+    assert(r === Map("a" -> 1000L, "b" -> 10L))
+    val ests = Sketches.hllDistinctByGroup(df, "g", "id").collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("est_distinct")).toMap
+    // small-cardinality group must not inherit the big group's registers
+    assert(ests("b") < 100.0, s"group b estimate ${ests("b")} polluted")
+  }
+
+  test("CMS estimates are one-sided: estimate >= exact, equal when uncollided") {
+    import spark.implicits._
+    val docs = Seq((1L, Seq.fill(50)("hot").mkString(" ") + " cold warm cool"),
+      (2L, Seq.fill(30)("hot").mkString(" ") + " cold tepid"))
+      .toDF("doc_id", "text")
+    // w large: no collisions -> every estimate exact
+    val exact = Sketches.cmsTokenCounts(docs, d = 4, w = 4096, k = 10).collect()
+    assert(exact.forall(_.getAs[Long]("overestimate") === 0L))
+    assert(exact.head.getAs[String]("token") === "hot")
+    assert(exact.head.getAs[Long]("occurrences") === 80L)
+    // w tiny: collisions force over-counts but NEVER under-counts
+    val tight = Sketches.cmsTokenCounts(docs, d = 2, w = 2, k = 10).collect()
+    assert(tight.forall(_.getAs[Long]("overestimate") >= 0L))
+  }
+
+  test("novelty: shared shingles score low, unique docs score 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // shares all shingles with doc 2
+      (2L, "alpha beta gamma delta"),
+      (3L, "one two three four five")) // entirely unique
+      .toDF("doc_id", "text")
+    val r = TextOps.noveltyStats(docs).collect()
+      .map(x => x.getLong(0) -> (x.getAs[Long]("n_shingles"),
+        x.getAs[Long]("n_novel"), x.getAs[Double]("novelty_ratio"))).toMap
+    assert(r(1L) === ((2L, 0L, 0.0)))
+    assert(r(2L) === ((2L, 0L, 0.0)))
+    assert(r(3L) === ((3L, 3L, 1.0)))
+  }
+}
