@@ -22,6 +22,15 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // with query-name args: print those queries' full executed plans and exit
+    if (args.nonEmpty) {
+      args.foreach { name =>
+        println(s"===== $name =====")
+        println(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString)
+      }
+      spark.stop()
+      return
+    }
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
