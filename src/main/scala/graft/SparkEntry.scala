@@ -240,6 +240,12 @@ object SparkEntry {
       graft.operators.Sketches.cmsTokenCounts(Tables.documents(s, d))),
     // n-gram novelty: share of a doc's distinct shingles unique to it
     "text_novelty" -> ((s, d) => TextOps.noveltyStats(Tables.documents(s, d))),
+    // corpus-unigram log-prob quality score (CCNet-style signal)
+    "text_unigram_logprob" -> ((s, d) =>
+      TextOps.unigramLogProb(Tables.documents(s, d))),
+    // cohort retention: first-active-day cohorts × day offset
+    "events_retention" -> ((s, d) =>
+      EventQueries.retention(Tables.events(s, d))),
 
     // deterministic corpus sampling: exact-count stratified + weighted mix
     "sample_stratified" -> ((s, d) =>
@@ -400,6 +406,8 @@ object SparkEntry {
       OracleSqlText.sketchHllByType(graft.operators.Sketches.hllScale()),
     "sketch_cms_tokens" -> OracleSqlText.cmsTokenCounts(),
     "text_novelty" -> OracleSqlText.noveltyStats,
+    "text_unigram_logprob" -> OracleSqlText.unigramLogProb,
+    "events_retention" -> OracleSql.eventsRetention,
     "sample_stratified" -> OracleSqlText.stratifiedSample(),
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),
     "train_curriculum" -> OracleSqlText.curriculumBins(),

@@ -252,6 +252,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-unigram log-probability quality score (the CCNet-style
+    * signal): per document, the mean and worst ln P(token) under the
+    * corpus's own unigram distribution. Low average flags rare-token
+    * noise (mojibake, code dumps, lists); a very low minimum flags a
+    * single out-of-distribution token. Shape: staged (doc_id, token)
+    * occurrence stream (one tokenize pass, read by census and join-back),
+    * token-frequency census, 1-row total broadcast, then a doc_id rollup —
+    * the novelty/dedup inverted-index discipline, nothing pairwise. The
+    * census join-back is left to AQE (broadcast at small SF; a 100 TB
+    * corpus's distinct-token census shuffles instead). */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val occ = graft.RunHygiene.stage(withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("token")))
+    occ.count() // fill once: the census and the join-back both read it
+    val tf = occ.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = occ.agg(count(lit(1)).as("n_total"))
+    val lp = tf.crossJoin(broadcast(total))
+      .select(col("token"),
+        log(col("tf").cast("double") / col("n_total")).as("logprob"))
+    occ.join(lp, Seq("token"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(col("logprob")), 4).as("avg_logprob"),
+        round(min(col("logprob")), 4).as("min_logprob"))
+      .orderBy("doc_id")
+  }
+
   val RollingHashBase: Long = 31L
   val RollingHashMod: Long = 2147483647L // 2^31 − 1
 

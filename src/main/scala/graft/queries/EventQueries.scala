@@ -105,6 +105,34 @@ object EventQueries {
       .orderBy("step")
   }
 
+  /** Cohort retention: users cohort by first-active day; each
+    * (cohort_day, day_offset) row counts cohort members active that day
+    * and their share of the original cohort. Shape: distinct
+    * (user, day) activity → per-user first-day window → (cohort, offset)
+    * rollup → cohort-size ride-along via a window over the AGGREGATED
+    * frame (cohorts × offsets rows, not events). Scale: the distinct
+    * activity table is bounded by users × active days — orders of
+    * magnitude under the event count — so the user_id window shuffles a
+    * small fraction of the input; every user's first day is offset 0 by
+    * construction, so cohort_size is never null. */
+  def retention(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val wUser = Window.partitionBy("user_id")
+    val wCohort = Window.partitionBy("cohort_day")
+    userDays
+      .withColumn("cohort_day", min(col("d")).over(wUser))
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")).cast("long"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_active"))).over(wCohort))
+      .withColumn("pct_retained",
+        round(col("n_active") * 100.0 / col("cohort_size"), 2))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** JSON field extraction from the semi-structured props column +
     * per-type aggregate over the extracted value. */
   def propsJson(events: DataFrame): DataFrame =

@@ -579,6 +579,27 @@ FROM (
 )
 ORDER BY step"""
 
+  /** Mirrors EventQueries.retention: distinct user-day activity →
+    * per-user first-day cohort → (cohort, offset) rollup → cohort-size
+    * window over the aggregated frame. */
+  val eventsRetention: String = s"""
+WITH $evCte,
+ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM ev),
+c AS (SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_day FROM ud),
+r AS (
+  SELECT cohort_day, DATE_DIFF('day', cohort_day, d) AS day_offset,
+         COUNT(*) AS n_active
+  FROM c GROUP BY 1, 2
+),
+z AS (
+  SELECT *, MAX(CASE WHEN day_offset = 0 THEN n_active END)
+              OVER (PARTITION BY cohort_day) AS cohort_size
+  FROM r
+)
+SELECT cohort_day, day_offset, n_active, cohort_size,
+       ROUND(n_active * 100.0 / cohort_size, 2) AS pct_retained
+FROM z ORDER BY cohort_day, day_offset"""
+
   /** Plain-join twin of the salted join (salting is a physical rewrite —
     * the result multiset is identical by construction). */
   val saltedRevenueByPriority: String = """

@@ -738,6 +738,21 @@ SELECT doc_id,
 FROM s JOIN d USING (shingle)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors TextOps.unigramLogProb: occurrence stream → token-frequency
+    * census → 1-row total → ln P(token) per token → per-doc rollup.
+    * `ln` (natural log) — DuckDB's `log` is base-10. */
+  def unigramLogProb: String = s"""
+WITH $toksCte,
+occ AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+tf AS (SELECT token, COUNT(*) AS tf FROM occ GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM occ),
+lp AS (SELECT token, ln(tf::DOUBLE / n_total) AS logprob FROM tf CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(logprob), 4) AS avg_logprob,
+       ROUND(MIN(logprob), 4) AS min_logprob
+FROM occ JOIN lp USING (token)
+GROUP BY doc_id ORDER BY doc_id"""
+
   /** Mirrors Sketches.cmsTokenCounts: d×w salted-md5 counter matrix, MIN
     * readout at the exact top-k tokens. Every constant renders from the
     * same (d, w, k) the Spark call uses. */

@@ -47,6 +47,37 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(tight.forall(_.getAs[Long]("overestimate") >= 0L))
   }
 
+  test("retention: cohorts count from first-active day, offsets partition activity") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // u1 first active day 1, returns day 2; u2 first day 1 only; u3 first day 2
+    val ev = Seq(
+      (1L, t(1, 9)), (1L, t(1, 11)), (1L, t(2, 9)),
+      (2L, t(1, 10)),
+      (3L, t(2, 12))).toDF("user_id", "ts")
+    val r = graft.queries.EventQueries.retention(ev).collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r(("2024-01-01", 0L)) === ((2L, 2L, 100.0))) // u1, u2
+    assert(r(("2024-01-01", 1L)) === ((1L, 2L, 50.0)))  // u1 returns
+    assert(r(("2024-01-02", 0L)) === ((1L, 1L, 100.0))) // u3's own cohort
+    assert(r.size === 3) // same-day repeat activity never double-counts
+  }
+
+  test("unigram logprob: uniform corpus scores ln(1/V); rare token drags the min") {
+    import spark.implicits._
+    // 4 tokens total: "a" x3, "z" x1 -> P(a)=0.75, P(z)=0.25
+    val docs = Seq((1L, "a a a"), (2L, "z")).toDF("doc_id", "text")
+    val r = TextOps.unigramLogProb(docs).collect()
+      .map(x => x.getLong(0) -> (x.getAs[Long]("n_tokens"),
+        x.getAs[Double]("avg_logprob"), x.getAs[Double]("min_logprob"))).toMap
+    val ln075 = BigDecimal(math.log(0.75)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln025 = BigDecimal(math.log(0.25)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L) === ((3L, ln075, ln075)))
+    assert(r(2L) === ((1L, ln025, ln025)))
+  }
+
   test("novelty: shared shingles score low, unique docs score 1") {
     import spark.implicits._
     val docs = Seq(
