@@ -246,6 +246,12 @@ object SparkEntry {
     // cohort retention: first-active-day cohorts × day offset
     "events_retention" -> ((s, d) =>
       EventQueries.retention(Tables.events(s, d))),
+    // daily-volume anomaly flags vs the trailing 7-day mean
+    "events_anomaly_days" -> ((s, d) =>
+      EventQueries.anomalyDays(Tables.events(s, d))),
+    // Z-order clustering evidence: per-bucket bounding boxes
+    "layout_zorder_stats" -> ((s, d) =>
+      graft.sources.ZOrder.zorderStats(Tables.orders(s, d))),
 
     // deterministic corpus sampling: exact-count stratified + weighted mix
     "sample_stratified" -> ((s, d) =>
@@ -408,6 +414,8 @@ object SparkEntry {
     "text_novelty" -> OracleSqlText.noveltyStats,
     "text_unigram_logprob" -> OracleSqlText.unigramLogProb,
     "events_retention" -> OracleSql.eventsRetention,
+    "events_anomaly_days" -> OracleSql.eventsAnomaly(),
+    "layout_zorder_stats" -> OracleSql.zorderStats(),
     "sample_stratified" -> OracleSqlText.stratifiedSample(),
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),
     "train_curriculum" -> OracleSqlText.curriculumBins(),

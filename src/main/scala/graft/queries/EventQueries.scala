@@ -133,6 +133,34 @@ object EventQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Daily-volume anomaly flags: per (event_type, day), today's count
+    * against the trailing `win`-day mean; flagged when the ratio leaves
+    * [lo, hi]. Days without a full trailing window are suppressed (no
+    * cold-start false positives). Shape: (type, day) rollup — map-side
+    * combined, the frame shrinks to types × days — then one window pass
+    * over that aggregated frame; the window shuffle moves thousands of
+    * rows no matter how many billions of events fed the rollup. The flag
+    * compares the ROUNDED ratio so the cut is reproducible across
+    * engines. */
+  def anomalyDays(events: DataFrame, win: Int = 7,
+      hi: Double = 1.5, lo: Double = 0.5): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-win, -1)
+    daily
+      .withColumn("trailing_avg_raw", avg(col("n_events")).over(w))
+      .withColumn("n_trailing", count(col("n_events")).over(w))
+      .filter(col("n_trailing") === win)
+      .withColumn("ratio", round(col("n_events") / col("trailing_avg_raw"), 4))
+      .select(
+        col("event_type"), col("d"), col("n_events"),
+        round(col("trailing_avg_raw"), 4).as("trailing_avg"),
+        col("ratio"),
+        (col("ratio") >= hi || col("ratio") <= lo).cast("int").as("is_anomaly"))
+      .orderBy("event_type", "d")
+  }
+
   /** JSON field extraction from the semi-structured props column +
     * per-type aggregate over the extracted value. */
   def propsJson(events: DataFrame): DataFrame =

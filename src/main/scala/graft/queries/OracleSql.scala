@@ -600,6 +600,67 @@ SELECT cohort_day, day_offset, n_active, cohort_size,
        ROUND(n_active * 100.0 / cohort_size, 2) AS pct_retained
 FROM z ORDER BY cohort_day, day_offset"""
 
+  /** Mirrors EventQueries.anomalyDays: (type, day) rollup → trailing
+    * window mean → flag on the ROUNDED ratio (both engines cut at the
+    * same reproducible value). */
+  def eventsAnomaly(win: Int = 7, hi: Double = 1.5, lo: Double = 0.5): String = s"""
+WITH $evCte,
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+  FROM ev GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, d, n_events,
+         AVG(n_events) OVER w AS trailing_avg_raw,
+         COUNT(n_events) OVER w AS n_trailing
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN $win PRECEDING AND 1 PRECEDING)
+),
+r AS (
+  SELECT event_type, d, n_events,
+         ROUND(trailing_avg_raw, 4) AS trailing_avg,
+         ROUND(n_events / trailing_avg_raw, 4) AS ratio
+  FROM t WHERE n_trailing = $win
+)
+SELECT event_type, d, n_events, trailing_avg, ratio,
+       CAST(CASE WHEN ratio >= $hi OR ratio <= $lo THEN 1 ELSE 0 END AS INTEGER)
+         AS is_anomaly
+FROM r ORDER BY event_type, d"""
+
+  /** The mask-doubling bit spread ZOrder.spread16 uses, as SQL (decimal
+    * renderings of 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555). */
+  private def spreadSql(e: String): String = {
+    val a = s"(($e) & 65535)"
+    val b = s"((($a | ($a << 8)) & 16711935))"
+    val c = s"((($b | ($b << 4)) & 252645135))"
+    val d = s"((($c | ($c << 2)) & 858993459))"
+    s"((($d | ($d << 1)) & 1431655765))"
+  }
+
+  /** Mirrors ZOrder.zorderStats over orders (o_custkey × orderdate-days):
+    * identical interleave, bucketing, and bounding-box rollup. */
+  def zorderStats(bucketBits: Int = 10): String = {
+    val shift = 32 - bucketBits
+    s"""
+WITH b AS (
+  SELECT o_custkey & 65535 AS xd,
+         DATE_DIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 65535 AS yd
+  FROM orders
+),
+z AS (
+  SELECT xd, yd,
+         ((${spreadSql("xd")}) | ((${spreadSql("yd")}) << 1)) >> $shift AS zbucket
+  FROM b
+)
+SELECT zbucket, COUNT(*) AS n_rows,
+       MIN(xd) AS x_min, MAX(xd) AS x_max,
+       MIN(yd) AS y_min, MAX(yd) AS y_max,
+       MAX(xd) - MIN(xd) + 1 AS x_span,
+       MAX(yd) - MIN(yd) + 1 AS y_span
+FROM z GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Plain-join twin of the salted join (salting is a physical rewrite —
     * the result multiset is identical by construction). */
   val saltedRevenueByPriority: String = """

@@ -78,6 +78,46 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(r(2L) === ((1L, ln025, ln025)))
   }
 
+  test("z-value interleaves bits; buckets bound both axis spans") {
+    import spark.implicits._
+    import graft.sources.ZOrder
+    // reference interleave computed bit-by-bit
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L), (12345L, 54321L))
+    val got = pairs.toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y").as("z")).collect().map(_.getLong(0))
+    assert(got.toSeq === pairs.map { case (x, y) => morton(x, y) })
+    // locality: with 10 bucket bits, 22 low bits remain -> each axis is
+    // confined to an 11-bit range inside any bucket
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val stats = ZOrder.zorderStats(orders).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("x_span") <= 2048 && r.getAs[Long]("y_span") <= 2048,
+        s"bucket ${r.getAs[Long]("zbucket")} exceeds the curve's bounding box")
+    }
+  }
+
+  test("anomaly days: flags spikes and dips only after a full trailing window") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one event type, 10 quiet days of 4 events, then a 12-event spike day
+    val rows = (1 to 10).flatMap(day =>
+      (1 to 4).map(i => (day.toLong * 100 + i, Timestamp.valueOf(f"2024-02-$day%02d 01:00:00")))) ++
+      (1 to 12).map(i => (1100L + i, Timestamp.valueOf("2024-02-11 01:00:00")))
+    val ev = rows.map { case (id, ts) => (id, ts, "load") }.toDF("event_id", "ts", "event_type")
+    val r = graft.queries.EventQueries.anomalyDays(ev).collect()
+    // days 1-7 lack a full window; days 8-10 are quiet; day 11 spikes 3x
+    assert(r.map(_.getDate(1).toString).toSeq ===
+      Seq("2024-02-08", "2024-02-09", "2024-02-10", "2024-02-11"))
+    assert(r.take(3).forall(x => x.getAs[Int]("is_anomaly") === 0))
+    val spike = r.last
+    assert(spike.getAs[Long]("n_events") === 12L)
+    assert(spike.getAs[Double]("ratio") === 3.0)
+    assert(spike.getAs[Int]("is_anomaly") === 1)
+  }
+
   test("novelty: shared shingles score low, unique docs score 1") {
     import spark.implicits._
     val docs = Seq(
