@@ -221,20 +221,33 @@ object Sketches {
     * one map-side-combinable GROUP BY whose state is ≤ d·w rows per
     * partition — the fixed-size frequency sketch you merge across shards
     * by plain +, the heavy-hitter complement to HLL's distinct counting.
+    * The build is census-sided: counter (j, b) sums tf(token) over the
+    * token-frequency census rather than counting occurrences directly —
+    * bit-identical counters, but the d salted hashes run once per
+    * DISTINCT token (Zipf: orders of magnitude under the occurrence
+    * count, the 10×-scale fix measured in PLANS.md).
     * Hash family: the engine's standard md5 construction, salted by j, so
     * the DuckDB oracle replays the exact counters. Output one row per
     * top-k token: (token, occurrences, cms_estimate, overestimate). */
   def cmsTokenCounts(docs: DataFrame, d: Int = 4, w: Int = 64,
       k: Int = 20): DataFrame = {
-    val occ = graft.functions.TextOps.withTokens(docs)
-      .select(explode(col("toks")).as("token"))
-    val rows = occ.select(col("token"),
-      explode(array((0 until d).map(lit): _*)).as("j"))
+    // One token census feeds everything: counter (j, h_j(t)) accumulates
+    // tf(t) — identical to counting occurrences directly, but the d salted
+    // hashes run per DISTINCT token, not per occurrence (Zipf: orders of
+    // magnitude fewer), and the exact top-k rides the same aggregate.
+    val tf = graft.RunHygiene.stage(
+      graft.functions.TextOps.withTokens(docs)
+        .select(explode(col("toks")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("occurrences")))
+    tf.count() // fill once: counters, top-k, and probes all read it
+    val counters = tf.select(col("occurrences"),
+        explode(array((0 until d).map(lit): _*)).as("j"),
+        col("token"))
       .select(col("j"),
-        pmod(hash32(concat_ws("_", col("j"), col("token"))), lit(w.toLong)).as("bucket"))
-    val counters = rows.groupBy("j", "bucket").agg(count(lit(1)).as("c"))
-    val top = occ.groupBy("token").agg(count(lit(1)).as("occurrences"))
-      .orderBy(col("occurrences").desc, col("token")).limit(k)
+        pmod(hash32(concat_ws("_", col("j"), col("token"))), lit(w.toLong)).as("bucket"),
+        col("occurrences"))
+      .groupBy("j", "bucket").agg(sum(col("occurrences")).as("c"))
+    val top = tf.orderBy(col("occurrences").desc, col("token")).limit(k)
     val probes = top.select(col("token"), col("occurrences"),
         explode(array((0 until d).map(lit): _*)).as("j"))
       .select(col("token"), col("occurrences"), col("j"),

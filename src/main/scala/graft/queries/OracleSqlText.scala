@@ -759,13 +759,16 @@ GROUP BY doc_id ORDER BY doc_id"""
   def cmsTokenCounts(d: Int = 4, w: Int = 64, k: Int = 20): String = s"""
 WITH $toksCte,
 occ AS (SELECT unnest(toks) AS token FROM toks),
+tf AS (SELECT token, COUNT(*) AS occurrences FROM occ GROUP BY 1),
 rows_ AS (
-  SELECT j, (${hex8IntSql("j::VARCHAR || '_' || token")}) % $w AS bucket
-  FROM occ CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1})) AS j)
+  SELECT j, (${hex8IntSql("j::VARCHAR || '_' || token")}) % $w AS bucket, occurrences
+  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1})) AS j)
 ),
-counters AS (SELECT j, bucket, COUNT(*) AS c FROM rows_ GROUP BY 1, 2),
+counters AS (
+  SELECT j, bucket, CAST(SUM(occurrences) AS BIGINT) AS c FROM rows_ GROUP BY 1, 2
+),
 top AS (
-  SELECT token, COUNT(*) AS occurrences FROM occ GROUP BY 1
+  SELECT token, occurrences FROM tf
   ORDER BY occurrences DESC, token LIMIT $k
 ),
 probes AS (
