@@ -240,6 +240,9 @@ object SparkEntry {
       graft.operators.Sketches.cmsTokenCounts(Tables.documents(s, d))),
     // n-gram novelty: share of a doc's distinct shingles unique to it
     "text_novelty" -> ((s, d) => TextOps.noveltyStats(Tables.documents(s, d))),
+    // token-length histogram: the corpus-shape summary for packing/curriculum
+    "text_length_histogram" -> ((s, d) =>
+      TextOps.lengthHistogram(Tables.documents(s, d))),
     // corpus-unigram log-prob quality score (CCNet-style signal)
     "text_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogProb(Tables.documents(s, d))),
@@ -412,6 +415,7 @@ object SparkEntry {
       OracleSqlText.sketchHllByType(graft.operators.Sketches.hllScale()),
     "sketch_cms_tokens" -> OracleSqlText.cmsTokenCounts(),
     "text_novelty" -> OracleSqlText.noveltyStats,
+    "text_length_histogram" -> OracleSqlText.lengthHistogram(),
     "text_unigram_logprob" -> OracleSqlText.unigramLogProb,
     "events_retention" -> OracleSql.eventsRetention,
     "events_anomaly_days" -> OracleSql.eventsAnomaly(),

@@ -280,6 +280,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Token-length histogram: fixed-width bins (top bin open-ended), the
+    * mergeable corpus-shape summary a curation pipeline reads before
+    * choosing packing lengths and curriculum cuts. Integer binning only —
+    * `div`, never float division, so engines cannot disagree at bin
+    * edges. One map-side-combinable aggregate; the share column's
+    * SUM-over-() window moves nBins rows through a single partition,
+    * nothing more, at any corpus size. */
+  def lengthHistogram(docs: DataFrame, binWidth: Int = 64,
+      nBins: Int = 32): DataFrame = {
+    withTokens(docs)
+      .select(size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("bin", least(lit((nBins - 1).toLong), expr(s"n_tokens div $binWidth")))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .withColumn("bin_lo", col("bin") * binWidth)
+      .withColumn("pct_docs",
+        round(col("n_docs") * 100.0 / sum(col("n_docs")).over(Window.partitionBy()), 2))
+      .select("bin", "bin_lo", "n_docs", "min_tokens", "max_tokens", "pct_docs")
+      .orderBy("bin")
+  }
+
   val RollingHashBase: Long = 31L
   val RollingHashMod: Long = 2147483647L // 2^31 − 1
 

@@ -738,6 +738,24 @@ SELECT doc_id,
 FROM s JOIN d USING (shingle)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors TextOps.lengthHistogram: integer `div` binning, top bin
+    * clamped, share of corpus per bin. */
+  def lengthHistogram(binWidth: Int = 64, nBins: Int = 32): String = s"""
+WITH $toksCte,
+b AS (
+  SELECT LEAST(${nBins - 1}, len(toks) // $binWidth) AS bin,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM toks
+),
+g AS (
+  SELECT bin, COUNT(*) AS n_docs,
+         MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+  FROM b GROUP BY 1
+)
+SELECT bin, bin * $binWidth AS bin_lo, n_docs, min_tokens, max_tokens,
+       ROUND(n_docs * 100.0 / SUM(n_docs) OVER (), 2) AS pct_docs
+FROM g ORDER BY bin"""
+
   /** Mirrors TextOps.unigramLogProb: occurrence stream → token-frequency
     * census → 1-row total → ln P(token) per token → per-doc rollup.
     * `ln` (natural log) — DuckDB's `log` is base-10. */

@@ -118,6 +118,24 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(spike.getAs[Int]("is_anomaly") === 1)
   }
 
+  test("length histogram: integer bin edges, clamped top bin, shares sum to 100") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(_ => "t").mkString(" ")),    // 10 tokens  -> bin 0
+      (2L, (1 to 64).map(_ => "t").mkString(" ")),    // 64 tokens  -> bin 1 (edge)
+      (3L, (1 to 63).map(_ => "t").mkString(" ")),    // 63 tokens  -> bin 0 (edge)
+      (4L, (1 to 5000).map(_ => "t").mkString(" ")))  // clamps to bin 31
+      .toDF("doc_id", "text")
+    val r = TextOps.lengthHistogram(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("min_tokens"), x.getAs[Long]("max_tokens"),
+        x.getAs[Double]("pct_docs"))).toMap
+    assert(r(0L) === ((0L, 2L, 10L, 63L, 50.0)))
+    assert(r(1L) === ((64L, 1L, 64L, 64L, 25.0)))
+    assert(r(31L) === ((1984L, 1L, 5000L, 5000L, 25.0)))
+    assert(r.size === 3)
+  }
+
   test("novelty: shared shingles score low, unique docs score 1") {
     import spark.implicits._
     val docs = Seq(
