@@ -163,6 +163,8 @@ object SparkEntry {
       RelationalQueries.revenueByNation(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "topk_orders" -> ((s, d) => RelationalQueries.topkOrders(Tables.orders(s, d))),
+    // every grouping level in one pass (rollup / grouping sets)
+    "orders_rollup" -> ((s, d) => RelationalQueries.ordersRollup(Tables.orders(s, d))),
     // the replicated-salt join, oracle-checked against the plain join
     "join_salted_revenue" -> ((s, d) =>
       RelationalQueries.saltedRevenueByPriority(Tables.lineitem(s, d), Tables.orders(s, d))),
@@ -249,6 +251,9 @@ object SparkEntry {
     // cohort retention: first-active-day cohorts × day offset
     "events_retention" -> ((s, d) =>
       EventQueries.retention(Tables.events(s, d))),
+    // month x type pivot: wide conditional aggregation in one pass
+    "events_pivot_monthly" -> ((s, d) =>
+      EventQueries.pivotMonthly(Tables.events(s, d))),
     // daily-volume anomaly flags vs the trailing 7-day mean
     "events_anomaly_days" -> ((s, d) =>
       EventQueries.anomalyDays(Tables.events(s, d))),
@@ -419,6 +424,9 @@ object SparkEntry {
     "text_unigram_logprob" -> OracleSqlText.unigramLogProb,
     "events_retention" -> OracleSql.eventsRetention,
     "events_anomaly_days" -> OracleSql.eventsAnomaly(),
+    "events_pivot_monthly" ->
+      OracleSql.eventsPivotMonthly(EventQueries.EventTypes),
+    "orders_rollup" -> OracleSql.ordersRollup,
     "layout_zorder_stats" -> OracleSql.zorderStats(),
     "sample_stratified" -> OracleSqlText.stratifiedSample(),
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),

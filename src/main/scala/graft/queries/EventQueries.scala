@@ -161,6 +161,25 @@ object EventQueries {
       .orderBy("event_type", "d")
   }
 
+  /** The closed event-type domain, rendered into both the pivot column
+    * list and the oracle's FILTER columns (the shared-constant convention:
+    * the two sides cannot drift). A FIXED list is also the scale rule —
+    * `pivot(col)` without values runs a distinct-collect job on the
+    * driver before planning. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Month × event-type value matrix via pivot — wide conditional
+    * aggregation in ONE pass: a single map-side-combinable aggregate
+    * whose row state is months × |types| cells, no per-type scans or
+    * joins. Cells with no events stay NULL (both engines). */
+  def pivotMonthly(events: DataFrame,
+      types: Seq[String] = EventTypes): DataFrame =
+    events
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .pivot("event_type", types)
+      .agg(round(sum(col("value")), 2))
+      .orderBy("month")
+
   /** JSON field extraction from the semi-structured props column +
     * per-type aggregate over the extracted value. */
   def propsJson(events: DataFrame): DataFrame =

@@ -661,6 +661,29 @@ SELECT zbucket, COUNT(*) AS n_rows,
 FROM z GROUP BY 1 ORDER BY 1"""
   }
 
+  /** Mirrors EventQueries.pivotMonthly: one FILTER column per type from
+    * the shared EventTypes constant. */
+  def eventsPivotMonthly(types: Seq[String]): String = {
+    val cols = types.map(t =>
+      s"""ROUND(SUM(value) FILTER (event_type = '$t'), 2) AS "$t"""").mkString(",\n       ")
+    s"""
+WITH $evCte
+SELECT date_trunc('month', ts) AS month,
+       $cols
+FROM ev GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Mirrors RelationalQueries.ordersRollup: GROUP BY ROLLUP with
+    * GROUPING() disambiguating subtotal rows. */
+  val ordersRollup: String = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
   /** Plain-join twin of the salted join (salting is a physical rewrite —
     * the result multiset is identical by construction). */
   val saltedRevenueByPriority: String = """

@@ -167,6 +167,21 @@ object RelationalQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(k)
 
+  /** Status × priority rollup — every grouping level (detail, per-status
+    * subtotal, grand total) in ONE pass over the fact table: Spark's
+    * Expand emits the grouping-set replicas map-side and the whole thing
+    * stays a single keyed aggregate, where the hand-written equivalent
+    * unions three scans. grouping_id disambiguates subtotal rows from
+    * genuine NULL keys. */
+  def ordersRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** Top-3 orders per customer via ranking window — one shuffle on
     * o_custkey; AQE handles skewed customers. */
   def customerOrderRank(orders: DataFrame): DataFrame = {

@@ -136,6 +136,38 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(r.size === 3)
   }
 
+  test("pivot: absent cells stay null; values land under their type column") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      (Timestamp.valueOf("2024-03-05 10:00:00"), "click", 2.5),
+      (Timestamp.valueOf("2024-03-09 10:00:00"), "click", 1.5),
+      (Timestamp.valueOf("2024-04-01 10:00:00"), "view", 7.0))
+      .toDF("ts", "event_type", "value")
+    val r = graft.queries.EventQueries.pivotMonthly(ev).collect()
+    assert(r.length === 2)
+    val march = r(0)
+    assert(march.getAs[Double]("click") === 4.0)
+    assert(march.isNullAt(march.fieldIndex("view")))
+    assert(r(1).getAs[Double]("view") === 7.0)
+    assert(r(1).isNullAt(r(1).fieldIndex("signup")))
+  }
+
+  test("rollup: detail, subtotal, and grand-total levels reconcile") {
+    import spark.implicits._
+    val orders = Seq(
+      ("F", "2-HIGH", 10.0), ("F", "5-LOW", 20.0), ("O", "2-HIGH", 5.0))
+      .toDF("o_orderstatus", "o_orderpriority", "o_totalprice")
+    val r = graft.queries.RelationalQueries.ordersRollup(orders).collect()
+    val grand = r.find(_.getAs[Long]("gid") === 3L).get
+    assert(grand.getAs[Long]("n_orders") === 3L && grand.getAs[Double]("total_price") === 35.0)
+    val fSub = r.find(x => x.getAs[Long]("gid") === 1L && x.getString(0) == "F").get
+    assert(fSub.getAs[Long]("n_orders") === 2L && fSub.getAs[Double]("total_price") === 30.0)
+    // 3 detail + 2 subtotals + 1 grand total
+    assert(r.length === 6)
+    assert(r.count(_.getAs[Long]("gid") === 0L) === 3)
+  }
+
   test("novelty: shared shingles score low, unique docs score 1") {
     import spark.implicits._
     val docs = Seq(
