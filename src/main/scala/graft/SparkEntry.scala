@@ -309,6 +309,9 @@ object SparkEntry {
       graft.streaming.StreamingAnalytics.replayDedup(Tables.documents(s, d))),
     "streaming_sessions" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replaySessions(Tables.events(s, d))),
+    // stream-stream interval join: purchases attribute to trailing views
+    "streaming_join" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.replayStreamJoin(Tables.events(s, d))),
 
     // two-stage salted aggregation gated against the plain GROUP BY
     "agg_salted_sum" -> ((s, d) =>
@@ -408,6 +411,7 @@ object SparkEntry {
     "streaming_rollup" -> OracleSql.streamingRollup,
     "streaming_dedup" -> OracleSqlText.streamingDedup,
     "streaming_sessions" -> OracleSql.streamingSessions,
+    "streaming_join" -> OracleSql.streamingJoin,
     "agg_salted_sum" -> OracleSql.aggSaltedSum,
     "train_splits" -> OracleSqlText.trainSplits(),
     "text_contamination" -> OracleSqlText.contamination(),

@@ -579,6 +579,20 @@ FROM (
 )
 ORDER BY step"""
 
+  /** Mirrors StreamingAnalytics.replayStreamJoin: the streaming inner
+    * interval join's emitted multiset IS the batch interval join (in-order
+    * replay; see the operator scaladoc), so the oracle is the plain SQL
+    * join. */
+  val streamingJoin: String = s"""
+WITH $evCte,
+v AS (SELECT user_id, ts AS view_ts FROM ev WHERE event_type = 'view'),
+p AS (SELECT user_id, ts AS purchase_ts FROM ev WHERE event_type = 'purchase')
+SELECT user_id, view_ts, purchase_ts,
+       DATE_DIFF('second', view_ts, purchase_ts) AS delay_s
+FROM v JOIN p USING (user_id)
+WHERE purchase_ts >= view_ts AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+ORDER BY user_id, view_ts, purchase_ts"""
+
   /** Mirrors EventQueries.retention: distinct user-day activity →
     * per-user first-day cohort → (cohort, offset) rollup → cohort-size
     * window over the aggregated frame. */

@@ -168,6 +168,62 @@ object StreamingAnalytics {
       .orderBy("user_id", "session_start")
   }
 
+  /** Watermarked stream-stream interval join — conversion attribution at
+    * ingest time: each purchase joins the same user's views from the
+    * trailing `horizon`. Both sides carry watermarks and the join
+    * condition bounds event time on both, so Spark derives a state TTL
+    * for each side: a view's state row is dropped once the watermark
+    * passes view_ts + horizon, a purchase's once it can no longer match —
+    * state is bounded by the horizon's event volume, not the stream's
+    * lifetime. Inner join: pairs emit in the micro-batch where both sides
+    * are present, no flush needed.
+    *
+    * Inputs: streaming frames with (user_id, ts: TIMESTAMP). */
+  def streamStreamJoin(views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    v.join(p, expr(
+        s"""v_user = p_user
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL $horizon"""))
+      .select(col("v_user").as("user_id"), col("view_ts"), col("purchase_ts"),
+        (col("purchase_ts").cast("long") - col("view_ts").cast("long")).as("delay_s"))
+  }
+
+  /** Correctness-gate replay of [[streamStreamJoin]]: the view and
+    * purchase sides are TWO readStream sources over the SAME staged chunk
+    * set the rollup/sessions gates use (each source advances one chunk per
+    * trigger), so a view must survive in join state across micro-batches
+    * until its horizon closes — the property the gate exercises. Chunks
+    * are event-time ranges, so replay is in-order and the watermark can
+    * never evict a view that a later purchase chunk still matches (a
+    * purchase in the next chunk is at most `horizon` behind its views by
+    * the join bound, while eviction lags by `horizon + lateness`): the
+    * emitted multiset is exactly the batch interval join, which is the
+    * oracle. Flush sentinels ride along for the shared staging and are
+    * dropped by the type filters. */
+  def replayStreamJoin(events: DataFrame, batches: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    val src = eventReplaySrc(events)
+    val dirs = stagedShared(src, batches, eventSentinels)
+    def side(tpe: String): DataFrame =
+      FileReplay.stream(spark, src.schema, dirs)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .filter(col("event_type") === tpe)
+        .select("user_id", "ts")
+    val joined = streamStreamJoin(side("view"), side("purchase"))
+    FileReplay.runToParquet(joined, dirs, tag = "_ssjoin")
+      .select(col("user_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("delay_s"))
+      .orderBy("user_id", "view_ts", "purchase_ts")
+  }
+
   /** Correctness-gate replay of [[streamingDedup]] over the batch
     * `documents` table: arrival time is synthesized as doc_id seconds past
     * a fixed origin, the table replays in event-ordered chunks, and the

@@ -106,6 +106,28 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(sessions.map(_.getAs[Long]("user_id")).toSet === Set(1L, 2L))
   }
 
+  test("replayStreamJoin: view state survives chunks; horizon bounds the match") {
+    import spark.implicits._
+    val ldt = (h: Int, m: Int) => java.time.LocalDateTime.of(2024, 1, 1, h, m)
+    // user 1: one view, purchases at +20 min (same chunk), +55 min (a LATER
+    // chunk — the state-survival case), +70 min (outside the 1 h horizon);
+    // user 2: purchase with no prior view
+    val events = Seq(
+      (ldt(0, 10), "view", 1L, 0.0),
+      (ldt(0, 30), "purchase", 1L, 5.0),
+      (ldt(1, 5), "purchase", 1L, 6.0),
+      (ldt(1, 20), "purchase", 1L, 7.0),
+      (ldt(0, 45), "purchase", 2L, 8.0))
+      .toDF("ts", "event_type", "user_id", "value")
+    val got = StreamingAnalytics.replayStreamJoin(events, batches = 3).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.time.LocalDateTime]("purchase_ts"),
+        r.getAs[Long]("delay_s")))
+    assert(got.toSeq === Seq(
+      (1L, ldt(0, 30), 1200L),
+      (1L, ldt(1, 5), 3300L)))
+  }
+
   test("replayDedup emits exactly one survivor per content hash") {
     import spark.implicits._
     val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"),
