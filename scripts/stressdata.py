@@ -73,7 +73,13 @@ COPY (
     (900004, TIMESTAMP '2024-01-11 00:00:00', 9901, 'purchase', 10.0, '{{}}'),
     (900005, TIMESTAMP '2024-01-11 00:00:01', 9901, 'purchase', 20.0, 'not json'),
     -- midnight boundary + zero-value earned
-    (900006, TIMESTAMP '2024-01-12 00:00:00', 9902, 'view', 0.0, '{{"k": -5}}')
+    (900006, TIMESTAMP '2024-01-12 00:00:00', 9902, 'view', 0.0, '{{"k": -5}}'),
+    -- stream-stream join horizon edge: purchase EXACTLY at view + 1 h is
+    -- inside the inclusive bound, 1 microsecond past it is not — both
+    -- engines' interval arithmetic must agree at the boundary
+    (900007, TIMESTAMP '2024-01-10 13:00:00',        9903, 'view',     1.0, NULL),
+    (900008, TIMESTAMP '2024-01-10 14:00:00',        9903, 'purchase', 1.0, NULL),
+    (900009, TIMESTAMP '2024-01-10 14:00:00.000001', 9903, 'purchase', 1.0, NULL)
   ) t(event_id, ts, user_id, event_type, value, props)
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
 """)
