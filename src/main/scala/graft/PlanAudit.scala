@@ -8,12 +8,14 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   // broadcast-NLJ or cross products that are deliberate:
   //  - ann_cosine_topk / embed_neardup_exact: documented brute-force baselines
-  //  - report_summary / sketch_kmv_distinct / text_unigram_logprob: a 1-row
-  //    aggregate crossJoined back (the other summary queries are single
-  //    aggregates, no join)
+  //  - report_summary / sketch_kmv_distinct / sketch_hll_distinct /
+  //    sketch_hll_merged / text_tfidf_top_terms / text_unigram_logprob: a
+  //    1-row aggregate (corpus total / exact ride-along) crossJoined back
+  //    (the other summary queries are single aggregates, no join)
   private val intentional = Set(
     "ann_cosine_topk", "embed_neardup_exact", "report_summary",
-    "sketch_kmv_distinct", "text_unigram_logprob")
+    "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_hll_merged",
+    "text_tfidf_top_terms", "text_unigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

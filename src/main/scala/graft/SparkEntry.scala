@@ -313,6 +313,10 @@ object SparkEntry {
     "streaming_join" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replayStreamJoin(Tables.events(s, d))),
 
+    // snapshot + delta MERGE (the batch upsert / full-outer surface)
+    "merge_balance_upsert" -> ((s, d) =>
+      graft.operators.SnapshotMerge.balanceUpsert(txns(s, d), Params.AsOf)),
+
     // two-stage salted aggregation gated against the plain GROUP BY
     "agg_salted_sum" -> ((s, d) =>
       graft.operators.Skew.saltedSum(Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")
@@ -412,6 +416,7 @@ object SparkEntry {
     "streaming_dedup" -> OracleSqlText.streamingDedup,
     "streaming_sessions" -> OracleSql.streamingSessions,
     "streaming_join" -> OracleSql.streamingJoin,
+    "merge_balance_upsert" -> OracleSql.balanceUpsert(Params.AsOf),
     "agg_salted_sum" -> OracleSql.aggSaltedSum,
     "train_splits" -> OracleSqlText.trainSplits(),
     "text_contamination" -> OracleSqlText.contamination(),

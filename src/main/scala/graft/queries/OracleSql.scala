@@ -33,8 +33,10 @@ object OracleSql {
   /** Shared pipeline CTEs: events → transactions → FIFO-matched →
     * balance history → current balances (mirrors Tables.transactions,
     * FifoMatcher.matchTransactions, BalanceAnalytics). */
-  val pipelineCtes: String = """
-txns AS (
+  /** The events → transactions derivation alone (mirrors
+    * Tables.transactions) — shared by [[pipelineCtes]] and the
+    * standalone snapshot-merge oracle. */
+  val txnsCte: String = """txns AS (
   SELECT CAST(event_id AS VARCHAR) AS transaction_id,
          CAST(user_id AS VARCHAR)  AS customer_id,
          CASE WHEN event_type IN ('purchase','error') THEN -value ELSE value END AS amount,
@@ -43,7 +45,10 @@ txns AS (
               WHEN event_type = 'error'    THEN 'expired'
               ELSE 'earned' END    AS transaction_type
   FROM events
-),
+)"""
+
+  val pipelineCtes: String = s"""
+$txnsCte,
 ranked AS (
   SELECT transaction_id AS TRANS_ID, transaction_type AS TCTYPE, ts_us AS CREATEDAT,
          customer_id AS CUSTOMERID, amount AS AMOUNT,
@@ -578,6 +583,28 @@ FROM (
   UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n2, n0 FROM c
 )
 ORDER BY step"""
+
+  /** Mirrors SnapshotMerge.balanceUpsert: full-outer join + coalesce —
+    * the MERGE INTO lowering. */
+  def balanceUpsert(cutoff: String): String = s"""
+WITH $txnsCte,
+s AS (
+  SELECT customer_id, ROUND(SUM(amount), 2) AS snapshot_balance
+  FROM txns WHERE ts_us < TIMESTAMP '$cutoff' GROUP BY 1
+),
+d AS (
+  SELECT customer_id, ROUND(SUM(amount), 2) AS delta_change
+  FROM txns WHERE ts_us >= TIMESTAMP '$cutoff' GROUP BY 1
+)
+SELECT COALESCE(s.customer_id, d.customer_id) AS customer_id,
+       snapshot_balance, delta_change,
+       ROUND(COALESCE(snapshot_balance, 0) + COALESCE(delta_change, 0), 2)
+         AS merged_balance,
+       CASE WHEN snapshot_balance IS NULL THEN 'new'
+            WHEN delta_change IS NULL THEN 'carried'
+            ELSE 'updated' END AS status
+FROM s FULL JOIN d ON s.customer_id = d.customer_id
+ORDER BY customer_id"""
 
   /** Mirrors StreamingAnalytics.replayStreamJoin: the streaming inner
     * interval join's emitted multiset IS the batch interval join (in-order

@@ -168,6 +168,25 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(r.count(_.getAs[Long]("gid") === 0L) === 3)
   }
 
+  test("upsert: new keys insert, quiet keys carry, overlaps update; totals reconcile") {
+    import spark.implicits._
+    val t = (d: Int) => java.time.LocalDateTime.of(2024, 1, d, 12, 0)
+    val txns = Seq(
+      ("1", "a", 10.0, t(1), "earned"),  // A: pre only
+      ("2", "b", 20.0, t(1), "earned"),  // B: pre and post
+      ("3", "b", -5.0, t(20), "spent"),
+      ("4", "c", 7.0, t(20), "earned"))  // C: post only
+      .toDF("transaction_id", "customer_id", "amount", "timestamp", "transaction_type")
+    val r = graft.operators.SnapshotMerge.balanceUpsert(txns, "2024-01-15 00:00:00")
+      .collect()
+      .map(x => x.getString(0) -> (x.getAs[Double]("merged_balance"),
+        x.getAs[String]("status"))).toMap
+    assert(r === Map(
+      "a" -> ((10.0, "carried")),
+      "b" -> ((15.0, "updated")),
+      "c" -> ((7.0, "new"))))
+  }
+
   test("novelty: shared shingles score low, unique docs score 1") {
     import spark.implicits._
     val docs = Seq(
