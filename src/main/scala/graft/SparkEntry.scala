@@ -254,6 +254,9 @@ object SparkEntry {
     // month x type pivot: wide conditional aggregation in one pass
     "events_pivot_monthly" -> ((s, d) =>
       EventQueries.pivotMonthly(Tables.events(s, d))),
+    // SCD2 status history: versioned state rows per user
+    "events_scd2_status" -> ((s, d) =>
+      EventQueries.scd2Status(Tables.events(s, d))),
     // daily-volume anomaly flags vs the trailing 7-day mean
     "events_anomaly_days" -> ((s, d) =>
       EventQueries.anomalyDays(Tables.events(s, d))),
@@ -433,6 +436,7 @@ object SparkEntry {
     "text_unigram_logprob" -> OracleSqlText.unigramLogProb,
     "events_retention" -> OracleSql.eventsRetention,
     "events_anomaly_days" -> OracleSql.eventsAnomaly(),
+    "events_scd2_status" -> OracleSql.eventsScd2,
     "events_pivot_monthly" ->
       OracleSql.eventsPivotMonthly(EventQueries.EventTypes),
     "orders_rollup" -> OracleSql.ordersRollup,

@@ -180,6 +180,29 @@ object EventQueries {
       .agg(round(sum(col("value")), 2))
       .orderBy("month")
 
+  /** SCD2-style status history: compress each user's event stream into
+    * versioned state rows — one row per run of equal event_type, with
+    * [valid_from, valid_to) bounds (valid_to NULL on the current state,
+    * the slowly-changing-dimension type-2 convention). Shape: lag flags
+    * run starts, a filter keeps them, lead supplies the successor's start
+    * as the expiry — three window passes over ONE (user_id) ordering, so
+    * events shuffle once and the rest reuses the sort (the same
+    * single-partitioning discipline as sessionize/funnel). The run
+    * version number rides along for free from the same ordering. */
+  def scd2Status(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("version"), col("event_type").as("status"),
+        col("valid_from"), col("valid_to"))
+      .orderBy("user_id", "version")
+  }
+
   /** JSON field extraction from the semi-structured props column +
     * per-type aggregate over the extracted value. */
   def propsJson(events: DataFrame): DataFrame =

@@ -606,6 +606,28 @@ SELECT COALESCE(s.customer_id, d.customer_id) AS customer_id,
 FROM s FULL JOIN d ON s.customer_id = d.customer_id
 ORDER BY customer_id"""
 
+  /** Mirrors EventQueries.scd2Status: lag flags run starts, lead expires
+    * them, (ts, event_id) is the shared total order. */
+  val eventsScd2: String = s"""
+WITH $evCte,
+x AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER w AS prev_type
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, ts, event_id, event_type FROM x
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+s AS (
+  SELECT user_id, event_type AS status, ts AS valid_from,
+         LEAD(ts) OVER w AS valid_to,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, version, status, valid_from, valid_to
+FROM s ORDER BY user_id, version"""
+
   /** Mirrors StreamingAnalytics.replayStreamJoin: the streaming inner
     * interval join's emitted multiset IS the batch interval join (in-order
     * replay; see the operator scaladoc), so the oracle is the plain SQL

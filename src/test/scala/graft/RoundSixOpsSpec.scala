@@ -187,6 +187,26 @@ class RoundSixOpsSpec extends AnyFunSuite {
       "c" -> ((7.0, "new"))))
   }
 
+  test("scd2: runs compress, bounds chain, current state stays open") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, t(0), 1L, "view"), (2L, t(5), 1L, "view"),   // run of 2 views
+      (3L, t(10), 1L, "click"),                          // state change
+      (4L, t(20), 1L, "view"),                           // back to view
+      (5L, t(0), 2L, "signup"))                          // user 2: one state
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = graft.queries.EventQueries.scd2Status(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getTimestamp(3), Option(x.getTimestamp(4))))
+    assert(r.toSeq === Seq(
+      (1L, 1L, "view", t(0), Some(t(10))),   // run start, expires at the change
+      (1L, 2L, "click", t(10), Some(t(20))),
+      (1L, 3L, "view", t(20), None),         // current state open-ended
+      (2L, 1L, "signup", t(0), None)))
+  }
+
   test("novelty: shared shingles score low, unique docs score 1") {
     import spark.implicits._
     val docs = Seq(
