@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Build a one-decade scale-up of the sf0.1 tables for scaling checks.
+"""Build an N-decade scale-up of the sf0.1 tables for scaling checks.
 
 documents and events are replicated 10x with shifted ids; every replica's
 text additionally mutates one token in seven (replica-tagged), so the
@@ -10,7 +10,7 @@ pathology, not the operator. user_id is offset per replica so distinct
 cardinalities also scale 10x (the HLL/funnel axis). Other tables copy
 through unchanged.
 
-Usage: python3 scripts/scaledata.py [outDir=/tmp/sfbig]
+Usage: python3 scripts/scaledata.py [outDir=/tmp/sfbig] [factor=10]
 Then:  SPARK_GRAFT_SF_DIR=/tmp/sfbig sbt "runMain graft.BenchOne <queries>"
 """
 import sys, glob, shutil, os
@@ -18,6 +18,7 @@ import duckdb
 
 src = '/root/testdata/sf0.1'
 dst = sys.argv[1] if len(sys.argv) > 1 else '/tmp/sfbig'
+factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 os.makedirs(dst, exist_ok=True)
 for p in glob.glob(f'{src}/*.parquet'):
     if os.path.basename(p) not in ('documents.parquet', 'events.parquet'):
@@ -26,7 +27,7 @@ for p in glob.glob(f'{src}/*.parquet'):
 con = duckdb.connect()
 con.execute(f"""
 COPY (
-  SELECT doc_id + k * 10000000 AS doc_id,
+  SELECT doc_id + k * 100000000 AS doc_id,
          CASE WHEN k = 0 THEN text
               ELSE array_to_string(
                 list_transform(string_split(text, ' '),
@@ -41,17 +42,17 @@ COPY (
                                         ELSE t END), ' ')
                 END)::BIGINT AS n_chars
   FROM read_parquet('{src}/documents.parquet')
-  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k)
+  CROSS JOIN (SELECT unnest(generate_series(0, {factor - 1})) AS k)
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """)
 con.execute(f"""
 COPY (
-  SELECT event_id + k * 100000000 AS event_id,
+  SELECT event_id + k * 1000000000 AS event_id,
          CAST(ts AS TIMESTAMP_NS) AS ts,
-         user_id + k * 10000000 AS user_id,
+         user_id + k * 100000000 AS user_id,
          event_type, value, props
   FROM read_parquet('{src}/events.parquet')
-  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k)
+  CROSS JOIN (SELECT unnest(generate_series(0, {factor - 1})) AS k)
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
 """)
 for t in ('documents', 'events'):

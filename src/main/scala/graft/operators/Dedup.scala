@@ -45,7 +45,17 @@ object Dedup {
     * inverted-index self-join (quadratic in the hottest posting list), but
     * frequency-ascending prefixes systematically exclude hot shingles, so
     * candidate volume tracks true near-duplication instead of token
-    * popularity. */
+    * popularity.
+    *
+    * Envelope (measured, PLANS.md two-decade table): candidate volume is
+    * lower-bounded by the TRUE near-dup pairs any exact algorithm must
+    * verify, so on a corpus where every document has ~50
+    * shared-shingle siblings the verify shuffle is ~100× a decade denser
+    * and single-box disk becomes the limit (a cluster spreads the spill;
+    * the shape is unchanged). For such duplication-saturated corpora the
+    * banded [[minhashLsh]] is the scale tool — band buckets cap candidates
+    * regardless of sibling count, at the cost of threshold-boundary
+    * exactness. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // the shingle table feeds candidate generation, the size lookup, and
     // verification — persist so tokenize+shingle runs once
