@@ -185,6 +185,7 @@ object SparkEntry {
     "text_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.languageId(Tables.documents(s, d))),
+    "text_lang_confusion" -> ((s, d) => TextOps.langConfusion(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_bpe_tokens" -> ((s, d) => TextOps.bpeTokenStats(Tables.documents(s, d))),
     "text_winnow_fingerprints" -> ((s, d) => TextOps.winnowFingerprints(Tables.documents(s, d))),
@@ -254,6 +255,9 @@ object SparkEntry {
     // month x type pivot: wide conditional aggregation in one pass
     "events_pivot_monthly" -> ((s, d) =>
       EventQueries.pivotMonthly(Tables.events(s, d))),
+    // per-type equal-count deciles (global ranks per group, via ntile)
+    "events_value_deciles" -> ((s, d) =>
+      EventQueries.valueDeciles(Tables.events(s, d))),
     // SCD2 status history: versioned state rows per user
     "events_scd2_status" -> ((s, d) =>
       EventQueries.scd2Status(Tables.events(s, d))),
@@ -265,6 +269,9 @@ object SparkEntry {
       graft.sources.ZOrder.zorderStats(Tables.orders(s, d))),
 
     // deterministic corpus sampling: exact-count stratified + weighted mix
+    // fixed-size global uniform sample (distributed reservoir replacement)
+    "sample_uniform_topk" -> ((s, d) =>
+      graft.operators.Sampling.uniformSample(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>
       graft.operators.Sampling.stratifiedSample(Tables.documents(s, d), "lang")),
     "sample_weighted_mix" -> ((s, d) =>
@@ -391,6 +398,7 @@ object SparkEntry {
     "text_token_stats" -> OracleSqlText.tokenStats,
     "text_quality" -> OracleSqlText.qualityScore,
     "text_langid" -> OracleSqlText.languageId,
+    "text_lang_confusion" -> OracleSqlText.langConfusion,
     "text_fingerprint" -> OracleSqlText.fingerprint,
     "text_bpe_tokens" -> OracleSqlText.bpeTokenStats,
     "text_winnow_fingerprints" -> OracleSqlText.winnowFingerprints,
@@ -437,10 +445,12 @@ object SparkEntry {
     "events_retention" -> OracleSql.eventsRetention,
     "events_anomaly_days" -> OracleSql.eventsAnomaly(),
     "events_scd2_status" -> OracleSql.eventsScd2,
+    "events_value_deciles" -> OracleSql.eventsDeciles(),
     "events_pivot_monthly" ->
       OracleSql.eventsPivotMonthly(EventQueries.EventTypes),
     "orders_rollup" -> OracleSql.ordersRollup,
     "layout_zorder_stats" -> OracleSql.zorderStats(),
+    "sample_uniform_topk" -> OracleSqlText.uniformSample(),
     "sample_stratified" -> OracleSqlText.stratifiedSample(),
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),
     "train_curriculum" -> OracleSqlText.curriculumBins(),

@@ -119,6 +119,22 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** LangID self-evaluation: confusion matrix of the marker-vote
+    * prediction against the labeled `lang` column, with each cell's share
+    * of its label row — the precision/recall surface a curation pipeline
+    * watches when it gates on predicted language. One extra doc_id join
+    * over [[languageId]] and a (label, predicted) rollup; the pct window
+    * moves |langs|² rows. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang").as("label_lang"))
+      .join(languageId(docs).select("doc_id", "predicted_lang"), Seq("doc_id"))
+      .groupBy("label_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("pct_of_label",
+        round(col("n_docs") * 100.0 /
+          sum(col("n_docs")).over(Window.partitionBy("label_lang")), 2))
+      .orderBy("label_lang", "predicted_lang")
+
   /** Content fingerprint: md5 over the normalized text (lowercase,
     * alphanumerics only) — byte-identical content maps to one id, the
     * canonical exact-dedup key modulo formatting. */

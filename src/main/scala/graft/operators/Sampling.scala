@@ -116,6 +116,19 @@ object Sampling {
     java.lang.Long.parseLong(hex, 16) % shares
   }
 
+  /** Fixed-size global uniform sample: the k documents with the smallest
+    * id-hash — the distributed replacement for reservoir sampling.
+    * Deterministic (same k docs every run, stable under append for
+    * surviving hashes), and it plans as `TakeOrderedAndProject`:
+    * per-partition top-k heaps + a driver merge of k·partitions rows,
+    * never a global sort — the same fixed-size-sample-from-100-TB shape
+    * `reservoir` solves single-threaded. */
+  def uniformSample(docs: DataFrame, k: Int = 100,
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), col("source"), hash32(col(idCol)).as("hv"))
+      .orderBy(col("hv"), col(idCol))
+      .limit(k)
+
   /** Rate-based weighted domain mix: each source keeps `weights(source)`
     * percent of its documents (default `defaultPct`), decided per document
     * by hash bucket — the standard up/down-weighting step when rebalancing

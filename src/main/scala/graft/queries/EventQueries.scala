@@ -203,6 +203,27 @@ object EventQueries {
       .orderBy("user_id", "version")
   }
 
+  /** Per-type value deciles via ntile: equal-count buckets with their
+    * value ranges — the distribution summary that needs GLOBAL ranks per
+    * group (unlike the fixed-bin histogram). One shuffle on event_type;
+    * ntile is inherently a per-group sort, so a whale type bounds one
+    * task — the same envelope as exact-count stratified sampling, with
+    * the fixed-bin histogram as the rank-free escape hatch. Ties break by
+    * event_id, making bucket assignment a total order both engines
+    * replay. */
+  def valueDeciles(events: DataFrame, buckets: Int = 10): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    events
+      .select("event_type", "event_id", "value")
+      .withColumn("decile", ntile(buckets).over(w).cast("long"))
+      .groupBy("event_type", "decile")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(min(col("value")), 2).as("lo_value"),
+        round(max(col("value")), 2).as("hi_value"))
+      .orderBy("event_type", "decile")
+  }
+
   /** JSON field extraction from the semi-structured props column +
     * per-type aggregate over the extracted value. */
   def propsJson(events: DataFrame): DataFrame =

@@ -606,6 +606,21 @@ SELECT COALESCE(s.customer_id, d.customer_id) AS customer_id,
 FROM s FULL JOIN d ON s.customer_id = d.customer_id
 ORDER BY customer_id"""
 
+  /** Mirrors EventQueries.valueDeciles: NTILE over the shared
+    * (value, event_id) total order, per-bucket count + range. */
+  def eventsDeciles(buckets: Int = 10): String = s"""
+WITH $evCte,
+d AS (
+  SELECT event_type, value,
+         CAST(NTILE($buckets) OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS BIGINT) AS decile
+  FROM ev
+)
+SELECT event_type, decile, COUNT(*) AS n_events,
+       ROUND(MIN(value), 2) AS lo_value,
+       ROUND(MAX(value), 2) AS hi_value
+FROM d GROUP BY 1, 2 ORDER BY event_type, decile"""
+
   /** Mirrors EventQueries.scd2Status: lag flags run starts, lead expires
     * them, (ts, event_id) is the shared total order. */
   val eventsScd2: String = s"""

@@ -177,8 +177,9 @@ FROM q ORDER BY doc_id"""
   private val markerValues =
     TextOps.LangMarkers.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
-  val languageId: String = s"""
-WITH markers(cand_lang, word) AS (VALUES $markerValues),
+  /** The marker-vote CTE chain [[languageId]] and [[langConfusion]]
+    * share. */
+  private val langIdCtes: String = s"""markers(cand_lang, word) AS (VALUES $markerValues),
 ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
 votes AS (
   SELECT doc_id, cand_lang, COUNT(*) AS votes
@@ -190,11 +191,32 @@ best AS (
                                      ORDER BY votes DESC, cand_lang) AS rn
         FROM votes) t
   WHERE rn = 1
-)
+)"""
+
+  val languageId: String = s"""
+WITH $langIdCtes
 SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS predicted_lang,
        COALESCE(b.votes, 0) AS marker_votes
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
 ORDER BY d.doc_id"""
+
+  /** Mirrors TextOps.langConfusion: prediction joined to the labeled
+    * lang, (label, predicted) rollup with per-label shares. */
+  val langConfusion: String = s"""
+WITH $langIdCtes,
+pred AS (
+  SELECT d.doc_id, d.lang AS label_lang,
+         COALESCE(b.cand_lang, 'und') AS predicted_lang
+  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+),
+g AS (
+  SELECT label_lang, predicted_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT label_lang, predicted_lang, n_docs,
+       ROUND(n_docs * 100.0 / SUM(n_docs) OVER (PARTITION BY label_lang), 2)
+         AS pct_of_label
+FROM g ORDER BY label_lang, predicted_lang"""
 
   val fingerprint: String = """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
@@ -673,6 +695,13 @@ r AS (
 SELECT doc_id, stratum, sample_rank
 FROM r WHERE (sample_rank - 1) * 100 < n_stratum * $pct
 ORDER BY stratum, sample_rank"""
+
+  /** Mirrors Sampling.uniformSample: k smallest id-hashes, id tie-break. */
+  def uniformSample(k: Int = 100): String = s"""
+SELECT doc_id, source,
+       CAST((${hex8IntSql("doc_id::VARCHAR")}) AS BIGINT) AS hv
+FROM documents
+ORDER BY hv, doc_id LIMIT $k"""
 
   /** Mirrors Sampling.weightedMix over [[graft.operators.Sampling.GateWeights]]. */
   def weightedMix(weights: Map[String, Int] = graft.operators.Sampling.GateWeights,

@@ -207,6 +207,57 @@ class RoundSixOpsSpec extends AnyFunSuite {
       (2L, 1L, "signup", t(0), None)))
   }
 
+  test("deciles: equal-count buckets, ranges chain monotonically") {
+    import spark.implicits._
+    val ev = (1 to 40).map(i => (i.toLong, "load", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val r = graft.queries.EventQueries.valueDeciles(ev).collect()
+    assert(r.length === 10)
+    assert(r.forall(_.getAs[Long]("n_events") === 4L))
+    // bucket i's range sits strictly below bucket i+1's
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi_value") < b.getAs[Double]("lo_value"))
+    }
+    assert(r.head.getAs[Double]("lo_value") === 1.0)
+    assert(r.last.getAs[Double]("hi_value") === 40.0)
+  }
+
+  test("uniform sample: k smallest hashes, append-stable") {
+    import spark.implicits._
+    val base = (1L to 500L).map(i => (i, "src0")).toDF("doc_id", "source")
+    val s1 = graft.operators.Sampling.uniformSample(base, k = 20).collect()
+      .map(_.getLong(0)).toSet
+    assert(s1.size === 20)
+    // appending docs can only displace members whose hash exceeds the new
+    // docs' — recompute on the grown corpus and check the survivors kept
+    // their membership deterministically (same ids on a rerun)
+    val s1again = graft.operators.Sampling.uniformSample(base, k = 20).collect()
+      .map(_.getLong(0)).toSet
+    assert(s1 === s1again)
+    val grown = (1L to 600L).map(i => (i, "src0")).toDF("doc_id", "source")
+    val s2 = graft.operators.Sampling.uniformSample(grown, k = 20).collect()
+      .map(_.getLong(0)).toSet
+    // every member of the grown sample that existed in the base corpus was
+    // already in the base sample OR displaced by a smaller new hash — so
+    // base-sample members absent from s2 must number |s2 \ base-ids|
+    assert((s2 -- s1).forall(_ > 500L) || (s1 -- s2).nonEmpty)
+    assert((s1 & s2).size >= 20 - (s2.count(_ > 500L)))
+  }
+
+  test("lang confusion: per-label shares sum to 100") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog", "en"),
+      (2L, "le chien et la mer", "fr"),
+      (3L, "xyzzy plugh", "en")) // no markers -> predicted und
+      .toDF("doc_id", "text", "lang")
+    val r = TextOps.langConfusion(docs).collect()
+    val en = r.filter(_.getString(0) == "en")
+    assert(en.map(_.getAs[Double]("pct_of_label")).sum === 100.0)
+    assert(en.exists(x => x.getString(1) == "und" && x.getAs[Long]("n_docs") === 1L))
+    assert(r.find(_.getString(0) == "fr").get.getString(1) === "fr")
+  }
+
   test("novelty: shared shingles score low, unique docs score 1") {
     import spark.implicits._
     val docs = Seq(
