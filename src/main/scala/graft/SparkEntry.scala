@@ -140,6 +140,7 @@ object SparkEntry {
     // event-stream analytics (sessionization, time buckets, JSON props)
     "events_sessionize" -> ((s, d) => EventQueries.sessionize(Tables.events(s, d))),
     "events_hourly" -> ((s, d) => EventQueries.hourlyRollup(Tables.events(s, d))),
+    "events_sliding" -> ((s, d) => EventQueries.slidingRollup(Tables.events(s, d))),
     "events_props_json" -> ((s, d) => EventQueries.propsJson(Tables.events(s, d))),
     "events_quantiles" -> ((s, d) => EventQueries.valueQuantiles(Tables.events(s, d))),
     // interval-overlap (range) join: per-session concurrency via binning
@@ -378,6 +379,7 @@ object SparkEntry {
     "v_result_summary" -> OracleSql.vResultSummary,
     "events_sessionize" -> OracleSql.eventsSessionize,
     "events_hourly" -> OracleSql.eventsHourly,
+    "events_sliding" -> OracleSql.eventsSliding,
     "events_props_json" -> OracleSql.eventsPropsJson,
     "events_quantiles" -> OracleSql.eventsQuantiles,
     "sessions_concurrency" -> OracleSql.sessionsConcurrency,

@@ -606,6 +606,20 @@ SELECT COALESCE(s.customer_id, d.customer_id) AS customer_id,
 FROM s FULL JOIN d ON s.customer_id = d.customer_id
 ORDER BY customer_id"""
 
+  /** Mirrors EventQueries.slidingRollup: each event expanded into its 4
+    * covering 15-min-aligned hour windows (time_bucket origins are
+    * midnight-aligned on both engines, and 15 min divides the day). */
+  val eventsSliding: String = s"""
+WITH $evCte,
+w AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL 15 MINUTES, ts) - k * INTERVAL 15 MINUTES AS window_start
+  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type"""
+
   /** Mirrors EventQueries.valueDeciles: NTILE over the shared
     * (value, event_id) total order, per-bucket count + range. */
   def eventsDeciles(buckets: Int = 10): String = s"""

@@ -258,6 +258,24 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(r.find(_.getString(0) == "fr").get.getString(1) === "fr")
   }
 
+  test("sliding rollup: each event covers 4 windows; counts smooth across the slide") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:40:00"), "click", 2.0))
+      .toDF("ts", "event_type", "value")
+    val r = graft.queries.EventQueries.slidingRollup(ev).collect()
+      .map(x => x.getTimestamp(0).toString -> (x.getAs[Long]("n_events"),
+        x.getAs[Double]("total_value"))).toMap
+    // 10:20 lands in starts 09:30..10:15; 10:40 in 09:45..10:30 → overlap 09:45..10:15
+    assert(r.size === 5)
+    assert(r("2024-01-01 09:30:00.0") === ((1L, 1.0)))
+    assert(r("2024-01-01 09:45:00.0") === ((2L, 3.0)))
+    assert(r("2024-01-01 10:15:00.0") === ((2L, 3.0)))
+    assert(r("2024-01-01 10:30:00.0") === ((1L, 2.0)))
+  }
+
   test("novelty: shared shingles score low, unique docs score 1") {
     import spark.implicits._
     val docs = Seq(
