@@ -205,6 +205,9 @@ object SparkEntry {
     "embed_neardup_pairs" -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 0.45)),
     "embed_neardup_exact" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.45)),
 
+    // v2: round-6 signals (length band, novelty, logprob) onto the v1 gates
+    "curation_pipeline_v2" -> ((s, d) =>
+      graft.operators.Curation.curateV2(Tables.documents(s, d))),
     // the composed curation pass: quality -> language -> dedup-canonical
     "curation_pipeline" -> ((s, d) =>
       graft.operators.Curation.curate(Tables.documents(s, d))),
@@ -423,6 +426,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> OracleSqlText.sketchKmvDistinct,
     "sketch_kmv_by_type" -> OracleSqlText.sketchKmvByType,
     "curation_pipeline" -> OracleSqlText.curation,
+    "curation_pipeline_v2" -> OracleSqlText.curationV2,
     "incremental_match" -> OracleSql.fifoMatch,
     "streaming_match" -> OracleSql.fifoMatch,
     "streaming_rollup" -> OracleSql.streamingRollup,

@@ -42,4 +42,57 @@ object Curation {
       .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
       .orderBy("doc_id")
   }
+
+  /** The v2 pass: the round-6 signal set composed onto the v1 gates —
+    * a length BAND (packing-unfriendly giants out, not just shorts), an
+    * n-gram novelty floor (templated/boilerplate docs down-weighted even
+    * when no dedup pair fires), and a corpus-unigram log-prob floor
+    * (rare-token noise out).
+    *
+    * Order matters and is the REVERSE of v1's: exact-dedup
+    * canonicalization runs FIRST, signals second. Novelty is
+    * corpus-relative — an exact-duplicate pair zeroes BOTH copies'
+    * novelty, so filtering before canonicalizing would kill every copy
+    * and keep none; computing signals over the deduplicated corpus keeps
+    * exactly the canonical one. (v1's filter-first rationale doesn't
+    * bite here: content-identical duplicates have identical
+    * content-derived signals, so canonical choice can't strand a
+    * would-have-survived copy.) Every signal is a doc_id-keyed
+    * aggregate: the composition is one content-hash window + a chain of
+    * co-keyed joins — nothing quadratic at any corpus size. All
+    * threshold cuts compare ROUNDED signal values (the gate's
+    * cross-engine convention).
+    *
+    * Output: survivors with their full signal vector. */
+  def curateV2(docs: DataFrame, minQuality: Double = 0.3, minTokens: Int = 5,
+      maxTokens: Int = 5000, lang: String = "en", minNovelty: Double = 0.1,
+      minLogProb: Double = -3.45): DataFrame = {
+    val byContent = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
+    val canon = docs.select("doc_id", "text")
+      .withColumn("_canon", min(col("doc_id")).over(byContent))
+      .filter(col("doc_id") === col("_canon"))
+      .select("doc_id", "text")
+    val quality = TextOps.qualityScore(canon)
+      .select("doc_id", "n_tokens", "quality_score")
+    val language = TextOps.languageId(canon)
+      .select("doc_id", "predicted_lang")
+    val novelty = TextOps.noveltyStats(canon)
+      .select("doc_id", "novelty_ratio")
+    val logprob = TextOps.unigramLogProb(canon)
+      .select("doc_id", "avg_logprob")
+    canon.select("doc_id")
+      .join(quality, Seq("doc_id"))
+      .join(language, Seq("doc_id"))
+      .join(novelty, Seq("doc_id"))
+      .join(logprob, Seq("doc_id"))
+      .filter(col("quality_score") >= minQuality &&
+        col("n_tokens").between(minTokens, maxTokens) &&
+        col("predicted_lang") === lang &&
+        col("novelty_ratio") >= minNovelty &&
+        col("avg_logprob") >= minLogProb)
+      .select("doc_id", "n_tokens", "quality_score", "predicted_lang",
+        "novelty_ratio", "avg_logprob")
+      .orderBy("doc_id")
+  }
 }

@@ -441,6 +441,76 @@ c AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text))
 SELECT f.doc_id, CAST(f.n_tokens AS BIGINT) AS n_tokens, f.quality_score, f.predicted_lang
 FROM f JOIN c USING (doc_id) ORDER BY f.doc_id"""
 
+  /** v2 curation twin (mirrors Curation.curateV2 with the default
+    * thresholds): exact-dedup canonicalization FIRST (novelty is
+    * corpus-relative — see the operator scaladoc), then every signal over
+    * the deduplicated corpus, then the gates. */
+  val curationV2: String = s"""
+WITH canon AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) cc
+    USING (doc_id)
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM canon),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM toks WHERE len(toks) >= 3
+),
+q AS (
+  SELECT t.doc_id,
+         len(toks) AS n_tokens,
+         ROUND(LEAST(len(toks), 200)::DOUBLE / 200.0 *
+               (1.0 - ROUND(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                            / NULLIF(length(d.text), 0), 4)), 4) AS quality_score
+  FROM toks t JOIN canon d ON d.doc_id = t.doc_id
+),
+markers(cand_lang, word) AS (VALUES $markerValues),
+ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM canon),
+votes AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS votes
+  FROM ex JOIN markers USING (word) GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY votes DESC, cand_lang) AS rn
+    FROM votes) t
+  WHERE rn = 1
+),
+lang AS (
+  SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS predicted_lang
+  FROM canon d LEFT JOIN best b ON d.doc_id = b.doc_id
+),
+sstream AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sdf AS (SELECT shingle, COUNT(*) AS df FROM sstream GROUP BY 1),
+nov AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+           AS novelty_ratio
+  FROM sstream JOIN sdf USING (shingle) GROUP BY doc_id
+),
+occ AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+tf AS (SELECT token, COUNT(*) AS tf FROM occ GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM occ),
+lpt AS (SELECT token, ln(tf::DOUBLE / n_total) AS logprob FROM tf CROSS JOIN tot),
+lp AS (
+  SELECT doc_id, ROUND(AVG(logprob), 4) AS avg_logprob
+  FROM occ JOIN lpt USING (token) GROUP BY doc_id
+)
+SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens, q.quality_score,
+       lang.predicted_lang, nov.novelty_ratio, lp.avg_logprob
+FROM q
+JOIN lang ON lang.doc_id = q.doc_id
+JOIN nov ON nov.doc_id = q.doc_id
+JOIN lp ON lp.doc_id = q.doc_id
+WHERE q.quality_score >= 0.3 AND q.n_tokens BETWEEN 5 AND 5000
+  AND lang.predicted_lang = 'en'
+  AND nov.novelty_ratio >= 0.1 AND lp.avg_logprob >= -3.45
+ORDER BY q.doc_id"""
+
   /** KMV distinct-count sketch twin (mirrors Sketches.kmvDistinct over
     * events.user_id, k=256): same md5-derived [0,2³²) hashes, same k-th
     * order statistic, same (k−1)·2³²/h_k estimator. */

@@ -276,6 +276,25 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(r("2024-01-01 10:30:00.0") === ((1L, 2.0)))
   }
 
+  test("curation v2: dups canonicalize BEFORE novelty; each gate drops its target") {
+    import spark.implicits._
+    val good = "the cat and the dog walked to the park with the ball again today"
+    val tpl = "the bird and the fish swam to the sea with the wave again today"
+    val docs = Seq(
+      (1L, good),                        // survives every gate
+      (2L, good),                        // exact dup — canonicalized away, must NOT
+                                         // zero doc 1's novelty (the order-of-ops bug)
+      (3L, "the ship and the crew sailed to the bay with zzqx9 vvbn7 kjhg5 qwer3 zxcv1"),
+                                         // rare-token tail -> logprob floor
+      (4L, tpl),                         // template pair: near-dup but not exact —
+      (5L, tpl.replace("today", "tonight"))) // novelty floor kills BOTH (by design)
+      .toDF("doc_id", "text")
+    val ids = graft.operators.Curation
+      .curateV2(docs, minQuality = 0.0, minLogProb = -3.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L), s"expected only the canonical good doc, got $ids")
+  }
+
   test("novelty: shared shingles score low, unique docs score 1") {
     import spark.implicits._
     val docs = Seq(
