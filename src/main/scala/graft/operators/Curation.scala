@@ -77,7 +77,12 @@ object Curation {
       .select("doc_id", "n_tokens", "quality_score")
     val language = TextOps.languageId(canon)
       .select("doc_id", "predicted_lang")
-    val novelty = TextOps.noveltyStats(canon)
+    // 5-gram novelty, not the default 3: once a corpus outgrows its
+    // template vocabulary every common trigram repeats somewhere and
+    // 3-gram novelty saturates at 0 (measured: sf0.1 median 0.0 vs 5-gram
+    // median 1.0), so an absolute floor only stays meaningful on shingles
+    // long enough to be composition-specific
+    val novelty = TextOps.noveltyStats(canon, n = 5)
       .select("doc_id", "novelty_ratio")
     val logprob = TextOps.unigramLogProb(canon)
       .select("doc_id", "avg_logprob")

@@ -455,9 +455,9 @@ WITH canon AS (
 toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM canon),
 sh AS (
   SELECT doc_id,
-         list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
-  FROM toks WHERE len(toks) >= 3
+         list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                                      i -> array_to_string(toks[i:i+4], ' '))) AS sh
+  FROM toks WHERE len(toks) >= 5
 ),
 q AS (
   SELECT t.doc_id,

@@ -289,8 +289,11 @@ class RoundSixOpsSpec extends AnyFunSuite {
       (4L, tpl),                         // template pair: near-dup but not exact —
       (5L, tpl.replace("today", "tonight"))) // novelty floor kills BOTH (by design)
       .toDF("doc_id", "text")
+    // 14-token docs have ten 5-gram shingles; the template pair's one
+    // changed word makes exactly one novel shingle each (0.1), so the
+    // floor is raised past it here
     val ids = graft.operators.Curation
-      .curateV2(docs, minQuality = 0.0, minLogProb = -3.0)
+      .curateV2(docs, minQuality = 0.0, minLogProb = -3.0, minNovelty = 0.15)
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(1L), s"expected only the canonical good doc, got $ids")
   }
