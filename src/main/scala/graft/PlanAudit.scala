@@ -15,7 +15,7 @@ object PlanAudit {
   private val intentional = Set(
     "ann_cosine_topk", "embed_neardup_exact", "report_summary",
     "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_hll_merged",
-    "text_tfidf_top_terms", "text_unigram_logprob")
+    "text_tfidf_top_terms", "text_unigram_logprob", "curation_pipeline_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
