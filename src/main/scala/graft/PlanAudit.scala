@@ -29,7 +29,11 @@ object PlanAudit {
     if (args.nonEmpty) {
       args.foreach { name =>
         println(s"===== $name =====")
-        println(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString)
+        SparkEntry.queries.get(name) match {
+          case Some(fn) => println(fn(spark, sfDir).queryExecution.executedPlan.toString)
+          case None => println(s"unknown query '$name' — names: " +
+            SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+        }
       }
       spark.stop()
       return

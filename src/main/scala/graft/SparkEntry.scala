@@ -382,7 +382,7 @@ object SparkEntry {
     "v_result_summary" -> OracleSql.vResultSummary,
     "events_sessionize" -> OracleSql.eventsSessionize,
     "events_hourly" -> OracleSql.eventsHourly,
-    "events_sliding" -> OracleSql.eventsSliding,
+    "events_sliding" -> OracleSql.eventsSliding(),
     "events_props_json" -> OracleSql.eventsPropsJson,
     "events_quantiles" -> OracleSql.eventsQuantiles,
     "sessions_concurrency" -> OracleSql.sessionsConcurrency,
@@ -426,7 +426,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> OracleSqlText.sketchKmvDistinct,
     "sketch_kmv_by_type" -> OracleSqlText.sketchKmvByType,
     "curation_pipeline" -> OracleSqlText.curation,
-    "curation_pipeline_v2" -> OracleSqlText.curationV2,
+    "curation_pipeline_v2" -> OracleSqlText.curationV2(),
     "incremental_match" -> OracleSql.fifoMatch,
     "streaming_match" -> OracleSql.fifoMatch,
     "streaming_rollup" -> OracleSql.streamingRollup,

@@ -67,12 +67,20 @@ object Curation {
   def curateV2(docs: DataFrame, minQuality: Double = 0.3, minTokens: Int = 5,
       maxTokens: Int = 5000, lang: String = "en", minNovelty: Double = 0.1,
       minLogProb: Double = -3.45): DataFrame = {
+    // the novelty signal's 5-gram shingles exist only for docs with ≥5
+    // tokens, and the signal joins are inner — a lower floor would be
+    // silently overridden by the join, so refuse it loudly
+    require(minTokens >= 5,
+      s"minTokens must be >= 5 (the novelty gate's shingle width), got $minTokens")
     val byContent = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text").cast("binary")))
-    val canon = docs.select("doc_id", "text")
+    // staged: four signal operators each scan + re-derive the canonical
+    // corpus otherwise (the dedup window would run four times)
+    val canon = graft.RunHygiene.stage(docs.select("doc_id", "text")
       .withColumn("_canon", min(col("doc_id")).over(byContent))
       .filter(col("doc_id") === col("_canon"))
-      .select("doc_id", "text")
+      .select("doc_id", "text"))
+    canon.count()
     val quality = TextOps.qualityScore(canon)
       .select("doc_id", "n_tokens", "quality_score")
     val language = TextOps.languageId(canon)

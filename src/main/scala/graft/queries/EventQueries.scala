@@ -151,23 +151,43 @@ object EventQueries {
 
   /** Daily-volume anomaly flags: per (event_type, day), today's count
     * against the trailing `win`-day mean; flagged when the ratio leaves
-    * [lo, hi]. Days without a full trailing window are suppressed (no
-    * cold-start false positives). Shape: (type, day) rollup — map-side
-    * combined, the frame shrinks to types × days — then one window pass
-    * over that aggregated frame; the window shuffle moves thousands of
-    * rows no matter how many billions of events fed the rollup. The flag
-    * compares the ROUNDED ratio so the cut is reproducible across
-    * engines. */
+    * [lo, hi]. The day axis is densified per type (zero-event calendar
+    * days become real rows), so a total outage flags as a dip and the
+    * trailing mean always spans calendar days, never stale active-day
+    * history. Days without a full trailing window are suppressed (no
+    * cold-start false positives), as are days whose whole trailing
+    * baseline is zero (no meaningful ratio against a dead series — and
+    * 0/0 would diverge as NaN-vs-NULL across engines). Shape: (type, day)
+    * rollup — map-side combined, the frame shrinks to types × days —
+    * then a per-type day densification and one window pass over that
+    * aggregated frame; the window shuffle moves thousands of rows no
+    * matter how many billions of events fed the rollup. The flag compares
+    * the ROUNDED ratio so the cut is reproducible across engines. */
   def anomalyDays(events: DataFrame, win: Int = 7,
       hi: Double = 1.5, lo: Double = 0.5): DataFrame = {
-    val daily = events
+    // staged: the span aggregate and the zero-fill join both read the
+    // daily rollup — unstaged, the events scan + rollup would run twice
+    val daily = graft.RunHygiene.stage(events
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
+    daily.count()
+    // densify to CALENDAR days per type before the window: a zero-event
+    // day produces no daily row, so a rows-frame over active days alone
+    // would (a) never flag a total outage — the strongest dip the lo
+    // bound exists for — and (b) let the "trailing 7 days" silently span
+    // stale weeks. The span frame is types × days, built from a tiny
+    // per-type min/max aggregate.
+    val dense = daily
+      .groupBy("event_type").agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .join(daily, Seq("event_type", "d"), "left")
+      .na.fill(0L, Seq("n_events"))
     val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-win, -1)
-    daily
+    dense
       .withColumn("trailing_avg_raw", avg(col("n_events")).over(w))
       .withColumn("n_trailing", count(col("n_events")).over(w))
-      .filter(col("n_trailing") === win)
+      .filter(col("n_trailing") === win && col("trailing_avg_raw") > 0)
       .withColumn("ratio", round(col("n_events") / col("trailing_avg_raw"), 4))
       .select(
         col("event_type"), col("d"), col("n_events"),

@@ -606,19 +606,25 @@ SELECT COALESCE(s.customer_id, d.customer_id) AS customer_id,
 FROM s FULL JOIN d ON s.customer_id = d.customer_id
 ORDER BY customer_id"""
 
-  /** Mirrors EventQueries.slidingRollup: each event expanded into its 4
-    * covering 15-min-aligned hour windows (time_bucket origins are
-    * midnight-aligned on both engines, and 15 min divides the day). */
-  val eventsSliding: String = s"""
+  /** Mirrors EventQueries.slidingRollup: each event expanded into its
+    * len/slide covering slide-aligned windows (time_bucket origins are
+    * midnight-aligned on both engines; `slideMinutes` must divide the
+    * day and `windowMinutes`). */
+  def eventsSliding(windowMinutes: Int = 60, slideMinutes: Int = 15): String = {
+    require(windowMinutes % slideMinutes == 0 && 1440 % slideMinutes == 0,
+      s"slide $slideMinutes must divide the window $windowMinutes and the day")
+    val replicas = windowMinutes / slideMinutes
+    s"""
 WITH $evCte,
 w AS (
   SELECT event_type, value,
-         time_bucket(INTERVAL 15 MINUTES, ts) - k * INTERVAL 15 MINUTES AS window_start
-  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+         time_bucket(INTERVAL $slideMinutes MINUTES, ts) - k * INTERVAL $slideMinutes MINUTES AS window_start
+  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, ${replicas - 1})) AS k)
 )
-SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end, event_type,
+SELECT window_start, window_start + INTERVAL $windowMinutes MINUTES AS window_end, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
 FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type"""
+  }
 
   /** Mirrors EventQueries.valueDeciles: NTILE over the shared
     * (value, event_id) total order, per-bucket count + range. */
@@ -701,11 +707,20 @@ daily AS (
   SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n_events
   FROM ev GROUP BY 1, 2
 ),
+grid AS (
+  SELECT s.event_type, CAST(g.x AS DATE) AS d
+  FROM (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1) s,
+       unnest(generate_series(s.d0, s.d1, INTERVAL '1 day')) AS g(x)
+),
+dense AS (
+  SELECT grid.event_type, grid.d, COALESCE(n.n_events, 0) AS n_events
+  FROM grid LEFT JOIN daily n ON n.event_type = grid.event_type AND n.d = grid.d
+),
 t AS (
   SELECT event_type, d, n_events,
          AVG(n_events) OVER w AS trailing_avg_raw,
          COUNT(n_events) OVER w AS n_trailing
-  FROM daily
+  FROM dense
   WINDOW w AS (PARTITION BY event_type ORDER BY d
                ROWS BETWEEN $win PRECEDING AND 1 PRECEDING)
 ),
@@ -713,7 +728,7 @@ r AS (
   SELECT event_type, d, n_events,
          ROUND(trailing_avg_raw, 4) AS trailing_avg,
          ROUND(n_events / trailing_avg_raw, 4) AS ratio
-  FROM t WHERE n_trailing = $win
+  FROM t WHERE n_trailing = $win AND trailing_avg_raw > 0
 )
 SELECT event_type, d, n_events, trailing_avg, ratio,
        CAST(CASE WHEN ratio >= $hi OR ratio <= $lo THEN 1 ELSE 0 END AS INTEGER)

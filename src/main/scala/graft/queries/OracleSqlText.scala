@@ -177,10 +177,10 @@ FROM q ORDER BY doc_id"""
   private val markerValues =
     TextOps.LangMarkers.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
-  /** The marker-vote CTE chain [[languageId]] and [[langConfusion]]
-    * share. */
-  private val langIdCtes: String = s"""markers(cand_lang, word) AS (VALUES $markerValues),
-ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+  /** The marker-vote CTE chain [[languageId]], [[langConfusion]] and
+    * [[curationV2]] share; `src` is the doc table the vote reads. */
+  private def langIdCtes(src: String = "documents"): String = s"""markers(cand_lang, word) AS (VALUES $markerValues),
+ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM $src),
 votes AS (
   SELECT doc_id, cand_lang, COUNT(*) AS votes
   FROM ex JOIN markers USING (word) GROUP BY doc_id, cand_lang
@@ -194,7 +194,7 @@ best AS (
 )"""
 
   val languageId: String = s"""
-WITH $langIdCtes
+WITH ${langIdCtes()}
 SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS predicted_lang,
        COALESCE(b.votes, 0) AS marker_votes
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
@@ -203,7 +203,7 @@ ORDER BY d.doc_id"""
   /** Mirrors TextOps.langConfusion: prediction joined to the labeled
     * lang, (label, predicted) rollup with per-label shares. */
   val langConfusion: String = s"""
-WITH $langIdCtes,
+WITH ${langIdCtes()},
 pred AS (
   SELECT d.doc_id, d.lang AS label_lang,
          COALESCE(b.cand_lang, 'und') AS predicted_lang
@@ -445,7 +445,9 @@ FROM f JOIN c USING (doc_id) ORDER BY f.doc_id"""
     * thresholds): exact-dedup canonicalization FIRST (novelty is
     * corpus-relative — see the operator scaladoc), then every signal over
     * the deduplicated corpus, then the gates. */
-  val curationV2: String = s"""
+  def curationV2(minQuality: Double = 0.3, minTokens: Int = 5,
+      maxTokens: Int = 5000, lang: String = "en", minNovelty: Double = 0.1,
+      minLogProb: Double = -3.45): String = s"""
 WITH canon AS (
   SELECT d.doc_id, d.text
   FROM documents d
@@ -467,19 +469,7 @@ q AS (
                             / NULLIF(length(d.text), 0), 4)), 4) AS quality_score
   FROM toks t JOIN canon d ON d.doc_id = t.doc_id
 ),
-markers(cand_lang, word) AS (VALUES $markerValues),
-ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM canon),
-votes AS (
-  SELECT doc_id, cand_lang, COUNT(*) AS votes
-  FROM ex JOIN markers USING (word) GROUP BY doc_id, cand_lang
-),
-best AS (
-  SELECT doc_id, cand_lang FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                 ORDER BY votes DESC, cand_lang) AS rn
-    FROM votes) t
-  WHERE rn = 1
-),
+${langIdCtes("canon")},
 lang AS (
   SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS predicted_lang
   FROM canon d LEFT JOIN best b ON d.doc_id = b.doc_id
@@ -506,9 +496,9 @@ FROM q
 JOIN lang ON lang.doc_id = q.doc_id
 JOIN nov ON nov.doc_id = q.doc_id
 JOIN lp ON lp.doc_id = q.doc_id
-WHERE q.quality_score >= 0.3 AND q.n_tokens BETWEEN 5 AND 5000
-  AND lang.predicted_lang = 'en'
-  AND nov.novelty_ratio >= 0.1 AND lp.avg_logprob >= -3.45
+WHERE q.quality_score >= $minQuality AND q.n_tokens BETWEEN $minTokens AND $maxTokens
+  AND lang.predicted_lang = '$lang'
+  AND nov.novelty_ratio >= $minNovelty AND lp.avg_logprob >= $minLogProb
 ORDER BY q.doc_id"""
 
   /** KMV distinct-count sketch twin (mirrors Sketches.kmvDistinct over

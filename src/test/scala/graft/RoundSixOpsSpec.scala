@@ -118,6 +118,28 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(spike.getAs[Int]("is_anomaly") === 1)
   }
 
+  test("anomaly days: a total outage day is densified in and flags as a dip") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // steady 4/day on days 1-8, SILENT days 9-12, one event day 13
+    val rows = (1 to 8).flatMap(day =>
+      (1 to 4).map(i => (day.toLong * 100 + i,
+        Timestamp.valueOf(f"2024-03-$day%02d 01:00:00")))) :+
+      (1301L, Timestamp.valueOf("2024-03-13 01:00:00"))
+    val ev = rows.map { case (id, ts) => (id, ts, "gap") }
+      .toDF("event_id", "ts", "event_type")
+    val r = graft.queries.EventQueries.anomalyDays(ev).collect()
+      .map(x => x.getDate(1).toString ->
+        (x.getAs[Long]("n_events"), x.getAs[Double]("ratio"),
+          x.getAs[Int]("is_anomaly"))).toMap
+    // day 9 exists as a row despite zero events, and flags as a dip
+    assert(r("2024-03-09") === ((0L, 0.0, 1)))
+    assert(r("2024-03-12") === ((0L, 0.0, 1))) // deep in the outage, baseline >0 still
+    // day 13's single event vs the mostly-dead trailing week (12/7):
+    // ratio 0.5833 — just inside the band, not a dip
+    assert(r("2024-03-13") === ((1L, 0.5833, 0)))
+  }
+
   test("length histogram: integer bin edges, clamped top bin, shares sum to 100") {
     import spark.implicits._
     val docs = Seq(
@@ -237,11 +259,12 @@ class RoundSixOpsSpec extends AnyFunSuite {
     val grown = (1L to 600L).map(i => (i, "src0")).toDF("doc_id", "source")
     val s2 = graft.operators.Sampling.uniformSample(grown, k = 20).collect()
       .map(_.getLong(0)).toSet
-    // every member of the grown sample that existed in the base corpus was
-    // already in the base sample OR displaced by a smaller new hash — so
-    // base-sample members absent from s2 must number |s2 \ base-ids|
-    assert((s2 -- s1).forall(_ > 500L) || (s1 -- s2).nonEmpty)
-    assert((s1 & s2).size >= 20 - (s2.count(_ > 500L)))
+    // append stability: an old doc can only ENTER the sample of the grown
+    // corpus if it was already in the base sample (20 smallest hashes of a
+    // subset ⊆ 20 smallest of the superset), so every newcomer in s2 must
+    // be an appended id
+    assert((s2 -- s1).forall(_ > 500L), s"old doc entered late: ${s2 -- s1}")
+    assert((s1 & s2).size === 20 - s2.count(_ > 500L))
   }
 
   test("lang confusion: per-label shares sum to 100") {
