@@ -204,6 +204,12 @@ object SparkEntry {
     // the two must produce identical rows (100% LSH recall, see scaladoc)
     "embed_neardup_pairs" -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 0.45)),
     "embed_neardup_exact" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.45)),
+    // SemDeDup: k-means cells + within-cell cosine pruning (keep lowest id)
+    "dedup_semantic" -> ((s, d) => Similarity.semDedup(Tables.embeddings(s, d))),
+
+    // C4-style cleaning: PII/blocklist scrub counts + rule-based verdicts
+    "text_scrub" -> ((s, d) => TextOps.scrubStats(Tables.documents(s, d))),
+    "text_c4_filters" -> ((s, d) => TextOps.c4Filters(Tables.documents(s, d))),
 
     // v2: round-6 signals (length band, novelty, logprob) onto the v1 gates
     "curation_pipeline_v2" -> ((s, d) =>
@@ -418,6 +424,7 @@ object SparkEntry {
     "ann_ivf_topk" -> OracleSqlText.annIvfTopK(),
     "embed_neardup_pairs" -> OracleSqlText.nearDupPairsLsh(),
     "embed_neardup_exact" -> OracleSqlText.nearDupPairs,
+    "dedup_semantic" -> OracleSqlText.semDedup(),
     "mm_features" -> OracleSqlText.mmFeatures,
     "mm_resize" -> OracleSqlText.mmResize,
     "mm_frames" -> OracleSqlText.mmFrames,
@@ -462,5 +469,7 @@ object SparkEntry {
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),
     "events_funnel" -> OracleSql.eventsFunnel,
+    "text_scrub" -> OracleSqlText.scrubStats,
+    "text_c4_filters" -> OracleSqlText.c4Filters,
     "join_bloom_revenue" -> OracleSql.bloomFilteredRevenue)
 }

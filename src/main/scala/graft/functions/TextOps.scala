@@ -320,6 +320,98 @@ object TextOps {
       .orderBy("bin")
   }
 
+  // --- C4-style corpus cleaning (scrub + rule-based document filters) ---
+
+  /** RE2-safe structural PII patterns (no lookaround/backrefs — the DuckDB
+    * oracle's regex engine is RE2): URLs first, then emails (an address
+    * inside a URL must scrub as part of the URL). */
+  val UrlPattern: String = "https?://[^ ]+"
+  val EmailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Stand-in blocklist terms (real pipelines load theirs from config);
+    * token-exact matches redact to `<TERM>`. */
+  val BlocklistTerms: Seq[String] = Seq("spark", "hash")
+
+  /** PII/blocklist scrubbing — the C4/CCNet cleaning pass as a pure narrow
+    * projection: regex-redact URLs and emails, token-redact blocklist
+    * terms, report match counts and the scrubbed content hash. Zero
+    * shuffle; at 100 TB this is a map-only pass that fuses into whatever
+    * scan feeds it (whole-stage codegen keeps the regexes inside the scan
+    * stage). Counts let the curation layer gate on PII density without a
+    * second pass. */
+  def scrubStats(docs: DataFrame): DataFrame = {
+    val t1 = regexp_replace(
+      regexp_replace(col("text"), UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+    val isBlocked = (t: Column) => BlocklistTerms.map(t === _).reduce(_ || _)
+    docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(UrlPattern), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+        length(col("text")).cast("long").as("n_chars"),
+        split(t1, " ").as("toks"))
+      .select(
+        col("doc_id"), col("n_urls"), col("n_emails"),
+        size(filter(col("toks"), isBlocked)).cast("long").as("n_blocklist"),
+        col("n_chars"),
+        concat_ws(" ",
+          transform(col("toks"), t => when(isBlocked(t), lit("<TERM>")).otherwise(t)))
+          .as("scrubbed"))
+      .select(
+        col("doc_id"), col("n_urls"), col("n_emails"), col("n_blocklist"), col("n_chars"),
+        length(col("scrubbed")).cast("long").as("n_chars_scrubbed"),
+        md5(col("scrubbed").cast("binary")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** C4-filter rule thresholds (shared with the generated oracle SQL). */
+  object C4 {
+    val MinTokens = 20
+    val MaxTokens = 80
+    val MinMeanTokenLen = 2.5
+    val MaxMeanTokenLen = 8.0
+    val MaxTopTokenShare = 0.2
+    val MinDistinctRatio = 0.3
+  }
+
+  /** Rule-based document filter verdicts (the C4/Gopher heuristic family,
+    * restricted to rules this single-line lowercase corpus can trip):
+    * token-count band, mean token length band, most-frequent-token share,
+    * distinct-token ratio. Emits the metric surface, a keep flag, and the
+    * FIRST failing rule (fixed evaluation order) so curation reports can
+    * attribute drops. Pure narrow projection — all metrics are array
+    * expressions over the row's own tokens (per-row cost O(n·d) with
+    * document length bounded, so no groupBy detour); zero shuffle at any
+    * corpus size. Verdicts compare the ROUNDED metrics so both engines
+    * judge identical doubles. */
+  def c4Filters(docs: DataFrame): DataFrame = {
+    val base = withTokens(docs).select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      round(
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(col("toks")), 4).as("mean_token_len"),
+      round(
+        array_max(transform(array_distinct(col("toks")),
+          t => size(filter(col("toks"), x => x === t)))).cast("double") /
+          size(col("toks")), 4).as("top_token_share"),
+      round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4)
+        .as("distinct_ratio"))
+    val failRule =
+      when(col("n_tokens") < C4.MinTokens, "too_short")
+        .when(col("n_tokens") > C4.MaxTokens, "too_long")
+        .when(col("mean_token_len") < C4.MinMeanTokenLen ||
+          col("mean_token_len") > C4.MaxMeanTokenLen, "token_len")
+        .when(col("top_token_share") > C4.MaxTopTokenShare, "repetition")
+        .when(col("distinct_ratio") < C4.MinDistinctRatio, "low_diversity")
+    base
+      .withColumn("fail_rule", failRule)
+      .withColumn("keep", col("fail_rule").isNull)
+      .select("doc_id", "n_tokens", "mean_token_len", "top_token_share",
+        "distinct_ratio", "keep", "fail_rule")
+      .orderBy("doc_id")
+  }
+
   val RollingHashBase: Long = 31L
   val RollingHashMod: Long = 2147483647L // 2^31 − 1
 

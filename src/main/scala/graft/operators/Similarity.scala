@@ -212,43 +212,38 @@ object Similarity {
     * With nProbe = nCentroids this degenerates to exact brute force — the
     * property the test suite pins; smaller nProbe trades recall for a
     * 1/nCentroids·nProbe scan fraction. */
-  def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
-      nCentroids: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
-    graft.functions.VectorExpressions.register(embeddings.sparkSession)
-    // the training loop and the final assignment all scan this — persist
-    // once instead of re-reading parquet per Lloyd round
-    val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
+  // per-cell score = c·c − 2·v·c : the ‖v−c‖² argmin with the
+  // rank-invariant v·v dropped. One codegen'd expression with the
+  // centroid matrix as a REFERENCE OBJECT, not literals: generated source
+  // is identical across Lloyd rounds, so the codegen cache is hit instead
+  // of re-JIT-ing a fresh plan every iteration (the literal-array form
+  // recompiled per round — the dominant cost of the training loop).
+  // Scores live in ONE projected column so the argmin/argsort below
+  // reference an attribute. Shared by [[ivfTopK]] and [[semDedup]].
+  private def withCell(df: DataFrame, cents: IndexedSeq[Seq[Float]]): DataFrame = {
+    val flat = new Array[Float](cents.length * 64)
+    cents.zipWithIndex.foreach { case (c, i) => c.copyToArray(flat, i * 64) }
+    graft.functions.VectorExpressions.registerCentroidScores(
+      df.sparkSession, flat, cents.length, 64)
+    df.withColumn("dists", call_function("ivf_scores", col("embedding")))
+      .withColumn("cell", (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+  }
 
-    // per-cell score = c·c − 2·v·c : the ‖v−c‖² argmin with the
-    // rank-invariant v·v dropped. One codegen'd expression with the
-    // centroid matrix as a REFERENCE OBJECT, not literals: generated source
-    // is identical across Lloyd rounds, so the codegen cache is hit instead
-    // of re-JIT-ing a fresh plan every iteration (the literal-array form
-    // recompiled per round — the dominant cost of the training loop).
-    // Scores live in ONE projected column so the argmin/argsort below
-    // reference an attribute.
-    def scoreArray(v: Column, cents: IndexedSeq[Seq[Float]]): Column = {
-      val flat = new Array[Float](cents.length * 64)
-      cents.zipWithIndex.foreach { case (c, i) => c.copyToArray(flat, i * 64) }
-      graft.functions.VectorExpressions.registerCentroidScores(
-        embeddings.sparkSession, flat, cents.length, 64)
-      call_function("ivf_scores", v)
-    }
-    def withCell(df: DataFrame, cents: IndexedSeq[Seq[Float]]): DataFrame =
-      df.withColumn("dists", scoreArray(col("embedding"), cents))
-        .withColumn("cell", (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
-
-    // init: lowest vec_ids; refine with Lloyd rounds. Means are rounded to
-    // 6 decimals BEFORE the float cast so the centroid values are invariant
-    // to double-summation order — the property that lets the DuckDB oracle
-    // (which unrolls the same Lloyd rounds in SQL) reproduce them bit-for-bit.
+  /** Deterministic k-means training (shared quantizer of [[ivfTopK]] and
+    * [[semDedup]]): init from the `nCentroids` lowest vec_ids, refine with
+    * `iters` Lloyd rounds (distributed assign, centroid means collected —
+    * nCentroids×dim doubles, driver-side by design, exactly like MLlib's
+    * k-means driver state). Means are rounded to 6 decimals BEFORE the
+    * float cast so the centroid values are invariant to double-summation
+    * order — the property that lets the DuckDB oracle (which unrolls the
+    * same Lloyd rounds in SQL) reproduce them bit-for-bit. A corpus
+    * smaller than nCentroids yields fewer centroids, never phantom
+    * all-zero cells (the oracle's init CTE only has the actual rows). */
+  private[operators] def lloydCentroids(emb: DataFrame, nCentroids: Int,
+      iters: Int): IndexedSeq[Seq[Float]] = {
     var centroids: IndexedSeq[Seq[Float]] = emb.orderBy("vec_id").limit(nCentroids)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toIndexedSeq.asInstanceOf[Seq[Float]]).toIndexedSeq
-    // a corpus smaller than nCentroids must not fabricate phantom all-zero
-    // cells (the oracle's init CTE only has the actual rows) — clamp
-    val k2 = centroids.length
-    val probe = math.min(nProbe, k2)
     for (_ <- 1 to iters) {
       val assigned = withCell(emb, centroids)
       val means = assigned
@@ -260,6 +255,18 @@ object Similarity {
         .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
+    centroids
+  }
+
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nCentroids: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    // the training loop and the final assignment all scan this — persist
+    // once instead of re-reading parquet per Lloyd round
+    val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
+    val centroids = lloydCentroids(emb, nCentroids, iters)
+    val k2 = centroids.length
+    val probe = math.min(nProbe, k2)
 
     val cells = withCell(emb, centroids)
       .withColumn("norm", l2Norm(col("embedding")))
@@ -316,5 +323,54 @@ object Similarity {
       .withColumn("rank", col("rank").cast("long"))
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, public): semantic deduplication by
+    * k-means partitioning + within-cluster cosine pruning. A vector is
+    * dropped when a LOWER-id vector in its own cell sits at rounded cosine
+    * ≥ `tau` (the keep-one-per-duplicate-group greedy with a deterministic
+    * keeper); the emitted evidence pair is the highest-similarity such
+    * neighbor (ties on the id).
+    *
+    * Plan shape: the shared deterministic Lloyd quantizer
+    * ([[lloydCentroids]], same codegen'd `ivf_scores` assignment as
+    * [[ivfTopK]]) → ONE keyed shuffle packing each cell
+    * (`collect_list`) → in-cell scoring with the compiled
+    * `vec_pairs_within` kernel — the [[nearDupPairsLsh]] discipline: the
+    * quadratic candidate set exists only as loop iterations inside the
+    * kernel, never as shuffled rows; the shuffle after it carries
+    * survivors only. Then one per-vector window (max-sim evidence pair)
+    * and a left join back to the full roster.
+    *
+    * 100 TB envelope: SemDeDup's own cost model — nCentroids scales with
+    * the corpus so cells stay O(corpus/nCentroids) small; per-task cost is
+    * O(cell²·dim) compute with output bounded by true semantic duplication.
+    * A degenerate all-identical corpus concentrates one cell, but such a
+    * corpus has quadratic TRUE duplicate evidence and collapses upstream
+    * under dedup_exact first (see the [[nearDupPairsLsh]] envelope note). */
+  def semDedup(embeddings: DataFrame, tau: Double = 0.45,
+      nCentroids: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val (pairsWithin, _) = graft.functions.VectorExpressions.registerPairs(spark, tau)
+    val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
+    val centroids = lloydCentroids(emb, nCentroids, iters)
+    val cells = withCell(emb, centroids).select(col("vec_id"), col("embedding"), col("cell"))
+    val packed = cells.groupBy("cell")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+    // kernel emits vec_a = min(id), vec_b = max(id): a vector's duplicate
+    // evidence is every pair where it is the HIGHER id
+    val pairs = packed
+      .select(explode(call_function(pairsWithin, col("vs"))).as("p"))
+      .select(col("p.vec_b").as("vec_id"), col("p.vec_a").as("lower_id"),
+        col("p.cosine_sim").as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("lower_id"))
+    val best = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("lower_id").as("nn_lower_id"), col("cos").as("nn_lower_sim"))
+    cells.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(best, Seq("vec_id"), "left")
+      .withColumn("dropped", col("nn_lower_id").isNotNull)
+      .orderBy("vec_id")
   }
 }

@@ -556,8 +556,12 @@ FROM r ORDER BY event_type"""
     * engines), empty cells keep their previous centroid. Mirrors
     * Similarity.ivfTopK arithmetic exactly: index-order double accumulation
     * for cc and dots, score = cc − 2·dot. */
-  def annIvfTopK(nQueries: Int = 5, k: Int = 5, nCentroids: Int = 8,
-      nProbe: Int = 2, iters: Int = 3, dim: Int = 64): String = {
+  /** The shared deterministic-k-means CTE chain (init from lowest vec_ids,
+    * `iters` unrolled Lloyd rounds, final assignment): yields `s${iters+1}`
+    * (per-vector per-centroid scores) and `cells` (vec_id, embedding,
+    * cell). Used by [[annIvfTopK]] and [[semDedup]] — one quantizer, two
+    * operators, zero drift. */
+  private def ivfCellsCtes(nCentroids: Int, iters: Int, dim: Int): String = {
     def scoresCte(i: Int, prev: String) = s"""
 s$i AS (
   SELECT e.vec_id, e.embedding, c.cell,
@@ -586,8 +590,7 @@ c$i AS (
   LEFT JOIN (SELECT cell, list(mean ORDER BY pos) AS centroid FROM m$i GROUP BY cell) n
     USING (cell)
 )"""
-    s"""
-WITH c0 AS (
+    s"""c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS centroid
   FROM embeddings ORDER BY vec_id LIMIT $nCentroids
 ),
@@ -598,7 +601,13 @@ cells AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
     FROM s${iters + 1}) t
   WHERE rn = 1
-),
+)"""
+  }
+
+  def annIvfTopK(nQueries: Int = 5, k: Int = 5, nCentroids: Int = 8,
+      nProbe: Int = 2, iters: Int = 3, dim: Int = 64): String = {
+    s"""
+WITH ${ivfCellsCtes(nCentroids, iters, dim)},
 probe AS (
   SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
@@ -617,6 +626,31 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored) t
 WHERE rank <= $k ORDER BY query_id, rank"""
   }
+
+  /** Mirrors Similarity.semDedup: the same Lloyd quantizer CTEs as the IVF
+    * oracle, an in-cell lower-id self-join with the exact rounded cosine
+    * (NaN ≥ tau is TRUE in DuckDB's total order — the kernel's
+    * `passes(NaN)` mirrors exactly that), max-sim evidence pair per
+    * dropped vector, left join back to the roster. */
+  def semDedup(tau: Double = 0.45, nCentroids: Int = 8, iters: Int = 3,
+      dim: Int = 64): String = s"""
+WITH ${ivfCellsCtes(nCentroids, iters, dim)},
+p AS (
+  SELECT b.vec_id AS vec_id, a.vec_id AS lower_id,
+         ${cosSql("a.embedding", "b.embedding")} AS cos
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+q AS (SELECT * FROM p WHERE cos >= $tau),
+best AS (
+  SELECT vec_id, lower_id AS nn_lower_id, cos AS nn_lower_sim
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, lower_id) AS rn FROM q) t
+  WHERE rn = 1
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, b.nn_lower_id, b.nn_lower_sim,
+       (b.nn_lower_id IS NOT NULL) AS dropped
+FROM cells c LEFT JOIN best b USING (vec_id)
+ORDER BY vec_id"""
 
   /** Multimodal plumbing oracle: byte length + content hash of the binary
     * payload (the Spark side synthesizes `media = encode(text)`; real decode
@@ -990,5 +1024,70 @@ r2 AS (
 SELECT event_type, m, n_buckets_set, est_distinct, exact_distinct,
        ROUND(ABS(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_error
 FROM r2 ORDER BY event_type"""
+  }
+
+  /** Mirrors TextOps.scrubStats: URL → email regex redaction (RE2-safe
+    * patterns shared with the Spark side; DuckDB needs the explicit 'g'
+    * flag where Spark's regexp_replace is global by default), then
+    * token-exact blocklist redaction. */
+  val scrubStats: String = {
+    val url = TextOps.UrlPattern
+    val email = TextOps.EmailPattern // '\.' passes through a SQL string literal verbatim
+    val blocked = TextOps.BlocklistTerms.map(t => s"'$t'").mkString(", ")
+    s"""
+WITH s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+         CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         string_split(regexp_replace(regexp_replace(text, '$url', '<URL>', 'g'),
+                                     '$email', '<EMAIL>', 'g'), ' ') AS toks
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, n_urls, n_emails, n_chars,
+         CAST(len(list_filter(toks, t -> t IN ($blocked))) AS BIGINT) AS n_blocklist,
+         array_to_string(list_transform(toks,
+           t -> CASE WHEN t IN ($blocked) THEN '<TERM>' ELSE t END), ' ') AS scrubbed
+  FROM s1
+)
+SELECT doc_id, n_urls, n_emails, n_blocklist, n_chars,
+       CAST(length(scrubbed) AS BIGINT) AS n_chars_scrubbed,
+       md5(scrubbed) AS scrubbed_md5
+FROM s2 ORDER BY doc_id"""
+  }
+
+  /** Mirrors TextOps.c4Filters — metrics AND rule thresholds render from
+    * TextOps.C4, so the two sides cannot drift; verdicts compare the
+    * rounded metrics on both engines. */
+  val c4Filters: String = {
+    val c = TextOps.C4
+    s"""
+WITH $toksCte,
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 4)
+           AS mean_token_len,
+         ROUND(list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t))))::DOUBLE / len(toks), 4)
+           AS top_token_share,
+         ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS distinct_ratio
+  FROM toks
+),
+v AS (
+  SELECT *,
+         CASE WHEN n_tokens < ${c.MinTokens} THEN 'too_short'
+              WHEN n_tokens > ${c.MaxTokens} THEN 'too_long'
+              WHEN mean_token_len < ${c.MinMeanTokenLen}
+                OR mean_token_len > ${c.MaxMeanTokenLen} THEN 'token_len'
+              WHEN top_token_share > ${c.MaxTopTokenShare} THEN 'repetition'
+              WHEN distinct_ratio < ${c.MinDistinctRatio} THEN 'low_diversity'
+         END AS fail_rule
+  FROM m
+)
+SELECT doc_id, n_tokens, mean_token_len, top_token_share, distinct_ratio,
+       (fail_rule IS NULL) AS keep, fail_rule
+FROM v ORDER BY doc_id"""
   }
 }
