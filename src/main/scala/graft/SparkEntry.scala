@@ -82,6 +82,10 @@ object SparkEntry {
       BalanceQueries.q11DailySnapshots(history(s, d), Params.CustA, Params.MonthFrom, Params.MonthUntil)),
     "q12_never_spent" -> ((s, d) => BalanceQueries.q12NeverSpent(current(s, d))),
 
+    // calendar gap-fill: per-customer daily balance series, carry-forward
+    "timeseries_gapfill" -> ((s, d) =>
+      BalanceAnalytics.gapFillDaily(history(s, d))),
+
     // general as-of join: every customer probed at three fixed instants
     "asof_balance_join" -> ((s, d) => {
       val h = history(s, d)
@@ -166,6 +170,10 @@ object SparkEntry {
     "topk_orders" -> ((s, d) => RelationalQueries.topkOrders(Tables.orders(s, d))),
     // every grouping level in one pass (rollup / grouping sets)
     "orders_rollup" -> ((s, d) => RelationalQueries.ordersRollup(Tables.orders(s, d))),
+    "orders_cube" -> ((s, d) => RelationalQueries.ordersCube(Tables.orders(s, d))),
+    // per-column table profile (rows / nulls / distincts) in one pass
+    "profile_orders" -> ((s, d) => RelationalQueries.profileColumns(
+      Tables.orders(s, d), RelationalQueries.ProfiledOrderCols)),
     // the replicated-salt join, oracle-checked against the plain join
     "join_salted_revenue" -> ((s, d) =>
       RelationalQueries.saltedRevenueByPriority(Tables.lineitem(s, d), Tables.orders(s, d))),
@@ -248,6 +256,9 @@ object SparkEntry {
     // the production-common per-group shape: distinct users per event type
     "sketch_hll_by_type" -> ((s, d) =>
       graft.operators.Sketches.hllDistinctByGroup(Tables.events(s, d), "event_type", "user_id")),
+    // quantile estimates off the bottom-k-by-hash deterministic sample
+    "sketch_quantile" -> ((s, d) =>
+      graft.operators.Sketches.hashSampleQuantiles(Tables.events(s, d), "value", "event_id")),
     // Count-Min frequency sketch read out at the exact top-k tokens
     "sketch_cms_tokens" -> ((s, d) =>
       graft.operators.Sketches.cmsTokenCounts(Tables.documents(s, d))),
@@ -462,6 +473,10 @@ object SparkEntry {
     "events_pivot_monthly" ->
       OracleSql.eventsPivotMonthly(EventQueries.EventTypes),
     "orders_rollup" -> OracleSql.ordersRollup,
+    "orders_cube" -> OracleSql.ordersCube,
+    "profile_orders" -> OracleSql.profileOrders,
+    "timeseries_gapfill" -> OracleSql.gapFillDaily,
+    "sketch_quantile" -> OracleSqlText.hashSampleQuantiles(),
     "layout_zorder_stats" -> OracleSql.zorderStats(),
     "sample_uniform_topk" -> OracleSqlText.uniformSample(),
     "sample_stratified" -> OracleSqlText.stratifiedSample(),

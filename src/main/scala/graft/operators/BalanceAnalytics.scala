@@ -44,6 +44,45 @@ object BalanceAnalytics {
         round(col("cumulative_earned") - col("cumulative_spent") - col("cumulative_expired"), 2))
   }
 
+  /** Calendar gap-fill with carry-forward (time-series resample-to-daily):
+    * per customer, one row per day from that customer's first transaction
+    * day to the corpus's last day, carrying the day-end balance forward
+    * across gap days — the shape every downstream daily-snapshot consumer
+    * (BI joins, as-of features, SCD rollups) wants.
+    *
+    * Plan shape: day-end balances are one per-customer window pass (rn = 1
+    * per (customer, day), descending (ts, id) — deterministic day-end);
+    * the day spine is a per-customer `sequence(first_day, last_day)`
+    * explode against a broadcast 1-row global max; carry-forward is
+    * `last(ignoreNulls)` over one (customer, day) window. Every shuffle is
+    * keyed on customer_id; spine size is days×customers — linear in the
+    * calendar, never in the transaction count, so a 100 TB ledger (more
+    * rows, same horizon) leaves the spine unchanged. A whale customer adds
+    * no skew: the spine is uniform per customer, and the day-end pass
+    * reduces the whale's rows before the fill window sees them. */
+  def gapFillDaily(history: DataFrame): DataFrame = {
+    val h = history.select(col("customer_id"),
+      to_date(col("transaction_date")).as("day"),
+      col("transaction_date"), col("transaction_id"), col("current_balance"))
+    val wDay = Window.partitionBy("customer_id", "day")
+      .orderBy(col("transaction_date").desc, col("transaction_id").desc)
+    val dayEnd = h.withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("customer_id"), col("day"), col("current_balance").as("observed_balance"))
+    val lastDay = broadcast(h.agg(max(col("day")).as("last_day")))
+    val spine = h.groupBy("customer_id").agg(min(col("day")).as("first_day"))
+      .crossJoin(lastDay)
+      .select(col("customer_id"),
+        explode(sequence(col("first_day"), col("last_day"))).as("day"))
+    val wFill = Window.partitionBy("customer_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(dayEnd, Seq("customer_id", "day"), "left")
+      .select(col("customer_id"), col("day"),
+        last(col("observed_balance"), ignoreNulls = true).over(wFill).as("balance"),
+        col("observed_balance").isNotNull.as("is_observed"))
+      .orderBy("customer_id", "day")
+  }
+
   /** `customer_current_balances`
     * (reference: src/thrive_cash_processing_dag.py:504-510). The reference's
     * pandas `.last()` is positional and correct only because history was

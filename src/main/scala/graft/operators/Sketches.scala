@@ -280,4 +280,37 @@ object Sketches {
       .withColumn("rel_error",
         round(abs(col("kmv_estimate") - col("exact_distinct")) / col("exact_distinct"), 4))
   }
+
+  /** Deterministic quantile sketch: estimate quantiles from the bottom-k-
+    * by-hash row sample (the same md5 order as KMV, so a uniform random
+    * sample with a portable, engine-independent identity — where Spark's
+    * `percentile_approx` sketch bytes can't cross engines). Estimates use
+    * the nearest-rank-below rule on the sorted sample — an ELEMENT of the
+    * data, never an interpolated average, so both engines emit the
+    * identical double.
+    *
+    * Plan: the sample is `TakeOrderedAndProject(k)` over (hash, value) —
+    * per-partition heaps + driver merge, no global sort, k rows of driver
+    * state; ranking the k-row sample is a single-partition window over k
+    * rows by construction. Error is the sampling error of a k-sample
+    * (~1/√k per quantile). Null values are excluded (quantiles of known
+    * values; the oracle filters identically). */
+  def hashSampleQuantiles(df: DataFrame, valueCol: String, keyCol: String,
+      k: Int = 256, qs: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("v"), hash32(col(keyCol)).as("hv"))
+      .orderBy("hv").limit(k)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wRank = org.apache.spark.sql.expressions.Window.orderBy("v", "hv")
+    val ranked = sample
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+    ranked.join(broadcast(qs.toDF("q")),
+        col("rn") === expr("(q * (m - 1)) div 100") + 1)
+      .select(col("q").cast("long").as("q"), col("v").as("est_value"),
+        col("m").cast("long").as("sample_k"))
+      .orderBy("q")
+  }
 }

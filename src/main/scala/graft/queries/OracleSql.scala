@@ -791,6 +791,57 @@ FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
+  /** Mirrors RelationalQueries.ordersCube: GROUP BY CUBE with the same
+    * GROUPING() bit convention as the rollup oracle. */
+  val ordersCube: String = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
+  /** Mirrors RelationalQueries.profileColumns over orders — generated from
+    * the same column list (ProfiledOrderCols) as the Spark side. */
+  val profileOrders: String = {
+    val branches = RelationalQueries.ProfiledOrderCols.map { c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct FROM orders"""
+    }.mkString("\n  UNION ALL\n  ")
+    s"""
+WITH p AS (
+  $branches
+)
+SELECT column_name, n_rows, n_nulls, n_distinct FROM p ORDER BY column_name"""
+  }
+
+  /** Mirrors BalanceAnalytics.gapFillDaily: day-end balances, per-customer
+    * day spine to the global last day, IGNORE NULLS carry-forward. */
+  val gapFillDaily: String = pipelined("""
+, day_end AS (
+  SELECT customer_id, CAST(transaction_date AS DATE) AS day,
+         current_balance AS observed_balance
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id, CAST(transaction_date AS DATE)
+                                     ORDER BY transaction_date DESC, transaction_id DESC) AS rn
+        FROM balance_history) t
+  WHERE rn = 1
+),
+bounds AS (SELECT customer_id, MIN(day) AS first_day FROM day_end GROUP BY 1),
+g AS (SELECT MAX(day) AS last_day FROM day_end),
+spine AS (
+  SELECT customer_id,
+         CAST(unnest(generate_series(first_day, last_day, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds, g
+)
+SELECT s.customer_id, s.day,
+       LAST_VALUE(d.observed_balance IGNORE NULLS)
+         OVER (PARTITION BY s.customer_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance,
+       (d.observed_balance IS NOT NULL) AS is_observed
+FROM spine s LEFT JOIN day_end d ON d.customer_id = s.customer_id AND d.day = s.day
+ORDER BY s.customer_id, s.day""")
+
   /** Plain-join twin of the salted join (salting is a physical rewrite —
     * the result multiset is identical by construction). */
   val saltedRevenueByPriority: String = """

@@ -1026,6 +1026,24 @@ SELECT event_type, m, n_buckets_set, est_distinct, exact_distinct,
 FROM r2 ORDER BY event_type"""
   }
 
+  /** Mirrors Sketches.hashSampleQuantiles over events.value keyed by
+    * event_id: bottom-k by the shared md5 order, nearest-rank-below
+    * readout (an element, never an interpolation). */
+  def hashSampleQuantiles(k: Int = 256, qs: Seq[Int] = Seq(10, 25, 50, 75, 90)): String = s"""
+WITH s AS (
+  SELECT value AS v, (${hex8IntSql("event_id::VARCHAR")}) AS hv
+  FROM events WHERE value IS NOT NULL
+  ORDER BY hv LIMIT $k
+),
+r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, hv) AS rn, COUNT(*) OVER () AS m
+  FROM s
+),
+q(q) AS (VALUES ${qs.map(q => s"($q)").mkString(", ")})
+SELECT CAST(q AS BIGINT) AS q, v AS est_value, CAST(m AS BIGINT) AS sample_k
+FROM r JOIN q ON rn = (q * (m - 1)) // 100 + 1
+ORDER BY q"""
+
   /** Mirrors TextOps.scrubStats: URL → email regex redaction (RE2-safe
     * patterns shared with the Spark side; DuckDB needs the explicit 'g'
     * flag where Spark's regexp_replace is global by default), then

@@ -182,6 +182,45 @@ object RelationalQueries {
         round(sum(col("o_totalprice")), 2).as("total_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Full CUBE over (status, priority) — all four grouping levels
+    * (detail, per-status, per-priority, grand total) in one pass; the same
+    * single-Expand-single-aggregate shape as [[ordersRollup]], one extra
+    * grouping-set replica per row. grouping_id disambiguates subtotal rows
+    * from genuine NULL keys; ordering puts subtotals (NULL keys) first. */
+  def ordersCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Columns profiled by [[profileColumns]]'s gated instance — shared with
+    * the generated oracle so the two sides cannot drift. */
+  val ProfiledOrderCols: Seq[String] =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+
+  /** Data profiling — the engine-side table summary (row count, null
+    * count, distinct count per column) every ingestion pipeline runs
+    * before trusting a new source. ONE pass: all per-column aggregates in
+    * a single `agg` (the multi-distinct Expand replicates input rows
+    * ×columns map-side — the standard exact shape; a 100 TB profile swaps
+    * countDistinct for approx_count_distinct, same plan skeleton), then a
+    * `stack` unpivot of the 1-row result — driver-side constant work. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct")))
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c => s"'$c', `${c}__nulls`, `${c}__distinct`").mkString(", ")
+    row.select(col("n_rows"),
+        expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, n_distinct)"))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct")
+      .orderBy("column_name")
+  }
+
   /** Top-3 orders per customer via ranking window — one shuffle on
     * o_custkey; AQE handles skewed customers. */
   def customerOrderRank(orders: DataFrame): DataFrame = {

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextOps
+import graft.operators.{BalanceAnalytics, Similarity, Sketches}
+import graft.queries.RelationalQueries
+
+/** Round-7 additions: scrub/C4 cleaning, SemDeDup, gap-fill, cube,
+  * profiling, hash-sample quantiles. */
+class RoundSevenOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("scrubStats redacts URLs, emails, and blocklist terms with counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "visit https://ex.com/a then mail bob@ex.com for spark info"),
+      (2L, "plain text only")).toDF("doc_id", "text")
+    val r = TextOps.scrubStats(docs).collect()
+    val d1 = r.find(_.getLong(0) == 1L).get
+    assert(d1.getAs[Long]("n_urls") === 1L)
+    assert(d1.getAs[Long]("n_emails") === 1L)
+    assert(d1.getAs[Long]("n_blocklist") === 1L)
+    // the scrubbed text is fully redacted: hash must equal the expected string's
+    val expected = "visit <URL> then mail <EMAIL> for <TERM> info"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d1.getAs[String]("scrubbed_md5") === md)
+    assert(d1.getAs[Long]("n_chars_scrubbed") === expected.length.toLong)
+    val d2 = r.find(_.getLong(0) == 2L).get
+    assert(d2.getAs[Long]("n_urls") === 0L)
+    assert(d2.getAs[Long]("n_blocklist") === 0L)
+  }
+
+  test("c4Filters trips each rule in its fixed order") {
+    import spark.implicits._
+    val ok = (1 to 30).map(i => s"w$i").mkString(" ") // 30 varied tokens
+    val docs = Seq(
+      (1L, ok),
+      (2L, "too short"),
+      (3L, (1 to 100).map(i => s"w$i").mkString(" ")),            // too_long
+      (4L, (1 to 30).map(_ => "a").mkString(" ")),                // mean len 1 -> but repetition? token_len first
+      (5L, ((1 to 25).map(i => s"word$i") ++ Seq.fill(15)("word1")).mkString(" "))) // repetition
+      .toDF("doc_id", "text")
+    val r = TextOps.c4Filters(docs).collect()
+      .map(x => x.getLong(0) -> Option(x.getAs[String]("fail_rule"))).toMap
+    assert(r(1L) === None)
+    assert(r(2L) === Some("too_short"))
+    assert(r(3L) === Some("too_long"))
+    assert(r(4L) === Some("token_len")) // rule order: token_len fires before repetition
+    assert(r(5L) === Some("repetition"))
+  }
+
+  test("semDedup drops the higher id of a within-cell duplicate pair") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(d => Similarity.planeComponent(seed, d).toFloat)
+    // two well-separated base vectors; 10/11 duplicate 0's vector, 12 duplicates 2's
+    val rows = Seq(
+      0L -> vec(1), 1L -> vec(2), 2L -> vec(3),
+      10L -> vec(1), 11L -> vec(1), 12L -> vec(3))
+    val emb = rows.toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(emb, tau = 0.99, nCentroids = 2, iters = 2).collect()
+      .map(x => x.getLong(0) -> x.getAs[Boolean]("dropped")).toMap
+    assert(!r(0L) && !r(1L) && !r(2L)) // lowest ids of their groups survive
+    assert(r(10L) && r(11L) && r(12L))
+    val nn = Similarity.semDedup(emb, tau = 0.99, nCentroids = 2, iters = 2).collect()
+      .find(_.getLong(0) == 10L).get
+    assert(nn.getAs[Long]("nn_lower_id") === 0L)
+    assert(nn.getAs[Double]("nn_lower_sim") === 1.0)
+  }
+
+  test("gapFillDaily fills gap days with the carried day-end balance") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val history = Seq(
+      ("1", ts(1, 9), "t1", 10.0),
+      ("1", ts(1, 18), "t2", 25.0), // day-end of day 1 = 25.0
+      ("1", ts(4, 9), "t3", 5.0),
+      ("2", ts(3, 9), "t4", 7.0))
+      .toDF("customer_id", "transaction_date", "transaction_id", "current_balance")
+    val r = BalanceAnalytics.gapFillDaily(history).collect()
+      .map(x => (x.getString(0), x.getDate(1).toString) ->
+        (x.getAs[Double]("balance"), x.getAs[Boolean]("is_observed"))).toMap
+    assert(r(("1", "2024-01-01")) === ((25.0, true)))  // day-end, not first row
+    assert(r(("1", "2024-01-02")) === ((25.0, false))) // gap day carried
+    assert(r(("1", "2024-01-03")) === ((25.0, false)))
+    assert(r(("1", "2024-01-04")) === ((5.0, true)))
+    // customer 2 spine starts at ITS first day, ends at the global last day
+    assert(!r.contains(("2", "2024-01-02")))
+    assert(r(("2", "2024-01-03")) === ((7.0, true)))
+    assert(r(("2", "2024-01-04")) === ((7.0, false)))
+  }
+
+  test("profileColumns counts rows, nulls, and distincts per column") {
+    import spark.implicits._
+    val df = Seq((Some(1), "a"), (None, "a"), (Some(2), "b"), (Some(1), "c"))
+      .toDF("x", "y")
+    val r = RelationalQueries.profileColumns(df, Seq("x", "y")).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("x") === ((4L, 1L, 2L)))
+    assert(r("y") === ((4L, 0L, 3L)))
+  }
+
+  test("hashSampleQuantiles is exact when k covers the data") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("event_id", "value")
+    val r = Sketches.hashSampleQuantiles(df, "value", "event_id", k = 1000)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // nearest-rank-below on the full data: rank = q*(n-1) div 100 + 1
+    assert(r(50L) === 50.0)
+    assert(r(10L) === 10.0)
+    assert(r(90L) === 90.0)
+  }
+
+  test("ordersCube emits all four grouping levels with grouping ids") {
+    import spark.implicits._
+    val orders = Seq((1L, "O", "HIGH", 10.0), (2L, "F", "LOW", 20.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    val r = RelationalQueries.ordersCube(orders).collect()
+    // 2 detail + 2 per-status + 2 per-priority + 1 grand total
+    assert(r.length === 7)
+    val grand = r.find(x => x.isNullAt(0) && x.isNullAt(1)).get
+    assert(grand.getAs[Long]("gid") === 3L)
+    assert(grand.getAs[Long]("n_orders") === 2L)
+    assert(grand.getAs[Double]("total_price") === 30.0)
+  }
+}
