@@ -319,6 +319,9 @@ object SparkEntry {
     // near-dup clusters over the simhash pair graph (min-label propagation)
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.simhashPairs(Tables.documents(s, d)))),
+    // PageRank over the same graph: duplicate-cluster hub scores
+    "graph_pagerank" -> ((s, d) =>
+      graft.operators.Graph.pageRank(Dedup.simhashPairs(Tables.documents(s, d)))),
 
     // incremental (two-delta) matching must equal the full rebuild — the
     // oracle IS the fifo_match SQL
@@ -440,6 +443,7 @@ object SparkEntry {
     "mm_resize" -> OracleSqlText.mmResize,
     "mm_frames" -> OracleSqlText.mmFrames,
     "dedup_clusters" -> OracleSqlText.dedupClusters,
+    "graph_pagerank" -> OracleSqlText.pageRank(),
     "dedup_substring_spans" -> OracleSqlText.substringSpans(),
     "sketch_kmv_distinct" -> OracleSqlText.sketchKmvDistinct,
     "sketch_kmv_by_type" -> OracleSqlText.sketchKmvByType,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over pair tables (the dedup near-dup graph being the
+  * in-engine producer: [[Dedup.simhashPairs]] / [[Dedup.dedupClusters]]'s
+  * edge set). Everything is expressed as keyed joins + aggregates — no
+  * driver-side graph state, the same discipline as the min-label
+  * propagation in [[Dedup.dedupClusters]].
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank (Page et al. 1999) over an undirected pair
+    * graph — ranks duplicate-cluster hubs: a document tied to many
+    * near-dups concentrates rank, the signal a curation pipeline uses to
+    * pick which template family to inspect first.
+    *
+    * Nodes are the documents appearing in `pairs`; every node of an
+    * undirected pair graph has degree ≥ 1, so there is no dangling-mass
+    * term. A FIXED `iters` power iterations (not convergence-tested) keeps
+    * the computation a pure function of the input — the DuckDB oracle
+    * unrolls the same rounds as CTEs. Each iteration's rank is rounded to
+    * 12 decimals: like the Lloyd-means and running-balance rounding
+    * elsewhere, this pins the cross-engine (and cross-partitioning) result
+    * of a float sum whose association order is engine-internal.
+    *
+    * Plan shape per iteration: one keyed join (ranks ⨝ out-edges on src —
+    * AQE broadcasts the rank side when small), one keyed aggregate
+    * (contributions by dst), one keyed left join back to the roster; the
+    * teleport scalar rides as a broadcast 1-row cross join. State between
+    * iterations is one (id, rank) frame — O(nodes), partitioned, never on
+    * the driver. At 100 TB the edge list dominates and every shuffle here
+    * is keyed on its natural column; a whale hub makes one big aggregate
+    * partition (mitigable by the two-stage salted-sum pattern in [[Skew]]
+    * if ever needed). */
+  def pageRank(pairs: DataFrame, damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = graft.RunHygiene.track(pairs.persist(lvl))
+    p.count() // fill once: both union branches read it
+    val edges = graft.RunHygiene.track(
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct()
+        .persist(lvl))
+    edges.count() // every iteration reads edges — materialize once
+    p.unpersist()
+    val deg = graft.RunHygiene.track(
+      edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("id"), col("deg")).persist(lvl))
+    deg.count()
+    val outEdges = graft.RunHygiene.track(
+      edges.join(deg, edges("src") === deg("id"))
+        .select(col("src"), col("dst"), col("deg")).persist(lvl))
+    outEdges.count()
+    val nn = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+
+    var ranks = deg.select("id").crossJoin(nn)
+      .select(col("id"), (lit(1.0) / col("n_nodes")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks.join(outEdges, ranks("id") === outEdges("src"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = deg.select("id").join(contribs, col("id") === col("dst"), "left")
+        .crossJoin(nn)
+        .select(col("id"),
+          round((lit(1.0) - lit(damping)) / col("n_nodes") +
+            lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("rank"))
+    }
+    deg.join(ranks, Seq("id"))
+      .select(col("id").as("doc_id"), col("deg").as("degree"),
+        round(col("rank"), 8).as("pagerank"))
+      .orderBy("doc_id")
+  }
+}

@@ -689,11 +689,10 @@ SELECT doc_id,
        md5(substr(text, frame_index * 32 + 1, 32)) AS frame_md5
 FROM f ORDER BY doc_id, frame_index"""
 
-  /** Dedup-clusters oracle: connected components over the simhash pair
-    * graph as a recursive transitive closure; cluster id = minimum reachable
-    * doc_id — exactly Dedup.dedupClusters' min-label fixpoint. */
-  val dedupClusters: String = s"""
-WITH RECURSIVE $toksCte,
+  /** Shared CTE chain: documents → 16-bit simhash → equal-sketch pairs →
+    * bidirectional edge list (used by the dedup-clusters and pagerank
+    * oracles — one graph definition, zero drift). */
+  private val simhashGraphCtes: String = s"""$toksCte,
 hv AS (
   SELECT doc_id,
          list_transform(list_distinct(toks), t -> ${hex4IntSql("t")}) AS hv
@@ -714,13 +713,50 @@ edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
+)"""
+
+  /** Dedup-clusters oracle: connected components over the simhash pair
+    * graph as a recursive transitive closure; cluster id = minimum reachable
+    * doc_id — exactly Dedup.dedupClusters' min-label fixpoint. */
+  val dedupClusters: String = s"""
+WITH RECURSIVE $simhashGraphCtes,
 reach(doc_id, r) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
 )
 SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Mirrors Graph.pageRank over the simhash pair graph: the same edge
+    * CTEs as [[dedupClusters]], `iters` power iterations unrolled as CTEs
+    * (fixed iteration count is what makes the oracle possible), each
+    * round's rank ROUND(…, 12) exactly like the Spark side. All float
+    * literals go through ::DOUBLE — DuckDB parses bare decimals as
+    * DECIMAL, whose division semantics differ from the double arithmetic
+    * Spark uses. */
+  def pageRank(damping: Double = 0.85, iters: Int = 5): String = {
+    def iterCte(i: Int): String = s"""
+r$i AS (
+  SELECT d.id, ROUND((1.0::DOUBLE - $damping::DOUBLE) / nn.n_nodes
+               + $damping::DOUBLE * COALESCE(c.s, 0.0::DOUBLE), 12) AS rank
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, SUM(r.rank / e.deg) AS s
+             FROM r${i - 1} r JOIN out_edges e ON r.id = e.src
+             GROUP BY e.dst) c ON c.dst = d.id
+)"""
+    s"""
+WITH $simhashGraphCtes,
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+out_edges AS (
+  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.id = e.src
+),
+nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+r0 AS (SELECT id, 1.0::DOUBLE / nn.n_nodes AS rank FROM deg CROSS JOIN nn),
+${(1 to iters).map(iterCte).mkString(",")}
+SELECT d.id AS doc_id, d.deg AS degree, ROUND(r.rank, 8) AS pagerank
+FROM deg d JOIN r$iters r ON r.id = d.id
+ORDER BY doc_id"""
+  }
 
   /** Mirrors Dedup.contaminationPairs over a doc_id % `mod` probe subset. */
   def contamination(n: Int = 3, minShared: Int = 3, mod: Int = 97): String = s"""

@@ -114,6 +114,21 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(r(90L) === 90.0)
   }
 
+  test("pageRank concentrates rank on the hub and conserves total mass") {
+    import spark.implicits._
+    // star: 1 is the hub of 2,3,4
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val r = graft.operators.Graph.pageRank(pairs).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("pagerank")).toMap
+    assert(r(1L) > r(2L) * 2, s"hub should dominate: $r")
+    assert(r(2L) === r(3L) && r(3L) === r(4L))
+    // no dangling nodes in an undirected pair graph -> mass conserved
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+    val deg = graft.operators.Graph.pageRank(pairs).collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("degree")).toMap
+    assert(deg === Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("ordersCube emits all four grouping levels with grouping ids") {
     import spark.implicits._
     val orders = Seq((1L, "O", "HIGH", 10.0), (2L, "F", "LOW", 20.0))
