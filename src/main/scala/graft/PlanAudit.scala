@@ -12,10 +12,14 @@ object PlanAudit {
   //    sketch_hll_merged / text_tfidf_top_terms / text_unigram_logprob: a
   //    1-row aggregate (corpus total / exact ride-along) crossJoined back
   //    (the other summary queries are single aggregates, no join)
+  //  - timeseries_gapfill: the 1-row global last-day horizon cross
+  //  - sketch_quantile: the 5-row quantile spec against the k-row sample
+  //  - graph_pagerank: the 1-row node-count teleport term, once per iteration
   private val intentional = Set(
     "ann_cosine_topk", "embed_neardup_exact", "report_summary",
     "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_hll_merged",
-    "text_tfidf_top_terms", "text_unigram_logprob", "curation_pipeline_v2")
+    "text_tfidf_top_terms", "text_unigram_logprob", "curation_pipeline_v2",
+    "timeseries_gapfill", "sketch_quantile", "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -182,6 +182,9 @@ object SparkEntry {
       RelationalQueries.bucketedRevenueByPriority(s, d)),
     "window_customer_order_rank" -> ((s, d) =>
       RelationalQueries.customerOrderRank(Tables.orders(s, d))),
+    // banded dimension lookup rewritten as a bin equi-join
+    "join_tier_lookup" -> ((s, d) =>
+      RelationalQueries.tierLookupJoin(Tables.orders(s, d))),
 
     // training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -298,6 +301,9 @@ object SparkEntry {
     "sample_weighted_mix" -> ((s, d) =>
       graft.operators.Sampling.weightedMix(Tables.documents(s, d),
         graft.operators.Sampling.GateWeights)),
+    // absolute per-domain cap (WindowGroupLimit keeps whale groups unsorted)
+    "sample_cap_per_source" -> ((s, d) =>
+      graft.operators.Sampling.capPerGroup(Tables.documents(s, d))),
     // curriculum length-binning with per-bin shards
     "train_curriculum" -> ((s, d) =>
       graft.operators.TrainPrep.curriculumBins(Tables.documents(s, d))),
@@ -485,6 +491,8 @@ object SparkEntry {
     "sample_uniform_topk" -> OracleSqlText.uniformSample(),
     "sample_stratified" -> OracleSqlText.stratifiedSample(),
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),
+    "sample_cap_per_source" -> OracleSqlText.capPerSource(),
+    "join_tier_lookup" -> OracleSql.tierLookupJoin,
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),
     "events_funnel" -> OracleSql.eventsFunnel,

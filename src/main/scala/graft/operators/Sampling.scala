@@ -129,6 +129,25 @@ object Sampling {
       .orderBy(col("hv"), col(idCol))
       .limit(k)
 
+  /** Per-group cap ("domain capping"): keep at most `cap` documents per
+    * group, chosen by hash rank — the curation step that stops a whale
+    * domain from dominating the mix; [[weightedMix]] expresses rates, this
+    * expresses the absolute ceiling. One keyed shuffle; the rank-≤-cap
+    * filter is a constant limit, so WindowGroupLimit pushes top-`cap`
+    * selection into each map/reduce side and no full per-group sort ever
+    * runs (pinned) — the whale domain this operator exists for is exactly
+    * the partition that must not be sorted whole.
+    *
+    * Output: (doc_id, grp, sample_rank ≤ cap) of kept docs. */
+  def capPerGroup(docs: DataFrame, groupCol: String = "source", cap: Int = 10,
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), col(groupCol).as("grp"), hash32(col(idCol)).as("hv"))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy("grp").orderBy(col("hv"), col(idCol))).cast("long"))
+      .filter(col("sample_rank") <= cap)
+      .select(col(idCol), col("grp"), col("sample_rank"))
+      .orderBy("grp", "sample_rank")
+
   /** Rate-based weighted domain mix: each source keeps `weights(source)`
     * percent of its documents (default `defaultPct`), decided per document
     * by hash bucket — the standard up/down-weighting step when rebalancing

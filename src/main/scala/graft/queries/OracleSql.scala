@@ -842,6 +842,28 @@ SELECT s.customer_id, s.day,
 FROM spine s LEFT JOIN day_end d ON d.customer_id = s.customer_id AND d.day = s.day
 ORDER BY s.customer_id, s.day""")
 
+  /** Mirrors RelationalQueries.tierLookupJoin — dimension VALUES and bin
+    * width render from the same constants; the bin expansion + residual
+    * range filter reproduce the banded-join rewrite exactly. */
+  val tierLookupJoin: String = {
+    val w = RelationalQueries.TierBinWidth
+    val dimRows = RelationalQueries.PriceTiers
+      .map { case (lo, hi, t) => s"($lo, $hi, '$t')" }.mkString(", ")
+    s"""
+WITH dim(lo, hi, tier) AS (VALUES $dimRows),
+e AS (
+  SELECT lo, hi, tier, unnest(generate_series(lo // $w, (hi - 1) // $w)) AS bin
+  FROM dim
+),
+f AS (
+  SELECT o_totalprice, CAST(FLOOR(o_totalprice / $w) AS INT) AS bin FROM orders
+)
+SELECT tier, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+FROM f JOIN e USING (bin)
+WHERE o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier ORDER BY tier"""
+  }
+
   /** Plain-join twin of the salted join (salting is a physical rewrite —
     * the result multiset is identical by construction). */
   val saltedRevenueByPriority: String = """

@@ -1062,6 +1062,20 @@ SELECT event_type, m, n_buckets_set, est_distinct, exact_distinct,
 FROM r2 ORDER BY event_type"""
   }
 
+  /** Mirrors Sampling.capPerGroup over (source, doc_id) — the same md5
+    * rank order as every sampling oracle. */
+  def capPerSource(cap: Int = 10): String = s"""
+WITH h AS (
+  SELECT doc_id, source AS grp, (${hex8IntSql("doc_id::VARCHAR")}) AS hv FROM documents
+),
+r AS (
+  SELECT doc_id, grp,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv, doc_id) AS sample_rank
+  FROM h
+)
+SELECT doc_id, grp, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= $cap ORDER BY grp, sample_rank"""
+
   /** Mirrors Sketches.hashSampleQuantiles over events.value keyed by
     * event_id: bottom-k by the shared md5 order, nearest-rank-below
     * readout (an element, never an interpolation). */

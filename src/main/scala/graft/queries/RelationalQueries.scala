@@ -221,6 +221,38 @@ object RelationalQueries {
       .orderBy("column_name")
   }
 
+  /** Tier bands (lo inclusive, hi exclusive, label) and the bin width of
+    * the banded-join rewrite — shared with the generated oracle. */
+  val PriceTiers: Seq[(Int, Int, String)] =
+    Seq((0, 150000, "low"), (150000, 350000, "mid"), (350000, 600000, "high"))
+  val TierBinWidth: Int = 50000
+
+  /** Banded dimension lookup (value BETWEEN lo AND hi → tier) rewritten as
+    * an equi-join: each dimension band expands to its covering
+    * `TierBinWidth` bins, facts compute their bin, and the join keys on
+    * bin with the exact range predicate as a residual filter. The
+    * expansion turns the non-equi lookup every optimizer nested-loops
+    * into a hash join — here the 12-bin dimension broadcasts; with a
+    * million-band dimension the same plan shuffles both sides keyed on
+    * bin (the RangeJoin binning discipline applied to lookups). Bands
+    * must not overlap (each fact lands in exactly one tier). */
+  def tierLookupJoin(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val dim = PriceTiers.toDF("lo", "hi", "tier")
+      .select(col("lo"), col("hi"), col("tier"),
+        explode(sequence(expr(s"lo div $TierBinWidth"),
+          expr(s"(hi - 1) div $TierBinWidth"))).as("bin"))
+    orders.select(col("o_totalprice"),
+        floor(col("o_totalprice") / TierBinWidth).cast("int").as("bin"))
+      .join(broadcast(dim), Seq("bin"))
+      .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("tier")
+  }
+
   /** Top-3 orders per customer via ranking window — one shuffle on
     * o_custkey; AQE handles skewed customers. */
   def customerOrderRank(orders: DataFrame): DataFrame = {

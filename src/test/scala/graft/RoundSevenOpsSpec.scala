@@ -129,6 +129,29 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(deg === Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("capPerGroup keeps at most cap rows per group, dense-ranked") {
+    import spark.implicits._
+    val docs = ((1 to 30).map(i => (i.toLong, "big")) ++ Seq((100L, "small")))
+      .toDF("doc_id", "source")
+    val r = graft.operators.Sampling.capPerGroup(docs, cap = 5).collect()
+    val byGrp = r.groupBy(_.getString(1))
+    assert(byGrp("big").length === 5)
+    assert(byGrp("small").length === 1)
+    assert(byGrp("big").map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // determinism: a second run keeps the identical set
+    val r2 = graft.operators.Sampling.capPerGroup(docs, cap = 5).collect()
+    assert(r.map(_.getLong(0)).toSet === r2.map(_.getLong(0)).toSet)
+  }
+
+  test("tierLookupJoin lands every order in exactly one band") {
+    import spark.implicits._
+    val orders = Seq((1L, 100.0), (2L, 149999.99), (3L, 150000.0), (4L, 599999.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val r = graft.queries.RelationalQueries.tierLookupJoin(orders).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("low" -> 2L, "mid" -> 1L, "high" -> 1L))
+  }
+
   test("ordersCube emits all four grouping levels with grouping ids") {
     import spark.implicits._
     val orders = Seq((1L, "O", "HIGH", 10.0), (2L, "F", "LOW", 20.0))
