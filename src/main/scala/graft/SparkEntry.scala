@@ -190,6 +190,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    // asymmetric containment: doc-in-doc duplication Jaccard misses
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     "text_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
 
@@ -424,6 +426,7 @@ object SparkEntry {
     "dedup_exact" -> OracleSqlText.dedupExact,
     "dedup_ngram_jaccard" -> OracleSqlText.ngramJaccard,
     "dedup_minhash_lsh" -> OracleSqlText.minhashLsh,
+    "dedup_containment" -> OracleSqlText.containmentPairs(),
     "text_simhash" -> OracleSqlText.simhash,
     "dedup_simhash_pairs" -> OracleSqlText.simhashPairs,
     "text_token_stats" -> OracleSqlText.tokenStats,

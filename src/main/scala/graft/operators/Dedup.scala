@@ -81,6 +81,57 @@ object Dedup {
     verifyPairs(candidates, sh.select("doc_id", "sh"), threshold)
   }
 
+  /** Containment-similarity pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t — the
+    * asymmetric complement of [[ngramJaccard]]: a short document quoted
+    * wholesale inside a long one scores C ≈ 1 while its Jaccard is tiny,
+    * so this is the operator that catches doc-in-doc duplication
+    * (quote-expansion, boilerplate wrappers, prompt-in-completion leaks).
+    *
+    * Candidate generation is the asymmetric prefix filter: if C ≥ t with
+    * |A| ≤ |B|, then |A∩B| ≥ ⌈t·|A|⌉, and a shared set avoiding A's
+    * frequency-ascending prefix of length |A| − ⌈t·|A|⌉ + 1 would fit in
+    * the remaining ⌈t·|A|⌉ − 1 shingles — contradiction. So prefix(probe)
+    * ⨝ FULL(index) is lossless with each doc probing by its own size;
+    * running every doc in both roles through one join covers every pair.
+    * Hot shingles still stay out of prefixes (rare-first ordering), so
+    * candidate volume is bounded by prefix×posting products, not posting².
+    * Verification reuses the merge-count kernel with the min-size
+    * denominator; the raw value gates the threshold, rounding only the
+    * output (the [[ngramJaccard]] boundary-exactness rule). */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    graft.functions.HashExpressions.registerIntersect(docs.sparkSession)
+    val sh = graft.RunHygiene.stage(TextOps.withShingles(docs, n))
+    val inv = graft.RunHygiene.stage(
+      sh.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle")))
+    inv.count() // feeds dfreq, the prefix build, and the full index side
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("dfreq", "shingle")
+    val prefix = inv.join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id").as("p_doc"), col("shingle"))
+    val candidates = prefix.join(inv.select(col("doc_id").as("f_doc"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("p_doc") =!= col("f_doc"))
+      .select(least(col("p_doc"), col("f_doc")).as("doc_a"),
+        greatest(col("p_doc"), col("f_doc")).as("doc_b"))
+      .distinct()
+    val sorted = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+      array_sort(col("sh")).as("shs"))
+    candidates
+      .join(sorted.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+        col("shs").as("sh_a")), Seq("doc_a"))
+      .join(sorted.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+        col("shs").as("sh_b")), Seq("doc_b"))
+      .withColumn("c_raw",
+        call_function("sorted_intersect_count", col("sh_a"), col("sh_b")).cast("double") /
+          least(col("sz_a"), col("sz_b")))
+      .filter(col("c_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("c_raw"), 4).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Universal-hash family for MinHash: one md5 per shingle (its first 8 hex
     * digits as a base integer), then cheap arithmetic permutations
     * hᵢ(x) = (aᵢ·x + bᵢ) mod p — the classic a·x+b construction. One digest

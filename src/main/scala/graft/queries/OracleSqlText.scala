@@ -62,6 +62,37 @@ cand AS (
 ),
 $verifySql"""
 
+  /** Mirrors Dedup.containmentPairs: asymmetric prefix filter (each doc
+    * probes by its own size against the FULL index), min-size denominator,
+    * raw-value threshold with rounded output. */
+  def containmentPairs(threshold: Double = 0.8): String = s"""
+WITH $toksCte,
+$shinglesCte,
+inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+dfreq AS (SELECT shingle, COUNT(*) AS dfreq FROM inv GROUP BY 1),
+pre AS (
+  SELECT doc_id AS p_doc, shingle FROM (
+    SELECT i.doc_id, i.shingle, i.sz,
+           ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.dfreq, i.shingle) AS rn
+    FROM inv i JOIN dfreq d USING (shingle)) t
+  WHERE rn <= sz - CEIL($threshold * sz) + 1
+),
+cand AS (
+  SELECT DISTINCT LEAST(p.p_doc, f.doc_id) AS doc_a,
+                  GREATEST(p.p_doc, f.doc_id) AS doc_b
+  FROM pre p JOIN inv f USING (shingle)
+  WHERE p.p_doc <> f.doc_id
+),
+v AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.sh, sb.sh))::DOUBLE / LEAST(len(sa.sh), len(sb.sh)) AS c_raw
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, ROUND(c_raw, 4) AS containment
+FROM v WHERE c_raw >= $threshold ORDER BY doc_a, doc_b"""
+
   /** First-8-hex-chars-of-md5 as a base integer for the minhash universal
     * hash family (DuckDB has no conv()). */
   private def hex8IntSql(arg: String): String =

@@ -114,6 +114,20 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(r(90L) === 90.0)
   }
 
+  test("containmentPairs catches doc-in-doc duplication that Jaccard misses") {
+    import spark.implicits._
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = short + " " + (11 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "totally different words here now ok"))
+      .toDF("doc_id", "text")
+    val c = graft.operators.Dedup.containmentPairs(docs).collect()
+    assert(c.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(c.head.getAs[Double]("containment") === 1.0) // short fully inside long
+    // the same pair is invisible to Jaccard at its threshold
+    val j = graft.operators.Dedup.ngramJaccard(docs).collect()
+    assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("pageRank concentrates rank on the hub and conserves total mass") {
     import spark.implicits._
     // star: 1 is the hub of 2,3,4
