@@ -147,6 +147,9 @@ object SparkEntry {
     "events_sliding" -> ((s, d) => EventQueries.slidingRollup(Tables.events(s, d))),
     "events_props_json" -> ((s, d) => EventQueries.propsJson(Tables.events(s, d))),
     "events_quantiles" -> ((s, d) => EventQueries.valueQuantiles(Tables.events(s, d))),
+    // per-event trailing-window feature matrix (online-ML feature shape)
+    "events_features_trailing" -> ((s, d) =>
+      EventQueries.trailingFeatures(Tables.events(s, d))),
     // interval-overlap (range) join: per-session concurrency via binning
     "sessions_concurrency" -> ((s, d) => {
       val sess = EventQueries.sessionize(Tables.events(s, d))
@@ -413,6 +416,7 @@ object SparkEntry {
     "events_sliding" -> OracleSql.eventsSliding(),
     "events_props_json" -> OracleSql.eventsPropsJson,
     "events_quantiles" -> OracleSql.eventsQuantiles,
+    "events_features_trailing" -> OracleSql.trailingFeatures,
     "sessions_concurrency" -> OracleSql.sessionsConcurrency,
     "agg_pricing_summary" -> OracleSql.aggPricingSummary,
     "agg_pricing_filtered" -> OracleSql.aggPricingFiltered,

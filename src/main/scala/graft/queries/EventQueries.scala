@@ -260,6 +260,35 @@ object EventQueries {
       .orderBy("event_type", "decile")
   }
 
+  /** Trailing-window feature extraction — the per-event feature matrix an
+    * online-ML / fraud pipeline computes ("how active was this user just
+    * before this event"): trailing 1-hour event count, trailing 24-hour
+    * value sum, and seconds since the user's previous event. All three are
+    * value-RANGE / lag windows over ONE (user_id, second, event_id) sort —
+    * a single keyed shuffle; the range frames are per-user scans with
+    * bounded lookback state, exactly how Spark executes them. Frames are
+    * `[-w, -1]` on integer epoch seconds: strictly-before semantics, and
+    * second-resolution bounds that both engines frame identically (RANGE
+    * peers are by value, so sub-second ordering cannot shift a frame).
+    * The trailing sum is rounded; count/lag are exact integers. */
+  def trailingFeatures(events: DataFrame): DataFrame = {
+    val sec = col("sec")
+    val byUser = Window.partitionBy("user_id")
+    val w1h = byUser.orderBy(sec).rangeBetween(-3600, -1)
+    val w24h = byUser.orderBy(sec).rangeBetween(-86400, -1)
+    val wLag = byUser.orderBy(sec, col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("n_prev_1h", count(lit(1)).over(w1h))
+      .withColumn("sum_value_24h",
+        round(coalesce(sum(col("value")).over(w24h), lit(0.0)), 2))
+      .withColumn("secs_since_prev", sec - lag(sec, 1).over(wLag))
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_prev_1h"),
+        col("sum_value_24h"), col("secs_since_prev"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** JSON field extraction from the semi-structured props column +
     * per-type aggregate over the extracted value. */
   def propsJson(events: DataFrame): DataFrame =

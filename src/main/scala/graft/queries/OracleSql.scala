@@ -791,6 +791,25 @@ FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
+  /** Mirrors EventQueries.trailingFeatures: identical integer-second RANGE
+    * frames ([-w, -1] — strictly before the current second). FLOOR before
+    * the BIGINT cast: DuckDB's double→int cast rounds to nearest where
+    * Spark's unix_timestamp floors. */
+  val trailingFeatures: String = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w1 AS n_prev_1h,
+       ROUND(COALESCE(SUM(value) OVER w24, 0.0), 2) AS sum_value_24h,
+       sec - LAG(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS secs_since_prev
+FROM e
+WINDOW w1 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING),
+       w24 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+ORDER BY user_id, event_id"""
+
   /** Mirrors RelationalQueries.ordersCube: GROUP BY CUBE with the same
     * GROUPING() bit convention as the rollup oracle. */
   val ordersCube: String = """

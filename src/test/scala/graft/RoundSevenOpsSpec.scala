@@ -128,6 +128,25 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("trailingFeatures: strictly-before range frames and lag gaps") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, 1L, t(10, 0), 5.0),
+      (2L, 1L, t(10, 30), 7.0),   // 1 event in prior hour
+      (3L, 1L, t(12, 0), 1.0),    // none in prior hour, two in prior 24h
+      (4L, 2L, t(10, 0), 9.0))    // other user isolated
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = graft.queries.EventQueries.trailingFeatures(ev).collect()
+      .map(x => x.getLong(0) -> (x.getLong(3), x.getDouble(4),
+        Option(x.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(r(1L) === ((0L, 0.0, None)))
+    assert(r(2L) === ((1L, 5.0, Some(1800L))))
+    assert(r(3L) === ((0L, 12.0, Some(5400L))))
+    assert(r(4L) === ((0L, 0.0, None)))
+  }
+
   test("pageRank concentrates rank on the hub and conserves total mass") {
     import spark.implicits._
     // star: 1 is the hub of 2,3,4
