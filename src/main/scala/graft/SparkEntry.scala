@@ -357,6 +357,9 @@ object SparkEntry {
     // stream-stream interval join: purchases attribute to trailing views
     "streaming_join" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replayStreamJoin(Tables.events(s, d))),
+    // streaming sketch maintenance: per-window HLL registers as state
+    "streaming_hll_rollup" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.replayHllRollup(Tables.events(s, d))),
 
     // snapshot + delta MERGE (the batch upsert / full-outer surface)
     "merge_balance_upsert" -> ((s, d) =>
@@ -468,6 +471,8 @@ object SparkEntry {
     "streaming_dedup" -> OracleSqlText.streamingDedup,
     "streaming_sessions" -> OracleSql.streamingSessions,
     "streaming_join" -> OracleSql.streamingJoin,
+    "streaming_hll_rollup" ->
+      OracleSqlText.sketchHllByWindow(graft.operators.Sketches.hllScale()),
     "merge_balance_upsert" -> OracleSql.balanceUpsert(Params.AsOf),
     "agg_salted_sum" -> OracleSql.aggSaltedSum,
     "train_splits" -> OracleSqlText.trainSplits(),

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** First-8-hex-of-md5 as a uniform value in [0, 2³²) — the same
-    * construction every hash in this engine uses, shared with the oracle. */
-  private def hash32(c: Column): Column =
+    * construction every hash in this engine uses, shared with the oracle
+    * (and with the streaming register builder in StreamingAnalytics). */
+  private[graft] def hash32(c: Column): Column =
     conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
 
   /** Per-group distinct-count sketch: the k smallest distinct hashes PER

@@ -1093,6 +1093,49 @@ SELECT event_type, m, n_buckets_set, est_distinct, exact_distinct,
 FROM r2 ORDER BY event_type"""
   }
 
+  /** Per-hour-window single-pass HLL (mirrors the streaming register
+    * build + batch readout of StreamingAnalytics.replayHllRollup — equal
+    * by register-MAX associativity; constants derive from `b` exactly like
+    * [[sketchHllDistinct]]). */
+  def sketchHllByWindow(scale: Double, b: Int = 6): String = {
+    val m = 1 << b
+    val div = 1L << (32 - b)
+    val rmax = 32 - b + 1
+    val fill = 1L << rmax
+    s"""
+WITH h AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         (${hex8IntSql("user_id::VARCHAR")}) AS hv
+  FROM events
+),
+reg AS (
+  SELECT window_start, hv // $div AS bucket,
+         MAX(CASE WHEN hv % $div = 0 THEN $rmax
+                  ELSE $rmax - length(bin(hv % $div)) END) AS r
+  FROM h GROUP BY 1, 2
+),
+s AS (
+  SELECT window_start, COUNT(*) AS n_buckets_set,
+         CAST(SUM(1::BIGINT << CAST($rmax - r AS INTEGER)) AS BIGINT) AS s_present
+  FROM reg GROUP BY 1
+),
+e AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+),
+r2 AS (
+  SELECT s.window_start, CAST($m AS BIGINT) AS m, n_buckets_set,
+         ROUND($scale / (s_present + ($m - n_buckets_set) * $fill), 2) AS est_distinct,
+         exact_distinct
+  FROM s JOIN e USING (window_start)
+)
+SELECT window_start, m, n_buckets_set, est_distinct, exact_distinct,
+       ((ABS(CAST(ROUND(est_distinct * 100, 0) AS BIGINT) - exact_distinct * 100) * 10000)
+        // (exact_distinct * 100))::DOUBLE / 10000.0 AS rel_error
+FROM r2 ORDER BY window_start"""
+  }
+
   /** Mirrors Sampling.capPerGroup over (source, doc_id) — the same md5
     * rank order as every sampling oracle. */
   def capPerSource(cap: Int = 10): String = s"""

@@ -168,6 +168,74 @@ object StreamingAnalytics {
       .orderBy("user_id", "session_start")
   }
 
+  /** Streaming windowed HyperLogLog: the per-window distinct-user REGISTER
+    * TABLE maintained as ordinary watermarked streaming state —
+    * `groupBy(window, bucket).agg(MAX(rank))` is just a windowed
+    * aggregation, and register-wise MAX is associative, so micro-batch
+    * partials merge into exactly the single-pass sketch (the
+    * `sketch_hll_merged` property, exercised across TIME instead of across
+    * shards). State per window is ≤ m register rows regardless of event
+    * volume; append mode emits each window's closed registers once the
+    * watermark passes. The estimator readout is a batch pass over the
+    * emitted registers ([[replayHllRollup]]). */
+  def windowedHllRegisters(events: DataFrame, windowLength: String = "1 hour",
+      lateness: String = "30 minutes", b: Int = 6): DataFrame = {
+    val remBits = 32 - b
+    val rmax = remBits + 1
+    events
+      .withWatermark("ts", lateness)
+      .select(col("ts"), graft.operators.Sketches.hash32(col("user_id")).as("hv"))
+      .select(col("ts"), shiftright(col("hv"), remBits).as("bucket"),
+        col("hv").bitwiseAND(lit((1L << remBits) - 1)).as("rem"))
+      .select(col("ts"), col("bucket"),
+        when(col("rem") === 0, lit(rmax))
+          .otherwise(lit(rmax) - length(bin(col("rem")))).cast("long").as("rank"))
+      .groupBy(window(col("ts"), windowLength), col("bucket"))
+      .agg(max(col("rank")).as("r"))
+      .select(col("window.start").as("window_start"), col("bucket"), col("r"))
+  }
+
+  /** Correctness-gate replay of [[windowedHllRegisters]]: same harness as
+    * [[replayRollup]] (shared staged chunks, flush sentinels), estimator
+    * applied batch-side to the emitted registers, exact count joined per
+    * window. Sentinel rows only ever touch their own far-future windows
+    * (those never close and are horizon-filtered defensively). Oracle: the
+    * per-hour single-pass HLL in SQL — equal by MAX associativity. */
+  def replayHllRollup(events: DataFrame, batches: Int = 3, b: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    val src = eventReplaySrc(events)
+    val dirs = stagedShared(src, batches, eventSentinels)
+    val streamed = windowedHllRegisters(
+      FileReplay.stream(spark, src.schema, dirs)
+        .withColumn("ts", col("ts").cast("timestamp")))
+    val regs = FileReplay.runToParquet(streamed, dirs, tag = "_hll")
+    val m = 1 << b
+    val rmax = 32 - b + 1
+    val scale = graft.operators.Sketches.hllScale(b)
+    val horizon = broadcast(events.agg(max(col("ts")).as("mx")))
+    val est = regs.crossJoin(horizon)
+      .filter(col("window_start").cast("timestamp_ntz") <= col("mx"))
+      .groupBy("window_start")
+      .agg(count(lit(1)).as("n_buckets_set"),
+        sum(expr(s"shiftleft(cast(1 as bigint), cast($rmax - r as int))")).as("s_present"))
+      .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+        lit(m.toLong).as("m"), col("n_buckets_set"),
+        round(lit(scale) /
+          (col("s_present") + (lit(m.toLong) - col("n_buckets_set")) * (1L << rmax)), 2)
+          .as("est_distinct"))
+    val exact = events.groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    // integer-exact relative error (floored basis points of 1e4): the
+    // round(x, 4)-of-a-division form hit a representation-boundary
+    // half-rounding divergence between Spark's BigDecimal shortest-repr
+    // rounding and DuckDB's numeric rounding — integer div cannot diverge
+    est.join(exact, Seq("window_start"))
+      .withColumn("rel_error",
+        expr("(abs(cast(round(est_distinct * 100) as bigint) - exact_distinct * 100) * 10000) " +
+          "div (exact_distinct * 100)").cast("double") / 10000.0)
+      .orderBy("window_start")
+  }
+
   /** Watermarked stream-stream interval join — conversion attribution at
     * ingest time: each purchase joins the same user's views from the
     * trailing `horizon`. Both sides carry watermarks and the join

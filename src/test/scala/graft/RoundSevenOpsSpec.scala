@@ -185,6 +185,24 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(r === Map("low" -> 2L, "mid" -> 1L, "high" -> 1L))
   }
 
+  test("windowed HLL registers equal the batch sketch per window") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = (1 to 500).map(i =>
+      (Timestamp.valueOf(f"2024-01-01 ${if (i % 2 == 0) 10 else 11}%02d:00:30"), i.toLong))
+      .toDF("ts", "user_id")
+    // batch application (watermark is a no-op in batch) must reproduce
+    // Sketches.hllRegisters over each hour's users exactly
+    val streamedRegs = graft.streaming.StreamingAnalytics.windowedHllRegisters(ev)
+      .collect().groupBy(_.getTimestamp(0))
+      .map { case (w, rows) => w.toString -> rows.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    val evens = graft.operators.Sketches.hllRegisters(
+      ev.filter($"user_id" % 2 === 0).select("user_id"), "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedRegs("2024-01-01 10:00:00.0") === evens)
+    assert(streamedRegs.keySet.size === 2)
+  }
+
   test("ordersCube emits all four grouping levels with grouping ids") {
     import spark.implicits._
     val orders = Seq((1L, "O", "HIGH", 10.0), (2L, "F", "LOW", 20.0))
