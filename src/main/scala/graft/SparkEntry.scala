@@ -150,6 +150,11 @@ object SparkEntry {
     // per-event trailing-window feature matrix (online-ML feature shape)
     "events_features_trailing" -> ((s, d) =>
       EventQueries.trailingFeatures(Tables.events(s, d))),
+    // first-order Markov transition matrix of the event stream
+    "events_transitions" -> ((s, d) =>
+      EventQueries.typeTransitions(Tables.events(s, d))),
+    // chain-style burst suppression per (user, type)
+    "events_debounce" -> ((s, d) => EventQueries.debounce(Tables.events(s, d))),
     // interval-overlap (range) join: per-session concurrency via binning
     "sessions_concurrency" -> ((s, d) => {
       val sess = EventQueries.sessionize(Tables.events(s, d))
@@ -420,6 +425,8 @@ object SparkEntry {
     "events_props_json" -> OracleSql.eventsPropsJson,
     "events_quantiles" -> OracleSql.eventsQuantiles,
     "events_features_trailing" -> OracleSql.trailingFeatures,
+    "events_transitions" -> OracleSql.typeTransitions,
+    "events_debounce" -> OracleSql.debounce(),
     "sessions_concurrency" -> OracleSql.sessionsConcurrency,
     "agg_pricing_summary" -> OracleSql.aggPricingSummary,
     "agg_pricing_filtered" -> OracleSql.aggPricingFiltered,

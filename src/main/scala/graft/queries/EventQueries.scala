@@ -260,6 +260,56 @@ object EventQueries {
       .orderBy("event_type", "decile")
   }
 
+  /** Per-user event-type transition matrix (the first-order Markov view of
+    * the event stream): one lag window over the (user, ts, id) order, then
+    * a (from_type, to_type) rollup with each cell's share of its from-row —
+    * the sequence-model diagnostic (what follows what) behind
+    * next-event prediction features and funnel design. One keyed shuffle
+    * for the lag, one small (types²) aggregate; the pct window moves
+    * |types|² rows. Stream starts (no previous event) roll up under
+    * from_type '_start_'. */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("from_type", coalesce(lag(col("event_type"), 1).over(w), lit("_start_")))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("pct_of_from",
+        round(col("n_transitions") * 100.0 /
+          sum(col("n_transitions")).over(Window.partitionBy("from_type")), 2))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Debounce (burst suppression): per (user, type), events chain into a
+    * run while each arrives within `withinSeconds` of the PREVIOUS event;
+    * only the run's head survives. This is the chain-style debounce
+    * (sessionize's boundary rule applied as a filter): a burst
+    * a, a+1s, a+2s … collapses to `a` no matter how long it drags on,
+    * and the first event after a ≥ `withinSeconds` silence is always
+    * kept — the dedup a retry-storm feed needs before rollups count
+    * storms as engagement. Declarative recurrence: the same
+    * lag → boundary-flag → running-sum run id used by [[sessionize]],
+    * then rn = 1 per run; one keyed shuffle, three windows over ONE
+    * (user, type, ts, id) sort. */
+  def debounce(events: DataFrame, withinSeconds: Int = 300): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_run",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $withinSeconds SECONDS"), 1)
+          .otherwise(0))
+      .withColumn("run_id", sum(col("new_run")).over(cum).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "event_type", "run_id").orderBy("ts", "event_id")))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "ts", "event_type")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Trailing-window feature extraction — the per-event feature matrix an
     * online-ML / fraud pipeline computes ("how active was this user just
     * before this event"): trailing 1-hour event count, trailing 24-hour

@@ -810,6 +810,52 @@ WINDOW w1 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND
        w24 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
 ORDER BY user_id, event_id"""
 
+  /** Mirrors EventQueries.typeTransitions: lag-derived (from, to) pairs
+    * with '_start_' for stream heads, share-of-from via the engine-proven
+    * `n * 100.0 / SUM() OVER` idiom. */
+  val typeTransitions: String = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+t AS (
+  SELECT COALESCE(LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  '_start_') AS from_type,
+         event_type AS to_type
+  FROM e
+),
+g AS (SELECT from_type, to_type, COUNT(*) AS n_transitions FROM t GROUP BY 1, 2)
+SELECT from_type, to_type, n_transitions,
+       ROUND(n_transitions * 100.0 / SUM(n_transitions) OVER (PARTITION BY from_type), 2)
+         AS pct_of_from
+FROM g ORDER BY from_type, to_type"""
+
+  /** Mirrors EventQueries.debounce: the sessionize boundary rule as a
+    * filter — chain runs on the raw-previous gap, keep run heads. */
+  def debounce(withinSeconds: Int = 300): String = s"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+r AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL
+                OR ts > prev_ts + INTERVAL $withinSeconds SECOND THEN 1 ELSE 0 END AS new_run
+  FROM (SELECT *, LAG(ts, 1) OVER w AS prev_ts FROM e
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)) t
+),
+runs AS (
+  SELECT *, SUM(new_run) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM r
+),
+kept AS (
+  SELECT event_id, user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type, run_id
+                            ORDER BY ts, event_id) AS rn
+  FROM runs
+)
+SELECT event_id, user_id, ts, event_type
+FROM kept WHERE rn = 1 ORDER BY user_id, event_id"""
+
   /** Mirrors RelationalQueries.ordersCube: GROUP BY CUBE with the same
     * GROUPING() bit convention as the rollup oracle. */
   val ordersCube: String = """

@@ -185,6 +185,36 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(r === Map("low" -> 2L, "mid" -> 1L, "high" -> 1L))
   }
 
+  test("debounce collapses chained bursts to their head, per (user, type)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = Seq(
+      (1L, 1L, t("10:00:00"), "view"),  // head — kept
+      (2L, 1L, t("10:04:00"), "view"),  // chains (4 min)
+      (3L, 1L, t("10:08:00"), "view"),  // chains via event 2 even though 8 min from head
+      (4L, 1L, t("10:20:00"), "view"),  // new run after silence — kept
+      (5L, 1L, t("10:00:30"), "purchase")) // other type independent — kept
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val kept = graft.queries.EventQueries.debounce(ev).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
+  test("typeTransitions counts lagged pairs with _start_ heads") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, 1L, t(0), "view"), (2L, 1L, t(1), "purchase"),
+      (3L, 2L, t(0), "view"), (4L, 2L, t(1), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = graft.queries.EventQueries.typeTransitions(ev).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(r(("_start_", "view")) === ((2L, 100.0)))
+    assert(r(("view", "purchase")) === ((1L, 50.0)))
+    assert(r(("view", "view")) === ((1L, 50.0)))
+  }
+
   test("windowed HLL registers equal the batch sketch per window") {
     import spark.implicits._
     import java.sql.Timestamp
