@@ -232,6 +232,11 @@ object SparkEntry {
     "text_scrub" -> ((s, d) => TextOps.scrubStats(Tables.documents(s, d))),
     "text_c4_filters" -> ((s, d) => TextOps.c4Filters(Tables.documents(s, d))),
 
+    // v3: round-7 signals (containment drop, C4 verdicts, PII ceiling,
+    // per-source cap) composed onto the canonicalize-first skeleton
+    "curation_pipeline_v3" -> ((s, d) =>
+      graft.operators.Curation.curateV3(Tables.documents(s, d))),
+
     // v2: round-6 signals (length band, novelty, logprob) onto the v1 gates
     "curation_pipeline_v2" -> ((s, d) =>
       graft.operators.Curation.curateV2(Tables.documents(s, d))),
@@ -472,6 +477,7 @@ object SparkEntry {
     "sketch_kmv_by_type" -> OracleSqlText.sketchKmvByType,
     "curation_pipeline" -> OracleSqlText.curation,
     "curation_pipeline_v2" -> OracleSqlText.curationV2(),
+    "curation_pipeline_v3" -> OracleSqlText.curationV3(),
     "incremental_match" -> OracleSql.fifoMatch,
     "streaming_match" -> OracleSql.fifoMatch,
     "streaming_rollup" -> OracleSql.streamingRollup,

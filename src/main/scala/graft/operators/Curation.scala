@@ -108,4 +108,54 @@ object Curation {
         "novelty_ratio", "avg_logprob")
       .orderBy("doc_id")
   }
+
+  /** The v3 pass: the round-7 cleaning/dedup/capping signals composed —
+    * exact-dedup canonicalization FIRST (the v2 ordering lesson), then
+    * doc-in-doc removal (each containment pair ≥ tau drops its CONTAINED
+    * (smaller) side — its content survives inside the keeper; equal sizes
+    * fall back to keep-lowest-id), then the per-row
+    * gates (C4 rule verdicts + a PII/blocklist density ceiling), then an
+    * absolute per-source cap ranked among survivors — so a whale domain
+    * cannot refill the mix after the quality gates thin everyone else.
+    *
+    * Plan shape: one content-hash window, the containment operator's
+    * inverted-index candidates (never pairwise), two narrow per-row
+    * signal projections, one anti join, and the cap's WindowGroupLimit
+    * rank — every shuffle keyed, nothing quadratic.
+    *
+    * Output: kept docs as (doc_id, source, n_tokens, sample_rank ≤ cap). */
+  def curateV3(docs: DataFrame, tau: Double = 0.8, maxPii: Int = 2,
+      cap: Int = 10): DataFrame = {
+    val byContent = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
+    // staged: containment, C4, and scrub each scan the canonical corpus
+    val canon = graft.RunHygiene.stage(docs.select("doc_id", "text", "source")
+      .withColumn("_canon", min(col("doc_id")).over(byContent))
+      .filter(col("doc_id") === col("_canon"))
+      .select("doc_id", "text", "source"))
+    canon.count()
+    val c4 = TextOps.c4Filters(canon).select("doc_id", "n_tokens", "keep")
+    // doc-in-doc drop rule: the CONTAINED (smaller) side loses — its
+    // content is inside the keeper; equal sizes are near-identical docs
+    // and fall back to the keep-lowest-id convention
+    val sizes = c4.select("doc_id", "n_tokens")
+    val contained = Dedup.containmentPairs(canon, threshold = tau)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_tokens").as("ta")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_tokens").as("tb")), Seq("doc_b"))
+      .select(when(col("ta") < col("tb"), col("doc_a"))
+        .when(col("tb") < col("ta"), col("doc_b"))
+        .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val pii = TextOps.scrubStats(canon).select(col("doc_id"),
+      (col("n_urls") + col("n_emails") + col("n_blocklist")).as("n_pii"))
+    val survivors = canon.select("doc_id", "source")
+      .join(c4, Seq("doc_id"))
+      .join(pii, Seq("doc_id"))
+      .join(contained, Seq("doc_id"), "left_anti")
+      .filter(col("keep") && col("n_pii") <= maxPii)
+    Sampling.capPerGroup(survivors, "source", cap)
+      .join(c4.select("doc_id", "n_tokens"), Seq("doc_id"))
+      .select(col("doc_id"), col("grp").as("source"), col("n_tokens"), col("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
 }

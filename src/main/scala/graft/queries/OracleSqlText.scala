@@ -12,9 +12,12 @@ import graft.functions.TextOps
   */
 object OracleSqlText {
 
-  /** Shared CTE: whitespace tokens per document. */
-  private val toksCte =
-    "toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+  /** Shared CTE: whitespace tokens per document (parametrized source so
+    * composed pipelines can run the same fragment over a canonicalized
+    * corpus CTE). */
+  private def toksCteFrom(src: String): String =
+    s"toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)"
+  private val toksCte = toksCteFrom("documents")
 
   /** Shared CTE: distinct 3-gram shingles per document (docs with ≥3 tokens). */
   private val shinglesCte =
@@ -62,12 +65,10 @@ cand AS (
 ),
 $verifySql"""
 
-  /** Mirrors Dedup.containmentPairs: asymmetric prefix filter (each doc
-    * probes by its own size against the FULL index), min-size denominator,
-    * raw-value threshold with rounded output. */
-  def containmentPairs(threshold: Double = 0.8): String = s"""
-WITH $toksCte,
-$shinglesCte,
+  /** The containment candidate CTE chain (reads `sh`): inverted index →
+    * frequency-ascending prefixes sized by each doc's own set → lossless
+    * candidate pairs. Shared by [[containmentPairs]] and [[curationV3]]. */
+  private def containmentCandCtes(threshold: Double): String = s"""
 inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
 dfreq AS (SELECT shingle, COUNT(*) AS dfreq FROM inv GROUP BY 1),
 pre AS (
@@ -82,7 +83,15 @@ cand AS (
                   GREATEST(p.p_doc, f.doc_id) AS doc_b
   FROM pre p JOIN inv f USING (shingle)
   WHERE p.p_doc <> f.doc_id
-),
+)"""
+
+  /** Mirrors Dedup.containmentPairs: asymmetric prefix filter (each doc
+    * probes by its own size against the FULL index), min-size denominator,
+    * raw-value threshold with rounded output. */
+  def containmentPairs(threshold: Double = 0.8): String = s"""
+WITH $toksCte,
+$shinglesCte,
+${containmentCandCtes(threshold)},
 v AS (
   SELECT doc_a, doc_b,
          len(list_intersect(sa.sh, sb.sh))::DOUBLE / LEAST(len(sa.sh), len(sb.sh)) AS c_raw
@@ -1172,19 +1181,20 @@ ORDER BY q"""
     * patterns shared with the Spark side; DuckDB needs the explicit 'g'
     * flag where Spark's regexp_replace is global by default), then
     * token-exact blocklist redaction. */
-  val scrubStats: String = {
+  /** The scrub CTE chain (s1/s2, parametrized source) — shared by
+    * [[scrubStats]] and [[curationV3]]. */
+  private def scrubCtes(src: String): String = {
     val url = TextOps.UrlPattern
     val email = TextOps.EmailPattern // '\.' passes through a SQL string literal verbatim
     val blocked = TextOps.BlocklistTerms.map(t => s"'$t'").mkString(", ")
-    s"""
-WITH s1 AS (
+    s"""s1 AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
          CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
          CAST(length(text) AS BIGINT) AS n_chars,
          string_split(regexp_replace(regexp_replace(text, '$url', '<URL>', 'g'),
                                      '$email', '<EMAIL>', 'g'), ' ') AS toks
-  FROM documents
+  FROM $src
 ),
 s2 AS (
   SELECT doc_id, n_urls, n_emails, n_chars,
@@ -1192,21 +1202,24 @@ s2 AS (
          array_to_string(list_transform(toks,
            t -> CASE WHEN t IN ($blocked) THEN '<TERM>' ELSE t END), ' ') AS scrubbed
   FROM s1
-)
+)"""
+  }
+
+  val scrubStats: String = s"""
+WITH ${scrubCtes("documents")}
 SELECT doc_id, n_urls, n_emails, n_blocklist, n_chars,
        CAST(length(scrubbed) AS BIGINT) AS n_chars_scrubbed,
        md5(scrubbed) AS scrubbed_md5
 FROM s2 ORDER BY doc_id"""
-  }
 
   /** Mirrors TextOps.c4Filters — metrics AND rule thresholds render from
     * TextOps.C4, so the two sides cannot drift; verdicts compare the
     * rounded metrics on both engines. */
-  val c4Filters: String = {
+  /** The C4 metric + verdict CTE chain (reads `toks`; yields `c4v` with
+    * fail_rule) — shared by [[c4Filters]] and [[curationV3]]. */
+  private val c4MetricCtes: String = {
     val c = TextOps.C4
-    s"""
-WITH $toksCte,
-m AS (
+    s"""c4m AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          ROUND(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 4)
@@ -1217,7 +1230,7 @@ m AS (
          ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS distinct_ratio
   FROM toks
 ),
-v AS (
+c4v AS (
   SELECT *,
          CASE WHEN n_tokens < ${c.MinTokens} THEN 'too_short'
               WHEN n_tokens > ${c.MaxTokens} THEN 'too_long'
@@ -1226,10 +1239,62 @@ v AS (
               WHEN top_token_share > ${c.MaxTopTokenShare} THEN 'repetition'
               WHEN distinct_ratio < ${c.MinDistinctRatio} THEN 'low_diversity'
          END AS fail_rule
-  FROM m
-)
+  FROM c4m
+)"""
+  }
+
+  val c4Filters: String = s"""
+WITH $toksCte,
+$c4MetricCtes
 SELECT doc_id, n_tokens, mean_token_len, top_token_share, distinct_ratio,
        (fail_rule IS NULL) AS keep, fail_rule
-FROM v ORDER BY doc_id"""
-  }
+FROM c4v ORDER BY doc_id"""
+
+  /** Mirrors Curation.curateV3: canonicalize → containment drop (higher id
+    * of any pair ≥ tau) → C4 + PII-density gates → per-source cap ranked
+    * among survivors. Every fragment is the SAME CTE chain its standalone
+    * oracle uses, re-sourced onto the canonical corpus. */
+  def curationV3(tau: Double = 0.8, maxPii: Int = 2, cap: Int = 10): String = s"""
+WITH canon AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source, MIN(doc_id) OVER (PARTITION BY md5(text)) AS _canon
+    FROM documents) t
+  WHERE doc_id = _canon
+),
+${toksCteFrom("canon")},
+$shinglesCte,
+${containmentCandCtes(tau)},
+$c4MetricCtes,
+cdrop AS (
+  SELECT DISTINCT CASE WHEN ta < tb THEN doc_a
+                       WHEN tb < ta THEN doc_b
+                       ELSE GREATEST(doc_a, doc_b) END AS doc_id
+  FROM (
+    SELECT cand.doc_a, cand.doc_b, ma.n_tokens AS ta, mb.n_tokens AS tb,
+           len(list_intersect(sa.sh, sb.sh))::DOUBLE / LEAST(len(sa.sh), len(sb.sh)) AS c_raw
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b
+    JOIN c4m ma ON ma.doc_id = cand.doc_a
+    JOIN c4m mb ON mb.doc_id = cand.doc_b) t
+  WHERE c_raw >= $tau
+),
+${scrubCtes("canon")},
+surv AS (
+  SELECT c.doc_id, c.source, c4v.n_tokens,
+         (${hex8IntSql("c.doc_id::VARCHAR")}) AS hv
+  FROM canon c
+  JOIN c4v ON c4v.doc_id = c.doc_id
+  JOIN s2 ON s2.doc_id = c.doc_id
+  WHERE c4v.fail_rule IS NULL
+    AND s2.n_urls + s2.n_emails + s2.n_blocklist <= $maxPii
+    AND c.doc_id NOT IN (SELECT doc_id FROM cdrop)
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS sample_rank
+  FROM surv
+)
+SELECT doc_id, source, n_tokens, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= $cap ORDER BY source, sample_rank"""
 }

@@ -185,6 +185,22 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(r === Map("low" -> 2L, "mid" -> 1L, "high" -> 1L))
   }
 
+  test("curateV3: canon, contained-side containment drop, PII ceiling, cap") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"v$i").mkString(" ")           // clean keeper
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")         // superset doc
+    val small = (1 to 25).map(i => s"w$i").mkString(" ")       // contained in big
+    val pii = ((1 to 22).map(i => s"u$i") ++ Seq("spark", "hash", "spark")).mkString(" ")
+    val docs = Seq(
+      (1L, a, "s1"), (2L, big, "s1"), (3L, small, "s1"),
+      (4L, pii, "s1"), (5L, a, "s1") /* exact dup of 1 */)
+      .toDF("doc_id", "text", "source")
+    val kept = graft.operators.Curation.curateV3(docs).collect().map(_.getLong(0)).toSet
+    // 5 falls to canonicalization, 3 is the CONTAINED side (the superset 2
+    // survives even though it has the higher id), 4 trips the PII ceiling
+    assert(kept === Set(1L, 2L))
+  }
+
   test("debounce collapses chained bursts to their head, per (user, type)") {
     import spark.implicits._
     import java.sql.Timestamp
