@@ -148,4 +148,23 @@ class DedupPropertySpec extends AnyFunSuite {
       rows.forall(r => r.getSeq[Long](1) == r.getSeq[Long](2))
     }, n = 10)
   }
+
+  test("containment prefix filter is lossless vs brute-force all-pairs") {
+    val threshold = 0.8
+    check(Prop.forAll(genDocs) { docs =>
+      val df = docsDf(docs)
+      val sh = graft.functions.TextOps.withShingles(df, 3)
+      // reference: every pair, C = |A∩B| / min(|A|,|B|)
+      val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            least(size(col("a.sh")), size(col("b.sh")))).as("c_raw"))
+        .filter(col("c_raw") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("c_raw"), 4).as("containment"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fast = Dedup.containmentPairs(df, 3, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      fast == brute
+    }, n = 15)
+  }
 }
