@@ -193,6 +193,11 @@ object SparkEntry {
     // banded dimension lookup rewritten as a bin equi-join
     "join_tier_lookup" -> ((s, d) =>
       RelationalQueries.tierLookupJoin(Tables.orders(s, d))),
+    // market-basket co-occurrence pairs with lift
+    "basket_pairs" -> ((s, d) =>
+      RelationalQueries.basketPairs(Tables.lineitem(s, d))),
+    // RFM user segmentation (quintile scores + segment code)
+    "events_rfm" -> ((s, d) => EventQueries.rfmSegments(Tables.events(s, d))),
 
     // training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -518,6 +523,8 @@ object SparkEntry {
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),
     "sample_cap_per_source" -> OracleSqlText.capPerSource(),
     "join_tier_lookup" -> OracleSql.tierLookupJoin,
+    "basket_pairs" -> OracleSql.basketPairs(),
+    "events_rfm" -> OracleSql.rfmSegments,
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),
     "events_funnel" -> OracleSql.eventsFunnel,

@@ -310,6 +310,38 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** RFM (recency / frequency / monetary) user segmentation — the
+    * marketing-analytics classic: per user, days since last activity
+    * (against the corpus horizon), event count, value sum; each dimension
+    * quintiled with `ntile(5)` under a deterministic (metric, user_id)
+    * order, composed into the three-digit segment code. One user rollup +
+    * three ntile windows over the tiny per-user frame (the raw stream
+    * collapses first — the deciles-operator discipline). Recency scores
+    * ascending (most recent = 1); frequency/monetary descending via
+    * negated order so 1 = best on every axis. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val horizon = broadcast(events.agg(max(to_date(col("ts"))).as("horizon")))
+    val peruser = events
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value")), 2).as("monetary"))
+      .crossJoin(horizon)
+      .select(col("user_id"),
+        datediff(col("horizon"), col("last_day")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    def quint(order: Seq[org.apache.spark.sql.Column]) =
+      ntile(5).over(Window.orderBy(order: _*)).cast("long")
+    peruser
+      .withColumn("r_score", quint(Seq(col("recency_days"), col("user_id"))))
+      .withColumn("f_score", quint(Seq(col("frequency").desc, col("user_id"))))
+      .withColumn("m_score", quint(Seq(col("monetary").desc, col("user_id"))))
+      .withColumn("rfm_code",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+      .orderBy("user_id")
+  }
+
   /** Trailing-window feature extraction — the per-event feature matrix an
     * online-ML / fraud pipeline computes ("how active was this user just
     * before this event"): trailing 1-hour event count, trailing 24-hour

@@ -810,6 +810,52 @@ WINDOW w1 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND
        w24 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
 ORDER BY user_id, event_id"""
 
+  /** Mirrors RelationalQueries.basketPairs: within-order pair space, exact
+    * integer counts, one rounded double division for lift. */
+  def basketPairs(minSupport: Int = 3): String = s"""
+WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM i),
+f AS (SELECT l_partkey, COUNT(*) AS cnt FROM i GROUP BY 1),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, support, fa.cnt AS cnt_a, fb.cnt AS cnt_b,
+       ROUND(support::DOUBLE * n.n_orders / (fa.cnt * fb.cnt), 4) AS lift
+FROM p
+JOIN f fa ON fa.l_partkey = p.part_a
+JOIN f fb ON fb.l_partkey = p.part_b
+CROSS JOIN n
+WHERE support >= $minSupport
+ORDER BY part_a, part_b"""
+
+  /** Mirrors EventQueries.rfmSegments: per-user rollup against the corpus
+    * horizon, NTILE(5) quintiles under deterministic (metric, user_id)
+    * orders, the composed segment code. */
+  val rfmSegments: String = """
+WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS horizon FROM events),
+u AS (
+  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day, COUNT(*) AS frequency,
+         ROUND(SUM(value), 2) AS monetary
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT user_id, CAST(h.horizon - last_day AS BIGINT) AS recency_days,
+         frequency, monetary
+  FROM u CROSS JOIN h
+),
+s AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
+  FROM m
+)
+SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+       r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm_code
+FROM s ORDER BY user_id"""
+
   /** Mirrors EventQueries.typeTransitions: lag-derived (from, to) pairs
     * with '_start_' for stream heads, share-of-from via the engine-proven
     * `n * 100.0 / SUM() OVER` idiom. */

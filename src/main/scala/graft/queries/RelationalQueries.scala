@@ -253,6 +253,36 @@ object RelationalQueries {
       .orderBy("tier")
   }
 
+  /** Market-basket co-occurrence with lift — the association-rule seed
+    * (which parts sell together beyond chance). The pair space exists only
+    * WITHIN each order: the self-join keys on l_orderkey, so candidate
+    * volume is Σ_order basket² with baskets bounded by order size (≤ 13
+    * here) — the RangeJoin/LSH "quadratic only inside the bucket"
+    * discipline on the relational side. Supports aggregate keyed on the
+    * pair; item frequencies ride back as joins (AQE broadcasts the
+    * frequency side); lift = support·n_orders/(cnt_a·cnt_b) as one double
+    * division of exact integers, rounded. */
+  def basketPairs(lineitem: DataFrame, minSupport: Int = 3): DataFrame = {
+    val items = graft.RunHygiene.stage(
+      lineitem.select(col("l_orderkey"), col("l_partkey")).distinct())
+    items.count() // read by the pair join (twice) and the frequency census
+    val nOrders = broadcast(items.agg(countDistinct(col("l_orderkey")).as("n_orders")))
+    val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .join(freq.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), Seq("part_a"))
+      .join(freq.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b")), Seq("part_b"))
+      .crossJoin(nOrders)
+      .withColumn("lift", round(col("support").cast("double") * col("n_orders") /
+        (col("cnt_a") * col("cnt_b")), 4))
+      .select("part_a", "part_b", "support", "cnt_a", "cnt_b", "lift")
+      .orderBy("part_a", "part_b")
+  }
+
   /** Top-3 orders per customer via ranking window — one shuffle on
     * o_custkey; AQE handles skewed customers. */
   def customerOrderRank(orders: DataFrame): DataFrame = {

@@ -185,6 +185,31 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(r === Map("low" -> 2L, "mid" -> 1L, "high" -> 1L))
   }
 
+  test("basketPairs counts within-order co-occurrence with lift") {
+    import spark.implicits._
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = graft.queries.RelationalQueries.basketPairs(li).collect()
+    assert(r.length === 1) // only (1,2) reaches support 3
+    val p = r.head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) === ((1L, 2L, 3L)))
+    assert(p.getAs[Double]("lift") === 1.0) // 3 * 3 orders / (3 * 3)
+  }
+
+  test("rfmSegments scores each axis with 1 = best") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 5 users: user i last active on day i with i events of value i
+    val ev = (1 to 5).flatMap(u => (1 to u).map(k =>
+      (u.toLong, Timestamp.valueOf(f"2024-01-0$u 10:0$k:00"), u.toDouble)))
+      .toDF("user_id", "ts", "value")
+    val r = graft.queries.EventQueries.rfmSegments(ev).collect()
+      .map(x => x.getLong(0) -> x.getAs[String]("rfm_code")).toMap
+    // user 5: most recent, most frequent, highest value -> best on all axes
+    assert(r(5L) === "111")
+    assert(r(1L) === "555")
+  }
+
   test("curateV3: canon, contained-side containment drop, PII ceiling, cap") {
     import spark.implicits._
     val a = (1 to 30).map(i => s"v$i").mkString(" ")           // clean keeper
