@@ -198,6 +198,11 @@ object SparkEntry {
       RelationalQueries.basketPairs(Tables.lineitem(s, d))),
     // RFM user segmentation (quintile scores + segment code)
     "events_rfm" -> ((s, d) => EventQueries.rfmSegments(Tables.events(s, d))),
+    // last-touch marketing attribution (purchase revenue by channel)
+    "events_attribution" -> ((s, d) =>
+      EventQueries.lastTouchAttribution(Tables.events(s, d))),
+    // top session paths (first 5 event types per session, counted)
+    "events_paths" -> ((s, d) => EventQueries.sessionPaths(Tables.events(s, d))),
 
     // training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -525,6 +530,8 @@ object SparkEntry {
     "join_tier_lookup" -> OracleSql.tierLookupJoin,
     "basket_pairs" -> OracleSql.basketPairs(),
     "events_rfm" -> OracleSql.rfmSegments,
+    "events_attribution" -> OracleSql.lastTouchAttribution(),
+    "events_paths" -> OracleSql.sessionPaths(),
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),
     "events_funnel" -> OracleSql.eventsFunnel,

@@ -342,6 +342,75 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Last-touch marketing attribution — every purchase is credited to the
+    * user's most recent preceding touch event (view/click) within the
+    * lookback horizon; purchases with no in-horizon touch fall to the
+    * 'direct' channel. One `last(ignoreNulls)` carry-forward pass over the
+    * strictly-before frame (no label leakage from the purchase row
+    * itself) on ONE (user_id) sort — the as-of-join shape without a join —
+    * then a tiny channel rollup. The horizon cutoff is microsecond-exact
+    * interval arithmetic on both engines (never float epoch seconds), so
+    * the boundary cannot drift. */
+  def lastTouchAttribution(events: DataFrame,
+      lookbackHours: Int = 72): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("view", "click")
+    events.select("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("last_touch",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_ts",
+        last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_touch_ts").isNotNull &&
+          col("ts") <= col("last_touch_ts") + expr(s"INTERVAL $lookbackHours HOURS"),
+          col("last_touch")).otherwise(lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("revenue"))
+      .orderBy("channel")
+  }
+
+  /** Top session paths — the first `maxSteps` event types of each
+    * 30-minute session joined into a path string, counted across
+    * sessions: the "how do users actually move" query behind every
+    * product-analytics sankey. Reuses the sessionize boundary recurrence
+    * (lag → flag → running sum) and ranks within session on the SAME
+    * (user_id) sort; the within-session step index derives from the same
+    * sort (per-user row number minus the carried session-head row number —
+    * NOT a second (user, session) window, which would re-exchange the full
+    * stream), and the rn ≤ maxSteps filter bounds every session's
+    * contribution before the path aggregate, so a million-event bot
+    * session ships `maxSteps` rows, not a million. Paths build from
+    * sorted (rn, type) structs — deterministic order on both engines —
+    * and the final top-k is a global (n_sessions desc, path) total order
+    * planned as TakeOrderedAndProject. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+      maxSteps: Int = 5, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val steps = events.select("event_id", "user_id", "ts", "event_type")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(cum).cast("long"))
+      .withColumn("rn_user", row_number().over(w))
+      .withColumn("sess_head_rn",
+        last(when(col("new_sess") === 1, col("rn_user")), ignoreNulls = true).over(cum))
+      .withColumn("rn", col("rn_user") - coalesce(col("sess_head_rn"), lit(1)) + 1)
+      .filter(col("rn") <= maxSteps)
+    steps
+      .groupBy("user_id", "session_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Trailing-window feature extraction — the per-event feature matrix an
     * online-ML / fraud pipeline computes ("how active was this user just
     * before this event"): trailing 1-hour event count, trailing 24-hour

@@ -856,6 +856,56 @@ SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
        r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm_code
 FROM s ORDER BY user_id"""
 
+  /** Mirrors EventQueries.lastTouchAttribution: IGNORE-NULLS carry of the
+    * last view/click over the strictly-before frame, microsecond-exact
+    * interval horizon cutoff, channel rollup. */
+  def lastTouchAttribution(lookbackHours: Int = 72): String = s"""
+WITH $evCte,
+c AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN ('view','click') THEN event_type END
+                    IGNORE NULLS) OVER w AS last_touch,
+         LAST_VALUE(CASE WHEN event_type IN ('view','click') THEN ts END
+                    IGNORE NULLS) OVER w AS last_touch_ts
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CASE WHEN last_touch_ts IS NOT NULL
+            AND ts <= last_touch_ts + INTERVAL $lookbackHours HOUR
+       THEN last_touch ELSE 'direct' END AS channel,
+       COUNT(*) AS n_purchases, ROUND(SUM(value), 2) AS revenue
+FROM c WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY channel"""
+
+  /** Mirrors EventQueries.sessionPaths: the sessionize boundary CTE, a
+    * per-session ordered STRING_AGG of the first maxSteps types, the
+    * (n desc, path) top-k. */
+  def sessionPaths(gapMinutes: Int = 30, maxSteps: Int = 5,
+      topK: Int = 20): String = s"""
+WITH $evCte,
+g AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN ts > LAG(ts) OVER w + INTERVAL $gapMinutes MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+  FROM s
+),
+p AS (
+  SELECT user_id, session_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= $maxSteps GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT $topK"""
+
   /** Mirrors EventQueries.typeTransitions: lag-derived (from, to) pairs
     * with '_start_' for stream heads, share-of-from via the engine-proven
     * `n * 100.0 / SUM() OVER` idiom. */

@@ -210,6 +210,50 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(r(1L) === "555")
   }
 
+  test("lastTouchAttribution credits in-horizon touches, else direct") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: view then purchase 1h later -> 'view'
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, t("2024-01-01 11:00:00"), 1L, "purchase", 10.0),
+      // user 2: click 100h before purchase (beyond 72h) -> 'direct'
+      (3L, t("2024-01-01 00:00:00"), 2L, "click", 0.0),
+      (4L, t("2024-01-05 05:00:00"), 2L, "purchase", 20.0),
+      // user 3: no touch at all -> 'direct'
+      (5L, t("2024-01-02 09:00:00"), 3L, "purchase", 5.0),
+      // user 4: click then view then purchase -> last touch wins ('view')
+      (6L, t("2024-01-03 09:00:00"), 4L, "click", 0.0),
+      (7L, t("2024-01-03 09:30:00"), 4L, "view", 0.0),
+      (8L, t("2024-01-03 10:00:00"), 4L, "purchase", 7.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.queries.EventQueries.lastTouchAttribution(ev).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r("view") === ((2L, 17.5)))
+    assert(r("direct") === ((2L, 25.0)))
+    assert(!r.contains("click"))
+  }
+
+  test("sessionPaths truncates to maxSteps and counts identical paths") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def t2(m: Int) = Timestamp.valueOf(f"2024-01-01 14:$m%02d:00")
+    val ev =
+      // user 1 session A: a>b>c; session B (4h later): a>b
+      Seq((1L, t(0), 1L, "a"), (2L, t(1), 1L, "b"), (3L, t(2), 1L, "c"),
+        (4L, t2(0), 1L, "a"), (5L, t2(1), 1L, "b"),
+        // user 2: one 7-event session, truncated at 5
+        (6L, t(0), 2L, "a"), (7L, t(1), 2L, "b"), (8L, t(2), 2L, "c"),
+        (9L, t(3), 2L, "d"), (10L, t(4), 2L, "e"), (11L, t(5), 2L, "f"),
+        (12L, t(6), 2L, "g"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+    val r = graft.queries.EventQueries.sessionPaths(ev).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a>b>c" -> 1L, "a>b" -> 1L, "a>b>c>d>e" -> 1L))
+  }
+
   test("curateV3: canon, contained-side containment drop, PII ceiling, cap") {
     import spark.implicits._
     val a = (1 to 30).map(i => s"v$i").mkString(" ")           // clean keeper
