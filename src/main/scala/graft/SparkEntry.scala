@@ -85,6 +85,9 @@ object SparkEntry {
     // calendar gap-fill: per-customer daily balance series, carry-forward
     "timeseries_gapfill" -> ((s, d) =>
       BalanceAnalytics.gapFillDaily(history(s, d))),
+    // average daily balance (interest basis) over the gap-filled series
+    "balance_avg_daily" -> ((s, d) =>
+      BalanceAnalytics.avgDailyBalance(BalanceAnalytics.gapFillDaily(history(s, d)))),
 
     // general as-of join: every customer probed at three fixed instants
     "asof_balance_join" -> ((s, d) => {
@@ -224,6 +227,8 @@ object SparkEntry {
     "text_rolling_hash" -> ((s, d) => TextOps.rollingHash(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "text_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
+    "text_vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(Tables.documents(s, d))),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
 
     // training-data pipeline: similarity search over embeddings
@@ -521,6 +526,7 @@ object SparkEntry {
     "orders_cube" -> OracleSql.ordersCube,
     "profile_orders" -> OracleSql.profileOrders,
     "timeseries_gapfill" -> OracleSql.gapFillDaily,
+    "balance_avg_daily" -> OracleSql.avgDailyBalance,
     "sketch_quantile" -> OracleSqlText.hashSampleQuantiles(),
     "layout_zorder_stats" -> OracleSql.zorderStats(),
     "sample_uniform_topk" -> OracleSqlText.uniformSample(),
@@ -529,6 +535,7 @@ object SparkEntry {
     "sample_cap_per_source" -> OracleSqlText.capPerSource(),
     "join_tier_lookup" -> OracleSql.tierLookupJoin,
     "basket_pairs" -> OracleSql.basketPairs(),
+    "text_vocab_coverage" -> OracleSqlText.vocabCoverage(),
     "events_rfm" -> OracleSql.rfmSegments,
     "events_attribution" -> OracleSql.lastTouchAttribution(),
     "events_paths" -> OracleSql.sessionPaths(),

@@ -296,6 +296,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary coverage curve — what share of all token occurrences the
+    * top-k most frequent types cover, read out at the `ks` checkpoints:
+    * the corpus statistic behind tokenizer vocab sizing and stopword
+    * budgeting (Heaps/Zipf in one table). Census → rank by (tf desc,
+    * token) → running occurrence sum → keep the checkpoint ranks. Shares
+    * are integer basis points (`div`, the gate-proven exact form), never
+    * float division. The ranking window is global over the VOCABULARY —
+    * vocab grows sub-linearly in the corpus (Heaps' law), and the census
+    * behind it is a map-side-combinable aggregate, so the single-partition
+    * stage sees |vocab| rows, not corpus rows; at extreme vocab the same
+    * readout rides a `TakeOrderedAndProject(max ks)` prefix instead. */
+  def vocabCoverage(docs: DataFrame,
+      ks: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
+    val tf = withTokens(docs)
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = broadcast(tf.agg(
+      sum(col("tf")).as("n_total"), count(lit(1)).as("n_vocab")))
+    val order = Seq(col("tf").desc, col("token").asc)
+    tf.withColumn("rank",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .withColumn("cum_tf", sum(col("tf")).over(Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rank").isin(ks.map(_.toLong): _*))
+      .crossJoin(total)
+      .select(col("rank").as("top_k"), col("cum_tf").as("covered_tokens"),
+        col("n_total").as("total_tokens"), col("n_vocab").as("vocab_size"),
+        expr("cum_tf * 10000 div n_total").as("coverage_bp"))
+      .orderBy("top_k")
+  }
+
   /** Token-length histogram: fixed-width bins (top bin open-ended), the
     * mergeable corpus-shape summary a curation pipeline reads before
     * choosing packing lengths and curriculum cuts. Integer binning only —

@@ -83,6 +83,33 @@ object BalanceAnalytics {
       .orderBy("customer_id", "day")
   }
 
+  /** Average daily balance per customer — the interest/fee basis every
+    * bank statement computes: mean of the gap-filled daily balance series
+    * over the customer's active horizon. Consumes `gapFillDaily` (one row
+    * per customer-day, carry-forward), so weighting is uniform-by-day by
+    * construction — the time-weighted average without interval arithmetic.
+    * Balances are cent-exact by the history contract, so the mean is an
+    * INTEGER cent sum read out through the sign-split truncating integer
+    * division (the hll_rollup basis-point idiom, 4 decimal places) — a
+    * `round(sum/n, 2)` double would hit the representation-boundary
+    * half-rounding divergence between engines exactly where this one did
+    * on first gate contact (a negative -162.795 average). One keyed
+    * aggregate over the spine; one row per customer at any volume. */
+  def avgDailyBalance(filled: DataFrame): DataFrame =
+    filled
+      .withColumn("cents", round(col("balance") * 100).cast("long"))
+      .groupBy("customer_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("cents")).as("cents_sum"),
+        min(col("day")).as("first_day"),
+        max(col("day")).as("last_day"))
+      .select(col("customer_id"), col("n_days"),
+        (signum(col("cents_sum")) *
+          expr("(abs(cents_sum) * 100) div n_days") / 10000.0)
+          .as("avg_daily_balance"),
+        col("first_day"), col("last_day"))
+      .orderBy("customer_id")
+
   /** `customer_current_balances`
     * (reference: src/thrive_cash_processing_dag.py:504-510). The reference's
     * pandas `.last()` is positional and correct only because history was

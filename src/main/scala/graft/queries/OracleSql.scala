@@ -977,9 +977,10 @@ WITH p AS (
 SELECT column_name, n_rows, n_nulls, n_distinct FROM p ORDER BY column_name"""
   }
 
-  /** Mirrors BalanceAnalytics.gapFillDaily: day-end balances, per-customer
-    * day spine to the global last day, IGNORE NULLS carry-forward. */
-  val gapFillDaily: String = pipelined("""
+  /** The gap-fill body, shared by the gapfill gate and its consumers
+    * (avg-daily-balance): day-end balances, per-customer day spine to the
+    * global last day, IGNORE NULLS carry-forward into `filled`. */
+  private val gapFillCte: String = """
 , day_end AS (
   SELECT customer_id, CAST(transaction_date AS DATE) AS day,
          current_balance AS observed_balance
@@ -994,14 +995,35 @@ spine AS (
   SELECT customer_id,
          CAST(unnest(generate_series(first_day, last_day, INTERVAL 1 DAY)) AS DATE) AS day
   FROM bounds, g
+),
+filled AS (
+  SELECT s.customer_id, s.day,
+         LAST_VALUE(d.observed_balance IGNORE NULLS)
+           OVER (PARTITION BY s.customer_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance,
+         (d.observed_balance IS NOT NULL) AS is_observed
+  FROM spine s LEFT JOIN day_end d ON d.customer_id = s.customer_id AND d.day = s.day
+)"""
+
+  /** Mirrors BalanceAnalytics.gapFillDaily. */
+  val gapFillDaily: String = pipelined(gapFillCte + """
+SELECT customer_id, day, balance, is_observed
+FROM filled ORDER BY customer_id, day""")
+
+  /** Mirrors BalanceAnalytics.avgDailyBalance: integer cent sum over the
+    * gap-filled series, read out via the sign-split truncating integer
+    * division (CAST defuses DuckDB's HUGEINT SUM). */
+  val avgDailyBalance: String = pipelined(gapFillCte + """
+, a AS (
+  SELECT customer_id, COUNT(*) AS n_days,
+         CAST(SUM(CAST(ROUND(balance * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+         MIN(day) AS first_day, MAX(day) AS last_day
+  FROM filled GROUP BY 1
 )
-SELECT s.customer_id, s.day,
-       LAST_VALUE(d.observed_balance IGNORE NULLS)
-         OVER (PARTITION BY s.customer_id ORDER BY s.day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance,
-       (d.observed_balance IS NOT NULL) AS is_observed
-FROM spine s LEFT JOIN day_end d ON d.customer_id = s.customer_id AND d.day = s.day
-ORDER BY s.customer_id, s.day""")
+SELECT customer_id, n_days,
+       SIGN(cents_sum) * ((ABS(cents_sum) * 100) // n_days) / 10000.0 AS avg_daily_balance,
+       first_day, last_day
+FROM a ORDER BY customer_id""")
 
   /** Mirrors RelationalQueries.tierLookupJoin — dimension VALUES and bin
     * width render from the same constants; the bin expansion + residual

@@ -325,6 +325,25 @@ SELECT token, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_frequency
 FROM ex GROUP BY token
 ORDER BY occurrences DESC, token LIMIT 20"""
 
+  /** Mirrors TextOps.vocabCoverage: census → (tf desc, token) rank →
+    * running sum → checkpoint ranks; integer basis points via `//`. */
+  def vocabCoverage(ks: Seq[Int] = Seq(10, 100, 1000, 10000)): String = s"""
+WITH ex AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT token, COUNT(*) AS tf FROM ex GROUP BY 1),
+t AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total, COUNT(*) AS n_vocab FROM tf),
+r AS (
+  SELECT token, tf,
+         CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
+         CAST(SUM(tf) OVER (ORDER BY tf DESC, token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tf
+  FROM tf
+)
+SELECT rank AS top_k, cum_tf AS covered_tokens, n_total AS total_tokens,
+       n_vocab AS vocab_size, cum_tf * 10000 // n_total AS coverage_bp
+FROM r CROSS JOIN t
+WHERE rank IN (${ks.mkString(", ")})
+ORDER BY top_k"""
+
   val repetitionStats: String = s"""
 WITH $toksCte,
 bg AS (

@@ -254,6 +254,35 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(r === Map("a>b>c" -> 1L, "a>b" -> 1L, "a>b>c>d>e" -> 1L))
   }
 
+  test("avgDailyBalance is the uniform day-weighted mean of the filled series") {
+    import spark.implicits._
+    import java.sql.Date
+    // customer 1: 10.00 for 2 days then 40.00 for 2 days -> avg 25.00
+    // customer 2: constant -162.795-ish case: cents -16280, 1 day
+    val filled = Seq(
+      (1L, Date.valueOf("2024-01-01"), 10.0, true),
+      (1L, Date.valueOf("2024-01-02"), 10.0, false),
+      (1L, Date.valueOf("2024-01-03"), 40.0, true),
+      (1L, Date.valueOf("2024-01-04"), 40.0, false),
+      (2L, Date.valueOf("2024-01-01"), -162.8, true))
+      .toDF("customer_id", "day", "balance", "is_observed")
+    val r = BalanceAnalytics.avgDailyBalance(filled).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) === ((4L, 25.0)))
+    assert(r(2L) === ((1L, -162.8)))
+  }
+
+  test("vocabCoverage reads cumulative shares at checkpoint ranks") {
+    import spark.implicits._
+    // 'a' x6, 'b' x3, 'c' x1 -> at k=2: 9/10 = 9000bp
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a a b")).toDF("doc_id", "text")
+    val r = TextOps.vocabCoverage(docs, ks = Seq(1, 2, 3)).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(4))).toMap
+    assert(r(1L) === ((6L, 6000L)))
+    assert(r(2L) === ((9L, 9000L)))
+    assert(r(3L) === ((10L, 10000L)))
+  }
+
   test("curateV3: canon, contained-side containment drop, PII ceiling, cap") {
     import spark.implicits._
     val a = (1 to 30).map(i => s"v$i").mkString(" ")           // clean keeper
