@@ -19,13 +19,16 @@ object PlanAudit {
   //    (order count for lift, RFM horizon, HLL window horizon)
   //  - balance_avg_daily: gapfill's 1-row global-horizon cross upstream
   //  - text_vocab_coverage: the 1-row (n_total, n_vocab) totals cross
+  //  - text_source_divergence: the 1-row corpus-total cross
+  //  - profile_fk_orphans: one 1-row null-count cross per FK edge
   private val intentional = Set(
     "ann_cosine_topk", "embed_neardup_exact", "report_summary",
     "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_hll_merged",
     "text_tfidf_top_terms", "text_unigram_logprob", "curation_pipeline_v2",
     "timeseries_gapfill", "sketch_quantile", "graph_pagerank",
     "basket_pairs", "events_rfm", "streaming_hll_rollup",
-    "balance_avg_daily", "text_vocab_coverage")
+    "balance_avg_daily", "text_vocab_coverage",
+    "text_source_divergence", "profile_fk_orphans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

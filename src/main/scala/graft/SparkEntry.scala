@@ -199,6 +199,12 @@ object SparkEntry {
     // market-basket co-occurrence pairs with lift
     "basket_pairs" -> ((s, d) =>
       RelationalQueries.basketPairs(Tables.lineitem(s, d))),
+    // star-schema referential-integrity sweep (one row per FK edge)
+    "profile_fk_orphans" -> ((s, d) =>
+      RelationalQueries.fkOrphanProfile(RelationalQueries.FkRelations.map {
+        case (c, ck, p, pk) =>
+          (s"$c.$ck->$p.$pk", Tables.table(s, d, c), ck, Tables.table(s, d, p), pk)
+      })),
     // RFM user segmentation (quintile scores + segment code)
     "events_rfm" -> ((s, d) => EventQueries.rfmSegments(Tables.events(s, d))),
     // last-touch marketing attribution (purchase revenue by channel)
@@ -229,6 +235,8 @@ object SparkEntry {
     "text_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
     "text_vocab_coverage" -> ((s, d) =>
       TextOps.vocabCoverage(Tables.documents(s, d))),
+    "text_source_divergence" -> ((s, d) =>
+      TextOps.sourceDivergence(Tables.documents(s, d))),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
 
     // training-data pipeline: similarity search over embeddings
@@ -536,6 +544,8 @@ object SparkEntry {
     "join_tier_lookup" -> OracleSql.tierLookupJoin,
     "basket_pairs" -> OracleSql.basketPairs(),
     "text_vocab_coverage" -> OracleSqlText.vocabCoverage(),
+    "text_source_divergence" -> OracleSqlText.sourceDivergence,
+    "profile_fk_orphans" -> OracleSql.fkOrphanProfile,
     "events_rfm" -> OracleSql.rfmSegments,
     "events_attribution" -> OracleSql.lastTouchAttribution(),
     "events_paths" -> OracleSql.sessionPaths(),

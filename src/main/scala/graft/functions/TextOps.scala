@@ -327,6 +327,42 @@ object TextOps {
       .orderBy("top_k")
   }
 
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * "how unlike the rest of the corpus does this domain talk": KL(p_s‖q)
+    * = Σ_t p_s(t)·ln(p_s(t)/q(t)) where p_s is the source's unigram
+    * distribution and q the whole corpus's. The domain-mixing signal a
+    * curation pipeline reads next to `sample_weighted_mix`.
+    *
+    * Determinism: each term's contribution is an IEEE-deterministic
+    * function of exact integer counts (one double division per factor,
+    * `ln` is the gate-proven cross-engine transcendental), then QUANTIZED
+    * to integer micro-nats before the per-source sum — so the aggregate is
+    * an integer sum, associativity-proof by construction where a rounded
+    * double sum would gamble on representation boundaries (the
+    * avg_daily_balance lesson). Shape: one staged occurrence stream read
+    * by three censuses (source×token, source, token) + a 1-row total —
+    * the unigram-logprob inverted-census discipline, nothing pairwise;
+    * every shuffle is keyed on source or token. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val occ = graft.RunHygiene.stage(docs
+      .select(col("source"), explode(tokens(col("text"))).as("token")))
+    occ.count() // fill once: three censuses read it
+    val st = occ.groupBy("source", "token").agg(count(lit(1)).as("stf"))
+    val ss = occ.groupBy("source").agg(count(lit(1)).as("s_total"))
+    val ct = occ.groupBy("token").agg(count(lit(1)).as("ctf"))
+    val total = broadcast(occ.agg(count(lit(1)).as("n_total")))
+    val contrib = (col("stf").cast("double") / col("s_total")) *
+      log((col("stf").cast("double") * col("n_total")) /
+        (col("s_total").cast("double") * col("ctf")))
+    st.join(ss, Seq("source")).join(ct, Seq("token")).crossJoin(total)
+      .withColumn("micro", round(contrib * 1000000).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"), sum(col("micro")).as("micro_sum"))
+      .select(col("source"), col("n_terms"),
+        (col("micro_sum") / 1000000.0).as("kl_divergence"))
+      .orderBy("source")
+  }
+
   /** Token-length histogram: fixed-width bins (top bin open-ended), the
     * mergeable corpus-shape summary a curation pipeline reads before
     * choosing packing lengths and curriculum cuts. Integer binning only —

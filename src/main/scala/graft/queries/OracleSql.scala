@@ -810,6 +810,17 @@ WINDOW w1 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND
        w24 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
 ORDER BY user_id, event_id"""
 
+  /** Mirrors RelationalQueries.fkOrphanProfile — generated from the SAME
+    * FkRelations constant, one UNION ALL arm per edge. */
+  def fkOrphanProfile: String =
+    RelationalQueries.FkRelations.map { case (c, ck, p, pk) =>
+      s"""SELECT '$c.$ck->$p.$pk' AS relation,
+       (SELECT COUNT(*) FROM $c) AS n_child_rows,
+       (SELECT COUNT(*) FROM $c WHERE $ck IS NULL) AS n_null_keys,
+       (SELECT COUNT(*) FROM $c WHERE $ck IS NOT NULL
+          AND $ck NOT IN (SELECT $pk FROM $p WHERE $pk IS NOT NULL)) AS n_orphans"""
+    }.mkString("\nUNION ALL\n") + "\nORDER BY relation"
+
   /** Mirrors RelationalQueries.basketPairs: within-order pair space, exact
     * integer counts, one rounded double division for lift. */
   def basketPairs(minSupport: Int = 3): String = s"""

@@ -325,6 +325,26 @@ SELECT token, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_frequency
 FROM ex GROUP BY token
 ORDER BY occurrences DESC, token LIMIT 20"""
 
+  /** Mirrors TextOps.sourceDivergence: identical expression nesting for
+    * the per-term contribution (same double divisions, same `ln`, same
+    * ×1e6 quantization) so both engines sum the SAME integers. */
+  def sourceDivergence: String = s"""
+WITH occ AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+st AS (SELECT source, token, COUNT(*) AS stf FROM occ GROUP BY 1, 2),
+ss AS (SELECT source, COUNT(*) AS s_total FROM occ GROUP BY 1),
+ct AS (SELECT token, COUNT(*) AS ctf FROM occ GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM occ),
+c AS (
+  SELECT st.source,
+         CAST(ROUND((st.stf::DOUBLE / ss.s_total) *
+                    LN((st.stf::DOUBLE * tot.n_total) / (ss.s_total::DOUBLE * ct.ctf))
+                    * 1000000) AS BIGINT) AS micro
+  FROM st JOIN ss USING (source) JOIN ct USING (token) CROSS JOIN tot
+)
+SELECT source, COUNT(*) AS n_terms,
+       CAST(SUM(micro) AS BIGINT) / 1000000.0 AS kl_divergence
+FROM c GROUP BY 1 ORDER BY source"""
+
   /** Mirrors TextOps.vocabCoverage: census → (tf desc, token) rank →
     * running sum → checkpoint ranks; integer basis points via `//`. */
   def vocabCoverage(ks: Seq[Int] = Seq(10, 100, 1000, 10000)): String = s"""

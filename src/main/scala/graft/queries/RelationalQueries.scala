@@ -283,6 +283,49 @@ object RelationalQueries {
       .orderBy("part_a", "part_b")
   }
 
+  /** The star schema's declared FK edges: (child, childKey, parent,
+    * parentKey). Shared by the Spark profile and its oracle so the
+    * relation list cannot drift. */
+  val FkRelations: Seq[(String, String, String, String)] = Seq(
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  /** Referential-integrity profile across the whole star schema in one
+    * result: for each declared FK relation, the child row count, rows with
+    * a NULL key (not violations), and true orphans (non-null key with no
+    * parent). The every-morning data-quality sweep, as one union of
+    * per-relation left-join rollups — each relation is a keyed join whose
+    * parent side is the dimension (AQE broadcasts the small ones; the
+    * lineitem→orders edge shuffles both sides keyed at 100 TB, exactly as
+    * a join that size must). A 1-row aggregate per relation unions into
+    * the |relations|-row report — driver state is the relation LIST, never
+    * data. NULL keys never enter the join (they cannot match, and hashed
+    * together they'd pile a null-heavy child onto one partition — the
+    * null-skew trap); they're counted by a narrow filter+count branch and
+    * crossed back as a 1-row frame. */
+  def fkOrphanProfile(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    relations.map { case (name, child, ck, parent, pk) =>
+      val c = child.select(col(ck).as("k"))
+      val p = parent.select(col(pk).as("k")).distinct()
+        .withColumn("hit", lit(1))
+      val nulls = c.filter(col("k").isNull)
+        .agg(count(lit(1)).as("n_null_keys"))
+      c.filter(col("k").isNotNull)
+        .join(p, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_nonnull"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .crossJoin(broadcast(nulls))
+        .select(lit(name).as("relation"),
+          (col("n_nonnull") + col("n_null_keys")).as("n_child_rows"),
+          col("n_null_keys"), col("n_orphans"))
+    }.reduce(_ unionByName _).orderBy("relation")
+
   /** Top-3 orders per customer via ranking window — one shuffle on
     * o_custkey; AQE handles skewed customers. */
   def customerOrderRank(orders: DataFrame): DataFrame = {

@@ -283,6 +283,33 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(r(3L) === ((10L, 10000L)))
   }
 
+  test("fkOrphanProfile counts orphans and null keys per relation") {
+    import spark.implicits._
+    val child = Seq((1L, Option(10L)), (2L, Option(10L)), (3L, Option(99L)),
+      (4L, None)).toDF("id", "fk")
+    val parent = Seq((10L, "a"), (20L, "b")).toDF("pk", "name")
+    val r = graft.queries.RelationalQueries
+      .fkOrphanProfile(Seq(("c.fk->p.pk", child, "fk", parent, "pk")))
+      .collect().head
+    assert(r.getString(0) === "c.fk->p.pk")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((4L, 1L, 1L)))
+  }
+
+  test("sourceDivergence: identical distributions diverge by 0, skewed ones don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", "s1"), (2L, "a b", "s2"),   // s1, s2, corpus all uniform{a,b}
+      (3L, "c c c c", "s3"))                   // s3 concentrates on c
+      .toDF("doc_id", "text", "source")
+    val r = TextOps.sourceDivergence(docs).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r("s3") > 0.5) // ln(8/4)=0.69 expected
+    // s1/s2: p(a)=p(b)=1/2 vs corpus q(a)=q(b)=1/4 each over {a,b,c}...
+    // corpus: a:2 b:2 c:4 of 8 -> q(a)=q(b)=1/4; KL(s1)=ln(2)≈0.693
+    assert(r("s1") === r("s2"))
+    assert(math.abs(r("s1") - math.log(2)) < 1e-3)
+  }
+
   test("curateV3: canon, contained-side containment drop, PII ceiling, cap") {
     import spark.implicits._
     val a = (1 to 30).map(i => s"v$i").mkString(" ")           // clean keeper
