@@ -28,7 +28,7 @@ object PlanAudit {
     "timeseries_gapfill", "sketch_quantile", "graph_pagerank",
     "basket_pairs", "events_rfm", "streaming_hll_rollup",
     "balance_avg_daily", "text_vocab_coverage",
-    "text_source_divergence", "profile_fk_orphans")
+    "text_source_divergence", "profile_fk_orphans", "graph_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

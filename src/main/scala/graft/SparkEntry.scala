@@ -199,6 +199,9 @@ object SparkEntry {
     // market-basket co-occurrence pairs with lift
     "basket_pairs" -> ((s, d) =>
       RelationalQueries.basketPairs(Tables.lineitem(s, d))),
+    // triangle census + clustering coefficient of the co-purchase graph
+    "graph_triangles" -> ((s, d) =>
+      RelationalQueries.basketTriangles(Tables.lineitem(s, d))),
     // star-schema referential-integrity sweep (one row per FK edge)
     "profile_fk_orphans" -> ((s, d) =>
       RelationalQueries.fkOrphanProfile(RelationalQueries.FkRelations.map {
@@ -212,6 +215,9 @@ object SparkEntry {
       EventQueries.lastTouchAttribution(Tables.events(s, d))),
     // top session paths (first 5 event types per session, counted)
     "events_paths" -> ((s, d) => EventQueries.sessionPaths(Tables.events(s, d))),
+    // additive seasonal decomposition of daily revenue (integer cents)
+    "timeseries_decompose" -> ((s, d) =>
+      EventQueries.dailyDecompose(Tables.events(s, d))),
 
     // training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -546,9 +552,11 @@ object SparkEntry {
     "text_vocab_coverage" -> OracleSqlText.vocabCoverage(),
     "text_source_divergence" -> OracleSqlText.sourceDivergence,
     "profile_fk_orphans" -> OracleSql.fkOrphanProfile,
+    "graph_triangles" -> OracleSql.basketTriangles(),
     "events_rfm" -> OracleSql.rfmSegments,
     "events_attribution" -> OracleSql.lastTouchAttribution(),
     "events_paths" -> OracleSql.sessionPaths(),
+    "timeseries_decompose" -> OracleSql.dailyDecompose(),
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),
     "events_funnel" -> OracleSql.eventsFunnel,

@@ -411,6 +411,50 @@ object EventQueries {
       .limit(topK)
   }
 
+  /** Additive seasonal decomposition of the daily revenue series —
+    * revenue = trend + seasonal + residual, the classic moving-average
+    * method: centered (2·half+1)-day MA trend, day-of-week mean deviation
+    * as the seasonal index, remainder as residual. The anomaly baseline a
+    * finance/ops pipeline plots first.
+    *
+    * Every component is computed in INTEGER CENTS (per-event cent
+    * quantization, truncating `div` for both means, the sign-split form
+    * where deviations can be negative) — the whole decomposition is exact
+    * integer arithmetic until one final /100.0 readout per column, so
+    * engines cannot drift at any step. Day-of-week is epoch-day mod 7
+    * (Monday = 0) — no locale-dependent DOW function on either engine.
+    *
+    * Shape: the raw stream collapses to one row per DAY first (map-side
+    * combinable), so the global-ordered trend window sees |days| rows —
+    * calendar-bounded, volume-invariant (the deciles discipline); the
+    * 7-row seasonal index broadcasts back. */
+  def dailyDecompose(events: DataFrame, halfWindow: Int = 3): DataFrame = {
+    val frame = Window.orderBy("day").rowsBetween(-halfWindow, halfWindow)
+    val withTrend = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-05"))), lit(7))
+          .cast("int"))
+      .withColumn("w_sum", sum(col("cents")).over(frame))
+      .withColumn("w_cnt", count(lit(1)).over(frame))
+      .withColumn("trend_cents", expr("w_sum div w_cnt"))
+      .withColumn("dev_cents", col("cents") - col("trend_cents"))
+    val seasonal = withTrend.groupBy("dow")
+      .agg(sum(col("dev_cents")).as("dev_sum"), count(lit(1)).as("n"))
+      .select(col("dow"),
+        (signum(col("dev_sum")) * expr("abs(dev_sum) div n")).cast("long")
+          .as("seasonal_cents"))
+    withTrend.join(broadcast(seasonal), Seq("dow"))
+      .select(col("day"), col("dow"),
+        (col("cents") / 100.0).as("revenue"),
+        (col("trend_cents") / 100.0).as("trend"),
+        (col("seasonal_cents") / 100.0).as("seasonal"),
+        ((col("cents") - col("trend_cents") - col("seasonal_cents")) / 100.0)
+          .as("residual"))
+      .orderBy("day")
+  }
+
   /** Trailing-window feature extraction — the per-event feature matrix an
     * online-ML / fraud pipeline computes ("how active was this user just
     * before this event"): trailing 1-hour event count, trailing 24-hour

@@ -821,6 +821,31 @@ ORDER BY user_id, event_id"""
           AND $ck NOT IN (SELECT $pk FROM $p WHERE $pk IS NOT NULL)) AS n_orphans"""
     }.mkString("\nUNION ALL\n") + "\nORDER BY relation"
 
+  /** Mirrors RelationalQueries.basketTriangles: thresholded co-purchase
+    * edges, degree census, oriented two-path triangle join, basis-point
+    * clustering readout. */
+  def basketTriangles(minSupport: Int = 3): String = s"""
+WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS support
+  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT a, b FROM p WHERE support >= $minSupport),
+deg AS (
+  SELECT v, COUNT(*) AS deg
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1
+),
+nw AS (SELECT COUNT(*) AS n_nodes,
+              CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+ne AS (SELECT COUNT(*) AS n_edges FROM e),
+tr AS (SELECT COUNT(*) AS n_triangles
+       FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges = 0 THEN NULL
+            ELSE (3 * n_triangles * 10000) // n_wedges END AS clustering_bp
+FROM ne CROSS JOIN nw CROSS JOIN tr"""
+
   /** Mirrors RelationalQueries.basketPairs: within-order pair space, exact
     * integer counts, one rounded double division for lift. */
   def basketPairs(minSupport: Int = 3): String = s"""
@@ -916,6 +941,38 @@ p AS (
 )
 SELECT path, COUNT(*) AS n_sessions
 FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT $topK"""
+
+  /** Mirrors EventQueries.dailyDecompose: integer-cent daily rollup,
+    * centered MA via `//`, sign-split seasonal mean, /100.0 readout. */
+  def dailyDecompose(halfWindow: Int = 3): String = s"""
+WITH $evCte,
+d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM ev GROUP BY 1
+),
+t AS (
+  SELECT day, CAST((day - DATE '1970-01-05') % 7 AS INT) AS dow, cents,
+         CAST(SUM(cents) OVER w AS BIGINT) AS w_sum,
+         COUNT(*) OVER w AS w_cnt
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN $halfWindow PRECEDING AND $halfWindow FOLLOWING)
+),
+t2 AS (
+  SELECT *, w_sum // w_cnt AS trend_cents,
+         cents - (w_sum // w_cnt) AS dev_cents
+  FROM t
+),
+s AS (
+  SELECT dow,
+         CAST(SIGN(CAST(SUM(dev_cents) AS BIGINT)) *
+              (ABS(CAST(SUM(dev_cents) AS BIGINT)) // COUNT(*)) AS BIGINT) AS seasonal_cents
+  FROM t2 GROUP BY 1
+)
+SELECT t2.day, t2.dow, t2.cents / 100.0 AS revenue, t2.trend_cents / 100.0 AS trend,
+       s.seasonal_cents / 100.0 AS seasonal,
+       (t2.cents - t2.trend_cents - s.seasonal_cents) / 100.0 AS residual
+FROM t2 JOIN s USING (dow) ORDER BY day"""
 
   /** Mirrors EventQueries.typeTransitions: lag-derived (from, to) pairs
     * with '_start_' for stream heads, share-of-from via the engine-proven

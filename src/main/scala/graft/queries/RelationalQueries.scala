@@ -326,6 +326,35 @@ object RelationalQueries {
           col("n_null_keys"), col("n_orphans"))
     }.reduce(_ unionByName _).orderBy("relation")
 
+  /** Triangle census of the co-purchase graph — the cohesion summary
+    * (nodes, edges, wedges, triangles, global clustering coefficient) of
+    * the `basketPairs` network. Triangles enumerate as the oriented
+    * two-path join e(a,b)⋈e(b,c)⋈e(a,c) over a<b edges — each triangle
+    * counted exactly once, candidate volume bounded by Σ_b deg²(b) on an
+    * already-thresholded edge set (support ≥ minSupport prunes hub
+    * parts before any join). Wedges are Σ_v C(deg_v, 2) — pure integer
+    * aggregate; the clustering coefficient reads out as integer basis
+    * points (3·T·10⁴ div W), the engine's exact-ratio idiom, with a
+    * wedge-free graph nulling out identically on both engines. */
+  def basketTriangles(lineitem: DataFrame, minSupport: Int = 3): DataFrame = {
+    val edges = graft.RunHygiene.stage(
+      basketPairs(lineitem, minSupport).select(col("part_a").as("a"), col("part_b").as("b")))
+    edges.count() // read by degree census and three triangle-join branches
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val nodesWedges = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"), col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(nodesWedges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("CASE WHEN n_wedges = 0 THEN NULL ELSE (3 * n_triangles * 10000) div n_wedges END")
+          .as("clustering_bp"))
+  }
+
   /** Top-3 orders per customer via ranking window — one shuffle on
     * o_custkey; AQE handles skewed customers. */
   def customerOrderRank(orders: DataFrame): DataFrame = {

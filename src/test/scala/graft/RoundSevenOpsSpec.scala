@@ -310,6 +310,40 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(math.abs(r("s1") - math.log(2)) < 1e-3)
   }
 
+  test("dailyDecompose: revenue = trend + seasonal + residual, all integer-cent exact") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 14 days, 10.00/day except +7.00 every Monday (epoch-dow 0)
+    val ev = (0 until 14).map { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i) // 2024-01-01 is a Monday
+      val v = if (i % 7 == 0) 17.0 else 10.0
+      (i.toLong, Timestamp.valueOf(day.atTime(12, 0)), 1L, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val r = graft.queries.EventQueries.dailyDecompose(ev).collect()
+    r.foreach { x =>
+      val (rev, tr, se, res) = (x.getDouble(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))
+      assert(math.abs(rev - (tr + se + res)) < 1e-9, x.toString)
+    }
+    val monday = r.find(_.getInt(1) == 0).get
+    assert(monday.getDouble(2) === 17.0)
+    assert(monday.getDouble(4) > 0.0, "Monday seasonal index must be positive")
+  }
+
+  test("basketTriangles counts each triangle once with clustering readout") {
+    import spark.implicits._
+    // orders repeated 3x so every pair passes support>=3:
+    // triangle {1,2,3} + pendant edge (3,4): wedges C(2,2)... deg: 1:2 2:2 3:3 4:1
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val li = (0 until 3).flatMap(k => base.zipWithIndex.flatMap { case ((x, y), j) =>
+      val ok = (k * 10 + j).toLong
+      Seq((ok, x), (ok, y))
+    }).toDF("l_orderkey", "l_partkey")
+    val r = graft.queries.RelationalQueries.basketTriangles(li).collect().head
+    // wedges: v1 C(2,2)=1, v2 1, v3 C(3,2)=3, v4 0 -> 5; clustering = 3*1*10000 div 5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((4L, 4L, 5L, 1L)))
+    assert(r.getLong(4) === 6000L)
+  }
+
   test("curateV3: canon, contained-side containment drop, PII ceiling, cap") {
     import spark.implicits._
     val a = (1 to 30).map(i => s"v$i").mkString(" ")           // clean keeper
