@@ -348,6 +348,12 @@ object SparkEntry {
     // absolute per-domain cap (WindowGroupLimit keeps whale groups unsorted)
     "sample_cap_per_source" -> ((s, d) =>
       graft.operators.Sampling.capPerGroup(Tables.documents(s, d))),
+    // Efraimidis–Spirakis weighted sample without replacement (top-k heap)
+    "sample_weighted_topk" -> ((s, d) =>
+      graft.operators.Sampling.weightedTopK(Tables.documents(s, d))),
+    // Benford first-digit screen over the ledger amounts
+    "profile_benford" -> ((s, d) =>
+      Validators.benfordProfile(txns(s, d))),
     // curriculum length-binning with per-bin shards
     "train_curriculum" -> ((s, d) =>
       graft.operators.TrainPrep.curriculumBins(Tables.documents(s, d))),
@@ -547,6 +553,8 @@ object SparkEntry {
     "sample_stratified" -> OracleSqlText.stratifiedSample(),
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),
     "sample_cap_per_source" -> OracleSqlText.capPerSource(),
+    "sample_weighted_topk" -> OracleSqlText.weightedTopK(),
+    "profile_benford" -> OracleSql.benfordProfile,
     "join_tier_lookup" -> OracleSql.tierLookupJoin,
     "basket_pairs" -> OracleSql.basketPairs(),
     "text_vocab_coverage" -> OracleSqlText.vocabCoverage(),

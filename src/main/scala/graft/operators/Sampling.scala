@@ -167,4 +167,46 @@ object Sampling {
       .filter(col("bucket") < pct)
       .orderBy(idCol)
   }
+
+  /** Fixed-size weighted sample without replacement (Efraimidis–Spirakis
+    * A-ES, IPL 2006): each document draws u = (hash32(id)+1)/2³² ∈ (0,1]
+    * and scores key = ln(u)/w with w its weight; the k LARGEST keys are a
+    * weighted sample without replacement — P(doc first) = w/Σw, exactly
+    * the one-pass weighted-reservoir semantics, but as a deterministic
+    * distributed top-k instead of a sequential reservoir. ln(u)/w is the
+    * monotone log of the usual u^(1/w) key (same order, no pow()).
+    *
+    * The curation use: sample a fixed-budget training subset where
+    * higher-quality/longer documents are proportionally more likely, while
+    * every document keeps a nonzero chance — the middle ground between
+    * [[uniformSample]] (ignores quality) and a hard top-k by score (drops
+    * the tail entirely, collapsing diversity).
+    *
+    * Determinism: u is the engine's standard md5 hash32 — no rand(); the
+    * same doc set is drawn every run and in the DuckDB oracle bit-for-bit
+    * (ln and IEEE division are correctly-rounded on both engines). The
+    * emitted key is quantized to integer nano-units (floor, exact) so the
+    * gate compares integers.
+    *
+    * Scale shape: one narrow projection, then orderBy(key).limit(k) plans
+    * as TakeOrderedAndProject — per-partition top-k heaps + a driver merge
+    * of k·partitions rows, never a global sort. The rank window after the
+    * limit orders k rows, not the corpus.
+    *
+    * Output: (doc_id, source, weight, es_key_nano, sample_rank ≤ k). */
+  def weightedTopK(docs: DataFrame, k: Int = 200, idCol: String = "doc_id",
+      weightCol: String = "n_chars"): DataFrame = {
+    val keyed = docs.select(col(idCol), col("source"),
+        greatest(col(weightCol).cast("long"), lit(1L)).as("weight"),
+        ((hash32(col(idCol)) + 1).cast("double") / lit(4294967296.0)).as("u"))
+      .withColumn("es_key", log(col("u")) / col("weight").cast("double"))
+    keyed
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("source"), col("weight"),
+        floor(col("es_key") * 1e9).cast("long").as("es_key_nano"),
+        row_number().over(Window.orderBy(col("es_key").desc, col(idCol)))
+          .cast("long").as("sample_rank"))
+      .orderBy("sample_rank")
+  }
 }

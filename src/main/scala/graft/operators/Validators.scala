@@ -148,4 +148,45 @@ object Validators {
       abs(sum(when(col("TCTYPE") === "expired", col("AMOUNT")).otherwise(0.0))).as("total_expired"),
       sum((col("TCTYPE").isin("spent", "expired") && col("REDEEMID").isNull).cast("long"))
         .as("unmatched_spent_expired"))
+
+  /** Benford first-digit expectation log10(1+1/d), in integer basis points —
+    * ONE table rendered into both the Spark plan and the DuckDB oracle (the
+    * shared-constant convention), so no engine evaluates a transcendental. */
+  val BenfordBp: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.round(math.log10(1 + 1.0 / d) * 10000)).toMap
+
+  /** Benford's-law first-digit profile per transaction type — the classic
+    * fabricated-amounts screen a finance pipeline runs over its ledger
+    * (Nigrini 1996; synthetic/uniform amounts light it up too, which is the
+    * point: ANY systematic deviation from log10(1+1/d) says the amounts are
+    * not organic). Amounts are fixed to integer cents first (floor(|a|·100
+    * + 0.5) — exact on both engines, no round() half-mode to disagree on),
+    * the leading digit read from the cents' decimal rendering (integer→text
+    * is engine-identical where double→text is not), and shares emitted as
+    * integer basis points via div.
+    *
+    * Scale shape: one narrow projection + a 9·|types|-row aggregate — pure
+    * map-side combine; the per-type total rides in on a broadcast of the
+    * same tiny aggregate, never a second ledger scan.
+    *
+    * Output: (transaction_type, digit, n, share_bp, benford_bp, dev_bp). */
+  def benfordProfile(txns: DataFrame): DataFrame = {
+    val digits = txns
+      .select(col("transaction_type"),
+        floor(abs(col("amount")) * 100 + 0.5).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(col("transaction_type"),
+        substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("transaction_type", "digit").agg(count(lit(1)).as("n"))
+    val totals = digits.groupBy("transaction_type").agg(sum("n").as("n_type"))
+    val benford = BenfordBp.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (d, bp)) => when(col("digit") === d, bp).otherwise(acc)
+    }
+    digits.join(broadcast(totals), Seq("transaction_type"))
+      .select(col("transaction_type"), col("digit"), col("n"),
+        expr("n * 10000 div n_type").as("share_bp"),
+        benford.as("benford_bp"))
+      .withColumn("dev_bp", col("share_bp") - col("benford_bp"))
+      .orderBy("transaction_type", "digit")
+  }
 }

@@ -1138,4 +1138,36 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       FROM orders) t
 WHERE rnk <= 3
 ORDER BY o_custkey, rnk"""
+
+  /** Mirrors Validators.benfordProfile: cents fix-up via floor(+0.5),
+    * leading digit from the INTEGER's text rendering (double→text differs
+    * across engines; integer→text does not), shares in integer basis
+    * points; the Benford expectation renders from the same
+    * [[graft.operators.Validators.BenfordBp]] table the Spark plan uses.
+    * CASTs defuse DuckDB's HUGEINT window SUM. */
+  def benfordProfile: String = {
+    val benfordValues = graft.operators.Validators.BenfordBp.toSeq.sortBy(_._1)
+      .map { case (d, bp) => s"($d, $bp)" }.mkString(", ")
+    s"""
+WITH $txnsCte,
+cents AS (
+  SELECT transaction_type,
+         CAST(floor(abs(amount) * 100 + 0.5) AS BIGINT) AS cents
+  FROM txns
+),
+digits AS (
+  SELECT transaction_type,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n
+  FROM cents WHERE cents > 0
+  GROUP BY 1, 2
+),
+b AS (SELECT * FROM (VALUES $benfordValues) AS t(digit, benford_bp))
+SELECT transaction_type, digit, CAST(n AS BIGINT) AS n,
+       CAST(n * 10000 // CAST(SUM(n) OVER (PARTITION BY transaction_type) AS BIGINT) AS BIGINT) AS share_bp,
+       CAST(benford_bp AS BIGINT) AS benford_bp,
+       CAST(n * 10000 // CAST(SUM(n) OVER (PARTITION BY transaction_type) AS BIGINT) - benford_bp AS BIGINT) AS dev_bp
+FROM digits JOIN b USING (digit)
+ORDER BY transaction_type, digit"""
+  }
 }

@@ -912,6 +912,28 @@ SELECT doc_id, source,
 FROM documents
 ORDER BY hv, doc_id LIMIT $k"""
 
+  /** Mirrors Sampling.weightedTopK: Efraimidis–Spirakis key ln(u)/w with
+    * u = (hash32(id)+1)/2³², top-k by key desc — ln and IEEE division are
+    * correctly-rounded on both engines, so the drawn set and the
+    * nano-quantized key match bit-for-bit. */
+  def weightedTopK(k: Int = 200, weightCol: String = "n_chars"): String = s"""
+WITH b AS (
+  SELECT doc_id, source, GREATEST(CAST($weightCol AS BIGINT), 1) AS weight,
+         (CAST((${hex8IntSql("doc_id::VARCHAR")}) AS BIGINT) + 1) / 4294967296.0 AS u
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, weight, ln(u) / CAST(weight AS DOUBLE) AS es_key FROM b
+),
+top AS (
+  SELECT doc_id, source, weight, es_key
+  FROM keyed ORDER BY es_key DESC, doc_id LIMIT $k
+)
+SELECT doc_id, source, weight,
+       CAST(floor(es_key * 1e9) AS BIGINT) AS es_key_nano,
+       CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS sample_rank
+FROM top ORDER BY sample_rank"""
+
   /** Mirrors Sampling.weightedMix over [[graft.operators.Sampling.GateWeights]]. */
   def weightedMix(weights: Map[String, Int] = graft.operators.Sampling.GateWeights,
       defaultPct: Int = 50): String = {

@@ -91,6 +91,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(c.values.forall { case (_, _, s) => s >= 0 && s < 4 })
   }
 
+  test("weighted top-k: size k, deterministic, and weight-biased") {
+    import spark.implicits._
+    // two weight classes: heavy docs (weight 1000) vs light docs (weight 10)
+    val docs = (1 to 2000).map(i =>
+      (i, if (i <= 1000) "heavy" else "light", if (i <= 1000) 1000L else 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val s = Sampling.weightedTopK(docs, k = 200)
+    val rows = s.collect()
+    assert(rows.length === 200)
+    // ranks are dense 1..k
+    assert(rows.map(_.getAs[Long]("sample_rank")).sorted === (1L to 200L).toArray)
+    // determinism: same draw every run
+    assert(Sampling.weightedTopK(docs, k = 200).collect().toSeq === rows.toSeq)
+    // weight bias: E[heavy share] = 1000/1010 per draw; at k=200 the heavy
+    // class must dominate overwhelmingly (P[light > 40] is astronomically small)
+    val heavy = rows.count(_.getAs[String]("source") == "heavy")
+    assert(heavy > 160, s"only $heavy/200 from the heavy class")
+    // es_key is a valid ES key: ln(u)/w <= 0 always
+    assert(rows.forall(_.getAs[Long]("es_key_nano") <= 0L))
+    // plans as a top-k, not a global sort
+    assert(s.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("weighted top-k with equal weights reduces to a uniform hash sample") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    val docs = (1 to 500).map(i => (i, "s", 7L)).toDF("doc_id", "source", "n_chars")
+    // equal weights: ln(u)/7 is monotone in the id hash, so the drawn SET
+    // is exactly the k LARGEST-hash docs — a uniform hash sample
+    val es = Sampling.weightedTopK(docs, k = 50).select("doc_id").as[Int].collect().toSet
+    val topHash = docs.select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .orderBy(col("hv").desc, col("doc_id"))
+      .limit(50).select("doc_id").as[Int].collect().toSet
+    assert(es === topHash)
+  }
+
   test("HLL estimate is exact-ish at gate scale and within the error regime at 10k") {
     import spark.implicits._
     val big = (1 to 10000).toDF("id")
