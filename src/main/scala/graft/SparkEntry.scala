@@ -218,6 +218,9 @@ object SparkEntry {
     // additive seasonal decomposition of daily revenue (integer cents)
     "timeseries_decompose" -> ((s, d) =>
       EventQueries.dailyDecompose(Tables.events(s, d))),
+    // sample autocorrelation of the per-type daily series, lags 1..7
+    "timeseries_acf" -> ((s, d) =>
+      EventQueries.dailyAcf(Tables.events(s, d))),
 
     // training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -289,6 +292,9 @@ object SparkEntry {
     // deterministic KMV distinct-count sketch (HLL's oracle-checkable twin)
     "sketch_kmv_distinct" -> ((s, d) =>
       graft.operators.Sketches.kmvDistinct(Tables.events(s, d), "user_id")),
+    // KMV set operations: pairwise Jaccard/union/intersection from sketches
+    "sketch_kmv_jaccard" -> ((s, d) =>
+      graft.operators.Sketches.kmvJaccardPairs(Tables.events(s, d), "event_type", "user_id")),
     "sketch_kmv_by_type" -> ((s, d) =>
       graft.operators.Sketches.kmvDistinctByGroup(Tables.events(s, d), "event_type", "user_id", k = 64)),
     // portable HyperLogLog (raw estimator; register MAX is the sketch
@@ -510,6 +516,7 @@ object SparkEntry {
     "dedup_substring_spans" -> OracleSqlText.substringSpans(),
     "sketch_kmv_distinct" -> OracleSqlText.sketchKmvDistinct,
     "sketch_kmv_by_type" -> OracleSqlText.sketchKmvByType,
+    "sketch_kmv_jaccard" -> OracleSqlText.sketchKmvJaccard(),
     "curation_pipeline" -> OracleSqlText.curation,
     "curation_pipeline_v2" -> OracleSqlText.curationV2(),
     "curation_pipeline_v3" -> OracleSqlText.curationV3(),
@@ -565,6 +572,7 @@ object SparkEntry {
     "events_attribution" -> OracleSql.lastTouchAttribution(),
     "events_paths" -> OracleSql.sessionPaths(),
     "timeseries_decompose" -> OracleSql.dailyDecompose(),
+    "timeseries_acf" -> OracleSql.dailyAcf(),
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),
     "events_funnel" -> OracleSql.eventsFunnel,

@@ -314,4 +314,67 @@ object Sketches {
         col("m").cast("long").as("sample_k"))
       .orderBy("q")
   }
+
+  /** KMV set-operation estimates for every pair of groups: Jaccard,
+    * union, and intersection sizes from the groups' k-minimum-value
+    * sketches alone (Beyer et al., SIGMOD 2007) — the audience-overlap /
+    * cross-domain-contamination readout that never rejoins the raw data.
+    * For a pair (a, b): L = the k smallest distinct hashes of
+    * S_a ∪ S_b; ρ = |{h ∈ L : h ∈ S_a ∧ h ∈ S_b}| / |L| estimates
+    * J(a, b); the union size is L's own KMV estimate; intersection ≈
+    * ρ·union. When |L| < k the sketches hold the whole union and all
+    * three are exact.
+    *
+    * Scale shape: the corpus is touched exactly once (distinct (group,
+    * hash) projection); sketches are k rows per group — FIXED regardless
+    * of cardinality — so the pairwise stage is arithmetic over
+    * broadcast-size tables: |groups|²·k rows at worst, never a row-level
+    * join of the raw sets. The exact Jaccard rides along for gate/error
+    * visibility (one extra keyed aggregate over the distinct projection —
+    * a production pipeline drops it).
+    *
+    * Output per pair (a < b): (type_a, type_b, k, m, jaccard_est,
+    * union_est, intersection_est, exact_jaccard). */
+  def kmvJaccardPairs(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 256): DataFrame = {
+    val hashes = df.select(col(groupCol).as("grp"), hash32(col(keyCol)).as("hv")).distinct()
+    hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("hv")
+    val sk = hashes.withColumn("rn", row_number().over(wg)).filter(col("rn") <= k)
+      .select("grp", "hv")
+    val pairs = sk.select(col("grp").as("type_a")).distinct()
+      .crossJoin(sk.select(col("grp").as("type_b")).distinct())
+      .filter(col("type_a") < col("type_b"))
+    val member = pairs.join(broadcast(sk),
+        col("grp") === col("type_a") || col("grp") === col("type_b"))
+      .groupBy("type_a", "type_b", "hv")
+      .agg(max((col("grp") === col("type_a")).cast("long")).as("in_a"),
+        max((col("grp") === col("type_b")).cast("long")).as("in_b"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("type_a", "type_b").orderBy("hv")
+    val ell = member.withColumn("rn", row_number().over(wp)).filter(col("rn") <= k)
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("m"), max(col("hv")).as("kth_hash"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+    val exact = hashes.join(broadcast(pairs),
+        col("grp") === col("type_a") || col("grp") === col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(countDistinct(col("hv")).as("n_union"),
+        sum((col("grp") === col("type_a")).cast("long")).as("n_a"),
+        sum((col("grp") === col("type_b")).cast("long")).as("n_b"))
+      .select(col("type_a"), col("type_b"),
+        round((col("n_a") + col("n_b") - col("n_union")).cast("double") /
+          col("n_union"), 4).as("exact_jaccard"))
+    val unionEst = when(col("m") < k, col("m").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+        when(col("kth_hash") === 0, lit(null).cast("double")).otherwise(col("kth_hash")))
+    ell.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), lit(k.toLong).as("k"), col("m"),
+        round(col("n_both").cast("double") / col("m"), 4).as("jaccard_est"),
+        round(unionEst, 4).as("union_est"),
+        round((col("n_both").cast("double") / col("m")) * unionEst, 4)
+          .as("intersection_est"),
+        col("exact_jaccard"))
+      .orderBy("type_a", "type_b")
+  }
 }

@@ -455,6 +455,57 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** Autocorrelation function of the per-type daily revenue series at lags
+    * 1..maxLag — the "is there weekly structure / how fast does memory
+    * decay" readout next to [[dailyDecompose]]: a spike at lag 7 confirms
+    * the day-of-week seasonal, a slow decay flags trend left in the series.
+    * Pearson r over the overlapping (x_t, x_{t−k}) pairs, the standard
+    * sample-ACF form.
+    *
+    * Determinism: the series is INTEGER CENTS (the decompose convention),
+    * so all six sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) are exact
+    * integer sums — association-order-proof — and the readout is one fixed
+    * double expression: num / (sqrt(denx)·sqrt(deny)) (sqrt is
+    * correctly-rounded IEEE on both engines; the two sqrt's avoid the
+    * denx·deny product overflowing BIGINT). Constant series (den = 0)
+    * yield NULL on both sides. Integer envelope: daily cents below ~3·10⁹
+    * keep every statistic under 2⁶³ — beyond that, rescale the unit.
+    *
+    * Shape: the stream collapses to one row per (type, day) first
+    * (map-side combinable); the lag window runs per type over
+    * calendar-bounded day counts; the k lags come out of ONE window pass
+    * (stacked lag columns over the same spec), then unpivot + one tiny
+    * aggregate. */
+  def dailyAcf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = (1 to maxLag).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"lag_$k", lag(col("cents"), k).over(w))
+    }
+    val stacked = lagged.select(col("event_type"), col("cents").as("x"),
+        expr(s"stack($maxLag, ${(1 to maxLag).map(k => s"$k, lag_$k").mkString(", ")})")
+          .as(Seq("lag_days", "y")))
+      .filter(col("y").isNotNull)
+    val denx = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n_pairs") * col("syy") - col("sy") * col("sy")
+    stacked.groupBy("event_type", "lag_days")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("lag_days").cast("long").as("lag_days"),
+        col("n_pairs"),
+        round(when(denx === 0 || deny === 0, lit(null).cast("double"))
+          .otherwise(
+            (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt(denx.cast("double")) * sqrt(deny.cast("double")))), 4)
+          .as("acf"))
+      .orderBy("event_type", "lag_days")
+  }
+
   /** Trailing-window feature extraction — the per-event feature matrix an
     * online-ML / fraud pipeline computes ("how active was this user just
     * before this event"): trailing 1-hour event count, trailing 24-hour

@@ -974,6 +974,41 @@ SELECT t2.day, t2.dow, t2.cents / 100.0 AS revenue, t2.trend_cents / 100.0 AS tr
        (t2.cents - t2.trend_cents - s.seasonal_cents) / 100.0 AS residual
 FROM t2 JOIN s USING (dow) ORDER BY day"""
 
+  /** Mirrors EventQueries.dailyAcf: integer-cent daily series per type,
+    * one UNION ALL branch per lag (SQL LAG takes no variable offset),
+    * exact-integer sufficient statistics, the sqrt·sqrt readout, NULL on
+    * constant series. CASTs defuse DuckDB's HUGEINT SUM. */
+  def dailyAcf(maxLag: Int = 7): String = {
+    val branches = (1 to maxLag).map(kk => s"""
+  SELECT event_type, $kk AS lag_days, cents AS x,
+         LAG(cents, $kk) OVER (PARTITION BY event_type ORDER BY day) AS y
+  FROM d""").mkString(" UNION ALL")
+    s"""
+WITH $evCte,
+d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM ev GROUP BY 1, 2
+),
+l AS ($branches),
+p AS (SELECT * FROM l WHERE y IS NOT NULL),
+agg AS (
+  SELECT event_type, lag_days, COUNT(*) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag_days AS BIGINT) AS lag_days, n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0
+            THEN NULL
+            ELSE ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+                       (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+                        sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4)
+       END AS acf
+FROM agg ORDER BY event_type, lag_days"""
+  }
+
   /** Mirrors EventQueries.typeTransitions: lag-derived (from, to) pairs
     * with '_start_' for stream heads, share-of-from via the engine-proven
     * `n * 100.0 / SUM() OVER` idiom. */

@@ -627,6 +627,60 @@ SELECT event_type, k, kth_hash, kmv_estimate, exact_distinct,
        ROUND(ABS(kmv_estimate - exact_distinct) / exact_distinct, 4) AS rel_error
 FROM r ORDER BY event_type"""
 
+  /** Mirrors Sketches.kmvJaccardPairs over events (event-type pairs,
+    * user_id keys): per-type k-min sketches, per-pair k smallest of the
+    * sketch union with membership tags, ρ = both/|L|, L's own KMV union
+    * estimate, intersection = ρ·union; exact Jaccard from the full
+    * distinct projection rides along. */
+  def sketchKmvJaccard(k: Int = 256): String = s"""
+WITH h AS (
+  SELECT DISTINCT event_type AS grp, (${hex8IntSql("user_id::VARCHAR")}) AS hv FROM events
+),
+sk AS (
+  SELECT grp, hv FROM (
+    SELECT grp, hv, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv) AS rn
+    FROM h) s
+  WHERE rn <= $k
+),
+pairs AS (
+  SELECT a.grp AS type_a, b.grp AS type_b
+  FROM (SELECT DISTINCT grp FROM sk) a, (SELECT DISTINCT grp FROM sk) b
+  WHERE a.grp < b.grp
+),
+member AS (
+  SELECT p.type_a, p.type_b, s.hv,
+         MAX(CASE WHEN s.grp = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.grp = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.grp = p.type_a OR s.grp = p.type_b
+  GROUP BY 1, 2, 3
+),
+ell AS (
+  SELECT type_a, type_b, COUNT(*) AS m, MAX(hv) AS kth_hash,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
+        FROM member) t
+  WHERE rn <= $k GROUP BY 1, 2
+),
+exact AS (
+  SELECT p.type_a, p.type_b,
+         COUNT(DISTINCT f.hv) AS n_union,
+         CAST(SUM(CASE WHEN f.grp = p.type_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN f.grp = p.type_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM pairs p JOIN h f ON f.grp = p.type_a OR f.grp = p.type_b
+  GROUP BY 1, 2
+)
+SELECT e.type_a, e.type_b, CAST($k AS BIGINT) AS k, e.m,
+       ROUND(n_both::DOUBLE / e.m, 4) AS jaccard_est,
+       ROUND(CASE WHEN e.m < $k THEN e.m::DOUBLE
+                  ELSE ${k - 1}.0 * 4294967296.0 / NULLIF(e.kth_hash, 0) END, 4) AS union_est,
+       ROUND((n_both::DOUBLE / e.m) *
+             CASE WHEN e.m < $k THEN e.m::DOUBLE
+                  ELSE ${k - 1}.0 * 4294967296.0 / NULLIF(e.kth_hash, 0) END, 4)
+         AS intersection_est,
+       ROUND((x.n_a + x.n_b - x.n_union)::DOUBLE / x.n_union, 4) AS exact_jaccard
+FROM ell e JOIN exact x ON x.type_a = e.type_a AND x.type_b = e.type_b
+ORDER BY e.type_a, e.type_b"""
+
   /** IVF ANN oracle: the k-means quantizer IS SQL-expressible once the Lloyd
     * rounds are unrolled — init from the `nCentroids` lowest vec_ids, then
     * per round: assign by argmin of ‖c‖² − 2·v·c (ties → lowest cell, the

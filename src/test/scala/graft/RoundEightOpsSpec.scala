@@ -2,7 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Validators
+import graft.operators.{Sketches, Validators}
+import graft.queries.EventQueries
 
 /** Round-8 additions: weighted reservoir sampling (see SamplingSpec),
   * Benford profiling, KMV set operations, autocorrelation, bigram LM,
@@ -33,5 +34,63 @@ class RoundEightOpsSpec extends AnyFunSuite {
     // per-type shares sum to <= 10000 (integer div truncation)
     val earnedShare = r.filter(_.getString(0) == "earned").map(_.getAs[Long]("share_bp")).sum
     assert(earnedShare <= 10000L && earnedShare >= 9998L)
+  }
+
+  test("dailyAcf: alternating series gives acf(1) = -1, acf(2) = +1") {
+    import spark.implicits._
+    // one event per day, value alternating 10/20 over 12 days
+    val events = (0 until 12).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        1L, "view", if (i % 2 == 0) 10.0 else 20.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventQueries.dailyAcf(events, maxLag = 3).collect()
+      .map(x => x.getAs[Long]("lag_days") ->
+        (x.getAs[Long]("n_pairs"), x.getAs[java.lang.Double]("acf"))).toMap
+    assert(r(1L)._1 === 11L)
+    assert(r(1L)._2 === -1.0)
+    assert(r(2L)._1 === 10L)
+    assert(r(2L)._2 === 1.0)
+    assert(r(3L)._2 === -1.0)
+  }
+
+  test("dailyAcf: constant series yields NULL acf, not a crash") {
+    import spark.implicits._
+    val events = (0 until 5).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        1L, "view", 7.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventQueries.dailyAcf(events, maxLag = 2).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.isNullAt(r.head.fieldIndex("acf"))))
+  }
+
+  test("kmvJaccardPairs is exact below sketch capacity") {
+    import spark.implicits._
+    // A = {1..100}, B = {51..150}: |A∩B| = 50, |A∪B| = 150, J = 1/3
+    val df = ((1 to 100).map(("A", _)) ++ (51 to 150).map(("B", _)))
+      .toDF("event_type", "user_id")
+    val r = Sketches.kmvJaccardPairs(df, "event_type", "user_id", k = 256).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[String]("type_a") === "A")
+    assert(row.getAs[Long]("m") === 150L) // whole union fits the sketch
+    assert(row.getAs[Double]("jaccard_est") === math.rint(50.0 / 150.0 * 10000) / 10000)
+    assert(row.getAs[Double]("union_est") === 150.0)
+    assert(row.getAs[Double]("intersection_est") === 50.0)
+    assert(row.getAs[Double]("exact_jaccard") === row.getAs[Double]("jaccard_est"))
+  }
+
+  test("kmvJaccardPairs estimates within the 1/sqrt(k) regime above capacity") {
+    import spark.implicits._
+    // A = {1..3000}, B = {1501..4500}: J = 1500/4500 = 1/3
+    val df = ((1 to 3000).map(("A", _)) ++ (1501 to 4500).map(("B", _)))
+      .toDF("event_type", "user_id")
+    val row = Sketches.kmvJaccardPairs(df, "event_type", "user_id", k = 256).collect().head
+    assert(row.getAs[Long]("m") === 256L)
+    val j = row.getAs[Double]("jaccard_est")
+    // SE of rho at k=256 ~ sqrt(J(1-J)/k) = 0.029; allow 4 SE
+    assert(math.abs(j - 1.0 / 3.0) < 0.12, s"jaccard_est $j too far from 1/3")
+    val u = row.getAs[Double]("union_est")
+    assert(math.abs(u - 4500.0) / 4500.0 < 0.25, s"union_est $u too far from 4500")
   }
 }
