@@ -179,6 +179,9 @@ object SparkEntry {
       RelationalQueries.revenueByNation(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "topk_orders" -> ((s, d) => RelationalQueries.topkOrders(Tables.orders(s, d))),
+    // 2-D Pareto frontier (skyline): bucket-local prune + global pass
+    "join_pareto_frontier" -> ((s, d) =>
+      RelationalQueries.paretoFrontier(Tables.orders(s, d))),
     // every grouping level in one pass (rollup / grouping sets)
     "orders_rollup" -> ((s, d) => RelationalQueries.ordersRollup(Tables.orders(s, d))),
     "orders_cube" -> ((s, d) => RelationalQueries.ordersCube(Tables.orders(s, d))),
@@ -321,6 +324,9 @@ object SparkEntry {
     "text_length_histogram" -> ((s, d) =>
       TextOps.lengthHistogram(Tables.documents(s, d))),
     // corpus-unigram log-prob quality score (CCNet-style signal)
+    // interpolated-bigram LM quality score (word-salad detector)
+    "text_bigram_logprob" -> ((s, d) =>
+      TextOps.bigramLogProb(Tables.documents(s, d))),
     "text_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogProb(Tables.documents(s, d))),
     // cohort retention: first-active-day cohorts × day offset
@@ -480,6 +486,7 @@ object SparkEntry {
     "join_anti_no_orders" -> OracleSql.customersWithoutOrders,
     "join_revenue_by_nation" -> OracleSql.revenueByNation,
     "topk_orders" -> OracleSql.topkOrders,
+    "join_pareto_frontier" -> OracleSql.paretoFrontier,
     "join_salted_revenue" -> OracleSql.saltedRevenueByPriority,
     "join_bucketed_revenue" -> OracleSql.saltedRevenueByPriority,
     "window_customer_order_rank" -> OracleSql.customerOrderRank,
@@ -543,6 +550,7 @@ object SparkEntry {
     "text_novelty" -> OracleSqlText.noveltyStats,
     "text_length_histogram" -> OracleSqlText.lengthHistogram(),
     "text_unigram_logprob" -> OracleSqlText.unigramLogProb,
+    "text_bigram_logprob" -> OracleSqlText.bigramLogProb,
     "events_retention" -> OracleSql.eventsRetention,
     "events_anomaly_days" -> OracleSql.eventsAnomaly(),
     "events_scd2_status" -> OracleSql.eventsScd2,

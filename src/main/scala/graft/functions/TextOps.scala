@@ -296,6 +296,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Interpolated-bigram language-model quality score — the next model up
+    * from [[unigramLogProb]] (the CCNet/Wikipedia-LM perplexity-filter
+    * idea, public knowledge): per document, the mean and worst
+    * ln P(tᵢ | tᵢ₋₁) under the corpus's own Jelinek–Mercer–smoothed bigram
+    * model P = λ·c(p,c)/c(p,·) + (1−λ)·c(c)/N. A doc can have a fine
+    * unigram score yet read as word salad — the bigram term is what
+    * catches shuffled/templated text.
+    *
+    * Determinism: each bigram's ln P is a fixed double expression of exact
+    * integer counts, QUANTIZED to integer micro-nats (floor — exact) before
+    * the per-doc sum, so aggregation order cannot drift (the KL-divergence
+    * convention); the readout is one division chain of engine-identical
+    * values. Docs with <2 tokens have no bigram and emit no row.
+    *
+    * Shape: one tokenize pass staged and read by all three censuses
+    * (bigram, context, unigram) and the join-back; every join is keyed on
+    * token text (inverted-index discipline, nothing pairwise); the 1-row
+    * total broadcasts. Model size is |distinct bigrams| — the 100 TB path
+    * shuffles the censuses instead of broadcasting, which AQE decides. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val toksDf = withTokens(docs)
+    val bi = graft.RunHygiene.stage(toksDf
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("prev"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("cur"))).as("pc"))
+      .select(col("doc_id"), col("pc.prev").as("prev"), col("pc.cur").as("cur")))
+    bi.count() // fill once: two censuses and the join-back read it
+    val occ = toksDf.select(explode(col("toks")).as("token"))
+    val c2 = bi.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val ctx = bi.groupBy("prev").agg(count(lit(1)).as("cctx"))
+    val c1 = occ.groupBy(col("token").as("cur")).agg(count(lit(1)).as("c1"))
+    val total = occ.agg(count(lit(1)).as("n_total"))
+    val lp = c2.join(ctx, Seq("prev")).join(c1, Seq("cur"))
+      .crossJoin(broadcast(total))
+      .select(col("prev"), col("cur"),
+        floor(log(
+          lit(0.9) * (col("c2").cast("double") / col("cctx")) +
+            lit(0.1) * (col("c1").cast("double") / col("n_total"))) * lit(1e6))
+          .cast("long").as("micro"))
+    bi.join(lp, Seq("prev", "cur"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("micro")).as("sum_micro"),
+        min(col("micro")).as("min_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_micro").cast("double") / col("n_bigrams") / lit(1e6), 4)
+          .as("avg_logprob"),
+        round(col("min_micro").cast("double") / lit(1e6), 4).as("min_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary coverage curve — what share of all token occurrences the
     * top-k most frequent types cover, read out at the `ks` checkpoints:
     * the corpus statistic behind tokenizer vocab sizing and stopword

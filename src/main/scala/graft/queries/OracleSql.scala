@@ -1174,6 +1174,24 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
 WHERE rnk <= 3
 ORDER BY o_custkey, rnk"""
 
+  /** Mirrors RelationalQueries.paretoFrontier: the NOT EXISTS dominance
+    * definition itself — the declarative spec the window formulation must
+    * equal; dominance on integer cents and calendar days. */
+  val paretoFrontier: String = """
+WITH pts AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS date_days
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM pts o
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts p
+  WHERE p.price_cents >= o.price_cents AND p.date_days >= o.date_days
+    AND (p.price_cents > o.price_cents OR p.date_days > o.date_days))
+ORDER BY o_orderkey"""
+
   /** Mirrors Validators.benfordProfile: cents fix-up via floor(+0.5),
     * leading digit from the INTEGER's text rendering (double→text differs
     * across engines; integer→text does not), shares in integer basis

@@ -1085,6 +1085,35 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM occ JOIN lp USING (token)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors TextOps.bigramLogProb: parallel-unnest bigram stream, three
+    * censuses + 1-row total, Jelinek–Mercer ln P quantized to integer
+    * micro-nats before the per-doc sum (associativity-proof), one division
+    * chain at readout. CASTs defuse HUGEINT and DECIMAL literals. */
+  def bigramLogProb: String = s"""
+WITH $toksCte,
+occ AS (SELECT unnest(toks) AS token FROM toks),
+bi AS (
+  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS prev, unnest(toks[2:len(toks)]) AS cur
+  FROM toks WHERE len(toks) >= 2
+),
+c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+ctx AS (SELECT prev, COUNT(*) AS cctx FROM bi GROUP BY 1),
+c1 AS (SELECT token AS cur, COUNT(*) AS c1 FROM occ GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM occ),
+lp AS (
+  SELECT prev, cur,
+         CAST(floor(ln(CAST(0.9 AS DOUBLE) * (c2::DOUBLE / cctx) +
+                       CAST(0.1 AS DOUBLE) * (c1::DOUBLE / n_total)) * 1000000.0) AS BIGINT)
+           AS micro
+  FROM c2 JOIN ctx USING (prev) JOIN c1 USING (cur) CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+         AS avg_logprob,
+       ROUND(CAST(MIN(micro) AS DOUBLE) / 1000000.0, 4) AS min_logprob
+FROM bi JOIN lp USING (prev, cur)
+GROUP BY doc_id ORDER BY doc_id"""
+
   /** Mirrors Sketches.cmsTokenCounts: d×w salted-md5 counter matrix, MIN
     * readout at the exact top-k tokens. Every constant renders from the
     * same (d, w, k) the Spark call uses. */

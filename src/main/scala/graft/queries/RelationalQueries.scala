@@ -366,4 +366,43 @@ object RelationalQueries {
       .withColumn("rnk", col("rnk").cast("long"))
       .orderBy("o_custkey", "rnk")
   }
+
+  /** 2-D Pareto frontier (skyline) of orders maximizing (price, recency) —
+    * "the big recent orders no other order beats on both axes", the
+    * multi-objective shortlist operator (Börzsönyi et al., ICDE 2001).
+    * Dominance is defined on integer cents and calendar days, so both
+    * engines compare identical integers. A point survives iff no point has
+    * ≥ on both axes with > on at least one; exact duplicates on both axes
+    * survive together (neither dominates).
+    *
+    * Shape — the sort-based skyline as two window passes, never a self
+    * join: for each row, the max date over STRICTLY higher prices (a
+    * range frame on the cents ordering) and the max date among equal
+    * prices decide survival. Pass 1 runs per hash bucket (keyed shuffle,
+    * parallel) and discards ~all rows — a bucket-local non-skyline point
+    * is dominated globally too, so pruning is lossless; pass 2 runs the
+    * same windows globally over the few survivors (2-D skylines of random
+    * data are O(log n)-sized; the global window sees bucket-frontier
+    * unions, not the corpus). */
+  def paretoFrontier(orders: DataFrame, buckets: Int = 32): DataFrame = {
+    val pts = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), col("o_orderdate"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("date_days"),
+      pmod(col("o_orderkey"), lit(buckets)).as("bucket"))
+    def frontier(df: DataFrame, local: Boolean): DataFrame = {
+      val part = if (local) Seq(col("bucket")) else Seq.empty[org.apache.spark.sql.Column]
+      val wStrict = Window.partitionBy(part: _*).orderBy(col("price_cents"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val wTie = Window.partitionBy(part :+ col("price_cents"): _*)
+      df.withColumn("d_above", max(col("date_days")).over(wStrict))
+        .withColumn("d_tie", max(col("date_days")).over(wTie))
+        .filter((col("d_above").isNull || col("d_above") < col("date_days")) &&
+          col("date_days") === col("d_tie"))
+        .drop("d_above", "d_tie")
+    }
+    frontier(frontier(pts, local = true), local = false)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
 }

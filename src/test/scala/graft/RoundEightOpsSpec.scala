@@ -2,8 +2,9 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.functions.TextOps
 import graft.operators.{Sketches, Validators}
-import graft.queries.EventQueries
+import graft.queries.{EventQueries, RelationalQueries}
 
 /** Round-8 additions: weighted reservoir sampling (see SamplingSpec),
   * Benford profiling, KMV set operations, autocorrelation, bigram LM,
@@ -92,5 +93,62 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(math.abs(j - 1.0 / 3.0) < 0.12, s"jaccard_est $j too far from 1/3")
     val u = row.getAs[Double]("union_est")
     assert(math.abs(u - 4500.0) / 4500.0 < 0.25, s"union_est $u too far from 4500")
+  }
+
+  test("bigramLogProb scores against the corpus's own JM-smoothed model") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val r = TextOps.bigramLogProb(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 3 has no bigram -> no row
+    assert(!r.contains(3L))
+    assert(r(1L).getAs[Long]("n_bigrams") === 3L)
+    assert(r(2L).getAs[Long]("n_bigrams") === 1L)
+    // hand model: N=7, c1(a)=3, c1(b)=3; c2(a,b)=3, ctx(a)=3; c2(b,a)=1, ctx(b)=1
+    def micro(p: Double): Long = math.floor(math.log(p) * 1e6).toLong
+    val mAb = micro(0.9 * (3.0 / 3.0) + 0.1 * (3.0 / 7.0))
+    val mBa = micro(0.9 * (1.0 / 1.0) + 0.1 * (3.0 / 7.0))
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L).getAs[Double]("avg_logprob") ===
+      round4((2 * mAb + mBa).toDouble / 3 / 1e6))
+    assert(r(1L).getAs[Double]("min_logprob") === round4(math.min(mAb, mBa) / 1e6))
+    assert(r(2L).getAs[Double]("avg_logprob") === round4(mAb.toDouble / 1 / 1e6))
+  }
+
+  test("paretoFrontier keeps non-dominated points, dups survive together") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, 10L, 100.0, ts("2024-01-01")), // dominated by 3/5 (same price, later date)
+      (2L, 11L, 90.0, ts("2024-01-05")), // frontier (nothing above beats its date)
+      (3L, 12L, 100.0, ts("2024-01-03")), // frontier
+      (4L, 13L, 80.0, ts("2024-01-02")), // dominated by 2
+      (5L, 14L, 100.0, ts("2024-01-03")) // exact dup of 3: both survive
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val keys = RelationalQueries.paretoFrontier(orders, buckets = 2)
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(keys === Array(2L, 3L, 5L))
+  }
+
+  test("paretoFrontier bucket prune is lossless vs brute-force dominance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 300).map { i =>
+      (i.toLong, i.toLong, rnd.nextInt(10000) / 100.0,
+        java.sql.Timestamp.valueOf(f"2024-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d 00:00:00"))
+    }
+    val df = pts.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val got = RelationalQueries.paretoFrontier(df, buckets = 7)
+      .select("o_orderkey").as[Long].collect().toSet
+    val arr = pts.map { case (k, _, p, d) =>
+      (k, math.floor(p * 100 + 0.5).toLong, d.toLocalDateTime.toLocalDate.toEpochDay)
+    }
+    val brute = arr.filter { case (_, p0, d0) =>
+      !arr.exists { case (_, p1, d1) =>
+        p1 >= p0 && d1 >= d0 && (p1 > p0 || d1 > d0)
+      }
+    }.map(_._1).toSet
+    assert(got === brute)
   }
 }
