@@ -28,7 +28,11 @@ object PlanAudit {
     "timeseries_gapfill", "sketch_quantile", "graph_pagerank",
     "basket_pairs", "events_rfm", "streaming_hll_rollup",
     "balance_avg_daily", "text_vocab_coverage",
-    "text_source_divergence", "profile_fk_orphans", "graph_triangles")
+    "text_source_divergence", "profile_fk_orphans", "graph_triangles",
+    // sketch_kmv_jaccard: the |groups|² pair roster crosses two tiny
+    //   distinct-group frames (sketch tables are fixed-size by design)
+    // text_bigram_logprob: the 1-row corpus-total cross (unigram twin)
+    "sketch_kmv_jaccard", "text_bigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -356,15 +356,22 @@ object Sketches {
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("m"), max(col("hv")).as("kth_hash"),
         sum(col("in_a") * col("in_b")).as("n_both"))
-    val exact = hashes.join(broadcast(pairs),
-        col("grp") === col("type_a") || col("grp") === col("type_b"))
-      .groupBy("type_a", "type_b")
-      .agg(countDistinct(col("hv")).as("n_union"),
-        sum((col("grp") === col("type_a")).cast("long")).as("n_a"),
-        sum((col("grp") === col("type_b")).cast("long")).as("n_b"))
+    // exact Jaccard stays keyed at corpus scale: per-hash self-join (fan-out
+    // bounded by |groups| per hash) for intersections, tiny size census for
+    // the union via inclusion-exclusion
+    val sizes = hashes.groupBy("grp").agg(count(lit(1)).as("n"))
+    val inter = hashes.as("x")
+      .join(hashes.as("y"), col("x.hv") === col("y.hv") && col("x.grp") < col("y.grp"))
+      .groupBy(col("x.grp").as("type_a"), col("y.grp").as("type_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val exact = pairs
+      .join(broadcast(sizes.select(col("grp").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("grp").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
       .select(col("type_a"), col("type_b"),
-        round((col("n_a") + col("n_b") - col("n_union")).cast("double") /
-          col("n_union"), 4).as("exact_jaccard"))
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4).as("exact_jaccard"))
     val unionEst = when(col("m") < k, col("m").cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
         when(col("kth_hash") === 0, lit(null).cast("double")).otherwise(col("kth_hash")))

@@ -661,13 +661,20 @@ ell AS (
         FROM member) t
   WHERE rn <= $k GROUP BY 1, 2
 ),
+sizes AS (SELECT grp, COUNT(*) AS n FROM h GROUP BY 1),
+inter AS (
+  SELECT x.grp AS type_a, y.grp AS type_b, COUNT(*) AS n_inter
+  FROM h x JOIN h y ON y.hv = x.hv AND x.grp < y.grp
+  GROUP BY 1, 2
+),
 exact AS (
   SELECT p.type_a, p.type_b,
-         COUNT(DISTINCT f.hv) AS n_union,
-         CAST(SUM(CASE WHEN f.grp = p.type_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         CAST(SUM(CASE WHEN f.grp = p.type_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-  FROM pairs p JOIN h f ON f.grp = p.type_a OR f.grp = p.type_b
-  GROUP BY 1, 2
+         CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         sa.n AS n_a, sb.n AS n_b
+  FROM pairs p
+  JOIN sizes sa ON sa.grp = p.type_a
+  JOIN sizes sb ON sb.grp = p.type_b
+  LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
 )
 SELECT e.type_a, e.type_b, CAST($k AS BIGINT) AS k, e.m,
        ROUND(n_both::DOUBLE / e.m, 4) AS jaccard_est,
@@ -677,7 +684,7 @@ SELECT e.type_a, e.type_b, CAST($k AS BIGINT) AS k, e.m,
              CASE WHEN e.m < $k THEN e.m::DOUBLE
                   ELSE ${k - 1}.0 * 4294967296.0 / NULLIF(e.kth_hash, 0) END, 4)
          AS intersection_est,
-       ROUND((x.n_a + x.n_b - x.n_union)::DOUBLE / x.n_union, 4) AS exact_jaccard
+       ROUND(x.n_inter::DOUBLE / (x.n_a + x.n_b - x.n_inter), 4) AS exact_jaccard
 FROM ell e JOIN exact x ON x.type_a = e.type_a AND x.type_b = e.type_b
 ORDER BY e.type_a, e.type_b"""
 
