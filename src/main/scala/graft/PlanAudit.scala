@@ -32,7 +32,8 @@ object PlanAudit {
     // sketch_kmv_jaccard: the |groups|² pair roster crosses two tiny
     //   distinct-group frames (sketch tables are fixed-size by design)
     // text_bigram_logprob: the 1-row corpus-total cross (unigram twin)
-    "sketch_kmv_jaccard", "text_bigram_logprob")
+    // ann_rrf_fusion: composes ann_cosine_topk's broadcast-query cross
+    "sketch_kmv_jaccard", "text_bigram_logprob", "ann_rrf_fusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -237,6 +237,9 @@ object SparkEntry {
     // training-data pipeline: text analysis
     "text_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    // per-source percentile calibration of the quality score
+    "text_quality_calibrated" -> ((s, d) =>
+      TextOps.qualityCalibrated(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.languageId(Tables.documents(s, d))),
     "text_lang_confusion" -> ((s, d) => TextOps.langConfusion(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
@@ -254,6 +257,8 @@ object SparkEntry {
     // training-data pipeline: similarity search over embeddings
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), nPlanes = 4)),
+    // reciprocal-rank fusion of the exact and LSH rankings (hybrid retrieval)
+    "ann_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // the scale path (LSH blocking + exact verify); the all-pairs form stays
     // gated as embed_neardup_exact, the differential baseline — on gate data
@@ -498,6 +503,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> OracleSqlText.simhashPairs,
     "text_token_stats" -> OracleSqlText.tokenStats,
     "text_quality" -> OracleSqlText.qualityScore,
+    "text_quality_calibrated" -> OracleSqlText.qualityCalibrated(),
     "text_langid" -> OracleSqlText.languageId,
     "text_lang_confusion" -> OracleSqlText.langConfusion,
     "text_fingerprint" -> OracleSqlText.fingerprint,
@@ -509,6 +515,7 @@ object SparkEntry {
     "dedup_winnow_pairs" -> OracleSqlText.winnowPairs,
     "ann_cosine_topk" -> OracleSqlText.annTopK,
     "ann_lsh_topk" -> OracleSqlText.annLshTopK,
+    "ann_rrf_fusion" -> OracleSqlText.annRrfFusion(),
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL
     "ann_ivf_topk" -> OracleSqlText.annIvfTopK(),

@@ -89,6 +89,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source percentile calibration of the quality score — the curation
+    * step between scoring and thresholding: raw quality scores are not
+    * comparable across domains (a mid-tier web page outscores a top-tier
+    * code file on stopword ratio), so each document is re-expressed as its
+    * percentile WITHIN its source and the keep rule cuts on that (CCNet
+    * does exactly this with per-bucket perplexity thirds). Integer basis
+    * points via (rank−1)·10000 div (n−1) — no float percent_rank
+    * semantics to disagree on; single-doc sources sit at 0 by convention;
+    * ties order by (score, doc_id) so both engines rank identically.
+    * Unscored docs (null score: the empty-doc case) are excluded — a
+    * percentile among nothing is undefined; the oracle filters the same.
+    *
+    * Shape: one keyed shuffle on source; the rank and count windows share
+    * the partitioning. The per-source sort is the stratifiedSample whale
+    * envelope: curation sources are low-cardinality but LARGE, so at
+    * 100 TB the exact rank swaps for a fixed-grid histogram percentile
+    * (same output contract, map-side combinable) — the exact form is the
+    * gate-checkable twin.
+    *
+    * Output: (doc_id, source, quality_score, pct_rank_bp,
+    * keep = top `keepBp` share of its source). */
+  def qualityCalibrated(docs: DataFrame, keepBp: Int = 3000): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val joined = docs.select(col("doc_id"), col("source")).join(q, Seq("doc_id"))
+      .filter(col("quality_score").isNotNull)
+    val part = Window.partitionBy("source")
+    val wRank = part.orderBy(col("quality_score"), col("doc_id"))
+    joined
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(part))
+      .withColumn("pct_rank_bp",
+        when(col("n_src") === 1, lit(0L))
+          .otherwise(expr("((rk - 1) * 10000) div (n_src - 1)")))
+      .withColumn("keep", col("pct_rank_bp") >= lit((10000 - keepBp).toLong))
+      .select("doc_id", "source", "quality_score", "pct_rank_bp", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Language markers: tiny high-frequency stopword lists per language.
     * (The heuristic n-gram approach of fastText-style ID, reduced to its
     * portable core: marker-token voting.) */

@@ -325,6 +325,44 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of the exact and
+    * LSH ANN rankings — the standard hybrid-retrieval merge: each ranker
+    * contributes 1/(kRrf + rank) and candidates re-rank by the sum, so
+    * documents that both rankers like float up without any score
+    * calibration between rankers. The production analogue fuses e.g. a
+    * dense-vector ranking with a BM25 ranking; here the two rankers are
+    * the engine's own ANN paths, which also makes the fusion a standing
+    * recall probe of LSH against the exact ranking.
+    *
+    * Determinism: contributions are integer micro-units (1e6 div
+    * (kRrf+rank) — integer division, exact), the fused score is a sum of
+    * two such integers, ties break on neighbor_id. Scale shape: both
+    * rankers end WindowGroupLimit-bounded at k rows per query, so the
+    * fusion join and re-rank window run over ≤ 2k rows per query —
+    * query-bounded, corpus-invariant.
+    *
+    * Output: (query_id, neighbor_id, rank_cos, rank_lsh, rrf_micro,
+    * fused_rank ≤ k); a ranker that missed the candidate leaves its rank
+    * NULL (contribution 0). */
+  def rrfFusion(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nPlanes: Int = 4, kRrf: Int = 60): DataFrame = {
+    val cosR = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_cos"))
+    val lshR = lshTopK(embeddings, nQueries, k, nPlanes)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_lsh"))
+    val fused = cosR.join(lshR, Seq("query_id", "neighbor_id"), "full")
+      .withColumn("rrf_micro",
+        (coalesce(expr(s"1000000 div ($kRrf + rank_cos)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($kRrf + rank_lsh)"), lit(0L))).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("neighbor_id"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= k)
+      .withColumn("fused_rank", col("fused_rank").cast("long"))
+      .select("query_id", "neighbor_id", "rank_cos", "rank_lsh", "rrf_micro", "fused_rank")
+      .orderBy("query_id", "fused_rank")
+  }
+
   /** SemDeDup (Abbas et al. 2023, public): semantic deduplication by
     * k-means partitioning + within-cluster cosine pruning. A vector is
     * dropped when a LOWER-id vector in its own cell sits at rounded cosine

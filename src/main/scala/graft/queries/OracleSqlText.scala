@@ -412,6 +412,51 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored) t
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Mirrors Similarity.rrfFusion: the two ANN oracles as derived tables,
+    * integer micro-unit contributions (1e6 // (kRrf+rank)), full join on
+    * (query, neighbor), re-rank with neighbor_id tie-break. */
+  def annRrfFusion(k: Int = 5, kRrf: Int = 60): String = s"""
+WITH a AS (SELECT query_id, neighbor_id, rank AS rank_cos FROM ($annTopK) t1),
+b AS (SELECT query_id, neighbor_id, rank AS rank_lsh FROM ($annLshTopK) t2),
+f AS (
+  SELECT query_id, neighbor_id, rank_cos, rank_lsh,
+         CAST(COALESCE(1000000 // ($kRrf + rank_cos), 0) +
+              COALESCE(1000000 // ($kRrf + rank_lsh), 0) AS BIGINT) AS rrf_micro
+  FROM a FULL JOIN b USING (query_id, neighbor_id)
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_micro DESC, neighbor_id) AS BIGINT)
+              AS fused_rank
+  FROM f
+)
+SELECT query_id, neighbor_id, rank_cos, rank_lsh, rrf_micro, fused_rank
+FROM r WHERE fused_rank <= $k ORDER BY query_id, fused_rank"""
+
+  /** Mirrors TextOps.qualityCalibrated: the quality oracle as a derived
+    * table, per-source integer-bp percentile with (score, doc_id) tie
+    * order, null scores excluded, keep = top share cut. */
+  def qualityCalibrated(keepBp: Int = 3000): String = s"""
+WITH q AS (SELECT doc_id, quality_score FROM ($qualityScore) t
+           WHERE quality_score IS NOT NULL),
+j AS (
+  SELECT d.doc_id, d.source, q.quality_score
+  FROM documents d JOIN q USING (doc_id)
+),
+r AS (
+  SELECT doc_id, source, quality_score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY quality_score, doc_id) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+  FROM j
+)
+SELECT doc_id, source, quality_score,
+       CAST(CASE WHEN n_src = 1 THEN 0
+                 ELSE ((rk - 1) * 10000) // (n_src - 1) END AS BIGINT) AS pct_rank_bp,
+       CASE WHEN n_src = 1 THEN 0
+            ELSE ((rk - 1) * 10000) // (n_src - 1) END >= ${10000 - keepBp} AS keep
+FROM r ORDER BY doc_id"""
+
   val nearDupPairs: String = s"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ${cosSql("a.embedding", "b.embedding")} AS cosine_sim

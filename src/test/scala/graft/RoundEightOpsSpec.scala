@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextOps
-import graft.operators.{Sketches, Validators}
+import graft.operators.{Similarity, Sketches, Validators}
 import graft.queries.{EventQueries, RelationalQueries}
 
 /** Round-8 additions: weighted reservoir sampling (see SamplingSpec),
@@ -150,5 +150,51 @@ class RoundEightOpsSpec extends AnyFunSuite {
       }
     }.map(_._1).toSet
     assert(got === brute)
+  }
+
+  test("rrfFusion is internally consistent and agrees with its rankers") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = Similarity.rrfFusion(emb, nQueries = 3, k = 5).collect()
+    assert(r.nonEmpty)
+    // per query: at most k rows, fused_rank dense from 1, rrf_micro descending
+    r.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("fused_rank"))
+      assert(sorted.length <= 5)
+      assert(sorted.map(_.getAs[Long]("fused_rank")).toSeq === (1L to sorted.length).toSeq)
+      val micros = sorted.map(_.getAs[Long]("rrf_micro")).toSeq
+      assert(micros === micros.sorted.reverse)
+    }
+    // rrf_micro recomputes from the emitted ranks
+    r.foreach { row =>
+      def c(f: String): Long = if (row.isNullAt(row.fieldIndex(f))) 0L
+        else 1000000L / (60L + row.getAs[Long](f))
+      assert(row.getAs[Long]("rrf_micro") === c("rank_cos") + c("rank_lsh"))
+    }
+    // a candidate ranked 1st by BOTH rankers must top its query's fusion
+    val both1 = r.filter(x => !x.isNullAt(x.fieldIndex("rank_cos")) &&
+      !x.isNullAt(x.fieldIndex("rank_lsh")) &&
+      x.getAs[Long]("rank_cos") == 1L && x.getAs[Long]("rank_lsh") == 1L)
+    both1.foreach(x => assert(x.getAs[Long]("fused_rank") === 1L))
+  }
+
+  test("qualityCalibrated assigns per-source integer-bp percentiles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "web"), (2L, "a b", "web"), (3L, "a b c", "web"),
+      (4L, "x y", "code"),
+      (5L, "", "web") // null-score doc: excluded
+    ).toDF("doc_id", "text", "source")
+    val r = TextOps.qualityCalibrated(docs, keepBp = 3000).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(!r.contains(5L))
+    assert(r(1L).getAs[Long]("pct_rank_bp") === 0L)
+    assert(r(2L).getAs[Long]("pct_rank_bp") === 5000L)
+    assert(r(3L).getAs[Long]("pct_rank_bp") === 10000L)
+    // single-doc source sits at 0 by convention
+    assert(r(4L).getAs[Long]("pct_rank_bp") === 0L)
+    // keep = top 30% of the source: only the web top doc clears 7000
+    assert(r(3L).getAs[Boolean]("keep"))
+    assert(!r(1L).getAs[Boolean]("keep") && !r(2L).getAs[Boolean]("keep"))
   }
 }
