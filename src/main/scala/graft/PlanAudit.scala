@@ -33,7 +33,9 @@ object PlanAudit {
     //   distinct-group frames (sketch tables are fixed-size by design)
     // text_bigram_logprob: the 1-row corpus-total cross (unigram twin)
     // ann_rrf_fusion: composes ann_cosine_topk's broadcast-query cross
-    "sketch_kmv_jaccard", "text_bigram_logprob", "ann_rrf_fusion")
+    // profile_chi2: the 1-row grand-total cross over the tiny cell census
+    "sketch_kmv_jaccard", "text_bigram_logprob", "ann_rrf_fusion",
+    "profile_chi2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -240,6 +240,12 @@ object SparkEntry {
     // per-source percentile calibration of the quality score
     "text_quality_calibrated" -> ((s, d) =>
       TextOps.qualityCalibrated(Tables.documents(s, d))),
+    // capped posting-list materialization (search-index build)
+    "text_inverted_index" -> ((s, d) =>
+      TextOps.invertedIndex(Tables.documents(s, d))),
+    // source-lang chi-square independence screen
+    "profile_chi2" -> ((s, d) =>
+      Validators.chiSquareIndependence(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.languageId(Tables.documents(s, d))),
     "text_lang_confusion" -> ((s, d) => TextOps.langConfusion(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
@@ -504,6 +510,8 @@ object SparkEntry {
     "text_token_stats" -> OracleSqlText.tokenStats,
     "text_quality" -> OracleSqlText.qualityScore,
     "text_quality_calibrated" -> OracleSqlText.qualityCalibrated(),
+    "text_inverted_index" -> OracleSqlText.invertedIndex(),
+    "profile_chi2" -> OracleSqlText.chiSquareIndependence,
     "text_langid" -> OracleSqlText.languageId,
     "text_lang_confusion" -> OracleSqlText.langConfusion,
     "text_fingerprint" -> OracleSqlText.fingerprint,

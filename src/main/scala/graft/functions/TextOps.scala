@@ -89,6 +89,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Capped inverted-index materialization — the search-index build step:
+    * per term, document frequency, total term frequency, and the first
+    * `cap` postings (doc_ids ascending) plus a truncation flag. The cap is
+    * what makes the operator survive a whale term (a stopword's full
+    * posting list IS the corpus): the per-term ranking carries a constant
+    * limit, so WindowGroupLimit keeps top-`cap` selection inside each
+    * map/reduce side and no term's docs ever sort whole — the
+    * capPerGroup discipline. df/tf come from a full (map-side combinable)
+    * aggregate over the same staged (term, doc) table, so the corpus
+    * tokenizes once. Postings emit as a comma-joined string of
+    * NUMERICALLY-sorted ids (both engines sort the integer list, then
+    * render — integer→text is engine-identical).
+    *
+    * Output: (term, df, tf, postings, truncated), one row per vocab term. */
+  def invertedIndex(docs: DataFrame, cap: Int = 20): DataFrame = {
+    val td = graft.RunHygiene.stage(withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf_doc")))
+    td.count() // fill once: stats and postings both read it
+    val stats = td.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf_doc")).as("tf"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val postings = td
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+      .groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("plist"))
+      .select(col("term"),
+        array_join(transform(col("plist"), x => x.cast("string")), ",").as("postings"))
+    stats.join(postings, Seq("term"))
+      .select(col("term"), col("df"), col("tf"), col("postings"),
+        (col("df") > cap).as("truncated"))
+      .orderBy("term")
+  }
+
   /** Per-source percentile calibration of the quality score — the curation
     * step between scoring and thresholding: raw quality scores are not
     * comparable across domains (a mid-tier web page outscores a top-tier

@@ -149,6 +149,49 @@ object Validators {
       sum((col("TCTYPE").isin("spent", "expired") && col("REDEEMID").isNull).cast("long"))
         .as("unmatched_spent_expired"))
 
+  /** Pearson chi-square independence test between two categorical columns
+    * (documents' source × lang by default) — the drift/balance screen a
+    * curation pipeline runs to ask "is language mix independent of
+    * source?": χ² = Σ_cells (o − e)²/e with e = rowTotal·colTotal/N. A
+    * large statistic against the (r−1)(c−1) dof says the mix is skewed
+    * per source (sampling weights need per-(source, lang) cells, not a
+    * product of marginals).
+    *
+    * Determinism: each cell's contribution is a fixed double expression of
+    * exact integer counts, QUANTIZED to integer micro-units (floor) before
+    * the sum (the KL convention), so the cell aggregation order cannot
+    * drift. Expected counts compute as (CAST(n_row AS DOUBLE)·n_col)/N —
+    * double from the first factor, so the product never overflows BIGINT
+    * at any corpus size.
+    *
+    * Shape: one (r×c)-cell aggregate (map-side combinable), marginals from
+    * the cells themselves (tiny), broadcast joins, 1-row readout. */
+  def chiSquareIndependence(df: DataFrame, rowCol: String = "source",
+      colCol: String = "lang"): DataFrame = {
+    val cells = graft.RunHygiene.stage(
+      df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+        .agg(count(lit(1)).as("o")))
+    cells.count() // fill once: marginals, total, and contributions all read it
+    val rowTot = cells.groupBy("r").agg(sum("o").as("n_r"))
+    val colTot = cells.groupBy("c").agg(sum("o").as("n_c"))
+    val total = cells.agg(sum("o").as("n_total"))
+    val contrib = cells
+      .join(broadcast(rowTot), Seq("r")).join(broadcast(colTot), Seq("c"))
+      .crossJoin(broadcast(total))
+      .withColumn("e", col("n_r").cast("double") * col("n_c") / col("n_total"))
+      .withColumn("d", col("o").cast("double") - col("e"))
+      .withColumn("micro",
+        floor(col("d") * col("d") / col("e") * lit(1e6)).cast("long"))
+    val dims = contrib.agg(
+      countDistinct(col("r")).as("n_rows"),
+      countDistinct(col("c")).as("n_cols"),
+      count(lit(1)).as("n_cells"),
+      sum(col("micro")).as("sum_micro"))
+    dims.select(col("n_rows"), col("n_cols"), col("n_cells"),
+      ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+      round(col("sum_micro").cast("double") / lit(1e6), 4).as("chi2"))
+  }
+
   /** Benford first-digit expectation log10(1+1/d), in integer basis points —
     * ONE table rendered into both the Spark plan and the DuckDB oracle (the
     * shared-constant convention), so no engine evaluates a transcendental. */

@@ -1137,6 +1137,50 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM occ JOIN lp USING (token)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors TextOps.invertedIndex: (term, doc) table, full df/tf
+    * aggregate, capped numerically-sorted posting strings. */
+  def invertedIndex(cap: Int = 20): String = s"""
+WITH $toksCte,
+td AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+g AS (SELECT term, doc_id, COUNT(*) AS tf_doc FROM td GROUP BY 1, 2),
+stats AS (
+  SELECT term, COUNT(*) AS df, CAST(SUM(tf_doc) AS BIGINT) AS tf FROM g GROUP BY 1
+),
+p AS (
+  SELECT term,
+         array_to_string(list_sort(list(doc_id)), ',') AS postings
+  FROM (SELECT term, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM g) t
+  WHERE rn <= $cap GROUP BY term
+)
+SELECT term, df, tf, postings, df > $cap AS truncated
+FROM stats JOIN p USING (term) ORDER BY term"""
+
+  /** Mirrors Validators.chiSquareIndependence over documents
+    * (source × lang): cell census, marginals, micro-quantized cell
+    * contributions, 1-row readout. */
+  val chiSquareIndependence: String = """
+WITH cells AS (
+  SELECT source AS r, lang AS c, COUNT(*) AS o FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS n_r FROM cells GROUP BY 1),
+ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS n_c FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells),
+contrib AS (
+  SELECT cells.r, cells.c, o,
+         CAST(floor((o::DOUBLE - (n_r::DOUBLE * n_c / n_total)) *
+                    (o::DOUBLE - (n_r::DOUBLE * n_c / n_total)) /
+                    (n_r::DOUBLE * n_c / n_total) * 1000000.0) AS BIGINT) AS micro
+  FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+)
+SELECT CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cols,
+       COUNT(*) AS n_cells,
+       CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS BIGINT) AS dof,
+       ROUND(CAST(SUM(micro) AS BIGINT)::DOUBLE / 1000000.0, 4) AS chi2
+FROM contrib"""
+
   /** Mirrors TextOps.bigramLogProb: parallel-unnest bigram stream, three
     * censuses + 1-row total, Jelinek–Mercer ln P quantized to integer
     * micro-nats before the per-doc sum (associativity-proof), one division

@@ -197,4 +197,40 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(r(3L).getAs[Boolean]("keep"))
     assert(!r(1L).getAs[Boolean]("keep") && !r(2L).getAs[Boolean]("keep"))
   }
+
+  test("invertedIndex builds capped, numerically-sorted postings") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextOps.invertedIndex(docs).collect()
+      .map(x => x.getAs[String]("term") -> x).toMap
+    assert(r("a").getAs[Long]("df") === 1L)
+    assert(r("a").getAs[Long]("tf") === 2L)
+    assert(r("a").getAs[String]("postings") === "1")
+    assert(r("b").getAs[Long]("df") === 2L)
+    assert(r("b").getAs[String]("postings") === "1,2")
+    assert(r.values.forall(!_.getAs[Boolean]("truncated")))
+    // whale term: 25 docs, cap 20 -> numeric order 1..20, flagged truncated
+    val whale = (1L to 25L).map((_, "x")).toDF("doc_id", "text")
+    val wr = TextOps.invertedIndex(whale, cap = 20).collect().head
+    assert(wr.getAs[String]("postings") === (1L to 20L).mkString(","))
+    assert(wr.getAs[Boolean]("truncated"))
+    assert(wr.getAs[Long]("df") === 25L)
+  }
+
+  test("chiSquareIndependence: exact independence scores zero") {
+    import spark.implicits._
+    // counts proportional to marginal products -> every cell o == e
+    val rows =
+      Seq.fill(10)(("s1", "en")) ++ Seq.fill(20)(("s1", "fr")) ++
+        Seq.fill(30)(("s2", "en")) ++ Seq.fill(60)(("s2", "fr"))
+    val r = Validators.chiSquareIndependence(rows.toDF("source", "lang")).collect().head
+    assert(r.getAs[Long]("n_cells") === 4L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Double]("chi2") === 0.0)
+    // a skewed table scores strictly positive
+    val skew = Seq.fill(30)(("s1", "en")) ++ Seq.fill(5)(("s1", "fr")) ++
+      Seq.fill(5)(("s2", "en")) ++ Seq.fill(30)(("s2", "fr"))
+    val r2 = Validators.chiSquareIndependence(skew.toDF("source", "lang")).collect().head
+    assert(r2.getAs[Double]("chi2") > 10.0)
+  }
 }
