@@ -88,6 +88,9 @@ object SparkEntry {
     // average daily balance (interest basis) over the gap-filled series
     "balance_avg_daily" -> ((s, d) =>
       BalanceAnalytics.avgDailyBalance(BalanceAnalytics.gapFillDaily(history(s, d)))),
+    // per-customer OLS trend of the day-end balance series
+    "balance_trend" -> ((s, d) =>
+      BalanceAnalytics.balanceTrend(history(s, d))),
 
     // general as-of join: every customer probed at three fixed instants
     "asof_balance_join" -> ((s, d) => {
@@ -240,6 +243,9 @@ object SparkEntry {
     // per-source percentile calibration of the quality score
     "text_quality_calibrated" -> ((s, d) =>
       TextOps.qualityCalibrated(Tables.documents(s, d))),
+    // histogram-percentile calibration (the map-side whale-source path)
+    "text_quality_histogram" -> ((s, d) =>
+      TextOps.qualityHistogramPct(Tables.documents(s, d))),
     // capped posting-list materialization (search-index build)
     "text_inverted_index" -> ((s, d) =>
       TextOps.invertedIndex(Tables.documents(s, d))),
@@ -511,6 +517,7 @@ object SparkEntry {
     "text_quality" -> OracleSqlText.qualityScore,
     "text_quality_calibrated" -> OracleSqlText.qualityCalibrated(),
     "text_inverted_index" -> OracleSqlText.invertedIndex(),
+    "text_quality_histogram" -> OracleSqlText.qualityHistogramPct(),
     "profile_chi2" -> OracleSqlText.chiSquareIndependence,
     "text_langid" -> OracleSqlText.languageId,
     "text_lang_confusion" -> OracleSqlText.langConfusion,
@@ -576,6 +583,7 @@ object SparkEntry {
     "orders_cube" -> OracleSql.ordersCube,
     "profile_orders" -> OracleSql.profileOrders,
     "timeseries_gapfill" -> OracleSql.gapFillDaily,
+    "balance_trend" -> OracleSql.balanceTrend,
     "balance_avg_daily" -> OracleSql.avgDailyBalance,
     "sketch_quantile" -> OracleSqlText.hashSampleQuantiles(),
     "layout_zorder_stats" -> OracleSql.zorderStats(),

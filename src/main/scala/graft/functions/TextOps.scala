@@ -161,6 +161,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Histogram-percentile calibration — the 100 TB twin of
+    * [[qualityCalibrated]] the scaladoc there promises: instead of an
+    * exact per-source rank (one sort per source), each doc lands in a
+    * fixed score bin (narrow map-side work), the per-(source, bin)
+    * histogram aggregates map-side-combinably to ≤ nBins rows per source,
+    * cumulative below-bin counts compute on that TINY table, and the
+    * estimate broadcasts back — no per-source sort anywhere, whale
+    * sources welcome. The percentile is the strictly-below-bin lower
+    * bound in the same (rank·10000 div (n−1)) basis-point basis, so
+    * the two operators' outputs are directly comparable; resolution is
+    * the bin width (docs within a bin share an estimate).
+    *
+    * Output: (doc_id, source, quality_score, bin, approx_pct_bp,
+    * keep_approx). */
+  def qualityHistogramPct(docs: DataFrame, nBins: Int = 100,
+      keepBp: Int = 3000): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val scored = docs.select(col("doc_id"), col("source")).join(q, Seq("doc_id"))
+      .filter(col("quality_score").isNotNull)
+      .withColumn("bin",
+        least(floor(col("quality_score") * nBins).cast("long"),
+          lit((nBins - 1).toLong)))
+    val hist = scored.groupBy("source", "bin").agg(count(lit(1)).as("n_bin"))
+    val wCum = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cum_below", coalesce(sum(col("n_bin")).over(wCum), lit(0L)))
+      .withColumn("n_src", sum(col("n_bin")).over(Window.partitionBy("source")))
+      .select("source", "bin", "cum_below", "n_src")
+    scored.join(broadcast(cum), Seq("source", "bin"))
+      .withColumn("approx_pct_bp",
+        when(col("n_src") === 1, lit(0L))
+          .otherwise(expr("(cum_below * 10000) div (n_src - 1)")))
+      .withColumn("keep_approx",
+        col("approx_pct_bp") >= lit((10000 - keepBp).toLong))
+      .select("doc_id", "source", "quality_score", "bin", "approx_pct_bp", "keep_approx")
+      .orderBy("doc_id")
+  }
+
   /** Language markers: tiny high-frequency stopword lists per language.
     * (The heuristic n-gram approach of fastText-style ID, reduced to its
     * portable core: marker-token voting.) */

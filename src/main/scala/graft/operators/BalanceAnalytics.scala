@@ -150,4 +150,46 @@ object BalanceAnalytics {
     * orderBy+limit plans as TakeOrderedAndProject: no global sort at scale. */
   def topBalances(current: DataFrame, k: Int = 10): DataFrame =
     current.orderBy(col("current_balance").desc, col("customer_id")).limit(k)
+
+  /** Per-customer OLS trend of the day-end balance series — "is this
+    * balance growing or draining, and how fast": slope in cents/day from
+    * the closed-form least-squares fit over (epoch day, day-end cents).
+    * The portfolio-health readout next to [[avgDailyBalance]].
+    *
+    * Determinism: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    * are exact integer sums (the ACF discipline) and the slope is ONE
+    * double division CAST(nΣxy−ΣxΣy AS DOUBLE) / (nΣx²−(Σx)²); a
+    * single-day customer (den = 0) yields NULL on both engines. Integer
+    * envelope: |epoch day| ≈ 2·10⁴ and |cents| ≤ c keep every statistic
+    * under 2⁶³ while n·c·2·10⁴ < 9·10¹⁸ — beyond that, re-origin the day
+    * axis per customer.
+    *
+    * Shape: the ledger collapses to day-end rows first (per-(customer,
+    * day) rank — one keyed shuffle, WindowGroupLimit-capped), then one
+    * map-side-combinable aggregate per customer. One row per customer at
+    * any volume. */
+  def balanceTrend(history: DataFrame): DataFrame = {
+    val h = history.select(col("customer_id"),
+      to_date(col("transaction_date")).as("day"),
+      col("transaction_date"), col("transaction_id"), col("current_balance"))
+    val wDay = Window.partitionBy("customer_id", "day")
+      .orderBy(col("transaction_date").desc, col("transaction_id").desc)
+    val dayEnd = h.withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("customer_id"),
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("x"),
+        round(col("current_balance") * 100).cast("long").as("y"))
+    val den = col("n_days") * col("sxx") - col("sx") * col("sx")
+    dayEnd.groupBy("customer_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("customer_id"), col("n_days"),
+        round(when(den === 0, lit(null).cast("double"))
+          .otherwise((col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / den), 4).as("slope_cents_per_day"))
+      .orderBy("customer_id")
+  }
 }

@@ -1128,6 +1128,32 @@ SELECT customer_id, n_days,
        first_day, last_day
 FROM a ORDER BY customer_id""")
 
+  /** Mirrors BalanceAnalytics.balanceTrend: day-end reduction, exact
+    * integer sufficient statistics over (epoch day, cents), one double
+    * division, NULL for single-day customers. */
+  val balanceTrend: String = pipelined("""
+, day_end AS (
+  SELECT customer_id,
+         CAST(CAST(transaction_date AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(ROUND(current_balance * 100) AS BIGINT) AS y
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id, CAST(transaction_date AS DATE)
+                                     ORDER BY transaction_date DESC, transaction_id DESC) AS rn
+        FROM balance_history) t
+  WHERE rn = 1
+),
+a AS (
+  SELECT customer_id, COUNT(*) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM day_end GROUP BY 1
+)
+SELECT customer_id, n_days,
+       CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+            ELSE ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+                       (n_days * sxx - sx * sx), 4)
+       END AS slope_cents_per_day
+FROM a ORDER BY customer_id""")
+
   /** Mirrors RelationalQueries.tierLookupJoin — dimension VALUES and bin
     * width render from the same constants; the bin expansion + residual
     * range filter reproduce the banded-join rewrite exactly. */

@@ -1137,6 +1137,36 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM occ JOIN lp USING (token)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors TextOps.qualityHistogramPct: fixed score bins, per-(source,
+    * bin) histogram, strictly-below cumulative, broadcast-back estimate in
+    * the same bp basis as qualityCalibrated. */
+  def qualityHistogramPct(nBins: Int = 100, keepBp: Int = 3000): String = s"""
+WITH q AS (SELECT doc_id, quality_score FROM ($qualityScore) t
+           WHERE quality_score IS NOT NULL),
+scored AS (
+  SELECT d.doc_id, d.source, q.quality_score,
+         LEAST(CAST(floor(q.quality_score * $nBins) AS BIGINT), ${nBins - 1}) AS bin
+  FROM documents d JOIN q USING (doc_id)
+),
+hist AS (SELECT source, bin, COUNT(*) AS n_bin FROM scored GROUP BY 1, 2),
+cum AS (
+  SELECT source, bin,
+         CAST(COALESCE(SUM(n_bin) OVER (PARTITION BY source ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_below,
+         CAST(SUM(n_bin) OVER (PARTITION BY source) AS BIGINT) AS n_src
+  FROM hist
+)
+SELECT s.doc_id, s.source, s.quality_score, s.bin,
+       CAST(CASE WHEN c.n_src = 1 THEN 0
+                 ELSE (c.cum_below * 10000) // (c.n_src - 1) END AS BIGINT)
+         AS approx_pct_bp,
+       CASE WHEN c.n_src = 1 THEN 0
+            ELSE (c.cum_below * 10000) // (c.n_src - 1) END >= ${10000 - keepBp}
+         AS keep_approx
+FROM scored s JOIN cum c USING (source, bin)
+ORDER BY s.doc_id"""
+
   /** Mirrors TextOps.invertedIndex: (term, doc) table, full df/tf
     * aggregate, capped numerically-sorted posting strings. */
   def invertedIndex(cap: Int = 20): String = s"""

@@ -233,4 +233,40 @@ class RoundEightOpsSpec extends AnyFunSuite {
     val r2 = Validators.chiSquareIndependence(skew.toDF("source", "lang")).collect().head
     assert(r2.getAs[Double]("chi2") > 10.0)
   }
+
+  test("balanceTrend fits the day-end OLS slope; single-day customers are NULL") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // customer 1: balance 10, 20, ..., 50 over five days -> slope 1000 cents/day;
+    // day 3 has TWO rows - the later (day-end) one must win
+    val rows = (1 to 5).map(i =>
+      ("1", ts(f"2024-01-0$i%d 12:00:00"), s"t$i", i * 10.0)) ++
+      Seq(("1", ts("2024-01-03 08:00:00"), "t3early", 999.0),
+        ("2", ts("2024-01-01 12:00:00"), "s1", 42.0))
+    val h = rows.toDF("customer_id", "transaction_date", "transaction_id", "current_balance")
+    val r = graft.operators.BalanceAnalytics.balanceTrend(h).collect()
+      .map(x => x.getAs[String]("customer_id") -> x).toMap
+    assert(r("1").getAs[Long]("n_days") === 5L)
+    assert(r("1").getAs[Double]("slope_cents_per_day") === 1000.0)
+    assert(r("2").getAs[Long]("n_days") === 1L)
+    assert(r("2").isNullAt(r("2").fieldIndex("slope_cents_per_day")))
+  }
+
+  test("qualityHistogramPct lower-bounds the exact percentile within bin resolution") {
+    import spark.implicits._
+    // 11 docs in one source with strictly increasing token counts ->
+    // strictly increasing quality scores across different bins
+    val docs = (1L to 11L).map(i =>
+      (i, (1L to i * 15).map(j => s"w$j").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source")
+    val exact = TextOps.qualityCalibrated(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("pct_rank_bp")).toMap
+    val approx = TextOps.qualityHistogramPct(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("approx_pct_bp")).toMap
+    assert(approx.keySet === exact.keySet)
+    // the strictly-below-bin count can never exceed the exact rank, and
+    // with one doc per bin here the two must agree exactly
+    approx.foreach { case (id, bp) => assert(bp <= exact(id)) }
+    assert(approx === exact)
+  }
 }
