@@ -34,8 +34,10 @@ object PlanAudit {
     // text_bigram_logprob: the 1-row corpus-total cross (unigram twin)
     // ann_rrf_fusion: composes ann_cosine_topk's broadcast-query cross
     // profile_chi2: the 1-row grand-total cross over the tiny cell census
+    // embed_label_scatter: the |labels|² between-centroid cross over the
+    //   tiny centroid table
     "sketch_kmv_jaccard", "text_bigram_logprob", "ann_rrf_fusion",
-    "profile_chi2")
+    "profile_chi2", "embed_label_scatter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -92,6 +92,20 @@ object SparkEntry {
     "balance_trend" -> ((s, d) =>
       BalanceAnalytics.balanceTrend(history(s, d))),
 
+    // nearest-within-tolerance as-of variant (merge_asof 'nearest'), 3-day window
+    "asof_nearest_join" -> ((s, d) => {
+      val h = history(s, d)
+        .select("customer_id", "transaction_date", "transaction_id", "current_balance")
+      val probes = h.select("customer_id").distinct()
+        .withColumn("transaction_date", explode(array(
+          Seq(Params.Start, Params.AsOf, Params.End)
+            .map(t => lit(t).cast("timestamp_ntz")): _*)))
+      graft.operators.AsOfJoin.asOfNearest(h, probes, "customer_id", "transaction_date",
+          tieCol = "transaction_id", valueCols = Seq("current_balance"),
+          toleranceSeconds = 259200L)
+        .withColumnRenamed("transaction_date", "as_of_ts")
+        .orderBy("customer_id", "as_of_ts")
+    }),
     // general as-of join: every customer probed at three fixed instants
     "asof_balance_join" -> ((s, d) => {
       val h = history(s, d)
@@ -269,6 +283,9 @@ object SparkEntry {
     // training-data pipeline: similarity search over embeddings
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), nPlanes = 4)),
+    // per-label embedding scatter: cohesion + nearest-other confusability
+    "embed_label_scatter" -> ((s, d) =>
+      Similarity.labelScatter(Tables.embeddings(s, d))),
     // reciprocal-rank fusion of the exact and LSH rankings (hybrid retrieval)
     "ann_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
@@ -481,6 +498,7 @@ object SparkEntry {
     "q12_never_spent" -> OracleSql.q12,
     "report_summary" -> OracleSql.reportSummary,
     "asof_balance_join" -> OracleSql.asofBalanceJoin,
+    "asof_nearest_join" -> OracleSql.asofNearestJoin(259200L),
     "top_balances" -> OracleSql.topBalances,
     "v_source_quality" -> OracleSql.vSourceQuality,
     "v_referential_integrity" -> OracleSql.vReferentialIntegrity,
@@ -531,6 +549,7 @@ object SparkEntry {
     "ann_cosine_topk" -> OracleSqlText.annTopK,
     "ann_lsh_topk" -> OracleSqlText.annLshTopK,
     "ann_rrf_fusion" -> OracleSqlText.annRrfFusion(),
+    "embed_label_scatter" -> OracleSqlText.labelScatter,
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL
     "ann_ivf_topk" -> OracleSqlText.annIvfTopK(),

@@ -56,4 +56,64 @@ object AsOfJoin {
       .select((Seq(col(keyCol), col(tsCol)) ++
         valueCols.map(c => col("_last").getField(c).as(c))): _*)
   }
+
+  /** Nearest-within-tolerance as-of join (pandas `merge_asof
+    * direction='nearest'` semantics): for each probe, the timeline row
+    * whose timestamp is CLOSEST on either side, if it lies within
+    * `toleranceSeconds`; equal distances prefer the backward row. The
+    * sensor-alignment / late-data variant of [[asOf]] — a reading a few
+    * seconds in the future beats one an hour stale.
+    *
+    * Formulation: the same union-the-probes trick run in BOTH directions —
+    * a backward carry (last row at or before, ties to the LARGEST tie) and
+    * a forward carry over the reversed ordering (first row at or after,
+    * ties to the SMALLEST tie) — then one row-local choice of the nearer
+    * side. Still one keyed shuffle; the two window passes share the
+    * partitioning (one Exchange, two Sorts). Distances are integer epoch
+    * seconds (floored on both engines).
+    *
+    * Output: (keyCol, tsCol, matched_ts, matched_side back|fwd|null,
+    * dist_seconds, valueCols*) — all match columns null when nothing lies
+    * within tolerance. */
+  def asOfNearest(timeline: DataFrame, probes: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, valueCols: Seq[String],
+      toleranceSeconds: Long): DataFrame = {
+    val rowStruct = struct(
+      (Seq(col(tsCol).as("_mts")) ++ valueCols.map(col)): _*)
+    val tl = timeline.select(
+      col(keyCol), col(tsCol), lit(0).as("_probe"), col(tieCol).as("_tie"),
+      rowStruct.as("_row"))
+    val pr = probes.select(
+      col(keyCol), col(tsCol), lit(1).as("_probe"),
+      lit(null).cast(timeline.schema(tieCol).dataType).as("_tie"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        timeline.schema(tsCol).copy(name = "_mts", nullable = true) +:
+          valueCols.map(c => timeline.schema(c).copy(nullable = true)))).as("_row"))
+    // backward: probe after timeline rows at the same instant, carried last
+    // = max tie; forward: reversed timestamps, probe still after timeline
+    // rows of its instant, _tie DESC makes the carried last the MIN tie
+    val wB = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("_probe"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col("_probe"), col("_tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pSec = unix_timestamp(col(tsCol))
+    val backD = pSec - unix_timestamp(col("_back").getField("_mts"))
+    val fwdD = unix_timestamp(col("_fwd").getField("_mts")) - pSec
+    val backOk = col("_back").isNotNull && backD <= toleranceSeconds
+    val fwdOk = col("_fwd").isNotNull && fwdD <= toleranceSeconds
+    val useBack = backOk && (!fwdOk || backD <= fwdD)
+    val useFwd = fwdOk && !(backOk && backD <= fwdD)
+    val chosen = when(useBack, col("_back")).when(useFwd, col("_fwd"))
+    tl.unionByName(pr)
+      .withColumn("_back", last(col("_row"), ignoreNulls = true).over(wB))
+      .withColumn("_fwd", last(col("_row"), ignoreNulls = true).over(wF))
+      .filter(col("_probe") === 1)
+      .select((Seq(col(keyCol), col(tsCol),
+        chosen.getField("_mts").as("matched_ts"),
+        when(useBack, "back").when(useFwd, "fwd").as("matched_side"),
+        when(useBack, backD).when(useFwd, fwdD).cast("long").as("dist_seconds")) ++
+        valueCols.map(c => chosen.getField(c).as(c))): _*)
+  }
 }

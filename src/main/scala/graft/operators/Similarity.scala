@@ -325,6 +325,70 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-label embedding-space scatter — the cluster-quality/separability
+    * readout an embedding pipeline checks before trusting labels or
+    * training a probe: per label, its centroid's cohesion (mean and worst
+    * member→centroid cosine) and its confusability (the nearest OTHER
+    * centroid and that between-centroid cosine). High within + low between
+    * = separable classes; a label whose nearest-other cosine approaches
+    * its within mean is bleeding into its neighbor.
+    *
+    * Determinism: centroids are per-dim ROUND(AVG, 6)::float (the IVF
+    * Lloyd convention — the rounding pins cross-engine summation), member
+    * cosines are the engine's rounded-6 index-order cosine QUANTIZED to
+    * integer micro-units before the per-label mean (the KL convention);
+    * zero vectors yield null cosines, excluded from mean/min identically
+    * on both engines.
+    *
+    * Shape: one staged corpus pass read twice (centroid build, scoring);
+    * the centroid build is a (label, pos) keyed aggregate (map-side
+    * combinable); centroids broadcast back for scoring; the between stage
+    * is a |labels|² cross over the tiny centroid table.
+    *
+    * Output per label: (label, n_vecs, avg_within_cos, min_within_cos,
+    * nearest_label, between_cos). */
+  def labelScatter(embeddings: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val emb = graft.RunHygiene.stage(
+      embeddings.select(col("vec_id"), col("label"), col("embedding")))
+    emb.count() // fill once: centroid build and scoring both read it
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+      .groupBy("label", "pos").agg(round(avg(col("comp")), 6).as("mean"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+      .select(col("label"),
+        transform(col("pm"), p => p.getField("mean").cast("float")).as("centroid"))
+    val within = emb.join(broadcast(cents), Seq("label"))
+      .withColumn("cos0", round(cosine(col("embedding"), col("centroid")), 6))
+      // NaN components (degenerate vectors) make cosine NaN — excluded
+      // like the zero-vector nulls, identically on both engines
+      .withColumn("cos", when(isnan(col("cos0")), lit(null).cast("double"))
+        .otherwise(col("cos0")))
+      .withColumn("micro", floor(col("cos") * lit(1e6)).cast("long"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("micro")).as("sum_micro"), min(col("micro")).as("min_micro"))
+    val pairs = cents.select(col("label"), col("centroid").as("ca"))
+      .crossJoin(cents.select(col("label").as("other_label"), col("centroid").as("cb")))
+      .filter(col("label") =!= col("other_label"))
+      .withColumn("bcos0", round(cosine(col("ca"), col("cb")), 6))
+      .withColumn("bcos", when(isnan(col("bcos0")), lit(null).cast("double"))
+        .otherwise(col("bcos0")))
+    val wn = Window.partitionBy("label").orderBy(col("bcos").desc, col("other_label"))
+    val nearest = pairs.withColumn("rn", row_number().over(wn))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("other_label").as("nearest_label"),
+        col("bcos").as("between_cos"))
+    within.join(nearest, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        round(col("sum_micro").cast("double") / col("n_vecs") / lit(1e6), 4)
+          .as("avg_within_cos"),
+        round(col("min_micro").cast("double") / lit(1e6), 4).as("min_within_cos"),
+        col("nearest_label"), col("between_cos"))
+      .orderBy("label")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of the exact and
     * LSH ANN rankings — the standard hybrid-retrieval merge: each ranker
     * contributes 1/(kRrf + rank) and candidates re-rank by the sum, so

@@ -126,6 +126,58 @@ j AS (
 SELECT customer_id, as_of_ts, current_balance
 FROM j WHERE rn = 1 ORDER BY customer_id, as_of_ts""")
 
+  /** Mirrors AsOfJoin.asOfNearest over the balance pipeline: the
+    * declarative spec — per probe, rank the within-tolerance candidates on
+    * each side (backward ties to the latest row, forward to the earliest),
+    * then one CASE choosing the nearer side, backward on equal distance.
+    * Distances are integer epoch seconds (floored on both engines). */
+  def asofNearestJoin(tolSeconds: Long): String = pipelined(s"""
+, probes AS (
+  SELECT customer_id, ts
+  FROM (SELECT DISTINCT customer_id FROM balance_history) c
+  CROSS JOIN (VALUES (TIMESTAMP '$Start'), (TIMESTAMP '$AsOf'), (TIMESTAMP '$End')) t(ts)
+),
+back AS (
+  SELECT p.customer_id, p.ts, h.transaction_date AS mts, h.current_balance AS bal,
+         ROW_NUMBER() OVER (PARTITION BY p.customer_id, p.ts
+                            ORDER BY h.transaction_date DESC, h.transaction_id DESC) AS rn
+  FROM probes p JOIN balance_history h
+    ON h.customer_id = p.customer_id AND h.transaction_date <= p.ts
+   AND CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(h.transaction_date)) AS BIGINT) <= $tolSeconds
+),
+fwd AS (
+  SELECT p.customer_id, p.ts, h.transaction_date AS mts, h.current_balance AS bal,
+         ROW_NUMBER() OVER (PARTITION BY p.customer_id, p.ts
+                            ORDER BY h.transaction_date ASC, h.transaction_id ASC) AS rn
+  FROM probes p JOIN balance_history h
+    ON h.customer_id = p.customer_id AND h.transaction_date >= p.ts
+   AND CAST(FLOOR(epoch(h.transaction_date)) AS BIGINT) - CAST(FLOOR(epoch(p.ts)) AS BIGINT) <= $tolSeconds
+),
+j AS (
+  SELECT p.customer_id, p.ts AS as_of_ts,
+         b.mts AS b_ts, b.bal AS b_bal,
+         f.mts AS f_ts, f.bal AS f_bal,
+         CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(b.mts)) AS BIGINT) AS bd,
+         CAST(FLOOR(epoch(f.mts)) AS BIGINT) - CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS fd
+  FROM probes p
+  LEFT JOIN (SELECT * FROM back WHERE rn = 1) b
+    ON b.customer_id = p.customer_id AND b.ts = p.ts
+  LEFT JOIN (SELECT * FROM fwd WHERE rn = 1) f
+    ON f.customer_id = p.customer_id AND f.ts = p.ts
+),
+c AS (
+  SELECT *,
+         (b_ts IS NOT NULL AND (f_ts IS NULL OR bd <= fd)) AS use_back,
+         (f_ts IS NOT NULL AND NOT (b_ts IS NOT NULL AND bd <= fd)) AS use_fwd
+  FROM j
+)
+SELECT customer_id, as_of_ts,
+       CASE WHEN use_back THEN b_ts WHEN use_fwd THEN f_ts END AS matched_ts,
+       CASE WHEN use_back THEN 'back' WHEN use_fwd THEN 'fwd' END AS matched_side,
+       CAST(CASE WHEN use_back THEN bd WHEN use_fwd THEN fd END AS BIGINT) AS dist_seconds,
+       CASE WHEN use_back THEN b_bal WHEN use_fwd THEN f_bal END AS current_balance
+FROM c ORDER BY customer_id, as_of_ts""")
+
   // ---- Q1-Q12 (reference: src/sample_queries.sql) ----
 
   val q1: String = pipelined(s"""

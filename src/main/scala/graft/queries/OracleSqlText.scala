@@ -457,6 +457,48 @@ SELECT doc_id, source, quality_score,
             ELSE ((rk - 1) * 10000) // (n_src - 1) END >= ${10000 - keepBp} AS keep
 FROM r ORDER BY doc_id"""
 
+  /** Mirrors Similarity.labelScatter: ROUND(AVG,6)::FLOAT centroids (the
+    * Lloyd convention), rounded-6 index-order cosines micro-quantized
+    * before the per-label mean, |labels|² between-centroid stage. */
+  val labelScatter: String = s"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+comp AS (
+  SELECT label, unnest(embedding) AS comp, generate_subscripts(embedding, 1) AS pos
+  FROM e
+),
+cm AS (SELECT label, pos, ROUND(AVG(comp), 6)::FLOAT AS mean FROM comp GROUP BY 1, 2),
+cents AS (SELECT label, list(mean ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+w0 AS (
+  SELECT e.label, ${cosSql("e.embedding", "c.centroid")} AS cos0
+  FROM e JOIN cents c USING (label)
+),
+w AS (SELECT label, CASE WHEN isnan(cos0) THEN NULL ELSE cos0 END AS cos FROM w0),
+wm AS (
+  SELECT label, COUNT(*) AS n_vecs,
+         CAST(SUM(CAST(floor(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
+         MIN(CAST(floor(cos * 1000000.0) AS BIGINT)) AS min_micro
+  FROM w GROUP BY 1
+),
+p0 AS (
+  SELECT a.label, b.label AS other_label,
+         ${cosSql("a.centroid", "b.centroid")} AS bcos0
+  FROM cents a JOIN cents b ON b.label <> a.label
+),
+p AS (SELECT label, other_label,
+             CASE WHEN isnan(bcos0) THEN NULL ELSE bcos0 END AS bcos FROM p0),
+n AS (
+  SELECT label, other_label AS nearest_label, bcos AS between_cos
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY bcos DESC, other_label) AS rn
+        FROM p) t
+  WHERE rn = 1
+)
+SELECT wm.label, wm.n_vecs,
+       ROUND(CAST(wm.sum_micro AS DOUBLE) / wm.n_vecs / 1000000.0, 4) AS avg_within_cos,
+       ROUND(CAST(wm.min_micro AS DOUBLE) / 1000000.0, 4) AS min_within_cos,
+       n.nearest_label, n.between_cos
+FROM wm JOIN n USING (label) ORDER BY wm.label"""
+
   val nearDupPairs: String = s"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ${cosSql("a.embedding", "b.embedding")} AS cosine_sim

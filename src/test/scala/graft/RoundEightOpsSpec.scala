@@ -269,4 +269,61 @@ class RoundEightOpsSpec extends AnyFunSuite {
     approx.foreach { case (id, bp) => assert(bp <= exact(id)) }
     assert(approx === exact)
   }
+
+  test("asOfNearest picks the closer side within tolerance, backward on ties") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val timeline = Seq(
+      ("c1", ts("2024-01-01 00:00:00"), "t1", 10.0),
+      ("c1", ts("2024-01-10 00:00:00"), "t2", 20.0),
+      ("c2", ts("2024-06-01 00:00:00"), "u1", 99.0)
+    ).toDF("k", "ts", "tie", "v")
+    val probes = Seq(
+      ("c1", ts("2024-01-02 00:00:00")), // back 1d vs fwd 8d -> back t1
+      ("c1", ts("2024-01-09 00:00:00")), // back 8d vs fwd 1d -> fwd t2
+      ("c1", ts("2024-01-05 12:00:00")), // 4.5d both -> equal -> back t1
+      ("c2", ts("2024-01-01 00:00:00")) // nothing within 10d -> null
+    ).toDF("k", "ts")
+    val tol = 10L * 86400
+    val r = graft.operators.AsOfJoin
+      .asOfNearest(timeline, probes, "k", "ts", "tie", Seq("v"), tol)
+      .collect().map(x => (x.getString(0), x.getTimestamp(1).toString) -> x).toMap
+    assert(r(("c1", "2024-01-02 00:00:00.0")).getAs[String]("matched_side") === "back")
+    assert(r(("c1", "2024-01-02 00:00:00.0")).getAs[Double]("v") === 10.0)
+    assert(r(("c1", "2024-01-02 00:00:00.0")).getAs[Long]("dist_seconds") === 86400L)
+    assert(r(("c1", "2024-01-09 00:00:00.0")).getAs[String]("matched_side") === "fwd")
+    assert(r(("c1", "2024-01-09 00:00:00.0")).getAs[Double]("v") === 20.0)
+    val tie = r(("c1", "2024-01-05 12:00:00.0"))
+    assert(tie.getAs[String]("matched_side") === "back")
+    assert(tie.getAs[Double]("v") === 10.0)
+    val none = r(("c2", "2024-01-01 00:00:00.0"))
+    assert(none.isNullAt(none.fieldIndex("matched_side")))
+    assert(none.isNullAt(none.fieldIndex("v")))
+  }
+
+  test("labelScatter separates tight clusters and flags the nearest neighbor class") {
+    import spark.implicits._
+    // two tight orthogonal-ish clusters and one loose one
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, v(1, 0, 0, 0), 0), (2L, v(0.9, 0.1, 0, 0), 0),
+      (3L, v(0, 1, 0, 0), 1), (4L, v(0.1, 0.9, 0, 0), 1),
+      (5L, v(0.5, 0.5, 0.7, 0), 2), (6L, v(0, 0, 1, 0.5), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Similarity.labelScatter(emb).collect()
+      .map(x => x.getAs[Int]("label") -> x).toMap
+    assert(r.keySet === Set(0, 1, 2))
+    assert(r(0).getAs[Long]("n_vecs") === 2L)
+    // tight clusters: members hug their centroid
+    assert(r(0).getAs[Double]("avg_within_cos") > 0.98)
+    assert(r(1).getAs[Double]("avg_within_cos") > 0.98)
+    // cluster 2 is looser than the tight ones
+    assert(r(2).getAs[Double]("avg_within_cos") < r(0).getAs[Double]("avg_within_cos"))
+    // separability: every class's nearest-other centroid sits well below
+    // its own cohesion
+    r.values.foreach { x =>
+      assert(x.getAs[Double]("between_cos") < x.getAs[Double]("avg_within_cos"))
+      assert(Set(0, 1, 2).contains(x.getAs[Int]("nearest_label")))
+    }
+  }
 }
