@@ -36,8 +36,9 @@ object PlanAudit {
     // profile_chi2: the 1-row grand-total cross over the tiny cell census
     // embed_label_scatter: the |labels|² between-centroid cross over the
     //   tiny centroid table
+    // timeseries_cusum: the 1-row global-stats cross (decompose family)
     "sketch_kmv_jaccard", "text_bigram_logprob", "ann_rrf_fusion",
-    "profile_chi2", "embed_label_scatter")
+    "profile_chi2", "embed_label_scatter", "timeseries_cusum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

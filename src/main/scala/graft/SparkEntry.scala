@@ -241,6 +241,12 @@ object SparkEntry {
     // sample autocorrelation of the per-type daily series, lags 1..7
     "timeseries_acf" -> ((s, d) =>
       EventQueries.dailyAcf(Tables.events(s, d))),
+    // CUSUM level-shift screen over the daily series
+    "timeseries_cusum" -> ((s, d) =>
+      EventQueries.dailyCusum(Tables.events(s, d))),
+    // longest consecutive-day activity streak per user
+    "events_streaks" -> ((s, d) =>
+      EventQueries.activityStreaks(Tables.events(s, d))),
 
     // training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -623,6 +629,8 @@ object SparkEntry {
     "events_paths" -> OracleSql.sessionPaths(),
     "timeseries_decompose" -> OracleSql.dailyDecompose(),
     "timeseries_acf" -> OracleSql.dailyAcf(),
+    "timeseries_cusum" -> OracleSql.dailyCusum,
+    "events_streaks" -> OracleSql.activityStreaks,
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),
     "events_funnel" -> OracleSql.eventsFunnel,

@@ -547,4 +547,76 @@ object EventQueries {
         sum(col("k")).as("sum_k"),
         round(avg(col("k")), 4).as("avg_k"))
       .orderBy("event_type")
+
+  /** Longest consecutive-day activity streak per user — the engagement
+    * signature behind retention/habit metrics, as the classic
+    * gaps-and-islands idiom: distinct active days, island id = epoch day −
+    * dense day rank (constant within a consecutive run), one aggregate per
+    * island, best island per user by (length desc, start asc).
+    *
+    * All integers end to end. Shape: the stream collapses to distinct
+    * (user, day) first (map-side combinable); the rank window and island
+    * aggregate are keyed on user; per-user day counts are calendar-bounded.
+    *
+    * Output: (user_id, n_active_days, longest_streak, streak_start,
+    * streak_end). */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("island",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") -
+          row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"),
+        max(col("day")).as("streak_end"))
+    val totals = days.groupBy("user_id").agg(count(lit(1)).as("n_active_days"))
+    val wBest = Window.partitionBy("user_id")
+      .orderBy(col("len").desc, col("streak_start"))
+    islands.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .join(totals, Seq("user_id"))
+      .select(col("user_id"), col("n_active_days"), col("len").as("longest_streak"),
+        col("streak_start"), col("streak_end"))
+      .orderBy("user_id")
+  }
+
+  /** CUSUM drift screen over the daily revenue series — "did the level
+    * shift, and when": the running sum of deviations from the global mean
+    * (Page 1954); a sustained level change makes |CUSUM| grow linearly
+    * where noise random-walks near zero, so the extreme |cusum| day marks
+    * the change point.
+    *
+    * Determinism: cents all the way — the reference mean is the truncating
+    * integer division of total cents by day count (sign-split, the
+    * avg-daily-balance idiom), deviations and the running sum stay exact
+    * BIGINT, and the one double readout normalizes by the population sd:
+    * round(cusum / sqrt((n·Σx²−(Σx)²)::double)/... — a fixed op sequence;
+    * constant series yield NULL.
+    *
+    * Shape: stream → one row per DAY (map-side combinable), 1-row stats
+    * cross, running sum over the calendar-bounded global day order (the
+    * decompose envelope). */
+  def dailyCusum(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val stats = daily.agg(
+      count(lit(1)).as("n_days"), sum(col("cents")).as("total"),
+      sum(col("cents") * col("cents")).as("sxx"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val varNum = col("n_days") * col("sxx") - col("total") * col("total")
+    daily.crossJoin(broadcast(stats))
+      .withColumn("mean_cents",
+        (signum(col("total")) * expr("abs(total) div n_days")).cast("long"))
+      .withColumn("dev_cents", col("cents") - col("mean_cents"))
+      .withColumn("cusum_cents", sum(col("dev_cents")).over(wCum))
+      .withColumn("cusum_sigma",
+        round(when(varNum <= 0, lit(null).cast("double"))
+          .otherwise(col("cusum_cents").cast("double") /
+            (sqrt(varNum.cast("double")) / col("n_days"))), 4))
+      .select("day", "cents", "dev_cents", "cusum_cents", "cusum_sigma")
+      .orderBy("day")
+  }
 }

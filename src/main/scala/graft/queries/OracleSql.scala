@@ -1061,6 +1061,66 @@ SELECT event_type, CAST(lag_days AS BIGINT) AS lag_days, n_pairs,
 FROM agg ORDER BY event_type, lag_days"""
   }
 
+  /** Mirrors EventQueries.activityStreaks: distinct (user, day),
+    * gaps-and-islands island id, best island by (len desc, start). */
+  val activityStreaks: String = """
+WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+i AS (
+  SELECT user_id, day,
+         CAST(day - DATE '1970-01-01' AS BIGINT) -
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM e
+),
+g AS (
+  SELECT user_id, island, COUNT(*) AS len,
+         MIN(day) AS streak_start, MAX(day) AS streak_end
+  FROM i GROUP BY 1, 2
+),
+t AS (SELECT user_id, COUNT(*) AS n_active_days FROM e GROUP BY 1),
+b AS (
+  SELECT * FROM (
+    SELECT g.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY len DESC, streak_start) AS rn
+    FROM g) x
+  WHERE rn = 1
+)
+SELECT b.user_id, t.n_active_days, b.len AS longest_streak,
+       b.streak_start, b.streak_end
+FROM b JOIN t USING (user_id) ORDER BY user_id"""
+
+  /** Mirrors EventQueries.dailyCusum: integer-cent daily series, truncating
+    * sign-split mean, exact running deviation sum, one sd-normalized
+    * double readout. */
+  val dailyCusum: String = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+s AS (SELECT COUNT(*) AS n_days, CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(SUM(cents * cents) AS BIGINT) AS sxx
+      FROM d),
+c AS (
+  SELECT day, cents,
+         CAST(SIGN(total) * (ABS(total) // n_days) AS BIGINT) AS mean_cents,
+         n_days, total, sxx
+  FROM d CROSS JOIN s
+),
+c2 AS (
+  SELECT day, cents, cents - mean_cents AS dev_cents,
+         CAST(SUM(cents - mean_cents) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cusum_cents,
+         n_days, total, sxx
+  FROM c
+)
+SELECT day, cents, dev_cents, cusum_cents,
+       CASE WHEN n_days * sxx - total * total <= 0 THEN NULL
+            ELSE ROUND(cusum_cents::DOUBLE /
+                       (sqrt(CAST(n_days * sxx - total * total AS DOUBLE)) / n_days), 4)
+       END AS cusum_sigma
+FROM c2 ORDER BY day"""
+
   /** Mirrors EventQueries.typeTransitions: lag-derived (from, to) pairs
     * with '_start_' for stream heads, share-of-from via the engine-proven
     * `n * 100.0 / SUM() OVER` idiom. */

@@ -326,4 +326,44 @@ class RoundEightOpsSpec extends AnyFunSuite {
       assert(Set(0, 1, 2).contains(x.getAs[Int]("nearest_label")))
     }
   }
+
+  test("activityStreaks finds the longest island, earliest on ties") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    // user 1: days 1,2,3 (streak 3), 7,8 (2); two events on day 2 dedupe.
+    // user 2: days 1,2 and 5,6 — tied streaks of 2, earliest wins
+    val events = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"),
+      (4L, "2024-01-03"), (5L, "2024-01-07"), (6L, "2024-01-08")
+    ).map { case (id, d) => (id, ts(d), 1L, "view", 1.0, "{}") } ++ Seq(
+      (7L, "2024-01-01"), (8L, "2024-01-02"), (9L, "2024-01-05"), (10L, "2024-01-06")
+    ).map { case (id, d) => (id, ts(d), 2L, "view", 1.0, "{}") }
+    val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventQueries.activityStreaks(df).collect()
+      .map(x => x.getAs[Long]("user_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_active_days") === 5L)
+    assert(r(1L).getAs[Long]("longest_streak") === 3L)
+    assert(r(1L).getAs[java.sql.Date]("streak_start").toString === "2024-01-01")
+    assert(r(1L).getAs[java.sql.Date]("streak_end").toString === "2024-01-03")
+    assert(r(2L).getAs[Long]("longest_streak") === 2L)
+    assert(r(2L).getAs[java.sql.Date]("streak_start").toString === "2024-01-01")
+  }
+
+  test("dailyCusum grows through a level shift and peaks at the change point") {
+    import spark.implicits._
+    // 6 days at 100.00 then 6 days at 200.00: mean 150, |cusum| peaks at day 6
+    val events = (0 until 12).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 09:00:00"),
+        1L, "view", if (i < 6) 100.0 else 200.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventQueries.dailyCusum(events).collect()
+    assert(r.length === 12)
+    val byDay = r.map(x => x.getAs[java.sql.Date]("day").toString -> x).toMap
+    assert(byDay("2024-01-06").getAs[Long]("cusum_cents") === -30000L)
+    // the change point is the |cusum| extremum
+    val extremum = r.maxBy(x => math.abs(x.getAs[Long]("cusum_cents")))
+    assert(extremum.getAs[java.sql.Date]("day").toString === "2024-01-06")
+    // the final cusum returns to zero (mean is the global mean)
+    assert(r.last.getAs[Long]("cusum_cents") === 0L)
+  }
 }
