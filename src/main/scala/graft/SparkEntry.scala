@@ -242,6 +242,9 @@ object SparkEntry {
     "timeseries_acf" -> ((s, d) =>
       EventQueries.dailyAcf(Tables.events(s, d))),
     // CUSUM level-shift screen over the daily series
+    // truncated dyadic-weight EWMA over the same daily series
+    "timeseries_ewma" -> ((s, d) =>
+      EventQueries.dailyEwma(Tables.events(s, d))),
     "timeseries_cusum" -> ((s, d) =>
       EventQueries.dailyCusum(Tables.events(s, d))),
     // longest consecutive-day activity streak per user
@@ -284,6 +287,9 @@ object SparkEntry {
       TextOps.vocabCoverage(Tables.documents(s, d))),
     "text_source_divergence" -> ((s, d) =>
       TextOps.sourceDivergence(Tables.documents(s, d))),
+    // per-source token entropy / evenness (repetitiveness screen)
+    "text_token_entropy" -> ((s, d) =>
+      TextOps.tokenEntropy(Tables.documents(s, d))),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
 
     // training-data pipeline: similarity search over embeddings
@@ -331,6 +337,9 @@ object SparkEntry {
     }),
     "train_pack_sequences" -> ((s, d) =>
       graft.operators.TrainPrep.packSequences(Tables.documents(s, d))),
+    // overlapping context-window chunking (content-hashed slices)
+    "train_chunk_windows" -> ((s, d) =>
+      graft.operators.TrainPrep.chunkWindows(Tables.documents(s, d))),
 
     // deterministic KMV distinct-count sketch (HLL's oracle-checkable twin)
     "sketch_kmv_distinct" -> ((s, d) =>
@@ -403,6 +412,9 @@ object SparkEntry {
     // Efraimidis–Spirakis weighted sample without replacement (top-k heap)
     "sample_weighted_topk" -> ((s, d) =>
       graft.operators.Sampling.weightedTopK(Tables.documents(s, d))),
+    // temperature-scaled (α = 0.5) source mixing with exact quotas
+    "sample_temperature" -> ((s, d) =>
+      graft.operators.Sampling.temperatureSample(Tables.documents(s, d))),
     // Benford first-digit screen over the ledger amounts
     "profile_benford" -> ((s, d) =>
       Validators.benfordProfile(txns(s, d))),
@@ -630,6 +642,10 @@ object SparkEntry {
     "timeseries_decompose" -> OracleSql.dailyDecompose(),
     "timeseries_acf" -> OracleSql.dailyAcf(),
     "timeseries_cusum" -> OracleSql.dailyCusum,
+    "timeseries_ewma" -> OracleSql.dailyEwma(),
+    "text_token_entropy" -> OracleSqlText.tokenEntropy,
+    "train_chunk_windows" -> OracleSqlText.chunkWindows(),
+    "sample_temperature" -> OracleSqlText.temperatureSample(),
     "events_streaks" -> OracleSql.activityStreaks,
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),

@@ -527,6 +527,43 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Per-source Shannon entropy of the token distribution — the
+    * repetitiveness/diversity signal curation pipelines read next to the
+    * KL mixing report: a source whose entropy (or entropy normalized by
+    * ln(vocab), i.e. evenness) collapses is boilerplate-heavy and gets
+    * down-weighted before training.
+    *
+    * Determinism: the [[sourceDivergence]] discipline — each term
+    * −p·ln p is computed with the gate-proven `ln`, quantized to integer
+    * micro-nats, and summed as BIGINT (associativity-proof); the two
+    * double readouts (nats, evenness) divide exact integers at the end.
+    * Single-token vocabularies yield NULL evenness (ln 1 = 0).
+    *
+    * Shape: one token census keyed (source, token), a per-source rollup
+    * of that census, then a broadcast join back — every shuffle is keyed
+    * on source or (source, token), partial-aggregated map-side; nothing
+    * pairwise, nothing driver-resident. Output is n_sources rows.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("stf"))
+    val ss = st.groupBy("source")
+      .agg(sum(col("stf")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val p = col("stf").cast("double") / col("n_tokens")
+    st.join(broadcast(ss), Seq("source"))
+      .withColumn("micro", round(-(p * log(p)) * 1000000).cast("long"))
+      .groupBy("source")
+      .agg(max(col("n_tokens")).as("n_tokens"), max(col("n_types")).as("n_types"),
+        sum(col("micro")).as("micro_sum"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (col("micro_sum") / 1000000.0).as("entropy_nats"),
+        when(col("n_types") <= 1, lit(null).cast("double"))
+          .otherwise(round((col("micro_sum") / 1000000.0) /
+            log(col("n_types").cast("double")), 4)).as("evenness"),
+        expr("n_types * 10000 div n_tokens").as("ttr_bp"))
+      .orderBy("source")
+  }
+
   /** Token-length histogram: fixed-width bins (top bin open-ended), the
     * mergeable corpus-shape summary a curation pipeline reads before
     * choosing packing lengths and curriculum cuts. Integer binning only —

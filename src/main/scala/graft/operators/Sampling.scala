@@ -209,4 +209,54 @@ object Sampling {
           .cast("long").as("sample_rank"))
       .orderBy("sample_rank")
   }
+
+  /** Temperature-scaled source mixing: apportion a fixed `target` document
+    * budget across sources proportionally to n_src^α with α = 0.5 — the
+    * up-weight-the-tail mixing rule multilingual/multi-domain training
+    * runs use so head sources stop drowning small ones (public knowledge:
+    * Conneau & Lample 2019's temperature sampling, the mC4 α-mix).
+    *
+    * α is fixed at 0.5 because sqrt is the ONE power IEEE 754 requires to
+    * be correctly rounded — any other exponent rides libm's pow and may
+    * differ in the last ulp across engines. The sqrt weights are then
+    * quantized to integer micros and the whole apportionment (floor
+    * quotas + largest-remainder top-up, ties broken by source name) is
+    * exact BIGINT arithmetic, so both engines compute the identical
+    * quota vector; a source whose quota exceeds its census is clamped to
+    * it (α < 1 can oversubscribe a tiny source; a without-replacement
+    * sample cannot mint documents).
+    *
+    * Within each source the kept set is the first `quota` documents by
+    * (id-hash, id) — the [[stratifiedSample]] uniform-choice idiom.
+    *
+    * Scale shape: one tiny census aggregate (n_sources rows, window'd in
+    * a single partition and broadcast back) + one rank window keyed on
+    * source — the same single keyed shuffle as the stratified sampler,
+    * with the same whale-stratum caveat and escape hatch.
+    *
+    * Output: (doc_id, source, sample_rank ≤ quota(source)). */
+  def temperatureSample(docs: DataFrame, target: Int = 200,
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(target >= 1, s"target must be >= 1, got $target")
+    val base = docs.select(col(idCol), col(sourceCol).as("source"),
+      hash32(col(idCol)).as("hv"))
+    val quotas = base.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .withColumn("wq", round(sqrt(col("n_src").cast("double")) * 1000000).cast("long"))
+      .withColumn("w_total", sum(col("wq")).over(Window.partitionBy()))
+      .withColumn("base_q", expr(s"(${target}L * wq) div w_total"))
+      .withColumn("rem", expr(s"(${target}L * wq) % w_total"))
+      .withColumn("sum_base", sum(col("base_q")).over(Window.partitionBy()))
+      .withColumn("rem_rank", row_number().over(
+        Window.partitionBy().orderBy(col("rem").desc, col("source"))).cast("long"))
+      .withColumn("quota", least(col("n_src"), col("base_q") +
+        when(col("rem_rank") <= lit(target.toLong) - col("sum_base"), 1L).otherwise(0L)))
+      .select("source", "quota")
+    base.join(broadcast(quotas), Seq("source"))
+      .withColumn("sample_rank", row_number().over(
+          Window.partitionBy("source").orderBy(col("hv"), col(idCol)))
+        .cast("long"))
+      .filter(col("sample_rank") <= col("quota"))
+      .select(col(idCol), col("source"), col("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
 }

@@ -95,4 +95,44 @@ object TrainPrep {
       .select("doc_id", "n_tokens", "bin", "shard")
       .orderBy("doc_id")
   }
+
+  /** Context-window chunking: slice each document's token stream into
+    * overlapping windows of `window` tokens advancing by `stride` — the
+    * standard way a pretraining/embedding pipeline turns variable-length
+    * documents into model-sized inputs while keeping `window - stride`
+    * tokens of context across the seam.
+    *
+    * Chunk count is `1 + ceil(max(n - window, 0) / stride)` (every doc
+    * emits at least one chunk; the last chunk may be short — clamped to
+    * the doc end, never padded). All placement math is integer, and each
+    * chunk carries the md5 of its space-rejoined token slice so the gate
+    * verifies the *content* of every slice cross-engine, not just its
+    * coordinates.
+    *
+    * Pure narrow projection — tokenize, `sequence` the start offsets,
+    * `posexplode`, `slice`: no shuffle at any corpus size, output volume
+    * ≈ n_tokens/stride rows per doc. The fan-out is bounded per-row, so
+    * a 100 TB corpus chunks at scan speed with no skew beyond document
+    * length itself.
+    */
+  def chunkWindows(docs: DataFrame, window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    TextOps.withTokens(docs)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("n_chunks",
+        lit(1L) + expr(s"greatest(n_tokens - $window, 0L) div $stride") +
+          when(expr(s"greatest(n_tokens - $window, 0L) % $stride") > 0, 1L).otherwise(0L))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        posexplode(expr("sequence(0L, n_chunks - 1)")).as(Seq("pos", "chunk_id")))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("n_toks",
+        least(lit(window.toLong), col("n_tokens") - col("start_tok")))
+      .withColumn("chunk_hash",
+        md5(concat_ws(" ", expr("slice(toks, CAST(start_tok + 1 AS INT), CAST(n_toks AS INT))"))
+          .cast("binary")))
+      .select("doc_id", "chunk_id", "start_tok", "n_toks", "chunk_hash")
+      .orderBy("doc_id", "chunk_id")
+  }
 }

@@ -619,4 +619,42 @@ object EventQueries {
       .select("day", "cents", "dev_cents", "cusum_cents", "cusum_sigma")
       .orderBy("day")
   }
+
+  /** Exponentially-weighted moving average of the daily revenue series,
+    * truncated to the trailing `k` days — the smoothing curve an
+    * anomaly/trend dashboard draws over [[dailyCusum]]'s raw series.
+    *
+    * α is fixed at 1/2 so every weight is a dyadic 2^-(j+1): a BIGINT
+    * cent value times a power of two is EXACT in an IEEE double (only the
+    * exponent moves), so the left fold acc ← (acc + x)/2 over the
+    * chronological trailing window performs the identical rounding
+    * sequence on both engines — no libm pow, no order ambiguity (the
+    * window list fixes the order, the fold fixes the association). The
+    * truncation normalizer 1 − 2^-m is built from an integer shift, again
+    * exact; the single ROUND at the readout is the only half-ulp site.
+    *
+    * Shape: stream → one row per day (map-side combinable), then one
+    * running window over the global day order carrying a ≤ k-element
+    * list — the [[dailyCusum]] single-series envelope (a 100 TB event
+    * stream still collapses to one row per calendar day before the
+    * window).
+    */
+  def dailyEwma(events: DataFrame, k: Int = 30): DataFrame = {
+    require(k >= 1 && k <= 62, s"k must be in [1,62] (1L << k), got $k")
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-(k - 1), Window.currentRow)
+    daily
+      .withColumn("xs", collect_list(col("cents")).over(w))
+      .withColumn("m", size(col("xs")).cast("long"))
+      .withColumn("u",
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (acc, x) -> (acc + CAST(x AS DOUBLE)) / 2.0)"))
+      .withColumn("ewma_cents",
+        round(col("u") / (lit(1.0) - lit(1.0) /
+            expr("CAST(shiftleft(1L, CAST(m AS INT)) AS DOUBLE)")))
+          .cast("long"))
+      .select("day", "cents", "m", "ewma_cents")
+      .orderBy("day")
+  }
 }

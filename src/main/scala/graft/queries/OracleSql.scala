@@ -1121,6 +1121,31 @@ SELECT day, cents, dev_cents, cusum_cents,
        END AS cusum_sigma
 FROM c2 ORDER BY day"""
 
+  /** Mirrors EventQueries.dailyEwma: list_prepend(0.0) left fold
+    * acc ← (acc+x)/2 over the chronological trailing window (dyadic
+    * weights are exact in doubles; fold order fixes the rounding
+    * sequence), integer-shift normalizer, one ROUND at the readout. */
+  def dailyEwma(k: Int = 30): String = s"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, cents,
+         list(cents) OVER (ORDER BY day
+           ROWS BETWEEN ${k - 1} PRECEDING AND CURRENT ROW) AS xs
+  FROM d
+)
+SELECT day, cents, CAST(len(xs) AS BIGINT) AS m,
+       CAST(ROUND(
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list_transform(xs, x -> x::DOUBLE)),
+                     (acc, x) -> (acc + x) / 2.0)
+         / (1.0 - 1.0 / CAST(1::BIGINT << len(xs) AS DOUBLE))
+       ) AS BIGINT) AS ewma_cents
+FROM w ORDER BY day"""
+
   /** Mirrors EventQueries.typeTransitions: lag-derived (from, to) pairs
     * with '_start_' for stream heads, share-of-from via the engine-proven
     * `n * 100.0 / SUM() OVER` idiom. */

@@ -345,6 +345,33 @@ SELECT source, COUNT(*) AS n_terms,
        CAST(SUM(micro) AS BIGINT) / 1000000.0 AS kl_divergence
 FROM c GROUP BY 1 ORDER BY source"""
 
+  /** Mirrors TextOps.tokenEntropy: per-(source,token) −p·ln p terms
+    * quantized to integer micro-nats (the sourceDivergence discipline),
+    * BIGINT sum, integer-div type-token ratio, NULL evenness for
+    * single-type vocabularies. */
+  val tokenEntropy: String = s"""
+WITH occ AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+st AS (SELECT source, token, COUNT(*) AS stf FROM occ GROUP BY 1, 2),
+ss AS (SELECT source, CAST(SUM(stf) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_types
+       FROM st GROUP BY 1),
+m AS (
+  SELECT st.source, ss.n_tokens, ss.n_types,
+         CAST(ROUND(-((st.stf::DOUBLE / ss.n_tokens) *
+                      LN(st.stf::DOUBLE / ss.n_tokens)) * 1000000) AS BIGINT) AS micro
+  FROM st JOIN ss USING (source)
+)
+SELECT source,
+       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MAX(n_types) AS BIGINT) AS n_types,
+       CAST(SUM(micro) AS BIGINT) / 1000000.0 AS entropy_nats,
+       CASE WHEN MAX(n_types) <= 1 THEN NULL
+            ELSE ROUND((CAST(SUM(micro) AS BIGINT) / 1000000.0) /
+                       LN(MAX(n_types)::DOUBLE), 4)
+       END AS evenness,
+       MAX(n_types) * 10000 // MAX(n_tokens) AS ttr_bp
+FROM m GROUP BY 1 ORDER BY source"""
+
   /** Mirrors TextOps.vocabCoverage: census → (tf desc, token) rank →
     * running sum → checkpoint ranks; integer basis points via `//`. */
   def vocabCoverage(ks: Seq[Int] = Seq(10, 100, 1000, 10000)): String = s"""
@@ -1033,6 +1060,32 @@ SELECT doc_id, n_tokens, shard,
        CAST(prior - CAST(FLOOR(prior / $maxTokens) AS BIGINT) * $maxTokens AS BIGINT) AS pack_offset
 FROM c ORDER BY doc_id"""
 
+  /** Mirrors TrainPrep.chunkWindows: n_chunks = 1 + ceil(max(n−W,0)/S)
+    * in the same div/mod form, 1-based inclusive list slice, md5 of the
+    * space-rejoined slice so chunk CONTENT is verified cross-engine. */
+  def chunkWindows(window: Int = 64, stride: Int = 48): String = s"""
+WITH $toksCte,
+b AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
+         1 + (GREATEST(len(toks)::BIGINT - $window, 0) // $stride)
+           + CASE WHEN GREATEST(len(toks)::BIGINT - $window, 0) % $stride > 0
+                  THEN 1 ELSE 0 END AS n_chunks
+  FROM toks
+),
+c AS (
+  SELECT doc_id, toks, n_tokens,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM b
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * $stride AS BIGINT) AS start_tok,
+       CAST(LEAST($window, n_tokens - chunk_id * $stride) AS BIGINT) AS n_toks,
+       md5(array_to_string(
+         toks[CAST(chunk_id * $stride + 1 AS BIGINT) :
+              CAST(chunk_id * $stride + LEAST($window, n_tokens - chunk_id * $stride) AS BIGINT)],
+         ' ')) AS chunk_hash
+FROM c ORDER BY doc_id, chunk_id"""
+
   /** Mirrors Sampling.stratifiedSample: exact-count per-stratum hash
     * sample; the keep rule is the pure-integer form of
     * rank ≤ ceil(n·pct/100). */
@@ -1052,6 +1105,54 @@ r AS (
 SELECT doc_id, stratum, sample_rank
 FROM r WHERE (sample_rank - 1) * 100 < n_stratum * $pct
 ORDER BY stratum, sample_rank"""
+
+  /** Mirrors Sampling.temperatureSample: sqrt weights (the one
+    * correctly-rounded power) quantized to integer micros, pure-BIGINT
+    * largest-remainder apportionment, census-clamped quotas, then the
+    * stratified (hv, id) rank keep within each source. */
+  def temperatureSample(target: Int = 200): String = s"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST((${hex8IntSql("doc_id::VARCHAR")}) AS BIGINT) AS hv
+  FROM documents
+),
+c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM b GROUP BY 1),
+w AS (
+  SELECT source, n_src,
+         CAST(ROUND(sqrt(n_src::DOUBLE) * 1000000) AS BIGINT) AS wq
+  FROM c
+),
+q1 AS (
+  SELECT source, n_src, wq, CAST(SUM(wq) OVER () AS BIGINT) AS w_total FROM w
+),
+q2 AS (
+  SELECT source, n_src,
+         CAST(($target * wq) // w_total AS BIGINT) AS base_q,
+         CAST(($target * wq) % w_total AS BIGINT) AS rem
+  FROM q1
+),
+q3 AS (
+  SELECT source, n_src, base_q, rem,
+         CAST(SUM(base_q) OVER () AS BIGINT) AS sum_base,
+         CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rem_rank
+  FROM q2
+),
+k AS (
+  SELECT source,
+         LEAST(n_src, base_q +
+               CASE WHEN rem_rank <= $target - sum_base THEN 1 ELSE 0 END) AS quota
+  FROM q3
+),
+r AS (
+  SELECT b.doc_id, b.source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY b.source ORDER BY hv, doc_id) AS BIGINT)
+           AS sample_rank,
+         k.quota
+  FROM b JOIN k USING (source)
+)
+SELECT doc_id, source, sample_rank
+FROM r WHERE sample_rank <= quota
+ORDER BY source, sample_rank"""
 
   /** Mirrors Sampling.uniformSample: k smallest id-hashes, id tie-break. */
   def uniformSample(k: Int = 100): String = s"""

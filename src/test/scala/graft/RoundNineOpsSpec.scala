@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+import graft.operators.{Sampling, TrainPrep}
+import graft.queries.EventQueries
+
+/** Round-9 additions: context-window chunking, temperature-scaled source
+  * mixing, per-source token entropy, truncated dyadic-weight EWMA. */
+class RoundNineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docsDf(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("chunkWindows: exact chunk count, placement, and content hashes") {
+    val toks10 = (0 until 10).map(i => s"t$i").mkString(" ")
+    val toks12 = (0 until 12).map(i => s"u$i").mkString(" ")
+    val d = docsDf((1L, toks10, "a"), (2L, toks12, "a"), (3L, "x y", "a"))
+    val r = TrainPrep.chunkWindows(d, window = 4, stride = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+
+    // n=10: max(10-4,0)=6, 6/3 exact -> 1+2 = 3 chunks, all full
+    assert(r.keys.count(_._1 == 1L) === 3)
+    assert(r((1L, 0L)).getAs[Long]("start_tok") === 0L)
+    assert(r((1L, 2L)).getAs[Long]("start_tok") === 6L)
+    assert(r((1L, 2L)).getAs[Long]("n_toks") === 4L)
+
+    // n=12: max=8 -> 8 div 3 = 2 rem 2 -> 4 chunks, last clamped to 3
+    assert(r.keys.count(_._1 == 2L) === 4)
+    assert(r((2L, 3L)).getAs[Long]("start_tok") === 9L)
+    assert(r((2L, 3L)).getAs[Long]("n_toks") === 3L)
+
+    // short doc: one chunk covering everything
+    assert(r.keys.count(_._1 == 3L) === 1)
+    assert(r((3L, 0L)).getAs[Long]("n_toks") === 2L)
+
+    // content hash = md5 of the space-rejoined slice
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r((1L, 1L)).getAs[String]("chunk_hash") === md5hex("t3 t4 t5 t6"))
+    assert(r((2L, 3L)).getAs[String]("chunk_hash") === md5hex("u9 u10 u11"))
+  }
+
+  test("chunkWindows: seam overlap is window - stride tokens") {
+    val d = docsDf((1L, (0 until 20).map("w" + _).mkString(" "), "a"))
+    val r = TrainPrep.chunkWindows(d, window = 8, stride = 6).collect()
+    val spans = r.map(x => (x.getAs[Long]("start_tok"), x.getAs[Long]("n_toks")))
+    spans.sliding(2).foreach { case Array((s1, n1), (s2, _)) =>
+      assert(s1 + n1 - s2 === 2L, "consecutive chunks must share 2 tokens")
+    case _ => ()
+    }
+    // full coverage: last chunk ends at the doc end
+    val (ls, ln) = spans.last
+    assert(ls + ln === 20L)
+  }
+
+  test("temperatureSample: sqrt-proportional quotas, exact target, clamp") {
+    // 100/25/4 docs -> sqrt weights 10/5/2, W=17: target 17 splits 10/5/2
+    val rows =
+      (1L to 100L).map(i => (i, s"d$i", "A")) ++
+        (101L to 125L).map(i => (i, s"d$i", "B")) ++
+        (126L to 129L).map(i => (i, s"d$i", "C"))
+    val kept = Sampling.temperatureSample(docsDf(rows: _*), target = 17)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept === Map("A" -> 10L, "B" -> 5L, "C" -> 2L))
+  }
+
+  test("temperatureSample: oversubscribed tiny source clamps to its census") {
+    val rows = (1L to 100L).map(i => (i, s"d$i", "A")) :+ (200L, "solo", "D")
+    val kept = Sampling.temperatureSample(docsDf(rows: _*), target = 30)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // wq = 10e6 / 1e6: A base 27 (rem 3/11), D base 2 (rem 8/11) + top-up
+    // -> 3, clamped to the single document it has
+    assert(kept("D") === 1L)
+    assert(kept("A") === 27L)
+  }
+
+  test("tokenEntropy: uniform vocab is ln(n) nats with evenness 1; " +
+    "degenerate vocab is 0 with NULL evenness") {
+    val d = docsDf((1L, "a b c d", "u"), (2L, "x", "s"))
+    val r = TextOps.tokenEntropy(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val u = r("u")
+    assert(u.getAs[Long]("n_tokens") === 4L)
+    assert(u.getAs[Long]("n_types") === 4L)
+    assert(math.abs(u.getAs[Double]("entropy_nats") - math.log(4)) < 1e-4)
+    assert(u.getAs[Double]("evenness") === 1.0)
+    assert(u.getAs[Long]("ttr_bp") === 10000L)
+    val s = r("s")
+    assert(s.getAs[Double]("entropy_nats") === 0.0)
+    assert(s.isNullAt(s.fieldIndex("evenness")))
+  }
+
+  test("dailyEwma: constant series is a fixed point; ramp folds exactly") {
+    import spark.implicits._
+    def ev(day: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), v)
+    val const = (1 to 5).map(d => ev(d, 1.00)).toDF("ts", "value")
+    EventQueries.dailyEwma(const).collect().foreach { r =>
+      assert(r.getAs[Long]("ewma_cents") === 100L, "constant series must be invariant")
+    }
+    // 100, 200, 300 cents: folds 50, 125, 212.5; normalized 100, 167, 243
+    val ramp = Seq(ev(1, 1.00), ev(2, 2.00), ev(3, 3.00)).toDF("ts", "value")
+    val got = EventQueries.dailyEwma(ramp).collect().map(_.getAs[Long]("ewma_cents"))
+    assert(got.toSeq === Seq(100L, 167L, 243L))
+  }
+
+  test("dailyEwma: window truncates at k days") {
+    import spark.implicits._
+    val rows = (1 to 10).map(d =>
+      (java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), d.toDouble))
+      .toDF("ts", "value")
+    val r = EventQueries.dailyEwma(rows, k = 4).collect()
+    assert(r.forall(_.getAs[Long]("m") <= 4L))
+    assert(r.take(3).map(_.getAs[Long]("m")).toSeq === Seq(1L, 2L, 3L))
+  }
+}
