@@ -38,7 +38,9 @@ object PlanAudit {
     //   tiny centroid table
     // timeseries_cusum: the 1-row global-stats cross (decompose family)
     "sketch_kmv_jaccard", "text_bigram_logprob", "ann_rrf_fusion",
-    "profile_chi2", "embed_label_scatter", "timeseries_cusum")
+    "profile_chi2", "embed_label_scatter", "timeseries_cusum",
+    // text_cooc_pmi: the 1-row pair-total cross (PMI normalizer)
+    "text_cooc_pmi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -290,6 +290,12 @@ object SparkEntry {
     // per-source token entropy / evenness (repetitiveness screen)
     "text_token_entropy" -> ((s, d) =>
       TextOps.tokenEntropy(Tables.documents(s, d))),
+    // pairwise source-vocabulary Jaccard (redundant-source screen)
+    "text_source_overlap" -> ((s, d) =>
+      TextOps.sourceOverlap(Tables.documents(s, d))),
+    // windowed co-occurrence PMI (collocation mining)
+    "text_cooc_pmi" -> ((s, d) =>
+      TextOps.pmiPairs(Tables.documents(s, d))),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
 
     // training-data pipeline: similarity search over embeddings
@@ -340,6 +346,9 @@ object SparkEntry {
     // overlapping context-window chunking (content-hashed slices)
     "train_chunk_windows" -> ((s, d) =>
       graft.operators.TrainPrep.chunkWindows(Tables.documents(s, d))),
+    // chunk-level exact dedup over the same windows
+    "dedup_chunk_exact" -> ((s, d) =>
+      graft.operators.TrainPrep.chunkDupes(Tables.documents(s, d))),
 
     // deterministic KMV distinct-count sketch (HLL's oracle-checkable twin)
     "sketch_kmv_distinct" -> ((s, d) =>
@@ -646,6 +655,9 @@ object SparkEntry {
     "text_token_entropy" -> OracleSqlText.tokenEntropy,
     "train_chunk_windows" -> OracleSqlText.chunkWindows(),
     "sample_temperature" -> OracleSqlText.temperatureSample(),
+    "text_source_overlap" -> OracleSqlText.sourceOverlap,
+    "text_cooc_pmi" -> OracleSqlText.pmiPairs(),
+    "dedup_chunk_exact" -> OracleSqlText.chunkDupes(),
     "events_streaks" -> OracleSql.activityStreaks,
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),

@@ -564,6 +564,89 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Pairwise vocabulary overlap between sources: exact Jaccard of the
+    * distinct-token sets, the redundant-source screen a mixing plan reads
+    * next to [[sourceDivergence]] (KL says "how differently does a source
+    * use the shared vocabulary"; this says "is the vocabulary itself the
+    * same" — a near-10000 bp pair is a candidate for source-level dedup).
+    *
+    * Shape: the (source, token) distinct census, then a per-token source
+    * roster (`collect_set`, bounded by the source count — low-cardinality
+    * by construction) exploded into its sorted in-row pair combinations —
+    * the co-occurring pair census comes from a narrow fan-out, never a
+    * token-keyed self-join, so candidate volume is Σ_token |roster|², not
+    * corpus². Type counts ride back as two tiny broadcasts; the Jaccard
+    * is pure integer basis points. Pairs sharing zero tokens do not
+    * appear (same contract as the oracle's join form).
+    *
+    * Output: (src_a < src_b, n_common, types_a, types_b, jaccard_bp). */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+    val n = st.groupBy("source").agg(count(lit(1)).as("n_types"))
+    val pairs = st.groupBy("token")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(explode(expr(
+        "flatten(transform(srcs, (a, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), b -> struct(a AS src_a, b AS src_b))))"))
+        .as("p"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(n.select(col("source").as("src_a"), col("n_types").as("types_a"))),
+        Seq("src_a"))
+      .join(broadcast(n.select(col("source").as("src_b"), col("n_types").as("types_b"))),
+        Seq("src_b"))
+      .withColumn("jaccard_bp",
+        expr("n_common * 10000 div (types_a + types_b - n_common)"))
+      .select("src_a", "src_b", "n_common", "types_a", "types_b", "jaccard_bp")
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Windowed token co-occurrence PMI: count ordered (left, right) token
+    * pairs at offsets 1..`maxOffset`, then score each pair by pointwise
+    * mutual information ln(c·N / (c_left · c_right)) — the collocation
+    * statistic (word2vec's implicit matrix) a corpus-analysis pass uses
+    * to find multi-word expressions before tokenizer training.
+    *
+    * Pair generation is a NARROW per-row `transform` over the token
+    * array (one output row per in-document offset pair, never a
+    * positions self-join); the pair census and the two marginal censuses
+    * are all keyed, map-side-combinable aggregates over it. The staged
+    * pair census is read three ways (pairs, left marginal, right
+    * marginal) — persisted once, the sourceDivergence convention. Only
+    * the 1-row grand total crosses. The readout is top-`topK` by
+    * (count desc, pair) — TakeOrderedAndProject, never a global sort —
+    * and the PMI is a single micro-quantized ln per emitted row.
+    *
+    * Output: (tok_a, tok_b, c, pmi_micro), the `topK` most frequent
+    * pairs. */
+  def pmiPairs(docs: DataFrame, maxOffset: Int = 2, topK: Int = 50): DataFrame = {
+    require(maxOffset >= 1, s"maxOffset must be >= 1, got $maxOffset")
+    val toks = withTokens(docs)
+    val pairs = (1 to maxOffset).map { d =>
+      toks.filter(size(col("toks")) > d)
+        .select(explode(expr(
+          s"transform(sequence(1, size(toks) - $d), " +
+            s"i -> struct(toks[i-1] AS tok_a, toks[i-1+$d] AS tok_b))")).as("p"))
+        .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+    }.reduce(_ unionByName _)
+    val cnt = graft.RunHygiene.stage(
+      pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c")))
+    cnt.count() // fill once: pair census is read three ways below
+    val ua = cnt.groupBy("tok_a").agg(sum(col("c")).as("ca"))
+    val ub = cnt.groupBy("tok_b").agg(sum(col("c")).as("cb"))
+    val tot = broadcast(cnt.agg(sum(col("c")).as("n")))
+    cnt.join(ua, Seq("tok_a")).join(ub, Seq("tok_b")).crossJoin(tot)
+      .orderBy(col("c").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+      .withColumn("pmi_micro",
+        round(log(col("c").cast("double") * col("n") /
+          (col("ca").cast("double") * col("cb"))) * 1000000).cast("long"))
+      .select("tok_a", "tok_b", "c", "pmi_micro")
+      .orderBy(col("c").desc, col("tok_a"), col("tok_b"))
+  }
+
   /** Token-length histogram: fixed-width bins (top bin open-ended), the
     * mergeable corpus-shape summary a curation pipeline reads before
     * choosing packing lengths and curriculum cuts. Integer binning only —

@@ -135,4 +135,35 @@ object TrainPrep {
       .select("doc_id", "chunk_id", "start_tok", "n_toks", "chunk_hash")
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** Chunk-level exact dedup: run [[chunkWindows]], group chunks by their
+    * content hash, keep the first occurrence (by (doc_id, chunk_id)) as
+    * survivor and emit every other instance with a pointer to it — the
+    * RAG/embedding-corpus counterpart of document-level exact dedup
+    * (boilerplate repeated across documents dies at chunk granularity
+    * even when no two whole documents match).
+    *
+    * One shuffle keyed on chunk_hash; both windows (copy count, survivor
+    * first_value, duplicate rank) share that partitioning, and a
+    * partition's size is the copy count of one hash — bounded by content
+    * duplication, not corpus size. Narrow before, narrow after.
+    *
+    * Output: one row per REMOVED chunk instance
+    * (doc_id, chunk_id, start_tok, chunk_hash, survivor_doc,
+    * survivor_chunk, n_copies). */
+  def chunkDupes(docs: DataFrame, window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    val byHash = Window.partitionBy("chunk_hash")
+    val ordered = byHash.orderBy("doc_id", "chunk_id")
+    chunkWindows(docs, window, stride)
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .filter(col("n_copies") > 1)
+      .withColumn("rk", row_number().over(ordered))
+      .withColumn("survivor_doc", first(col("doc_id")).over(ordered))
+      .withColumn("survivor_chunk", first(col("chunk_id")).over(ordered))
+      .filter(col("rk") >= 2)
+      .select("doc_id", "chunk_id", "start_tok", "chunk_hash",
+        "survivor_doc", "survivor_chunk", "n_copies")
+      .orderBy("doc_id", "chunk_id")
+  }
 }

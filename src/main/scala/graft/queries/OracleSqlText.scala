@@ -372,6 +372,54 @@ SELECT source,
        MAX(n_types) * 10000 // MAX(n_tokens) AS ttr_bp
 FROM m GROUP BY 1 ORDER BY source"""
 
+  /** Mirrors TextOps.sourceOverlap — the oracle uses the token-keyed
+    * self-join form (the Spark side explodes per-token rosters), so the
+    * gate proves roster-pair generation against the join definition. */
+  val sourceOverlap: String = """
+WITH st AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+            FROM documents),
+n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types FROM st GROUP BY 1),
+pair AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b USING (token)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       na.n_types AS types_a, nb.n_types AS types_b,
+       n_common * 10000 // (na.n_types + nb.n_types - n_common) AS jaccard_bp
+FROM pair JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
+ORDER BY src_a, src_b"""
+
+  /** Mirrors TextOps.pmiPairs: offset-1/2 ordered pairs from the same
+    * narrow positional transform, marginals from the pair census, one
+    * micro-quantized ln per emitted top-k row. */
+  def pmiPairs(maxOffset: Int = 2, topK: Int = 50): String = {
+    val unions = (1 to maxOffset).map { d =>
+      s"""  SELECT unnest(list_transform(generate_series(1, len(toks) - $d),
+           i -> {'tok_a': toks[i], 'tok_b': toks[i+$d]})) AS p
+  FROM toks WHERE len(toks) > $d"""
+    }.mkString("\n  UNION ALL\n")
+    s"""
+WITH $toksCte,
+pr AS (
+$unions
+),
+cnt AS (SELECT p.tok_a AS tok_a, p.tok_b AS tok_b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pr GROUP BY 1, 2),
+ua AS (SELECT tok_a, CAST(SUM(c) AS BIGINT) AS ca FROM cnt GROUP BY 1),
+ub AS (SELECT tok_b, CAST(SUM(c) AS BIGINT) AS cb FROM cnt GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+top AS (
+  SELECT tok_a, tok_b, c FROM cnt ORDER BY c DESC, tok_a, tok_b LIMIT $topK
+)
+SELECT tok_a, tok_b, c,
+       CAST(ROUND(LN(c::DOUBLE * n / (ca::DOUBLE * cb)) * 1000000) AS BIGINT)
+         AS pmi_micro
+FROM top JOIN ua USING (tok_a) JOIN ub USING (tok_b) CROSS JOIN tot
+ORDER BY c DESC, tok_a, tok_b"""
+  }
+
   /** Mirrors TextOps.vocabCoverage: census → (tf desc, token) rank →
     * running sum → checkpoint ranks; integer basis points via `//`. */
   def vocabCoverage(ks: Seq[Int] = Seq(10, 100, 1000, 10000)): String = s"""
@@ -1060,11 +1108,12 @@ SELECT doc_id, n_tokens, shard,
        CAST(prior - CAST(FLOOR(prior / $maxTokens) AS BIGINT) * $maxTokens AS BIGINT) AS pack_offset
 FROM c ORDER BY doc_id"""
 
-  /** Mirrors TrainPrep.chunkWindows: n_chunks = 1 + ceil(max(n−W,0)/S)
-    * in the same div/mod form, 1-based inclusive list slice, md5 of the
-    * space-rejoined slice so chunk CONTENT is verified cross-engine. */
-  def chunkWindows(window: Int = 64, stride: Int = 48): String = s"""
-WITH $toksCte,
+  /** Shared chunk CTE chain (mirrors TrainPrep.chunkWindows):
+    * n_chunks = 1 + ceil(max(n−W,0)/S) in the same div/mod form, 1-based
+    * inclusive list slice, md5 of the space-rejoined slice so chunk
+    * CONTENT is verified cross-engine. Ends in `ch(doc_id, chunk_id,
+    * start_tok, n_toks, chunk_hash)`. */
+  private def chunksCte(window: Int, stride: Int): String = s"""$toksCte,
 b AS (
   SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
          1 + (GREATEST(len(toks)::BIGINT - $window, 0) // $stride)
@@ -1076,15 +1125,41 @@ c AS (
   SELECT doc_id, toks, n_tokens,
          unnest(generate_series(0, n_chunks - 1)) AS chunk_id
   FROM b
+),
+ch AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         CAST(chunk_id * $stride AS BIGINT) AS start_tok,
+         CAST(LEAST($window, n_tokens - chunk_id * $stride) AS BIGINT) AS n_toks,
+         md5(array_to_string(
+           toks[CAST(chunk_id * $stride + 1 AS BIGINT) :
+                CAST(chunk_id * $stride + LEAST($window, n_tokens - chunk_id * $stride) AS BIGINT)],
+           ' ')) AS chunk_hash
+  FROM c
+)"""
+
+  def chunkWindows(window: Int = 64, stride: Int = 48): String = s"""
+WITH ${chunksCte(window, stride)}
+SELECT doc_id, chunk_id, start_tok, n_toks, chunk_hash
+FROM ch ORDER BY doc_id, chunk_id"""
+
+  /** Mirrors TrainPrep.chunkDupes: copy-count window on chunk_hash,
+    * (doc_id, chunk_id)-ordered survivor, duplicates are rank ≥ 2. */
+  def chunkDupes(window: Int = 64, stride: Int = 48): String = s"""
+WITH ${chunksCte(window, stride)},
+d AS (
+  SELECT doc_id, chunk_id, start_tok, chunk_hash,
+         CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies,
+         ROW_NUMBER() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) AS rk,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY chunk_hash
+           ORDER BY doc_id, chunk_id) AS survivor_doc,
+         FIRST_VALUE(chunk_id) OVER (PARTITION BY chunk_hash
+           ORDER BY doc_id, chunk_id) AS survivor_chunk
+  FROM ch
 )
-SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       CAST(chunk_id * $stride AS BIGINT) AS start_tok,
-       CAST(LEAST($window, n_tokens - chunk_id * $stride) AS BIGINT) AS n_toks,
-       md5(array_to_string(
-         toks[CAST(chunk_id * $stride + 1 AS BIGINT) :
-              CAST(chunk_id * $stride + LEAST($window, n_tokens - chunk_id * $stride) AS BIGINT)],
-         ' ')) AS chunk_hash
-FROM c ORDER BY doc_id, chunk_id"""
+SELECT doc_id, chunk_id, start_tok, chunk_hash,
+       survivor_doc, survivor_chunk, n_copies
+FROM d WHERE n_copies > 1 AND rk >= 2
+ORDER BY doc_id, chunk_id"""
 
   /** Mirrors Sampling.stratifiedSample: exact-count per-stratum hash
     * sample; the keep rule is the pure-integer form of

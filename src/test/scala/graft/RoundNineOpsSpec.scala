@@ -113,6 +113,48 @@ class RoundNineOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(100L, 167L, 243L))
   }
 
+  test("chunkDupes: duplicate chunks point at the first occurrence") {
+    // docs 1 and 2 share identical text -> every chunk of 2 is a dup of 1;
+    // doc 3 is unique -> contributes nothing
+    val text = (0 until 10).map("t" + _).mkString(" ")
+    val d = docsDf((1L, text, "a"), (2L, text, "a"), (3L, "zz yy", "a"))
+    val r = TrainPrep.chunkDupes(d, window = 4, stride = 3).collect()
+    assert(r.length === 3, "doc 2's three chunks are the removed instances")
+    r.foreach { x =>
+      assert(x.getAs[Long]("doc_id") === 2L)
+      assert(x.getAs[Long]("survivor_doc") === 1L)
+      assert(x.getAs[Long]("survivor_chunk") === x.getAs[Long]("chunk_id"))
+      assert(x.getAs[Long]("n_copies") === 2L)
+    }
+  }
+
+  test("sourceOverlap: exact Jaccard in basis points, pairs sorted a < b") {
+    val d = docsDf(
+      (1L, "a b c", "s1"), (2L, "b c d", "s2"), (3L, "x y", "s3"))
+    val r = TextOps.sourceOverlap(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    // s1 {a,b,c} vs s2 {b,c,d}: 2 common / 4 union = 5000 bp
+    val p = r(("s1", "s2"))
+    assert(p.getAs[Long]("n_common") === 2L)
+    assert(p.getAs[Long]("types_a") === 3L && p.getAs[Long]("types_b") === 3L)
+    assert(p.getAs[Long]("jaccard_bp") === 5000L)
+    // disjoint vocabularies produce no pair row at all
+    assert(!r.contains(("s1", "s3")) && !r.contains(("s2", "s3")))
+  }
+
+  test("pmiPairs: counts cover offsets 1 and 2; PMI is ln(cN/(ca*cb)) micros") {
+    val d = docsDf((1L, "a b a b", "s"))
+    // offset1: (a,b),(b,a),(a,b); offset2: (a,a),(b,b) -> N=5
+    val r = TextOps.pmiPairs(d, maxOffset = 2, topK = 10).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r(("a", "b")).getAs[Long]("c") === 2L)
+    assert(r(("b", "a")).getAs[Long]("c") === 1L)
+    assert(r(("a", "a")).getAs[Long]("c") === 1L)
+    // (a,b): ca = pairs with left a = 3, cb = pairs with right b = 3
+    val expected = math.round(math.log(2.0 * 5 / (3.0 * 3)) * 1e6)
+    assert(r(("a", "b")).getAs[Long]("pmi_micro") === expected)
+  }
+
   test("dailyEwma: window truncates at k days") {
     import spark.implicits._
     val rows = (1 to 10).map(d =>
