@@ -196,6 +196,10 @@ object SparkEntry {
       RelationalQueries.revenueByNation(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "topk_orders" -> ((s, d) => RelationalQueries.topkOrders(Tables.orders(s, d))),
+    // year-over-year revenue growth per nation (integer-cent exact)
+    "agg_yoy_revenue" -> ((s, d) =>
+      RelationalQueries.yoyRevenue(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))),
     // 2-D Pareto frontier (skyline): bucket-local prune + global pass
     "join_pareto_frontier" -> ((s, d) =>
       RelationalQueries.paretoFrontier(Tables.orders(s, d))),
@@ -293,6 +297,9 @@ object SparkEntry {
     // pairwise source-vocabulary Jaccard (redundant-source screen)
     "text_source_overlap" -> ((s, d) =>
       TextOps.sourceOverlap(Tables.documents(s, d))),
+    // word2vec-style tf^0.75 negative-sampling table
+    "text_negative_sampling" -> ((s, d) =>
+      TextOps.negativeSampling(Tables.documents(s, d))),
     // windowed co-occurrence PMI (collocation mining)
     "text_cooc_pmi" -> ((s, d) =>
       TextOps.pmiPairs(Tables.documents(s, d))),
@@ -658,6 +665,8 @@ object SparkEntry {
     "text_source_overlap" -> OracleSqlText.sourceOverlap,
     "text_cooc_pmi" -> OracleSqlText.pmiPairs(),
     "dedup_chunk_exact" -> OracleSqlText.chunkDupes(),
+    "text_negative_sampling" -> OracleSqlText.negativeSampling,
+    "agg_yoy_revenue" -> OracleSql.yoyRevenue,
     "events_streaks" -> OracleSql.activityStreaks,
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),

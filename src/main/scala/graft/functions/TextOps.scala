@@ -647,6 +647,39 @@ object TextOps {
       .orderBy(col("c").desc, col("tok_a"), col("tok_b"))
   }
 
+  /** Word2vec-style negative-sampling table: every token weighted
+    * tf^0.75 (the unigram-distribution flattening Mikolov et al. 2013
+    * use for NCE/negative sampling), emitted with its cumulative share —
+    * exactly the lookup table a sampled-softmax trainer bsearches.
+    *
+    * Determinism: tf^0.75 = sqrt(sqrt(tf³)) — two applications of the
+    * ONE power IEEE requires correctly rounded, over a double product
+    * chain evaluated in a fixed order, so both engines produce the
+    * identical weight; weights quantize to integer micros before the
+    * cumulative sum (exact BIGINT) and the share is integer ppm.
+    *
+    * Shape: one map-side-combinable token census, then rank + running
+    * sum over the global (tf desc, token) order — vocabulary-sized, the
+    * [[vocabCoverage]] single-partition envelope (vocab, not corpus,
+    * bounds the window).
+    *
+    * Output: (token, tf, w_micro, rank, cum_ppm). */
+  def negativeSampling(docs: DataFrame): DataFrame = {
+    val tf = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val w = Window.orderBy(col("tf").desc, col("token"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tf.withColumn("w_micro",
+        round(sqrt(sqrt(col("tf").cast("double") * col("tf") * col("tf"))) * 1000000)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_micro", sum(col("w_micro")).over(cum))
+      .withColumn("total_micro", sum(col("w_micro")).over(Window.partitionBy()))
+      .withColumn("cum_ppm", expr("cum_micro * 1000000 div total_micro"))
+      .select("token", "tf", "w_micro", "rank", "cum_ppm")
+      .orderBy("rank")
+  }
+
   /** Token-length histogram: fixed-width bins (top bin open-ended), the
     * mergeable corpus-shape summary a curation pipeline reads before
     * choosing packing lengths and curriculum cuts. Integer binning only —

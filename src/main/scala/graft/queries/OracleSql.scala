@@ -1121,6 +1121,33 @@ SELECT day, cents, dev_cents, cusum_cents,
        END AS cusum_sigma
 FROM c2 ORDER BY day"""
 
+  /** Mirrors RelationalQueries.yoyRevenue: per-row cent rounding before
+    * the BIGINT sum, sign-split integer basis-point growth (the
+    * dailyCusum truncation form), NULL first year. */
+  val yoyRevenue: String = """
+WITH base AS (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+lagd AS (
+  SELECT nation, yr, rev_cents,
+         LAG(rev_cents, 1) OVER (PARTITION BY nation ORDER BY yr) AS prev_cents
+  FROM base
+)
+SELECT nation, yr, rev_cents, prev_cents,
+       CASE WHEN prev_cents IS NULL THEN NULL
+            ELSE CAST(SIGN(rev_cents - prev_cents) *
+                      (ABS(rev_cents - prev_cents) * 10000 // prev_cents) AS BIGINT)
+       END AS yoy_bp
+FROM lagd ORDER BY nation, yr"""
+
   /** Mirrors EventQueries.dailyEwma: list_prepend(0.0) left fold
     * acc ← (acc+x)/2 over the chronological trailing window (dyadic
     * weights are exact in doubles; fold order fixes the rounding

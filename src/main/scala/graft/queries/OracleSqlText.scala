@@ -372,6 +372,31 @@ SELECT source,
        MAX(n_types) * 10000 // MAX(n_tokens) AS ttr_bp
 FROM m GROUP BY 1 ORDER BY source"""
 
+  /** Mirrors TextOps.negativeSampling: tf^0.75 as sqrt(sqrt(tf³)) over
+    * the same fixed-order double product, micro-quantized before the
+    * exact BIGINT running sum; shares are integer ppm. */
+  val negativeSampling: String = s"""
+WITH tf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1
+),
+wm AS (
+  SELECT token, tf,
+         CAST(ROUND(sqrt(sqrt(tf::DOUBLE * tf * tf)) * 1000000) AS BIGINT) AS w_micro
+  FROM tf
+),
+r AS (
+  SELECT token, tf, w_micro,
+         CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
+         CAST(SUM(w_micro) OVER (ORDER BY tf DESC, token
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_micro,
+         CAST(SUM(w_micro) OVER () AS BIGINT) AS total_micro
+  FROM wm
+)
+SELECT token, tf, w_micro, rank, cum_micro * 1000000 // total_micro AS cum_ppm
+FROM r ORDER BY rank"""
+
   /** Mirrors TextOps.sourceOverlap — the oracle uses the token-keyed
     * self-join form (the Spark side explodes per-token rosters), so the
     * gate proves roster-pair generation against the join definition. */

@@ -405,4 +405,36 @@ object RelationalQueries {
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
       .orderBy("o_orderkey")
   }
+
+  /** Year-over-year revenue growth per nation — the trend readout a
+    * revenue dashboard layers over [[revenueByNation]]'s level rollup.
+    *
+    * Revenue is exact integer cents (per-row ROUND then BIGINT sum — the
+    * balance-equation discipline, immune to float association); growth is
+    * sign-split integer basis points ((rev − prev)·10000 div prev with
+    * the dailyCusum sign/abs form, so truncation direction cannot differ
+    * across engines on a down year). First observed year is NULL.
+    *
+    * Shape: fact shuffles once on the join keys, nation broadcasts, the
+    * (nation, year) rollup combines map-side, and the lag window runs
+    * over nations × years — a calendar-bounded frame at any fact volume. */
+  def yoyRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val base = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("rev_cents"))
+    val w = Window.partitionBy("nation").orderBy("yr")
+    base.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("yoy_bp",
+        when(col("prev_cents").isNull, lit(null).cast("long"))
+          .otherwise((signum(col("rev_cents") - col("prev_cents")) *
+            expr("abs(rev_cents - prev_cents) * 10000 div prev_cents")).cast("long")))
+      .select("nation", "yr", "rev_cents", "prev_cents", "yoy_bp")
+      .orderBy("nation", "yr")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
 import graft.operators.{Sampling, TrainPrep}
-import graft.queries.EventQueries
+import graft.queries.{EventQueries, RelationalQueries}
 
 /** Round-9 additions: context-window chunking, temperature-scaled source
   * mixing, per-source token entropy, truncated dyadic-weight EWMA. */
@@ -153,6 +153,37 @@ class RoundNineOpsSpec extends AnyFunSuite {
     // (a,b): ca = pairs with left a = 3, cb = pairs with right b = 3
     val expected = math.round(math.log(2.0 * 5 / (3.0 * 3)) * 1e6)
     assert(r(("a", "b")).getAs[Long]("pmi_micro") === expected)
+  }
+
+  test("negativeSampling: tf^0.75 weights, rank order, monotone cum share") {
+    val d = docsDf((1L, "a a a a a a a a a a a a a a a a b", "s"))
+    val r = TextOps.negativeSampling(d).collect()
+    // a: tf=16 -> 16^0.75 = 8 exactly; b: tf=1 -> 1
+    val byTok = r.map(x => x.getString(0) -> x).toMap
+    assert(byTok("a").getAs[Long]("w_micro") === 8000000L)
+    assert(byTok("b").getAs[Long]("w_micro") === 1000000L)
+    assert(byTok("a").getAs[Long]("rank") === 1L)
+    // cumulative ppm: a = 8/9 of the mass, b closes at exactly 1e6
+    assert(byTok("a").getAs[Long]("cum_ppm") === 8000000L * 1000000L / 9000000L)
+    assert(byTok("b").getAs[Long]("cum_ppm") === 1000000L)
+  }
+
+  test("yoyRevenue: integer-cent growth in basis points, NULL first year") {
+    import spark.implicits._
+    val li = Seq((1L, 100.0, 0.0), (2L, 150.0, 0.0), (3L, 75.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Seq(
+      (1L, 10L, java.sql.Timestamp.valueOf("2022-06-01 00:00:00")),
+      (2L, 10L, java.sql.Timestamp.valueOf("2023-06-01 00:00:00")),
+      (3L, 10L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((10L, 5)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((5, "FRANCE")).toDF("n_nationkey", "n_name")
+    val r = RelationalQueries.yoyRevenue(li, ord, cust, nat).collect()
+    assert(r.map(_.getAs[Long]("yr")).toSeq === Seq(2022L, 2023L, 2024L))
+    assert(r(0).isNullAt(r(0).fieldIndex("yoy_bp")))
+    assert(r(1).getAs[Long]("yoy_bp") === 5000L) // 100 -> 150: +50%
+    assert(r(2).getAs[Long]("yoy_bp") === -5000L) // 150 -> 75: -50%
   }
 
   test("dailyEwma: window truncates at k days") {
