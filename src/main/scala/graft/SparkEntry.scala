@@ -485,6 +485,9 @@ object SparkEntry {
     // streaming sketch maintenance: per-window HLL registers as state
     "streaming_hll_rollup" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replayHllRollup(Tables.events(s, d))),
+    // first-crossing threshold alerts (custom keyed state + fired latch)
+    "streaming_alerts" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.replayThresholdAlerts(Tables.events(s, d))),
 
     // snapshot + delta MERGE (the batch upsert / full-outer surface)
     "merge_balance_upsert" -> ((s, d) =>
@@ -667,6 +670,7 @@ object SparkEntry {
     "dedup_chunk_exact" -> OracleSqlText.chunkDupes(),
     "text_negative_sampling" -> OracleSqlText.negativeSampling,
     "agg_yoy_revenue" -> OracleSql.yoyRevenue,
+    "streaming_alerts" -> OracleSql.thresholdAlerts(),
     "events_streaks" -> OracleSql.activityStreaks,
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),

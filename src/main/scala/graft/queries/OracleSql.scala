@@ -1121,6 +1121,31 @@ SELECT day, cents, dev_cents, cusum_cents,
        END AS cusum_sigma
 FROM c2 ORDER BY day"""
 
+  /** Mirrors StreamingAnalytics.replayThresholdAlerts: the first row at
+    * or over the threshold in the per-user (ts, event_type, cents)-ordered
+    * running cent sum — the batch definition the streaming latch must
+    * reproduce across micro-batch boundaries. */
+  def thresholdAlerts(thresholdCents: Long = 250000L): String = s"""
+WITH e AS (
+  SELECT user_id, ts, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+c AS (
+  SELECT user_id, ts, cents,
+         CAST(SUM(cents) OVER w AS BIGINT) AS cum_cents,
+         ROW_NUMBER() OVER w AS rn
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type, cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+f AS (
+  SELECT user_id, ts, cum_cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS k
+  FROM c WHERE cum_cents >= $thresholdCents
+)
+SELECT user_id, ts AS alert_ts, cum_cents
+FROM f WHERE k = 1 ORDER BY user_id"""
+
   /** Mirrors RelationalQueries.yoyRevenue: per-row cent rounding before
     * the BIGINT sum, sign-split integer basis-point growth (the
     * dailyCusum truncation form), NULL first year. */

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Event-time windowed aggregation for streams: tumbling windows with a
@@ -315,5 +315,85 @@ object StreamingAnalytics {
       .groupBy("content_hash")
       .agg(count(lit(1)).as("n_passed"))
       .orderBy("content_hash")
+  }
+
+  // ---- first-crossing threshold alerts (custom keyed state) ----
+
+  /** Typed row for the alert stream: cents are rounded in the DataFrame
+    * layer (Spark SQL `round`, the engine the oracle mirrors) BEFORE the
+    * typed function, so the JVM fold does zero float arithmetic. */
+  final case class CentsEvent(ts: java.time.LocalDateTime, event_type: String,
+      user_id: Long, cents: Long)
+  final case class RunningState(cents: Long, fired: Boolean)
+  final case class Alert(user_id: Long, alert_ts: java.time.LocalDateTime,
+      cum_cents: Long)
+
+  /** Real-time limit/fraud alerting: emit ONE alert per user, the first
+    * time their running value total reaches `thresholdCents` — the
+    * monotone-state pattern (running aggregate + fired latch) that
+    * windowed aggregation cannot express because the trigger condition
+    * spans the user's whole history, not a window.
+    *
+    * State per user is two fields (running cents, fired) — O(users),
+    * keyed on user_id like every other per-user operator; emission
+    * happens inline in the batch the crossing occurs, so no watermark or
+    * flush machinery is needed (NoTimeout; alerts are append-only by
+    * construction). Rows are folded in (ts, event_type, cents) order
+    * within each batch — the same total order as the oracle's running
+    * sum, so the crossing row is engine-deterministic; across batches the
+    * event-time-range chunking preserves that order globally.
+    */
+  def thresholdAlerts(events: Dataset[CentsEvent],
+      thresholdCents: Long): Dataset[Alert] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders => E}
+    implicit val stateEnc = E.product[RunningState]
+    implicit val outEnc = E.product[Alert]
+    implicit val keyEnc = E.scalaLong
+    val ldtOrd = Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[CentsEvent],
+         state: org.apache.spark.sql.streaming.GroupState[RunningState]) =>
+          val sorted = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_type, e.cents))(
+            Ordering.Tuple3(ldtOrd, Ordering.String, Ordering.Long))
+          var st = state.getOption.getOrElse(RunningState(0L, fired = false))
+          val out = Seq.newBuilder[Alert]
+          sorted.foreach { e =>
+            val cum = st.cents + e.cents
+            if (!st.fired && cum >= thresholdCents) {
+              out += Alert(uid, e.ts, cum)
+              st = RunningState(cum, fired = true)
+            } else st = RunningState(cum, st.fired)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Correctness-gate replay of [[thresholdAlerts]] over the batch
+    * `events` table — shares the staged chunk set with the other event
+    * gates (sentinels ride along under user_id −1 and are filtered; the
+    * alert stream itself needs no flush because emission is inline).
+    * Chunk boundaries split users' histories mid-running-sum, so the
+    * state carry is what the hash gate exercises. Timestamps stay
+    * TIMESTAMP_NTZ end to end (no watermark → no instant semantics
+    * needed, the StreamingFifo precedent). Oracle: the batch per-user
+    * running sum's first row at or over the threshold. */
+  def replayThresholdAlerts(events: DataFrame, batches: Int = 3,
+      thresholdCents: Long = 250000L): DataFrame = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.{Encoders => E}
+    val src = eventReplaySrc(events)
+    val dirs = stagedShared(src, batches, eventSentinels)
+    val typed = FileReplay.stream(spark, src.schema, dirs)
+      .select(col("ts"), col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[CentsEvent](E.product[CentsEvent])
+    val alerts = thresholdAlerts(typed, thresholdCents)
+    FileReplay.runToParquet(alerts.toDF(), dirs, tag = "_alerts")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "alert_ts", "cum_cents")
+      .orderBy("user_id")
   }
 }

@@ -157,4 +157,30 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       assert(out === Set(1L, 2L, 4L)) // doc 3 dropped as a content duplicate
     } finally query.stop()
   }
+
+  test("threshold alerts fire once, at the crossing row, across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingAnalytics.CentsEvent
+
+    val input = MemoryStream[(Timestamp, String, Long, Long)]
+    val typed = input.toDF().toDF("ts", "event_type", "user_id", "cents")
+      .selectExpr("CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_type", "user_id", "cents")
+      .as[CentsEvent]
+    val query = graft.streaming.StreamingAnalytics.thresholdAlerts(typed, 100L)
+      .toDF().writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    try {
+      // user 1 reaches 100 only with the second batch's event; user 2 never
+      input.addData((ts(0, 0), "a", 1L, 60L), (ts(0, 5), "a", 2L, 50L))
+      query.processAllAvailable()
+      assert(spark.table("alerts").count() === 0)
+      input.addData((ts(0, 10), "a", 1L, 40L), (ts(0, 15), "a", 1L, 999L))
+      query.processAllAvailable()
+      val out = spark.table("alerts").collect()
+      assert(out.length === 1, "exactly one alert despite two over-threshold rows")
+      assert(out.head.getAs[Long]("user_id") === 1L)
+      assert(out.head.getAs[Long]("cum_cents") === 100L, "fires AT the crossing row")
+    } finally query.stop()
+  }
 }
