@@ -392,8 +392,13 @@ object RelationalQueries {
       pmod(col("o_orderkey"), lit(buckets)).as("bucket"))
     def frontier(df: DataFrame, local: Boolean): DataFrame = {
       val part = if (local) Seq(col("bucket")) else Seq.empty[org.apache.spark.sql.Column]
-      val wStrict = Window.partitionBy(part: _*).orderBy(col("price_cents"))
-        .rangeBetween(1L, Window.unboundedFollowing)
+      // Descending order with a growing frame: Spark evaluates
+      // [unboundedPreceding, -1] incrementally (one aggregate update per
+      // row), whereas the mirror-image ascending [1, unboundedFollowing]
+      // frame recomputes the aggregate from scratch per row — O(n^2) per
+      // partition. Same frame contents: rows with strictly higher cents.
+      val wStrict = Window.partitionBy(part: _*).orderBy(col("price_cents").desc)
+        .rangeBetween(Window.unboundedPreceding, -1L)
       val wTie = Window.partitionBy(part :+ col("price_cents"): _*)
       df.withColumn("d_above", max(col("date_days")).over(wStrict))
         .withColumn("d_tie", max(col("date_days")).over(wTie))
