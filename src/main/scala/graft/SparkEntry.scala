@@ -350,6 +350,15 @@ object SparkEntry {
     }),
     "train_pack_sequences" -> ((s, d) =>
       graft.operators.TrainPrep.packSequences(Tables.documents(s, d))),
+    // leakage-safe splits: whole near-dup clusters move together, so no
+    // near-duplicate pair can straddle train and test
+    "train_splits_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.TrainPrep.leakageSafeSplits(docs, Dedup.simhashPairs(docs))
+    }),
+    // token-budget sampling: the mixture cut specified in tokens, not docs
+    "sample_token_budget" -> ((s, d) =>
+      graft.operators.Sampling.tokenBudgetSample(Tables.documents(s, d))),
     // overlapping context-window chunking (content-hashed slices)
     "train_chunk_windows" -> ((s, d) =>
       graft.operators.TrainPrep.chunkWindows(Tables.documents(s, d))),
@@ -616,6 +625,8 @@ object SparkEntry {
     "merge_balance_upsert" -> OracleSql.balanceUpsert(Params.AsOf),
     "agg_salted_sum" -> OracleSql.aggSaltedSum,
     "train_splits" -> OracleSqlText.trainSplits(),
+    "train_splits_safe" -> OracleSqlText.leakageSafeSplits(),
+    "sample_token_budget" -> OracleSqlText.tokenBudgetSample(),
     "text_contamination" -> OracleSqlText.contamination(),
     "train_pack_sequences" -> OracleSqlText.packSequences(),
     "sketch_hll_distinct" ->

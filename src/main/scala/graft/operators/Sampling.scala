@@ -148,6 +148,43 @@ object Sampling {
       .select(col(idCol), col("grp"), col("sample_rank"))
       .orderBy("grp", "sample_rank")
 
+  /** Per-source token-budget sampling: training mixtures are specified in
+    * TOKENS, not documents ("30 B tokens of web, 5 B of code"), so the
+    * sampler must cut each source at a token budget. Documents order
+    * within their source by (hash, id) — the same uniform, append-stable
+    * shuffle order every sampler here uses — and the greedy prefix whose
+    * PRIOR cumulative token count is still under `budgetTokens` survives:
+    * the budget-crossing document is kept (budgets fill to "at least", so
+    * a single over-long doc cannot zero out its source), everything after
+    * it is dropped. Deterministic; re-runs and appends keep every
+    * surviving doc's assignment (a new doc reshuffles only hashes after
+    * it, exactly like [[uniformSample]]).
+    *
+    * Scale shape: one keyed shuffle on source; the running sum is one
+    * growing-frame window per source (evaluated incrementally, never
+    * quadratic). The per-source sort is the documented whale envelope
+    * (cf. text_quality_calibrated): at 100 TB a whale source pre-prunes
+    * by hash range — P(survive) ≈ budget/Σtokens bounds the surviving
+    * hash prefix, so the sort shrinks to ~budget-sized input with the
+    * same kept set; the exact form here is the gate-checkable twin.
+    *
+    * Output: (doc_id, source, n_tokens, cum_tokens ≤ budget + last doc),
+    * ordered by doc_id. */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 20000L,
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), col("source"),
+      size(graft.functions.TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      hash32(col(idCol)).as("hv"))
+    val w = Window.partitionBy("source").orderBy(col("hv"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("prior") < budgetTokens)
+      .withColumn("cum_tokens", col("prior") + col("n_tokens"))
+      .select(col(idCol), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(idCol)
+  }
+
   /** Rate-based weighted domain mix: each source keeps `weights(source)`
     * percent of its documents (default `defaultPct`), decided per document
     * by hash bucket — the standard up/down-weighting step when rebalancing

@@ -36,6 +36,41 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe split assignment: [[assignSplits]]' hash-bucket coin
+    * flip, but keyed on the near-dup CLUSTER id instead of the document
+    * id. Under per-doc splitting, two near-duplicates can land in train
+    * and test and the eval set silently contains (a mutation of) training
+    * data — the split-level counterpart of benchmark contamination.
+    * Hashing the cluster representative moves whole clusters together, so
+    * no near-dup pair ever straddles a split boundary.
+    *
+    * `pairs` is any near-dup pair list (doc_a < doc_b); docs absent from
+    * it are their own singleton cluster (cluster_id = doc_id), so the
+    * assignment degrades to exactly [[assignSplits]] on a dup-free
+    * corpus. Scale shape: the cluster labels come from
+    * [[Dedup.dedupClusters]] (edge-bound label propagation); the join
+    * back to the corpus is one keyed shuffle on doc_id and the bucket/
+    * split decision is narrow. Stable under append: new docs change no
+    * existing doc's cluster minimum unless they genuinely bridge
+    * clusters — precisely the docs a leakage guard must move.
+    *
+    * Output: (doc_id, cluster_id, bucket, split), ordered by doc_id. */
+  def leakageSafeSplits(docs: DataFrame, pairs: DataFrame, valPct: Int = 10,
+      testPct: Int = 10, buckets: Int = 100): DataFrame = {
+    val clusters = Dedup.dedupClusters(pairs)
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        conv(substring(md5(col("cluster_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets)
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "validation")
+          .otherwise("train"))
+      .orderBy("doc_id")
+  }
+
   /** Token-stream sequence packing, sharded: within each shard of
     * `docsPerShard` consecutive doc_ids, documents concatenate into one
     * token stream and training sequence k holds tokens

@@ -1110,6 +1110,53 @@ SELECT doc_id, bucket,
             ELSE 'train' END AS split
 FROM b ORDER BY doc_id"""
 
+  /** Mirrors TrainPrep.leakageSafeSplits: the trainSplits bucket split
+    * keyed on the near-dup cluster id (dedupClusters' min-label fixpoint
+    * over the simhash pair graph); docs outside the pair graph are their
+    * own singleton cluster. */
+  def leakageSafeSplits(valPct: Int = 10, testPct: Int = 10,
+      buckets: Int = 100): String = s"""
+WITH RECURSIVE $simhashGraphCtes,
+reach(doc_id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+),
+cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+a AS (
+  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+),
+b AS (
+  SELECT doc_id, cluster_id,
+         CAST((${hex8IntSql("cluster_id::VARCHAR")}) % $buckets AS BIGINT) AS bucket
+  FROM a
+)
+SELECT doc_id, cluster_id, bucket,
+       CASE WHEN bucket < $testPct THEN 'test'
+            WHEN bucket < ${testPct + valPct} THEN 'validation'
+            ELSE 'train' END AS split
+FROM b ORDER BY doc_id"""
+
+  /** Mirrors Sampling.tokenBudgetSample: greedy per-source prefix in
+    * (hash, id) order while the PRIOR running token count is under
+    * budget. DuckDB's windowed SUM(BIGINT) is HUGEINT — cast back. */
+  def tokenBudgetSample(budgetTokens: Long = 20000L): String = s"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST((${hex8IntSql("doc_id::VARCHAR")}) AS BIGINT) AS hv
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY hv, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+  FROM t
+)
+SELECT doc_id, source, n_tokens, CAST(prior + n_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE prior < $budgetTokens ORDER BY doc_id"""
+
   /** Mirrors TrainPrep.packSequences: sharded token-stream packing. */
   def packSequences(maxTokens: Int = 512, docsPerShard: Int = 1000): String = s"""
 WITH $toksCte,

@@ -129,6 +129,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(es === topHash)
   }
 
+  test("token-budget sample is the greedy hash-order prefix per source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 40 docs of 25 tokens across two sources; budget 100 → the first four
+    // docs in (hash, id) order per source survive, the fifth's prior is 100
+    val docs = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(25)("w").mkString(" "), if (i % 2 == 0) "even" else "odd")
+    }.toDF("doc_id", "text", "source")
+    val kept = Sampling.tokenBudgetSample(docs, budgetTokens = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(kept.length === 8)
+    assert(kept.groupBy(_._2).view.mapValues(_.length).toMap === Map("even" -> 4, "odd" -> 4))
+    assert(kept.forall(_._4 <= 100L))
+    // the kept set is exactly the 4 smallest (hash, id) per source
+    val hashOrder = docs.select(col("doc_id"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = hashOrder.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(4).map(_._1).toSeq
+    }.toSet
+    assert(kept.map(_._1).toSet === expect)
+  }
+
+  test("token-budget sample keeps the budget-crossing doc, drops the rest") {
+    import spark.implicits._
+    // one source, token counts 60/60/60: doc ordering is by hash, prior of
+    // the 2nd doc is 60 < 100 (kept, cum 120), 3rd doc prior 120 (dropped)
+    val docs = Seq(
+      (1L, Seq.fill(60)("w").mkString(" "), "s"),
+      (2L, Seq.fill(60)("w").mkString(" "), "s"),
+      (3L, Seq.fill(60)("w").mkString(" "), "s")
+    ).toDF("doc_id", "text", "source")
+    val kept = Sampling.tokenBudgetSample(docs, budgetTokens = 100L).collect()
+    assert(kept.length === 2)
+    assert(kept.map(_.getLong(3)).max === 120L) // crossing doc survives
+  }
+
   test("HLL estimate is exact-ish at gate scale and within the error regime at 10k") {
     import spark.implicits._
     val big = (1 to 10000).toDF("id")

@@ -35,6 +35,41 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(byText.values.sum === 1000L)
   }
 
+  test("leakage-safe splits never let a near-dup pair straddle a boundary") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = graft.operators.Dedup.simhashPairs(d)
+    val splits = TrainPrep.leakageSafeSplits(d, pairs).cache()
+    val straddle = pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.count() === 0L)
+    // every doc is assigned exactly once, to a real split
+    assert(splits.count() === d.count())
+    assert(splits.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "validation", "test")))
+    splits.unpersist()
+  }
+
+  test("leakage-safe splits degrade to the per-doc split off the pair graph") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = graft.operators.Dedup.simhashPairs(d).cache()
+    val paired = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val safe = TrainPrep.leakageSafeSplits(d, pairs)
+      .join(paired, Seq("doc_id"), "left_anti")
+      .select("doc_id", "split")
+    val plain = TrainPrep.assignSplits(d)
+      .join(paired, Seq("doc_id"), "left_anti")
+      .select("doc_id", "split")
+    // singleton clusters hash their own id — identical to assignSplits
+    assert(safe.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(safe).count() === 0L)
+    pairs.unpersist()
+  }
+
   test("packing is a contiguous token stream per shard") {
     // 3 docs of 300 tokens in one shard with maxTokens=512:
     // doc 0 at (pack 0, offset 0); doc 1 starts at 300 and SPANS into pack 1;
