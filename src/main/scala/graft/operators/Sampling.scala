@@ -170,7 +170,7 @@ object Sampling {
     *
     * Output: (doc_id, source, n_tokens, cum_tokens ≤ budget + last doc),
     * ordered by doc_id. */
-  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 20000L,
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 800L,
       idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol), col("source"),
       size(graft.functions.TextOps.tokens(col("text"))).cast("long").as("n_tokens"),

@@ -1141,7 +1141,7 @@ FROM b ORDER BY doc_id"""
   /** Mirrors Sampling.tokenBudgetSample: greedy per-source prefix in
     * (hash, id) order while the PRIOR running token count is under
     * budget. DuckDB's windowed SUM(BIGINT) is HUGEINT — cast back. */
-  def tokenBudgetSample(budgetTokens: Long = 20000L): String = s"""
+  def tokenBudgetSample(budgetTokens: Long = 800L): String = s"""
 WITH t AS (
   SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          CAST((${hex8IntSql("doc_id::VARCHAR")}) AS BIGINT) AS hv
