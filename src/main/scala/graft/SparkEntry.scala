@@ -314,6 +314,10 @@ object SparkEntry {
     // reciprocal-rank fusion of the exact and LSH rankings (hybrid retrieval)
     "ann_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    // first-class k-means clustering (the IVF quantizer's labels + sizes)
+    "embed_kmeans" -> ((s, d) => Similarity.kmeansClusters(Tables.embeddings(s, d))),
+    // cluster-balanced diversity sample: hash-rank cap per semantic cluster
+    "sample_diversity" -> ((s, d) => Similarity.diversitySample(Tables.embeddings(s, d))),
     // the scale path (LSH blocking + exact verify); the all-pairs form stays
     // gated as embed_neardup_exact, the differential baseline — on gate data
     // the two must produce identical rows (100% LSH recall, see scaladoc)
@@ -599,6 +603,8 @@ object SparkEntry {
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL
     "ann_ivf_topk" -> OracleSqlText.annIvfTopK(),
+    "embed_kmeans" -> OracleSqlText.embedKmeans(),
+    "sample_diversity" -> OracleSqlText.sampleDiversity(),
     "embed_neardup_pairs" -> OracleSqlText.nearDupPairsLsh(),
     "embed_neardup_exact" -> OracleSqlText.nearDupPairs,
     "dedup_semantic" -> OracleSqlText.semDedup(),

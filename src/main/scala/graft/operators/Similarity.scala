@@ -258,6 +258,67 @@ object Similarity {
     centroids
   }
 
+  /** Deterministic k-means cluster assignment over the corpus — the IVF
+    * coarse quantizer ([[lloydCentroids]]) exposed as a first-class
+    * clustering operator: semantic grouping is the backbone of
+    * curation-time diversity analysis (cluster-balanced sampling, topic
+    * pruning, per-cluster quality review). Same determinism contract as
+    * the quantizer: init from the `nCentroids` lowest vec_ids, `iters`
+    * Lloyd rounds with ROUND(AVG,6)::float means, assignment ties break
+    * to the lowest cell — so the DuckDB oracle (which unrolls the same
+    * rounds in SQL) reproduces every label bit-for-bit.
+    *
+    * Scale shape: the training loop is `iters` distributed assign passes
+    * over a staged corpus (centroid state is nCentroids×dim driver-side
+    * doubles, the MLlib k-means shape); the final labeling is one narrow
+    * pass with the codegen'd score kernel, and the size census is the one
+    * cluster-keyed window. Degenerate vectors (NaN/zero) take cell 0 on
+    * both engines — identical tie order.
+    *
+    * Output: (vec_id, cluster, cluster_size), ordered by vec_id. */
+  def kmeansClusters(embeddings: DataFrame, nCentroids: Int = 8,
+      iters: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
+    val cents = lloydCentroids(emb, nCentroids, iters)
+    withCell(emb, cents)
+      .select(col("vec_id"), col("cell").cast("long").as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster")))
+      .orderBy("vec_id")
+  }
+
+  /** Cluster-balanced diversity sample: up to `perCluster` vectors per
+    * k-means cluster, chosen by the engine's portable id-hash rank — the
+    * embedding-space counterpart of [[Sampling.capPerGroup]]'s domain
+    * capping. Uniform sampling over-represents dense regions of embedding
+    * space; capping per semantic cluster flattens that density, which is
+    * exactly the curation move behind cluster-balanced training mixes.
+    * Deterministic end-to-end (quantizer + hash rank), so re-runs and the
+    * oracle agree on the exact kept set.
+    *
+    * Scale shape: everything [[kmeansClusters]] does plus one
+    * cluster-keyed rank window whose constant cap gets WindowGroupLimit
+    * pushdown (pinned) — no cluster, however dense, ever sorts whole.
+    *
+    * Output: (vec_id, cluster, sample_rank ≤ perCluster), ordered by
+    * (cluster, sample_rank). */
+  def diversitySample(embeddings: DataFrame, perCluster: Int = 10,
+      nCentroids: Int = 8, iters: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
+    val cents = lloydCentroids(emb, nCentroids, iters)
+    val hv = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    withCell(emb, cents)
+      .select(col("vec_id"), col("cell").cast("long").as("cluster"), hv.as("hv"))
+      .withColumn("sample_rank", row_number().over(
+          Window.partitionBy("cluster").orderBy(col("hv"), col("vec_id")))
+        .cast("long"))
+      .filter(col("sample_rank") <= perCluster)
+      .select("vec_id", "cluster", "sample_rank")
+      .orderBy("cluster", "sample_rank")
+  }
+
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
       nCentroids: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(embeddings.sparkSession)

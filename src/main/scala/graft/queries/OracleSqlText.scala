@@ -954,6 +954,29 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Mirrors Similarity.kmeansClusters: the shared Lloyd quantizer CTEs'
+    * final assignment plus a per-cluster size census. */
+  def embedKmeans(nCentroids: Int = 8, iters: Int = 3, dim: Int = 64): String = s"""
+WITH ${ivfCellsCtes(nCentroids, iters, dim)},
+sz AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cluster, CAST(sz.n AS BIGINT) AS cluster_size
+FROM cells c JOIN sz USING (cell) ORDER BY vec_id"""
+
+  /** Mirrors Similarity.diversitySample: hash-rank cap per k-means
+    * cluster over the same quantizer CTEs. */
+  def sampleDiversity(perCluster: Int = 10, nCentroids: Int = 8,
+      iters: Int = 3, dim: Int = 64): String = s"""
+WITH ${ivfCellsCtes(nCentroids, iters, dim)},
+r AS (
+  SELECT vec_id, CAST(cell AS BIGINT) AS cluster,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY cell
+           ORDER BY (${hex8IntSql("vec_id::VARCHAR")}), vec_id) AS BIGINT) AS sample_rank
+  FROM cells
+)
+SELECT vec_id, cluster, sample_rank FROM r
+WHERE sample_rank <= $perCluster ORDER BY cluster, sample_rank"""
+
   /** Mirrors Similarity.semDedup: the same Lloyd quantizer CTEs as the IVF
     * oracle, an in-cell lower-id self-join with the exact rounded cosine
     * (NaN ≥ tau is TRUE in DuckDB's total order — the kernel's

@@ -188,6 +188,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("kmeans clusters: total assignment, consistent sizes, separable toy data") {
+    // two tight groups around e1 and e2; k=2 with init from the two lowest
+    // ids (one from each axis) must separate them
+    val toy = embeddings(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0.9f, 0.1f, 0f, 0f),
+      3L -> Seq(0.1f, 0.9f, 0f, 0f),
+      4L -> Seq(0.8f, 0f, 0.1f, 0f),
+      5L -> Seq(0f, 0.8f, 0.1f, 0f))
+    val out = Similarity.kmeansClusters(toy, nCentroids = 2, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L, 5L)) // every vector labeled once
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster(0L) === Set(0L, 2L, 4L)) // the e1 group with its init
+    assert(byCluster(1L) === Set(1L, 3L, 5L))
+    assert(out.forall { case (_, c, sz) => sz === byCluster(c).size.toLong })
+  }
+
+  test("diversity sample caps per cluster and matches the hash-rank choice") {
+    val emb = graft.sources.Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
+    val cap = 3
+    val s = Similarity.diversitySample(emb, perCluster = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s.forall(_._3 <= cap))
+    // per cluster: ranks are dense from 1 and the kept ids are the cap
+    // lowest (hash, id) members of that cluster's full assignment
+    val full = Similarity.kmeansClusters(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    def hv(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    s.groupBy(_._2).foreach { case (cluster, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).map(_.toLong))
+      val expect = full.filter(_._2 == cluster).map(_._1)
+        .sortBy(id => (hv(id), id)).take(cap).toSet
+      assert(rows.map(_._1).toSet === expect, s"cluster $cluster")
+    }
+  }
+
   test("multimodal plumbing round-trips binary with deterministic features") {
     val media = Multimodal.withMedia(corpus)
     assert(media.schema("media").dataType.typeName === "binary")
