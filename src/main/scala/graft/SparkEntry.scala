@@ -468,6 +468,12 @@ object SparkEntry {
     // near-dup clusters over the simhash pair graph (min-label propagation)
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.simhashPairs(Tables.documents(s, d)))),
+    // quality-aware survivor selection: each cluster keeps its cleanest
+    // member; emitted rows are the removed docs with survivor pointers
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.keepBest(docs, Dedup.simhashPairs(docs))
+    }),
     // PageRank over the same graph: duplicate-cluster hub scores
     "graph_pagerank" -> ((s, d) =>
       graft.operators.Graph.pageRank(Dedup.simhashPairs(Tables.documents(s, d)))),
@@ -612,6 +618,7 @@ object SparkEntry {
     "mm_resize" -> OracleSqlText.mmResize,
     "mm_frames" -> OracleSqlText.mmFrames,
     "dedup_clusters" -> OracleSqlText.dedupClusters,
+    "dedup_keep_best" -> OracleSqlText.dedupKeepBest,
     "graph_pagerank" -> OracleSqlText.pageRank(),
     "dedup_substring_spans" -> OracleSqlText.substringSpans(),
     "sketch_kmv_distinct" -> OracleSqlText.sketchKmvDistinct,

@@ -315,6 +315,38 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** Quality-aware survivor selection over near-dup clusters: instead of
+    * the min-id survivor convention ([[dedupClusters]]' cluster_id), each
+    * cluster keeps its highest-quality member — what production curation
+    * actually does (near-dups differ by boilerplate/truncation, and
+    * keeping the cleanest copy beats keeping the first-crawled one).
+    * Survivor = max (quality_score, ties to the lowest doc_id); emitted
+    * rows are the REMOVED members, each pointing at its survivor — the
+    * same removed-rows contract as chunk-level dedup.
+    *
+    * Shape: cluster labels are edge-bound; the quality join is one
+    * doc_id-keyed exchange; rank and survivor share one cluster-keyed
+    * window whose partition size is a cluster's member count — bounded by
+    * content duplication, not corpus size. Null quality (empty docs)
+    * sorts last identically on both engines (explicit NULLS LAST).
+    *
+    * Output: (doc_id, cluster_id, quality_score, survivor_doc,
+    * survivor_quality), ordered by doc_id. */
+  def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = dedupClusters(pairs)
+    val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc_nulls_last, col("doc_id"))
+    clusters.join(q, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("survivor_doc", first(col("doc_id")).over(w))
+      .withColumn("survivor_quality", first(col("quality_score")).over(w))
+      .filter(col("rk") >= 2)
+      .select("doc_id", "cluster_id", "quality_score",
+        "survivor_doc", "survivor_quality")
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: training documents sharing ≥ `minShared`
     * word n-grams with any probe (benchmark/eval) document — the
     * train-test contamination check every training-data pipeline runs

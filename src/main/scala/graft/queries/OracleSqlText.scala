@@ -1133,6 +1133,33 @@ SELECT doc_id, bucket,
             ELSE 'train' END AS split
 FROM b ORDER BY doc_id"""
 
+  /** Mirrors Dedup.keepBest: quality-ranked survivor per simhash near-dup
+    * cluster; emitted rows are the removed members. The quality scores
+    * come from the [[qualityScore]] query nested as a subselect (the
+    * qualityCalibrated convention), cluster labels from the same
+    * recursive closure as [[dedupClusters]]. */
+  val dedupKeepBest: String = s"""
+WITH RECURSIVE $simhashGraphCtes,
+reach(doc_id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+),
+cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+qs AS (SELECT doc_id, quality_score FROM ($qualityScore) t),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+           ORDER BY q.quality_score DESC NULLS LAST, c.doc_id) AS rk,
+         FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.cluster_id
+           ORDER BY q.quality_score DESC NULLS LAST, c.doc_id) AS survivor_doc,
+         FIRST_VALUE(q.quality_score) OVER (PARTITION BY c.cluster_id
+           ORDER BY q.quality_score DESC NULLS LAST, c.doc_id) AS survivor_quality
+  FROM cl c JOIN qs q ON c.doc_id = q.doc_id
+)
+SELECT doc_id, cluster_id, quality_score, survivor_doc, survivor_quality
+FROM ranked WHERE rk >= 2 ORDER BY doc_id"""
+
   /** Mirrors TrainPrep.leakageSafeSplits: the trainSplits bucket split
     * keyed on the near-dup cluster id (dedupClusters' min-label fixpoint
     * over the simhash pair graph); docs outside the pair graph are their

@@ -188,6 +188,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("keep-best dedup keeps the cleanest member, not the lowest id") {
+    import spark.implicits._
+    // cluster {1,2,3}: doc 3 is longest/cleanest -> survivor despite max id;
+    // cluster {5,6}: tie on quality -> lowest id 5 survives; doc 9 singleton
+    val d = docs(
+      1L -> "short text",
+      2L -> "short text here",
+      3L -> Seq.fill(50)("clean").mkString(" "),
+      5L -> "same quality text here now",
+      6L -> "same quality text here now",
+      9L -> "unpaired document")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.keepBest(d, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.map(_._1).toSet === Set(1L, 2L, 6L)) // removed rows only
+    assert(out.filter(_._2 == 1L).forall(_._3 == 3L)) // survivor is the cleanest
+    assert(out.filter(_._2 == 5L).forall(_._3 == 5L)) // quality tie -> lowest id
+    assert(!out.exists(_._1 == 9L)) // singletons never emit
+  }
+
   test("kmeans clusters: total assignment, consistent sizes, separable toy data") {
     // two tight groups around e1 and e2; k=2 with init from the two lowest
     // ids (one from each axis) must separate them
