@@ -407,6 +407,9 @@ object SparkEntry {
       TextOps.bigramLogProb(Tables.documents(s, d))),
     "text_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogProb(Tables.documents(s, d))),
+    // model-based filter: bigram-LM score calibrated per source (CCNet)
+    "text_perplexity_filter" -> ((s, d) =>
+      TextOps.perplexityFilter(Tables.documents(s, d))),
     // cohort retention: first-active-day cohorts × day offset
     "events_retention" -> ((s, d) =>
       EventQueries.retention(Tables.events(s, d))),
@@ -653,6 +656,7 @@ object SparkEntry {
     "text_length_histogram" -> OracleSqlText.lengthHistogram(),
     "text_unigram_logprob" -> OracleSqlText.unigramLogProb,
     "text_bigram_logprob" -> OracleSqlText.bigramLogProb,
+    "text_perplexity_filter" -> OracleSqlText.perplexityFilter(),
     "events_retention" -> OracleSql.eventsRetention,
     "events_anomaly_days" -> OracleSql.eventsAnomaly(),
     "events_scd2_status" -> OracleSql.eventsScd2,

@@ -460,6 +460,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Model-based perplexity filter — the CCNet move completed: where
+    * [[qualityCalibrated]] calibrates the HEURISTIC quality score,
+    * this calibrates the [[bigramLogProb]] LANGUAGE-MODEL score (mean
+    * ln P under the corpus bigram LM ≈ −perplexity) per source and keeps
+    * the top `keepBp` share — "drop the worst-perplexity 30 % of every
+    * source", robust to sources whose baseline fluency differs (the
+    * reason CCNet buckets per snapshot/language rather than globally).
+    * Docs with <2 tokens have no LM score and emit no row — a real
+    * pipeline routes them to the heuristic filter instead.
+    *
+    * Shape: the LM stage is [[bigramLogProb]] (keyed censuses over a
+    * staged bigram stream); calibration adds ONE source-keyed exchange
+    * shared by the rank and count windows, integer-bp percentile —
+    * identical scale story to `text_quality_calibrated`, including its
+    * documented whale envelope (histogram percentile at extreme sources).
+    *
+    * Output: (doc_id, source, avg_logprob, pct_rank_bp,
+    * keep = top `keepBp` share of its source), ordered by doc_id. */
+  def perplexityFilter(docs: DataFrame, keepBp: Int = 7000): DataFrame = {
+    val lm = bigramLogProb(docs).select(col("doc_id"), col("avg_logprob"))
+    val joined = docs.select(col("doc_id"), col("source")).join(lm, Seq("doc_id"))
+    val part = Window.partitionBy("source")
+    val wRank = part.orderBy(col("avg_logprob"), col("doc_id"))
+    joined
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(part))
+      .withColumn("pct_rank_bp",
+        when(col("n_src") === 1, lit(0L))
+          .otherwise(expr("((rk - 1) * 10000) div (n_src - 1)")))
+      .withColumn("keep", col("pct_rank_bp") >= lit((10000 - keepBp).toLong))
+      .select("doc_id", "source", "avg_logprob", "pct_rank_bp", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary coverage curve — what share of all token occurrences the
     * top-k most frequent types cover, read out at the `ks` checkpoints:
     * the corpus statistic behind tokenizer vocab sizing and stopword

@@ -557,6 +557,29 @@ SELECT doc_id, source, quality_score,
             ELSE ((rk - 1) * 10000) // (n_src - 1) END >= ${10000 - keepBp} AS keep
 FROM r ORDER BY doc_id"""
 
+  /** Mirrors TextOps.perplexityFilter: the bigram-LM oracle as a derived
+    * table, then the qualityCalibrated percentile/keep form over
+    * avg_logprob (ascending rank: worst perplexity first). */
+  def perplexityFilter(keepBp: Int = 7000): String = s"""
+WITH lm AS (SELECT doc_id, avg_logprob FROM ($bigramLogProb) t),
+j AS (
+  SELECT d.doc_id, d.source, lm.avg_logprob
+  FROM documents d JOIN lm USING (doc_id)
+),
+r AS (
+  SELECT doc_id, source, avg_logprob,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY avg_logprob, doc_id) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+  FROM j
+)
+SELECT doc_id, source, avg_logprob,
+       CAST(CASE WHEN n_src = 1 THEN 0
+                 ELSE ((rk - 1) * 10000) // (n_src - 1) END AS BIGINT) AS pct_rank_bp,
+       CASE WHEN n_src = 1 THEN 0
+            ELSE ((rk - 1) * 10000) // (n_src - 1) END >= ${10000 - keepBp} AS keep
+FROM r ORDER BY doc_id"""
+
   /** Mirrors Similarity.labelScatter: ROUND(AVG,6)::FLOAT centroids (the
     * Lloyd convention), rounded-6 index-order cosines micro-quantized
     * before the per-label mean, |labels|² between-centroid stage. */

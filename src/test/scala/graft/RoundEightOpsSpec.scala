@@ -366,4 +366,24 @@ class RoundEightOpsSpec extends AnyFunSuite {
     // the final cusum returns to zero (mean is the global mean)
     assert(r.last.getAs[Long]("cusum_cents") === 0L)
   }
+
+  test("perplexity filter keeps the top LM-score share per source") {
+    import spark.implicits._
+    // 10 fluent docs (repeated common bigrams) + 2 salad docs whose
+    // bigrams are RARE continuations of the common context "the" — the
+    // construction a self-trained JM model actually penalizes (novel
+    // tokens in singleton contexts would instead score ~0.9·1/1);
+    // keepBp=7000 keeps the top 70%
+    val fluent = (1 to 10).map(i => (i.toLong, "the cat sat on the mat", "s1"))
+    val salad = Seq((11L, "the zz the qq", "s1"), (12L, "the vv the kk", "s1"))
+    val docs = (fluent ++ salad).toDF("doc_id", "text", "source")
+    val out = TextOps.perplexityFilter(docs, keepBp = 7000).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(out.length === 12) // every doc has >=2 tokens -> all scored
+    val dropped = out.filterNot(_._3).map(_._1).toSet
+    // the two salad docs are always among the dropped 30%
+    assert(Set(11L, 12L).subsetOf(dropped), s"dropped=$dropped")
+    // bp >= 3000 <=> keep, by construction
+    assert(out.forall { case (_, bp, k) => (bp >= 3000L) === k })
+  }
 }
