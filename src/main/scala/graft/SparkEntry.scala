@@ -524,6 +524,9 @@ object SparkEntry {
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.withMedia(Tables.documents(s, d)))
         .select("doc_id", "n_bytes", "content_md5").orderBy("doc_id")),
+    // perceptual-hash near-dup grouping over the binary payload
+    "mm_phash_dedup" -> ((s, d) =>
+      Multimodal.phashGroups(Multimodal.withMedia(Tables.documents(s, d)))),
     "mm_resize" -> ((s, d) =>
       Multimodal.resize(Multimodal.withMedia(Tables.documents(s, d)))
         .select(col("doc_id"), col("orig_bytes"),
@@ -618,6 +621,7 @@ object SparkEntry {
     "embed_neardup_exact" -> OracleSqlText.nearDupPairs,
     "dedup_semantic" -> OracleSqlText.semDedup(),
     "mm_features" -> OracleSqlText.mmFeatures,
+    "mm_phash_dedup" -> OracleSqlText.mmPhashDedup(),
     "mm_resize" -> OracleSqlText.mmResize,
     "mm_frames" -> OracleSqlText.mmFrames,
     "dedup_clusters" -> OracleSqlText.dedupClusters,

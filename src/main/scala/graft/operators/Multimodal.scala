@@ -86,6 +86,67 @@ object Multimodal {
       .toDF()
   }
 
+  case class MediaHash(doc_id: Long, phash32: Long)
+
+  /** Perceptual-hash near-dup grouping over the binary payload — the
+    * multimodal counterpart of exact text dedup: a 32-bit block-mean hash
+    * (bit k = 1 iff block k's byte mean exceeds the payload's global byte
+    * mean — the aHash construction; a real pHash swaps in a DCT over
+    * decoded pixels, same 32-bit contract), then equal-hash grouping with
+    * the exact-dedup removed-rows convention. GROUPS, not pairs: a
+    * popular payload (or the all-empty hash 0) would explode a pair join
+    * quadratically; the group form stays linear in members.
+    *
+    * The mean comparison is pure integer cross-multiplication
+    * (block_sum·n > total·block_len — no division for engines to
+    * disagree on), blocks are integer-division index ranges, so the
+    * DuckDB oracle reproduces every bit over the ASCII corpus (byte i ==
+    * ascii(char i), the resize-oracle precondition).
+    *
+    * Shape: hashing is partition-wise over raw bytes (the codec-amortizing
+    * mapPartitions shape); grouping is ONE phash-keyed exchange shared by
+    * the size and canonical windows; a partition's size is one hash's
+    * collision count — bounded by content duplication, not corpus size.
+    *
+    * Output: docs in multi-member groups only — (doc_id, phash32,
+    * canonical_doc_id = min member, group_size), ordered by doc_id. */
+  def phashGroups(media: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must fit a positive long, got $bits")
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[MediaHash]
+    import org.apache.spark.sql.expressions.Window
+    val hashed = media.select("doc_id", "media").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.media
+          val n = bytes.length
+          var total = 0L
+          var i = 0
+          while (i < n) { total += bytes(i) & 0xff; i += 1 }
+          var h = 0L
+          var k = 0
+          while (k < bits) {
+            val start = (k.toLong * n / bits).toInt
+            val end = ((k + 1).toLong * n / bits).toInt
+            var bs = 0L
+            var j = start
+            while (j < end) { bs += bytes(j) & 0xff; j += 1 }
+            if (bs * n > total * (end - start)) h |= 1L << k
+            k += 1
+          }
+          MediaHash(r.doc_id, h)
+        }
+      }
+      .toDF()
+    val w = Window.partitionBy("phash32")
+    hashed
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
+      .filter(col("group_size") > 1)
+      .select("doc_id", "phash32", "canonical_doc_id", "group_size")
+      .orderBy("doc_id")
+  }
+
   case class Frame(doc_id: Long, frame_index: Int, offset: Long, n_bytes: Long,
       frame_md5: String)
 

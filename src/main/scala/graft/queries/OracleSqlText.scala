@@ -1036,6 +1036,36 @@ FROM documents ORDER BY doc_id"""
     * SQL. Valid because the corpus is pure ASCII (byte i == char i, checked
     * across all SFs), so substr-by-char reconstructs the exact byte the
     * Spark side picks: index floor(i·n/target) for i in 0..target-1. */
+  /** Mirrors Multimodal.phashGroups: 32-bit block-mean hash over the
+    * payload bytes (ASCII corpus: byte i == ascii(char i), the resize
+    * precondition), integer cross-multiplied mean comparison, equal-hash
+    * groups with the exact-dedup removed-rows convention. */
+  def mmPhashDedup(bits: Int = 32): String = s"""
+WITH ch AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(generate_series(1, length(text)),
+                        i -> ascii(substr(text, i, 1))) AS bytes
+  FROM documents
+),
+t AS (SELECT doc_id, n, bytes,
+             CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS total FROM ch),
+h AS (
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(generate_series(0, ${bits - 1}), k ->
+           CASE WHEN CAST(COALESCE(list_sum(
+                       bytes[((k * n) // $bits) + 1 : ((k + 1) * n) // $bits]), 0)
+                     AS BIGINT) * n
+                   > total * (((k + 1) * n) // $bits - (k * n) // $bits)
+                THEN 1 << k ELSE 0 END)), 0) AS BIGINT) AS phash32
+  FROM t
+)
+SELECT doc_id, phash32, canonical_doc_id, group_size FROM (
+  SELECT doc_id, phash32,
+         MIN(doc_id) OVER (PARTITION BY phash32) AS canonical_doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY phash32) AS BIGINT) AS group_size
+  FROM h) g
+WHERE group_size > 1 ORDER BY doc_id"""
+
   val mmResize: String = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS orig_bytes,

@@ -250,6 +250,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("phash groups: hand-computed bits, identical payloads group, singletons drop") {
+    // 16 'a' + 16 'z': 32 one-char blocks, global mean 109.5 — the 'z'
+    // half (bits 16..31) exceeds it, the 'a' half doesn't
+    val half = "a" * 16 + "z" * 16
+    val d = docs(1L -> half, 2L -> half, 3L -> "completely different text here")
+    val out = Multimodal.phashGroups(Multimodal.withMedia(d)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L)) // the singleton never emits
+    assert(out.forall(_._2 === 0xFFFF0000L))
+    assert(out.forall(_._3 === 1L)) // canonical = min member
+    assert(out.forall(_._4 === 2L))
+  }
+
   test("multimodal plumbing round-trips binary with deterministic features") {
     val media = Multimodal.withMedia(corpus)
     assert(media.schema("media").dataType.typeName === "binary")
