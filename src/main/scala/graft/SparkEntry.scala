@@ -234,6 +234,8 @@ object SparkEntry {
       })),
     // RFM user segmentation (quintile scores + segment code)
     "events_rfm" -> ((s, d) => EventQueries.rfmSegments(Tables.events(s, d))),
+    // A/B readout: hash-bucketed variants, conversion + revenue lift
+    "events_ab_lift" -> ((s, d) => EventQueries.abLift(Tables.events(s, d))),
     // last-touch marketing attribution (purchase revenue by channel)
     "events_attribution" -> ((s, d) =>
       EventQueries.lastTouchAttribution(Tables.events(s, d))),
@@ -688,6 +690,7 @@ object SparkEntry {
     "profile_fk_orphans" -> OracleSql.fkOrphanProfile,
     "graph_triangles" -> OracleSql.basketTriangles(),
     "events_rfm" -> OracleSql.rfmSegments,
+    "events_ab_lift" -> OracleSql.abLift,
     "events_attribution" -> OracleSql.lastTouchAttribution(),
     "events_paths" -> OracleSql.sessionPaths(),
     "timeseries_decompose" -> OracleSql.dailyDecompose(),

@@ -657,4 +657,52 @@ object EventQueries {
       .select("day", "cents", "m", "ewma_cents")
       .orderBy("day")
   }
+
+  /** A/B experiment readout with deterministic hash assignment — the
+    * experimentation-platform staple: users split into variants by the
+    * engine's portable id-hash (mod 2), never rand() — assignment is
+    * reproducible, append-stable, and sticky across re-runs, exactly how
+    * production bucketing works. Per variant: user count, converters
+    * (any 'purchase'), conversion in integer basis points, and revenue
+    * cents per user; relative lift of B over A in sign-split integer bp
+    * (the yoyRevenue truncation form, so a negative lift cannot truncate
+    * differently across engines). Null-hash users (null user_id) land in
+    * B on both engines (CASE ELSE-branch parity).
+    *
+    * Shape: one keyed aggregate per user (map-side combinable), then a
+    * variant rollup of per-user rows — corpus-row work collapses at the
+    * first groupBy; the readout is a 1-row conditional pivot. No window,
+    * no join.
+    *
+    * Output: one row — (n_users_a, n_users_b, conv_a_bp, conv_b_bp,
+    * lift_bp, cents_per_user_a, cents_per_user_b). */
+  def abLift(events: DataFrame): DataFrame = {
+    val hv = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"),
+        sum(when(col("event_type") === "purchase",
+          coalesce(round(col("value") * 100).cast("long"), lit(0L)))
+          .otherwise(0L)).as("cents"))
+      .withColumn("variant", when(pmod(hv, lit(2)) === 0, "A").otherwise("B"))
+    perUser.agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_users_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_users_b"),
+        sum(when(col("variant") === "A", col("converted")).otherwise(0L)).as("n_conv_a"),
+        sum(when(col("variant") === "B", col("converted")).otherwise(0L)).as("n_conv_b"),
+        sum(when(col("variant") === "A", col("cents")).otherwise(0L)).as("cents_a"),
+        sum(when(col("variant") === "B", col("cents")).otherwise(0L)).as("cents_b"))
+      .withColumn("conv_a_bp", expr("n_conv_a * 10000 div nullif(n_users_a, 0)"))
+      .withColumn("conv_b_bp", expr("n_conv_b * 10000 div nullif(n_users_b, 0)"))
+      .withColumn("lift_bp",
+        when(col("conv_a_bp").isNull || col("conv_a_bp") === 0, lit(null).cast("long"))
+          .otherwise((signum(col("conv_b_bp") - col("conv_a_bp")) *
+            expr("abs(conv_b_bp - conv_a_bp) * 10000 div conv_a_bp")).cast("long")))
+      .select(col("n_users_a"), col("n_users_b"), col("conv_a_bp"), col("conv_b_bp"),
+        col("lift_bp"),
+        expr("cents_a div nullif(n_users_a, 0)").as("cents_per_user_a"),
+        expr("cents_b div nullif(n_users_b, 0)").as("cents_per_user_b"))
+  }
 }

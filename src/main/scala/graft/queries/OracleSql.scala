@@ -1173,6 +1173,45 @@ SELECT nation, yr, rev_cents, prev_cents,
        END AS yoy_bp
 FROM lagd ORDER BY nation, yr"""
 
+  /** Mirrors EventQueries.abLift: portable-hash variant assignment
+    * (null user_id lands in B via the shared CASE ELSE branch), per-user
+    * conversion/revenue rollup, 1-row conditional pivot, sign-split
+    * integer-bp lift (the yoyRevenue truncation form). */
+  val abLift: String = s"""
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0)
+                       ELSE 0 END) AS BIGINT) AS cents,
+         CASE WHEN (${OracleSqlText.hex8IntSql("user_id::VARCHAR")}) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_users_a,
+         CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_users_b,
+         CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS n_conv_a,
+         CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS n_conv_b,
+         CAST(SUM(CASE WHEN variant = 'A' THEN cents ELSE 0 END) AS BIGINT) AS cents_a,
+         CAST(SUM(CASE WHEN variant = 'B' THEN cents ELSE 0 END) AS BIGINT) AS cents_b
+  FROM pu
+),
+b AS (
+  SELECT n_users_a, n_users_b, cents_a, cents_b,
+         n_conv_a * 10000 // NULLIF(n_users_a, 0) AS conv_a_bp,
+         n_conv_b * 10000 // NULLIF(n_users_b, 0) AS conv_b_bp
+  FROM v
+)
+SELECT n_users_a, n_users_b, conv_a_bp, conv_b_bp,
+       CASE WHEN conv_a_bp IS NULL OR conv_a_bp = 0 THEN NULL
+            ELSE CAST(SIGN(conv_b_bp - conv_a_bp) *
+                      (ABS(conv_b_bp - conv_a_bp) * 10000 // conv_a_bp) AS BIGINT)
+       END AS lift_bp,
+       cents_a // NULLIF(n_users_a, 0) AS cents_per_user_a,
+       cents_b // NULLIF(n_users_b, 0) AS cents_per_user_b
+FROM b"""
+
   /** Mirrors EventQueries.dailyEwma: list_prepend(0.0) left fold
     * acc ← (acc+x)/2 over the chronological trailing window (dyadic
     * weights are exact in doubles; fold order fixes the rounding

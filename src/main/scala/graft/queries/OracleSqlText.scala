@@ -104,7 +104,7 @@ FROM v WHERE c_raw >= $threshold ORDER BY doc_a, doc_b"""
 
   /** First-8-hex-chars-of-md5 as a base integer for the minhash universal
     * hash family (DuckDB has no conv()). */
-  private def hex8IntSql(arg: String): String =
+  private[queries] def hex8IntSql(arg: String): String =
     (0 until 8).map { i =>
       val mult = java.lang.Long.parseLong("1" + "0" * (7 - i), 16) // 16^(7-i)
       s"(strpos('0123456789abcdef', substr(md5($arg), ${i + 1}, 1)) - 1) * $mult"

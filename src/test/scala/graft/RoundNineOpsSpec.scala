@@ -195,4 +195,35 @@ class RoundNineOpsSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("m") <= 4L))
     assert(r.take(3).map(_.getAs[Long]("m")).toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("abLift: hash-sticky variants, integer-bp conversion, sign-split lift") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def hv(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 20 users: evens view-only, odds purchase 2.50 — conversion then
+    // depends only on which parities each variant absorbed
+    val events = (1L to 20L).flatMap { u =>
+      val base = Seq((u * 10, t, u, "view", 1.0))
+      if (u % 2 == 1) base :+ ((u * 10 + 1, t, u, "purchase", 2.5)) else base
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventQueries.abLift(events).collect().head
+    val byVariant = (1L to 20L).groupBy(u => if (hv(u) % 2 == 0) "A" else "B")
+    val convA = byVariant("A").count(_ % 2 == 1)
+    val convB = byVariant("B").count(_ % 2 == 1)
+    assert(r.getAs[Long]("n_users_a") === byVariant("A").size.toLong)
+    assert(r.getAs[Long]("n_users_b") === byVariant("B").size.toLong)
+    val bpA = convA.toLong * 10000 / byVariant("A").size
+    val bpB = convB.toLong * 10000 / byVariant("B").size
+    assert(r.getAs[Long]("conv_a_bp") === bpA)
+    assert(r.getAs[Long]("conv_b_bp") === bpB)
+    val lift = math.signum(bpB - bpA) * (math.abs(bpB - bpA) * 10000 / bpA)
+    assert(r.getAs[Long]("lift_bp") === lift)
+    // revenue: 250 cents per converter
+    assert(r.getAs[Long]("cents_per_user_a") === convA.toLong * 250 / byVariant("A").size)
+  }
 }
