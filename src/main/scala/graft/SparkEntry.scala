@@ -316,6 +316,8 @@ object SparkEntry {
     // reciprocal-rank fusion of the exact and LSH rankings (hybrid retrieval)
     "ann_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    // product-quantization codes: per-subspace Lloyd codebooks + recon error
+    "embed_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
     // first-class k-means clustering (the IVF quantizer's labels + sizes)
     "embed_kmeans" -> ((s, d) => Similarity.kmeansClusters(Tables.embeddings(s, d))),
     // cluster-balanced diversity sample: hash-rank cap per semantic cluster
@@ -618,6 +620,7 @@ object SparkEntry {
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL
     "ann_ivf_topk" -> OracleSqlText.annIvfTopK(),
     "embed_kmeans" -> OracleSqlText.embedKmeans(),
+    "embed_pq_codes" -> OracleSqlText.embedPqCodes(),
     "sample_diversity" -> OracleSqlText.sampleDiversity(),
     "embed_neardup_pairs" -> OracleSqlText.nearDupPairsLsh(),
     "embed_neardup_exact" -> OracleSqlText.nearDupPairs,

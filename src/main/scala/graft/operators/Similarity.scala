@@ -319,6 +319,65 @@ object Similarity {
       .orderBy("cluster", "sample_rank")
   }
 
+  /** Product-quantization codes (Jégou et al., PAMI 2011): the embedding
+    * splits into `m` contiguous `subDim`-dim subspaces, each with its own
+    * deterministic Lloyd codebook ([[lloydCentroids]] on the slice), and
+    * every vector compresses to `m` small codes — 64 floats become 4
+    * bytes here, the memory path that lets a 100 TB vector corpus keep
+    * its index in RAM (IVF prunes WHAT to scan; PQ shrinks what each
+    * scanned candidate costs). Per-vector `err_micros` (floored micro
+    * units of Σ_s ‖v_s − c_{code_s}‖²) is the reconstruction-quality
+    * readout that sizes codebooks in production.
+    *
+    * Determinism: each subspace quantizer is the engine's standard Lloyd
+    * construction (lowest-id init, ROUND(AVG,6) means, ties to the lowest
+    * cell); the kernel re-binds per subspace and Column analysis is eager,
+    * so each code column captures its own codebook. ‖v−c‖² recomposes as
+    * v·v + (c·c − 2 v·c) from the same index-order double sums the oracle
+    * replays; NaN subspaces yield null err (ANSI-safe) and code 0 on both
+    * engines.
+    *
+    * Shape: training is m small driver-state Lloyd loops over ONE staged
+    * corpus; coding is a single narrow pass (m codegen'd kernel columns,
+    * no shuffle, no join) — at scale the codes write back alongside the
+    * id as the compressed index. ADC query scoring (per-query distance
+    * tables over these codes) is the natural next consumer.
+    *
+    * Output: (vec_id, code_0..code_{m-1}, err_micros), ordered by
+    * vec_id. */
+  def pqCodes(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
+      k: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
+    var out = emb
+    for (s <- 0 until m) {
+      val off = s * subDim
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), off + 1, subDim).as("embedding"))
+      val cents = lloydCentroids(sub, k, iters)
+      val flat = new Array[Float](cents.length * subDim)
+      cents.zipWithIndex.foreach { case (c, i) => c.copyToArray(flat, i * subDim) }
+      graft.functions.VectorExpressions.registerCentroidScores(
+        spark, flat, cents.length, subDim)
+      val subCol = slice(col("embedding"), off + 1, subDim)
+      val minD = array_min(col(s"dists_$s"))
+      val errRaw = call_function("vec_dot", subCol, subCol) + minD
+      out = out
+        // eager analysis captures THIS subspace's binding (see withCell)
+        .withColumn(s"dists_$s", call_function("ivf_scores", subCol))
+        .withColumn(s"code_$s",
+          (array_position(col(s"dists_$s"), minD) - 1).cast("long"))
+        .withColumn(s"err_$s",
+          when(isnan(errRaw), lit(null).cast("long"))
+            .otherwise(floor(errRaw * lit(1e6)).cast("long")))
+    }
+    out.select(col("vec_id") +:
+        (0 until m).map(s => col(s"code_$s")) :+
+        (0 until m).map(s => col(s"err_$s")).reduce(_ + _).as("err_micros"): _*)
+      .orderBy("vec_id")
+  }
+
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
       nCentroids: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(embeddings.sparkSession)

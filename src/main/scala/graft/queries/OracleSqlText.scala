@@ -954,6 +954,85 @@ cells AS (
 )"""
   }
 
+  /** Mirrors Similarity.pqCodes: per-subspace Lloyd chains (the
+    * [[ivfCellsCtes]] construction on an embedding slice, CTE names
+    * prefixed `p{s}`), final assignment keeps the chosen score so the
+    * readout can recompose ‖v−c‖² = v·v + score; NaN subspaces yield
+    * NULL err on both engines (CASE-guarded before the BIGINT cast). */
+  def embedPqCodes(m: Int = 4, subDim: Int = 16, k: Int = 4,
+      iters: Int = 2): String = {
+    def chain(s: Int): String = {
+      val o = s * subDim
+      val src = s"p${s}e"
+      def scoresCte(i: Int, prev: String) = s"""
+p${s}s$i AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         list_sum(list_transform(generate_series(1, $subDim),
+                  d -> c.centroid[d]::DOUBLE * c.centroid[d]::DOUBLE))
+         - 2.0 * list_sum(list_transform(generate_series(1, $subDim),
+                  d -> e.embedding[d]::DOUBLE * c.centroid[d]::DOUBLE)) AS score
+  FROM $src e CROSS JOIN $prev c
+)"""
+      def lloydCtes(i: Int): String = s"""${scoresCte(i, s"p${s}c${i - 1}")},
+p${s}a$i AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+    FROM p${s}s$i) t
+  WHERE rn = 1
+),
+p${s}m$i AS (
+  SELECT cell, pos, ROUND(AVG(comp), 6)::FLOAT AS mean FROM (
+    SELECT cell, unnest(embedding) AS comp,
+           unnest(generate_series(1, len(embedding))) AS pos
+    FROM p${s}a$i) u
+  GROUP BY cell, pos
+),
+p${s}c$i AS (
+  SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
+  FROM p${s}c${i - 1} p
+  LEFT JOIN (SELECT cell, list(mean ORDER BY pos) AS centroid
+             FROM p${s}m$i GROUP BY cell) n
+    USING (cell)
+)"""
+      s"""$src AS (
+  SELECT vec_id, embedding[${o + 1}:${o + subDim}] AS embedding FROM embeddings
+),
+p${s}v AS (
+  SELECT vec_id,
+         list_sum(list_transform(generate_series(1, $subDim),
+                  d -> embedding[d]::DOUBLE * embedding[d]::DOUBLE)) AS vv
+  FROM $src
+),
+p${s}c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS centroid
+  FROM $src ORDER BY vec_id LIMIT $k
+),
+${(1 to iters).map(lloydCtes).mkString(",")},
+${scoresCte(iters + 1, s"p${s}c$iters")},
+p${s}cells AS (
+  SELECT vec_id, cell, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+    FROM p${s}s${iters + 1}) t
+  WHERE rn = 1
+)"""
+    }
+    val joins = (0 until m).map(s =>
+      s"JOIN p${s}cells c$s USING (vec_id) JOIN p${s}v v$s USING (vec_id)").mkString("\n")
+    val codeCols = (0 until m).map(s =>
+      s"CAST(c$s.cell AS BIGINT) AS code_$s").mkString(",\n       ")
+    val errTerms = (0 until m).map(s =>
+      s"CASE WHEN isnan(v$s.vv + c$s.score) THEN NULL ELSE CAST(FLOOR((v$s.vv + c$s.score) * 1e6) AS BIGINT) END")
+      .mkString("\n         + ")
+    s"""
+WITH ${(0 until m).map(chain).mkString(",")}
+SELECT e.vec_id,
+       $codeCols,
+       ($errTerms) AS err_micros
+FROM (SELECT vec_id FROM embeddings) e
+$joins
+ORDER BY e.vec_id"""
+  }
+
   def annIvfTopK(nQueries: Int = 5, k: Int = 5, nCentroids: Int = 8,
       nProbe: Int = 2, iters: Int = 3, dim: Int = 64): String = {
     s"""

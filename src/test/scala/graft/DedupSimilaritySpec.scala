@@ -263,6 +263,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.forall(_._4 === 2L))
   }
 
+  test("pq codes: valid ranges, near-nonnegative error, m=1 equals kmeans") {
+    val emb = graft.sources.Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
+    val pq = Similarity.pqCodes(emb).collect()
+    assert(pq.nonEmpty)
+    pq.foreach { r =>
+      (1 to 4).foreach(i => assert(r.getLong(i) >= 0L && r.getLong(i) < 4L))
+      // ||v-c||^2 recomposed from fp paths may dip a few micro-units negative
+      if (!r.isNullAt(5)) assert(r.getLong(5) >= -8L, s"err ${r.getLong(5)}")
+    }
+    // degenerate PQ (one subspace = the whole vector) IS the k-means
+    // quantizer: codes must match cluster labels exactly
+    val one = Similarity.pqCodes(emb, m = 1, subDim = 64, k = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val km = Similarity.kmeansClusters(emb, nCentroids = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === km)
+  }
+
   test("multimodal plumbing round-trips binary with deterministic features") {
     val media = Multimodal.withMedia(corpus)
     assert(media.schema("media").dataType.typeName === "binary")
