@@ -318,6 +318,8 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // product-quantization codes: per-subspace Lloyd codebooks + recon error
     "embed_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
+    // ADC top-k over the PQ codes: distance tables + code-lookup scan
+    "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     // first-class k-means clustering (the IVF quantizer's labels + sizes)
     "embed_kmeans" -> ((s, d) => Similarity.kmeansClusters(Tables.embeddings(s, d))),
     // cluster-balanced diversity sample: hash-rank cap per semantic cluster
@@ -621,6 +623,7 @@ object SparkEntry {
     "ann_ivf_topk" -> OracleSqlText.annIvfTopK(),
     "embed_kmeans" -> OracleSqlText.embedKmeans(),
     "embed_pq_codes" -> OracleSqlText.embedPqCodes(),
+    "ann_pq_topk" -> OracleSqlText.annPqTopK(),
     "sample_diversity" -> OracleSqlText.sampleDiversity(),
     "embed_neardup_pairs" -> OracleSqlText.nearDupPairsLsh(),
     "embed_neardup_exact" -> OracleSqlText.nearDupPairs,

@@ -345,22 +345,35 @@ object Similarity {
     *
     * Output: (vec_id, code_0..code_{m-1}, err_micros), ordered by
     * vec_id. */
+  /** Train the `m` per-subspace Lloyd codebooks over a staged corpus —
+    * the shared quantizer state of [[pqCodes]] and [[pqTopK]]. */
+  private def pqBooks(emb: DataFrame, m: Int, subDim: Int, k: Int,
+      iters: Int): Seq[IndexedSeq[Seq[Float]]] =
+    (0 until m).map { s =>
+      lloydCentroids(emb.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding")), k, iters)
+    }
+
+  /** Re-bind the score kernel to subspace `s`'s codebook; eager Column
+    * analysis lets the caller capture the binding column-by-column. */
+  private def bindBook(spark: org.apache.spark.sql.SparkSession,
+      cents: IndexedSeq[Seq[Float]], subDim: Int): Unit = {
+    val flat = new Array[Float](cents.length * subDim)
+    cents.zipWithIndex.foreach { case (c, i) => c.copyToArray(flat, i * subDim) }
+    graft.functions.VectorExpressions.registerCentroidScores(
+      spark, flat, cents.length, subDim)
+  }
+
   def pqCodes(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
-      k: Int = 4, iters: Int = 2): DataFrame = {
+      k: Int = 8, iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.VectorExpressions.register(spark)
     val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
+    val books = pqBooks(emb, m, subDim, k, iters)
     var out = emb
     for (s <- 0 until m) {
-      val off = s * subDim
-      val sub = emb.select(col("vec_id"),
-        slice(col("embedding"), off + 1, subDim).as("embedding"))
-      val cents = lloydCentroids(sub, k, iters)
-      val flat = new Array[Float](cents.length * subDim)
-      cents.zipWithIndex.foreach { case (c, i) => c.copyToArray(flat, i * subDim) }
-      graft.functions.VectorExpressions.registerCentroidScores(
-        spark, flat, cents.length, subDim)
-      val subCol = slice(col("embedding"), off + 1, subDim)
+      bindBook(spark, books(s), subDim)
+      val subCol = slice(col("embedding"), s * subDim + 1, subDim)
       val minD = array_min(col(s"dists_$s"))
       val errRaw = call_function("vec_dot", subCol, subCol) + minD
       out = out
@@ -376,6 +389,77 @@ object Similarity {
         (0 until m).map(s => col(s"code_$s")) :+
         (0 until m).map(s => col(s"err_$s")).reduce(_ + _).as("err_micros"): _*)
       .orderBy("vec_id")
+  }
+
+  /** ADC top-k over PQ codes (Jégou et al.'s asymmetric distance): each
+    * query builds per-subspace distance TABLES to the m×k codebook
+    * centroids, and every candidate scores as the sum of m table lookups
+    * at its codes — the scan never touches candidate floats, which is
+    * the whole point of PQ at 100 TB (the index is codes + tiny tables).
+    *
+    * Shape: codebooks train once (driver-state Lloyd over the staged
+    * corpus); the distance tables are nQueries×m×k rows and BROADCAST
+    * onto the long-form code scan (one keyed broadcast join on
+    * (subspace, code) — the corpus side never shuffles before the
+    * per-(query, candidate) rollup); the final top-k is the standard
+    * per-query rank window. Distance partials quantize to floored
+    * micro-units before the order-free integer sum (the KL convention);
+    * a NaN query subspace nulls the whole score via an explicit
+    * all-parts-present guard (Spark SUM skips nulls; the oracle's `+`
+    * chain propagates them — the guard aligns the two). Ranking ties
+    * break on neighbor_id; null scores sort last on both engines.
+    *
+    * Output: (query_id, neighbor_id, adc_micros, rank ≤ kTop). */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 5, kTop: Int = 5,
+      m: Int = 4, subDim: Int = 16, k: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
+    val books = pqBooks(emb, m, subDim, k, iters)
+
+    val centDf = books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (c, j) => (s, j.toLong, c) }
+    }.toDF("s", "cell", "centroid")
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val qSubs = (0 until m).map(s => q.select(col("query_id"), lit(s).as("s"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("q_sub")))
+      .reduce(_ unionByName _)
+    val raw = call_function("vec_dot", col("q_sub"), col("q_sub")) -
+      lit(2.0) * call_function("vec_dot", col("q_sub"), col("centroid")) +
+      call_function("vec_dot", col("centroid"), col("centroid"))
+    val dists = qSubs.join(broadcast(centDf), Seq("s"))
+      .withColumn("micro",
+        when(isnan(raw), lit(null).cast("long"))
+          .otherwise(floor(raw * lit(1e6)).cast("long")))
+      .select("query_id", "s", "cell", "micro")
+
+    var codesLong: DataFrame = null
+    for (s <- 0 until m) {
+      bindBook(spark, books(s), subDim)
+      val d = emb.select(col("vec_id"), lit(s).as("s"),
+        (array_position(
+          call_function("ivf_scores", slice(col("embedding"), s * subDim + 1, subDim)),
+          array_min(call_function("ivf_scores", slice(col("embedding"), s * subDim + 1, subDim))))
+          - 1).cast("long").as("cell"))
+      codesLong = if (codesLong == null) d else codesLong.unionByName(d)
+    }
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_micros").asc_nulls_last, col("vec_id"))
+    codesLong.join(broadcast(dists), Seq("s", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("micro")).as("sum_micro"), count(col("micro")).as("n_parts"))
+      // all-parts guard: any NaN subspace nulls the score (oracle parity)
+      .withColumn("adc_micros",
+        when(col("n_parts") === m, col("sum_micro")).otherwise(lit(null).cast("long")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_micros"), col("rank"))
+      .orderBy("query_id", "rank")
   }
 
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,

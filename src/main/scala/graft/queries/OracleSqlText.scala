@@ -959,8 +959,11 @@ cells AS (
     * prefixed `p{s}`), final assignment keeps the chosen score so the
     * readout can recompose ‖v−c‖² = v·v + score; NaN subspaces yield
     * NULL err on both engines (CASE-guarded before the BIGINT cast). */
-  def embedPqCodes(m: Int = 4, subDim: Int = 16, k: Int = 4,
-      iters: Int = 2): String = {
+  /** The per-subspace Lloyd chains shared by [[embedPqCodes]] and
+    * [[annPqTopK]]: for each subspace `s`, yields `p{s}e` (the slice),
+    * `p{s}v` (v·v), `p{s}c{iters}` (the final codebook) and `p{s}cells`
+    * (assignment + chosen score). */
+  private def pqChains(m: Int, subDim: Int, k: Int, iters: Int): String = {
     def chain(s: Int): String = {
       val o = s * subDim
       val src = s"p${s}e"
@@ -1016,6 +1019,11 @@ p${s}cells AS (
   WHERE rn = 1
 )"""
     }
+    (0 until m).map(chain).mkString(",")
+  }
+
+  def embedPqCodes(m: Int = 4, subDim: Int = 16, k: Int = 8,
+      iters: Int = 2): String = {
     val joins = (0 until m).map(s =>
       s"JOIN p${s}cells c$s USING (vec_id) JOIN p${s}v v$s USING (vec_id)").mkString("\n")
     val codeCols = (0 until m).map(s =>
@@ -1024,13 +1032,61 @@ p${s}cells AS (
       s"CASE WHEN isnan(v$s.vv + c$s.score) THEN NULL ELSE CAST(FLOOR((v$s.vv + c$s.score) * 1e6) AS BIGINT) END")
       .mkString("\n         + ")
     s"""
-WITH ${(0 until m).map(chain).mkString(",")}
+WITH ${pqChains(m, subDim, k, iters)}
 SELECT e.vec_id,
        $codeCols,
        ($errTerms) AS err_micros
 FROM (SELECT vec_id FROM embeddings) e
 $joins
 ORDER BY e.vec_id"""
+  }
+
+  /** Mirrors Similarity.pqTopK: per-query distance tables to the
+    * codebook centroids (same q·q − 2 q·c + c·c composition as the
+    * Spark kernels, floored micro partials), summed by code lookup via
+    * the `+` chain (NULL propagates — the Spark side guards its SUM to
+    * match), per-query rank with NULLS LAST and neighbor tie-break. */
+  def annPqTopK(nQueries: Int = 5, kTop: Int = 5, m: Int = 4,
+      subDim: Int = 16, k: Int = 8, iters: Int = 2): String = {
+    def distCte(s: Int): String = {
+      val o = s * subDim
+      s"""
+d$s AS (
+  SELECT query_id, cell,
+         CASE WHEN isnan(raw) THEN NULL
+              ELSE CAST(FLOOR(raw * 1e6) AS BIGINT) END AS micro
+  FROM (
+    SELECT q.query_id, c.cell,
+           list_sum(list_transform(generate_series(1, $subDim),
+                    d -> q.embedding[$o + d]::DOUBLE * q.embedding[$o + d]::DOUBLE))
+           - 2.0 * list_sum(list_transform(generate_series(1, $subDim),
+                    d -> q.embedding[$o + d]::DOUBLE * c.centroid[d]::DOUBLE))
+           + list_sum(list_transform(generate_series(1, $subDim),
+                    d -> c.centroid[d]::DOUBLE * c.centroid[d]::DOUBLE)) AS raw
+    FROM q CROSS JOIN p${s}c$iters c) t
+)"""
+    }
+    val cellJoins = (1 until m).map(s => s"JOIN p${s}cells r$s USING (vec_id)").mkString("\n  ")
+    val distJoins = (0 until m).map(s =>
+      if (s == 0) s"JOIN d0 ON d0.cell = r0.cell"
+      else s"JOIN d$s ON d$s.query_id = d0.query_id AND d$s.cell = r$s.cell").mkString("\n  ")
+    val microSum = (0 until m).map(s => s"d$s.micro").mkString(" + ")
+    s"""
+WITH ${pqChains(m, subDim, k, iters)},
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < $nQueries),
+${(0 until m).map(distCte).mkString(",")},
+adc AS (
+  SELECT d0.query_id, r0.vec_id AS neighbor_id, $microSum AS adc_micros
+  FROM p0cells r0
+  $cellJoins
+  $distJoins
+  WHERE r0.vec_id <> d0.query_id
+)
+SELECT query_id, neighbor_id, adc_micros, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_micros ASC NULLS LAST, neighbor_id) AS BIGINT) AS rank
+  FROM adc) t
+WHERE rank <= $kTop ORDER BY query_id, rank"""
   }
 
   def annIvfTopK(nQueries: Int = 5, k: Int = 5, nCentroids: Int = 8,

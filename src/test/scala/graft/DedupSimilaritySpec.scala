@@ -268,7 +268,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val pq = Similarity.pqCodes(emb).collect()
     assert(pq.nonEmpty)
     pq.foreach { r =>
-      (1 to 4).foreach(i => assert(r.getLong(i) >= 0L && r.getLong(i) < 4L))
+      (1 to 4).foreach(i => assert(r.getLong(i) >= 0L && r.getLong(i) < 8L))
       // ||v-c||^2 recomposed from fp paths may dip a few micro-units negative
       if (!r.isNullAt(5)) assert(r.getLong(5) >= -8L, s"err ${r.getLong(5)}")
     }
@@ -279,6 +279,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val km = Similarity.kmeansClusters(emb, nCentroids = 8, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one === km)
+  }
+
+  test("pq ADC top-k: shape, per-query monotone scores, non-trivial recall") {
+    val emb = graft.sources.Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
+    val pq = Similarity.pqTopK(emb, nQueries = 5, kTop = 5).collect()
+    assert(pq.length === 25)
+    pq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getLong(3))
+      assert(ordered.map(_.getLong(3)).toSeq === (1L to 5L))
+      val scores = ordered.map(_.getAs[Long]("adc_micros"))
+      assert(scores.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+    // compressed scan must still find a decent share of the true top-5 —
+    // measured against EXACT L2 (ADC approximates L2, not cosine; the
+    // brute-force cosine ranking is a different metric on unnormalized
+    // vectors and not the right baseline)
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val exact = (0L until 5L).flatMap { qid =>
+      val qe = all(qid)
+      all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          var d2 = 0.0
+          var i = 0
+          while (i < 64) { val t = qe(i) - v(i); d2 += t * t; i += 1 }
+          (id, d2)
+        }
+        .sortBy { case (id, d2) => (d2, id) }.take(5).map(p => (qid, p._1))
+    }.toSet
+    val got = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ADC recall $recall vs exact L2")
   }
 
   test("multimodal plumbing round-trips binary with deterministic features") {
