@@ -40,7 +40,10 @@ object PlanAudit {
     "sketch_kmv_jaccard", "text_bigram_logprob", "ann_rrf_fusion",
     "profile_chi2", "embed_label_scatter", "timeseries_cusum",
     // text_cooc_pmi: the 1-row pair-total cross (PMI normalizer)
-    "text_cooc_pmi")
+    "text_cooc_pmi",
+    // text_perplexity_filter: inherits the bigram LM's 1-row total cross
+    // events_psi_drift: the 1-row (d0, d1) calendar-bounds cross
+    "text_perplexity_filter", "events_psi_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

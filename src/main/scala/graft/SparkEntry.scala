@@ -236,6 +236,11 @@ object SparkEntry {
     "events_rfm" -> ((s, d) => EventQueries.rfmSegments(Tables.events(s, d))),
     // A/B readout: hash-bucketed variants, conversion + revenue lift
     "events_ab_lift" -> ((s, d) => EventQueries.abLift(Tables.events(s, d))),
+    // PSI drift monitor: reference-binned distribution shift per type
+    "events_psi_drift" -> ((s, d) => EventQueries.psiDrift(Tables.events(s, d))),
+    // seasonal-naive forecast backtest: per-weekday MAE/bias in cents
+    "timeseries_forecast_snaive" -> ((s, d) =>
+      EventQueries.forecastBacktest(Tables.events(s, d))),
     // last-touch marketing attribution (purchase revenue by channel)
     "events_attribution" -> ((s, d) =>
       EventQueries.lastTouchAttribution(Tables.events(s, d))),
@@ -697,6 +702,8 @@ object SparkEntry {
     "graph_triangles" -> OracleSql.basketTriangles(),
     "events_rfm" -> OracleSql.rfmSegments,
     "events_ab_lift" -> OracleSql.abLift,
+    "events_psi_drift" -> OracleSql.psiDrift(),
+    "timeseries_forecast_snaive" -> OracleSql.forecastBacktest(),
     "events_attribution" -> OracleSql.lastTouchAttribution(),
     "events_paths" -> OracleSql.sessionPaths(),
     "timeseries_decompose" -> OracleSql.dailyDecompose(),

@@ -658,6 +658,106 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** Population-stability-index drift monitor — the production-ML
+    * distribution-shift alarm: the event stream splits at its calendar
+    * midpoint into reference (first half) and current (second half),
+    * per-type value bins come from the REFERENCE deciles (the PSI
+    * construction: fixed reference bins, so drift moves counts, not
+    * edges), and each bin contributes (p_cur − p_ref)·ln(p_cur/p_ref)
+    * with +1/(n+buckets) Laplace smoothing (empty bins stay defined).
+    * PSI ≳ 0.2 is the conventional retrain trigger.
+    *
+    * Determinism: the split is integer date arithmetic on (min, max)
+    * day; edges are reference values at ranks (k·n div buckets) under
+    * (value, event_id) order, and binning compares VALUES only (the
+    * same parquet doubles on both engines); terms quantize to integer
+    * micro-nats via the gate-proven KL discipline before the BIGINT sum.
+    *
+    * Shape: bounds and the per-type edge lists are tiny and broadcast;
+    * binning is one broadcast join over the scan; the rollup is
+    * |types|·buckets·2 rows. One keyed shuffle for the reference rank
+    * (per-type partition — the valueDeciles envelope), one for the
+    * count rollup.
+    *
+    * Output per (event_type, bin): reference/current counts and the
+    * micro-nat PSI term; Σ psi_micro over a type's bins is its PSI. */
+  def psiDrift(events: DataFrame, buckets: Int = 10): DataFrame = {
+    val rows = events.select(to_date(col("ts")).as("day"),
+      col("event_id"), col("event_type"), col("value"))
+    val bounds = broadcast(rows.agg(min("day").as("d0"), max("day").as("d1")))
+    val tagged = graft.RunHygiene.stage(rows.crossJoin(bounds)
+      // first ceil(span/2) calendar days are the reference window —
+      // integer `div`, not Column `/` (which is double division)
+      .withColumn("is_ref",
+        col("day") < expr("date_add(d0, cast((datediff(d1, d0) + 2) div 2 as int))"))
+      .select("event_id", "event_type", "value", "is_ref"))
+    tagged.count() // fill once: edges and binning both read it
+
+    val ref = tagged.filter(col("is_ref"))
+    val wRank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val nRef = ref.groupBy("event_type").agg(count(lit(1)).as("n_ref"))
+    val edges = ref
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .join(broadcast(nRef), Seq("event_type"))
+      // edge k sits at reference rank (k·n div buckets), k = 1..buckets−1;
+      // ranks that collide on tiny strata select once (fewer, valid bins)
+      .filter((1 until buckets)
+        .map(k => col("rk") === expr(s"(n_ref * $k) div $buckets"))
+        .reduce(_ || _))
+      .select(col("event_type"), col("value").as("edge"))
+
+    // edge lists are tiny (≤ buckets−1 per type): broadcast as arrays so
+    // binning is a narrow per-row filter-count, never an event-keyed fanout
+    val edgeLists = edges.groupBy("event_type")
+      .agg(sort_array(collect_list(col("edge"))).as("edges"))
+    val counts = tagged.join(broadcast(edgeLists), Seq("event_type"), "left")
+      .withColumn("bin",
+        when(col("edges").isNull, lit(1L))
+          .otherwise(lit(1L) +
+            size(filter(col("edges"), e => e < col("value"))).cast("long")))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    val totals = broadcast(counts.groupBy("event_type")
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur")))
+    val pRef = (col("c_ref") + 1).cast("double") / (col("n_ref") + buckets)
+    val pCur = (col("c_cur") + 1).cast("double") / (col("n_cur") + buckets)
+    counts.join(totals, Seq("event_type"))
+      .withColumn("psi_micro",
+        round((pCur - pRef) * log(pCur / pRef) * 1000000).cast("long"))
+      .select("event_type", "bin", "c_ref", "c_cur", "psi_micro")
+      .orderBy("event_type", "bin")
+  }
+
+  /** Seasonal-naive forecast backtest — the baseline every demand/volume
+    * forecast must beat: predict day d's revenue as day d−7's (same
+    * weekday last week, a CALENDAR join on day − 7, not a row lag — gap
+    * days must not slide the season), then report per-weekday error over
+    * the whole backtest window. Integer cents throughout (per-row cent
+    * rounding before the BIGINT sum, `div` for the mean), so the readout
+    * is engine-exact. dow: 0 = Sunday (Spark dayofweek−1 ==
+    * DuckDB EXTRACT(DOW)).
+    *
+    * Shape: the stream collapses to days at the first rollup; the
+    * seasonal join and weekday rollup move day-count rows. Output per
+    * dow: (n_days, mae_cents, bias_cents). */
+  def forecastBacktest(events: DataFrame, season: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val lagged = daily.select(date_add(col("day"), season).as("day"),
+      col("cents").as("forecast_cents"))
+    daily.join(lagged, Seq("day"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - col("forecast_cents"))).as("abs_err_cents"),
+        sum(col("cents") - col("forecast_cents")).as("bias_cents"))
+      .withColumn("mae_cents", expr("abs_err_cents div n_days"))
+      .select("dow", "n_days", "mae_cents", "bias_cents")
+      .orderBy("dow")
+  }
+
   /** A/B experiment readout with deterministic hash assignment — the
     * experimentation-platform staple: users split into variants by the
     * engine's portable id-hash (mod 2), never rand() — assignment is

@@ -1173,6 +1173,86 @@ SELECT nation, yr, rev_cents, prev_cents,
        END AS yoy_bp
 FROM lagd ORDER BY nation, yr"""
 
+  /** Mirrors EventQueries.psiDrift: calendar-midpoint split, reference
+    * decile edges at ranks (k·n div buckets), strictly-below edge
+    * counting off the per-type edge list, Laplace-smoothed micro-nat
+    * PSI terms (the KL ROUND(…*1e6) discipline). */
+  def psiDrift(buckets: Int = 10): String = {
+    val edgeRanks = (1 until buckets).map(k => s"(n_ref * $k) // $buckets").mkString(", ")
+    s"""
+WITH rows_ AS (
+  SELECT CAST(ts AS DATE) AS day, event_id, event_type, value FROM events
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM rows_),
+tagged AS (
+  SELECT r.event_id, r.event_type, r.value,
+         r.day < (b.d0 + CAST((b.d1 - b.d0 + 2) // 2 AS INTEGER)) AS is_ref
+  FROM rows_ r CROSS JOIN bounds b
+),
+nref AS (
+  SELECT event_type, COUNT(*) AS n_ref FROM tagged WHERE is_ref GROUP BY event_type
+),
+ranked AS (
+  SELECT t.event_type, t.value,
+         ROW_NUMBER() OVER (PARTITION BY t.event_type
+                            ORDER BY t.value, t.event_id) AS rk
+  FROM tagged t WHERE t.is_ref
+),
+edges AS (
+  SELECT r.event_type, r.value AS edge
+  FROM ranked r JOIN nref n USING (event_type)
+  WHERE r.rk IN ($edgeRanks)
+),
+elist AS (
+  SELECT event_type, list(edge ORDER BY edge) AS edges FROM edges GROUP BY event_type
+),
+binned AS (
+  SELECT t.event_type, t.is_ref,
+         CASE WHEN e.edges IS NULL THEN 1
+              ELSE 1 + len(list_filter(e.edges, x -> x < t.value)) END AS bin
+  FROM tagged t LEFT JOIN elist e USING (event_type)
+),
+counts AS (
+  SELECT event_type, CAST(bin AS BIGINT) AS bin,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+  FROM binned GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(c_cur) AS BIGINT) AS n_cur
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type, c.bin, c.c_ref, c.c_cur,
+       CAST(ROUND((((c.c_cur + 1)::DOUBLE / (t.n_cur + $buckets))
+                   - ((c.c_ref + 1)::DOUBLE / (t.n_ref + $buckets)))
+                  * ln(((c.c_cur + 1)::DOUBLE / (t.n_cur + $buckets))
+                       / ((c.c_ref + 1)::DOUBLE / (t.n_ref + $buckets)))
+                  * 1000000) AS BIGINT) AS psi_micro
+FROM counts c JOIN totals t USING (event_type)
+ORDER BY c.event_type, c.bin"""
+  }
+
+  /** Mirrors EventQueries.forecastBacktest: calendar day−7 self-join
+    * (gap days never slide the season), integer-cent errors, dow 0 =
+    * Sunday on both engines. */
+  def forecastBacktest(season: Int = 7): String = s"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+j AS (
+  SELECT a.day, a.cents, f.cents AS forecast_cents
+  FROM daily a JOIN daily f ON a.day = f.day + $season
+)
+SELECT CAST(EXTRACT(DOW FROM day) AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(cents - forecast_cents)) AS BIGINT) //
+         CAST(COUNT(*) AS BIGINT) AS mae_cents,
+       CAST(SUM(cents - forecast_cents) AS BIGINT) AS bias_cents
+FROM j GROUP BY 1 ORDER BY 1"""
+
   /** Mirrors EventQueries.abLift: portable-hash variant assignment
     * (null user_id lands in B via the shared CASE ELSE branch), per-user
     * conversion/revenue rollup, 1-row conditional pivot, sign-split

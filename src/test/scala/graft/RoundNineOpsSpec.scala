@@ -196,6 +196,45 @@ class RoundNineOpsSpec extends AnyFunSuite {
     assert(r.take(3).map(_.getAs[Long]("m")).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("psiDrift: shifted type alarms, stable type stays near zero") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 20 days; "stable" draws the same values both halves, "shifted"
+    // jumps from 1..50 to 151..200 in the second half
+    val rows = (0 until 20).flatMap { d =>
+      val ts = Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+      (0 until 50).flatMap { i =>
+        Seq((d.toLong * 1000 + i, ts, "stable", (i + 1).toDouble),
+          (d.toLong * 1000 + 500 + i, ts,
+            "shifted", if (d < 10) (i + 1).toDouble else (i + 151).toDouble))
+      }
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = EventQueries.psiDrift(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    val psi = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // PSI > 0.2 (200k micro-nats) is the conventional drift alarm
+    assert(psi("shifted") > 200000L, s"shifted PSI ${psi("shifted")}")
+    assert(math.abs(psi("stable")) < 50000L, s"stable PSI ${psi("stable")}")
+  }
+
+  test("forecastBacktest: exact weekly pattern has zero error; a spike shows up") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 14 days of a pure weekly pattern, plus one +5.00 spike on day 12
+    val rows = (0 until 14).map { d =>
+      val spike = if (d == 11) 5.0 else 0.0
+      (d.toLong, Timestamp.valueOf(f"2024-01-${d + 1}%02d 09:00:00"),
+        "purchase", 100.0 + (d % 7) * 10 + spike)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val r = EventQueries.forecastBacktest(rows).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r.size === 7) // every weekday backtested exactly once
+    assert(r.values.forall(_._1 === 1L))
+    val off = r.filter(_._2._2 != 0L)
+    assert(off.size === 1) // only the spiked weekday errs
+    assert(off.head._2._2 === 500L && off.head._2._3 === 500L)
+  }
+
   test("abLift: hash-sticky variants, integer-bp conversion, sign-split lift") {
     import spark.implicits._
     import java.sql.Timestamp
