@@ -43,7 +43,8 @@ object PlanAudit {
     "text_cooc_pmi",
     // text_perplexity_filter: inherits the bigram LM's 1-row total cross
     // events_psi_drift: the 1-row (d0, d1) calendar-bounds cross
-    "text_perplexity_filter", "events_psi_drift")
+    // sketch_bloom_fpr: the 1-row set-bit-count cross on the readout
+    "text_perplexity_filter", "events_psi_drift", "sketch_bloom_fpr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

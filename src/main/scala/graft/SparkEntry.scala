@@ -389,6 +389,9 @@ object SparkEntry {
       graft.operators.Sketches.kmvJaccardPairs(Tables.events(s, d), "event_type", "user_id")),
     "sketch_kmv_by_type" -> ((s, d) =>
       graft.operators.Sketches.kmvDistinctByGroup(Tables.events(s, d), "event_type", "user_id", k = 64)),
+    // portable Bloom filter with measured false-positive rate
+    "sketch_bloom_fpr" -> ((s, d) =>
+      graft.operators.Sketches.bloomFpr(Tables.orders(s, d), Tables.customer(s, d))),
     // portable HyperLogLog (raw estimator; register MAX is the sketch
     // every shard merge wants)
     "sketch_hll_distinct" -> ((s, d) =>
@@ -662,6 +665,7 @@ object SparkEntry {
     "sample_token_budget" -> OracleSqlText.tokenBudgetSample(),
     "text_contamination" -> OracleSqlText.contamination(),
     "train_pack_sequences" -> OracleSqlText.packSequences(),
+    "sketch_bloom_fpr" -> OracleSqlText.sketchBloomFpr(),
     "sketch_hll_distinct" ->
       OracleSqlText.sketchHllDistinct(graft.operators.Sketches.hllScale()),
     "sketch_hll_merged" ->

@@ -384,4 +384,53 @@ object Sketches {
         col("exact_jaccard"))
       .orderBy("type_a", "type_b")
   }
+
+  /** Portable Bloom filter with MEASURED false-positive rate — the
+    * membership sketch behind semi-join pushdown (`join_bloom_revenue`
+    * uses Spark's native builder; this is its engine-portable,
+    * oracle-replayable twin, plus the FPR readout that sizing decisions
+    * come from). Members are the high-value order customers; probes are
+    * ALL customers; bit j of a key = md5(key ":" j) mod `mBits` — the
+    * engine's standard hash family, salted per hash function.
+    *
+    * The filter is expressed RELATIONALLY (set of set-bit positions +
+    * an all-k-positions-present semi-join) so DuckDB replays it exactly;
+    * a production build packs the same positions into a bitmap and
+    * broadcasts it — the positions, and therefore every verdict and the
+    * FPR itself, are identical by construction. All joins are keyed on
+    * the bit position or the key; candidate volume is k rows per probe.
+    *
+    * Output: one row — (n_members, n_nonmembers, n_bits_set, n_fp,
+    * fp_bp) with fp_bp = false positives per 10k non-members; the
+    * theoretical optimum at these parameters is (1 − e^{−kn/m})^k. */
+  def bloomFpr(orders: DataFrame, customer: DataFrame,
+      minPrice: Double = 400000.0, mBits: Int = 1 << 14,
+      kHashes: Int = 3): DataFrame = {
+    def pos(key: Column, j: Int): Column =
+      pmod(conv(substring(md5(concat(key.cast("string"), lit(":" + j)).cast("binary")),
+        1, 8), 16, 10).cast("long"), lit(mBits.toLong))
+    val members = graft.RunHygiene.stage(
+      orders.filter(col("o_totalprice") > minPrice)
+        .select(col("o_custkey").as("key")).distinct())
+    members.count() // read by the bit build and the probe tag
+    val bits = members
+      .select(explode(array((0 until kHashes).map(j => pos(col("key"), j)): _*)).as("bit"))
+      .distinct()
+    val probes = customer.select(col("c_custkey").as("key"))
+      .join(members.select(col("key"), lit(true).as("is_member")), Seq("key"), "left")
+      .withColumn("is_member", coalesce(col("is_member"), lit(false)))
+    val tested = probes
+      .select(col("key"), col("is_member"),
+        explode(array((0 until kHashes).map(j => pos(col("key"), j)): _*)).as("bit"))
+      .join(bits.select(col("bit"), lit(1L).as("hit")), Seq("bit"), "left")
+      .groupBy("key", "is_member")
+      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0L)))).as("positive"))
+    tested.agg(
+        sum(when(col("is_member"), 1L).otherwise(0L)).as("n_members"),
+        sum(when(!col("is_member"), 1L).otherwise(0L)).as("n_nonmembers"),
+        sum(when(!col("is_member") && col("positive"), 1L).otherwise(0L)).as("n_fp"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+      .select(col("n_members"), col("n_nonmembers"), col("n_bits_set"),
+        col("n_fp"), expr("n_fp * 10000 div nullif(n_nonmembers, 0)").as("fp_bp"))
+  }
 }

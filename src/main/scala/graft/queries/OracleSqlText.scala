@@ -1837,6 +1837,41 @@ FROM g2 GROUP BY doc_id, island ORDER BY doc_id, span_start"""
     * constant is derived from the SAME `b` the Spark side is called with
     * (divisor 2^(32−b), rank cap RMAX=32−b+1, Σ fill-in 2^RMAX, m=2^b), so
     * changing the precision on one side cannot silently desync the gate. */
+  /** Mirrors Sketches.bloomFpr: md5(key ":" j) mod m bit positions, the
+    * set-bit roster, and the all-k-positions EXISTS membership verdict. */
+  def sketchBloomFpr(minPrice: Double = 400000.0, mBits: Int = 1 << 14,
+      kHashes: Int = 3): String = {
+    def posSql(ref: String, j: Int): String =
+      s"(${hex8IntSql(s"$ref::VARCHAR || ':$j'")}) % $mBits"
+    s"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > $minPrice
+),
+bits AS (
+  ${(0 until kHashes).map(j => s"SELECT DISTINCT ${posSql("key", j)} AS bit FROM members")
+        .mkString("\n  UNION\n  ")}
+),
+probes AS (
+  SELECT c.c_custkey AS key, m.key IS NOT NULL AS is_member
+  FROM customer c LEFT JOIN members m ON c.c_custkey = m.key
+),
+tested AS (
+  SELECT p.key, p.is_member,
+         ${(0 until kHashes).map(j =>
+        s"EXISTS (SELECT 1 FROM bits b WHERE b.bit = ${posSql("p.key", j)})")
+        .mkString("\n         AND ")} AS positive
+  FROM probes p
+)
+SELECT CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmembers,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+       CAST(SUM(CASE WHEN NOT is_member AND positive THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+       CAST(CAST(SUM(CASE WHEN NOT is_member AND positive THEN 1 ELSE 0 END) AS BIGINT)
+            * 10000 // NULLIF(CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT), 0)
+            AS BIGINT) AS fp_bp
+FROM tested"""
+  }
+
   def sketchHllDistinct(scale: Double, b: Int = 6): String = {
     val m = 1 << b
     val div = 1L << (32 - b)   // bucket divisor = 2^(32-b)

@@ -48,4 +48,22 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(merged === direct)
   }
+
+  test("bloom FPR: complete accounting, bit-set bound, near theory, deterministic") {
+    val s = TestSpark.spark
+    val orders = graft.sources.Tables.orders(s, "/root/testdata/sf0.001")
+    val customer = graft.sources.Tables.customer(s, "/root/testdata/sf0.001")
+    val r = Sketches.bloomFpr(orders, customer).collect().head
+    val nMem = r.getAs[Long]("n_members")
+    val nNon = r.getAs[Long]("n_nonmembers")
+    assert(nMem + nNon === customer.count())
+    assert(r.getAs[Long]("n_bits_set") <= math.min(1L << 14, nMem * 3))
+    // FPR within a loose multiple of (1 − e^{−kn/m})^k — a sanity band,
+    // not a tight statistical test (the gate pins exactness instead)
+    val theory = math.pow(1 - math.exp(-3.0 * nMem / (1 << 14)), 3)
+    val fp = r.getAs[Long]("fp_bp").toDouble / 10000
+    assert(fp <= theory * 5 + 0.01, s"fp=$fp theory=$theory")
+    // determinism: the whole readout reproduces bit-for-bit
+    assert(Sketches.bloomFpr(orders, customer).collect().head === r)
+  }
 }
