@@ -365,6 +365,10 @@ object SparkEntry {
     }),
     "train_pack_sequences" -> ((s, d) =>
       graft.operators.TrainPrep.packSequences(Tables.documents(s, d))),
+    // epoch-salted deterministic shuffle: a fresh reproducible permutation
+    // per epoch, ranked within shards (no epoch-global sort)
+    "train_epoch_shuffle" -> ((s, d) =>
+      graft.operators.TrainPrep.epochShuffle(Tables.documents(s, d))),
     // leakage-safe splits: whole near-dup clusters move together, so no
     // near-duplicate pair can straddle train and test
     "train_splits_safe" -> ((s, d) => {
@@ -662,6 +666,7 @@ object SparkEntry {
     "agg_salted_sum" -> OracleSql.aggSaltedSum,
     "train_splits" -> OracleSqlText.trainSplits(),
     "train_splits_safe" -> OracleSqlText.leakageSafeSplits(),
+    "train_epoch_shuffle" -> OracleSqlText.epochShuffle(),
     "sample_token_budget" -> OracleSqlText.tokenBudgetSample(),
     "text_contamination" -> OracleSqlText.contamination(),
     "train_pack_sequences" -> OracleSqlText.packSequences(),

@@ -71,6 +71,38 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** Epoch-salted deterministic shuffle — the data-ordering contract of a
+    * multi-epoch training run: each epoch must present the corpus in a
+    * DIFFERENT order (same order every epoch hurts convergence), yet the
+    * order must be reproducible for restarts and debugging. Rank =
+    * portable hash of "epoch:doc_id" — a new uniform permutation per
+    * epoch, byte-identical across re-runs, and append-stable per epoch
+    * (new docs interleave without moving existing relative order... of
+    * surviving hash gaps, exactly like every hash sampler here).
+    *
+    * Ranking is per (epoch, shard) with shards of `docsPerShard`
+    * consecutive ids — the packSequences discipline: no epoch-global
+    * sort; a training worker reads its shard's ordering independently.
+    * One keyed shuffle on (epoch, shard); partition size ≤ docsPerShard.
+    *
+    * Output: (doc_id, epoch, shard, shuffle_rank), one row per doc per
+    * epoch, ordered by (epoch, shard, shuffle_rank). */
+  def epochShuffle(docs: DataFrame, epochs: Int = 3,
+      docsPerShard: Int = 1000): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      floor(col("doc_id") / docsPerShard).cast("long").as("shard"),
+      explode(array((0 until epochs).map(e => lit(e.toLong)): _*)).as("epoch"))
+    val hv = conv(substring(md5(
+      concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 8), 16, 10).cast("long")
+    base.withColumn("hv", hv)
+      .withColumn("shuffle_rank", row_number().over(
+          Window.partitionBy("epoch", "shard").orderBy(col("hv"), col("doc_id")))
+        .cast("long"))
+      .select("doc_id", "epoch", "shard", "shuffle_rank")
+      .orderBy("epoch", "shard", "shuffle_rank")
+  }
+
   /** Token-stream sequence packing, sharded: within each shard of
     * `docsPerShard` consecutive doc_ids, documents concatenate into one
     * token stream and training sequence k holds tokens

@@ -1376,6 +1376,21 @@ SELECT doc_id, cluster_id, bucket,
             ELSE 'train' END AS split
 FROM b ORDER BY doc_id"""
 
+  /** Mirrors TrainPrep.epochShuffle: hash("epoch:doc_id") rank within
+    * (epoch, shard). */
+  def epochShuffle(epochs: Int = 3, docsPerShard: Int = 1000): String = s"""
+WITH b AS (
+  SELECT doc_id, CAST(doc_id // $docsPerShard AS BIGINT) AS shard,
+         CAST(e.epoch AS BIGINT) AS epoch,
+         CAST((${hex8IntSql(s"epoch::VARCHAR || ':' || doc_id::VARCHAR")}) AS BIGINT) AS hv
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, ${epochs - 1})) AS epoch) e
+)
+SELECT doc_id, epoch, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                               ORDER BY hv, doc_id) AS BIGINT) AS shuffle_rank
+FROM b ORDER BY epoch, shard, shuffle_rank"""
+
   /** Mirrors Sampling.tokenBudgetSample: greedy per-source prefix in
     * (hash, id) order while the PRIOR running token count is under
     * budget. DuckDB's windowed SUM(BIGINT) is HUGEINT — cast back. */

@@ -35,6 +35,24 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(byText.values.sum === 1000L)
   }
 
+  test("epoch shuffle: distinct permutations per epoch, dense per-shard ranks, reproducible") {
+    val d = docs((0L until 30L).map(i => (i, s"doc $i")): _*)
+    val out = TrainPrep.epochShuffle(d, epochs = 3, docsPerShard = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.length === 90) // every doc appears once per epoch
+    val orders = (0L until 3L).map { e =>
+      out.filter(_._2 == e).sortBy(_._3).map(_._1).toSeq
+    }
+    orders.foreach(o => assert(o.toSet === (0L until 30L).toSet))
+    // different epochs, different permutations (md5 salting)
+    assert(orders.distinct.size === 3)
+    // dense ranks 1..n within the single shard
+    assert(out.filter(_._2 == 0L).map(_._3).sorted.toSeq === (1L to 30L))
+    // reproducible
+    assert(TrainPrep.epochShuffle(d, epochs = 3, docsPerShard = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq === out.toSeq)
+  }
+
   test("leakage-safe splits never let a near-dup pair straddle a boundary") {
     import org.apache.spark.sql.functions._
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
