@@ -17,6 +17,12 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
+  /** Number of oracle-gated queries. Single source of truth for the figure
+    * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
+    * and every README mention all equal this constant, so the docs can't
+    * drift from the registry again. */
+  val GatedQueryCount: Int = 169
+
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
   // staged intermediates (it parquets them between tasks,

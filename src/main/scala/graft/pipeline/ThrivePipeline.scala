@@ -45,6 +45,17 @@ object ThrivePipeline {
 
   case class StageResult(stage: String, rows: Long, seconds: Double)
 
+  /** One record of the report's `top_customers_by_balance` array — the
+    * reference embeds `current_balances.nlargest(10, 'current_balance')
+    * .to_dict('records')` (src/thrive_cash_processing_dag.py:532), whose
+    * record shape is exactly the current-balances columns (:504-507). */
+  case class TopCustomer(
+      customerId: String,
+      currentBalance: Double,
+      cumulativeEarned: Double,
+      cumulativeSpent: Double,
+      cumulativeExpired: Double)
+
   case class RunReport(
       status: String,
       stages: Seq[StageResult],
@@ -57,7 +68,8 @@ object ThrivePipeline {
       totalExpired: Double,
       totalCurrentBalance: Double,
       customersWithPositiveBalance: Long,
-      alertMessage: String) {
+      alertMessage: String,
+      topCustomers: Seq[TopCustomer] = Seq.empty) {
 
     /** One JSON document (NOT JSONL — the reference report is a single
       * nested dict, :518-542). */
@@ -67,6 +79,11 @@ object ThrivePipeline {
         s"""{"stage": ${q(s.stage)}, "rows": ${s.rows}, "seconds": ${s.seconds}}""")
         .mkString("[", ", ", "]")
       val errsJson = validationErrors.map(q).mkString("[", ", ", "]")
+      val topJson = topCustomers.map(t =>
+        s"""{"customer_id": ${q(t.customerId)}, "current_balance": ${t.currentBalance}, """ +
+          s""""cumulative_earned": ${t.cumulativeEarned}, "cumulative_spent": ${t.cumulativeSpent}, """ +
+          s""""cumulative_expired": ${t.cumulativeExpired}}""")
+        .mkString("[", ", ", "]")
       s"""{
          |  "status": ${q(status)},
          |  "stages": $stagesJson,
@@ -79,6 +96,7 @@ object ThrivePipeline {
          |  "total_expired": $totalExpired,
          |  "total_current_balance": $totalCurrentBalance,
          |  "customers_with_positive_balance": $customersWithPositiveBalance,
+         |  "top_customers_by_balance": $topJson,
          |  "alert": ${q(alertMessage)}
          |}""".stripMargin
     }
@@ -187,8 +205,17 @@ object ThrivePipeline {
       (h.count(), (h, c))
     }
 
-    // Stage 6 — report + alert (reference :518-542, :563-598; unified keys)
+    // Stage 6 — report + alert (reference :518-542, :563-598; unified keys).
+    // top_customers_by_balance embeds the nlargest(10) records (:532-537);
+    // topBalances plans as TakeOrderedAndProject, so this collect is ≤10 rows.
     val summary = BalanceAnalytics.reportSummary(matched, current).collect().head
+    val topCustomers = BalanceAnalytics.topBalances(current).collect().toSeq.map(r =>
+      TopCustomer(
+        r.getAs[String]("customer_id"),
+        r.getAs[Double]("current_balance"),
+        r.getAs[Double]("cumulative_earned"),
+        r.getAs[Double]("cumulative_spent"),
+        r.getAs[Double]("cumulative_expired")))
     val report = RunReport(
       status = "success",
       stages = stages.toSeq,
@@ -204,7 +231,8 @@ object ThrivePipeline {
       alertMessage = s"Thrive Cash processing succeeded: " +
         s"${summary.getAs[Long]("total_transactions")} transactions, " +
         s"${summary.getAs[Long]("matching_records_count")} matched, " +
-        s"${summary.getAs[Long]("total_customers")} customers")
+        s"${summary.getAs[Long]("total_customers")} customers",
+      topCustomers = topCustomers)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"${cfg.outputDir}/analytics_report.json"),
       report.toJson)

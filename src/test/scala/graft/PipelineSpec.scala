@@ -37,6 +37,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(json.contains("\"status\": \"success\""))
     assert(json.contains("\"matching_records_count\""))
 
+    // top_customers_by_balance parity (reference dag :532-537): ≤10 records,
+    // the reference record shape (the current-balances columns), descending
+    // by balance, and the head record is the true maximum.
+    assert(json.contains("\"top_customers_by_balance\""))
+    assert(report.topCustomers.nonEmpty && report.topCustomers.size <= 10)
+    assert(report.topCustomers.size === math.min(10, report.totalCustomers).toInt)
+    for (f <- Seq("customer_id", "current_balance", "cumulative_earned",
+        "cumulative_spent", "cumulative_expired"))
+      assert(json.contains("\"" + f + "\""), s"report array must carry field $f")
+    val balances = report.topCustomers.map(_.currentBalance)
+    assert(balances === balances.sorted.reverse, "top customers must be sorted desc")
+    assert(balances.head === report.topCustomers.map(_.currentBalance).max)
+
     // staged split is re-readable under the dated namespace, per type
     // (restartability contract; partitionBy layout = the 3-way split)
     val staged = spark.read.parquet(s"$tmp/staging/20260812/transactions.parquet")

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the gated-query count so README.md can't drift from the registry
+  * (round-6 verdict item #4: the docs said 167 while the gate ran 169).
+  * Any query added to [[SparkEntry.queries]] without bumping
+  * [[SparkEntry.GatedQueryCount]] — or without updating every README
+  * mention — fails here. */
+class QueryCountSpec extends AnyFunSuite {
+
+  test("queries registry matches the declared count") {
+    assert(SparkEntry.queries.size === SparkEntry.GatedQueryCount)
+  }
+
+  test("every query has an oracle (full DuckDB coverage, no rows-only checks)") {
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  }
+
+  test("README cites the declared count, not a stale one") {
+    val readme = java.nio.file.Files.readString(java.nio.file.Paths.get("README.md"))
+    val n = SparkEntry.GatedQueryCount
+    assert(readme.contains(s"$n operator queries"),
+      s"README.md must cite '$n operator queries'")
+    // stale figures from earlier rounds must be gone
+    for (stale <- Seq("165 operator queries", "166 operator queries",
+        "167 operator queries", "168 operator queries"))
+      assert(!readme.contains(stale), s"stale count in README.md: '$stale'")
+    assert(!readme.contains(s"all 167 queries"),
+      "stale 'all 167 queries' phrase in README.md")
+  }
+}
