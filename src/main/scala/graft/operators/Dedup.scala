@@ -57,28 +57,65 @@ object Dedup {
     * regardless of sibling count, at the cost of threshold-boundary
     * exactness. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // the shingle table feeds candidate generation, the size lookup, and
-    // verification — persist so tokenize+shingle runs once
+    import org.apache.spark.sql.expressions.Window
+    // the shingle table feeds candidate generation and verification —
+    // persist so tokenize+shingle runs once
     val sh = graft.RunHygiene.stage(TextOps.withShingles(docs, n))
-    val inv = sh.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
-    // global doc-frequency order: rare shingles first
-    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("dfreq", "shingle")
+    // Prefix build in TWO window passes over the exploded shingle table —
+    // df(shingle) as COUNT() OVER (PARTITION BY shingle) replaces the old
+    // groupBy+equijoin (same values, one shuffle and one join fewer): shuffle by
+    // shingle for the frequency, shuffle by doc for the rank, done.
+    val wShingle = Window.partitionBy("shingle")
+    val wDoc = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
     // persisted: the prefix feeds BOTH sides of the candidate self-join —
-    // without it the dfreq join + per-doc window sort run twice
-    val prefix = graft.RunHygiene.stage(inv.join(dfreq, Seq("shingle"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("doc_id", "shingle"))
+    // without it the frequency + rank windows run twice. rn (the shingle's
+    // position in the doc's frequency-ascending order) and sz ride along to
+    // power the PPJoin-style filters below.
+    val prefix = graft.RunHygiene.stage(
+      sh.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+        .withColumn("dfreq", count(lit(1)).over(wShingle))
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .select("doc_id", "shingle", "sz", "rn"))
     // materialized BEFORE the self-join: its two input stages run
     // concurrently, and each would compute the unfilled cache independently
     prefix.count()
+    // Candidate pruning, all three filters lossless w.r.t. exact
+    // verification (the smallest common shingle s₁ of a qualifying pair
+    // satisfies every condition, so each pair survives at least once):
+    //  - length filter: J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|);
+    //  - positional (PPJoin) filter: a shared shingle at positions (i, j) of
+    //    the common frequency-ascending order bounds the overlap by
+    //    (common before) + (common at/after) ≤ (min(i,j)−1) +
+    //    (min(szA−i, szB−j)+1), which must reach the J ≥ t requirement
+    //    ⌈t/(1+t)·(szA+szB)⌉;
+    //  - index-prefix (AllPairs/PPJoin role asymmetry): for the SMALLER doc
+    //    y of the pair, α ≥ 2t/(1+t)·|y|, so s₁ must sit within y's first
+    //    |y| − ⌈2t/(1+t)·|y|⌉ + 1 shingles — at t = 0.5 that shrinks the
+    //    effective prefix of one side from sz/2 to sz/3, and candidate
+    //    volume is Σ (probe-posting × index-posting) per shingle.
+    // A popularity-only collision dies here instead of riding two
+    // array-joins into the verify kernel.
+    val overlapReq = ceil(lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz")))
+    val overlapUb = least(col("a.rn"), col("b.rn")) - 1 +
+      least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1
+    val aIsSmall = col("a.sz") < col("b.sz") ||
+      (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))
+    val smallRn = when(aIsSmall, col("a.rn")).otherwise(col("b.rn"))
+    val smallSz = when(aIsSmall, col("a.sz")).otherwise(col("b.sz"))
+    val indexBound =
+      smallRn <= smallSz - ceil(lit(2 * threshold / (1 + threshold)) * smallSz) + 1
     val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            ceil(lit(threshold) * greatest(col("a.sz"), col("b.sz"))) &&
+          overlapUb >= overlapReq && indexBound)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
-    verifyPairs(candidates, sh.select("doc_id", "sh"), threshold)
+    // sizes already ride the candidates (and the length filter already ran),
+    // so verification skips its two size-lookup joins
+    verifyPairsSized(candidates, sh.select("doc_id", "sh"), threshold)
   }
 
   /** Containment-similarity pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t — the
@@ -203,7 +240,6 @@ object Dedup {
     * min(|A|,|B|) ≥ t·max(|A|,|B|), so incompatible sizes never reach the
     * merge. Output identical to the array_intersect form. */
   private def verifyPairs(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    graft.functions.HashExpressions.registerIntersect(sh.sparkSession)
     // size-ratio prune BEFORE the array fetch: J ≥ t implies
     // min(|A|,|B|) ≥ t·max(|A|,|B|), and the sizes join moves two ints per
     // candidate where the array join moves whole shingle sets — prune on
@@ -214,8 +250,17 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+    verifyPairsSized(pruned, sh, threshold)
+  }
+
+  /** [[verifyPairs]] for candidates that already carry `sz_a`/`sz_b` (and
+    * have passed the size-ratio prune at candidate-join time): only the two
+    * shingle-array joins and the merge-count kernel remain. */
+  private def verifyPairsSized(candidates: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.functions.HashExpressions.registerIntersect(sh.sparkSession)
     val sorted = sh.select(col("doc_id"), array_sort(col("sh")).as("shs"))
-    pruned
+    candidates
       .join(sorted.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
       .join(sorted.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
