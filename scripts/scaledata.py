@@ -21,7 +21,8 @@ dst = sys.argv[1] if len(sys.argv) > 1 else '/tmp/sfbig'
 factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 os.makedirs(dst, exist_ok=True)
 for p in glob.glob(f'{src}/*.parquet'):
-    if os.path.basename(p) not in ('documents.parquet', 'events.parquet'):
+    if os.path.basename(p) not in ('documents.parquet', 'events.parquet',
+                                   'embeddings.parquet'):
         shutil.copy(p, dst)
 
 con = duckdb.connect()
@@ -55,6 +56,24 @@ COPY (
   CROSS JOIN (SELECT unnest(generate_series(0, {factor - 1})) AS k)
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
 """)
-for t in ('documents', 'events'):
+# embeddings scale the ANN/kmeans/PQ axis: vec_id offset per replica and ONE
+# dimension nudged by a replica-dependent amount — replicas stay near their
+# original (preserving cluster structure for IVF/PQ recall) without being
+# exact duplicates (which would make every top-k a tie-break artifact).
+con.execute(f"""
+COPY (
+  SELECT vec_id + k * 100000000 AS vec_id,
+         CASE WHEN k = 0 THEN embedding
+              ELSE list_transform(embedding, (x, i) ->
+                CASE WHEN ((i - 1) % len(embedding)) = (k % len(embedding))
+                     THEN CAST(x + 0.01 + 0.001 * (k % 10) AS FLOAT)
+                     ELSE x END)
+         END AS embedding,
+         label
+  FROM read_parquet('{src}/embeddings.parquet')
+  CROSS JOIN (SELECT unnest(generate_series(0, {factor - 1})) AS k)
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+""")
+for t in ('documents', 'events', 'embeddings'):
     n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
     print(f"{t}: {n} rows")

@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 169
+  val GatedQueryCount: Int = 170
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -516,6 +516,13 @@ object SparkEntry {
     "streaming_match" -> ((s, d) =>
       graft.streaming.StreamingFifo.replayLedger(txns(s, d)).orderBy(matchedOrder: _*)),
 
+    // event-time matching under LATE data: a deterministic subset of earned
+    // rows is delayed a full micro-batch, the operator re-pairs affected
+    // customers and emits add/retract corrections, and the folded log must
+    // STILL equal the batch rebuild — same oracle (SURVEY §7.7)
+    "streaming_late_match" -> ((s, d) =>
+      graft.streaming.StreamingFifo.replayLedgerLate(txns(s, d)).orderBy(matchedOrder: _*)),
+
     // streaming analytics replayed the same way: the windowed rollup must
     // equal the batch tumbling GROUP BY once the watermark closes every
     // window; streaming dedup must pass exactly one survivor per hash
@@ -662,6 +669,7 @@ object SparkEntry {
     "curation_pipeline_v3" -> OracleSqlText.curationV3(),
     "incremental_match" -> OracleSql.fifoMatch,
     "streaming_match" -> OracleSql.fifoMatch,
+    "streaming_late_match" -> OracleSql.fifoMatch,
     "streaming_rollup" -> OracleSql.streamingRollup,
     "streaming_dedup" -> OracleSqlText.streamingDedup,
     "streaming_sessions" -> OracleSql.streamingSessions,

@@ -43,6 +43,22 @@ object ThrivePipeline {
         * default here reports instead of aborting */
       failOnBalanceMismatch: Boolean = false)
 
+  object Config {
+    /** Reference-DAG abort profile (SURVEY §7.5, round-6 verdict #8): the
+      * chronology check stays the reference's dead-code no-op
+      * (`strictChronology = false`) while the V8 balance equation ABORTS the
+      * run on any per-customer mismatch, exactly like the reference's
+      * validate_results task (src/thrive_cash_processing_dag.py:335-355,
+      * raise at :407-423). Use this preset for bit-for-bit parity demos; the
+      * default profile reports mismatches instead, because 1:1
+      * amount-ignoring matching makes them expected on real data. */
+    def strictParity(stagingDir: String, outputDir: String,
+        executionDate: String = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)): Config =
+      Config(stagingDir, outputDir, executionDate,
+        strictChronology = false, failOnBalanceMismatch = true)
+  }
+
   case class StageResult(stage: String, rows: Long, seconds: Double)
 
   /** One record of the report's `top_customers_by_balance` array — the

@@ -80,6 +80,38 @@ object FileReplay {
     dirs
   }
 
+  /** [[stageChunks]] with DELIBERATE lateness: rows matching `delay` are
+    * pushed one chunk later than their event-time range assigns (rows
+    * already in the last chunk stay put — nothing later exists to carry
+    * them). The result is a replay where chunk k+1 contains rows whose
+    * event times precede chunk k's entire range — the late-data shape the
+    * retraction gates exercise. Chunk assignment happens in the plan (a
+    * when-chain over the range boundaries), so staging stays one Spark
+    * job per chunk with no driver-side rows. */
+  def stageChunksDelayed(df: DataFrame, tsCol: String, batches: Int,
+      delay: org.apache.spark.sql.Column): ReplayDirs = {
+    val dirs = ReplayDirs(Files.createTempDirectory("graft_replay_"))
+    Files.createDirectories(dirs.in)
+    val mm = df.agg(min(col(tsCol)), max(col(tsCol))).head()
+    val chunked =
+      if (mm.isNullAt(0)) df.withColumn("_chunk", lit(0))
+      else {
+        val lo = micros(mm.getAs[LocalDateTime](0))
+        val span = micros(mm.getAs[LocalDateTime](1)) - lo + 1
+        val bounds = (1 until batches).map(k => fromMicros(lo + span * k / batches))
+        val rangeChunk = bounds.zipWithIndex.foldRight(lit(batches - 1): org.apache.spark.sql.Column) {
+          case ((b, k), rest) => when(col(tsCol) < lit(b), k).otherwise(rest)
+        }
+        df.withColumn("_chunk",
+          least(lit(batches - 1), rangeChunk + when(delay, 1).otherwise(0)))
+      }
+    val base = System.currentTimeMillis()
+    (0 until batches).foreach { k =>
+      writeChunk(chunked.filter(col("_chunk") === k).drop("_chunk"), dirs.in, k, base)
+    }
+    dirs
+  }
+
   /** Write one chunk as a single parquet file with mtime base + 2k seconds
     * (the source's replay order). The staging dir is dot-prefixed so the
     * file source's listing never sees the in-flight write. */

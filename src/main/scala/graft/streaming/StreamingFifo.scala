@@ -89,6 +89,165 @@ object StreamingFifo {
       }
   }
 
+  // ---- event-time matching with late-data retraction (SURVEY §7.7) ----
+
+  /** One entry of the correction log emitted by [[matchStreamEventTime]]:
+    * ACTION is "add" or "retract", REV the per-customer revision that
+    * produced it. The standing ledger at any point is, per earned id, the
+    * highest-REV event (an "add" means the pair holds; a "retract" without
+    * a same-REV "add" means the earned row is back to unmatched). */
+  case class CorrectionEvent(
+      CUSTOMERID: String,
+      EARNED_ID: String,
+      REDEEMID: String,
+      REDEEMER_TYPE: String,
+      MATCHED_AT: java.time.LocalDateTime,
+      ACTION: String,
+      REV: Int)
+
+  /** Per-customer state for event-time matching: the full event-time-sorted
+    * history of both sides plus the currently-standing emitted assignment
+    * (earned_id, redeem_id, type, matched_at_micros). With a lateness bound
+    * the stable prefix is pruned away (see [[matchStreamEventTime]]); without
+    * one, state is O(customer history) — the price of exact unbounded-late
+    * correctness. */
+  case class EventTimeState(
+      rev: Int,
+      earned: Seq[(Long, String)],
+      se: Seq[(Long, String, String)],
+      standing: Seq[(String, String, String, Long)])
+
+  private val microEpoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+  private def toMicros(t: java.time.LocalDateTime): Long =
+    java.time.temporal.ChronoUnit.MICROS.between(microEpoch, t)
+  private def ofMicros(u: Long): java.time.LocalDateTime =
+    microEpoch.plus(u, java.time.temporal.ChronoUnit.MICROS)
+
+  /** TRUE event-time FIFO matching under late data — the extension the
+    * reference defers as "reprocess affected customers"
+    * (reference: README.md:208-216). Where [[matchStream]] treats arrival
+    * order as event order (a late earned row would mis-pair everything after
+    * it), this operator re-derives the customer's assignment from its merged
+    * event-time history on every batch that touches the customer, and emits
+    * only the DELTA as add/retract [[CorrectionEvent]]s: a late earned row
+    * arriving mid-stream shifts the FIFO pairing downstream of its insertion
+    * point, so every shifted pair gets a retract of the old match and an add
+    * of the new one, all at the same revision.
+    *
+    * Equivalence: the batch matcher pairs the k-th spent/expired with the
+    * k-th earned under (timestamp, transaction_id) order, so the recompute
+    * is a zip of the two sorted histories — folding the correction log by
+    * latest revision per earned id reproduces the batch ledger exactly,
+    * regardless of how arrival interleaves ([[replayLedgerLate]] gates this
+    * through the DuckDB hash gate with deliberately-delayed rows).
+    *
+    * Scale: only customers WITH new rows are touched per batch (the
+    * reference's "affected customers" set — flatMapGroupsWithState invokes
+    * exactly those groups), keyed by the same customer shuffle key as the
+    * batch matcher. Unbounded lateness needs the full history in state;
+    * passing `lateness` prunes the stable prefix — once both sides' k-th
+    * elements are older than (max seen − lateness), no admissible arrival
+    * can insert before index k on either side, so pairs below k can never
+    * shift again and leave state. State then holds O(events within the
+    * lateness window) per customer, the standard watermark trade-off. */
+  def matchStreamEventTime(txns: Dataset[Tx],
+      lateness: Option[java.time.Duration] = None): Dataset[CorrectionEvent] = {
+    implicit val stateEnc = Encoders.product[EventTimeState]
+    implicit val outEnc = Encoders.product[CorrectionEvent]
+    implicit val keyEnc = Encoders.STRING
+
+    txns.groupByKey(_.customer_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (customerId: String, rows: Iterator[Tx], state: GroupState[EventTimeState]) =>
+          val st = state.getOption.getOrElse(EventTimeState(0, Nil, Nil, Nil))
+          var earned = st.earned
+          var se = st.se
+          rows.foreach { t =>
+            t.transaction_type match {
+              case "earned" =>
+                earned = earned :+ ((toMicros(t.timestamp), t.transaction_id))
+              case "spent" | "expired" =>
+                se = se :+ ((toMicros(t.timestamp), t.transaction_id, t.transaction_type))
+              case _ => // invalid types are the validation layer's concern
+            }
+          }
+          earned = earned.sortBy(identity)
+          se = se.sortBy(s => (s._1, s._2))
+          // FIFO index pairing over the merged event-time histories
+          val pairs = earned.zip(se).map { case ((te, eid), (ts, sid, styp)) =>
+            (eid, sid, styp, math.max(te, ts))
+          }
+          val oldMap = st.standing.map(p => p._1 -> p).toMap
+          val newMap = pairs.map(p => p._1 -> p).toMap
+          val rev = st.rev + 1
+          val events = Seq.newBuilder[CorrectionEvent]
+          // retract pairs that vanished or changed (sorted for determinism)
+          st.standing.sortBy(_._1).foreach { case old @ (eid, sid, styp, at) =>
+            if (!newMap.get(eid).contains(old))
+              events += CorrectionEvent(customerId, eid, sid, styp, ofMicros(at),
+                "retract", rev)
+          }
+          // add pairs that are new or changed
+          pairs.foreach { case p @ (eid, sid, styp, at) =>
+            if (!oldMap.get(eid).contains(p))
+              events += CorrectionEvent(customerId, eid, sid, styp, ofMicros(at),
+                "add", rev)
+          }
+          // prune the stable prefix under a lateness bound: drop the same
+          // COUNT from both sides so downstream indices stay aligned
+          val (earnedKept, seKept, standingKept) = lateness match {
+            case Some(bound) if earned.nonEmpty || se.nonEmpty =>
+              val maxSeen = (earned.map(_._1) ++ se.map(_._1)).max
+              val cutoff = maxSeen - bound.toNanos / 1000L
+              val stable = (0 until math.min(earned.size, se.size))
+                .takeWhile(k => earned(k)._1 < cutoff && se(k)._1 < cutoff)
+                .size
+              val prunedIds = earned.take(stable).map(_._2).toSet
+              (earned.drop(stable), se.drop(stable),
+                pairs.filterNot(p => prunedIds.contains(p._1)))
+            case _ => (earned, se, pairs)
+          }
+          state.update(EventTimeState(rev, earnedKept, seKept,
+            standingKept.map(p => (p._1, p._2, p._3, p._4))))
+          events.result().iterator
+      }
+  }
+
+  /** Fold a [[CorrectionEvent]] log to the standing matches: per earned id,
+    * the highest-revision event wins; it must be an "add" for the pair to
+    * stand (a same-revision retract+add pair resolves to the add). */
+  def standingMatches(log: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("EARNED_ID").orderBy(col("REV").desc, col("ACTION"))
+    log.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1 && col("ACTION") === "add")
+      .select(col("EARNED_ID").as("TRANS_ID"), col("REDEEMID"))
+  }
+
+  /** Replay with DELIBERATE late data: rows are chunked by event-time range
+    * (like [[replayLedger]]), but a deterministic subset of earned rows —
+    * `pmod(hash(transaction_id), 4) = 0` — is delayed by one chunk, so batch
+    * k+1 carries earned rows whose event times precede everything in batch
+    * k's range. The final ledger folds the correction log and must
+    * hash-match the batch oracle (the driver gate: `streaming_late_match`,
+    * same `fifo_match` SQL). */
+  def replayLedgerLate(txns: DataFrame, batches: Int = 3): DataFrame = {
+    val spark = txns.sparkSession
+    implicit val txEnc = Encoders.product[Tx]
+    val src = txns
+      .select("transaction_id", "customer_id", "amount", "timestamp", "transaction_type")
+    val dirs = FileReplay.stageChunksDelayed(src, "timestamp", batches,
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("transaction_id")),
+        org.apache.spark.sql.functions.lit(4)) === 0 &&
+        col("transaction_type") === "earned")
+    val events = matchStreamEventTime(FileReplay.stream(spark, src.schema, dirs).as[Tx])
+    val log = FileReplay.runToParquet(events.toDF(), dirs)
+    graft.operators.FifoMatcher.renameToSpec(txns)
+      .join(standingMatches(log), Seq("TRANS_ID"), "left")
+      .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")
+  }
+
   /** Replay a batch transaction table through [[matchStream]] in
     * `batches` event-ordered micro-batches and rebuild the full matched
     * ledger from the emitted match log — the correctness-gate harness that

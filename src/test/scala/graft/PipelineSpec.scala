@@ -93,6 +93,36 @@ class PipelineSpec extends AnyFunSuite {
       s"expected sample ids in: ${report.validationErrors}")
   }
 
+  test("strict-parity profile aborts on an amount-mismatched fixture like the reference DAG") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-strict-parity").toString
+    // Fixture: C1 earns 100.00 then spends 30.00 — FIFO matches them 1:1
+    // ignoring amounts, so V8 sees earned 100 ≠ spent 30 + remaining 0 and
+    // the strict profile must abort (reference raises; default reports).
+    // C2 balances exactly (earn 50, spend 50) and must NOT be flagged.
+    val events = spark.createDataFrame(Seq(
+      ("E1", "C1", 100.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "signup"),
+      ("S1", "C1", 30.0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "purchase"),
+      ("E2", "C2", 50.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "signup"),
+      ("S2", "C2", 50.0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "purchase")))
+      .toDF("event_id", "user_id", "value", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    events.write.parquet(s"$tmp/src/events.parquet")
+
+    val strict = ThrivePipeline.run(spark, s"$tmp/src",
+      ThrivePipeline.Config.strictParity(s"$tmp/staging", s"$tmp/out", "20260813"))
+    assert(strict.status === "failed")
+    assert(strict.alertMessage.contains("FAILED"))
+    assert(strict.validationErrors.exists(e =>
+      e.contains("balance equation mismatches: 1") && e.contains("C1") && !e.contains("C2")),
+      s"expected exactly C1 flagged, got: ${strict.validationErrors}")
+
+    // same data, default profile: reports success instead of aborting
+    val lenient = ThrivePipeline.run(spark, s"$tmp/src",
+      ThrivePipeline.Config(s"$tmp/staging2", s"$tmp/out2", "20260813"))
+    assert(lenient.status === "success")
+  }
+
   test("source validation failures carry first-10 offending transaction ids") {
     val bad = tx(
       ("T1", "C1", 10.0, "2024-01-01", "earned"),

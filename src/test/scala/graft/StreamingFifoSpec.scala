@@ -90,6 +90,97 @@ class StreamingFifoSpec extends AnyFunSuite {
     }
   }
 
+  test("late earned row retracts and re-pairs downstream matches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Tx]
+    val query = StreamingFifo.matchStreamEventTime(input.toDS())
+      .writeStream.format("memory").queryName("fifo_corrections")
+      .outputMode("append").start()
+    try {
+      // batch 1 (in order): E2 then S1 → pairing (E2, S1)
+      input.addData(
+        Tx("E2", "C1", 50.0, ts(2), "earned"),
+        Tx("S1", "C1", -10.0, ts(3), "spent"))
+      query.processAllAvailable()
+      val b1 = spark.table("fifo_corrections").as[StreamingFifo.CorrectionEvent].collect()
+      assert(b1.map(e => (e.EARNED_ID, e.REDEEMID, e.ACTION)).toSet ===
+        Set(("E2", "S1", "add")))
+
+      // batch 2: E1 arrives LATE with an EARLIER event time — FIFO now
+      // pairs (E1, S1); the old (E2, S1) must be retracted
+      input.addData(Tx("E1", "C1", 100.0, ts(1), "earned"))
+      query.processAllAvailable()
+      val all = spark.table("fifo_corrections").as[StreamingFifo.CorrectionEvent].collect()
+      assert(all.filter(_.REV === 2).map(e => (e.EARNED_ID, e.REDEEMID, e.ACTION)).toSet ===
+        Set(("E2", "S1", "retract"), ("E1", "S1", "add")))
+
+      // the folded log must equal the batch pairing over the full history
+      val standing = StreamingFifo.standingMatches(spark.table("fifo_corrections"))
+        .as[(String, String)].collect().toSet
+      assert(standing === Set(("E1", "S1")))
+
+      // batch 3: a late spent shifts nothing before it but consumes E2
+      input.addData(Tx("S2", "C1", -5.0, ts(4), "spent"))
+      query.processAllAvailable()
+      val standing2 = StreamingFifo.standingMatches(spark.table("fifo_corrections"))
+        .as[(String, String)].collect().toSet
+      assert(standing2 === Set(("E1", "S1"), ("E2", "S2")))
+    } finally {
+      query.stop()
+    }
+  }
+
+  test("lateness-bounded state pruning preserves the final standing matches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // lateness bound of 2 days; arrivals never later than 1 day behind
+    val input = MemoryStream[Tx]
+    val query = StreamingFifo
+      .matchStreamEventTime(input.toDS(), Some(java.time.Duration.ofDays(2)))
+      .writeStream.format("memory").queryName("fifo_pruned")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Tx("E1", "C1", 10.0, ts(1), "earned"),
+        Tx("S1", "C1", -5.0, ts(2), "spent"))
+      query.processAllAvailable()
+      // (E1, S1) is now stable once later events push the cutoff past day 2
+      input.addData(
+        Tx("E2", "C1", 20.0, ts(10), "earned"),
+        Tx("S2", "C1", -5.0, ts(11), "spent"))
+      query.processAllAvailable()
+      // late-but-in-bound earned: pairs with S2's slot downstream of the
+      // pruned prefix — (E1, S1) must survive untouched in the fold
+      input.addData(Tx("E3", "C1", 30.0, ts(9), "earned"))
+      query.processAllAvailable()
+      val standing = StreamingFifo.standingMatches(spark.table("fifo_pruned"))
+        .as[(String, String)].collect().toSet
+      assert(standing === Set(("E1", "S1"), ("E3", "S2")))
+    } finally {
+      query.stop()
+    }
+  }
+
+  test("replayLedgerLate rebuilds the exact batch ledger under delayed earned rows") {
+    import spark.implicits._
+    val data = Seq(
+      Tx("E1", "C1", 10.0, ts(1), "earned"),
+      Tx("S1", "C2", -5.0, ts(2), "spent"),
+      Tx("E2", "C1", 20.0, ts(3), "earned"),
+      Tx("E9", "C2", 30.0, ts(4), "earned"),
+      Tx("X1", "C1", -7.0, ts(5), "expired"),
+      Tx("S2", "C1", -2.0, ts(6), "spent"),
+      Tx("E3", "C1", 40.0, ts(7), "earned"))
+    val ledger = graft.streaming.StreamingFifo.replayLedgerLate(data.toDF(), batches = 3)
+      .orderBy("TRANS_ID").collect()
+    val batch = graft.operators.FifoMatcher.matchTransactions(data.toDF())
+      .orderBy("TRANS_ID").collect()
+    assert(ledger.toSeq === batch.toSeq)
+  }
+
   test("replayLedger rebuilds the exact batch ledger across chunked state") {
     import spark.implicits._
     val data = Seq(
