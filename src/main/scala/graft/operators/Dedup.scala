@@ -136,31 +136,51 @@ object Dedup {
     * denominator; the raw value gates the threshold, rounding only the
     * output (the [[ngramJaccard]] boundary-exactness rule). */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     graft.functions.HashExpressions.registerIntersect(docs.sparkSession)
     val sh = graft.RunHygiene.stage(TextOps.withShingles(docs, n))
-    val inv = graft.RunHygiene.stage(
-      sh.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle")))
-    inv.count() // feeds dfreq, the prefix build, and the full index side
-    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("dfreq", "shingle")
-    val prefix = inv.join(dfreq, Seq("shingle"))
-      .withColumn("rn", row_number().over(w))
+    // Ranked inverted index in two window passes (the [[ngramJaccard]]
+    // build): df(shingle) as COUNT() OVER, rank rn per doc under the global
+    // (dfreq, shingle) order. Staged once — it serves BOTH join roles.
+    val wShingle = Window.partitionBy("shingle")
+    val wDoc = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
+    val ranked = graft.RunHygiene.stage(
+      sh.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+        .withColumn("dfreq", count(lit(1)).over(wShingle))
+        .withColumn("rn", row_number().over(wDoc))
+        .select("doc_id", "shingle", "sz", "rn"))
+    ranked.count() // materialized before the self-join fans it out twice
+    // Role asymmetry (round 7 — halves the old every-doc-probes-everything
+    // join): the smallest common shingle s₁ of a qualifying pair always sits
+    // inside the SMALLER doc's probe prefix (else common ≤ ⌈t·min⌉ − 1 < α),
+    // so only the smaller side probes, and it probes the full index of
+    // strictly-(sz, id)-larger docs. The per-row positional bound
+    // min(i,j)−1 + min(szP−i, szF−j)+1 ≥ ⌈t·szP⌉ (szP = the min size) prunes
+    // collisions that cannot reach the containment threshold — both filters
+    // lossless, verification is exact.
+    val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("doc_id").as("p_doc"), col("shingle"))
-    val candidates = prefix.join(inv.select(col("doc_id").as("f_doc"), col("shingle")),
-        Seq("shingle"))
-      .filter(col("p_doc") =!= col("f_doc"))
+      .select(col("doc_id").as("p_doc"), col("shingle"),
+        col("sz").as("p_sz"), col("rn").as("p_rn"))
+    val overlapReq = ceil(lit(threshold) * col("p_sz"))
+    val overlapUb = least(col("p_rn"), col("f_rn")) - 1 +
+      least(col("p_sz") - col("p_rn"), col("f_sz") - col("f_rn")) + 1
+    val candidates = prefix.join(
+        ranked.select(col("doc_id").as("f_doc"), col("shingle").as("f_shingle"),
+          col("sz").as("f_sz"), col("rn").as("f_rn")),
+        col("shingle") === col("f_shingle") && col("p_doc") =!= col("f_doc") &&
+          (col("p_sz") < col("f_sz") ||
+            (col("p_sz") === col("f_sz") && col("p_doc") < col("f_doc"))))
+      .filter(overlapUb >= overlapReq)
       .select(least(col("p_doc"), col("f_doc")).as("doc_a"),
-        greatest(col("p_doc"), col("f_doc")).as("doc_b"))
+        greatest(col("p_doc"), col("f_doc")).as("doc_b"),
+        when(col("p_doc") < col("f_doc"), col("p_sz")).otherwise(col("f_sz")).as("sz_a"),
+        when(col("p_doc") < col("f_doc"), col("f_sz")).otherwise(col("p_sz")).as("sz_b"))
       .distinct()
-    val sorted = sh.select(col("doc_id"), size(col("sh")).as("sz"),
-      array_sort(col("sh")).as("shs"))
+    val sorted = sh.select(col("doc_id"), array_sort(col("sh")).as("shs"))
     candidates
-      .join(sorted.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-        col("shs").as("sh_a")), Seq("doc_a"))
-      .join(sorted.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
-        col("shs").as("sh_b")), Seq("doc_b"))
+      .join(sorted.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
+      .join(sorted.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
       .withColumn("c_raw",
         call_function("sorted_intersect_count", col("sh_a"), col("sh_b")).cast("double") /
           least(col("sz_a"), col("sz_b")))
