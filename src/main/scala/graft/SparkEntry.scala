@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 170
+  val GatedQueryCount: Int = 171
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -271,6 +271,14 @@ object SparkEntry {
     // training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    // daily-crawl shape: the md5-split "new batch" (~25%) deduped against
+    // the "existing corpus" (~75%) — probe volume tracks the batch, not
+    // corpus²; oracle is the simple cross-side inverted join
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isNew = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
+      Dedup.incrementalNearDups(docs.filter(isNew), docs.filter(!isNew))
+    }),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     // asymmetric containment: doc-in-doc duplication Jaccard misses
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
@@ -620,6 +628,7 @@ object SparkEntry {
     "window_customer_order_rank" -> OracleSql.customerOrderRank,
     "dedup_exact" -> OracleSqlText.dedupExact,
     "dedup_ngram_jaccard" -> OracleSqlText.ngramJaccard,
+    "dedup_incremental" -> OracleSqlText.incrementalNearDups,
     "dedup_minhash_lsh" -> OracleSqlText.minhashLsh,
     "dedup_containment" -> OracleSqlText.containmentPairs(),
     "text_simhash" -> OracleSqlText.simhash,

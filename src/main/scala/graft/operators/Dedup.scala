@@ -118,6 +118,78 @@ object Dedup {
     verifyPairsSized(candidates, sh.select("doc_id", "sh"), threshold)
   }
 
+  /** Incremental (cross-corpus) near-dedup: which NEW documents are
+    * Jaccard-≥-t near-duplicates of an EXISTING corpus — the daily-crawl
+    * shape: dedup the day's batch against yesterday's survivors without
+    * re-pairing the existing corpus against itself. Complements
+    * [[contaminationPairs]] (containment against a small benchmark list):
+    * here both sides are corpora and the measure is symmetric Jaccard.
+    *
+    * Same lossless machinery as [[ngramJaccard]] — one SHARED
+    * frequency-ascending order over the union (a prefix filter is only
+    * lossless when both sides rank shingles identically), probe prefixes on
+    * BOTH sides (the smallest common shingle of a qualifying pair lies in
+    * each side's prefix independently), then the length / positional /
+    * smaller-side index-prefix prunes, then exact merge-count verification.
+    *
+    * Scale: candidate volume is Σ(new-prefix posting × existing-prefix
+    * posting) per shingle — proportional to the NEW batch's duplication
+    * against the corpus, never corpus². In production the existing side's
+    * ranked prefix index is write-once per snapshot (append-stable: document
+    * frequencies drift slowly and the order only needs consistency, so a
+    * snapshot's index serves until the next compaction); here it is rebuilt
+    * per call because the gate's corpus is the input table itself. */
+  def incrementalNearDups(newDocs: DataFrame, existing: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.HashExpressions.registerIntersect(newDocs.sparkSession)
+    val shN = graft.RunHygiene.stage(TextOps.withShingles(newDocs, n))
+    val shE = graft.RunHygiene.stage(TextOps.withShingles(existing, n))
+    val union = shN.select(col("doc_id"), col("sh"), lit(true).as("is_new"))
+      .unionByName(shE.select(col("doc_id"), col("sh"), lit(false).as("is_new")))
+    val wShingle = Window.partitionBy("shingle")
+    val wDoc = Window.partitionBy("is_new", "doc_id").orderBy("dfreq", "shingle")
+    val prefix = graft.RunHygiene.stage(
+      union.select(col("is_new"), col("doc_id"), size(col("sh")).as("sz"),
+          explode(col("sh")).as("shingle"))
+        .withColumn("dfreq", count(lit(1)).over(wShingle))
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .select("is_new", "doc_id", "shingle", "sz", "rn"))
+    prefix.count() // materialized before fan-out to both join sides
+    val overlapReq = ceil(lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz")))
+    val overlapUb = least(col("a.rn"), col("b.rn")) - 1 +
+      least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1
+    val aIsSmall = col("a.sz") <= col("b.sz") // ties: either side qualifies
+    val smallRn = when(aIsSmall, col("a.rn")).otherwise(col("b.rn"))
+    val smallSz = when(aIsSmall, col("a.sz")).otherwise(col("b.sz"))
+    val indexBound =
+      smallRn <= smallSz - ceil(lit(2 * threshold / (1 + threshold)) * smallSz) + 1
+    val candidates = prefix.filter(col("is_new")).as("a")
+      .join(prefix.filter(!col("is_new")).as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          least(col("a.sz"), col("b.sz")) >=
+            ceil(lit(threshold) * greatest(col("a.sz"), col("b.sz"))) &&
+          overlapUb >= overlapReq && indexBound)
+      .select(col("a.doc_id").as("new_doc_id"), col("b.doc_id").as("existing_doc_id"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .distinct()
+    val sortedN = shN.select(col("doc_id").as("new_doc_id"),
+      array_sort(col("sh")).as("sh_a"))
+    val sortedE = shE.select(col("doc_id").as("existing_doc_id"),
+      array_sort(col("sh")).as("sh_b"))
+    candidates
+      .join(sortedN, Seq("new_doc_id"))
+      .join(sortedE, Seq("existing_doc_id"))
+      .withColumn("inter", call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
+      .withColumn("jaccard_raw",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("new_doc_id"), col("existing_doc_id"),
+        round(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy("new_doc_id", "existing_doc_id")
+  }
+
   /** Containment-similarity pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t — the
     * asymmetric complement of [[ngramJaccard]]: a short document quoted
     * wholesale inside a long one scores C ≈ 1 while its Jaccard is tiny,

@@ -65,6 +65,34 @@ cand AS (
 ),
 $verifySql"""
 
+  /** Mirrors Dedup.incrementalNearDups over the md5-split corpus (first
+    * md5 hex digit of doc_id < '4' → the ~25% "new batch"; rest "existing"):
+    * the candidate CTE is the simple cross-side inverted join — the Spark
+    * side's prefix/positional/index-prefix prunes are lossless, so the full
+    * join is the correct oracle. */
+  val incrementalNearDups: String = s"""
+WITH $toksCte,
+$shinglesCte,
+tagged AS (SELECT doc_id, sh,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_new
+           FROM sh),
+inv_n AS (SELECT doc_id, unnest(sh) AS shingle FROM tagged WHERE is_new),
+inv_e AS (SELECT doc_id, unnest(sh) AS shingle FROM tagged WHERE NOT is_new),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, e.doc_id AS existing_doc_id
+  FROM inv_n n JOIN inv_e e USING (shingle)
+),
+v AS (
+  SELECT new_doc_id, existing_doc_id,
+         len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard_raw
+  FROM cand
+  JOIN tagged sa ON sa.doc_id = cand.new_doc_id
+  JOIN tagged sb ON sb.doc_id = cand.existing_doc_id
+)
+SELECT new_doc_id, existing_doc_id, ROUND(jaccard_raw, 4) AS jaccard
+FROM v WHERE jaccard_raw >= 0.5 ORDER BY new_doc_id, existing_doc_id"""
+
   /** The containment candidate CTE chain (reads `sh`): inverted index →
     * frequency-ascending prefixes sized by each doc's own set → lossless
     * candidate pairs. Shared by [[containmentPairs]] and [[curationV3]]. */

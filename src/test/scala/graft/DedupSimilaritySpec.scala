@@ -38,6 +38,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // < 3 tokens: no shingles
   }
 
+  test("incremental near-dedup: new batch vs existing corpus, cross-side pairs only") {
+    import org.apache.spark.sql.functions.col
+    // new batch = docs 4,5; existing = 1,2,3. Expect ONLY cross-side pairs:
+    // (4,1) exact and (4,2) near — never existing-existing (1,2) or new-new.
+    val newBatch = corpus.filter(col("doc_id") >= 4L)
+    val existing = corpus.filter(col("doc_id") < 4L)
+    val pairs = Dedup.incrementalNearDups(newBatch, existing)
+      .collect()
+      .map(r => (r.getAs[Long]("new_doc_id"), r.getAs[Long]("existing_doc_id"),
+        r.getAs[Double]("jaccard"))).toList
+    assert(pairs.map(p => (p._1, p._2)) === List((4L, 1L), (4L, 2L)))
+    assert(pairs.head._3 === 1.0) // 4 is an exact dup of 1
+    assert(pairs(1)._3 >= 0.5 && pairs(1)._3 < 1.0)
+
+    // differential: cross-side restriction of the one-corpus join must agree
+    val full = Dedup.ngramJaccard(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val crossFromFull = full.filter { case (a, b) =>
+      (a >= 4L) != (b >= 4L)
+    }.map { case (a, b) => if (a >= 4L) (a, b) else (b, a) }
+    assert(pairs.map(p => (p._1, p._2)).toSet === crossFromFull)
+  }
+
   test("minhash LSH finds the same dups as exact jaccard here") {
     val lsh = Dedup.minhashLsh(corpus)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
