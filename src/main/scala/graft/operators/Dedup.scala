@@ -143,10 +143,15 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.HashExpressions.registerIntersect(newDocs.sparkSession)
-    val shN = graft.RunHygiene.stage(TextOps.withShingles(newDocs, n))
-    val shE = graft.RunHygiene.stage(TextOps.withShingles(existing, n))
-    val union = shN.select(col("doc_id"), col("sh"), lit(true).as("is_new"))
-      .unionByName(shE.select(col("doc_id"), col("sh"), lit(false).as("is_new")))
+    graft.functions.TextExpressions.register(newDocs.sparkSession, n)
+    // ONE tokenize+shingle pass over the tagged union (staging each side
+    // separately ran the kernel twice and doubled the stage writes)
+    val union = graft.RunHygiene.stage(
+      newDocs.select(col("doc_id"), col("text"), lit(true).as("is_new"))
+        .unionByName(existing.select(col("doc_id"), col("text"), lit(false).as("is_new")))
+        .select(col("doc_id"), col("is_new"),
+          call_function(s"word_ngrams_distinct_$n", TextOps.tokens(col("text"))).as("sh"))
+        .filter(size(col("sh")) > 0))
     val wShingle = Window.partitionBy("shingle")
     val wDoc = Window.partitionBy("is_new", "doc_id").orderBy("dfreq", "shingle")
     val prefix = graft.RunHygiene.stage(
@@ -174,9 +179,9 @@ object Dedup {
       .select(col("a.doc_id").as("new_doc_id"), col("b.doc_id").as("existing_doc_id"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
-    val sortedN = shN.select(col("doc_id").as("new_doc_id"),
+    val sortedN = union.filter(col("is_new")).select(col("doc_id").as("new_doc_id"),
       array_sort(col("sh")).as("sh_a"))
-    val sortedE = shE.select(col("doc_id").as("existing_doc_id"),
+    val sortedE = union.filter(!col("is_new")).select(col("doc_id").as("existing_doc_id"),
       array_sort(col("sh")).as("sh_b"))
     candidates
       .join(sortedN, Seq("new_doc_id"))
