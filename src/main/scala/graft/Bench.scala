@@ -39,6 +39,39 @@ object Bench {
     if (load > maxLoad) "bypassed" else "ok"
   }
 
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  // Locale-pinned: f"%.3f" under a comma-decimal default locale (de_DE)
+  // would emit "1,234" and corrupt the JSON.
+  private[graft] def sec(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The BENCH_FULL.json line — extracted from `main` so BenchArtifactSpec
+    * pins the artifact schema (every key the verdict grades on:
+    * queries/warm_rerun/warm_errors/env/errors/sf) against drift without
+    * running a bench. `timings` includes the `_pipeline_materialize` line. */
+  private[graft] def renderFullJson(timings: Seq[(String, Double)],
+      warm: Seq[(String, Double)], warmErrors: Seq[(String, String)],
+      errors: Seq[(String, String)], envJson: String, sfDir: String): String = {
+    val qs = timings.map { case (k, v) => jstr(k) + ":" + sec(v) }.mkString("{", ",", "}")
+    val warmJson = warm.map { case (k, v) => jstr(k) + ":" + sec(v) }.mkString("{", ",", "}")
+    val warmErrs = warmErrors
+      .map { case (n, m) => jstr(n) + ":" + jstr(m.take(120)) }.mkString("{", ",", "}")
+    val errs = errors
+      .map { case (n, m) => jstr(n) + ":" + jstr(m.take(120)) }.mkString("{", ",", "}")
+    val total = timings.map(_._2).sum
+    val warmTotal = warm.map(_._2).sum
+    s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,""" +
+      s""""warm_total":${sec(warmTotal)},"warm_rerun":$warmJson,""" +
+      s""""warm_errors":$warmErrs,""" +
+      s""""env":$envJson,"errors":$errs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -98,36 +131,38 @@ object Bench {
     // files recorded phantom 10x regressions from contention that only a
     // judge re-measure could adjudicate; the full {cold, warm} pair set makes
     // the artifact self-adjudicating for every line, not just flagged ones.
-    // Caveat a reader needs: for streaming replay gates the warm number is a
-    // checkpoint/sink read-back (the staged chunks are already consumed), so
-    // it bounds the non-stream overhead rather than re-measuring the stream.
-    val warm: Seq[(String, Double)] = results.collect {
+    // Caveat a reader needs: streaming replay gates are a FULL re-execution
+    // on the warm pass too — each call stages fresh chunk files and re-runs
+    // the stream through a new sink/checkpoint (nothing is read back from
+    // the cold pass), so a warm replay number is stream machinery measured
+    // late in session life, not a cache read. The round-8 adjudication
+    // (PLANS.md "Round-8 adjudication") traced the r7 warm anomalies on
+    // exactly these lines to that session-age effect: isolated re-runs show
+    // warm ≤ cold for both flagged queries.
+    // A warm-pass failure is recorded in warm_errors and the entry is
+    // OMITTED from warm_rerun — same rule as the cold pass: a failure must
+    // never surface as a plausible-looking timing.
+    val warmRaw: Seq[(String, Double, Option[String])] = results.collect {
       case (name, _, None) =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => }
+        val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
         val sec = (System.nanoTime() - t0) / 1e9
         RunHygiene.drainStages(spark)
-        (name, sec)
+        (name, sec, err)
     }
+    val warm: Seq[(String, Double)] = warmRaw.collect { case (n, s, None) => (n, s) }
+    val warmErrPairs = warmRaw.collect { case (n, _, Some(m)) => (n, m) }
     val loadAfter = loadavg()
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    // Locale-pinned: f"%.3f" under a comma-decimal default locale (de_DE)
-    // would emit "1,234" and corrupt the JSON.
-    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val timings = ("_pipeline_materialize", materializeSec) +: results.map(r => (r._1, r._2))
-    val errPairs = results.collect { case (n, _, Some(m)) => jstr(n) + ":" + jstr(m.take(120)) }
-    val errs = errPairs.mkString("{", ",", "}")
+    val errPairs = results.collect { case (n, _, Some(m)) => (n, m) }
     // errors are rare but must never push the line past the tail window:
     // the printed form keeps at most 5 (full set is in the detail file)
-    val errsCompact = errPairs.take(5).mkString("{", ",", "}")
+    val errsCompact = errPairs.take(5)
+      .map { case (n, m) => jstr(n) + ":" + jstr(m.take(120)) }.mkString("{", ",", "}")
     val total = materializeSec + results.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
-    val warmJson = warm.map { case (k, v) => jstr(k) + ":" + sec(v) }.mkString("{", ",", "}")
     val envJson =
       s"""{"load_before":${jstr(loadBefore)},"load_after":${jstr(loadAfter)},""" +
         s""""load_gate":${jstr(loadGate)},""" +
@@ -136,12 +171,7 @@ object Bench {
     // the last ~2000 chars of stdout, so a 70+-entry map printed inline gets
     // cut mid-line and the driver's JSON parse fails (rounds 1-4 all record
     // "parsed": null for exactly this reason).
-    val fullJson = {
-      val qs = timings.map { case (k, v) => jstr(k) + ":" + sec(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,""" +
-        s""""warm_total":${sec(warmTotal)},"warm_rerun":$warmJson,""" +
-        s""""env":$envJson,"errors":$errs,"sf":"$sfDir"}"""
-    }
+    val fullJson = renderFullJson(timings, warm, warmErrPairs, errPairs, envJson, sfDir)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     // The printed line is the SAME schema but its queries map is trimmed to
     // the heaviest entries under a byte budget sized to survive the tail
@@ -166,7 +196,8 @@ object Bench {
         s""""queries_total":${timings.size},"queries_shown":${kept.size},""" +
         s""""warm_total":${sec(warmTotal)},"warm_shown":${trimToBudget(warmByCost, 400).size},""" +
         s""""warm_rerun":$warmCompact,"env":$envJson,""" +
-        s""""full":"BENCH_FULL.json","errors":$errsCompact,"sf":"$sfDir"}"""
+        s""""full":"BENCH_FULL.json","errors":$errsCompact,""" +
+        s""""warm_errors":${warmErrPairs.size},"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

@@ -346,13 +346,58 @@ object Similarity {
     * Output: (vec_id, code_0..code_{m-1}, err_micros), ordered by
     * vec_id. */
   /** Train the `m` per-subspace Lloyd codebooks over a staged corpus —
-    * the shared quantizer state of [[pqCodes]] and [[pqTopK]]. */
+    * the shared quantizer state of [[pqCodes]] and [[pqTopK]].
+    *
+    * Batched (round 8, verdict r7 #7): the per-subspace [[lloydCentroids]]
+    * loops scheduled m × (1 init + iters) separate jobs — pure scheduling
+    * overhead at bench scale and m× more corpus passes than needed at any
+    * scale. Here ONE init collect seeds all m books (the k lowest vec_ids,
+    * sliced on the driver), and each Lloyd round is ONE pass: every
+    * subspace's cell assignment rides the same frame (the score kernel is
+    * re-bound per subspace — eager Column analysis captures each binding,
+    * the [[pqCodes]] coding-pass pattern), then a single (subspace, cell,
+    * pos) aggregation computes every codebook's means. Per-(s, cell, pos)
+    * ROUND(AVG, 6) means and first-min tie-breaks are exactly the
+    * per-subspace computation, so codes are bit-identical to the unbatched
+    * form and the DuckDB oracle is untouched. Driver state stays
+    * m × k × subDim floats — the MLlib k-means shape. */
   private def pqBooks(emb: DataFrame, m: Int, subDim: Int, k: Int,
-      iters: Int): Seq[IndexedSeq[Seq[Float]]] =
-    (0 until m).map { s =>
-      lloydCentroids(emb.select(col("vec_id"),
-        slice(col("embedding"), s * subDim + 1, subDim).as("embedding")), k, iters)
+      iters: Int): Seq[IndexedSeq[Seq[Float]]] = {
+    val spark = emb.sparkSession
+    val head = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+      .map(_.getSeq[Float](0).toIndexedSeq)
+    var books: IndexedSeq[IndexedSeq[Seq[Float]]] = (0 until m).map { s =>
+      head.map(e => e.slice(s * subDim, (s + 1) * subDim): Seq[Float]).toIndexedSeq
     }
+    for (_ <- 1 to iters) {
+      var assigned = emb
+      for (s <- 0 until m) {
+        bindBook(spark, books(s), subDim)
+        assigned = assigned
+          // eager analysis captures THIS subspace's binding (see withCell)
+          .withColumn(s"dists_$s",
+            call_function("ivf_scores", slice(col("embedding"), s * subDim + 1, subDim)))
+          .withColumn(s"cell_$s",
+            (array_position(col(s"dists_$s"), array_min(col(s"dists_$s"))) - 1).cast("int"))
+      }
+      val means = assigned.select(
+          explode(array((0 until m).map(s => struct(lit(s).as("s"),
+            col(s"cell_$s").as("cell"),
+            slice(col("embedding"), s * subDim + 1, subDim).as("sub"))): _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.cell").as("cell"),
+          posexplode(col("e.sub")).as(Seq("pos", "comp")))
+        .groupBy("s", "cell", "pos").agg(round(avg(col("comp")), 6).as("mean"))
+        .groupBy("s", "cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+        .select(col("s"), col("cell"),
+          transform(col("pm"), p => p.getField("mean").cast("float")).as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+      books = books.zipWithIndex.map { case (b, s) =>
+        b.indices.map(i => means.getOrElse((s, i), b(i)))
+      }
+    }
+    books
+  }
 
   /** Re-bind the score kernel to subspace `s`'s codebook; eager Column
     * analysis lets the caller capture the binding column-by-column. */

@@ -57,34 +57,35 @@ object StreamingFifo {
             Ordering.Tuple2(
               Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _),
               Ordering.String))
-          var earned = state.getOption.map(_.availableEarned.toList).getOrElse(Nil)
-          var pendingSe = state.getOption.map(_.pendingSe.toList).getOrElse(Nil)
+          // ArrayDeque queues: O(1) amortized append AND removeHead, so a
+          // whale customer ingesting a b-row batch onto an n-deep queue pays
+          // O(n + b), not the O((n + b)²) of per-element `list :+ x`
+          val earned = scala.collection.mutable.ArrayDeque.from(
+            state.getOption.map(_.availableEarned).getOrElse(Nil))
+          val pendingSe = scala.collection.mutable.ArrayDeque.from(
+            state.getOption.map(_.pendingSe).getOrElse(Nil))
           val events = Seq.newBuilder[MatchEvent]
           sorted.foreach { t =>
             t.transaction_type match {
               case "earned" =>
-                pendingSe match {
-                  case (seId, seType) :: rest =>
-                    // an older se was waiting for balance — this earned redeems it
-                    events += MatchEvent(customerId, t.transaction_id, seId, seType, t.timestamp)
-                    pendingSe = rest
-                  case Nil => earned = earned :+ t.transaction_id
-                }
+                if (pendingSe.nonEmpty) {
+                  // an older se was waiting for balance — this earned redeems it
+                  val (seId, seType) = pendingSe.removeHead()
+                  events += MatchEvent(customerId, t.transaction_id, seId, seType, t.timestamp)
+                } else earned.append(t.transaction_id)
               case "spent" | "expired" =>
-                earned match {
-                  case oldest :: rest =>
-                    events += MatchEvent(customerId, oldest, t.transaction_id,
-                      t.transaction_type, t.timestamp)
-                    earned = rest
-                  case Nil =>
-                    // no balance yet — waits for a future earned (batch parity:
-                    // the k-th se always matches the k-th earned, dates ignored)
-                    pendingSe = pendingSe :+ ((t.transaction_id, t.transaction_type))
+                if (earned.nonEmpty) {
+                  events += MatchEvent(customerId, earned.removeHead(), t.transaction_id,
+                    t.transaction_type, t.timestamp)
+                } else {
+                  // no balance yet — waits for a future earned (batch parity:
+                  // the k-th se always matches the k-th earned, dates ignored)
+                  pendingSe.append((t.transaction_id, t.transaction_type))
                 }
               case _ => // invalid types are the validation layer's concern
             }
           }
-          state.update(CustomerQueue(earned, pendingSe))
+          state.update(CustomerQueue(earned.toSeq, pendingSe.toSeq))
           events.result().iterator
       }
   }
@@ -108,14 +109,20 @@ object StreamingFifo {
   /** Per-customer state for event-time matching: the full event-time-sorted
     * history of both sides plus the currently-standing emitted assignment
     * (earned_id, redeem_id, type, matched_at_micros). With a lateness bound
-    * the stable prefix is pruned away (see [[matchStreamEventTime]]); without
-    * one, state is O(customer history) — the price of exact unbounded-late
-    * correctness. */
+    * the stable prefix is pruned away (see [[matchStreamEventTime]]) and
+    * `prunedThrough` records the largest event time (micros) inside any
+    * pruned prefix — the point of no return: an arrival at or before it
+    * would have to insert into history this operator no longer holds, so it
+    * is DROPPED with an observable `drop_late` correction event rather than
+    * silently appended into the kept suffix (which would corrupt the
+    * pairing with no signal). Without a bound, state is O(customer history)
+    * — the price of exact unbounded-late correctness. */
   case class EventTimeState(
       rev: Int,
       earned: Seq[(Long, String)],
       se: Seq[(Long, String, String)],
-      standing: Seq[(String, String, String, Long)])
+      standing: Seq[(String, String, String, Long)],
+      prunedThrough: Long)
 
   private val microEpoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
   private def toMicros(t: java.time.LocalDateTime): Long =
@@ -155,62 +162,105 @@ object StreamingFifo {
     implicit val stateEnc = Encoders.product[EventTimeState]
     implicit val outEnc = Encoders.product[CorrectionEvent]
     implicit val keyEnc = Encoders.STRING
+    val latenessMicros = lateness.map(_.toNanos / 1000L)
 
     txns.groupByKey(_.customer_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (customerId: String, rows: Iterator[Tx], state: GroupState[EventTimeState]) =>
-          val st = state.getOption.getOrElse(EventTimeState(0, Nil, Nil, Nil))
-          var earned = st.earned
-          var se = st.se
-          rows.foreach { t =>
-            t.transaction_type match {
-              case "earned" =>
-                earned = earned :+ ((toMicros(t.timestamp), t.transaction_id))
-              case "spent" | "expired" =>
-                se = se :+ ((toMicros(t.timestamp), t.transaction_id, t.transaction_type))
-              case _ => // invalid types are the validation layer's concern
-            }
-          }
-          earned = earned.sortBy(identity)
-          se = se.sortBy(s => (s._1, s._2))
-          // FIFO index pairing over the merged event-time histories
-          val pairs = earned.zip(se).map { case ((te, eid), (ts, sid, styp)) =>
-            (eid, sid, styp, math.max(te, ts))
-          }
-          val oldMap = st.standing.map(p => p._1 -> p).toMap
-          val newMap = pairs.map(p => p._1 -> p).toMap
-          val rev = st.rev + 1
-          val events = Seq.newBuilder[CorrectionEvent]
-          // retract pairs that vanished or changed (sorted for determinism)
-          st.standing.sortBy(_._1).foreach { case old @ (eid, sid, styp, at) =>
-            if (!newMap.get(eid).contains(old))
-              events += CorrectionEvent(customerId, eid, sid, styp, ofMicros(at),
-                "retract", rev)
-          }
-          // add pairs that are new or changed
-          pairs.foreach { case p @ (eid, sid, styp, at) =>
-            if (!oldMap.get(eid).contains(p))
-              events += CorrectionEvent(customerId, eid, sid, styp, ofMicros(at),
-                "add", rev)
-          }
-          // prune the stable prefix under a lateness bound: drop the same
-          // COUNT from both sides so downstream indices stay aligned
-          val (earnedKept, seKept, standingKept) = lateness match {
-            case Some(bound) if earned.nonEmpty || se.nonEmpty =>
-              val maxSeen = (earned.map(_._1) ++ se.map(_._1)).max
-              val cutoff = maxSeen - bound.toNanos / 1000L
-              val stable = (0 until math.min(earned.size, se.size))
-                .takeWhile(k => earned(k)._1 < cutoff && se(k)._1 < cutoff)
-                .size
-              val prunedIds = earned.take(stable).map(_._2).toSet
-              (earned.drop(stable), se.drop(stable),
-                pairs.filterNot(p => prunedIds.contains(p._1)))
-            case _ => (earned, se, pairs)
-          }
-          state.update(EventTimeState(rev, earnedKept, seKept,
-            standingKept.map(p => (p._1, p._2, p._3, p._4))))
-          events.result().iterator
+          val st = state.getOption.getOrElse(
+            EventTimeState(0, Nil, Nil, Nil, Long.MinValue))
+          val (next, events) = foldEventTimeBatch(customerId, st, rows, latenessMicros)
+          state.update(next)
+          events.iterator
       }
+  }
+
+  /** One micro-batch of event-time matching, as a pure state fold — the
+    * streaming closure above is just this function under
+    * `flatMapGroupsWithState`, which is what lets the bounded-state spec
+    * drive many batches through it directly and assert on the returned
+    * state (stable-prefix pruning actually firing) without a state store.
+    *
+    * Batch ingestion is O(n + b log b + n log n) for an n-deep history and
+    * b-row batch: new arrivals accumulate in a builder and concatenate
+    * once (the old per-element `seq :+ x` paid O(n) per append — O(n·b)
+    * for a whale customer's large batch — before the same sort). */
+  private[graft] def foldEventTimeBatch(
+      customerId: String,
+      st: EventTimeState,
+      rows: IterableOnce[Tx],
+      latenessMicros: Option[Long]): (EventTimeState, Seq[CorrectionEvent]) = {
+    val newEarned = Seq.newBuilder[(Long, String)]
+    val newSe = Seq.newBuilder[(Long, String, String)]
+    val dropped = Seq.newBuilder[Tx]
+    rows.iterator.foreach { t =>
+      val micros = toMicros(t.timestamp)
+      if (micros <= st.prunedThrough) {
+        // beyond-bound arrival: its insertion point is inside (or tied
+        // with) history already pruned from state, so its true FIFO
+        // pairing is unrecoverable. Dropping silently would corrupt the
+        // correction log invisibly; instead the row is excluded from
+        // pairing and surfaced as an observable `drop_late` event.
+        dropped += t
+      } else t.transaction_type match {
+        case "earned" => newEarned += ((micros, t.transaction_id))
+        case "spent" | "expired" =>
+          newSe += ((micros, t.transaction_id, t.transaction_type))
+        case _ => // invalid types are the validation layer's concern
+      }
+    }
+    val earned = (st.earned ++ newEarned.result()).sortBy(identity)
+    val se = (st.se ++ newSe.result()).sortBy(s => (s._1, s._2))
+    // FIFO index pairing over the merged event-time histories
+    val pairs = earned.zip(se).map { case ((te, eid), (ts, sid, styp)) =>
+      (eid, sid, styp, math.max(te, ts))
+    }
+    val oldMap = st.standing.map(p => p._1 -> p).toMap
+    val newMap = pairs.map(p => p._1 -> p).toMap
+    val rev = st.rev + 1
+    val events = Seq.newBuilder[CorrectionEvent]
+    // retract pairs that vanished or changed (sorted for determinism)
+    st.standing.sortBy(_._1).foreach { case old @ (eid, sid, styp, at) =>
+      if (!newMap.get(eid).contains(old))
+        events += CorrectionEvent(customerId, eid, sid, styp, ofMicros(at),
+          "retract", rev)
+    }
+    // add pairs that are new or changed
+    pairs.foreach { case p @ (eid, sid, styp, at) =>
+      if (!oldMap.get(eid).contains(p))
+        events += CorrectionEvent(customerId, eid, sid, styp, ofMicros(at),
+          "add", rev)
+    }
+    // beyond-bound drops, after the adds so same-batch folding stays stable;
+    // a dropped row never entered pairing, so its id has no "add" and the
+    // standing fold keeps it unmatched — divergence is visible, not silent
+    dropped.result().sortBy(t => (t.timestamp, t.transaction_id))(
+      Ordering.Tuple2(
+        Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _),
+        Ordering.String)).foreach { t =>
+      events += CorrectionEvent(customerId, t.transaction_id, "",
+        t.transaction_type, t.timestamp, "drop_late", rev)
+    }
+    // prune the stable prefix under a lateness bound: drop the same
+    // COUNT from both sides so downstream indices stay aligned
+    val (earnedKept, seKept, standingKept, prunedThrough) = latenessMicros match {
+      case Some(bound) if earned.nonEmpty || se.nonEmpty =>
+        val maxSeen = (earned.map(_._1) ++ se.map(_._1)).max
+        val cutoff = maxSeen - bound
+        val stable = (0 until math.min(earned.size, se.size))
+          .takeWhile(k => earned(k)._1 < cutoff && se(k)._1 < cutoff)
+          .size
+        val prunedIds = earned.take(stable).map(_._2).toSet
+        val boundary =
+          if (stable == 0) st.prunedThrough
+          else math.max(st.prunedThrough,
+            math.max(earned(stable - 1)._1, se(stable - 1)._1))
+        (earned.drop(stable), se.drop(stable),
+          pairs.filterNot(p => prunedIds.contains(p._1)), boundary)
+      case _ => (earned, se, pairs, st.prunedThrough)
+    }
+    (EventTimeState(rev, earnedKept, seKept,
+      standingKept.map(p => (p._1, p._2, p._3, p._4)), prunedThrough), events.result())
   }
 
   /** Fold a [[CorrectionEvent]] log to the standing matches: per earned id,
@@ -231,7 +281,8 @@ object StreamingFifo {
     * k's range. The final ledger folds the correction log and must
     * hash-match the batch oracle (the driver gate: `streaming_late_match`,
     * same `fifo_match` SQL). */
-  def replayLedgerLate(txns: DataFrame, batches: Int = 3): DataFrame = {
+  def replayLedgerLate(txns: DataFrame, batches: Int = 3,
+      lateness: Option[java.time.Duration] = None): DataFrame = {
     val spark = txns.sparkSession
     implicit val txEnc = Encoders.product[Tx]
     val src = txns
@@ -241,11 +292,36 @@ object StreamingFifo {
         org.apache.spark.sql.functions.hash(col("transaction_id")),
         org.apache.spark.sql.functions.lit(4)) === 0 &&
         col("transaction_type") === "earned")
-    val events = matchStreamEventTime(FileReplay.stream(spark, src.schema, dirs).as[Tx])
+    val events = matchStreamEventTime(
+      FileReplay.stream(spark, src.schema, dirs).as[Tx], lateness)
     val log = FileReplay.runToParquet(events.toDF(), dirs)
     graft.operators.FifoMatcher.renameToSpec(txns)
       .join(standingMatches(log), Seq("TRANS_ID"), "left")
       .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")
+  }
+
+  /** [[replayLedgerLate]] with the lateness bound ENGAGED at exactly one
+    * chunk span — the 100-TB mode where per-customer state holds only the
+    * lateness window instead of the full history. The replay delays rows
+    * exactly one chunk, so a one-chunk bound admits every delayed row (no
+    * `drop_late` fires) while the stable prefix leaves state after each
+    * batch; the folded ledger must still hash-match the batch `fifo_match`
+    * oracle (the driver gate: `streaming_late_match_bounded`). The bound is
+    * ⌈span/batches⌉ + 1 µs from a 2-value min/max aggregate — a driver-side
+    * scalar, the same boundary class as the replay chunker's own range
+    * probe. */
+  def replayLedgerLateBounded(txns: DataFrame, batches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.{max, min}
+    val mm = txns.agg(min(col("timestamp")), max(col("timestamp"))).head()
+    val lateness =
+      if (mm.isNullAt(0)) None
+      else {
+        val lo = toMicros(mm.getAs[java.time.LocalDateTime](0))
+        val hi = toMicros(mm.getAs[java.time.LocalDateTime](1))
+        val chunk = (hi - lo) / batches + 2 // ⌈span/batches⌉ + 1 µs margin
+        Some(java.time.Duration.of(chunk, java.time.temporal.ChronoUnit.MICROS))
+      }
+    replayLedgerLate(txns, batches, lateness)
   }
 
   /** Replay a batch transaction table through [[matchStream]] in

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the BENCH_FULL.json writer's schema (verdict r7 stretch #8): the
+  * artifacts are the grading substrate, so `queries`, full-suite
+  * `warm_rerun` coverage, `warm_errors` (a warm failure must never surface
+  * as a plausible timing — ADVICE r7), `env.load_gate`, and `errors` must
+  * not silently drift. Rendering is pure string-building, so the spec runs
+  * without a SparkSession or a bench. */
+class BenchArtifactSpec extends AnyFunSuite {
+
+  private val env =
+    """{"load_before":"0.5 0.4 0.3","load_after":"1.0 0.6 0.4","load_gate":"ok","jvm_cpus":32}"""
+
+  private def render(
+      timings: Seq[(String, Double)] = Seq("_pipeline_materialize" -> 1.5, "q1" -> 2.0, "q2" -> 0.25),
+      warm: Seq[(String, Double)] = Seq("q1" -> 1.0, "q2" -> 0.2),
+      warmErrors: Seq[(String, String)] = Nil,
+      errors: Seq[(String, String)] = Nil): String =
+    Bench.renderFullJson(timings, warm, warmErrors, errors, env, "/root/testdata/sf0.1")
+
+  test("every grading key is present with the expected shape") {
+    val js = render()
+    for (key <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
+        "\"queries\":{", "\"warm_total\":", "\"warm_rerun\":{", "\"warm_errors\":{",
+        "\"env\":{", "\"errors\":{", "\"sf\":", "\"load_gate\":"))
+      assert(js.contains(key), s"missing $key in $js")
+  }
+
+  test("totals are the sums of their maps and queries includes materialize") {
+    val js = render()
+    assert(js.contains("\"value\":3.750"))
+    assert(js.contains("\"warm_total\":1.200"))
+    assert(js.contains("\"_pipeline_materialize\":1.500"))
+  }
+
+  test("a warm failure lands in warm_errors, never as a warm timing") {
+    val js = render(warm = Seq("q2" -> 0.2),
+      warmErrors = Seq("q1" -> "SparkException: boom"))
+    assert(js.contains(""""warm_errors":{"q1":"SparkException: boom"}"""))
+    assert(!js.contains(""""warm_rerun":{"q1""""), "failed warm query must be omitted")
+  }
+
+  test("cold failures render as explicit error entries") {
+    val js = render(errors = Seq("q9" -> "AnalysisException: nope"))
+    assert(js.contains(""""errors":{"q9":"AnalysisException: nope"}"""))
+  }
+
+  test("strings are JSON-escaped and decimals locale-pinned") {
+    val js = Bench.renderFullJson(Seq("q\"x\"" -> 1.0), Nil, Nil,
+      Seq("qe" -> "line1\nline2\\end"), env, "sf")
+    assert(js.contains("\"q\\\"x\\\"\":1.000"))
+    // control chars unicode-escape, backslashes double (jstr rules)
+    assert(js.contains("line1\\u000aline2\\\\end"))
+    assert(Bench.sec(1234.5) === "1234.500", "locale-pinned decimal point")
+  }
+}
