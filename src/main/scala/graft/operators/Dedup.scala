@@ -96,6 +96,10 @@ object Dedup {
       .groupBy("shingle").agg(count(lit(1)).as("c"), sum(col("idx_ok")).as("ci"))
       .agg(sum(col("c") * col("ci")).as("est")).head()
     val candEstimate = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
+    // one greppable line per run: the envelope number a capacity planner
+    // (and the PLANS.md scaling table) wants without re-deriving it
+    System.err.println(s"[graft] ngramJaccard candidate estimate: $candEstimate" +
+      s" (guard at $maxCandidateEstimate)")
     if (candEstimate > maxCandidateEstimate)
       throw new IllegalStateException(
         s"ngramJaccard candidate estimate $candEstimate exceeds maxCandidateEstimate " +
@@ -262,15 +266,21 @@ object Dedup {
     * the existing side is three parquet scans.
     *
     * Order note: the new batch ranks under the SNAPSHOT's (dfreq, shingle)
-    * order — seen shingles take the snapshot frequency, unseen ones rank
-    * LAST (their corpus posting lists are empty, so excluding them from
-    * prefixes loses no candidate and spends the prefix budget on matchable
-    * shingles). The prefix filter is lossless under ANY total order shared
-    * by both sides (Bayardo et al., WWW'07), so the candidate SET differs
-    * from the rebuild path's union-order set, but both are lossless
-    * supersets of the true pairs and exact verification makes the final
-    * output IDENTICAL — the `dedup_incremental_indexed` gate hash-matches
-    * `dedup_incremental` through the same oracle SQL. */
+    * order — seen shingles take the snapshot frequency, unseen ones are
+    * frequency ZERO and rank FIRST. Rarest-first is load-bearing at scale,
+    * not a convention: ranking unseen shingles last (tried first) evicts
+    * each new doc's most discriminative shingles from its prefix and fills
+    * it with corpus-common fat-posting shingles instead — candidate volume
+    * balloons quadratically on a duplication-dense corpus (the 100×
+    * measurement OOM'd the verify join before this fix; PLANS.md round-8
+    * rows). The prefix filter is lossless under ANY total order shared by
+    * both sides (Bayardo et al., WWW'07) — existing-side ranks are
+    * unchanged by the extension since snapshot docs contain no unseen
+    * shingles — so the candidate SET differs from the rebuild path's
+    * union-order set, but both are lossless supersets of the true pairs
+    * and exact verification makes the final output IDENTICAL — the
+    * `dedup_incremental_indexed` gate hash-matches `dedup_incremental`
+    * through the same oracle SQL. */
   def incrementalNearDupsIndexed(newDocs: DataFrame, indexPath: String, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -289,7 +299,7 @@ object Dedup {
     val newPrefix = sh.select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("shingle"))
       .join(dfreq, Seq("shingle"), "left")
-      .withColumn("dfreq", coalesce(col("dfreq"), lit(Long.MaxValue)))
+      .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("doc_id", "shingle", "sz", "rn")

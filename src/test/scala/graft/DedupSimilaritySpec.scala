@@ -61,6 +61,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)).toSet === crossFromFull)
   }
 
+  test("density escape hatch: a saturated estimate fails fast naming minhashLsh") {
+    val e = intercept[IllegalStateException] {
+      Dedup.ngramJaccard(corpus, maxCandidateEstimate = 0L)
+    }
+    assert(e.getMessage.contains("minhashLsh"), "directive must name the scale tool")
+    assert(e.getMessage.contains("candidate estimate"),
+      "message must carry the measured estimate")
+  }
+
+  test("indexed incremental dedup (persisted snapshot) equals the rebuild path") {
+    import org.apache.spark.sql.functions.col
+    val newBatch = corpus.filter(col("doc_id") >= 4L)
+    val existing = corpus.filter(col("doc_id") < 4L)
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_spec_").toString
+    Dedup.buildIncrementalIndex(existing, idx)
+    val indexed = Dedup.incrementalNearDupsIndexed(newBatch, idx).collect()
+      .map(r => (r.getAs[Long]("new_doc_id"), r.getAs[Long]("existing_doc_id"),
+        r.getAs[Double]("jaccard"))).toList
+    val rebuilt = Dedup.incrementalNearDups(newBatch, existing).collect()
+      .map(r => (r.getAs[Long]("new_doc_id"), r.getAs[Long]("existing_doc_id"),
+        r.getAs[Double]("jaccard"))).toList
+    // the two paths rank under different (both lossless) shingle orders;
+    // exact verification must erase the difference entirely
+    assert(indexed === rebuilt)
+    assert(indexed.map(p => (p._1, p._2)) === List((4L, 1L), (4L, 2L)))
+  }
+
   test("minhash LSH finds the same dups as exact jaccard here") {
     val lsh = Dedup.minhashLsh(corpus)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
