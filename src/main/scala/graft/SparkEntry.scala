@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 173
+  val GatedQueryCount: Int = 175
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -319,6 +319,13 @@ object SparkEntry {
     "text_lang_confusion" -> ((s, d) => TextOps.langConfusion(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_bpe_tokens" -> ((s, d) => TextOps.bpeTokenStats(Tables.documents(s, d))),
+    // tokenizer-vocabulary INDUCTION (not just application): word-level BPE
+    // merge learning — iterative pair-count aggregates, driver-side merge
+    // state, greedy-left merge rewrite shared bit-for-bit with the oracle
+    "text_bpe_merges" -> ((s, d) =>
+      graft.operators.BpeLearn.merges(Tables.documents(s, d))),
+    "text_bpe_apply" -> ((s, d) =>
+      graft.operators.BpeLearn.applied(Tables.documents(s, d))),
     "text_winnow_fingerprints" -> ((s, d) => TextOps.winnowFingerprints(Tables.documents(s, d))),
     "text_rolling_hash" -> ((s, d) => TextOps.rollingHash(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
@@ -651,6 +658,8 @@ object SparkEntry {
     "window_customer_order_rank" -> OracleSql.customerOrderRank,
     "dedup_exact" -> OracleSqlText.dedupExact,
     "dedup_ngram_jaccard" -> OracleSqlText.ngramJaccard,
+    "text_bpe_merges" -> OracleSqlText.bpeMerges(),
+    "text_bpe_apply" -> OracleSqlText.bpeApply(),
     "dedup_incremental" -> OracleSqlText.incrementalNearDups,
     "dedup_incremental_indexed" -> OracleSqlText.incrementalNearDups,
     "dedup_minhash_lsh" -> OracleSqlText.minhashLsh,

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Distributed BPE-style merge learning over word tokens — tokenizer
+  * vocabulary induction, the tokenizer-side operator of a training-data
+  * pipeline (the reference has nothing comparable; this is the
+  * `text_bpe_tokens` surface extended from *applying* a fixed tokenizer to
+  * *learning* one from the corpus).
+  *
+  * Algorithm (word-level BPE, Sennrich et al. 2016 shape): sequences start
+  * as each document's whitespace tokens; each round counts adjacent symbol
+  * pairs across the corpus, picks the most frequent pair (ties break
+  * lexicographically; pairs below count 2 stop the learning), and rewrites
+  * every sequence with the pair merged greedy-left-to-right. After R
+  * rounds the merge table IS the learned vocabulary extension — multi-word
+  * units ("machine learning", "new york") ranked by corpus frequency.
+  *
+  * Merge application is a SINGLE-PASS string replace over a
+  * double-separator encoding: each symbol is wrapped `␟sym␟` and the
+  * sequence is their concatenation, so the pair pattern `␟a␟␟b␟` can only
+  * match at true symbol boundaries, consecutive matches never share a
+  * separator, and one non-overlapping left-to-right `replace` implements
+  * greedy BPE merging exactly. Both engines' `replace` scans
+  * left-to-right non-overlapping, which is what makes the DuckDB oracle
+  * (same encoding, R unrolled CTE rounds) reproduce every sequence
+  * bit-for-bit. Tokens containing the separator (U+001F) or empty tokens
+  * are filtered identically on both sides.
+  *
+  * Scale: each round is ONE pair-count aggregate (shuffle keyed on the
+  * pair) + one narrow string-rewrite pass; driver state is the merge
+  * list (R rows — the Lloyd-centroid pattern). Sequences persist per
+  * round and the previous round unpersists, so lineage stays one
+  * projection deep regardless of R. Nothing is quadratic; the corpus is
+  * touched 2R times, the price of an inherently iterative algorithm. */
+object BpeLearn {
+
+  private val Sep = "\u001f"
+  private val SepSep = Sep + Sep
+
+  /** (doc_id, s): sequences in wrapped-string form. */
+  private def initialSeqs(docs: DataFrame): DataFrame = {
+    val toksF = filter(TextOps.tokens(col("text")),
+      t => t =!= "" && not(t.contains(Sep)))
+    docs.select(col("doc_id"), toksF.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        concat_ws("", transform(col("toks"),
+          t => concat(lit(Sep), t, lit(Sep)))).as("s"))
+  }
+
+  private def toksOf(s: Column): Column =
+    split(s.substr(lit(2), length(s) - 2), SepSep)
+
+  /** Adjacent-pair counts of the current sequences. */
+  private def pairCounts(seqs: DataFrame): DataFrame = {
+    val toks = toksOf(col("s"))
+    seqs.select(explode(transform(
+        slice(toks, lit(1), size(toks) - 1),
+        (t, i) => struct(t.as("l"), get(toks, i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Run `rounds` merge rounds; returns (merge table rows, final seqs). */
+  private def learn(docs: DataFrame,
+      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var seqs = graft.RunHygiene.track(initialSeqs(docs).persist(lvl))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var done = false
+    var r = 0
+    while (!done && r < rounds) {
+      r += 1
+      // pairs below count 2 can't compress anything: learning stops — the
+      // oracle's per-round `WHERE cnt >= 2 ... LIMIT 1` goes empty at the
+      // same point and its remaining rounds no-op identically
+      val top = pairCounts(seqs)
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect().headOption
+      top match {
+        case Some(row) =>
+          val (l, rr, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((r.toLong, l, rr, cnt))
+          val next = graft.RunHygiene.track(seqs.withColumn("s",
+            replace(col("s"),
+              lit(Sep + l + Sep + Sep + rr + Sep),
+              lit(Sep + l + " " + rr + Sep))).persist(lvl))
+          next.count()
+          seqs.unpersist(blocking = false)
+          seqs = next
+        case None => done = true
+      }
+    }
+    (merges.result(), seqs)
+  }
+
+  /** The learned merge table: (merge_rank, left_sym, right_sym, pair_freq),
+    * one row per executed round, ordered by rank. */
+  def merges(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (m, _) = learn(docs, rounds)
+    m.toDF("merge_rank", "left_sym", "right_sym", "pair_freq")
+      .orderBy("merge_rank")
+  }
+
+  /** Per-document compression after the learned merges: (doc_id, n_tokens,
+    * n_symbols, compression) — the coverage report a tokenizer-induction
+    * run ships with its vocabulary. */
+  def applied(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val (_, seqs) = learn(docs, rounds)
+    seqs.select(col("doc_id"), col("n_tokens"),
+        size(toksOf(col("s"))).as("n_symbols"))
+      .withColumn("compression",
+        round(col("n_symbols").cast("double") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+}

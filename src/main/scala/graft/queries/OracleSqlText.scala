@@ -2173,4 +2173,63 @@ ranked AS (
 )
 SELECT doc_id, source, n_tokens, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM ranked WHERE sample_rank <= $cap ORDER BY source, sample_rank"""
+
+  /** Mirrors operators.BpeLearn: word-level BPE merge learning, `rounds`
+    * unrolled CTE rounds. Sequences are double-separator (U+001F) wrapped
+    * strings; `replace` is greedy-left non-overlapping on both engines, so
+    * each round's rewrite matches the Spark operator byte-for-byte. A
+    * round whose best pair falls below count 2 goes empty and every later
+    * round no-ops via the coalesce(chr(1)) impossible-pattern guard. */
+  private val BpeSep = "\u001f"
+
+  private def bpeSql(rounds: Int): String = {
+    val S = BpeSep
+    val sb = new StringBuilder
+    sb ++= s"""WITH d0 AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '),
+                     t -> t <> '' AND NOT contains(t, '$S')) AS toks
+  FROM documents
+), s0 AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         array_to_string(list_transform(toks, t -> '$S' || t || '$S'), '') AS s
+  FROM d0 WHERE len(toks) >= 1
+)"""
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb ++= s""", t$r AS (
+  SELECT doc_id, string_split(s[2:len(s)-1], '$S$S') AS toks FROM s$p
+), p$r AS (
+  SELECT pr.l AS l, pr.r AS r, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> struct_pack(l := toks[i], r := toks[i+1]))) AS pr
+    FROM t$r) GROUP BY 1, 2
+), m$r AS (
+  SELECT l, r, cnt FROM p$r WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1
+), s$r AS (
+  SELECT doc_id, n_tokens,
+         replace(s,
+           coalesce((SELECT '$S' || l || '$S$S' || r || '$S' FROM m$r), chr(1)),
+           coalesce((SELECT '$S' || l || ' ' || r || '$S' FROM m$r), chr(1))) AS s
+  FROM s$p
+)"""
+    }
+    sb.toString
+  }
+
+  def bpeMerges(rounds: Int = 6): String =
+    bpeSql(rounds) + "\n" + (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS left_sym, " +
+        s"r AS right_sym, cnt AS pair_freq FROM m$r")
+      .mkString("", "\nUNION ALL ", "\nORDER BY merge_rank")
+
+  def bpeApply(rounds: Int = 6): String = {
+    val S = BpeSep
+    bpeSql(rounds) + s"""
+SELECT doc_id, n_tokens,
+       len(string_split(s[2:len(s)-1], '$S$S')) AS n_symbols,
+       ROUND(len(string_split(s[2:len(s)-1], '$S$S'))::DOUBLE / n_tokens, 4)
+         AS compression
+FROM s$rounds ORDER BY doc_id"""
+  }
 }
