@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
-import graft.operators.{BalanceAnalytics, Dedup, FifoMatcher, Multimodal, Similarity, Validators}
+import graft.operators.{BalanceAnalytics, Dedup, FifoMatcher, FuzzyJoin, Multimodal, Search, Similarity, Validators}
 import graft.queries.{BalanceQueries, EventQueries, OracleSql, OracleSqlText, RelationalQueries}
 import graft.queries.OracleSql.Params
 import graft.sources.Tables
@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 175
+  val GatedQueryCount: Int = 180
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -356,6 +356,17 @@ object SparkEntry {
       Similarity.labelScatter(Tables.embeddings(s, d))),
     // reciprocal-rank fusion of the exact and LSH rankings (hybrid retrieval)
     "ann_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(Tables.embeddings(s, d))),
+    // lexical retrieval: BM25 over the inverted-index censuses
+    "search_bm25_topk" -> ((s, d) => Search.bm25TopK(Tables.documents(s, d))),
+    // hybrid retrieval: BM25 lexical × exact-cosine dense, RRF-fused by id
+    "search_hybrid_rrf" -> ((s, d) =>
+      Search.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // entity-resolution fuzzy join: edit-distance pairs via q-gram prefix blocking
+    "join_fuzzy_parts" -> ((s, d) => FuzzyJoin.editDistancePairs(Tables.part(s, d))),
+    // entity resolution end-to-end: fuzzy pairs → components → canonical map
+    "er_canonical_names" -> ((s, d) => FuzzyJoin.canonicalNames(Tables.part(s, d))),
+    // one-pass grouped least squares from exact integer moment sums
+    "profile_linreg" -> ((s, d) => Validators.linregProfile(Tables.documents(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // product-quantization codes: per-subspace Lloyd codebooks + recon error
     "embed_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
@@ -684,6 +695,11 @@ object SparkEntry {
     "ann_cosine_topk" -> OracleSqlText.annTopK,
     "ann_lsh_topk" -> OracleSqlText.annLshTopK,
     "ann_rrf_fusion" -> OracleSqlText.annRrfFusion(),
+    "search_bm25_topk" -> OracleSqlText.bm25TopK(),
+    "search_hybrid_rrf" -> OracleSqlText.hybridRrf(),
+    "join_fuzzy_parts" -> OracleSql.fuzzyPartPairs(),
+    "er_canonical_names" -> OracleSql.fuzzyCanonicalNames(),
+    "profile_linreg" -> OracleSqlText.linregProfile,
     "embed_label_scatter" -> OracleSqlText.labelScatter,
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Lexical retrieval over the document corpus: BM25 top-k and the
+  * lexical+dense hybrid fusion — the retrieval-side complement of the ANN
+  * family. A training-data pipeline uses exactly this pair for targeted
+  * corpus probes ("find documents about X") and for RAG-style eval-set
+  * construction where neither pure keyword nor pure embedding recall is
+  * trusted alone.
+  *
+  * The reference pipeline has no search surface (its queries are
+  * balance/ledger analytics, `src/balance_queries.sql` area); this family is
+  * part of the beyond-parity LLM-pipeline scope alongside `Similarity`.
+  */
+object Search {
+
+  /** BM25 top-k retrieval: the first `nQueries` documents act as probe
+    * queries (the same probe convention as [[Similarity.bruteForceTopK]]
+    * uses over `embeddings`, so the two rankings are fusable by id), every
+    * other document is a candidate, ranked by a BM25 variant that both
+    * engines reproduce bit-for-bit.
+    *
+    * Determinism: the classic BM25 idf is ln((N−df+0.5)/(df+0.5)+1) — a
+    * transcendental whose libm rounding the oracle can't be trusted to
+    * share (the same reasoning that made [[TextOps.tfidfTopTerms]] use the
+    * linear idf). We keep the RATIONAL core, idf = (N−df+0.5)/(df+0.5),
+    * which preserves the rare-term-dominates ordering and is built from
+    * IEEE-exact +/−/× /÷ only. Every per-term contribution is floored into
+    * integer micro-units; the per-document score is then an exact BIGINT
+    * sum — immune to float summation-order differences between engines.
+    * idf is strictly positive (N ≥ df), so no negative-contribution edge.
+    *
+    * Plan shape at 100 TB: the (doc,term) tf census and the term df census
+    * are the inverted-index build ([[TextOps.invertedIndex]]) — one keyed
+    * shuffle each, map-side combinable. The probe side is tiny by
+    * construction (a handful of query rows), so query terms × df ride in
+    * as ONE broadcast; the tf census is then filtered map-side to docs
+    * containing ≥1 query term — the posting-list intersection discipline —
+    * before the only data-sized shuffles: a doc-keyed join to pick up
+    * document length and the (query,doc) partial-aggregated score sum.
+    * Candidate volume is Σ_t df(t) over query terms, never N×Q. Docs
+    * sharing no query term score 0 under BM25 and cannot enter a positive
+    * top-k, so the inner-join prune is lossless.
+    */
+  def bm25TopK(docs: DataFrame, nQueries: Int = 5, k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = TextOps.withTokens(docs)
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    // integer total length → avgdl from two exact integers: deterministic
+    val corpus = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+    val dfCensus = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // probe terms (distinct per query) joined with their df: vocabulary-
+    // keyed join where one side is a handful of rows → broadcast; the
+    // result is again tiny and broadcasts into the corpus-sized tf census
+    val qterms = toks.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(col("toks"))).as("term"))
+    val qstats = broadcast(qterms.join(dfCensus, "term").crossJoin(corpus))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+
+    val scored = tf.join(qstats, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+      .withColumn("avgdl", avgdl)
+      .withColumn("idf", idf)
+      .withColumn("sat", sat)
+      .withColumn("contrib_micro",
+        floor(col("idf") * col("sat") * lit(1000000.0)).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib_micro")).as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score_micro", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking
+    * over `documents` with the exact-cosine dense ranking over
+    * `embeddings` (doc_id ↔ vec_id are aligned ids in this corpus). This
+    * is the production hybrid-search shape — two independent retrievers,
+    * each top-`poolK`, fused by integer RRF micro-units so the final order
+    * is engine-exact — as opposed to [[Similarity.rrfFusion]] which fuses
+    * two DENSE rankings (exact vs LSH) as an ANN-quality probe.
+    *
+    * Scale: both inputs are already top-`poolK` per query (bounded:
+    * queries × poolK rows), so the fusion join, window, and final top-k
+    * are driver-negligible no matter the corpus size; the heavy lifting
+    * stays inside the two retrievers, each with its own scale path.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 5, poolK: Int = 10, kRrf: Int = 60): DataFrame = {
+    val lex = bm25TopK(docs, nQueries, poolK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val dense = Similarity.bruteForceTopK(embeddings, nQueries, poolK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full")
+      .withColumn("rrf_micro",
+        (coalesce(expr(s"1000000 div ($kRrf + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($kRrf + rank_dense)"), lit(0L))).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select("query_id", "doc_id", "rank_lex", "rank_dense", "rrf_micro", "fused_rank")
+      .orderBy("query_id", "fused_rank")
+  }
+}

@@ -232,4 +232,46 @@ object Validators {
       .withColumn("dev_bp", col("share_bp") - col("benford_bp"))
       .orderBy("transaction_type", "digit")
   }
+
+  /** Per-source least-squares fit of n_chars on token count — the
+    * profiling question "is doc length linear in tokens, and with what
+    * slope, per source?" (a drifting slope flags a tokenization or
+    * encoding change in one ingestion source).
+    *
+    * Shape: the 100-TB-friendly one — a SINGLE map-side-combinable
+    * aggregation collecting the five moment sums (Σx, Σy, Σx², Σxy, Σy²)
+    * as EXACT integer totals (x and y are integers), then closed-form
+    * normal equations per group. No iteration, no second pass, no driver
+    * state; the only shuffle is the group-by. Determinism: slope/intercept
+    * /r² are fixed expression trees over exact BIGINTs — the doubles are
+    * derived identically on both engines, then display-rounded. A
+    * constant-x group (B = n·Σx²−(Σx)² = 0) yields NULLs via NULLIF
+    * rather than a division error. At 100 TB the BIGINT moments promote
+    * to DECIMAL(38,0) — Σxy bounds at rows·max(x)·max(y); the shape is
+    * unchanged. */
+  def linregProfile(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("x"),
+      col("n_chars").as("y"))
+    val m = base.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val a = col("n") * col("sxy") - col("sx") * col("sy")
+    val b = col("n") * col("sxx") - col("sx") * col("sx")
+    val c = col("n") * col("syy") - col("sy") * col("sy")
+    val slopeRaw = a.cast("double") / nullif(b, lit(0L)).cast("double")
+    m.withColumn("a_", a).withColumn("b_", b).withColumn("c_", c)
+      .withColumn("slope", round(slopeRaw, 8))
+      .withColumn("intercept", round(
+        (col("sy").cast("double") - slopeRaw * col("sx").cast("double")) /
+          col("n").cast("double"), 8))
+      .withColumn("r2", round(
+        (col("a_").cast("double") * col("a_").cast("double")) /
+          nullif(col("b_").cast("double") * col("c_").cast("double"), lit(0.0)), 8))
+      .select(col("source"), col("n"), col("slope"), col("intercept"), col("r2"))
+      .orderBy("source")
+  }
 }

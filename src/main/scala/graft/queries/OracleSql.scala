@@ -1557,4 +1557,44 @@ SELECT transaction_type, digit, CAST(n AS BIGINT) AS n,
 FROM digits JOIN b USING (digit)
 ORDER BY transaction_type, digit"""
   }
+
+  /** Mirrors FuzzyJoin.editDistancePairs: ground truth is the quadratic
+    * distinct-name self-join under `levenshtein` — both engines ship the
+    * unit-cost Wagner–Fischer metric, so the oracle needs no filter chain;
+    * the Spark side must make its q-gram blocking LOSSLESS to hash-match. */
+  def fuzzyPartPairs(d: Int = 2): String = s"""
+WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
+FROM n a JOIN n b ON a.name < b.name AND levenshtein(a.name, b.name) <= $d
+ORDER BY name_a, name_b"""
+
+  /** Mirrors FuzzyJoin.canonicalNames: transitive closure over the fuzzy
+    * pair graph (recursive CTE — the same min-label fixpoint
+    * OracleSqlText.dedupClusters uses, here over string labels under
+    * binary collation), singletons self-mapped, cluster-size window. */
+  def fuzzyCanonicalNames(d: Int = 2): String = s"""
+WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM n a JOIN n b ON a.name < b.name AND levenshtein(a.name, b.name) <= $d
+),
+edges AS (
+  SELECT name_a AS src, name_b AS dst FROM pairs
+  UNION
+  SELECT name_b AS src, name_a AS dst FROM pairs
+),
+reach(name, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.name = e.dst
+),
+lab AS (SELECT name, MIN(r) AS canon FROM reach GROUP BY name),
+m AS (
+  SELECT n.name, COALESCE(lab.canon, n.name) AS canonical
+  FROM n LEFT JOIN lab USING (name)
+)
+SELECT name, canonical,
+       CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT) AS cluster_size
+FROM m ORDER BY name"""
 }

@@ -527,7 +527,9 @@ FROM documents ORDER BY doc_id"""
   private def cosSql(a: String, b: String): String =
     s"ROUND(${dotSql(a, b)} / NULLIF(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}), 0), 6)"
 
-  val annTopK: String = s"""
+  /** Exact-cosine top-k (mirrors Similarity.bruteForceTopK) at pool size
+    * `k` — the k=5 form is the ann_cosine_topk gate; hybridRrf pools at 10. */
+  private def cosTopKSql(k: Int): String = s"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -538,7 +540,9 @@ SELECT query_id, neighbor_id, cosine_sim, rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine_sim DESC, neighbor_id) AS rank
       FROM scored) t
-WHERE rank <= 5 ORDER BY query_id, rank"""
+WHERE rank <= $k ORDER BY query_id, rank"""
+
+  val annTopK: String = cosTopKSql(5)
 
   /** Mirrors Similarity.rrfFusion: the two ANN oracles as derived tables,
     * integer micro-unit contributions (1e6 // (kRrf+rank)), full join on
@@ -560,6 +564,100 @@ r AS (
 )
 SELECT query_id, neighbor_id, rank_cos, rank_lsh, rrf_micro, fused_rank
 FROM r WHERE fused_rank <= $k ORDER BY query_id, fused_rank"""
+
+  /** Mirrors Search.bm25TopK: rational-idf BM25 with integer-micro per-term
+    * contributions (floored before the sum so the per-doc score is an exact
+    * BIGINT total, immune to float summation order). The k1/b-derived
+    * constants are interpolated from the SAME Scala doubles the Spark side
+    * uses (Double.toString round-trips bit-exactly), never re-derived in
+    * SQL — `1.2 + 1.0` need not round to the literal `2.2`. */
+  def bm25TopK(k: Int = 5, nQueries: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): String = s"""
+WITH $toksCte,
+t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+qt AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+       FROM toks WHERE doc_id < $nQueries),
+qs AS (SELECT query_id, term, df, n_docs, sum_dl
+       FROM qt JOIN dfq USING (term) CROSS JOIN corpus),
+s AS (
+  SELECT qs.query_id, tf.doc_id,
+         (qs.n_docs::DOUBLE - qs.df::DOUBLE + 0.5) / (qs.df::DOUBLE + 0.5) AS idf,
+         (tf.tf::DOUBLE * ${k1 + 1.0}) /
+           (tf.tf::DOUBLE + $k1 * (${1.0 - b} + $b *
+              (dl.dl::DOUBLE / (qs.sum_dl::DOUBLE / qs.n_docs::DOUBLE)))) AS sat
+  FROM tf JOIN qs USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  WHERE tf.doc_id <> qs.query_id
+),
+sc AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(floor(idf * sat * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM s GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+  FROM sc
+)
+SELECT query_id, doc_id, score_micro, rank
+FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** Mirrors Search.hybridRrf: BM25 lexical top-`poolK` fused with exact-
+    * cosine dense top-`poolK` by integer RRF micro-units. */
+  def hybridRrf(k: Int = 5, poolK: Int = 10, kRrf: Int = 60): String = s"""
+WITH lex AS (SELECT query_id, doc_id, rank AS rank_lex FROM (${bm25TopK(poolK)}) t1),
+dense AS (SELECT query_id, neighbor_id AS doc_id, rank AS rank_dense
+          FROM (${cosTopKSql(poolK)}) t2),
+f AS (
+  SELECT query_id, doc_id, rank_lex, rank_dense,
+         CAST(COALESCE(1000000 // ($kRrf + rank_lex), 0) +
+              COALESCE(1000000 // ($kRrf + rank_dense), 0) AS BIGINT) AS rrf_micro
+  FROM lex FULL JOIN dense USING (query_id, doc_id)
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+              AS fused_rank
+  FROM f
+)
+SELECT query_id, doc_id, rank_lex, rank_dense, rrf_micro, fused_rank
+FROM r WHERE fused_rank <= $k ORDER BY query_id, fused_rank"""
+
+  /** Mirrors Validators.linregProfile: per-source normal-equations fit of
+    * n_chars on token count from exact BIGINT moment sums (DuckDB's
+    * SUM(BIGINT) returns HUGEINT — CAST back before the arithmetic so the
+    * factor products stay in the same integer domain Spark computes in). */
+  val linregProfile: String = s"""
+WITH b AS (
+  SELECT source, len(string_split(text, ' '))::BIGINT AS x, n_chars AS y
+  FROM documents
+),
+m AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM b GROUP BY source
+),
+f AS (
+  SELECT source, n,
+         n * sxy - sx * sy AS a_,
+         n * sxx - sx * sx AS b_,
+         n * syy - sy * sy AS c_,
+         sx, sy
+  FROM m
+)
+SELECT source, n,
+       ROUND(a_::DOUBLE / NULLIF(b_, 0)::DOUBLE, 8) AS slope,
+       ROUND((sy::DOUBLE - (a_::DOUBLE / NULLIF(b_, 0)::DOUBLE) * sx::DOUBLE)
+             / n::DOUBLE, 8) AS intercept,
+       ROUND((a_::DOUBLE * a_::DOUBLE) /
+             NULLIF(b_::DOUBLE * c_::DOUBLE, 0.0), 8) AS r2
+FROM f ORDER BY source"""
 
   /** Mirrors TextOps.qualityCalibrated: the quality oracle as a derived
     * table, per-source integer-bp percentile with (score, doc_id) tie
