@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 180
+  val GatedQueryCount: Int = 182
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -367,6 +367,10 @@ object SparkEntry {
     "er_canonical_names" -> ((s, d) => FuzzyJoin.canonicalNames(Tables.part(s, d))),
     // one-pass grouped least squares from exact integer moment sums
     "profile_linreg" -> ((s, d) => Validators.linregProfile(Tables.documents(s, d))),
+    // exact consecutive-phrase retrieval (positional match)
+    "search_phrase_topk" -> ((s, d) => Search.phraseTopK(Tables.documents(s, d))),
+    // per-returnflag Pearson correlations from exact 128-bit integer moments
+    "profile_corr" -> ((s, d) => Validators.corrProfile(Tables.lineitem(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // product-quantization codes: per-subspace Lloyd codebooks + recon error
     "embed_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
@@ -700,6 +704,8 @@ object SparkEntry {
     "join_fuzzy_parts" -> OracleSql.fuzzyPartPairs(),
     "er_canonical_names" -> OracleSql.fuzzyCanonicalNames(),
     "profile_linreg" -> OracleSqlText.linregProfile,
+    "search_phrase_topk" -> OracleSqlText.phraseTopK(),
+    "profile_corr" -> OracleSql.corrProfile,
     "embed_label_scatter" -> OracleSqlText.labelScatter,
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL

@@ -122,4 +122,37 @@ object Search {
       .select("query_id", "doc_id", "rank_lex", "rank_dense", "rrf_micro", "fused_rank")
       .orderBy("query_id", "fused_rank")
   }
+
+  /** Exact phrase search: each probe query's leading two tokens form a
+    * phrase; candidates rank by CONSECUTIVE occurrence count (positional
+    * match, not bag-of-words — "fast table" must appear as adjacent
+    * tokens). The BM25 complement: term queries tolerate reordering,
+    * phrase queries don't.
+    *
+    * Plan: the per-position bigram stream (corpus-linear, the
+    * repetitionStats idiom) is semi-joined against the broadcast phrase
+    * list BEFORE any aggregation — only positions matching some probe
+    * phrase reach the (query,doc) count shuffle, so the shuffle volume is
+    * the match count, not the corpus bigram count. At 100 TB this is the
+    * positional-postings probe: linear scan, broadcast filter, tiny
+    * aggregate. */
+  def phraseTopK(docs: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val toks = TextOps.withTokens(docs).filter(size(col("toks")) >= 2)
+    val bg = toks.selectExpr("doc_id",
+      "explode(transform(sequence(1, size(toks) - 1), " +
+        "i -> concat_ws(' ', slice(toks, i, 2)))) AS bigram")
+    val phrases = broadcast(toks.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(col("toks"), 1, 2)).as("phrase")))
+    val counted = bg.join(phrases,
+        bg("bigram") === phrases("phrase") && col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id", "phrase")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+    counted.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "phrase", "n_occurrences", "rank")
+      .orderBy("query_id", "rank")
+  }
 }

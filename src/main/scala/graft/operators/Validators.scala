@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality validation surface
@@ -273,5 +273,51 @@ object Validators {
           nullif(col("b_").cast("double") * col("c_").cast("double"), lit(0.0)), 8))
       .select(col("source"), col("n"), col("slope"), col("intercept"), col("r2"))
       .orderBy("source")
+  }
+
+  /** Per-returnflag Pearson correlations over lineitem — quantity vs
+    * price and discount vs price: the profiling question "which business
+    * segment breaks the expected price~quantity linearity?".
+    *
+    * Same one-pass moment shape as [[linregProfile]], but the money axis
+    * makes BIGINT moments overflow (Σ cents² passes 2⁶³ around 10⁵ rows
+    * per group), so the sums run in DECIMAL(38,0) — exact integer
+    * arithmetic both engines share (DuckDB's SUM(BIGINT) is HUGEINT,
+    * also 128-bit exact). Doubles appear only at the final fixed-tree
+    * conversion; `sqrt` is IEEE-correctly-rounded on both engines, so
+    * the denominator is bit-stable. The factor product B·C would pass
+    * 38 digits, so it is computed in doubles — deterministically, from
+    * identical exact integers. One map-side-combinable aggregation; at
+    * any scale the cost is the group-by shuffle of nine partial sums. */
+  def corrProfile(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = lineitem.select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").cast(dec).as("x"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").cast(dec).as("y"),
+      floor(col("l_discount") * 10000 + 0.5).cast("long").cast(dec).as("z"))
+    val m = base.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("z") * col("y")).as("szy"))
+    val nD = col("n").cast(dec)
+    def corr(sa: Column, sb: Column, sab: Column, saa: Column, sbb: Column): Column = {
+      val a = nD * sab - sa * sb
+      val b = nD * saa - sa * sa
+      val c = nD * sbb - sb * sb
+      round(a.cast("double") /
+        nullif(sqrt(b.cast("double") * c.cast("double")), lit(0.0)), 8)
+    }
+    m.withColumn("corr_qty_price",
+        corr(col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy")))
+      .withColumn("corr_disc_price",
+        corr(col("sz"), col("sy"), col("szy"), col("szz"), col("syy")))
+      .select(col("l_returnflag"), col("n"),
+        col("corr_qty_price"), col("corr_disc_price"))
+      .orderBy("l_returnflag")
   }
 }

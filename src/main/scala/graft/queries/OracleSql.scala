@@ -1597,4 +1597,32 @@ m AS (
 SELECT name, canonical,
        CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT) AS cluster_size
 FROM m ORDER BY name"""
+
+  /** Mirrors Validators.corrProfile: exact 128-bit integer moments
+    * (DuckDB SUM(BIGINT) = HUGEINT ↔ Spark DECIMAL(38,0)), doubles only
+    * at the final fixed-tree conversion; sqrt is IEEE-correctly-rounded
+    * on both engines. */
+  val corrProfile: String = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS z
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+         SUM(x * y) AS sxy, SUM(z * y) AS szy
+  FROM b GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy)::DOUBLE /
+             NULLIF(sqrt((n * sxx - sx * sx)::DOUBLE *
+                         (n * syy - sy * sy)::DOUBLE), 0.0), 8) AS corr_qty_price,
+       ROUND((n * szy - sz * sy)::DOUBLE /
+             NULLIF(sqrt((n * szz - sz * sz)::DOUBLE *
+                         (n * syy - sy * sy)::DOUBLE), 0.0), 8) AS corr_disc_price
+FROM m ORDER BY l_returnflag"""
 }

@@ -626,6 +626,35 @@ r AS (
 SELECT query_id, doc_id, rank_lex, rank_dense, rrf_micro, fused_rank
 FROM r WHERE fused_rank <= $k ORDER BY query_id, fused_rank"""
 
+  /** Mirrors Search.phraseTopK: positional bigram stream semi-joined
+    * against the probe phrases (each probe doc's leading two tokens),
+    * consecutive-occurrence count, per-query top-k. */
+  def phraseTopK(k: Int = 5, nQueries: Int = 5): String = s"""
+WITH $toksCte,
+t2 AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 2),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+  FROM t2
+),
+ph AS (
+  SELECT doc_id AS query_id, array_to_string(toks[1:2], ' ') AS phrase
+  FROM t2 WHERE doc_id < $nQueries
+),
+c AS (
+  SELECT ph.query_id, bg.doc_id, ph.phrase, COUNT(*) AS n_occurrences
+  FROM bg JOIN ph ON bg.bigram = ph.phrase AND bg.doc_id <> ph.query_id
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY n_occurrences DESC, doc_id) AS BIGINT) AS rank
+  FROM c
+)
+SELECT query_id, doc_id, phrase, n_occurrences, rank
+FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+
   /** Mirrors Validators.linregProfile: per-source normal-equations fit of
     * n_chars on token count from exact BIGINT moment sums (DuckDB's
     * SUM(BIGINT) returns HUGEINT — CAST back before the arithmetic so the

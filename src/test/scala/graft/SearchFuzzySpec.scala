@@ -162,4 +162,35 @@ class SearchFuzzySpec extends AnyFunSuite {
     assert(r("b").isNullAt(r("b").fieldIndex("slope")))
     assert(r("b").isNullAt(r("b").fieldIndex("r2")))
   }
+
+  test("phraseTopK: counts CONSECUTIVE occurrences only; reordered tokens do not match") {
+    val d = docsDf(
+      (0L, "fast table scan"),         // phrase = "fast table"
+      (1L, "fast table fast table x"), // 2 consecutive occurrences
+      (2L, "table fast go"),           // reversed — no match
+      (3L, "a fast table b"))          // 1 occurrence
+    val r = Search.phraseTopK(d, nQueries = 1, k = 10).collect()
+    val counts = r.map(x => x.getLong(1) -> x.getAs[Long]("n_occurrences")).toMap
+    assert(counts === Map(1L -> 2L, 3L -> 1L))
+    assert(r.forall(_.getAs[String]("phrase") == "fast table"))
+    val first = r.minBy(_.getAs[Long]("rank"))
+    assert(first.getLong(1) === 1L)
+  }
+
+  test("corrProfile: perfect positive and negative correlations; zero-variance axis yields null") {
+    import graft.operators.Validators
+    import spark.implicits._
+    // flag A: price = 100*qty (r=+1), discount = constant (null corr)
+    // flag B: price decreases as qty increases (r=-1), discount tracks price (r=+1)
+    val rows = Seq(
+      ("A", 1.0, 100.0, 0.05), ("A", 2.0, 200.0, 0.05), ("A", 3.0, 300.0, 0.05),
+      ("B", 1.0, 300.0, 0.03), ("B", 2.0, 200.0, 0.02), ("B", 3.0, 100.0, 0.01))
+    val li = rows.toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+    val r = Validators.corrProfile(li).collect().map(x => x.getString(0) -> x).toMap
+    assert(r("A").getAs[Double]("corr_qty_price") === 1.0)
+    assert(r("A").isNullAt(r("A").fieldIndex("corr_disc_price")))
+    assert(r("B").getAs[Double]("corr_qty_price") === -1.0)
+    assert(r("B").getAs[Double]("corr_disc_price") === 1.0)
+    assert(r("A").getAs[Long]("n") === 3L)
+  }
 }
