@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 182
+  val GatedQueryCount: Int = 187
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -367,11 +367,24 @@ object SparkEntry {
     "er_canonical_names" -> ((s, d) => FuzzyJoin.canonicalNames(Tables.part(s, d))),
     // one-pass grouped least squares from exact integer moment sums
     "profile_linreg" -> ((s, d) => Validators.linregProfile(Tables.documents(s, d))),
+    // join-key skew census + salting recommendation (physical planning)
+    "profile_skew" -> ((s, d) => graft.operators.Physical.skewProfileGate(s, d)),
+    // small-file compaction plan: documents-as-files packed into bins
+    "layout_compaction_plan" -> ((s, d) =>
+      graft.operators.Physical.compactionPlan(
+        Tables.documents(s, d), "source", "doc_id", "n_chars")),
+    // trailing-window non-equi join via the bucketed equi-join plan
+    "join_interval_events" -> ((s, d) =>
+      EventQueries.clicksBeforePurchase(Tables.events(s, d))),
+    // Gopher rule family on exact micro-integer metrics
+    "text_gopher_rules" -> ((s, d) => TextOps.gopherRules(Tables.documents(s, d))),
     // exact consecutive-phrase retrieval (positional match)
     "search_phrase_topk" -> ((s, d) => Search.phraseTopK(Tables.documents(s, d))),
     // per-returnflag Pearson correlations from exact 128-bit integer moments
     "profile_corr" -> ((s, d) => Validators.corrProfile(Tables.lineitem(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    // scalar-quantization (SQ8) ANN: per-dim envelope codes, integer dot
+    "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(Tables.embeddings(s, d))),
     // product-quantization codes: per-subspace Lloyd codebooks + recon error
     "embed_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
     // ADC top-k over the PQ codes: distance tables + code-lookup scan
@@ -704,12 +717,17 @@ object SparkEntry {
     "join_fuzzy_parts" -> OracleSql.fuzzyPartPairs(),
     "er_canonical_names" -> OracleSql.fuzzyCanonicalNames(),
     "profile_linreg" -> OracleSqlText.linregProfile,
+    "profile_skew" -> OracleSql.skewProfile,
+    "layout_compaction_plan" -> OracleSql.compactionPlan(),
+    "join_interval_events" -> OracleSql.intervalClicksBeforePurchase(),
+    "text_gopher_rules" -> OracleSqlText.gopherRules,
     "search_phrase_topk" -> OracleSqlText.phraseTopK(),
     "profile_corr" -> OracleSql.corrProfile,
     "embed_label_scatter" -> OracleSqlText.labelScatter,
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL
     "ann_ivf_topk" -> OracleSqlText.annIvfTopK(),
+    "ann_sq_topk" -> OracleSqlText.annSqTopK(),
     "embed_kmeans" -> OracleSqlText.embedKmeans(),
     "embed_pq_codes" -> OracleSqlText.embedPqCodes(),
     "ann_pq_topk" -> OracleSqlText.annPqTopK(),

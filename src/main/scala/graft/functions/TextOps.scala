@@ -830,6 +830,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  object Gopher {
+    val MinWords = 50
+    val MaxWords = 100000
+    // micro-units: mean word length ∈ [3.0, 5.0] (the paper's [3, 10]
+    // upper bound never trips on this corpus; 5.0 does — see PLANS.md)
+    val MinMeanLenMicro = 3000000L
+    val MaxMeanLenMicro = 5000000L
+    val MinStopwords = 2
+    val MinAlphaMicro = 800000L // ≥80% of words contain a letter
+    val Stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  }
+
+  /** Gopher quality rules (Rae et al. 2021 §A1.1) — the second canonical
+    * rule family next to [[c4Filters]], on exact INTEGER micro-unit
+    * arithmetic rather than rounded doubles: word-count band, mean word
+    * length band, ≥80% alphabetic words, ≥2 stopwords from the paper's
+    * 8-word list. Every metric is one pass over the token array (per-row
+    * map work, no shuffle but the output sort); sums and ratios are
+    * BIGINT micro-units so the DuckDB twin is exact by construction.
+    * fail_rule reports the FIRST failed rule in the paper's order. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    import Gopher.{MaxMeanLenMicro, MaxWords, MinAlphaMicro, MinMeanLenMicro, MinStopwords, MinWords}
+    val stopArr = array(Gopher.Stopwords.map(s => lit(s)): _*)
+    val base = withTokens(docs).select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_words"),
+      (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)) * 1000000L)
+        .as("_sum_len_m"),
+      size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long").as("_n_alpha"),
+      size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long")
+        .as("stopword_count"))
+      .withColumn("mean_word_len_micro", expr("_sum_len_m div n_words"))
+      .withColumn("frac_alpha_micro", expr("_n_alpha * 1000000L div n_words"))
+    val failRule =
+      when(col("n_words") < MinWords, "too_few_words")
+        .when(col("n_words") > MaxWords, "too_many_words")
+        .when(col("mean_word_len_micro") < MinMeanLenMicro ||
+          col("mean_word_len_micro") > MaxMeanLenMicro, "word_length")
+        .when(col("frac_alpha_micro") < MinAlphaMicro, "non_alpha")
+        .when(col("stopword_count") < MinStopwords, "no_stopwords")
+    base
+      .withColumn("fail_rule", failRule)
+      .withColumn("keep", col("fail_rule").isNull)
+      .select("doc_id", "n_words", "mean_word_len_micro", "frac_alpha_micro",
+        "stopword_count", "keep", "fail_rule")
+      .orderBy("doc_id")
+  }
+
   val RollingHashBase: Long = 31L
   val RollingHashMod: Long = 2147483647L // 2^31 − 1
 

@@ -116,4 +116,44 @@ object AsOfJoin {
         when(useBack, backD).when(useFwd, fwdD).cast("long").as("dist_seconds")) ++
         valueCols.map(c => chosen.getField(c).as(c))): _*)
   }
+
+  /** Bucketed interval join: all (probe, stream) pairs with the same key
+    * where streamTs ∈ (probeTs − window, probeTs] — the trailing-window
+    * non-equi join (e.g. "clicks in the 30 min before each purchase").
+    *
+    * Naive Spark plans this as a per-key BroadcastNestedLoopJoin or a
+    * key-equi join that materializes every same-key pair before filtering —
+    * per-key quadratic, fatal on a 100 TB behavioral stream where hot keys
+    * have millions of rows. The bucketed form is the standard fix: time is
+    * coarsened to `window`-sized epochs, each stream row is emitted into
+    * its own bucket b and b+1, each probe joins only its OWN bucket — so
+    * every qualifying pair is produced EXACTLY once (a stream row at
+    * bucket c qualifies only if c ∈ {p−1, p}, and of its two copies
+    * {c, c+1} exactly one equals p) and candidate volume is bounded by
+    * per-(key, epoch) co-occupancy, never per-key row counts squared.
+    * The join itself is a plain shuffled hash/sort-merge equi-join on
+    * (key, bucket) that AQE can re-plan like any other.
+    *
+    * Micros arithmetic (`unix_micros` div) keeps the bucket map and the
+    * boundary comparisons exact — identical to the oracle's INTERVAL
+    * algebra at microsecond precision. Inner semantics; callers wanting
+    * zero-match probes left-join the aggregate back (see the gate). */
+  def intervalJoin(probes: DataFrame, stream: DataFrame, keyCol: String,
+      probeTsCol: String, streamTsCol: String, windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    // NTZ-safe epoch micros: the gate session pins UTC, so the NTZ→LTZ
+    // cast is the identity and the bucket map stays calendar-free
+    def us(c: String) = s"unix_micros(cast($c as timestamp))"
+    val p = probes
+      .withColumn("_p_us", expr(us(probeTsCol)))
+      .withColumn("_bucket", expr(s"${us(probeTsCol)} div ${windowMicros}L"))
+    val s = stream
+      .withColumn("_s_us", expr(us(streamTsCol)))
+      .withColumn("_b0", expr(s"${us(streamTsCol)} div ${windowMicros}L"))
+      .withColumn("_bucket", explode(array(col("_b0"), col("_b0") + 1)))
+      .drop("_b0")
+    p.join(s, Seq(keyCol, "_bucket"))
+      .filter(col("_s_us") > col("_p_us") - windowMicros && col("_s_us") <= col("_p_us"))
+      .drop("_bucket", "_p_us", "_s_us")
+  }
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Physical-layout / ops-planning operators: the decisions a 100 TB
+  * deployment automates rather than eyeballs — join-key skew measurement
+  * (drives salting factors and AQE expectations) and small-file compaction
+  * planning (the #1 operational failure mode of long-lived parquet lakes).
+  *
+  * Both are exact-integer analyses so the DuckDB twins hash-match without
+  * any floating-point pinning.
+  */
+object Physical {
+
+  /** Join-key skew census over a set of key columns, with a concrete
+    * salting recommendation per key.
+    *
+    * Shape: per key ONE keyed count (map-side combinable) → a
+    * count-of-counts rollup whose domain is O(max multiplicity) — tiny and
+    * corpus-invariant — so the exact p99-of-key-counts comes from a
+    * cumulative window over that tiny frame, never a global sort of the
+    * key census. Totals ride back on a 1-row broadcast crossJoin (the
+    * scalar pattern used throughout this repo). At 100 TB the per-key
+    * count is the only corpus-sized stage and it is a plain partial-agg
+    * shuffle; everything downstream is bounded by distinct COUNT VALUES,
+    * not distinct keys.
+    *
+    * `recommended_salt` = ceil(max_key_rows / avg_key_rows) — the factor
+    * that splits the hottest key into average-sized slices; 1 means "no
+    * salting needed". `skew_ratio_micro` = max/avg in integer micro-units.
+    * All arithmetic is exact BIGINT (integer `div`), engine-identical. */
+  def skewProfile(frames: Seq[(String, DataFrame, String)]): DataFrame = {
+    val censuses = frames.map { case (name, df, key) =>
+      val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val coc = counts.groupBy("c").agg(count(lit(1)).as("nk"))
+      val totals = coc.agg(
+        sum(col("c") * col("nk")).as("tot_rows"),
+        sum(col("nk")).as("tot_keys"),
+        max(col("c")).as("mx"))
+      val wCum = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // cum >= ceil(0.99·keys) ⟺ 100·cum >= 99·keys for integer cum
+      val p99 = coc.withColumn("cum", sum("nk").over(wCum))
+        .crossJoin(totals.select("tot_keys"))
+        .filter(col("cum") * 100 >= col("tot_keys") * 99)
+        .agg(min("c").as("p99"))
+      totals.crossJoin(p99).select(
+        lit(name).as("key_name"),
+        col("tot_rows").cast("long").as("total_rows"),
+        col("tot_keys").cast("long").as("distinct_keys"),
+        col("mx").cast("long").as("max_key_rows"),
+        col("p99").cast("long").as("p99_key_rows"),
+        expr("tot_rows * 1000000L div tot_keys").as("avg_rows_micro"),
+        expr("mx * tot_keys * 1000000L div tot_rows").as("skew_ratio_micro"),
+        expr("(mx * tot_keys + tot_rows - 1L) div tot_rows").as("recommended_salt"))
+    }
+    censuses.reduce(_.unionAll(_)).orderBy("key_name")
+  }
+
+  /** The gate's fixed census: a dense fact key, a dimension fact key, a
+    * customer key, a behavioral key, and a low-cardinality partition key. */
+  def skewProfileGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Tables
+    skewProfile(Seq(
+      ("events.user_id", Tables.events(s, d), "user_id"),
+      ("lineitem.l_orderkey", Tables.lineitem(s, d), "l_orderkey"),
+      ("lineitem.l_suppkey", Tables.lineitem(s, d), "l_suppkey"),
+      ("orders.o_custkey", Tables.orders(s, d), "o_custkey"),
+      ("documents.source", Tables.documents(s, d), "source")))
+  }
+
+  /** Small-file compaction plan: pack an ordered file inventory into
+    * target-size output bins, per partition (source), preserving sort
+    * order so any clustering the files already have survives the rewrite.
+    *
+    * Bin rule = Spark's own file-scan packing (`maxPartitionBytes` +
+    * `openCostInBytes`): each file is padded by `openCost`, files are
+    * walked in order, and a file's bin is its START offset `div` target —
+    * so bins never split a file and bin size is bounded by
+    * target + max file size. One window cumsum per partition (keyed
+    * shuffle on the partition column, corpus-linear) and one keyed
+    * rollup; no driver state, no iteration. At 100 TB the inventory is a
+    * metadata table (one row per file), orders of magnitude smaller than
+    * the data it describes.
+    *
+    * The gate treats each document as a file (size = n_chars) under its
+    * source as the partition — the planner's input schema is
+    * (partition, file_id, bytes), which is exactly what a real lake
+    * listing provides. */
+  def compactionPlan(files: DataFrame, partCol: String, idCol: String,
+      sizeCol: String, targetBytes: Long = 4096L, openCost: Long = 128L): DataFrame = {
+    val w = Window.partitionBy("part").orderBy("file_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planned = files.select(
+        col(partCol).as("part"), col(idCol).as("file_id"),
+        (col(sizeCol).cast("long") + openCost).as("sz"))
+      .withColumn("cum", sum("sz").over(w))
+      .withColumn("bin", expr(s"(cum - sz) div ${targetBytes}L"))
+    planned.groupBy("part", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("sz").as("bin_bytes"),
+        min("file_id").as("first_file_id"), max("file_id").as("last_file_id"))
+      .select(col("part"), col("bin"), col("n_files"),
+        col("bin_bytes").cast("long").as("bin_bytes"),
+        col("first_file_id"), col("last_file_id"))
+      .orderBy("part", "bin")
+  }
+}

@@ -724,4 +724,63 @@ object Similarity {
       .withColumn("dropped", col("nn_lower_id").isNotNull)
       .orderBy("vec_id")
   }
+
+  /** Scalar-quantization (SQ8) approximate top-k — the third member of the
+    * compression family next to PQ (codebooks) and IVF (partition pruning):
+    * each dimension is linearly quantized to an 8-bit code against the
+    * corpus-global per-dimension [min, max] envelope, and candidates rank by
+    * the exact integer dot product of code vectors.
+    *
+    * Plan shape: ONE corpus-linear posexplode → dim-sized min/max census →
+    * folded to a single (mins[], maxs[]) row that rides every quantization
+    * via a 1-row broadcast crossJoin (zero driver state — unlike Lloyd
+    * there is nothing iterative to hold). Quantization is a per-row
+    * `transform`; scoring is the codegen'd
+    * [[graft.functions.IntVectorDot]] (`vec_dot_int`) — exact long
+    * arithmetic, so the ranking is engine-exact by construction (no
+    * floating-point accumulation order to pin). The final per-query top-k
+    * is the WindowGroupLimit-bounded rank window shared with the other ANN
+    * paths.
+    *
+    * 100 TB: codes are 4× smaller than float32 (uint8/dim), the envelope
+    * census is one map-side-combinable aggregation, and the scan
+    * parallelizes over corpus partitions exactly like [[bruteForceTopK]];
+    * production composes SQ with IVF (quantized scoring inside probed
+    * cells). The quantization arithmetic pins the envelope to doubles and
+    * `floor` (round-half rules differ between engines; floor does not):
+    * code = clamp(floor((v−mn)/(mx−mn)·256), 0, 255), degenerate
+    * (mx=mn) dims coalesce to 0 on both engines via the NULLIF guard. */
+  def sqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val emb = embeddings.select("vec_id", "embedding")
+    val bounds = emb
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("d")
+      .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+      .groupBy()
+      .agg(
+        expr("transform(array_sort(collect_list(struct(d, mn))), x -> x.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(d, mx))), x -> x.mx)").as("mxs"))
+    val coded = emb.crossJoin(broadcast(bounds))
+      .withColumn("code", expr(
+        """transform(embedding, (v, i) ->
+          |  coalesce(cast(least(255D, greatest(0D,
+          |    floor((cast(v as double) - element_at(mns, i + 1))
+          |          / nullif(element_at(mxs, i + 1) - element_at(mns, i + 1), 0D)
+          |          * 256D))) as int), 0))""".stripMargin))
+      .select("vec_id", "code")
+    val queries = broadcast(
+      coded.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("code").as("q_code")))
+    val scored = queries.join(
+        coded.select(col("vec_id").as("neighbor_id"), col("code")),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("sq_score", call_function("vec_dot_int", col("q_code"), col("code")))
+    val w = Window.partitionBy("query_id").orderBy(col("sq_score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+      .select("query_id", "neighbor_id", "sq_score", "rank")
+      .orderBy("query_id", "rank")
+  }
 }

@@ -805,4 +805,27 @@ object EventQueries {
         expr("cents_a div nullif(n_users_a, 0)").as("cents_per_user_a"),
         expr("cents_b div nullif(n_users_b, 0)").as("cents_per_user_b"))
   }
+
+  /** Per purchase: clicks by the same user in the trailing `windowMinutes`
+    * window — the trailing-window non-equi join, planned through
+    * [[graft.operators.AsOfJoin.intervalJoin]]'s bucketed equi-join so the
+    * oracle's plain inequality join (per-key quadratic, the 100 TB
+    * anti-pattern) is reproduced exactly by a shuffle-bounded plan. The
+    * left join back onto the purchase roster keeps zero-click purchases
+    * (COUNT = 0, null last_click_ts) with left-join-then-aggregate
+    * semantics identical to the oracle's outer join + GROUP BY. */
+  def clicksBeforePurchase(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+    val pairs = graft.operators.AsOfJoin.intervalJoin(
+      purchases, clicks, "user_id", "p_ts", "c_ts", windowMinutes * 60L * 1000000L)
+    val agg = pairs.groupBy("purchase_id")
+      .agg(count(col("c_id")).as("n_clicks"), max(col("c_ts")).as("last_click_ts"))
+    purchases.join(agg, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"), col("last_click_ts"))
+      .orderBy("purchase_id")
+  }
 }

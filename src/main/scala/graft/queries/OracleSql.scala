@@ -1625,4 +1625,73 @@ SELECT l_returnflag, n,
              NULLIF(sqrt((n * szz - sz * sz)::DOUBLE *
                          (n * syy - sy * sy)::DOUBLE), 0.0), 8) AS corr_disc_price
 FROM m ORDER BY l_returnflag"""
+
+  /** Mirrors Physical.skewProfile for one (name, table, key): count
+    * census → count-of-counts → exact p99 via the integer-ceiling
+    * cumulative rule (cum·100 ≥ keys·99), all-BIGINT derived metrics. */
+  private def skewCensusSql(name: String, table: String, key: String): String = s"""
+SELECT '$name' AS key_name,
+       CAST(tot_rows AS BIGINT) AS total_rows,
+       CAST(tot_keys AS BIGINT) AS distinct_keys,
+       CAST(mx AS BIGINT) AS max_key_rows,
+       CAST(p99 AS BIGINT) AS p99_key_rows,
+       CAST(tot_rows * 1000000 // tot_keys AS BIGINT) AS avg_rows_micro,
+       CAST(mx * tot_keys * 1000000 // tot_rows AS BIGINT) AS skew_ratio_micro,
+       CAST((mx * tot_keys + tot_rows - 1) // tot_rows AS BIGINT) AS recommended_salt
+FROM (SELECT SUM(c * nk) AS tot_rows, SUM(nk) AS tot_keys, MAX(c) AS mx
+      FROM (SELECT c, COUNT(*) AS nk
+            FROM (SELECT $key AS k, COUNT(*) AS c FROM $table GROUP BY 1) GROUP BY c)) tot,
+     (SELECT MIN(c) AS p99 FROM (
+        SELECT c, SUM(nk) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (SELECT c, COUNT(*) AS nk
+              FROM (SELECT $key AS k, COUNT(*) AS c FROM $table GROUP BY 1) GROUP BY c)) cw,
+        (SELECT SUM(nk) AS tk FROM (SELECT c, COUNT(*) AS nk
+              FROM (SELECT $key AS k, COUNT(*) AS c FROM $table GROUP BY 1) GROUP BY c)) tt
+      WHERE cum * 100 >= tk * 99) p"""
+
+  val skewProfile: String =
+    Seq(("events.user_id", "events", "user_id"),
+      ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      ("orders.o_custkey", "orders", "o_custkey"),
+      ("documents.source", "documents", "source"))
+      .map { case (n, t, k) => skewCensusSql(n, t, k) }
+      .mkString("", "\nUNION ALL", "\nORDER BY key_name")
+
+  /** Mirrors Physical.compactionPlan over documents-as-files: per-source
+    * ordered cumsum of openCost-padded sizes, bin = start offset // target,
+    * per-bin rollup. */
+  def compactionPlan(targetBytes: Long = 4096L, openCost: Long = 128L): String = s"""
+WITH f AS (
+  SELECT source AS part, doc_id AS file_id, n_chars + $openCost AS sz
+  FROM documents
+),
+c AS (
+  SELECT part, file_id, sz,
+         SUM(sz) OVER (PARTITION BY part ORDER BY file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM f
+)
+SELECT part, CAST((cum - sz) // $targetBytes AS BIGINT) AS bin,
+       COUNT(*) AS n_files, CAST(SUM(sz) AS BIGINT) AS bin_bytes,
+       MIN(file_id) AS first_file_id, MAX(file_id) AS last_file_id
+FROM c GROUP BY 1, 2 ORDER BY part, bin"""
+
+  /** Mirrors the join_interval_events gate (AsOfJoin.intervalJoin + count
+    * rollup): the oracle is the PLAIN non-equi trailing-window join the
+    * bucketed plan must reproduce exactly — the gate proves the
+    * bucketization is lossless and duplicate-free, not just plausible. */
+  def intervalClicksBeforePurchase(windowMinutes: Int = 30): String = s"""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id, COUNT(c.c_id) AS n_clicks,
+       MAX(c.c_ts) AS last_click_ts
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_ts > p.p_ts - INTERVAL $windowMinutes MINUTE
+ AND c.c_ts <= p.p_ts
+GROUP BY 1, 2 ORDER BY purchase_id"""
 }

@@ -2359,4 +2359,74 @@ SELECT doc_id, n_tokens,
          AS compression
 FROM s$rounds ORDER BY doc_id"""
   }
+
+  /** Mirrors Similarity.sqTopK: per-dimension [min,max] envelope census →
+    * linear uint8 quantization (floor + clamp — floor because the two
+    * engines disagree on round-half rules, and all downstream arithmetic
+    * is exact integers, so the ranking is engine-exact with no
+    * accumulation order to pin) → exact BIGINT code dot product →
+    * per-query top-k. DuckDB's double→int cast rounds where Spark's
+    * truncates, but the cast input is already an integral floor() value so
+    * the two agree. */
+  def annSqTopK(nQueries: Int = 5, k: Int = 5): String = s"""
+WITH stats AS (
+  SELECT d, MIN(v::DOUBLE) AS mn, MAX(v::DOUBLE) AS mx
+  FROM (SELECT generate_subscripts(embedding, 1) AS d, unnest(embedding) AS v
+        FROM embeddings)
+  GROUP BY d
+),
+bounds AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM stats),
+coded AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(embedding)), i ->
+           COALESCE(CAST(LEAST(255, GREATEST(0,
+             floor((embedding[i]::DOUBLE - mns[i])
+                   / NULLIF(mxs[i] - mns[i], 0) * 256))) AS INTEGER), 0)) AS code
+  FROM embeddings, bounds
+),
+q AS (SELECT vec_id AS query_id, code AS q_code FROM coded WHERE vec_id < $nQueries),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, len(q.q_code)),
+               i -> q.q_code[i]::BIGINT * c.code[i]::BIGINT)) AS BIGINT) AS sq_score
+  FROM q JOIN coded c ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sq_score, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sq_score DESC, neighbor_id) AS rank
+      FROM scored) t
+WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** Mirrors TextOps.gopherRules: exact micro-unit metrics and the same
+    * first-failure rule order. */
+  val gopherRules: String = {
+    import graft.functions.TextOps.Gopher._
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> length(w))) * 1000000
+              // len(toks) AS BIGINT) AS mean_word_len_micro,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1000000
+              // len(toks) AS BIGINT) AS frac_alpha_micro,
+         CAST(len(list_filter(toks, w -> w IN ($stops))) AS BIGINT) AS stopword_count
+  FROM t
+),
+v AS (
+  SELECT *, CASE
+    WHEN n_words < $MinWords THEN 'too_few_words'
+    WHEN n_words > $MaxWords THEN 'too_many_words'
+    WHEN mean_word_len_micro < $MinMeanLenMicro
+      OR mean_word_len_micro > $MaxMeanLenMicro THEN 'word_length'
+    WHEN frac_alpha_micro < $MinAlphaMicro THEN 'non_alpha'
+    WHEN stopword_count < $MinStopwords THEN 'no_stopwords'
+  END AS fail_rule
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len_micro, frac_alpha_micro, stopword_count,
+       fail_rule IS NULL AS keep, fail_rule
+FROM v ORDER BY doc_id"""
+  }
 }

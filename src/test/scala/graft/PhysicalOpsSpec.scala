@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+import graft.operators.{AsOfJoin, Physical, Similarity}
+import graft.queries.EventQueries
+
+/** Round-8 physical-planning + filter additions: skew census, compaction
+  * planner, bucketed interval join, SQ8 ANN, Gopher rules. */
+class PhysicalOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ---- skewProfile ----
+
+  test("skewProfile: uniform key has salt 1; a whale key drives the recommendation") {
+    import spark.implicits._
+    // uniform: 4 keys × 3 rows. skewed: key 0 has 12 rows, keys 1..6 have 1.
+    val uniform = (0L until 12L).map(i => i % 4).toDF("k")
+    val skewed = (Seq.fill(12)(0L) ++ (1L to 6L)).toDF("k")
+    val r = Physical.skewProfile(Seq(
+      ("uniform", uniform, "k"), ("skewed", skewed, "k")))
+      .collect().map(x => x.getString(0) -> x).toMap
+
+    val u = r("uniform")
+    assert(u.getAs[Long]("total_rows") === 12L)
+    assert(u.getAs[Long]("distinct_keys") === 4L)
+    assert(u.getAs[Long]("max_key_rows") === 3L)
+    assert(u.getAs[Long]("recommended_salt") === 1L)
+
+    val s = r("skewed")
+    assert(s.getAs[Long]("total_rows") === 18L)
+    assert(s.getAs[Long]("distinct_keys") === 7L)
+    assert(s.getAs[Long]("max_key_rows") === 12L)
+    // avg = 18/7 ≈ 2.57 → ceil(12/avg) = ceil(12·7/18) = ceil(4.67) = 5
+    assert(s.getAs[Long]("recommended_salt") === 5L)
+    // p99 of key counts: 7 keys, threshold ceil(6.93)=7 → the max count
+    assert(s.getAs[Long]("p99_key_rows") === 12L)
+  }
+
+  // ---- compactionPlan ----
+
+  test("compactionPlan: bins never split a file, sizes bounded by target+max, order preserved") {
+    import spark.implicits._
+    val files = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 1000L), ("a", 3L, 1000L), ("a", 4L, 1000L),
+      ("a", 5L, 3000L), ("b", 1L, 10L)).toDF("src", "fid", "bytes")
+    val plan = Physical.compactionPlan(files, "src", "fid", "bytes",
+      targetBytes = 2500L, openCost = 0L).collect()
+    val a = plan.filter(_.getString(0) == "a").map(r =>
+      (r.getAs[Long]("bin"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("first_file_id"), r.getAs[Long]("last_file_id")))
+    // start offsets: 0,1000,2000,3000,4000 → bins 0,0,0,1,1
+    assert(a.toSeq === Seq((0L, 3L, 1L, 3L), (1L, 2L, 4L, 5L)))
+    // every bin ≤ target + max file size
+    assert(plan.forall(r => r.getAs[Long]("bin_bytes") <= 2500L + 3000L))
+    // file ranges are contiguous, non-overlapping per partition
+    assert(a.map(_._3).min === 1L && a.map(_._4).max === 5L)
+  }
+
+  // ---- intervalJoin ----
+
+  test("intervalJoin: matches the plain non-equi join exactly (lossless, duplicate-free)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = 1700000000000000L
+    val probes = (1L to 40L).map(i =>
+        (i, rnd.nextInt(3).toLong, new java.sql.Timestamp((base + rnd.nextInt(7200) * 1000000L) / 1000)))
+      .toDF("p_id", "user_id", "p_ts")
+    val stream = (1L to 120L).map(i =>
+        (i, rnd.nextInt(3).toLong, new java.sql.Timestamp((base + rnd.nextInt(7200) * 1000000L) / 1000)))
+      .toDF("s_id", "user_id", "s_ts")
+    val win = 600L * 1000000L // 10 min
+    val bucketed = AsOfJoin.intervalJoin(probes, stream, "user_id", "p_ts", "s_ts", win)
+      .select("p_id", "s_id").as[(Long, Long)].collect().toSet
+    val naive = probes.join(stream, Seq("user_id"))
+      .filter(expr(s"unix_micros(cast(s_ts as timestamp)) > unix_micros(cast(p_ts as timestamp)) - ${win}L") &&
+        expr("unix_micros(cast(s_ts as timestamp)) <= unix_micros(cast(p_ts as timestamp))"))
+      .select("p_id", "s_id").as[(Long, Long)].collect()
+    assert(naive.length === naive.toSet.size, "naive baseline must be duplicate-free")
+    assert(bucketed === naive.toSet)
+    assert(bucketed.nonEmpty)
+  }
+
+  test("clicksBeforePurchase keeps zero-click purchases with n_clicks = 0") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val events = Seq(
+      (1L, 1L, "purchase", ts(10000)), // clicks at 9000, 9900 in window
+      (2L, 1L, "click", ts(9000)),
+      (3L, 1L, "click", ts(9900)),
+      (4L, 1L, "click", ts(10001)),    // after: excluded
+      (5L, 2L, "purchase", ts(5000)),  // no clicks at all for user 2
+      (6L, 3L, "click", ts(4999)))     // other user: excluded
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = EventQueries.clicksBeforePurchase(events, windowMinutes = 30)
+      .collect().map(x => x.getAs[Long]("purchase_id") ->
+        (x.getAs[Long]("n_clicks"), Option(x.getAs[java.sql.Timestamp]("last_click_ts")))).toMap
+    assert(r(1L)._1 === 2L)
+    assert(r(1L)._2.get.getTime === ts(9900).getTime)
+    assert(r(5L) === (0L, None))
+  }
+
+  // ---- sqTopK ----
+
+  test("sqTopK: identical vectors tie at max score; opposite vector ranks last") {
+    import spark.implicits._
+    val v = Array(1.0f, 0.0f, 0.5f, -1.0f)
+    val emb = Seq(
+      (0L, v), (1L, v),                              // duplicate of the query
+      (2L, Array(-1.0f, 0.0f, -0.5f, 1.0f)),         // opposite corner
+      (3L, Array(0.9f, 0.1f, 0.4f, -0.9f)))          // near neighbor
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val r = Similarity.sqTopK(emb, nQueries = 1, k = 3).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 3L, 2L))
+    // code self-dot of the duplicate is the max achievable score
+    assert(r(0).getAs[Long]("sq_score") > r(1).getAs[Long]("sq_score"))
+    assert(r(1).getAs[Long]("sq_score") > r(2).getAs[Long]("sq_score"))
+  }
+
+  test("sqTopK: constant dimension (mx=mn) codes to 0 and does not crash ranking") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 5.0f)), (1L, Array(2.0f, 5.0f)), (2L, Array(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val r = Similarity.sqTopK(emb, nQueries = 1, k = 2).collect()
+    assert(r.length === 2)
+    // dim 2 is constant: scores driven purely by dim 1 codes (0, 128, 255)
+    assert(r.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+      === Seq(1L, 2L))
+  }
+
+  // ---- gopherRules ----
+
+  test("gopherRules: rule order and micro-integer metrics") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(_ => "and").mkString(" ")     // 50 words, stopwords
+    val longw = (1 to 60).map(_ => "extraordinary").mkString(" ")
+    val short = "the of end"
+    val docs = Seq(
+      (1L, fifty),   // mean len 3.0e6, 50 stopwords → keep
+      (2L, longw),   // mean len 13e6 → word_length
+      (3L, short))   // 3 words → too_few_words (first rule wins)
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(r(1L).getAs[Long]("mean_word_len_micro") === 3000000L)
+    assert(r(1L).getAs[Long]("stopword_count") === 50L)
+    assert(r(2L).getAs[String]("fail_rule") === "word_length")
+    assert(r(3L).getAs[String]("fail_rule") === "too_few_words")
+    assert(r(3L).getAs[Long]("frac_alpha_micro") === 1000000L)
+  }
+}

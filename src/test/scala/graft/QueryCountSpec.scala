@@ -29,7 +29,9 @@ class QueryCountSpec extends AnyFunSuite {
         "173 operator queries", "174 operator queries",
         "175 operator queries", "176 operator queries", "177 operator queries",
         "178 operator queries", "179 operator queries",
-        "180 operator queries", "181 operator queries"))
+        "180 operator queries", "181 operator queries", "182 operator queries",
+        "183 operator queries", "184 operator queries", "185 operator queries",
+        "186 operator queries"))
       assert(!readme.contains(stale), s"stale count in README.md: '$stale'")
     assert(!readme.contains(s"all 167 queries"),
       "stale 'all 167 queries' phrase in README.md")
