@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 187
+  val GatedQueryCount: Int = 189
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -385,6 +385,10 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // scalar-quantization (SQ8) ANN: per-dim envelope codes, integer dot
     "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(Tables.embeddings(s, d))),
+    // Matryoshka two-stage: prefix-dim shortlist, exact full-dim rerank
+    "ann_matryoshka_topk" -> ((s, d) => Similarity.matryoshkaTopK(Tables.embeddings(s, d))),
+    // standing recall@k audit of every approximate path vs the exact ranking
+    "ann_recall_eval" -> ((s, d) => Similarity.recallEval(Tables.embeddings(s, d))),
     // product-quantization codes: per-subspace Lloyd codebooks + recon error
     "embed_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
     // ADC top-k over the PQ codes: distance tables + code-lookup scan
@@ -728,6 +732,8 @@ object SparkEntry {
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL
     "ann_ivf_topk" -> OracleSqlText.annIvfTopK(),
     "ann_sq_topk" -> OracleSqlText.annSqTopK(),
+    "ann_matryoshka_topk" -> OracleSqlText.annMatryoshkaTopK(),
+    "ann_recall_eval" -> OracleSqlText.annRecallEval(),
     "embed_kmeans" -> OracleSqlText.embedKmeans(),
     "embed_pq_codes" -> OracleSqlText.embedPqCodes(),
     "ann_pq_topk" -> OracleSqlText.annPqTopK(),

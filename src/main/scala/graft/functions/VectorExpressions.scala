@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -359,59 +359,10 @@ case class VecPairsBetween(left: Expression, right: Expression, threshold: Doubl
     copy(left = newLeft, right = newRight)
 }
 
-/** Σ aᵢ·bᵢ over two int-code vectors (scalar-quantization scoring),
-  * accumulated exactly in a long — order-independent integer arithmetic,
-  * so engine parity with any oracle formulation is automatic. Same codegen
-  * discipline as [[FloatVectorDot]]: a primitive loop inside whole-stage
-  * codegen, no per-pair boxing on the O(queries×corpus) path. */
-case class IntVectorDot(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(IntegerType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"vec_dot_int expects array<int> inputs, got ${left.dataType} / ${right.dataType}")
-  }
-  override def dataType: DataType = LongType
-  override def prettyName: String = "vec_dot_int"
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) { acc += x.getInt(i).toLong * y.getInt(i).toLong; i += 1 }
-    acc
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
 object VectorExpressions {
-  /** Register `vec_dot` / `vec_norm` / `vec_dot_int` on the session's
-    * function registry so they are callable from expr()/SQL. Idempotent,
-    * runtime-safe on any session (no SparkSessionExtensions wiring needed
-    * by callers). */
+  /** Register `vec_dot` / `vec_norm` on the session's function registry so
+    * they are callable from expr()/SQL. Idempotent, runtime-safe on any
+    * session (no SparkSessionExtensions wiring needed by callers). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.registerFunction(
@@ -422,10 +373,6 @@ object VectorExpressions {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[FloatVectorNorm].getName, "vec_norm"),
       (children: Seq[Expression]) => FloatVectorNorm(children.head))
-    registry.registerFunction(
-      FunctionIdentifier("vec_dot_int"),
-      new ExpressionInfo(classOf[IntVectorDot].getName, "vec_dot_int"),
-      (children: Seq[Expression]) => IntVectorDot(children(0), children(1)))
   }
 
   /** Bind `vec_pairs_within` / `vec_pairs_between` to a cosine threshold

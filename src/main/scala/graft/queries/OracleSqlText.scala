@@ -2360,14 +2360,14 @@ SELECT doc_id, n_tokens,
 FROM s$rounds ORDER BY doc_id"""
   }
 
-  /** Mirrors Similarity.sqTopK: per-dimension [min,max] envelope census →
-    * linear uint8 quantization (floor + clamp — floor because the two
-    * engines disagree on round-half rules, and all downstream arithmetic
-    * is exact integers, so the ranking is engine-exact with no
-    * accumulation order to pin) → exact BIGINT code dot product →
-    * per-query top-k. DuckDB's double→int cast rounds where Spark's
-    * truncates, but the cast input is already an integral floor() value so
-    * the two agree. */
+  /** Mirrors Similarity.sqTopK (asymmetric SQ8/ADC): per-dimension
+    * [min,max] envelope census → linear uint8 quantization (floor + clamp
+    * — floor because the two engines disagree on round-half rules) →
+    * decode to float32 midpoints → exact rounded cosine of the RAW query
+    * against the reconstruction. DuckDB's double→int cast rounds where
+    * Spark's truncates, but the cast input is already an integral floor()
+    * value so the two agree; the decode is a fixed double expression tree
+    * rounded once to FLOAT — identical IEEE on both engines. */
   def annSqTopK(nQueries: Int = 5, k: Int = 5): String = s"""
 WITH stats AS (
   SELECT d, MIN(v::DOUBLE) AS mn, MAX(v::DOUBLE) AS mx
@@ -2384,18 +2384,76 @@ coded AS (
                    / NULLIF(mxs[i] - mns[i], 0) * 256))) AS INTEGER), 0)) AS code
   FROM embeddings, bounds
 ),
-q AS (SELECT vec_id AS query_id, code AS q_code FROM coded WHERE vec_id < $nQueries),
+recon AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(code)), i ->
+           CAST(mns[i] + (code[i]::DOUBLE + 0.5) * (mxs[i] - mns[i]) / 256
+                AS FLOAT)) AS recon
+  FROM coded, bounds
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < $nQueries),
 scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-         CAST(list_sum(list_transform(generate_series(1, len(q.q_code)),
-               i -> q.q_code[i]::BIGINT * c.code[i]::BIGINT)) AS BIGINT) AS sq_score
-  FROM q JOIN coded c ON c.vec_id <> q.query_id
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         ${cosSql("q.q_emb", "r.recon")} AS sq_sim
+  FROM q JOIN recon r ON r.vec_id <> q.query_id
 )
-SELECT query_id, neighbor_id, sq_score, rank
+SELECT query_id, neighbor_id, sq_sim, rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY sq_score DESC, neighbor_id) AS rank
+                                   ORDER BY sq_sim DESC, neighbor_id) AS rank
       FROM scored) t
 WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** Mirrors Similarity.matryoshkaTopK: prefix-dim cosine shortlist, exact
+    * full-dim rerank, both with the shared rounded-cosine tie-break
+    * contract. */
+  def annMatryoshkaTopK(nQueries: Int = 5, k: Int = 5, dPrefix: Int = 16,
+      shortlist: Int = 20): String = s"""
+WITH e AS (SELECT vec_id, embedding, embedding[1:$dPrefix] AS pre FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, pre AS q_pre
+      FROM e WHERE vec_id < $nQueries),
+sc AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding, q.q_emb,
+         ${cosSql("q.q_pre", "e.pre")} AS prefix_sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+sl AS (
+  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY prefix_sim DESC, neighbor_id) AS srn FROM sc) t
+  WHERE srn <= $shortlist
+),
+rr AS (
+  SELECT query_id, neighbor_id, prefix_sim,
+         ${cosSql("q_emb", "embedding")} AS cosine_sim
+  FROM sl
+)
+SELECT query_id, neighbor_id, prefix_sim, cosine_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM rr) t
+WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** Mirrors Similarity.recallEval: every approximate oracle as a derived
+    * table semi-joined against the exact oracle, integer recall. */
+  def annRecallEval(nQueries: Int = 5, k: Int = 5): String = {
+    val poss = nQueries.toLong * k
+    val methods = Seq(
+      "ivf" -> annIvfTopK(nQueries, k),
+      "lsh" -> annLshTopK,
+      "matryoshka" -> annMatryoshkaTopK(nQueries, k),
+      "pq" -> annPqTopK(nQueries, k),
+      "sq" -> annSqTopK(nQueries, k))
+    val rows = methods.map { case (m, sql) =>
+      s"""SELECT '$m' AS method,
+       CAST((SELECT COUNT(*) FROM ($sql) am
+             JOIN ex USING (query_id, neighbor_id)) AS BIGINT) AS hits"""
+    }.mkString("\nUNION ALL\n")
+    s"""
+WITH ex AS (SELECT query_id, neighbor_id FROM (${annTopK}) tex)
+SELECT method, hits, CAST($poss AS BIGINT) AS possible,
+       CAST(hits * 1000000 // $poss AS BIGINT) AS recall_micro
+FROM ($rows) ORDER BY method"""
+  }
 
   /** Mirrors TextOps.gopherRules: exact micro-unit metrics and the same
     * first-failure rule order. */
