@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 189
+  val GatedQueryCount: Int = 190
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -347,6 +347,8 @@ object SparkEntry {
     "text_cooc_pmi" -> ((s, d) =>
       TextOps.pmiPairs(Tables.documents(s, d))),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
+    // content-defined chunking: shift-invariant boundaries, chunk census
+    "dedup_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(Tables.documents(s, d))),
 
     // training-data pipeline: similarity search over embeddings
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
@@ -725,6 +727,7 @@ object SparkEntry {
     "layout_compaction_plan" -> OracleSql.compactionPlan(),
     "join_interval_events" -> OracleSql.intervalClicksBeforePurchase(),
     "text_gopher_rules" -> OracleSqlText.gopherRules,
+    "dedup_cdc_chunks" -> OracleSqlText.cdcChunks(),
     "search_phrase_topk" -> OracleSqlText.phraseTopK(),
     "profile_corr" -> OracleSql.corrProfile,
     "embed_label_scatter" -> OracleSqlText.labelScatter,

@@ -248,6 +248,63 @@ case class Simhash16(child: Expression)
     copy(child = newChild)
 }
 
+/** Content-defined chunk boundaries in one compiled O(len) rolling pass —
+  * the kernel behind [[graft.operators.Dedup.cdcChunks]].
+  *
+  * Semantics are pinned to the HOF/SQL specification the DuckDB twin runs:
+  * for each 1-based code-point position i ≥ `window`,
+  * H(i) = (Σ_{j=0..w−1} codepoint(i−j) · 31^j) mod (2³¹−1); i is a
+  * boundary when H % `divisor` == 0; the final position is always a
+  * boundary (appended only if the hash did not already place one there; a
+  * 0-length text yields [0]). The interpreted HOF formulation costs
+  * O(len·w) lambda dispatches + substring allocations per row (measured
+  * 15 s at sf0.1); this kernel keeps the UNREDUCED window sum rolling —
+  * H(e+1) = cp(e+1) + 31·(H(e) − cp(e−w+1)·31^{w−1}), exact in a long
+  * since Σ < 2^56 — and applies the mod per emission, so every value is
+  * bit-identical to the spec at O(len) total. CodegenFallback like the
+  * winnow kernel: one interpreted dispatch per ROW is noise; the loop
+  * inside is compiled. */
+case class CdcBoundaries(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"cdc_bounds expects string, got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = s"cdc_bounds_${window}_$divisor"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
+    val p = 2147483647L
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (n >= window) {
+      // 31^(w-1) for the outgoing term
+      var powTop = 1L
+      var j = 1
+      while (j < window) { powTop *= 31L; j += 1 }
+      // initial unreduced sum at e = window-1 (0-based last index):
+      // Σ_{j=0..w-1} cp(e-j)·31^j, Horner over ascending char index
+      var h = 0L
+      j = 0
+      while (j < window) { h = h * 31L + cps(j); j += 1 }
+      var e = window - 1
+      while (e < n) {
+        if ((h % p) % divisor == 0) out += (e + 1).toLong
+        e += 1
+        if (e < n) h = cps(e) + 31L * (h - cps(e - window) * powTop)
+      }
+    }
+    if (out.isEmpty || out.last != n.toLong) out += n.toLong
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Register the compiled 16-bit SimHash kernel. */
   def registerSimhash(spark: SparkSession): Unit = {
@@ -263,6 +320,14 @@ object TextExpressions {
       FunctionIdentifier(s"winnow_fp_${n}_$w"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, s"winnow_fp_${n}_$w"),
       (children: Seq[Expression]) => WinnowFingerprint(children.head, n, w))
+  }
+
+  /** Register the compiled CDC boundary kernel for a given (window, divisor). */
+  def registerCdc(spark: SparkSession, window: Int, divisor: Int): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(s"cdc_bounds_${window}_$divisor"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, s"cdc_bounds_${window}_$divisor"),
+      (children: Seq[Expression]) => CdcBoundaries(children.head, window, divisor))
   }
 
   /** Register the compiled positional span-hash kernel for a given n. */

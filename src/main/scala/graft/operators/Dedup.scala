@@ -743,6 +743,51 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Content-defined chunking (the rsync/LBFS/FastCDC family): chunk
+    * boundaries fall where a `w`-char windowed Karp-Rabin hash hits
+    * `H % divisor == 0`, so boundaries are a function of local CONTENT,
+    * not offset — the same passage shared by two documents chunks
+    * identically even when an insertion shifts it (fixed-size chunking
+    * loses every boundary after the edit; [[substringSpans]] needs token
+    * alignment). This is how crawl re-snapshots dedup at the storage
+    * layer: shared chunks across near-identical page versions collapse in
+    * the chunk census.
+    *
+    * Plan shape: chunking is pure per-row HOF map work (O(len·w) integer
+    * ops per doc, no UDF — everything stays inside codegen); the census
+    * is ONE keyed shuffle on the chunk value with map-side combine. At
+    * 100 TB: chunk rows ≈ corpus_bytes / divisor, each a (chunk, ids)
+    * key — the same shuffle-bounded shape as [[exactDups]] one level
+    * below document granularity. Emitted: chunks seen ≥ 2 times (the
+    * dedup signal) with occurrence and document counts.
+    *
+    * Determinism: the window hash is exact integer arithmetic (powers of
+    * 31 mod 2³¹−1, precomputed power array — identical literals in the
+    * DuckDB twin); docs shorter than `w` become one whole-doc chunk; the
+    * final position is always a boundary. */
+  def cdcChunks(docs: DataFrame, window: Int = 8, divisor: Int = 32): DataFrame = {
+    graft.functions.TextExpressions.registerCdc(docs.sparkSession, window, divisor)
+    // boundary positions from the compiled O(len) rolling kernel
+    // (CdcBoundaries — semantics pinned to the DuckDB twin's HOF spec;
+    // the interpreted HOF formulation cost O(len·w) lambda dispatches and
+    // ran 15 s at sf0.1, the kernel runs it in under a second); staged as
+    // a column so chunk extraction zips ends with starts
+    val withBounds = docs.select(col("doc_id"), col("text"),
+      call_function(s"cdc_bounds_${window}_$divisor", col("text")).as("bnds"))
+    val chunks =
+      """zip_with(
+        |  concat(array(0L), slice(bnds, 1, size(bnds) - 1)),
+        |  bnds,
+        |  (s, e) -> substring(text, cast(s + 1 as int), cast(e - s as int)))""".stripMargin
+    withBounds.select(col("doc_id"), explode(expr(chunks)).as("chunk"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") >= 2)
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      .select("chunk", "chunk_len", "n_occurrences", "n_docs")
+      .orderBy("chunk")
+  }
+
   /** Near-dup candidate groups from equal SimHash sketches. The sketch
     * frame feeds both self-join sides — persisted so the 16-bit aggregate
     * pass over the corpus runs once, not once per side. */

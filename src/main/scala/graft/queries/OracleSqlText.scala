@@ -2455,6 +2455,45 @@ SELECT method, hits, CAST($poss AS BIGINT) AS possible,
 FROM ($rows) ORDER BY method"""
   }
 
+  /** Mirrors Dedup.cdcChunks: windowed Karp-Rabin boundary hash (same
+    * power-of-31 literals, same mod), final-position boundary append,
+    * chunk extraction by consecutive boundary pairs, census of chunks
+    * seen ≥ 2 times. DuckDB's generate_series(8, n) is empty for n < 8,
+    * so the Spark side's count-down guard has no twin here. */
+  def cdcChunks(window: Int = 8, divisor: Int = 32): String = s"""
+WITH ps AS (
+  SELECT doc_id, text,
+    list_transform(
+      list_filter(
+        list_transform(generate_series($window, length(text)),
+          i -> struct_pack(pos := i,
+            h := list_sum(list_transform(generate_series(0, ${window - 1}),
+              j -> ascii(substr(text, CAST(i - j AS INTEGER), 1))
+                   * [1,31,961,29791,923521,28629151,887503681,27512614111][j+1]))
+                 % 2147483647)),
+        x -> x.h % $divisor = 0),
+      x -> x.pos) AS ps
+  FROM documents
+),
+b AS (
+  SELECT doc_id, text,
+    CASE WHEN len(ps) > 0 AND ps[-1] = length(text)
+         THEN ps ELSE list_append(ps, length(text)) END AS bnds
+  FROM ps
+),
+ch AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(bnds)), k ->
+      substr(text,
+        CAST((CASE WHEN k = 1 THEN 0 ELSE bnds[k - 1] END) + 1 AS INTEGER),
+        CAST(bnds[k] - (CASE WHEN k = 1 THEN 0 ELSE bnds[k - 1] END) AS INTEGER))))
+      AS chunk
+  FROM b
+)
+SELECT chunk, CAST(length(chunk) AS BIGINT) AS chunk_len,
+       COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM ch GROUP BY chunk HAVING COUNT(*) >= 2 ORDER BY chunk"""
+
   /** Mirrors TextOps.gopherRules: exact micro-unit metrics and the same
     * first-failure rule order. */
   val gopherRules: String = {
