@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 190
+  val GatedQueryCount: Int = 192
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -371,6 +371,8 @@ object SparkEntry {
     "profile_linreg" -> ((s, d) => Validators.linregProfile(Tables.documents(s, d))),
     // join-key skew census + salting recommendation (physical planning)
     "profile_skew" -> ((s, d) => graft.operators.Physical.skewProfileGate(s, d)),
+    // exact one-vs-rest KS distance per source (ordered-variable drift)
+    "profile_ks" -> ((s, d) => Validators.ksProfile(Tables.documents(s, d))),
     // small-file compaction plan: documents-as-files packed into bins
     "layout_compaction_plan" -> ((s, d) =>
       graft.operators.Physical.compactionPlan(
@@ -568,6 +570,22 @@ object SparkEntry {
     // PageRank over the same graph: duplicate-cluster hub scores
     "graph_pagerank" -> ((s, d) =>
       graft.operators.Graph.pageRank(Dedup.simhashPairs(Tables.documents(s, d)))),
+    // RA link prediction over the co-purchase part graph (exact integer
+    // RA). Edges require support >= 2 (co-purchased in two+ orders):
+    // single-co-occurrence noise edges make Σ deg(z)² — the two-hop cost
+    // law — 298M paths at sf0.1 vs 10k with the support floor (measured;
+    // a real recommender prunes them for signal reasons anyway).
+    "graph_link_prediction" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("pa", "pb")
+      graft.operators.Graph.linkPrediction(e)
+    }),
 
     // incremental (two-delta) matching must equal the full rebuild — the
     // oracle IS the fifo_match SQL
@@ -724,6 +742,7 @@ object SparkEntry {
     "er_canonical_names" -> OracleSql.fuzzyCanonicalNames(),
     "profile_linreg" -> OracleSqlText.linregProfile,
     "profile_skew" -> OracleSql.skewProfile,
+    "profile_ks" -> OracleSql.ksProfile,
     "layout_compaction_plan" -> OracleSql.compactionPlan(),
     "join_interval_events" -> OracleSql.intervalClicksBeforePurchase(),
     "text_gopher_rules" -> OracleSqlText.gopherRules,
@@ -751,6 +770,7 @@ object SparkEntry {
     "dedup_clusters" -> OracleSqlText.dedupClusters,
     "dedup_keep_best" -> OracleSqlText.dedupKeepBest,
     "graph_pagerank" -> OracleSqlText.pageRank(),
+    "graph_link_prediction" -> OracleSql.linkPrediction(),
     "dedup_substring_spans" -> OracleSqlText.substringSpans(),
     "sketch_kmv_distinct" -> OracleSqlText.sketchKmvDistinct,
     "sketch_kmv_by_type" -> OracleSqlText.sketchKmvByType,

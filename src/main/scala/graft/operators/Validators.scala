@@ -320,4 +320,46 @@ object Validators {
         col("corr_qty_price"), col("corr_disc_price"))
       .orderBy("l_returnflag")
   }
+
+  /** One-vs-rest two-sample Kolmogorov-Smirnov distance per source over
+    * the document-length distribution — the distribution-drift screen
+    * that [[corrProfile]]/chi2 (categorical) can't give for an ordered
+    * variable: D = max_v |F_source(v) − F_rest(v)|, exactly.
+    *
+    * Exactness: with integer counts both ECDFs are rationals, so
+    * D·10⁶ = max over v of |cum_s·(N−n_s) − (cumAll−cum_s)·n_s| · 10⁶
+    * div (n_s·(N−n_s)) is pure BIGINT arithmetic — no float sums to pin.
+    *
+    * Scale shape: ONE corpus-sized keyed census (source, value) with
+    * map-side combine; everything after runs on the (sources × distinct
+    * values) grid — DOMAIN-sized, corpus-invariant (doc-length domains
+    * don't grow with row count), built as a crossJoin of two tiny
+    * censuses so every source's ECDF also steps at values it never
+    * takes (required for a correct max — the sup can sit at the other
+    * sample's step). Windows order the tiny value grid only. */
+  def ksProfile(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val vals = census.groupBy("n_chars").agg(sum("c").as("call"))
+      .withColumn("cum_all", sum("call").over(
+        Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perSource = census.groupBy("source").agg(sum("c").as("n1"))
+    val total = broadcast(census.agg(sum("c").as("n")))
+    val grid = perSource.crossJoin(total)
+      .crossJoin(broadcast(vals.select("n_chars", "cum_all")))
+      .join(census, Seq("source", "n_chars"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_s", sum("c").over(
+        Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grid
+      .withColumn("d_micro", expr(
+        "abs(cum_s * (n - n1) - (cum_all - cum_s) * n1) * 1000000L div (n1 * (n - n1))"))
+      .groupBy("source")
+      .agg(max("n1").as("n_rows"), max(col("n") - col("n1")).as("n_rest"),
+        max("d_micro").as("ks_micro"))
+      .withColumn("n_rows", col("n_rows").cast("long"))
+      .withColumn("n_rest", col("n_rest").cast("long"))
+      .orderBy("source")
+  }
 }

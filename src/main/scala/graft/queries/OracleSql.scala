@@ -1678,6 +1678,65 @@ SELECT part, CAST((cum - sz) // $targetBytes AS BIGINT) AS bin,
        MIN(file_id) AS first_file_id, MAX(file_id) AS last_file_id
 FROM c GROUP BY 1, 2 ORDER BY part, bin"""
 
+  /** Mirrors Validators.ksProfile: the (source × value) grid with both
+    * cumulative counts, exact BIGINT D·10⁶, one row per source. */
+  val ksProfile: String = """
+WITH census AS (
+  SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+vals AS (
+  SELECT n_chars, SUM(c) AS call,
+         SUM(SUM(c)) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+  FROM census GROUP BY n_chars
+),
+per_source AS (SELECT source, SUM(c) AS n1 FROM census GROUP BY source),
+tot AS (SELECT SUM(c) AS n FROM census),
+grid AS (
+  SELECT ps.source, ps.n1, t.n, v.n_chars, v.cum_all, COALESCE(ce.c, 0) AS c
+  FROM per_source ps CROSS JOIN tot t CROSS JOIN vals v
+  LEFT JOIN census ce ON ce.source = ps.source AND ce.n_chars = v.n_chars
+),
+cums AS (
+  SELECT *, SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+  FROM grid
+)
+SELECT source, CAST(MAX(n1) AS BIGINT) AS n_rows,
+       CAST(MAX(n - n1) AS BIGINT) AS n_rest,
+       CAST(MAX(abs(cum_s * (n - n1) - (cum_all - cum_s) * n1) * 1000000
+                // (n1 * (n - n1))) AS BIGINT) AS ks_micro
+FROM cums GROUP BY source ORDER BY source"""
+
+  /** Mirrors the graph_link_prediction gate (Graph.linkPrediction over the
+    * co-purchase part graph): bidirectional edge list, hub-capped two-hop
+    * paths keyed on the middle node, anti-join against existing edges,
+    * exact integer Resource-Allocation micro-units, full-tie-break top-k. */
+  def linkPrediction(hubCap: Int = 256, k: Int = 100): String = s"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT a.p AS pa, b.p AS pb
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+bi AS (SELECT pa AS x, pb AS y FROM e UNION ALL SELECT pb, pa FROM e),
+deg AS (SELECT x, COUNT(*) AS d FROM bi GROUP BY x),
+bridges AS (
+  SELECT bi.x AS z, bi.y AS n, deg.d
+  FROM bi JOIN deg ON deg.x = bi.x AND deg.d <= $hubCap
+),
+cand AS (
+  SELECT b1.n AS pa, b2.n AS pb, b1.d AS dz
+  FROM bridges b1 JOIN bridges b2 ON b1.z = b2.z AND b1.n < b2.n
+),
+new_links AS (
+  SELECT c.pa, c.pb, c.dz FROM cand c
+  LEFT JOIN e ON e.pa = c.pa AND e.pb = c.pb
+  WHERE e.pa IS NULL
+)
+SELECT pa, pb, CAST(SUM(1000000 // dz) AS BIGINT) AS ra_micro,
+       COUNT(*) AS n_common
+FROM new_links GROUP BY pa, pb
+ORDER BY ra_micro DESC, pa, pb LIMIT $k"""
+
   /** Mirrors the join_interval_events gate (AsOfJoin.intervalJoin + count
     * rollup): the oracle is the PLAIN non-equi trailing-window join the
     * bucketed plan must reproduce exactly — the gate proves the

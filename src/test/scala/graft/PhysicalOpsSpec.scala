@@ -135,6 +135,25 @@ class PhysicalOpsSpec extends AnyFunSuite {
       === Seq(1L, 2L))
   }
 
+  // ---- ksProfile ----
+
+  test("ksProfile: disjoint supports give D = 1.0; identical distributions give D = 0") {
+    import spark.implicits._
+    // srcA lengths all 10, srcB/srcC all 20 → A vs rest is fully separated;
+    // B and C are identical to each other but each still differs from the
+    // pooled rest (which includes A), so only exact pairs are asserted
+    val docs = ((1 to 10).map(i => (i.toLong, "a", 10L)) ++
+        (11 to 20).map(i => (i.toLong, "b", 20L)) ++
+        (21 to 30).map(i => (i.toLong, "c", 20L)))
+      .toDF("doc_id", "source", "n_chars")
+    val r = graft.operators.Validators.ksProfile(docs).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("ks_micro")).toMap
+    assert(r("a") === 1000000L, "disjoint support must reach the sup at 1.0")
+    // b vs rest: rest = 10×len10 + 10×len20; F_b(10)=0 vs F_rest(10)=0.5 → D=0.5
+    assert(r("b") === 500000L)
+    assert(r("c") === 500000L)
+  }
+
   // ---- gopherRules ----
 
   test("gopherRules: rule order and micro-integer metrics") {
