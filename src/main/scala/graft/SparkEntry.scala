@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 192
+  val GatedQueryCount: Int = 194
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -380,6 +380,11 @@ object SparkEntry {
     // trailing-window non-equi join via the bucketed equi-join plan
     "join_interval_events" -> ((s, d) =>
       EventQueries.clicksBeforePurchase(Tables.events(s, d))),
+    // behavioral bot screen: exact gap moments, cv2 regularity verdict
+    "events_bot_screen" -> ((s, d) => EventQueries.botScreen(Tables.events(s, d))),
+    // reproducible-release manifest: per (split, shard) counts + XOR checksum
+    "train_shard_manifest" -> ((s, d) =>
+      graft.operators.TrainPrep.shardManifest(Tables.documents(s, d))),
     // Gopher rule family on exact micro-integer metrics
     "text_gopher_rules" -> ((s, d) => TextOps.gopherRules(Tables.documents(s, d))),
     // exact consecutive-phrase retrieval (positional match)
@@ -745,6 +750,8 @@ object SparkEntry {
     "profile_ks" -> OracleSql.ksProfile,
     "layout_compaction_plan" -> OracleSql.compactionPlan(),
     "join_interval_events" -> OracleSql.intervalClicksBeforePurchase(),
+    "events_bot_screen" -> OracleSql.botScreen(),
+    "train_shard_manifest" -> OracleSqlText.shardManifest(),
     "text_gopher_rules" -> OracleSqlText.gopherRules,
     "dedup_cdc_chunks" -> OracleSqlText.cdcChunks(),
     "search_phrase_topk" -> OracleSqlText.phraseTopK(),

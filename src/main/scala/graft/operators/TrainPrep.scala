@@ -233,4 +233,37 @@ object TrainPrep {
         "survivor_doc", "survivor_chunk", "n_copies")
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** Reproducible-release shard manifest: per (split, shard), the counts
+    * and a content checksum a consumer re-derives to prove the dataset it
+    * downloaded is the dataset the manifest describes — the WebDataset/
+    * HuggingFace-datasets release discipline.
+    *
+    * The checksum is BIT_XOR of a 60-bit md5-derived integer per document
+    * (15 hex chars — 16 would overflow signed long): XOR is
+    * order-independent and exact, so the manifest is invariant to
+    * partitioning and task scheduling BY CONSTRUCTION — a SUM of hashes
+    * would overflow ANSI longs and a concat would be order-fragile. One
+    * keyed rollup over the split/shard assignment (both md5-derived,
+    * append-stable like [[assignSplits]]); at 100 TB this is the same
+    * one-pass shape as any census, and verifying a delivered shard is
+    * re-running one aggregate over it. */
+  def shardManifest(docs: DataFrame, nShards: Int = 8,
+      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    val split = assignSplits(docs, valPct, testPct).select("doc_id", "split")
+    val shard = (conv(substring(md5(
+        concat(lit("sh|"), col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % nShards).as("shard")
+    val ck = conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    docs.join(split, Seq("doc_id"))
+      .select(col("split"), shard, col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"), ck.as("ck"))
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"),
+        bit_xor(col("ck")).as("checksum60"))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .orderBy("split", "shard")
+  }
 }

@@ -806,6 +806,44 @@ object EventQueries {
         expr("cents_b div nullif(n_users_b, 0)").as("cents_per_user_b"))
   }
 
+  /** Behavioral bot screen — the crawl/spam filter a training-data
+    * pipeline runs over behavioral streams before any engagement signal is
+    * trusted: per user, exact inter-event gap moments and a regularity
+    * verdict. Bots betray themselves with machine-regular timing — the
+    * squared coefficient of variation of gaps (var/mean², scale-free)
+    * collapses toward 0 for cron-like traffic while organic arrivals sit
+    * near 1 (exponential). cv² = (k·Σg² − (Σg)²)/(Σg)² is computed in
+    * DECIMAL(38,0) (g² overflows a long at day-scale gaps; DuckDB HUGEINT
+    * is the exact twin — the corrProfile discipline), emitted in integer
+    * micro-units with NULLIF guards for single-event and zero-span users.
+    * One lag window + one keyed rollup, both on user_id — corpus-linear,
+    * nothing quadratic. */
+  def botScreen(events: DataFrame, minEvents: Int = 20,
+      cv2MicroMax: Long = 100000L): DataFrame = {
+    // us is monotone in ts, so (us, event_id) is the oracle's (ts, event_id)
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gaps = events
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        ((max("us") - min("us")) / 1000000L).cast("long").as("span_seconds"),
+        count(col("gap")).as("k"),
+        sum(col("gap")).as("s"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("s2"))
+      .withColumn("avg_gap_us", expr("s div nullif(k, 0L)"))
+      .withColumn("cv2_micro", expr(
+        """cast((cast(k as decimal(38,0)) * s2 - cast(s as decimal(38,0)) * s) * 1000000
+          |     div nullif(cast(s as decimal(38,0)) * s, 0) as long)""".stripMargin))
+      .withColumn("is_regular",
+        col("n_events") >= minEvents && col("cv2_micro").isNotNull &&
+          col("cv2_micro") < cv2MicroMax)
+      .select("user_id", "n_events", "span_seconds", "avg_gap_us",
+        "cv2_micro", "is_regular")
+      .orderBy("user_id")
+  }
+
   /** Per purchase: clicks by the same user in the trailing `windowMinutes`
     * window — the trailing-window non-equi join, planned through
     * [[graft.operators.AsOfJoin.intervalJoin]]'s bucketed equi-join so the

@@ -1678,6 +1678,32 @@ SELECT part, CAST((cum - sz) // $targetBytes AS BIGINT) AS bin,
        MIN(file_id) AS first_file_id, MAX(file_id) AS last_file_id
 FROM c GROUP BY 1, 2 ORDER BY part, bin"""
 
+  /** Mirrors EventQueries.botScreen: exact HUGEINT gap moments (the
+    * corrProfile discipline — g² overflows BIGINT at day-scale gaps),
+    * integer-micro cv², NULLIF guards for single-event/zero-span users. */
+  def botScreen(minEvents: Int = 20, cv2MicroMax: Long = 100000L): String = s"""
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+a AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS span_seconds,
+         COUNT(gap) AS k, SUM(gap) AS s,
+         SUM(gap::HUGEINT * gap) AS s2
+  FROM g GROUP BY user_id
+)
+SELECT user_id, n_events, span_seconds,
+       CAST(s // NULLIF(k, 0) AS BIGINT) AS avg_gap_us, cv2_micro,
+       (n_events >= $minEvents AND cv2_micro IS NOT NULL
+        AND cv2_micro < $cv2MicroMax) AS is_regular
+FROM (SELECT *, CAST((k::HUGEINT * s2 - s::HUGEINT * s) * 1000000
+                     // NULLIF(s::HUGEINT * s, 0) AS BIGINT) AS cv2_micro
+      FROM a) t
+ORDER BY user_id"""
+
   /** Mirrors Validators.ksProfile: the (source × value) grid with both
     * cumulative counts, exact BIGINT D·10⁶, one row per source. */
   val ksProfile: String = """

@@ -1476,6 +1476,40 @@ SELECT doc_id, bucket,
             ELSE 'train' END AS split
 FROM b ORDER BY doc_id"""
 
+  /** First `n` md5 hex chars of `arg` as a BIGINT (generalizes
+    * [[hex8IntSql]]; n ≤ 15 keeps the value inside a signed long). */
+  private def hexNIntSql(arg: String, n: Int): String = {
+    require(n <= 15, "16 hex chars overflow a signed long")
+    (0 until n).map { i =>
+      val mult = java.math.BigInteger.valueOf(16L).pow(n - 1 - i)
+      s"(strpos('0123456789abcdef', substr(md5($arg), ${i + 1}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+  }
+
+  /** Mirrors TrainPrep.shardManifest: the trainSplits bucket map, an
+    * md5-derived shard, BIT_XOR of 60-bit per-doc content hashes (order-
+    * independent — the same reason the Spark side uses it). */
+  def shardManifest(nShards: Int = 8, valPct: Int = 10, testPct: Int = 10,
+      buckets: Int = 100): String = s"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST((${hex8IntSql("doc_id::VARCHAR")}) % $buckets AS BIGINT) AS bucket,
+         CAST((${hex8IntSql(s"'sh|' || doc_id::VARCHAR")}) % $nShards AS BIGINT) AS shard,
+         CAST((${hexNIntSql("text", 15)}) AS BIGINT) AS ck,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+sp AS (
+  SELECT *, CASE WHEN bucket < $testPct THEN 'test'
+                 WHEN bucket < ${testPct + valPct} THEN 'validation'
+                 ELSE 'train' END AS split
+  FROM b
+)
+SELECT split, shard, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+       CAST(bit_xor(ck) AS BIGINT) AS checksum60
+FROM sp GROUP BY split, shard ORDER BY split, shard"""
+
   /** Mirrors Dedup.keepBest: quality-ranked survivor per simhash near-dup
     * cluster; emitted rows are the removed members. The quality scores
     * come from the [[qualityScore]] query nested as a subselect (the

@@ -154,6 +154,40 @@ class PhysicalOpsSpec extends AnyFunSuite {
     assert(r("c") === 500000L)
   }
 
+  // ---- botScreen ----
+
+  test("botScreen: cron-regular user flags, organic jitter does not; singletons stay null") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val rnd = new scala.util.Random(11)
+    val bot = (1 to 30).map(i => (i.toLong, 1L, ts(i * 60L)))          // exact 60s ticks
+    val organic = (1 to 30).map(i =>
+      (100L + i, 2L, ts((1 to i).map(_ => 30L + rnd.nextInt(300)).sum)))
+    val single = Seq((999L, 3L, ts(5)))
+    val events = (bot ++ organic ++ single).toDF("event_id", "user_id", "ts")
+    val r = EventQueries.botScreen(events).collect()
+      .map(x => x.getAs[Long]("user_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("is_regular"), "zero-variance gaps must flag")
+    assert(r(1L).getAs[Long]("cv2_micro") === 0L)
+    assert(!r(2L).getAs[Boolean]("is_regular"), "jittered gaps must not flag")
+    assert(r(2L).getAs[Long]("cv2_micro") > 100000L)
+    assert(r(3L).isNullAt(r(3L).fieldIndex("cv2_micro")), "singleton cv2 is undefined")
+    assert(!r(3L).getAs[Boolean]("is_regular"))
+  }
+
+  // ---- shardManifest ----
+
+  test("shardManifest: checksum invariant under repartitioning; totals tile the corpus") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i content ${i * 37 % 101}"))
+      .toDF("doc_id", "text")
+    val a = graft.operators.TrainPrep.shardManifest(docs).collect()
+    val b = graft.operators.TrainPrep.shardManifest(docs.repartition(13)).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "manifest must be partitioning-invariant (XOR checksum, keyed rollup)")
+    assert(a.map(_.getAs[Long]("n_docs")).sum === 200L)
+  }
+
   // ---- gopherRules ----
 
   test("gopherRules: rule order and micro-integer metrics") {
