@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 194
+  val GatedQueryCount: Int = 195
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -418,6 +418,10 @@ object SparkEntry {
     "text_scrub" -> ((s, d) => TextOps.scrubStats(Tables.documents(s, d))),
     "text_c4_filters" -> ((s, d) => TextOps.c4Filters(Tables.documents(s, d))),
 
+    // v4: round-8 signals (Gopher verdicts, CDC boilerplate-share ceiling)
+    // composed onto the v3 skeleton
+    "curation_pipeline_v4" -> ((s, d) =>
+      graft.operators.Curation.curateV4(Tables.documents(s, d))),
     // v3: round-7 signals (containment drop, C4 verdicts, PII ceiling,
     // per-source cap) composed onto the canonicalize-first skeleton
     "curation_pipeline_v3" -> ((s, d) =>
@@ -751,6 +755,7 @@ object SparkEntry {
     "layout_compaction_plan" -> OracleSql.compactionPlan(),
     "join_interval_events" -> OracleSql.intervalClicksBeforePurchase(),
     "events_bot_screen" -> OracleSql.botScreen(),
+    "curation_pipeline_v4" -> OracleSqlText.curationV4(),
     "train_shard_manifest" -> OracleSqlText.shardManifest(),
     "text_gopher_rules" -> OracleSqlText.gopherRules,
     "dedup_cdc_chunks" -> OracleSqlText.cdcChunks(),

@@ -158,4 +158,67 @@ object Curation {
       .select(col("doc_id"), col("grp").as("source"), col("n_tokens"), col("sample_rank"))
       .orderBy("source", "sample_rank")
   }
+
+  /** v4: the round-8 signals composed onto the [[curateV3]] skeleton —
+    * Gopher rule verdicts (exact micro-integer metrics) as a second rule
+    * family beside C4, and a CDC duplicated-chunk share ceiling: the
+    * fraction of a document's characters sitting inside chunks that other
+    * (canonical) documents also contain. This is the boilerplate screen
+    * exact-dedup and containment both miss — a page that is 70% shared
+    * navigation/template text with unique filler passes canonicalization
+    * (hash differs) and containment (no single superset), but its
+    * cross-document chunk share exposes it.
+    *
+    * Plan adds to v3: one compiled-kernel chunking pass over the
+    * canonical corpus, one chunk-keyed census, one join back — all keyed,
+    * nothing quadratic; the share is exact BIGINT micro-units. Output
+    * schema unchanged from v3 (doc_id, source, n_tokens, sample_rank). */
+  def curateV4(docs: DataFrame, tau: Double = 0.8, maxPii: Int = 2,
+      cap: Int = 10, maxDupShareMicro: Long = 600000L): DataFrame = {
+    val byContent = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
+    val canon = graft.RunHygiene.stage(docs.select("doc_id", "text", "source")
+      .withColumn("_canon", min(col("doc_id")).over(byContent))
+      .filter(col("doc_id") === col("_canon"))
+      .select("doc_id", "text", "source"))
+    canon.count()
+    val c4 = TextOps.c4Filters(canon).select("doc_id", "n_tokens", "keep")
+    val gopher = TextOps.gopherRules(canon)
+      .select(col("doc_id"), col("keep").as("g_keep"))
+    val sizes = c4.select("doc_id", "n_tokens")
+    val contained = Dedup.containmentPairs(canon, threshold = tau)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_tokens").as("ta")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_tokens").as("tb")), Seq("doc_b"))
+      .select(when(col("ta") < col("tb"), col("doc_a"))
+        .when(col("tb") < col("ta"), col("doc_b"))
+        .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val pii = TextOps.scrubStats(canon).select(col("doc_id"),
+      (col("n_urls") + col("n_emails") + col("n_blocklist")).as("n_pii"))
+    // CDC boilerplate share: chars inside chunks shared across canon docs
+    val chunkRows = graft.RunHygiene.stage(Dedup.cdcChunkRows(canon))
+    chunkRows.count() // census + ride-back both read it
+    val crossDoc = chunkRows.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+    val dupChars = chunkRows.join(crossDoc.select("chunk"), Seq("chunk"))
+      .groupBy("doc_id").agg(sum(length(col("chunk"))).as("dup_chars"))
+    val dupShare = canon.select(col("doc_id"), length(col("text")).as("len"))
+      .join(dupChars, Seq("doc_id"), "left")
+      .select(col("doc_id"), expr(
+        // empty doc: no chars, no duplicated chars — share 0, not a crash
+        "coalesce(coalesce(dup_chars, 0L) * 1000000L div nullif(len, 0), 0L)")
+        .as("dup_share_micro"))
+    val survivors = canon.select("doc_id", "source")
+      .join(c4, Seq("doc_id"))
+      .join(gopher, Seq("doc_id"))
+      .join(pii, Seq("doc_id"))
+      .join(dupShare, Seq("doc_id"))
+      .join(contained, Seq("doc_id"), "left_anti")
+      .filter(col("keep") && col("g_keep") && col("n_pii") <= maxPii &&
+        col("dup_share_micro") <= maxDupShareMicro)
+    Sampling.capPerGroup(survivors, "source", cap)
+      .join(c4.select("doc_id", "n_tokens"), Seq("doc_id"))
+      .select(col("doc_id"), col("grp").as("source"), col("n_tokens"), col("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
 }

@@ -765,7 +765,7 @@ object Dedup {
     * 31 mod 2³¹−1, precomputed power array — identical literals in the
     * DuckDB twin); docs shorter than `w` become one whole-doc chunk; the
     * final position is always a boundary. */
-  def cdcChunks(docs: DataFrame, window: Int = 8, divisor: Int = 32): DataFrame = {
+  def cdcChunkRows(docs: DataFrame, window: Int = 8, divisor: Int = 32): DataFrame = {
     graft.functions.TextExpressions.registerCdc(docs.sparkSession, window, divisor)
     // boundary positions from the compiled O(len) rolling kernel
     // (CdcBoundaries — semantics pinned to the DuckDB twin's HOF spec;
@@ -780,13 +780,20 @@ object Dedup {
         |  bnds,
         |  (s, e) -> substring(text, cast(s + 1 as int), cast(e - s as int)))""".stripMargin
     withBounds.select(col("doc_id"), explode(expr(chunks)).as("chunk"))
+  }
+
+  /** The chunk census over [[cdcChunkRows]]: chunks seen ≥ 2 times (the
+    * dedup signal) with occurrence and document counts. */
+  def cdcChunks(docs: DataFrame, window: Int, divisor: Int): DataFrame =
+    cdcChunkRows(docs, window, divisor)
       .groupBy("chunk")
       .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_occurrences") >= 2)
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
       .select("chunk", "chunk_len", "n_occurrences", "n_docs")
       .orderBy("chunk")
-  }
+
+  def cdcChunks(docs: DataFrame): DataFrame = cdcChunks(docs, 8, 32)
 
   /** Near-dup candidate groups from equal SimHash sketches. The sketch
     * frame feeds both self-join sides — persisted so the 16-bit aggregate

@@ -2335,6 +2335,74 @@ ranked AS (
 SELECT doc_id, source, n_tokens, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM ranked WHERE sample_rank <= $cap ORDER BY source, sample_rank"""
 
+  /** Mirrors Curation.curateV4: the v3 skeleton + Gopher verdicts + the
+    * CDC duplicated-chunk share ceiling (chars inside chunks shared
+    * across canonical docs, exact BIGINT micro-units). */
+  def curationV4(tau: Double = 0.8, maxPii: Int = 2, cap: Int = 10,
+      maxDupShareMicro: Long = 600000L): String = s"""
+WITH canon AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source, MIN(doc_id) OVER (PARTITION BY md5(text)) AS _canon
+    FROM documents) t
+  WHERE doc_id = _canon
+),
+${toksCteFrom("canon")},
+$shinglesCte,
+${containmentCandCtes(tau)},
+$c4MetricCtes,
+cdrop AS (
+  SELECT DISTINCT CASE WHEN ta < tb THEN doc_a
+                       WHEN tb < ta THEN doc_b
+                       ELSE GREATEST(doc_a, doc_b) END AS doc_id
+  FROM (
+    SELECT cand.doc_a, cand.doc_b, ma.n_tokens AS ta, mb.n_tokens AS tb,
+           len(list_intersect(sa.sh, sb.sh))::DOUBLE / LEAST(len(sa.sh), len(sb.sh)) AS c_raw
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b
+    JOIN c4m ma ON ma.doc_id = cand.doc_a
+    JOIN c4m mb ON mb.doc_id = cand.doc_b) t
+  WHERE c_raw >= $tau
+),
+${scrubCtes("canon")},
+${gopherCtes("canon")},
+${cdcChunkRowCtes("canon")},
+ccross AS (
+  SELECT chunk FROM cch GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cdup AS (
+  SELECT doc_id, SUM(length(chunk)) AS dup_chars
+  FROM cch JOIN ccross USING (chunk) GROUP BY doc_id
+),
+cshare AS (
+  SELECT c.doc_id,
+         CAST(COALESCE(COALESCE(d.dup_chars, 0) * 1000000
+                       // NULLIF(length(c.text), 0), 0) AS BIGINT)
+           AS dup_share_micro
+  FROM canon c LEFT JOIN cdup d USING (doc_id)
+),
+surv AS (
+  SELECT c.doc_id, c.source, c4v.n_tokens,
+         (${hex8IntSql("c.doc_id::VARCHAR")}) AS hv
+  FROM canon c
+  JOIN c4v ON c4v.doc_id = c.doc_id
+  JOIN gv ON gv.doc_id = c.doc_id
+  JOIN s2 ON s2.doc_id = c.doc_id
+  JOIN cshare ON cshare.doc_id = c.doc_id
+  WHERE c4v.fail_rule IS NULL
+    AND gv.fail_rule IS NULL
+    AND s2.n_urls + s2.n_emails + s2.n_blocklist <= $maxPii
+    AND cshare.dup_share_micro <= $maxDupShareMicro
+    AND c.doc_id NOT IN (SELECT doc_id FROM cdrop)
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS sample_rank
+  FROM surv
+)
+SELECT doc_id, source, n_tokens, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= $cap ORDER BY source, sample_rank"""
+
   /** Mirrors operators.BpeLearn: word-level BPE merge learning, `rounds`
     * unrolled CTE rounds. Sequences are double-separator (U+001F) wrapped
     * strings; `replace` is greedy-left non-overlapping on both engines, so
@@ -2494,8 +2562,10 @@ FROM ($rows) ORDER BY method"""
     * chunk extraction by consecutive boundary pairs, census of chunks
     * seen ≥ 2 times. DuckDB's generate_series(8, n) is empty for n < 8,
     * so the Spark side's count-down guard has no twin here. */
-  def cdcChunks(window: Int = 8, divisor: Int = 32): String = s"""
-WITH ps AS (
+  /** CDC chunk-row CTEs (cps/cb/cch) over `from` — shared by
+    * [[cdcChunks]] and [[curationV4]]. */
+  private def cdcChunkRowCtes(from: String, window: Int = 8, divisor: Int = 32): String = s"""
+cps AS (
   SELECT doc_id, text,
     list_transform(
       list_filter(
@@ -2507,35 +2577,38 @@ WITH ps AS (
                  % 2147483647)),
         x -> x.h % $divisor = 0),
       x -> x.pos) AS ps
-  FROM documents
+  FROM $from
 ),
-b AS (
+cb AS (
   SELECT doc_id, text,
     CASE WHEN len(ps) > 0 AND ps[-1] = length(text)
          THEN ps ELSE list_append(ps, length(text)) END AS bnds
-  FROM ps
+  FROM cps
 ),
-ch AS (
+cch AS (
   SELECT doc_id,
     unnest(list_transform(generate_series(1, len(bnds)), k ->
       substr(text,
         CAST((CASE WHEN k = 1 THEN 0 ELSE bnds[k - 1] END) + 1 AS INTEGER),
         CAST(bnds[k] - (CASE WHEN k = 1 THEN 0 ELSE bnds[k - 1] END) AS INTEGER))))
       AS chunk
-  FROM b
-)
+  FROM cb
+)"""
+
+  def cdcChunks(window: Int = 8, divisor: Int = 32): String = s"""
+WITH ${cdcChunkRowCtes("documents", window, divisor)}
 SELECT chunk, CAST(length(chunk) AS BIGINT) AS chunk_len,
        COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
-FROM ch GROUP BY chunk HAVING COUNT(*) >= 2 ORDER BY chunk"""
+FROM cch GROUP BY chunk HAVING COUNT(*) >= 2 ORDER BY chunk"""
 
-  /** Mirrors TextOps.gopherRules: exact micro-unit metrics and the same
-    * first-failure rule order. */
-  val gopherRules: String = {
+  /** Gopher metric + verdict CTEs (gtoks/gm/gv) over `from` — exact
+    * micro-unit metrics, same first-failure rule order as
+    * TextOps.gopherRules. Shared by [[gopherRules]] and [[curationV4]]. */
+  private def gopherCtes(from: String): String = {
     import graft.functions.TextOps.Gopher._
     val stops = Stopwords.map(s => s"'$s'").mkString(", ")
-    s"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-m AS (
+    s"""gtoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $from),
+gm AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_words,
          CAST(list_sum(list_transform(toks, w -> length(w))) * 1000000
@@ -2543,9 +2616,9 @@ m AS (
          CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1000000
               // len(toks) AS BIGINT) AS frac_alpha_micro,
          CAST(len(list_filter(toks, w -> w IN ($stops))) AS BIGINT) AS stopword_count
-  FROM t
+  FROM gtoks
 ),
-v AS (
+gv AS (
   SELECT *, CASE
     WHEN n_words < $MinWords THEN 'too_few_words'
     WHEN n_words > $MaxWords THEN 'too_many_words'
@@ -2554,10 +2627,14 @@ v AS (
     WHEN frac_alpha_micro < $MinAlphaMicro THEN 'non_alpha'
     WHEN stopword_count < $MinStopwords THEN 'no_stopwords'
   END AS fail_rule
-  FROM m
-)
+  FROM gm
+)"""
+  }
+
+  val gopherRules: String = s"""
+WITH ${gopherCtes("documents")}
 SELECT doc_id, n_words, mean_word_len_micro, frac_alpha_micro, stopword_count,
        fail_rule IS NULL AS keep, fail_rule
-FROM v ORDER BY doc_id"""
-  }
+FROM gv ORDER BY doc_id"""
+
 }
