@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 195
+  val GatedQueryCount: Int = 197
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -349,6 +349,13 @@ object SparkEntry {
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
     // content-defined chunking: shift-invariant boundaries, chunk census
     "dedup_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(Tables.documents(s, d))),
+    // standing recall/precision audit: banded LSH vs the exact prefix join
+    "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecallEval(Tables.documents(s, d))),
+    // leakage audit: near-dup pairs straddling splits, per method (safe = 0)
+    "train_leakage_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.TrainPrep.leakageAudit(docs, Dedup.simhashPairs(docs))
+    }),
 
     // training-data pipeline: similarity search over embeddings
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
@@ -759,6 +766,8 @@ object SparkEntry {
     "train_shard_manifest" -> OracleSqlText.shardManifest(),
     "text_gopher_rules" -> OracleSqlText.gopherRules,
     "dedup_cdc_chunks" -> OracleSqlText.cdcChunks(),
+    "dedup_lsh_recall" -> OracleSqlText.dedupLshRecall,
+    "train_leakage_audit" -> OracleSqlText.leakageAudit(),
     "search_phrase_topk" -> OracleSqlText.phraseTopK(),
     "profile_corr" -> OracleSql.corrProfile,
     "embed_label_scatter" -> OracleSqlText.labelScatter,

@@ -782,6 +782,33 @@ object Dedup {
     withBounds.select(col("doc_id"), explode(expr(chunks)).as("chunk"))
   }
 
+  /** Standing recall/precision audit of the banded-LSH dedup path against
+    * the exact prefix-filtered join — the dedup twin of
+    * [[Similarity.recallEval]]: the two operators already run at the same
+    * (n, threshold) with verified pairs, so their pair sets are directly
+    * comparable. Precision is 1.0 by construction (LSH candidates are
+    * exact-verified); recall measures what banding loses at the threshold
+    * boundary — THE number a pipeline owner needs before swapping the
+    * exact join for LSH on a duplication-dense corpus (the documented
+    * ngramJaccard density escape hatch hands off to exactly this path).
+    * Cost: the sum of the two audited operators; the comparison itself is
+    * output-sized. */
+  def lshRecallEval(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val exact = graft.RunHygiene.stage(
+      ngramJaccard(docs, n, threshold).select("doc_a", "doc_b"))
+    exact.count() // read by the semi-join and its own count
+    val lsh = graft.RunHygiene.stage(
+      minhashLsh(docs, n, threshold = threshold).select("doc_a", "doc_b"))
+    lsh.count()
+    val common = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        expr("n_common * 1000000L div nullif(n_exact, 0L)").as("recall_micro"),
+        expr("n_common * 1000000L div nullif(n_lsh, 0L)").as("precision_micro"))
+  }
+
   /** The chunk census over [[cdcChunkRows]]: chunks seen ≥ 2 times (the
     * dedup signal) with occurrence and document counts. */
   def cdcChunks(docs: DataFrame, window: Int, divisor: Int): DataFrame =

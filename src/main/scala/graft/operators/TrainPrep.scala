@@ -248,6 +248,32 @@ object TrainPrep {
     * append-stable like [[assignSplits]]); at 100 TB this is the same
     * one-pass shape as any census, and verifying a delivered shard is
     * re-running one aggregate over it. */
+  /** Leakage audit: for each split-assignment method, how many near-dup
+    * pairs straddle a split boundary — the measurement that makes
+    * [[leakageSafeSplits]]' guarantee a NUMBER instead of a claim
+    * (per_cluster must audit to 0 straddling pairs on any input; per_doc
+    * shows the contamination a naive split ships). Two keyed ride-back
+    * joins per method over the pair list — pair-bounded, corpus-invariant
+    * given the pairs. */
+  def leakageAudit(docs: DataFrame, pairs: DataFrame,
+      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    val p = graft.RunHygiene.stage(pairs.select("doc_a", "doc_b"))
+    p.count() // both method audits read it
+    def straddle(assign: DataFrame, name: String) = p
+      .join(assign.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(assign.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_straddling"))
+      .select(lit(name).as("method"), col("n_pairs"),
+        col("n_straddling").cast("long").as("n_straddling"),
+        expr("n_straddling * 1000000L div nullif(n_pairs, 0L)").as("straddle_micro"))
+    straddle(assignSplits(docs, valPct, testPct).select("doc_id", "split"), "per_doc")
+      .unionAll(straddle(
+        leakageSafeSplits(docs, pairs, valPct, testPct).select("doc_id", "split"),
+        "per_cluster"))
+      .orderBy("method")
+  }
+
   def shardManifest(docs: DataFrame, nShards: Int = 8,
       valPct: Int = 10, testPct: Int = 10): DataFrame = {
     val split = assignSplits(docs, valPct, testPct).select("doc_id", "split")

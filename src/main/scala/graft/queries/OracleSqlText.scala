@@ -2403,6 +2403,39 @@ ranked AS (
 SELECT doc_id, source, n_tokens, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM ranked WHERE sample_rank <= $cap ORDER BY source, sample_rank"""
 
+  /** Mirrors Dedup.lshRecallEval: the two dedup oracles as derived
+    * tables, semi-joined, integer recall/precision. */
+  val dedupLshRecall: String = s"""
+WITH ex AS (SELECT doc_a, doc_b FROM ($ngramJaccard) tx),
+ls AS (SELECT doc_a, doc_b FROM ($minhashLsh) tl),
+cm AS (SELECT ls.doc_a, ls.doc_b FROM ls JOIN ex USING (doc_a, doc_b))
+SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+       (SELECT COUNT(*) FROM ls) AS n_lsh,
+       (SELECT COUNT(*) FROM cm) AS n_common,
+       CAST((SELECT COUNT(*) FROM cm) * 1000000
+            // NULLIF((SELECT COUNT(*) FROM ex), 0) AS BIGINT) AS recall_micro,
+       CAST((SELECT COUNT(*) FROM cm) * 1000000
+            // NULLIF((SELECT COUNT(*) FROM ls), 0) AS BIGINT) AS precision_micro"""
+
+  /** Mirrors TrainPrep.leakageAudit: simhash pairs × both split oracles,
+    * straddle counts per method. */
+  def leakageAudit(valPct: Int = 10, testPct: Int = 10): String = {
+    def one(splitSql: String, name: String) = s"""
+SELECT '$name' AS method, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddling,
+       CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) * 1000000
+            // NULLIF(COUNT(*), 0) AS BIGINT) AS straddle_micro
+FROM pr
+JOIN ($splitSql) a ON a.doc_id = pr.doc_a
+JOIN ($splitSql) b ON b.doc_id = pr.doc_b"""
+    s"""
+WITH pr AS (SELECT doc_a, doc_b FROM ($simhashPairs) tp)
+${one(trainSplits(valPct, testPct), "per_doc")}
+UNION ALL${one(leakageSafeSplits(valPct, testPct), "per_cluster")}
+ORDER BY method"""
+  }
+
   /** Mirrors operators.BpeLearn: word-level BPE merge learning, `rounds`
     * unrolled CTE rounds. Sequences are double-separator (U+001F) wrapped
     * strings; `replace` is greedy-left non-overlapping on both engines, so
