@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 197
+  val GatedQueryCount: Int = 198
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -564,6 +564,9 @@ object SparkEntry {
       TextOps.tfidfTopTerms(Tables.documents(s, d))),
     // ordered conversion funnel over the event stream
     "events_funnel" -> ((s, d) => EventQueries.funnel(Tables.events(s, d))),
+    // the 24h time-boxed variant: step counts bounded to the step-1 anchor
+    "events_funnel_windowed" -> ((s, d) =>
+      EventQueries.funnelWindowed(Tables.events(s, d))),
     // bloom-prefiltered semi join (probe is perf-only; result = plain semi)
     "join_bloom_revenue" -> ((s, d) =>
       RelationalQueries.bloomFilteredRevenue(Tables.lineitem(s, d),
@@ -879,6 +882,7 @@ object SparkEntry {
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),
     "events_funnel" -> OracleSql.eventsFunnel,
+    "events_funnel_windowed" -> OracleSql.eventsFunnelWindowed(),
     "text_scrub" -> OracleSqlText.scrubStats,
     "text_c4_filters" -> OracleSqlText.c4Filters,
     "join_bloom_revenue" -> OracleSql.bloomFilteredRevenue)

@@ -806,6 +806,47 @@ object EventQueries {
         expr("cents_b div nullif(n_users_b, 0)").as("cents_per_user_b"))
   }
 
+  /** Time-boxed funnel: the [[funnel]] chain with a completion window —
+    * step i counts only when the earliest chain reaches it within
+    * `windowHours` of the user's step-1 arrival (product analytics'
+    * standard "converted within 24h" cut; the unbounded funnel can't
+    * distinguish a same-session conversion from one weeks later). Same
+    * cumulative-conditional-MIN plan — the bound is ONE derived predicate
+    * per step on the per-user frame, no extra shuffle. */
+  def funnelWindowed(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      windowHours: Int = 24): DataFrame = {
+    val winUs = windowHours * 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events.select("user_id", "ts", "event_id", "event_type")
+    val withSteps = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val hit =
+        if (i == 0) col("event_type") === step
+        else col("event_type") === step && col(s"s${i - 1}").isNotNull
+      df.withColumn(s"s$i", min(when(hit, col("ts"))).over(w))
+    }
+    val perUserAggs = steps.indices.map(i => min(col(s"s$i")).as(s"t$i"))
+    val perUser = withSteps.groupBy("user_id")
+      .agg(perUserAggs.head, perUserAggs.tail: _*)
+    val inWin = steps.indices.map(i =>
+      col(s"t$i").isNotNull &&
+        expr(s"unix_micros(cast(t$i as timestamp)) - unix_micros(cast(t0 as timestamp))") <= winUs)
+    val countAggs = steps.indices.map(i =>
+      sum(inWin(i).cast("long")).as(s"n$i"))
+    val counts = perUser.agg(countAggs.head, countAggs.tail: _*)
+    val stepRows = array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step"), lit(s).as("step_name"),
+        col(s"n$i").as("n_users"))
+    }: _*)
+    counts.select(col("n0"), explode(stepRows).as("x"))
+      .select(col("x.step").cast("long").as("step"), col("x.step_name").as("step_name"),
+        col("x.n_users").as("n_users"),
+        when(col("n0") === 0, lit(null).cast("double"))
+          .otherwise(round(col("x.n_users") * 100.0 / col("n0"), 2)).as("pct_of_first"))
+      .orderBy("step")
+  }
+
   /** Behavioral bot screen — the crawl/spam filter a training-data
     * pipeline runs over behavioral streams before any engagement signal is
     * trusted: per user, exact inter-event gap moments and a regularity

@@ -636,6 +636,53 @@ FROM (
 )
 ORDER BY step"""
 
+  /** Mirrors EventQueries.funnelWindowed: the [[eventsFunnel]] chain with
+    * the completion-window predicate on each step count. */
+  def eventsFunnelWindowed(windowHours: Int = 24): String = {
+    val winUs = windowHours * 3600L * 1000000L
+    s"""
+WITH $evCte,
+f0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS s0
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+f1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND s0 IS NOT NULL THEN ts END)
+              OVER w AS s1
+  FROM f0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+f2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND s1 IS NOT NULL THEN ts END)
+              OVER w AS s2
+  FROM f1
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+u AS (SELECT user_id, MIN(s0) AS t0, MIN(s1) AS t1, MIN(s2) AS t2 FROM f2 GROUP BY user_id),
+c AS (
+  SELECT
+    COUNT(CASE WHEN t0 IS NOT NULL
+               AND epoch_us(t0) - epoch_us(t0) <= $winUs THEN 1 END) AS n0,
+    COUNT(CASE WHEN t1 IS NOT NULL
+               AND epoch_us(t1) - epoch_us(t0) <= $winUs THEN 1 END) AS n1,
+    COUNT(CASE WHEN t2 IS NOT NULL
+               AND epoch_us(t2) - epoch_us(t0) <= $winUs THEN 1 END) AS n2
+  FROM u
+)
+SELECT step, step_name, n_users, ROUND((n_users::DOUBLE * 100) / NULLIF(n0, 0), 2) AS pct_of_first
+FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, n0 AS n_users, n0 FROM c
+  UNION ALL SELECT CAST(2 AS BIGINT), 'click', n1, n0 FROM c
+  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n2, n0 FROM c
+)
+ORDER BY step"""
+  }
+
   /** Mirrors SnapshotMerge.balanceUpsert: full-outer join + coalesce —
     * the MERGE INTO lowering. */
   def balanceUpsert(cutoff: String): String = s"""
