@@ -154,6 +154,27 @@ class PhysicalOpsSpec extends AnyFunSuite {
     assert(r("c") === 500000L)
   }
 
+  // ---- funnelWindowed ----
+
+  test("funnelWindowed: boundary inclusive at exactly the window; beyond drops") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val h24 = 24L * 3600L
+    val events = Seq(
+      // user 1: completes exactly AT the 24h boundary — counts (<=)
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(100)), (3L, 1L, "purchase", ts(h24)),
+      // user 2: purchase one second past — step 3 drops, step 2 counts
+      (4L, 2L, "view", ts(0)), (5L, 2L, "click", ts(200)), (6L, 2L, "purchase", ts(h24 + 1)),
+      // user 3: never clicks
+      (7L, 3L, "view", ts(0)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = EventQueries.funnelWindowed(events).collect()
+      .map(x => x.getAs[Long]("step") -> x.getAs[Long]("n_users")).toMap
+    assert(r(1L) === 3L)
+    assert(r(2L) === 2L)
+    assert(r(3L) === 1L, "24h-exact completion must count; 24h+1s must not")
+  }
+
   // ---- botScreen ----
 
   test("botScreen: cron-regular user flags, organic jitter does not; singletons stay null") {
