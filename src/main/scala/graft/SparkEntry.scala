@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 198
+  val GatedQueryCount: Int = 199
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -413,6 +413,9 @@ object SparkEntry {
     "embed_kmeans" -> ((s, d) => Similarity.kmeansClusters(Tables.embeddings(s, d))),
     // cluster-balanced diversity sample: hash-rank cap per semantic cluster
     "sample_diversity" -> ((s, d) => Similarity.diversitySample(Tables.embeddings(s, d))),
+    // class-balanced downsampling: every class capped at the minority size
+    "sample_class_balanced" -> ((s, d) =>
+      graft.operators.Sampling.classBalanced(Tables.embeddings(s, d))),
     // the scale path (LSH blocking + exact verify); the all-pairs form stays
     // gated as embed_neardup_exact, the differential baseline — on gate data
     // the two must produce identical rows (100% LSH recall, see scaladoc)
@@ -784,6 +787,7 @@ object SparkEntry {
     "embed_pq_codes" -> OracleSqlText.embedPqCodes(),
     "ann_pq_topk" -> OracleSqlText.annPqTopK(),
     "sample_diversity" -> OracleSqlText.sampleDiversity(),
+    "sample_class_balanced" -> OracleSqlText.sampleClassBalanced,
     "embed_neardup_pairs" -> OracleSqlText.nearDupPairsLsh(),
     "embed_neardup_exact" -> OracleSqlText.nearDupPairs,
     "dedup_semantic" -> OracleSqlText.semDedup(),

@@ -148,6 +148,29 @@ object Sampling {
       .select(col(idCol), col("grp"), col("sample_rank"))
       .orderBy("grp", "sample_rank")
 
+  /** Class-balanced downsampling: cap EVERY class at the minority class's
+    * size — the standard rebalancing cut before training a classifier on
+    * skewed labels (eval suites and contrastive heads both want uniform
+    * class priors). The cap is data-derived, not a parameter: one class
+    * census folds to a 1-row broadcast min, and the per-class hash-rank
+    * (same (md5, id) shuffle order as every sampler here — uniform,
+    * append-stable, engine-portable) keeps rank ≤ that min. Output is
+    * exactly n_classes × min_class_size rows by construction. One keyed
+    * census + one keyed rank window; the minority count rides as a 1-row
+    * broadcast — nothing corpus-sized on the driver. */
+  def classBalanced(df: DataFrame, classCol: String = "label",
+      idCol: String = "vec_id"): DataFrame = {
+    val minCount = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+      .agg(min("n").as("min_class_n"))
+    df.select(col(idCol), col(classCol).cast("long").as("class"), hash32(col(idCol)).as("hv"))
+      .crossJoin(broadcast(minCount))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy("class").orderBy(col("hv"), col(idCol))).cast("long"))
+      .filter(col("sample_rank") <= col("min_class_n"))
+      .select(col(idCol), col("class"), col("sample_rank"))
+      .orderBy("class", "sample_rank")
+  }
+
   /** Per-source token-budget sampling: training mixtures are specified in
     * TOKENS, not documents ("30 B tokens of web, 5 B of code"), so the
     * sampler must cut each source at a token budget. Documents order

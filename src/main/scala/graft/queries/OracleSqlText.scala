@@ -2403,6 +2403,24 @@ ranked AS (
 SELECT doc_id, source, n_tokens, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM ranked WHERE sample_rank <= $cap ORDER BY source, sample_rank"""
 
+  /** Mirrors Sampling.classBalanced over embeddings: class census → 1-row
+    * min → per-class (md5, id) rank ≤ min. */
+  val sampleClassBalanced: String = s"""
+WITH mn AS (
+  SELECT MIN(n) AS min_class_n
+  FROM (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+),
+r AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS class,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY (${hex8IntSql("vec_id::VARCHAR")}), vec_id) AS BIGINT)
+           AS sample_rank
+  FROM embeddings
+)
+SELECT vec_id, class, sample_rank FROM r, mn
+WHERE sample_rank <= min_class_n ORDER BY class, sample_rank"""
+
   /** Mirrors Dedup.lshRecallEval: the two dedup oracles as derived
     * tables, semi-joined, integer recall/precision. */
   val dedupLshRecall: String = s"""
