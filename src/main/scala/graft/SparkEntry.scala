@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 199
+  val GatedQueryCount: Int = 200
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -211,6 +211,9 @@ object SparkEntry {
       RelationalQueries.paretoFrontier(Tables.orders(s, d))),
     // every grouping level in one pass (rollup / grouping sets)
     "orders_rollup" -> ((s, d) => RelationalQueries.ordersRollup(Tables.orders(s, d))),
+    // explicit GROUPING SETS: the two independent margins from one scan
+    "orders_grouping_sets" -> ((s, d) =>
+      RelationalQueries.ordersGroupingSets(Tables.orders(s, d))),
     "orders_cube" -> ((s, d) => RelationalQueries.ordersCube(Tables.orders(s, d))),
     // per-column table profile (rows / nulls / distincts) in one pass
     "profile_orders" -> ((s, d) => RelationalQueries.profileColumns(
@@ -844,6 +847,7 @@ object SparkEntry {
     "events_pivot_monthly" ->
       OracleSql.eventsPivotMonthly(EventQueries.EventTypes),
     "orders_rollup" -> OracleSql.ordersRollup,
+    "orders_grouping_sets" -> OracleSql.ordersGroupingSets,
     "orders_cube" -> OracleSql.ordersCube,
     "profile_orders" -> OracleSql.profileOrders,
     "timeseries_gapfill" -> OracleSql.gapFillDaily,

@@ -890,6 +890,17 @@ FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
+  /** Mirrors RelationalQueries.ordersGroupingSets: the two independent
+    * margins from one scan. */
+  val ordersGroupingSets: String = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
   /** Mirrors EventQueries.trailingFeatures: identical integer-second RANGE
     * frames ([-w, -1] — strictly before the current second). FLOOR before
     * the BIGINT cast: DuckDB's double→int cast rounds to nearest where

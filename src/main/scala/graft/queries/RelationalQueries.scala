@@ -182,6 +182,24 @@ object RelationalQueries {
         round(sum(col("o_totalprice")), 2).as("total_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Explicit GROUPING SETS — the member of the grouping-analytics family
+    * neither [[ordersRollup]] nor [[ordersCube]] can express: exactly the
+    * two independent margins ((status), (priority)) from ONE scan — two
+    * report dimensions without the detail level or grand total a rollup/
+    * cube would force, i.e. the cheapest possible multi-margin pass. Same
+    * single-Expand single-aggregate physical shape (one replica per
+    * requested set, not per subset). */
+  def ordersGroupingSets(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** Full CUBE over (status, priority) — all four grouping levels
     * (detail, per-status, per-priority, grand total) in one pass; the same
     * single-Expand-single-aggregate shape as [[ordersRollup]], one extra
