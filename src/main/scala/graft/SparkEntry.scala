@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 200
+  val GatedQueryCount: Int = 204
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -401,6 +401,15 @@ object SparkEntry {
     "search_phrase_topk" -> ((s, d) => Search.phraseTopK(Tables.documents(s, d))),
     // per-returnflag Pearson correlations from exact 128-bit integer moments
     "profile_corr" -> ((s, d) => Validators.corrProfile(Tables.lineitem(s, d))),
+    // distribution-shape profile: skew/kurtosis from exact integer power sums
+    "profile_moments" -> ((s, d) => Validators.momentsProfile(Tables.events(s, d))),
+    // robust MAD-fence outlier screen (exact per-group medians)
+    "profile_mad_outliers" -> ((s, d) => Validators.madOutliers(Tables.events(s, d))),
+    // learned NB language classifier: train split, held-out confusion matrix
+    "text_nb_langid" -> ((s, d) => TextOps.nbLangConfusion(Tables.documents(s, d))),
+    // DPO-style preference pairs: near-dup content, strict quality gap
+    "train_preference_pairs" -> ((s, d) =>
+      graft.operators.TrainPrep.preferencePairs(Tables.documents(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // scalar-quantization (SQ8) ANN: per-dim envelope codes, integer dot
     "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(Tables.embeddings(s, d))),
@@ -779,6 +788,10 @@ object SparkEntry {
     "train_leakage_audit" -> OracleSqlText.leakageAudit(),
     "search_phrase_topk" -> OracleSqlText.phraseTopK(),
     "profile_corr" -> OracleSql.corrProfile,
+    "profile_moments" -> OracleSql.momentsProfile,
+    "profile_mad_outliers" -> OracleSql.madOutliers,
+    "text_nb_langid" -> OracleSqlText.nbLangConfusion,
+    "train_preference_pairs" -> OracleSqlText.preferencePairs,
     "embed_label_scatter" -> OracleSqlText.labelScatter,
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL

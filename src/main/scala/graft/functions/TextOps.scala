@@ -896,4 +896,73 @@ object TextOps {
             lit(0L),
             (acc, c) => (acc * RollingHashBase + c) % RollingHashMod)).as("rolling_hash"))
       .orderBy("doc_id")
+
+  /** Trained multinomial Naive Bayes language classifier, evaluated as a
+    * confusion matrix over a held-out split — the closed-form analogue of
+    * the fastText-style classifiers production pipelines train for
+    * language/quality filtering (CCNet, RedPajama). Unlike the marker-vote
+    * heuristic ([[languageId]]), the model here is LEARNED from the
+    * corpus: train on the md5-stable 81% split (first hex digit of
+    * md5(doc_id) < 'd' — the [[graft.operators.TrainPrep]] discipline, so
+    * membership is append-stable), score the held-out 19%.
+    *
+    * Model: P(lang | doc) ∝ P(lang) · Π_t P(t | lang)^tf with add-one
+    * smoothing over the train vocabulary V: P(t|lang) = (c(t,lang)+1) /
+    * (n_lang+V). Every log-likelihood quantizes to integer micro-nats
+    * (floor(ln·10⁶), the [[bigramLogProb]] discipline) BEFORE summation,
+    * so per-doc scores are order-independent integer sums and the argmax
+    * (score desc, lang asc) is engine-exact.
+    *
+    * Scale shape: the MODEL is a (train-vocab × langs) weight grid —
+    * domain-sized, built from one token-keyed census with map-side
+    * combine, and broadcastable at serve time exactly like a shipped
+    * fastText model. Scoring is one explode + token-keyed join + doc-keyed
+    * sum; the only window orders L rows per doc (argmax). Nothing is
+    * corpus × corpus.
+    *
+    * Output: (lang_actual, lang_pred, n_docs) over the held-out split. */
+  def nbLangConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"),
+      (substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "d").as("is_train"))
+    val tok = graft.RunHygiene.stage(
+      tagged.select(col("doc_id"), col("lang"), col("is_train"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "lang", "is_train", "t").agg(count(lit(1)).as("tf")))
+    tok.count() // one tokenize pass feeds counts, vocab, and scoring
+
+    // model: per-(lang, token) counts, per-lang totals, vocab size, priors
+    val counts = tok.filter(col("is_train"))
+      .groupBy(col("lang").as("m_lang"), col("t")).agg(sum("tf").as("c"))
+    val langTotals = counts.groupBy("m_lang").agg(sum("c").as("n_lang"))
+    val vocab = counts.agg(countDistinct("t").as("v"))
+    val priors = tok.filter(col("is_train"))
+      .select("doc_id", "lang").distinct()
+      .groupBy(col("lang").as("m_lang")).agg(count(lit(1)).as("n_docs_lang"))
+    val nTrainDocs = priors.agg(sum("n_docs_lang").as("n_train"))
+    val priorMicro = priors.crossJoin(broadcast(nTrainDocs))
+      .select(col("m_lang"), floor(log(col("n_docs_lang").cast("double") /
+        col("n_train")) * 1e6).cast("long").as("prior_micro"))
+
+    // weight grid: every held-out token × every train lang, add-one smoothed
+    val testTok = tok.filter(!col("is_train"))
+    val grid = testTok.select("t").distinct()
+      .crossJoin(broadcast(langTotals))
+      .join(counts, Seq("t", "m_lang"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("t"), col("m_lang"),
+        floor(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("n_lang") + col("v"))) * 1e6).cast("long").as("w_micro"))
+
+    // score: integer micro-nat sums per (doc, lang), argmax with lang tie-break
+    val scores = testTok.join(grid, "t")
+      .groupBy("doc_id", "lang", "m_lang")
+      .agg(sum(col("tf") * col("w_micro")).as("ll_micro"))
+      .join(broadcast(priorMicro), "m_lang")
+      .withColumn("score_micro", col("ll_micro") + col("prior_micro"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_micro").desc, col("m_lang"))
+    scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("lang").as("lang_actual"), col("m_lang").as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_actual", "lang_pred")
+  }
 }

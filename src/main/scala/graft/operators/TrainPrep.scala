@@ -292,4 +292,37 @@ object TrainPrep {
       .withColumn("n_tokens", col("n_tokens").cast("long"))
       .orderBy("split", "shard")
   }
+
+  /** Preference-pair construction for DPO/RLHF-style tuning: near-duplicate
+    * document pairs where the two sides differ in quality score become
+    * (chosen, rejected) training pairs — the same content expressed better
+    * vs worse, which is exactly the contrast a preference objective wants
+    * (pairing two UNRELATED documents teaches topic preference, not quality
+    * preference; the near-dup constraint holds content fixed).
+    *
+    * chosen = the strictly-higher-quality side ([[TextOps.qualityScore]],
+    * ROUND(4)-pinned, so "strictly higher" is engine-exact); equal-quality
+    * and null-quality (empty-doc) pairs are dropped — no tie-break
+    * masquerading as signal. `margin` is the rounded score gap, usable
+    * downstream as a confidence weight or curriculum key.
+    *
+    * Scale shape: pairs come from the SimHash sketch equality join
+    * ([[Dedup.simhashPairs]] — sketch-keyed, never all-pairs); quality is
+    * a per-row kernel joined back by doc_id twice (both keyed joins, and
+    * the quality side prunes to (doc_id, score) before the join). Output
+    * is pair-bounded. */
+  def preferencePairs(docs: DataFrame): DataFrame = {
+    val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    Dedup.simhashPairs(docs)
+      .join(q.select(col("doc_id").as("doc_a"), col("quality_score").as("qa")), "doc_a")
+      .join(q.select(col("doc_id").as("doc_b"), col("quality_score").as("qb")), "doc_b")
+      .filter(col("qa").isNotNull && col("qb").isNotNull && col("qa") =!= col("qb"))
+      .select(
+        when(col("qa") > col("qb"), col("doc_a")).otherwise(col("doc_b")).as("chosen_doc"),
+        when(col("qa") > col("qb"), col("doc_b")).otherwise(col("doc_a")).as("rejected_doc"),
+        when(col("qa") > col("qb"), col("qa")).otherwise(col("qb")).as("chosen_score"),
+        when(col("qa") > col("qb"), col("qb")).otherwise(col("qa")).as("rejected_score"))
+      .withColumn("margin", round(col("chosen_score") - col("rejected_score"), 4))
+      .orderBy("chosen_doc", "rejected_doc")
+  }
 }

@@ -362,4 +362,101 @@ object Validators {
       .withColumn("n_rest", col("n_rest").cast("long"))
       .orderBy("source")
   }
+
+  /** Distribution-shape profile per event type: mean, stddev, skewness and
+    * excess kurtosis of `value`, from exact integer power sums — the
+    * mergeable-moments pattern ([[corrProfile]] extended to 3rd/4th order).
+    * Where [[ksProfile]] answers "did the distribution move?", this answers
+    * "what shape is it?" — the screen that catches a heavy right tail
+    * (payment whales) or a truncated distribution (a capped logger) that
+    * mean/stddev dashboards miss.
+    *
+    * Exactness: values are fixed to cents (floor(v·100+0.5), the
+    * [[corrProfile]] discipline), then Σx..Σx⁴ accumulate as
+    * DECIMAL(38,0) ↔ DuckDB HUGEINT — per-row x⁴ ≤ 9.9·10¹⁸ and the sum
+    * stays under 10²⁶ even at 100×, so both engines hold identical
+    * integers. Central moments then evaluate in IEEE doubles on an
+    * identical fixed expression tree (mₖ via the raw-moment expansion);
+    * ROUND(6) pins the last bits.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the corpus onto a
+    * domain-sized key (event types) — the cheapest possible plan; the
+    * power sums are associative/commutative so executors combine partials
+    * without a second pass. No window, no join, no driver state. */
+  def momentsProfile(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = floor(col("value") * 100 + 0.5).cast("long").cast(dec)
+    val m = events
+      .select(col("event_type"), x.as("x"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+    // fixed double tree from here — identical in the DuckDB twin
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val r2 = col("s2").cast("double") / nD
+    val r3 = col("s3").cast("double") / nD
+    val r4 = col("s4").cast("double") / nD
+    val m2 = r2 - mean * mean
+    val m3 = r3 - lit(3.0) * mean * r2 + lit(2.0) * mean * mean * mean
+    val m4 = r4 - lit(4.0) * mean * r3 + lit(6.0) * mean * mean * r2 -
+      lit(3.0) * mean * mean * mean * mean
+    m.select(
+        col("event_type"),
+        col("n"),
+        round(mean / 100.0, 6).as("mean_value"),
+        round(sqrt(m2) / 100.0, 6).as("stddev_value"),
+        round(m3 / nullif(pow(m2, 1.5), lit(0.0)), 6).as("skewness"),
+        round(m4 / nullif(m2 * m2, lit(0.0)) - 3.0, 6).as("kurtosis_excess"))
+      .orderBy("event_type")
+  }
+
+  /** Robust outlier screen per event type: exact median, median absolute
+    * deviation, and the count of values beyond the 3σ-equivalent MAD fence
+    * (|x − med| > 3·1.4826·MAD). Mean/stddev fences ([[momentsProfile]])
+    * move with the outliers they are supposed to catch; the MAD fence has
+    * a 50% breakdown point, so one payment whale cannot hide another.
+    *
+    * Exactness: cents-fixed integers; both medians are linear
+    * interpolation over sorted integers (Spark `percentile` ↔ DuckDB
+    * `quantile_cont`), so they land on .0/.5 exactly; deviations are
+    * half-integer-exact doubles; the fence multiplier is the SAME literal
+    * (4.4478 = 3·1.4826) on both sides so the comparison sees identical
+    * doubles. ROUND pins the reported values.
+    *
+    * Scale shape: two keyed aggregates on a domain-sized key with a keyed
+    * self-join between them (broadcast: one row per event type). The exact
+    * per-group median is the correctness baseline — it sorts each group —
+    * and is the right gate semantics; the corpus-scale path for quantiles
+    * is the mergeable sketch family (`sketch_quantile`), already gated. */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val cents = events.select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    val med = cents.groupBy("event_type")
+      .agg(expr("percentile(c, 0.5)").as("med_c"), count(lit(1)).as("n"))
+    val dev = graft.RunHygiene.stage(cents.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("c").cast("double") - col("med_c"))))
+    val mad = dev.groupBy("event_type")
+      .agg(max(col("n")).as("n"), max(col("med_c")).as("med_c"),
+        expr("percentile(adev, 0.5)").as("mad_c"))
+    val out = dev.select("event_type", "adev")
+      .join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        max(col("n")).as("n"),
+        max(col("med_c")).as("med_c"),
+        max(col("mad_c")).as("mad_c"),
+        sum((col("adev") > lit(4.4478) * col("mad_c")).cast("long")).as("n_outliers"))
+    out.select(
+        col("event_type"),
+        col("n"),
+        round(col("med_c") / 100.0, 4).as("median_value"),
+        round(col("mad_c") / 100.0, 4).as("mad_value"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n"), 6).as("outlier_share"))
+      .orderBy("event_type")
+  }
 }

@@ -1837,4 +1837,77 @@ FROM p LEFT JOIN c
  AND c.c_ts > p.p_ts - INTERVAL $windowMinutes MINUTE
  AND c.c_ts <= p.p_ts
 GROUP BY 1, 2 ORDER BY purchase_id"""
+
+  /** Mirrors Validators.momentsProfile: cents fix-up, exact HUGEINT power
+    * sums (↔ Spark DECIMAL(38,0)), then the identical fixed double tree
+    * for the raw-moment expansion of m₂/m₃/m₄. */
+  val momentsProfile: String = """
+WITH b AS (
+  SELECT event_type, CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT) AS x
+  FROM events
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS s1, SUM(x * x) AS s2,
+         SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4
+  FROM b GROUP BY event_type
+),
+r AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         s1::DOUBLE / n::DOUBLE AS mean,
+         s2::DOUBLE / n::DOUBLE AS r2,
+         s3::DOUBLE / n::DOUBLE AS r3,
+         s4::DOUBLE / n::DOUBLE AS r4
+  FROM m
+),
+c AS (
+  SELECT event_type, n, mean,
+         r2 - mean * mean AS m2,
+         r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+         r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+            - 3.0 * mean * mean * mean * mean AS m4
+  FROM r
+)
+SELECT event_type, n,
+       ROUND(mean / 100.0, 6) AS mean_value,
+       ROUND(sqrt(m2) / 100.0, 6) AS stddev_value,
+       ROUND(m3 / NULLIF(pow(m2, 1.5), 0.0), 6) AS skewness,
+       ROUND(m4 / NULLIF(m2 * m2, 0.0) - 3.0, 6) AS kurtosis_excess
+FROM c ORDER BY event_type"""
+
+  /** Mirrors Validators.madOutliers: cents-fixed integers, exact
+    * interpolated medians (quantile_cont ↔ Spark percentile), the same
+    * 4.4478 fence literal. */
+  val madOutliers: String = """
+WITH b AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(c, 0.5) AS med_c, COUNT(*) AS n
+  FROM b GROUP BY event_type
+),
+dev AS (
+  SELECT b.event_type, med.n, med.med_c,
+         abs(b.c::DOUBLE - med.med_c) AS adev
+  FROM b JOIN med ON med.event_type = b.event_type
+),
+mad AS (
+  SELECT event_type, MAX(n) AS n, MAX(med_c) AS med_c,
+         quantile_cont(adev, 0.5) AS mad_c
+  FROM dev GROUP BY event_type
+),
+agg AS (
+  SELECT dev.event_type, MAX(mad.n) AS n, MAX(mad.med_c) AS med_c,
+         MAX(mad.mad_c) AS mad_c,
+         SUM(CASE WHEN dev.adev > 4.4478 * mad.mad_c THEN 1 ELSE 0 END) AS bad
+  FROM dev JOIN mad ON mad.event_type = dev.event_type
+  GROUP BY dev.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(med_c / 100.0, 4) AS median_value,
+       ROUND(mad_c / 100.0, 4) AS mad_value,
+       CAST(bad AS BIGINT) AS n_outliers,
+       ROUND(bad::DOUBLE / n, 6) AS outlier_share
+FROM agg ORDER BY event_type"""
 }

@@ -2688,4 +2688,86 @@ SELECT doc_id, n_words, mean_word_len_micro, frac_alpha_micro, stopword_count,
        fail_rule IS NULL AS keep, fail_rule
 FROM gv ORDER BY doc_id"""
 
+  /** Mirrors TrainPrep.preferencePairs: the simhash equal-sketch pair graph
+    * joined twice against the ROUND(4)-pinned quality kernel; strict
+    * inequality picks chosen/rejected. */
+  val preferencePairs: String = s"""
+WITH $simhashGraphCtes,
+q AS (
+  SELECT t.doc_id,
+         ROUND(LEAST(len(toks), 200)::DOUBLE / 200.0 *
+               (1.0 - ROUND(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                            / NULLIF(length(d.text), 0), 4)), 4) AS quality_score
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+),
+j AS (
+  SELECT p.doc_a, p.doc_b, qa.quality_score AS qa, qb.quality_score AS qb
+  FROM pairs p
+  JOIN q qa ON qa.doc_id = p.doc_a
+  JOIN q qb ON qb.doc_id = p.doc_b
+  WHERE qa.quality_score IS NOT NULL AND qb.quality_score IS NOT NULL
+    AND qa.quality_score <> qb.quality_score
+)
+SELECT CASE WHEN qa > qb THEN doc_a ELSE doc_b END AS chosen_doc,
+       CASE WHEN qa > qb THEN doc_b ELSE doc_a END AS rejected_doc,
+       CASE WHEN qa > qb THEN qa ELSE qb END AS chosen_score,
+       CASE WHEN qa > qb THEN qb ELSE qa END AS rejected_score,
+       ROUND((CASE WHEN qa > qb THEN qa ELSE qb END) -
+             (CASE WHEN qa > qb THEN qb ELSE qa END), 4) AS margin
+FROM j ORDER BY chosen_doc, rejected_doc"""
+
+  /** Mirrors TextOps.nbLangConfusion: md5-stable 81/19 split, add-one
+    * smoothed multinomial NB with micro-nat-quantized log weights, argmax
+    * with lang tie-break, confusion counts over the held-out split. */
+  val nbLangConfusion: String = s"""
+WITH tagged AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' AS is_train
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang, is_train, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, lang, is_train, unnest(toks) AS t FROM tagged)
+  GROUP BY doc_id, lang, is_train, t
+),
+counts AS (
+  SELECT lang AS m_lang, t, SUM(tf) AS c FROM tok WHERE is_train GROUP BY 1, 2
+),
+lt AS (SELECT m_lang, SUM(c) AS n_lang FROM counts GROUP BY m_lang),
+vocab AS (SELECT COUNT(DISTINCT t) AS v FROM counts),
+priors AS (
+  SELECT lang AS m_lang, COUNT(DISTINCT doc_id) AS n_docs_lang
+  FROM tok WHERE is_train GROUP BY 1
+),
+ntd AS (SELECT SUM(n_docs_lang) AS n_train FROM priors),
+pm AS (
+  SELECT m_lang,
+         CAST(floor(ln(n_docs_lang::DOUBLE / n_train) * 1e6) AS BIGINT) AS prior_micro
+  FROM priors, ntd
+),
+tt AS (SELECT * FROM tok WHERE NOT is_train),
+grid AS (
+  SELECT g.t, lt.m_lang,
+         CAST(floor(ln((COALESCE(c.c, 0) + 1)::DOUBLE / (lt.n_lang + vocab.v)) * 1e6)
+              AS BIGINT) AS w_micro
+  FROM (SELECT DISTINCT t FROM tt) g
+  CROSS JOIN lt
+  LEFT JOIN counts c ON c.t = g.t AND c.m_lang = lt.m_lang
+  CROSS JOIN vocab
+),
+sc AS (
+  SELECT tt.doc_id, tt.lang, grid.m_lang,
+         CAST(SUM(tt.tf * grid.w_micro) AS BIGINT) AS ll_micro
+  FROM tt JOIN grid ON grid.t = tt.t
+  GROUP BY 1, 2, 3
+),
+fin AS (
+  SELECT sc.doc_id, sc.lang, sc.m_lang,
+         ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+                            ORDER BY sc.ll_micro + pm.prior_micro DESC, sc.m_lang) AS rk
+  FROM sc JOIN pm ON pm.m_lang = sc.m_lang
+)
+SELECT lang AS lang_actual, m_lang AS lang_pred, COUNT(*) AS n_docs
+FROM fin WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
+
 }
