@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 204
+  val GatedQueryCount: Int = 210
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -410,6 +410,20 @@ object SparkEntry {
     // DPO-style preference pairs: near-dup content, strict quality gap
     "train_preference_pairs" -> ((s, d) =>
       graft.operators.TrainPrep.preferencePairs(Tables.documents(s, d))),
+    // exact Gini concentration per event type from the value census
+    "profile_gini" -> ((s, d) => Validators.giniProfile(Tables.events(s, d))),
+    // mergeable covariance/correlation census over leading embedding dims
+    "embed_covariance" -> ((s, d) =>
+      Similarity.embeddingCovariance(Tables.embeddings(s, d))),
+    // cohort LTV matrix: first-activity month x age, cumulative value/user
+    "events_cohort_ltv" -> ((s, d) => EventQueries.cohortLtv(Tables.events(s, d))),
+    // sample-ratio-mismatch guard: integer chi2 vs the 50/50 null
+    "events_ab_srm" -> ((s, d) => EventQueries.abSrmCheck(Tables.events(s, d))),
+    // Kneser-Ney bigram LM score (the real perplexity-filter smoothing)
+    "text_kn_bigram" -> ((s, d) => TextOps.knBigramLogProb(Tables.documents(s, d))),
+    // contrastive hard negatives: banded phash Hamming top-k, dups excluded
+    "mm_hard_negatives" -> ((s, d) =>
+      Multimodal.hardNegativePairs(Multimodal.withMedia(Tables.documents(s, d)))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // scalar-quantization (SQ8) ANN: per-dim envelope codes, integer dot
     "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(Tables.embeddings(s, d))),
@@ -792,6 +806,12 @@ object SparkEntry {
     "profile_mad_outliers" -> OracleSql.madOutliers,
     "text_nb_langid" -> OracleSqlText.nbLangConfusion,
     "train_preference_pairs" -> OracleSqlText.preferencePairs,
+    "profile_gini" -> OracleSql.giniProfile,
+    "embed_covariance" -> OracleSql.embeddingCovariance(),
+    "events_cohort_ltv" -> OracleSql.cohortLtv,
+    "events_ab_srm" -> OracleSql.abSrmCheck,
+    "text_kn_bigram" -> OracleSqlText.knBigramLogProb,
+    "mm_hard_negatives" -> OracleSqlText.mmHardNegatives(),
     "embed_label_scatter" -> OracleSqlText.labelScatter,
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL

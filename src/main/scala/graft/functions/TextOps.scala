@@ -897,6 +897,64 @@ object TextOps {
             (acc, c) => (acc * RollingHashBase + c) % RollingHashMod)).as("rolling_hash"))
       .orderBy("doc_id")
 
+  /** Kneser-Ney-smoothed bigram language model score per document — the
+    * smoothing the REAL perplexity filters use (CCNet ships KenLM, which is
+    * modified KN): where [[bigramLogProb]] interpolates with the raw
+    * unigram, KN discounts every seen bigram by D = 0.75 and backs off to
+    * the CONTINUATION probability — how many distinct contexts a word
+    * completes, not how often it occurs. The difference is exactly the
+    * "San Francisco" effect: "francisco" is frequent but only ever follows
+    * "san", so KN scores it near-zero in novel contexts where the raw
+    * unigram backoff overrates it; corpora full of such degenerate
+    * collocations (boilerplate, templated spam) separate from prose.
+    *
+    * P(cur|prev) = (c(prev,cur) − D)/c(prev,·)
+    *             + (D·N₁₊(prev,·)/c(prev,·)) · N₁₊(·,cur)/|bigram types|.
+    * Scoring the training corpus itself, c ≥ 1 > D so the discounted term
+    * stays positive. Every ln quantizes to integer micro-nats before the
+    * per-doc sum ([[bigramLogProb]] discipline — order-free).
+    *
+    * Shape: ONE bigram-type census (staged) feeds all three KN statistics
+    * (context totals + distinct-continuation counts are aggregates OVER
+    * the census, cheaper than over the corpus) and the scoring join-back;
+    * the 1-row type total broadcasts. */
+  def knBigramLogProb(docs: DataFrame): DataFrame = {
+    val toksDf = withTokens(docs)
+    val bi = graft.RunHygiene.stage(toksDf
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("prev"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("cur"))).as("pc"))
+      .select(col("doc_id"), col("pc.prev").as("prev"), col("pc.cur").as("cur")))
+    bi.count() // one bigram stream feeds the census and the join-back
+    val c2 = graft.RunHygiene.stage(
+      bi.groupBy("prev", "cur").agg(count(lit(1)).as("c2")))
+    c2.count() // census read by ctx, cont, and the type total
+    val ctx = c2.groupBy("prev")
+      .agg(sum(col("c2")).as("cctx"), count(lit(1)).as("n1w1"))
+    val cont = c2.groupBy("cur").agg(count(lit(1)).as("ncont"))
+    val nbig = c2.agg(count(lit(1)).as("nbig"))
+    val lp = c2.join(ctx, Seq("prev")).join(cont, Seq("cur"))
+      .crossJoin(broadcast(nbig))
+      .select(col("prev"), col("cur"),
+        floor(log(
+          (col("c2").cast("double") - lit(0.75)) / col("cctx") +
+            ((lit(0.75) * col("n1w1")) / col("cctx")) *
+              (col("ncont").cast("double") / col("nbig"))) * lit(1e6))
+          .cast("long").as("micro"))
+    bi.join(lp, Seq("prev", "cur"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("micro")).as("sum_micro"),
+        min(col("micro")).as("min_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_micro").cast("double") / col("n_bigrams") / lit(1e6), 4)
+          .as("avg_kn_logprob"),
+        round(col("min_micro").cast("double") / lit(1e6), 4).as("min_kn_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Trained multinomial Naive Bayes language classifier, evaluated as a
     * confusion matrix over a held-out split — the closed-form analogue of
     * the fastText-style classifiers production pipelines train for

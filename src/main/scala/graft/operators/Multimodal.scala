@@ -111,11 +111,25 @@ object Multimodal {
     * Output: docs in multi-member groups only — (doc_id, phash32,
     * canonical_doc_id = min member, group_size), ordered by doc_id. */
   def phashGroups(media: DataFrame, bits: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = phash(media, bits)
+    val w = Window.partitionBy("phash32")
+    hashed
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
+      .filter(col("group_size") > 1)
+      .select("doc_id", "phash32", "canonical_doc_id", "group_size")
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, phash32): the block-mean perceptual hash alone — the shared
+    * kernel of [[phashGroups]] (exact-collision dedup) and
+    * [[hardNegativePairs]] (near-collision mining). */
+  def phash(media: DataFrame, bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 62, s"bits must fit a positive long, got $bits")
     implicit val inEnc = Encoders.product[MediaRow]
     implicit val outEnc = Encoders.product[MediaHash]
-    import org.apache.spark.sql.expressions.Window
-    val hashed = media.select("doc_id", "media").as[MediaRow]
+    media.select("doc_id", "media").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.media
@@ -138,13 +152,53 @@ object Multimodal {
         }
       }
       .toDF()
-    val w = Window.partitionBy("phash32")
-    hashed
-      .withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
-      .filter(col("group_size") > 1)
-      .select("doc_id", "phash32", "canonical_doc_id", "group_size")
-      .orderBy("doc_id")
+  }
+
+  /** Hard-negative mining for contrastive (CLIP-style) pair training: for
+    * each media item, the k most perceptually-similar-but-not-identical
+    * items by phash Hamming distance — the negatives that actually teach a
+    * contrastive objective something (random negatives are trivially far).
+    *
+    * Candidates come from 8-bit Hamming-LSH bands over the 32-bit hash
+    * (two hashes within Hamming 3 of each other ALWAYS share an intact
+    * band — pigeonhole over 4 bands — so close negatives are found
+    * exactly, not probabilistically; distances up to `maxHamming` are kept
+    * best-effort via shared bands). Identical hashes (Hamming 0) are the
+    * DUPLICATE set — [[phashGroups]]' business, excluded here so a dup
+    * never becomes a training negative (the classic false-negative
+    * poisoning bug in contrastive pipelines).
+    *
+    * Shape: band-keyed self-join (never all-pairs), distinct pair set,
+    * integer xor+bit_count scoring, per-anchor top-k through the rank
+    * window (WindowGroupLimit keeps it bounded per group). */
+  def hardNegativePairs(media: DataFrame, bits: Int = 32, bandBits: Int = 8,
+      maxHamming: Int = 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = graft.RunHygiene.stage(phash(media, bits))
+    hashed.count() // both self-join sides read one hash pass
+    val nBands = bits / bandBits
+    val mask = (1 << bandBits) - 1
+    val bands = hashed.select(col("doc_id"), col("phash32"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band_idx"),
+            expr(s"(phash32 >> ${b * bandBits}) & $mask").as("band_val"))): _*)).as("bv"))
+      .select(col("doc_id"), col("phash32"), col("bv.band_idx"), col("bv.band_val"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash32").as("ha"), col("b.phash32").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
+    val bidir = cand.select(col("doc_a").as("anchor_doc"), col("doc_b").as("neg_doc"), col("hamming"))
+      .unionAll(cand.select(col("doc_b").as("anchor_doc"), col("doc_a").as("neg_doc"), col("hamming")))
+    val w = Window.partitionBy("anchor_doc").orderBy(col("hamming"), col("neg_doc"))
+    bidir.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("anchor_doc", "rank")
   }
 
   case class Frame(doc_id: Long, frame_index: Int, offset: Long, n_bytes: Long,

@@ -872,4 +872,59 @@ object Similarity {
       .select("query_id", "neighbor_id", "sq_sim", "rank")
       .orderBy("query_id", "rank")
   }
+
+  /** Mergeable covariance/correlation census over the leading `kDims`
+    * embedding dimensions — the statistics a whitening / PCA step consumes
+    * (SemDeDup-style pipelines whiten before cosine; the d×d second-moment
+    * matrix is THE sufficient statistic for that transform, and it is
+    * exactly what this emits). One upper-triangle row per dimension pair.
+    *
+    * Exactness: each float coordinate quantizes to integer micro-units
+    * (floor(x·10⁶) — float→double widening is exact, so both engines see
+    * identical integers), then all five sufficient statistics are integer
+    * sums — per-row xᵢ·xⱼ ≤ 1.6·10¹¹, corpus sums fit a long at 100× and
+    * combine as DECIMAL(38,0) ↔ HUGEINT; doubles appear only in the final
+    * fixed tree. Order-free by construction.
+    *
+    * Scale shape: one narrow pair fan-out (a constant 36-entry Generate per
+    * row for kDims=8 — no join, no second corpus pass) into a map-side-
+    * combinable aggregate onto the (kDims·(kDims+1)/2)-row key domain. The
+    * output is model-sized: downstream whitening solves eigen/Cholesky on
+    * the driver exactly like the Lloyd-centroid pattern. */
+  def embeddingCovariance(emb: DataFrame, kDims: Int = 8): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pairs = for { i <- 0 until kDims; j <- i until kDims } yield (i, j)
+    // corrupt rows (short / null / NaN coordinates) leave the census rather
+    // than poisoning it — floor(NaN) has no integer and the two engines
+    // would diverge (or crash) on the cast; the exclusion is observable as
+    // n < corpus count. Identical predicate in the oracle.
+    val cleanEmb = emb.filter(size(col("embedding")) >= kDims &&
+      !exists(slice(col("embedding"), 1, kDims),
+        x => x.isNull || isnan(x.cast("double"))))
+    def xm(i: Int) =
+      floor(element_at(col("embedding"), i + 1).cast("double") * 1e6).cast("long")
+    val exploded = cleanEmb.select(explode(array(pairs.map { case (i, j) =>
+        struct(lit(i).cast("long").as("dim_i"), lit(j).cast("long").as("dim_j"),
+          xm(i).as("xi"), xm(j).as("xj"))
+      }: _*)).as("p"))
+      .select(col("p.dim_i"), col("p.dim_j"), col("p.xi"), col("p.xj"))
+    val a = exploded.groupBy("dim_i", "dim_j").agg(
+      count(lit(1)).as("n"),
+      sum(col("xi")).as("sx"), sum(col("xj")).as("sy"),
+      sum(col("xi") * col("xj")).as("sxy"),
+      sum(col("xi") * col("xi")).as("sxx"),
+      sum(col("xj") * col("xj")).as("syy"))
+    val nDec = col("n").cast(dec)
+    def d(c: Column) = c.cast(dec)
+    val num = nDec * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val varx = nDec * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vary = nDec * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val nD = col("n").cast("double")
+    a.select(
+        col("dim_i"), col("dim_j"), col("n"),
+        round((num.cast("double") / (nD * nD)) / 1e12, 10).as("cov"),
+        round(num.cast("double") /
+          nullif(sqrt(varx.cast("double") * vary.cast("double")), lit(0.0)), 8).as("corr"))
+      .orderBy("dim_i", "dim_j")
+  }
 }

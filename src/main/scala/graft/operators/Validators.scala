@@ -459,4 +459,50 @@ object Validators {
         round(col("n_outliers").cast("double") / col("n"), 6).as("outlier_share"))
       .orderBy("event_type")
   }
+
+  /** Exact Gini concentration coefficient of `value` per event type — the
+    * whale-ness readout that drives sampling design (a revenue stream with
+    * G ≈ 0.9 needs whale-guarded stratification; G ≈ 0.3 doesn't), reported
+    * in exact integer micro-units.
+    *
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending sort — but
+    * computed WITHOUT sorting the corpus: group to a (type, value) census
+    * first, then each equal-value run contributes its rank-arithmetic
+    * series c·(cumBefore·cnt + cnt·(cnt+1)/2) — rank order within a run is
+    * a permutation of fixed ranks, so the sum is tie-invariant and the
+    * whole statistic is pure integer arithmetic (cents in, DECIMAL(38,0) ↔
+    * HUGEINT combination, integer division at the end — numerator is
+    * provably ≥ 0 so floor = truncate on both engines).
+    *
+    * Scale shape: ONE map-side-combinable corpus census onto the (type,
+    * distinct-value) domain; the rank window runs over that census, not
+    * the corpus — the [[ksProfile]] discipline. Zero corpus sorts. */
+  def giniProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val census = events
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runs = census
+      .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+      // Σ of ranks inside an equal-value run: cumBefore·cnt + cnt(cnt+1)/2,
+      // kept integral (div 2 on the always-even product, never decimal /)
+      .withColumn("tri", expr("cnt * (cnt + 1) div 2"))
+      .withColumn("run_s",
+        col("c").cast(dec) * (col("cum_before").cast(dec) * col("cnt").cast(dec) +
+          col("tri").cast(dec)))
+    runs.groupBy("event_type")
+      .agg(sum(col("cnt")).as("n"), sum(col("c") * col("cnt")).as("t"),
+        sum(col("run_s")).as("s"))
+      .select(
+        col("event_type"),
+        col("n"),
+        round(col("t").cast("double") / 100.0, 2).as("total_value"),
+        expr("CAST((2 * s - (CAST(n AS DECIMAL(38,0)) + 1) * CAST(t AS DECIMAL(38,0))) " +
+          "* 1000000 DIV nullif(CAST(n AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)), 0) " +
+          "AS BIGINT)").as("gini_micro"))
+      .orderBy("event_type")
+  }
 }

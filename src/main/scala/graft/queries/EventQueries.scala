@@ -907,4 +907,76 @@ object EventQueries {
         coalesce(col("n_clicks"), lit(0L)).as("n_clicks"), col("last_click_ts"))
       .orderBy("purchase_id")
   }
+
+  /** Cohort lifetime-value matrix: users grouped by first-activity month,
+    * cumulative purchase revenue per user tracked by cohort age — the
+    * value-weighted counterpart of [[retention]] (which counts presence;
+    * this follows the money, which is what LTV payback decisions read).
+    *
+    * Months are the integer year·12+month axis so age is plain integer
+    * subtraction (no calendar-interval semantics to disagree on); revenue
+    * is cents at source, the per-user cumulative is exact integer
+    * micro-units (cum_cents·10⁶ div (users·100) — value units per cohort
+    * user). Ages with zero purchases emit no row; the cumulative carries
+    * across the gap (downstream fills the calendar if it needs density —
+    * the gap-fill operator exists separately).
+    *
+    * Scale shape: one user-keyed window finds each user's cohort (the
+    * corpus's only big shuffle, on the natural user key), then everything
+    * aggregates onto the (cohort × age) domain — map-side combinable —
+    * with the cohort-size table broadcast back and one window pass over
+    * the domain-sized matrix. */
+  /** Sample-ratio-mismatch guard for the A/B harness: the variant hash of
+    * [[abLift]] is supposed to split users 50/50; a skewed split means the
+    * assignment (or logging) is broken and every lift readout downstream
+    * is garbage — the SRM check is the standard pre-test that catches it.
+    *
+    * χ² against the 50/50 null collapses to (2·n_a − n)²/n for two cells —
+    * PURE integer arithmetic in micro units, no float sums; the flag
+    * compares against 3841459 micro (the 3.841459 95th percentile of
+    * χ²(1)) so both engines make the identical decision.
+    *
+    * Scale shape: one user-keyed distinct (the assignment is per user),
+    * then a two-cell global aggregate. */
+  def abSrmCheck(events: DataFrame): DataFrame = {
+    val hv = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    events.select(col("user_id")).distinct()
+      .withColumn("is_a", (pmod(hv, lit(2)) === 0).cast("long"))
+      .agg(count(lit(1)).as("n_users"), sum(col("is_a")).as("n_a"))
+      .withColumn("n_a", col("n_a").cast("long"))
+      .withColumn("n_b", col("n_users") - col("n_a"))
+      .withColumn("srm_chi2_micro",
+        // delta² · 10⁶ can pass 2⁶³ on a pathologically skewed big corpus —
+        // combine in DECIMAL(38,0) (HUGEINT in the oracle), emit BIGINT
+        expr("CAST(CAST(2 * n_a - n_users AS DECIMAL(38,0)) * (2 * n_a - n_users) " +
+          "* 1000000 DIV nullif(CAST(n_users AS DECIMAL(38,0)), 0) AS BIGINT)"))
+      .withColumn("srm_flag", col("srm_chi2_micro") > lit(3841459L))
+      .select("n_users", "n_a", "n_b", "srm_chi2_micro", "srm_flag")
+  }
+
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy("user_id")
+    val base = events.select(col("user_id"), col("ts"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("ym", (year(col("ts")) * 12 + month(col("ts")) - 1).cast("long"))
+      .withColumn("cohort_ym", min(col("ym")).over(wUser))
+    val cohortSizes = base.select("user_id", "cohort_ym").distinct()
+      .groupBy("cohort_ym").agg(count(lit(1)).as("n_users"))
+    val matrix = base.filter(col("event_type") === "purchase")
+      .withColumn("age_months", (col("ym") - col("cohort_ym")).cast("long"))
+      .groupBy("cohort_ym", "age_months")
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_cents"))
+    val wC = Window.partitionBy("cohort_ym").orderBy("age_months")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    matrix.join(broadcast(cohortSizes), "cohort_ym")
+      .withColumn("cum_cents", sum(col("rev_cents")).over(wC))
+      .select(
+        expr("make_date(CAST(cohort_ym DIV 12 AS INT), CAST(cohort_ym % 12 + 1 AS INT), 1)")
+          .as("cohort_month"),
+        col("age_months"), col("n_users"), col("n_purchases"),
+        round(col("rev_cents") / 100.0, 2).as("revenue"),
+        expr("cum_cents * 1000000L div (n_users * 100)").as("ltv_micro"))
+      .orderBy("cohort_month", "age_months")
+  }
 }

@@ -1910,4 +1910,128 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
        CAST(bad AS BIGINT) AS n_outliers,
        ROUND(bad::DOUBLE / n, 6) AS outlier_share
 FROM agg ORDER BY event_type"""
+
+  /** Mirrors EventQueries.abSrmCheck: same variant hash as abLift, two-cell
+    * integer chi2 in micro units, HUGEINT-safe square, shared flag literal. */
+  val abSrmCheck: String = s"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+a AS (
+  SELECT COUNT(*) AS n_users,
+         SUM(CASE WHEN (${OracleSqlText.hex8IntSql("user_id::VARCHAR")}) % 2 = 0
+                  THEN 1 ELSE 0 END) AS n_a
+  FROM u
+),
+c AS (
+  SELECT CAST(n_users AS BIGINT) AS n_users, CAST(n_a AS BIGINT) AS n_a,
+         CAST(n_users - n_a AS BIGINT) AS n_b,
+         CAST(CAST(2 * n_a - n_users AS HUGEINT) * (2 * n_a - n_users) * 1000000
+              // NULLIF(CAST(n_users AS HUGEINT), 0) AS BIGINT) AS srm_chi2_micro
+  FROM a
+)
+SELECT n_users, n_a, n_b, srm_chi2_micro,
+       srm_chi2_micro > 3841459 AS srm_flag
+FROM c"""
+
+  /** Mirrors Validators.giniProfile: the (type, value) census, run-wise
+    * rank arithmetic series, HUGEINT combination, integer micro division. */
+  val giniProfile: String = """
+WITH b AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+census AS (
+  SELECT event_type, c, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+),
+runs AS (
+  SELECT event_type, c, cnt,
+         COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         cnt * (cnt + 1) // 2 AS tri
+  FROM census
+),
+agg AS (
+  SELECT event_type,
+         SUM(cnt) AS n,
+         SUM(c * cnt) AS t,
+         SUM(CAST(c AS HUGEINT) * (CAST(cum_before AS HUGEINT) * cnt + tri)) AS s
+  FROM runs GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(t::DOUBLE / 100.0, 2) AS total_value,
+       CAST((2 * s - (CAST(n AS HUGEINT) + 1) * CAST(t AS HUGEINT)) * 1000000
+            // NULLIF(CAST(n AS HUGEINT) * CAST(t AS HUGEINT), 0) AS BIGINT) AS gini_micro
+FROM agg ORDER BY event_type"""
+
+  /** Mirrors Similarity.embeddingCovariance: micro-quantized coordinates,
+    * exact integer sufficient statistics, the identical final double tree. */
+  def embeddingCovariance(kDims: Int = 8): String = s"""
+WITH p AS (
+  SELECT i.i AS dim_i, j.j AS dim_j
+  FROM generate_series(0, ${kDims - 1}) i(i), generate_series(0, ${kDims - 1}) j(j)
+  WHERE i.i <= j.j
+),
+clean AS (
+  SELECT * FROM embeddings
+  WHERE len(embedding) >= $kDims
+    AND len(list_filter(embedding[1:$kDims],
+                        x -> x IS NULL OR isnan(x::DOUBLE))) = 0
+),
+m AS (
+  SELECT p.dim_i, p.dim_j,
+         CAST(floor(e.embedding[p.dim_i + 1]::DOUBLE * 1e6) AS BIGINT) AS xi,
+         CAST(floor(e.embedding[p.dim_j + 1]::DOUBLE * 1e6) AS BIGINT) AS xj
+  FROM clean e, p
+),
+a AS (
+  SELECT dim_i, dim_j, COUNT(*) AS n,
+         SUM(xi) AS sx, SUM(xj) AS sy,
+         SUM(xi * xj) AS sxy, SUM(xi * xi) AS sxx, SUM(xj * xj) AS syy
+  FROM m GROUP BY 1, 2
+)
+SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
+       CAST(n AS BIGINT) AS n,
+       ROUND(((n * sxy - sx * sy)::DOUBLE / (n::DOUBLE * n::DOUBLE)) / 1e12, 10) AS cov,
+       ROUND((n * sxy - sx * sy)::DOUBLE /
+             NULLIF(sqrt((n * sxx - sx * sx)::DOUBLE *
+                         (n * syy - sy * sy)::DOUBLE), 0.0), 8) AS corr
+FROM a ORDER BY dim_i, dim_j"""
+
+  /** Mirrors EventQueries.cohortLtv: integer month axis, cents revenue,
+    * domain-sized cumulative window, exact micro per-user division. */
+  val cohortLtv: String = """
+WITH b AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS ym
+  FROM events
+),
+coh AS (
+  SELECT user_id, MIN(ym) AS cohort_ym FROM b GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_ym, COUNT(*) AS n_users FROM coh GROUP BY cohort_ym
+),
+matrix AS (
+  SELECT coh.cohort_ym, b.ym - coh.cohort_ym AS age_months,
+         COUNT(*) AS n_purchases, SUM(b.cents) AS rev_cents
+  FROM b JOIN coh ON coh.user_id = b.user_id
+  WHERE b.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT m.cohort_ym, m.age_months, s.n_users, m.n_purchases, m.rev_cents,
+         SUM(m.rev_cents) OVER (PARTITION BY m.cohort_ym ORDER BY m.age_months
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cents
+  FROM matrix m JOIN sizes s ON s.cohort_ym = m.cohort_ym
+)
+SELECT make_date(CAST(cohort_ym // 12 AS INT), CAST(cohort_ym % 12 + 1 AS INT), 1)
+         AS cohort_month,
+       CAST(age_months AS BIGINT) AS age_months,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_purchases AS BIGINT) AS n_purchases,
+       ROUND(rev_cents / 100.0, 2) AS revenue,
+       CAST(cum_cents * 1000000 // (n_users * 100) AS BIGINT) AS ltv_micro
+FROM cum ORDER BY cohort_month, age_months"""
 }

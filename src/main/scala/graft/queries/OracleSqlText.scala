@@ -2688,6 +2688,88 @@ SELECT doc_id, n_words, mean_word_len_micro, frac_alpha_micro, stopword_count,
        fail_rule IS NULL AS keep, fail_rule
 FROM gv ORDER BY doc_id"""
 
+  /** Mirrors Multimodal.hardNegativePairs: the phash CTE of [[mmPhashDedup]],
+    * 8-bit band candidates, xor+bit_count Hamming, per-anchor top-k.
+    * Constants render from the same (bits, bandBits, maxHamming, k). */
+  def mmHardNegatives(bits: Int = 32, bandBits: Int = 8,
+      maxHamming: Int = 8, k: Int = 5): String = {
+    val nBands = bits / bandBits
+    val mask = (1 << bandBits) - 1
+    s"""
+WITH ch AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(generate_series(1, length(text)),
+                        i -> ascii(substr(text, i, 1))) AS bytes
+  FROM documents
+),
+t AS (SELECT doc_id, n, bytes,
+             CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS total FROM ch),
+h AS (
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(generate_series(0, ${bits - 1}), kk ->
+           CASE WHEN CAST(COALESCE(list_sum(
+                       bytes[((kk * n) // $bits) + 1 : ((kk + 1) * n) // $bits]), 0)
+                     AS BIGINT) * n
+                   > total * (((kk + 1) * n) // $bits - (kk * n) // $bits)
+                THEN 1 << kk ELSE 0 END)), 0) AS BIGINT) AS phash32
+  FROM t
+),
+bands AS (
+  SELECT doc_id, phash32, b.b AS band_idx, (phash32 >> (b.b * $bandBits)) & $mask AS band_val
+  FROM h, generate_series(0, ${nBands - 1}) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash32 AS ha, b.phash32 AS hb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+  FROM cand
+  WHERE bit_count(xor(ha, hb)) BETWEEN 1 AND $maxHamming
+),
+bidir AS (
+  SELECT doc_a AS anchor_doc, doc_b AS neg_doc, hamming FROM scored
+  UNION ALL
+  SELECT doc_b AS anchor_doc, doc_a AS neg_doc, hamming FROM scored
+),
+ranked AS (
+  SELECT anchor_doc, neg_doc, hamming,
+         ROW_NUMBER() OVER (PARTITION BY anchor_doc
+                            ORDER BY hamming, neg_doc) AS rank
+  FROM bidir
+)
+SELECT anchor_doc, neg_doc, hamming, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= $k ORDER BY anchor_doc, rank"""
+  }
+
+  /** Mirrors TextOps.knBigramLogProb: one bigram-type census feeds the
+    * three KN statistics; identical fixed double tree, micro-nat floors. */
+  val knBigramLogProb: String = s"""
+WITH $toksCte,
+bi AS (
+  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS prev, unnest(toks[2:len(toks)]) AS cur
+  FROM toks WHERE len(toks) >= 2
+),
+c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+ctx AS (SELECT prev, SUM(c2) AS cctx, COUNT(*) AS n1w1 FROM c2 GROUP BY 1),
+cont AS (SELECT cur, COUNT(*) AS ncont FROM c2 GROUP BY 1),
+tot AS (SELECT COUNT(*) AS nbig FROM c2),
+lp AS (
+  SELECT prev, cur,
+         CAST(floor(ln((c2::DOUBLE - CAST(0.75 AS DOUBLE)) / cctx +
+                       ((CAST(0.75 AS DOUBLE) * n1w1) / cctx) *
+                         (ncont::DOUBLE / nbig)) * 1000000.0) AS BIGINT) AS micro
+  FROM c2 JOIN ctx USING (prev) JOIN cont USING (cur) CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+         AS avg_kn_logprob,
+       ROUND(CAST(MIN(micro) AS DOUBLE) / 1000000.0, 4) AS min_kn_logprob
+FROM bi JOIN lp USING (prev, cur)
+GROUP BY doc_id ORDER BY doc_id"""
+
   /** Mirrors TrainPrep.preferencePairs: the simhash equal-sketch pair graph
     * joined twice against the ROUND(4)-pinned quality kernel; strict
     * inequality picks chosen/rejected. */

