@@ -908,24 +908,6 @@ object EventQueries {
       .orderBy("purchase_id")
   }
 
-  /** Cohort lifetime-value matrix: users grouped by first-activity month,
-    * cumulative purchase revenue per user tracked by cohort age — the
-    * value-weighted counterpart of [[retention]] (which counts presence;
-    * this follows the money, which is what LTV payback decisions read).
-    *
-    * Months are the integer year·12+month axis so age is plain integer
-    * subtraction (no calendar-interval semantics to disagree on); revenue
-    * is cents at source, the per-user cumulative is exact integer
-    * micro-units (cum_cents·10⁶ div (users·100) — value units per cohort
-    * user). Ages with zero purchases emit no row; the cumulative carries
-    * across the gap (downstream fills the calendar if it needs density —
-    * the gap-fill operator exists separately).
-    *
-    * Scale shape: one user-keyed window finds each user's cohort (the
-    * corpus's only big shuffle, on the natural user key), then everything
-    * aggregates onto the (cohort × age) domain — map-side combinable —
-    * with the cohort-size table broadcast back and one window pass over
-    * the domain-sized matrix. */
   /** Sample-ratio-mismatch guard for the A/B harness: the variant hash of
     * [[abLift]] is supposed to split users 50/50; a skewed split means the
     * assignment (or logging) is broken and every lift readout downstream
@@ -955,28 +937,46 @@ object EventQueries {
       .select("n_users", "n_a", "n_b", "srm_chi2_micro", "srm_flag")
   }
 
+  /** Cohort lifetime-value matrix: users grouped by first-activity DAY
+    * (the [[retention]] cohort convention — the corpus spans one month, so
+    * a month axis would collapse to a single row; a production run flips
+    * the truncation to month with the same plan), cumulative purchase
+    * revenue per user tracked by cohort age — the value-weighted
+    * counterpart of retention (which counts presence; this follows the
+    * money, which is what LTV payback decisions read).
+    *
+    * Age is DATE subtraction in whole days (identical integer semantics
+    * on both engines); revenue is cents at source, the per-user cumulative
+    * is exact integer micro-units (cum_cents·10⁶ div (users·100) — value
+    * units per cohort user). Ages with zero purchases emit no row; the
+    * cumulative carries across the gap (downstream fills the calendar if
+    * it needs density — the gap-fill operator exists separately).
+    *
+    * Scale shape: one user-keyed window finds each user's cohort (the
+    * corpus's only big shuffle, on the natural user key), then everything
+    * aggregates onto the (cohort × age) domain — map-side combinable —
+    * with the cohort-size table broadcast back and one window pass over
+    * the domain-sized matrix. */
   def cohortLtv(events: DataFrame): DataFrame = {
     val wUser = Window.partitionBy("user_id")
-    val base = events.select(col("user_id"), col("ts"), col("event_type"),
+    val base = events.select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      .withColumn("ym", (year(col("ts")) * 12 + month(col("ts")) - 1).cast("long"))
-      .withColumn("cohort_ym", min(col("ym")).over(wUser))
-    val cohortSizes = base.select("user_id", "cohort_ym").distinct()
-      .groupBy("cohort_ym").agg(count(lit(1)).as("n_users"))
+      .withColumn("cohort_day", min(col("d")).over(wUser))
+    val cohortSizes = base.select("user_id", "cohort_day").distinct()
+      .groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
     val matrix = base.filter(col("event_type") === "purchase")
-      .withColumn("age_months", (col("ym") - col("cohort_ym")).cast("long"))
-      .groupBy("cohort_ym", "age_months")
+      .withColumn("age_days", datediff(col("d"), col("cohort_day")).cast("long"))
+      .groupBy("cohort_day", "age_days")
       .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_cents"))
-    val wC = Window.partitionBy("cohort_ym").orderBy("age_months")
+    val wC = Window.partitionBy("cohort_day").orderBy("age_days")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    matrix.join(broadcast(cohortSizes), "cohort_ym")
+    matrix.join(broadcast(cohortSizes), "cohort_day")
       .withColumn("cum_cents", sum(col("rev_cents")).over(wC))
       .select(
-        expr("make_date(CAST(cohort_ym DIV 12 AS INT), CAST(cohort_ym % 12 + 1 AS INT), 1)")
-          .as("cohort_month"),
-        col("age_months"), col("n_users"), col("n_purchases"),
+        col("cohort_day"),
+        col("age_days"), col("n_users"), col("n_purchases"),
         round(col("rev_cents") / 100.0, 2).as("revenue"),
         expr("cum_cents * 1000000L div (n_users * 100)").as("ltv_micro"))
-      .orderBy("cohort_month", "age_months")
+      .orderBy("cohort_day", "age_days")
   }
 }

@@ -1997,41 +1997,41 @@ SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
                          (n * syy - sy * sy)::DOUBLE), 0.0), 8) AS corr
 FROM a ORDER BY dim_i, dim_j"""
 
-  /** Mirrors EventQueries.cohortLtv: integer month axis, cents revenue,
-    * domain-sized cumulative window, exact micro per-user division. */
+  /** Mirrors EventQueries.cohortLtv: day cohort axis (DATE subtraction),
+    * cents revenue, domain-sized cumulative window, exact micro per-user
+    * division. */
   val cohortLtv: String = """
 WITH b AS (
   SELECT user_id, event_type,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-         CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS ym
+         CAST(ts AS DATE) AS d
   FROM events
 ),
 coh AS (
-  SELECT user_id, MIN(ym) AS cohort_ym FROM b GROUP BY user_id
+  SELECT user_id, MIN(d) AS cohort_day FROM b GROUP BY user_id
 ),
 sizes AS (
-  SELECT cohort_ym, COUNT(*) AS n_users FROM coh GROUP BY cohort_ym
+  SELECT cohort_day, COUNT(*) AS n_users FROM coh GROUP BY cohort_day
 ),
 matrix AS (
-  SELECT coh.cohort_ym, b.ym - coh.cohort_ym AS age_months,
+  SELECT coh.cohort_day, CAST(b.d - coh.cohort_day AS BIGINT) AS age_days,
          COUNT(*) AS n_purchases, SUM(b.cents) AS rev_cents
   FROM b JOIN coh ON coh.user_id = b.user_id
   WHERE b.event_type = 'purchase'
   GROUP BY 1, 2
 ),
 cum AS (
-  SELECT m.cohort_ym, m.age_months, s.n_users, m.n_purchases, m.rev_cents,
-         SUM(m.rev_cents) OVER (PARTITION BY m.cohort_ym ORDER BY m.age_months
+  SELECT m.cohort_day, m.age_days, s.n_users, m.n_purchases, m.rev_cents,
+         SUM(m.rev_cents) OVER (PARTITION BY m.cohort_day ORDER BY m.age_days
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum_cents
-  FROM matrix m JOIN sizes s ON s.cohort_ym = m.cohort_ym
+  FROM matrix m JOIN sizes s ON s.cohort_day = m.cohort_day
 )
-SELECT make_date(CAST(cohort_ym // 12 AS INT), CAST(cohort_ym % 12 + 1 AS INT), 1)
-         AS cohort_month,
-       CAST(age_months AS BIGINT) AS age_months,
+SELECT cohort_day,
+       CAST(age_days AS BIGINT) AS age_days,
        CAST(n_users AS BIGINT) AS n_users,
        CAST(n_purchases AS BIGINT) AS n_purchases,
        ROUND(rev_cents / 100.0, 2) AS revenue,
        CAST(cum_cents * 1000000 // (n_users * 100) AS BIGINT) AS ltv_micro
-FROM cum ORDER BY cohort_month, age_months"""
+FROM cum ORDER BY cohort_day, age_days"""
 }

@@ -168,26 +168,26 @@ class RoundTenOpsSpec extends AnyFunSuite {
   test("cohortLtv: cumulative per-user value tracks the hand computation") {
     import spark.implicits._
     val ts = (m: Int, d: Int) => java.sql.Timestamp.valueOf(f"2024-$m%02d-$d%02d 10:00:00")
-    // users 1,2 join in Jan (cohort 2024-01); user 3 joins in Feb
+    // users 1,2 first active Jan 5 (same day cohort); user 3 joins Jan 6
     val ev = Seq(
       (1L, ts(1, 5), "view", 0.0),
-      (2L, ts(1, 6), "purchase", 10.0),   // cohort Jan, age 0: 10.00
-      (1L, ts(2, 7), "purchase", 30.0),   // cohort Jan, age 1: +30.00
-      (3L, ts(2, 1), "view", 0.0),
-      (3L, ts(4, 2), "purchase", 8.0))    // cohort Feb, age 2: 8.00
+      (2L, ts(1, 5), "purchase", 10.0),   // cohort 01-05, age 0: 10.00
+      (1L, ts(1, 7), "purchase", 30.0),   // cohort 01-05, age 2: +30.00
+      (3L, ts(1, 6), "view", 0.0),
+      (3L, ts(1, 8), "purchase", 8.0))    // cohort 01-06, age 2: 8.00
       .toDF("user_id", "ts", "event_type", "value")
     val r = EventQueries.cohortLtv(ev).collect()
       .map(x => (x.getDate(0).toString, x.getLong(1)) -> x).toMap
     assert(r.size === 3)
-    assert(r(("2024-01-01", 0L)).getAs[Long]("n_users") === 2L)
+    assert(r(("2024-01-05", 0L)).getAs[Long]("n_users") === 2L)
     // age 0: 10.00 cumulative over 2 users -> 5.0/user -> 5e6 micro
-    assert(r(("2024-01-01", 0L)).getAs[Long]("ltv_micro") === 5000000L)
-    // age 1: cum 40.00 over 2 users -> 20/user
-    assert(r(("2024-01-01", 1L)).getAs[Long]("ltv_micro") === 20000000L)
-    assert(r(("2024-01-01", 1L)).getAs[Double]("revenue") === 30.0)
-    // Feb cohort: 1 user, age 2 (no age-0/1 rows - gap carries)
-    assert(r(("2024-02-01", 2L)).getAs[Long]("n_users") === 1L)
-    assert(r(("2024-02-01", 2L)).getAs[Long]("ltv_micro") === 8000000L)
+    assert(r(("2024-01-05", 0L)).getAs[Long]("ltv_micro") === 5000000L)
+    // age 2: cum 40.00 over 2 users -> 20/user
+    assert(r(("2024-01-05", 2L)).getAs[Long]("ltv_micro") === 20000000L)
+    assert(r(("2024-01-05", 2L)).getAs[Double]("revenue") === 30.0)
+    // second cohort: 1 user, age 2 (no age-0/1 rows - gap carries)
+    assert(r(("2024-01-06", 2L)).getAs[Long]("n_users") === 1L)
+    assert(r(("2024-01-06", 2L)).getAs[Long]("ltv_micro") === 8000000L)
   }
 
   test("abSrmCheck: cells sum to the user count and the chi2 matches the hand formula") {
