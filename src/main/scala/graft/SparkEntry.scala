@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 210
+  val GatedQueryCount: Int = 212
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -424,6 +424,11 @@ object SparkEntry {
     // contrastive hard negatives: banded phash Hamming top-k, dups excluded
     "mm_hard_negatives" -> ((s, d) =>
       Multimodal.hardNegativePairs(Multimodal.withMedia(Tables.documents(s, d)))),
+    // per-dim standardization with a built-in mean/var self-audit
+    "embed_standardize" -> ((s, d) =>
+      Similarity.embeddingStandardize(Tables.embeddings(s, d))),
+    // rules-as-data ingest contract: uniform (rule, observed, bound, pass)
+    "v_contract_check" -> ((s, d) => Validators.contractCheck(Tables.documents(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // scalar-quantization (SQ8) ANN: per-dim envelope codes, integer dot
     "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(Tables.embeddings(s, d))),
@@ -812,6 +817,8 @@ object SparkEntry {
     "events_ab_srm" -> OracleSql.abSrmCheck,
     "text_kn_bigram" -> OracleSqlText.knBigramLogProb,
     "mm_hard_negatives" -> OracleSqlText.mmHardNegatives(),
+    "embed_standardize" -> OracleSql.embeddingStandardize(),
+    "v_contract_check" -> OracleSqlText.contractCheck,
     "embed_label_scatter" -> OracleSqlText.labelScatter,
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL

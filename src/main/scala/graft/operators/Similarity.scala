@@ -927,4 +927,57 @@ object Similarity {
           nullif(sqrt(varx.cast("double") * vary.cast("double")), lit(0.0)), 8).as("corr"))
       .orderBy("dim_i", "dim_j")
   }
+
+  /** Per-dimension standardization (z-scoring) of the leading `kDims`
+    * embedding coordinates, emitted as its own AUDIT: after the transform,
+    * each dimension's mean must sit at ~0 and variance at ~1 — the output
+    * row IS the proof, in the recall_eval self-audit tradition. This is
+    * the diagonal (decorrelation-free) half of whitening; the off-diagonal
+    * half consumes [[embeddingCovariance]] on the driver.
+    *
+    * Determinism: the per-dim mean/variance come from the same
+    * micro-quantized integer sums as [[embeddingCovariance]]; each z-value
+    * evaluates on a fixed double tree from exact integers and quantizes to
+    * integer micro BEFORE the audit sums — order-free on both engines.
+    *
+    * Scale shape: one kDims-entry Generate per row into a combinable
+    * (dim) census for the stats; the stats table (kDims rows) broadcasts
+    * back onto the same staged fan-out for the transform pass; the audit
+    * is a second combinable aggregate. Nothing is corpus × corpus; at
+    * serve time the stats row set IS the shipped scaler. */
+  def embeddingStandardize(emb: DataFrame, kDims: Int = 8): DataFrame = {
+    val cleanEmb = emb.filter(size(col("embedding")) >= kDims &&
+      !exists(slice(col("embedding"), 1, kDims),
+        x => x.isNull || isnan(x.cast("double"))))
+    val melted = graft.RunHygiene.stage(cleanEmb.select(
+        posexplode(slice(col("embedding"), 1, kDims)).as(Seq("pos", "x")))
+      .select((col("pos")).cast("long").as("dim"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("xm")))
+    melted.count() // stats pass and transform pass share one fan-out
+    val stats = melted.groupBy("dim").agg(
+      count(lit(1)).as("n"), sum(col("xm")).as("sx"),
+      sum(col("xm").cast("decimal(38,0)") * col("xm")).as("sxx"))
+    // z = (x − mean)/stddev on the micro scale (scale cancels), population
+    // variance from the same exact sums as embeddingCovariance
+    val zm = melted.join(broadcast(stats), "dim")
+      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) /
+          (col("n").cast("double") * col("n").cast("double"))))
+      .withColumn("z_micro",
+        // a zero-variance dim standardizes to 0 by convention (no crash,
+        // no engine-divergent inf) — the audit then reads var_z = 0
+        when(col("sd") === 0.0, lit(0L)).otherwise(
+          floor((col("xm").cast("double") - col("mean")) / col("sd") * 1e6).cast("long")))
+    zm.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("z_micro")).as("sz"),
+        // z² sums pass 2⁶³ at a few tens of millions of rows — DECIMAL ↔
+        // HUGEINT
+        sum(col("z_micro").cast("decimal(38,0)") * col("z_micro")).as("szz"))
+      .select(col("dim"), col("n"),
+        round(col("sz").cast("double") / col("n") / 1e6, 6).as("mean_z"),
+        round((col("szz").cast("double") / col("n")) / 1e12, 6).as("var_z"))
+      .orderBy("dim")
+  }
 }

@@ -477,6 +477,54 @@ object Validators {
     * Scale shape: ONE map-side-combinable corpus census onto the (type,
     * distinct-value) domain; the rank window runs over that census, not
     * the corpus — the [[ksProfile]] discipline. Zero corpus sorts. */
+  /** Rules-as-data contract check over the documents table — the ingest
+    * firewall pattern: every rule is a (rule_id, observed, bound) row with
+    * pass = observed ≤ bound, so downstream alerting reads ONE uniform
+    * shape instead of bespoke check outputs, and adding a rule is adding a
+    * row, not a code path. V1–V11 are the reference's hand-coded checks;
+    * this is the generic engine a corpus pipeline runs on every new drop.
+    *
+    * All metrics come from ONE corpus aggregate (a single combinable
+    * pass — eight rules do not cost eight scans); null inputs count as
+    * violations explicitly (CASE, not null-propagation, so both engines
+    * agree). The lang domain renders from the same constant set the langid
+    * operators use — contract and classifier cannot drift apart. */
+  def contractCheck(docs: DataFrame): DataFrame = {
+    val langs = graft.functions.TextOps.LangMarkers.map(_._1).distinct.sorted
+    val m = docs.agg(
+      sum(col("doc_id").isNull.cast("long")).as("null_doc_id"),
+      (count(col("doc_id")) - countDistinct(col("doc_id"))).as("dup_doc_id"),
+      sum(col("text").isNull.cast("long")).as("null_text"),
+      sum(when(col("n_chars").isNull || col("text").isNull, 1L)
+        .otherwise((col("n_chars") =!= length(col("text"))).cast("long")))
+        .as("n_chars_mismatch"),
+      sum(when(col("lang").isNull, 1L)
+        .otherwise((!col("lang").isin(langs: _*)).cast("long")))
+        .as("lang_out_of_domain"),
+      countDistinct(col("source")).as("source_cardinality"),
+      sum(when(col("n_chars").isNull, 1L)
+        .otherwise((col("n_chars") < 0 || col("n_chars") > 1000000L).cast("long")))
+        .as("n_chars_out_of_range"),
+      max(length(col("text"))).cast("long").as("max_text_len"))
+    val rules: Seq[(String, String, Long)] = Seq(
+      ("doc_id_not_null", "null_doc_id", 0L),
+      ("doc_id_unique", "dup_doc_id", 0L),
+      ("lang_in_domain", "lang_out_of_domain", 0L),
+      ("max_text_len", "max_text_len", 1000000L),
+      ("n_chars_matches_text", "n_chars_mismatch", 0L),
+      ("n_chars_in_range", "n_chars_out_of_range", 0L),
+      ("source_cardinality", "source_cardinality", 64L),
+      ("text_not_null", "null_text", 0L))
+    m.select(explode(array(rules.map { case (id, c, b) =>
+        struct(lit(id).as("rule_id"),
+          coalesce(col(c), lit(0L)).as("observed"),
+          lit(b).as("bound"))
+      }: _*)).as("r"))
+      .select(col("r.rule_id"), col("r.observed"), col("r.bound"))
+      .withColumn("pass", col("observed") <= col("bound"))
+      .orderBy("rule_id")
+  }
+
   def giniProfile(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"

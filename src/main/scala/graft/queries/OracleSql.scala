@@ -1997,6 +1997,43 @@ SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
                          (n * syy - sy * sy)::DOUBLE), 0.0), 8) AS corr
 FROM a ORDER BY dim_i, dim_j"""
 
+  /** Mirrors Similarity.embeddingStandardize: same clean-vector guard and
+    * micro quantization as the covariance census, the identical sd tree,
+    * zero-variance convention, micro-quantized z audit sums. */
+  def embeddingStandardize(kDims: Int = 8): String = s"""
+WITH clean AS (
+  SELECT * FROM embeddings
+  WHERE len(embedding) >= $kDims
+    AND len(list_filter(embedding[1:$kDims],
+                        x -> x IS NULL OR isnan(x::DOUBLE))) = 0
+),
+m AS (
+  SELECT CAST(g.i - 1 AS BIGINT) AS dim,
+         CAST(floor(e.embedding[g.i]::DOUBLE * 1e6) AS BIGINT) AS xm
+  FROM clean e, generate_series(1, $kDims) g(i)
+),
+st AS (
+  SELECT dim, COUNT(*) AS n, SUM(xm) AS sx, SUM(xm * xm) AS sxx
+  FROM m GROUP BY dim
+),
+sd AS (
+  SELECT dim, n, sx::DOUBLE / n AS mean,
+         sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx) / (n::DOUBLE * n::DOUBLE)) AS sd
+  FROM st
+),
+z AS (
+  SELECT m.dim,
+         CASE WHEN sd.sd = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor((m.xm::DOUBLE - sd.mean) / sd.sd * 1e6) AS BIGINT)
+         END AS z_micro
+  FROM m JOIN sd ON sd.dim = m.dim
+)
+SELECT dim, COUNT(*) AS n,
+       ROUND(CAST(SUM(z_micro) AS BIGINT)::DOUBLE / COUNT(*) / 1e6, 6) AS mean_z,
+       ROUND((SUM(CAST(z_micro AS HUGEINT) * z_micro)::DOUBLE / COUNT(*)) / 1e12, 6)
+         AS var_z
+FROM z GROUP BY dim ORDER BY dim"""
+
   /** Mirrors EventQueries.cohortLtv: day cohort axis (DATE subtraction),
     * cents revenue, domain-sized cumulative window, exact micro per-user
     * division. */

@@ -2688,6 +2688,45 @@ SELECT doc_id, n_words, mean_word_len_micro, frac_alpha_micro, stopword_count,
        fail_rule IS NULL AS keep, fail_rule
 FROM gv ORDER BY doc_id"""
 
+  /** Mirrors Validators.contractCheck: one aggregate pass, rules unpivoted
+    * as uniform (rule_id, observed, bound, pass) rows; the lang domain
+    * renders from the same LangMarkers constant. */
+  val contractCheck: String = {
+    val langIn = TextOps.LangMarkers.map(_._1).distinct.sorted
+      .map(l => s"'$l'").mkString(", ")
+    s"""
+WITH m AS (
+  SELECT CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_doc_id,
+         CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) AS dup_doc_id,
+         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+         CAST(SUM(CASE WHEN n_chars IS NULL OR text IS NULL THEN 1
+                       WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_chars_mismatch,
+         CAST(SUM(CASE WHEN lang IS NULL THEN 1
+                       WHEN lang NOT IN ($langIn) THEN 1 ELSE 0 END) AS BIGINT)
+           AS lang_out_of_domain,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS source_cardinality,
+         CAST(SUM(CASE WHEN n_chars IS NULL THEN 1
+                       WHEN n_chars < 0 OR n_chars > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_chars_out_of_range,
+         CAST(MAX(length(text)) AS BIGINT) AS max_text_len
+  FROM documents
+),
+rules AS (
+  SELECT 'doc_id_not_null' AS rule_id, COALESCE(null_doc_id, 0) AS observed,
+         CAST(0 AS BIGINT) AS bound FROM m
+  UNION ALL SELECT 'doc_id_unique', COALESCE(dup_doc_id, 0), 0 FROM m
+  UNION ALL SELECT 'lang_in_domain', COALESCE(lang_out_of_domain, 0), 0 FROM m
+  UNION ALL SELECT 'max_text_len', COALESCE(max_text_len, 0), 1000000 FROM m
+  UNION ALL SELECT 'n_chars_matches_text', COALESCE(n_chars_mismatch, 0), 0 FROM m
+  UNION ALL SELECT 'n_chars_in_range', COALESCE(n_chars_out_of_range, 0), 0 FROM m
+  UNION ALL SELECT 'source_cardinality', COALESCE(source_cardinality, 0), 64 FROM m
+  UNION ALL SELECT 'text_not_null', COALESCE(null_text, 0), 0 FROM m
+)
+SELECT rule_id, observed, bound, observed <= bound AS pass
+FROM rules ORDER BY rule_id"""
+  }
+
   /** Mirrors Multimodal.hardNegativePairs: the phash CTE of [[mmPhashDedup]],
     * 8-bit band candidates, xor+bit_count Hamming, per-anchor top-k.
     * Constants render from the same (bits, bandBits, maxHamming, k). */

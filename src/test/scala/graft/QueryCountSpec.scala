@@ -35,7 +35,8 @@ class QueryCountSpec extends AnyFunSuite {
         "200 operator queries", "201 operator queries", "202 operator queries",
         "203 operator queries",
         "204 operator queries", "205 operator queries", "206 operator queries",
-        "207 operator queries", "208 operator queries", "209 operator queries"))
+        "207 operator queries", "208 operator queries", "209 operator queries",
+        "210 operator queries", "211 operator queries"))
       assert(!readme.contains(stale), s"stale count in README.md: '$stale'")
     assert(!readme.contains(s"all 167 queries"),
       "stale 'all 167 queries' phrase in README.md")

@@ -266,6 +266,52 @@ class RoundTenOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingStandardize: the audit reads mean 0 / var 1; constant dims read 0") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, 5.0f, 7.0f)), (2L, Array(2.0f, 5.0f, 7.0f)),
+      (3L, Array(3.0f, 5.0f, 7.0f)), (4L, Array(4.0f, 5.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val r = graft.operators.Similarity.embeddingStandardize(rows, kDims = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size === 3)
+    // varying dim: mean ~0 (floor-quantization bias < 1e-5), var ~1
+    assert(math.abs(r(0L).getAs[Double]("mean_z")) < 1e-4)
+    assert(math.abs(r(0L).getAs[Double]("var_z") - 1.0) < 1e-4)
+    // constant dims: z = 0 by convention, so mean and var audit to exactly 0
+    assert(r(1L).getAs[Double]("mean_z") === 0.0)
+    assert(r(1L).getAs[Double]("var_z") === 0.0)
+  }
+
+  test("contractCheck: a clean corpus passes every rule; violations are counted, not crashed") {
+    import spark.implicits._
+    val clean = Seq(
+      (1L, "hello world", "en", "s1"), (2L, "hola mundo", "es", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r1 = Validators.contractCheck(clean).collect()
+    assert(r1.length === 8)
+    assert(r1.forall(_.getAs[Boolean]("pass")), r1.mkString(","))
+
+    // plant: duplicate id, bad lang, n_chars drift, null text
+    val dirty = Seq(
+      (1L, "a b", "en", "s1"), (1L, "c d", "xx", "s1"), (2L, null, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        when(col("doc_id") === 1L && col("lang") === "xx", lit(999L))
+          .otherwise(length(col("text")).cast("long")))
+    val r2 = Validators.contractCheck(dirty).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r2("doc_id_unique").getAs[Long]("observed") === 1L)
+    assert(!r2("doc_id_unique").getAs[Boolean]("pass"))
+    assert(r2("lang_in_domain").getAs[Long]("observed") === 1L)
+    // n_chars: one planted drift row + the null-text row both count
+    assert(r2("n_chars_matches_text").getAs[Long]("observed") === 2L)
+    assert(r2("text_not_null").getAs[Long]("observed") === 1L)
+    assert(r2("max_text_len").getAs[Boolean]("pass"))
+  }
+
   test("preferencePairs: equal-quality near-dups are dropped, not tie-broken") {
     import spark.implicits._
     val docs = Seq(
