@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 212
+  val GatedQueryCount: Int = 214
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -429,6 +429,10 @@ object SparkEntry {
       Similarity.embeddingStandardize(Tables.embeddings(s, d))),
     // rules-as-data ingest contract: uniform (rule, observed, bound, pass)
     "v_contract_check" -> ((s, d) => Validators.contractCheck(Tables.documents(s, d))),
+    // experiment power: required n per arm + MDE at current size
+    "events_ab_power" -> ((s, d) => EventQueries.abPowerAnalysis(Tables.events(s, d))),
+    // RAKE keyword extraction: stopword-run phrases, deg/freq word scores
+    "text_rake_keywords" -> ((s, d) => TextOps.rakeKeywords(Tables.documents(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // scalar-quantization (SQ8) ANN: per-dim envelope codes, integer dot
     "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(Tables.embeddings(s, d))),
@@ -819,6 +823,8 @@ object SparkEntry {
     "mm_hard_negatives" -> OracleSqlText.mmHardNegatives(),
     "embed_standardize" -> OracleSql.embeddingStandardize(),
     "v_contract_check" -> OracleSqlText.contractCheck,
+    "events_ab_power" -> OracleSql.abPowerAnalysis,
+    "text_rake_keywords" -> OracleSqlText.rakeKeywords(),
     "embed_label_scatter" -> OracleSqlText.labelScatter,
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL

@@ -897,6 +897,61 @@ object TextOps {
             (acc, c) => (acc * RollingHashBase + c) % RollingHashMod)).as("rolling_hash"))
       .orderBy("doc_id")
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
+    * maximal stopword-free token runs; each word scores deg(w)/freq(w)
+    * over the candidate corpus (deg = Σ of the lengths of phrases it
+    * appears in — co-occurrence degree; freq = occurrence count), a phrase
+    * scores the sum of its words. Multi-word domain terms beat frequent
+    * single words because degree rewards words that travel in long
+    * phrases — the standard cheap keyword/labeling pass over a curated
+    * corpus.
+    *
+    * All-integer determinism: word scores are deg·10⁶ div freq (both
+    * integers), phrase scores are integer sums of word micros; top-k per
+    * doc ties break on the phrase text.
+    *
+    * Shape: one positional explode; run-ids from a per-doc cumulative
+    * window; word stats are token-keyed combinable censuses joined back by
+    * token (inverted-index discipline); phrase assembly is one
+    * (doc, run)-keyed aggregate with position-sorted reassembly; top-k
+    * rides WindowGroupLimit. Nothing pairwise. */
+  def rakeKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = withTokens(docs)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("is_stop", col("tok").isin(Stopwords: _*).cast("long"))
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val words = graft.RunHygiene.stage(pos
+      .withColumn("run_id", sum(col("is_stop")).over(wRun))
+      .filter(col("is_stop") === 0)
+      .select(col("doc_id"), col("run_id"), col("pos"), col("tok")))
+    words.count() // feeds the word censuses AND the phrase assembly
+    val phraseLen = words.groupBy("doc_id", "run_id").agg(count(lit(1)).as("plen"))
+    val occ = words.join(phraseLen, Seq("doc_id", "run_id"))
+    val wordScore = occ.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("w_micro", expr("deg * 1000000L div freq"))
+    val phrases = occ.join(wordScore.select("tok", "w_micro"), Seq("tok"))
+      .groupBy("doc_id", "run_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("w_micro")).as("score_micro"))
+      // the same phrase text can occur twice in a doc — same words, same
+      // corpus-level scores, so dedupe to one row per (doc, phrase)
+      .groupBy("doc_id", "phrase")
+      .agg(max(col("n_words")).as("n_words"), max(col("score_micro")).as("score_micro"))
+    val wTop = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("phrase"))
+    phrases.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+      .select("doc_id", "rank", "phrase", "n_words", "score_micro")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Kneser-Ney-smoothed bigram language model score per document — the
     * smoothing the REAL perplexity filters use (CCNet ships KenLM, which is
     * modified KN): where [[bigramLogProb]] interpolates with the raw

@@ -937,6 +937,51 @@ object EventQueries {
       .select("n_users", "n_a", "n_b", "srm_chi2_micro", "srm_flag")
   }
 
+  /** Experiment power analysis — the third leg of the A/B family
+    * ([[abLift]] reads the effect, [[abSrmCheck]] validates the split,
+    * this answers "was the test even big enough?"): per-arm sample size
+    * required to detect the observed conversion delta at α = 0.05
+    * two-sided / power 0.8, and the minimum detectable effect at the
+    * current size. A "non-significant" lift with n_required ≫ n is an
+    * underpowered test, not a null result — the readout that stops teams
+    * shipping on noise.
+    *
+    * n/arm = 2·(z_{α/2}+z_β)²·p̄(1−p̄)/δ² with the z literals written
+    * identically on both engines (1.959964, 0.841621); every input to the
+    * double tree is an exact integer count, so the doubles agree and
+    * CEIL/ROUND pin the outputs. Zero observed delta → null n_required
+    * (NULLIF, no engine-divergent infinity).
+    *
+    * Scale shape: one user-keyed rollup (the abLift shuffle), then 1-row
+    * arithmetic. */
+  def abPowerAnalysis(events: DataFrame): DataFrame = {
+    val hv = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .withColumn("is_a", (pmod(hv, lit(2)) === 0).cast("long"))
+    val cells = perUser.agg(
+      sum(col("is_a")).cast("long").as("n_a"),
+      sum(lit(1L) - col("is_a")).cast("long").as("n_b"),
+      sum(col("converted") * col("is_a")).cast("long").as("conv_a"),
+      sum(col("converted") * (lit(1L) - col("is_a"))).cast("long").as("conv_b"))
+    val z2 = pow(lit(1.959964) + lit(0.841621), 2.0)
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val delta = col("conv_b").cast("double") / col("n_b") -
+      col("conv_a").cast("double") / col("n_a")
+    val varP = pPool * (lit(1.0) - pPool)
+    val nMin = least(col("n_a"), col("n_b")).cast("double")
+    cells.select(
+        col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        round(pPool, 6).as("p_pooled"),
+        round(delta, 6).as("delta_observed"),
+        ceil(lit(2.0) * z2 * varP /
+          nullif(delta * delta, lit(0.0))).cast("long").as("n_required_per_arm"),
+        round(sqrt(lit(2.0) * z2 * varP / nullif(nMin, lit(0.0))), 6)
+          .as("mde_at_current_n"))
+  }
+
   /** Cohort lifetime-value matrix: users grouped by first-activity DAY
     * (the [[retention]] cohort convention — the corpus spans one month, so
     * a month axis would collapse to a single row; a production run flips

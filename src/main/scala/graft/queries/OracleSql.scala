@@ -1997,6 +1997,39 @@ SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
                          (n * syy - sy * sy)::DOUBLE), 0.0), 8) AS corr
 FROM a ORDER BY dim_i, dim_j"""
 
+  /** Mirrors EventQueries.abPowerAnalysis: identical z literals and double
+    * tree over exact integer cells; NULLIF guards zero delta / empty arm. */
+  val abPowerAnalysis: String = s"""
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         CASE WHEN (${OracleSqlText.hex8IntSql("user_id::VARCHAR")}) % 2 = 0
+              THEN 1 ELSE 0 END AS is_a
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+         CAST(SUM(converted * is_a) AS BIGINT) AS conv_a,
+         CAST(SUM(converted * (1 - is_a)) AS BIGINT) AS conv_b
+  FROM pu
+),
+d AS (
+  SELECT n_a, n_b, conv_a, conv_b,
+         (conv_a + conv_b)::DOUBLE / (n_a + n_b) AS p_pooled,
+         conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a AS delta,
+         pow(1.959964 + 0.841621, 2.0) AS z2
+  FROM c
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(p_pooled, 6) AS p_pooled,
+       ROUND(delta, 6) AS delta_observed,
+       CAST(ceil(2.0 * z2 * (p_pooled * (1.0 - p_pooled)) /
+                 NULLIF(delta * delta, 0.0)) AS BIGINT) AS n_required_per_arm,
+       ROUND(sqrt(2.0 * z2 * (p_pooled * (1.0 - p_pooled)) /
+                  NULLIF(LEAST(n_a, n_b)::DOUBLE, 0.0)), 6) AS mde_at_current_n
+FROM d"""
+
   /** Mirrors Similarity.embeddingStandardize: same clean-vector guard and
     * micro quantization as the covariance census, the identical sd tree,
     * zero-variance convention, micro-quantized z audit sums. */

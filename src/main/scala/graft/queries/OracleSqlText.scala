@@ -2688,6 +2688,57 @@ SELECT doc_id, n_words, mean_word_len_micro, frac_alpha_micro, stopword_count,
        fail_rule IS NULL AS keep, fail_rule
 FROM gv ORDER BY doc_id"""
 
+  /** Mirrors TextOps.rakeKeywords: stopword-run phrase candidates, integer
+    * deg·10⁶ div freq word scores, ordered reassembly, top-k per doc. */
+  def rakeKeywords(k: Int = 3): String = s"""
+WITH $toksCte,
+px AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks))) - 1 AS pos,
+         unnest(toks) AS tok
+  FROM toks
+),
+pos AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN ($stopwordIn) THEN 1 ELSE 0 END AS is_stop
+  FROM px
+),
+runs AS (
+  SELECT doc_id, pos, tok, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM pos
+),
+words AS (SELECT doc_id, run_id, pos, tok FROM runs WHERE is_stop = 0),
+plen AS (SELECT doc_id, run_id, COUNT(*) AS plen FROM words GROUP BY 1, 2),
+occ AS (
+  SELECT w.doc_id, w.run_id, w.pos, w.tok, p.plen
+  FROM words w JOIN plen p ON p.doc_id = w.doc_id AND p.run_id = w.run_id
+),
+ws AS (SELECT tok, COUNT(*) AS freq, SUM(plen) AS deg FROM occ GROUP BY tok),
+wm AS (SELECT tok, CAST(deg * 1000000 // freq AS BIGINT) AS w_micro FROM ws),
+ph AS (
+  SELECT o.doc_id, o.run_id,
+         string_agg(o.tok, ' ' ORDER BY o.pos) AS phrase,
+         COUNT(*) AS n_words,
+         CAST(SUM(wm.w_micro) AS BIGINT) AS score_micro
+  FROM occ o JOIN wm ON wm.tok = o.tok
+  GROUP BY 1, 2
+),
+dd AS (
+  SELECT doc_id, phrase, MAX(n_words) AS n_words, MAX(score_micro) AS score_micro
+  FROM ph GROUP BY 1, 2
+),
+rk AS (
+  SELECT doc_id, phrase, n_words, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, phrase) AS rank
+  FROM dd
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase,
+       CAST(n_words AS BIGINT) AS n_words, score_micro
+FROM rk WHERE rank <= $k ORDER BY doc_id, rank"""
+
   /** Mirrors Validators.contractCheck: one aggregate pass, rules unpivoted
     * as uniform (rule_id, observed, bound, pass) rows; the lang domain
     * renders from the same LangMarkers constant. */

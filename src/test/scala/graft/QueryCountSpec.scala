@@ -36,7 +36,8 @@ class QueryCountSpec extends AnyFunSuite {
         "203 operator queries",
         "204 operator queries", "205 operator queries", "206 operator queries",
         "207 operator queries", "208 operator queries", "209 operator queries",
-        "210 operator queries", "211 operator queries"))
+        "210 operator queries", "211 operator queries",
+        "212 operator queries", "213 operator queries"))
       assert(!readme.contains(stale), s"stale count in README.md: '$stale'")
     assert(!readme.contains(s"all 167 queries"),
       "stale 'all 167 queries' phrase in README.md")

@@ -312,6 +312,65 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(r2("max_text_len").getAs[Boolean]("pass"))
   }
 
+  test("abPowerAnalysis: cells reconcile; zero delta yields null n_required, not infinity") {
+    import spark.implicits._
+    val quiet = (1 to 50).map(u => (u.toLong, "view", 1.0))
+      .toDF("user_id", "event_type", "value")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val r0 = EventQueries.abPowerAnalysis(quiet).collect().head
+    assert(r0.getAs[Long]("n_a") + r0.getAs[Long]("n_b") === 50L)
+    assert(r0.getAs[Double]("p_pooled") === 0.0)
+    assert(r0.getAs[Double]("delta_observed") === 0.0)
+    assert(r0.isNullAt(r0.fieldIndex("n_required_per_arm")))
+
+    // give every user in arm A a purchase: delta = -p_a, power math defined
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isA(u: Int) = {
+      val hex = md.digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val ev = (1 to 50).flatMap { u =>
+      val base = Seq((u.toLong, "view", 1.0))
+      if (isA(u)) base :+ ((u.toLong, "purchase", 5.0)) else base
+    }.toDF("user_id", "event_type", "value")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val r = EventQueries.abPowerAnalysis(ev).collect().head
+    val na = (1 to 50).count(isA).toLong
+    assert(r.getAs[Long]("n_a") === na)
+    assert(r.getAs[Long]("conv_a") === na)
+    assert(r.getAs[Long]("conv_b") === 0L)
+    // delta = 0 - 1.0 = -1; pooled p = na/50; n_required small but defined
+    assert(r.getAs[Double]("delta_observed") === -1.0)
+    assert(r.getAs[Long]("n_required_per_arm") >= 1L)
+    assert(r.getAs[Double]("mde_at_current_n") > 0.0)
+  }
+
+  test("rakeKeywords: hand-checked degree/frequency scores and tie order") {
+    import spark.implicits._
+    val docs = Seq((1L, "red apple and green apple")).toDF("doc_id", "text")
+    val r = TextOps.rakeKeywords(docs).collect()
+    assert(r.length === 2)
+    // runs: [red apple], [green apple]; deg/freq: red 2/1, apple 4/2, green 2/1
+    // -> every word 2e6 micro, both phrases 4e6; tie breaks on phrase text
+    assert(r(0).getAs[String]("phrase") === "green apple")
+    assert(r(0).getAs[Long]("rank") === 1L)
+    assert(r(0).getAs[Long]("score_micro") === 4000000L)
+    assert(r(1).getAs[String]("phrase") === "red apple")
+    assert(r(1).getAs[Long]("score_micro") === 4000000L)
+    assert(r.forall(_.getAs[Long]("n_words") === 2L))
+  }
+
+  test("rakeKeywords: multi-word domain terms outrank frequent single words") {
+    import spark.implicits._
+    // 'data' alone is frequent; 'shuffle partition tuning' travels as a
+    // 3-word phrase -> degree rewards it
+    val docs = Seq(
+      (1L, "data and data and shuffle partition tuning of data"),
+      (2L, "shuffle partition tuning and data")).toDF("doc_id", "text")
+    val r = TextOps.rakeKeywords(docs, k = 1).collect()
+    r.foreach(row => assert(row.getAs[String]("phrase") === "shuffle partition tuning"))
+  }
+
   test("preferencePairs: equal-quality near-dups are dropped, not tie-broken") {
     import spark.implicits._
     val docs = Seq(
