@@ -20,26 +20,15 @@ class QueryCountSpec extends AnyFunSuite {
   test("README cites the declared count, not a stale one") {
     val readme = java.nio.file.Files.readString(java.nio.file.Paths.get("README.md"))
     val n = SparkEntry.GatedQueryCount
-    assert(readme.contains(s"$n operator queries"),
-      s"README.md must cite '$n operator queries'")
-    // stale figures from earlier rounds must be gone
-    for (stale <- Seq("165 operator queries", "166 operator queries",
-        "167 operator queries", "168 operator queries", "169 operator queries",
-        "170 operator queries", "171 operator queries", "172 operator queries",
-        "173 operator queries", "174 operator queries",
-        "175 operator queries", "176 operator queries", "177 operator queries",
-        "178 operator queries", "179 operator queries",
-        "180 operator queries", "181 operator queries", "182 operator queries",
-        "183 operator queries", "184 operator queries", "185 operator queries",
-        "186 operator queries", "187 operator queries", "188 operator queries", "189 operator queries", "190 operator queries", "191 operator queries", "192 operator queries", "193 operator queries", "194 operator queries", "195 operator queries", "196 operator queries", "197 operator queries", "198 operator queries", "199 operator queries",
-        "200 operator queries", "201 operator queries", "202 operator queries",
-        "203 operator queries",
-        "204 operator queries", "205 operator queries", "206 operator queries",
-        "207 operator queries", "208 operator queries", "209 operator queries",
-        "210 operator queries", "211 operator queries",
-        "212 operator queries", "213 operator queries"))
-      assert(!readme.contains(stale), s"stale count in README.md: '$stale'")
-    assert(!readme.contains(s"all 167 queries"),
+    // EVERY "<number> operator queries" mention must carry the live count —
+    // this subsumes the old ever-growing stale-figure blacklist: any figure
+    // other than the constant fails, including future ones
+    val mentions = raw"(\d+) operator queries".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    assert(mentions.nonEmpty, s"README.md must cite '$n operator queries'")
+    assert(mentions.forall(_ == n),
+      s"stale counts in README.md: ${mentions.filter(_ != n)} (expected $n)")
+    assert(!readme.contains("all 167 queries"),
       "stale 'all 167 queries' phrase in README.md")
   }
 }
