@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 214
+  val GatedQueryCount: Int = 216
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -433,6 +433,12 @@ object SparkEntry {
     "events_ab_power" -> ((s, d) => EventQueries.abPowerAnalysis(Tables.events(s, d))),
     // RAKE keyword extraction: stopword-run phrases, deg/freq word scores
     "text_rake_keywords" -> ((s, d) => TextOps.rakeKeywords(Tables.documents(s, d))),
+    // packing-efficiency audit: per-shard fill, tail waste, straddle share
+    "train_pack_audit" -> ((s, d) =>
+      graft.operators.TrainPrep.packAudit(Tables.documents(s, d))),
+    // per-source datasheet: volume, dup share, mean quality, lang entropy
+    "train_data_card" -> ((s, d) =>
+      graft.operators.Curation.dataCard(Tables.documents(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // scalar-quantization (SQ8) ANN: per-dim envelope codes, integer dot
     "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(Tables.embeddings(s, d))),
@@ -825,6 +831,8 @@ object SparkEntry {
     "v_contract_check" -> OracleSqlText.contractCheck,
     "events_ab_power" -> OracleSql.abPowerAnalysis,
     "text_rake_keywords" -> OracleSqlText.rakeKeywords(),
+    "train_pack_audit" -> OracleSqlText.packAudit(),
+    "train_data_card" -> OracleSqlText.dataCard,
     "embed_label_scatter" -> OracleSqlText.labelScatter,
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL

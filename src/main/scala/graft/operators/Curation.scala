@@ -221,4 +221,51 @@ object Curation {
       .select(col("doc_id"), col("grp").as("source"), col("n_tokens"), col("sample_rank"))
       .orderBy("source", "sample_rank")
   }
+
+  /** Per-source data card — the datasheet a corpus release ships with
+    * (Gebru et al., "Datasheets for Datasets"): volume (docs, tokens),
+    * exact-duplication share, mean quality, and language-mix entropy, one
+    * row per source. The numbers a consumer reads BEFORE deciding to mix a
+    * source in — and the same censuses the curation passes already run,
+    * rolled into one uniform report.
+    *
+    * Determinism: counts are integers; duplication share is integer micro
+    * (1 − distinct md5 / docs); mean quality averages the ROUND(4)-pinned
+    * kernel and re-rounds; entropy terms −(c/n)·ln(c/n) floor to integer
+    * micro-nats PER LANGUAGE before the keyed sum (the token-entropy
+    * discipline — order-free).
+    *
+    * Scale shape: three source-keyed combinable censuses (volume+quality,
+    * distinct hashes, lang mix) joined on the source key — domain-sized
+    * everywhere after the map-side combines. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val base = docs.join(q, Seq("doc_id"))
+    // mean quality in integer micro: each ROUND(4)-pinned score becomes an
+    // exact 1e-4-unit integer first, so the mean is order-free integer
+    // arithmetic (a float AVG's partial-sum order varies run to run)
+    val vol = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens"),
+      countDistinct(md5(col("text").cast("binary"))).as("n_distinct"),
+      sum(round(col("quality_score") * 10000).cast("long")).as("q4_sum"),
+      count(col("quality_score")).as("q_n"))
+      .withColumn("mean_quality_micro",
+        expr("q4_sum * 100 div nullif(q_n, 0L)"))
+    val langTerms = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .withColumn("term_micro",
+        floor(-(col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("n")) * 1e6).cast("long"))
+    val ent = langTerms.groupBy("source")
+      .agg(sum(col("term_micro")).as("lang_entropy_micro"),
+        count(lit(1)).as("n_langs"))
+    vol.join(ent, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_docs - n_distinct) * 1000000L div nullif(n_docs, 0L)")
+          .as("dup_share_micro"),
+        col("mean_quality_micro"), col("n_langs"), col("lang_entropy_micro"))
+      .orderBy("source")
+  }
 }

@@ -293,6 +293,41 @@ object TrainPrep {
       .orderBy("split", "shard")
   }
 
+  /** Packing-efficiency audit of [[packSequences]] — the metric a training
+    * team actually reads off a packed release: per shard, how much of the
+    * token budget is real data (tail waste = the unfilled remainder of the
+    * last pack) and how many documents STRADDLE a pack boundary (straddled
+    * docs are the attention-contamination candidates a boundary-respecting
+    * packer would have to pad away — this audit prices that trade).
+    *
+    * Pure integer arithmetic over the packing layout (token counts,
+    * ceiling division, boundary comparisons) — nothing to quantize.
+    *
+    * Scale shape: re-derives the layout with the same one-window pass as
+    * the packer, then ONE shard-keyed combinable aggregate. */
+  def packAudit(docs: DataFrame, maxTokens: Int = 512,
+      docsPerShard: Int = 1000): DataFrame = {
+    val packed = packSequences(docs, maxTokens, docsPerShard)
+    packed.groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum((col("pack_offset") + col("n_tokens") > maxTokens).cast("long"))
+          .as("straddle_docs"))
+      .withColumn("total_tokens", col("total_tokens").cast("long"))
+      .withColumn("n_packs",
+        expr(s"CAST((total_tokens + ${maxTokens - 1}) DIV $maxTokens AS BIGINT)"))
+      .withColumn("tail_waste_tokens",
+        expr(s"n_packs * $maxTokens - total_tokens"))
+      .withColumn("fill_micro",
+        expr(s"total_tokens * 1000000L div nullif(n_packs * $maxTokens, 0L)"))
+      .withColumn("straddle_micro",
+        expr("straddle_docs * 1000000L div nullif(n_docs, 0L)"))
+      .select("shard", "n_docs", "n_packs", "total_tokens",
+        "tail_waste_tokens", "fill_micro", "straddle_docs", "straddle_micro")
+      .orderBy("shard")
+  }
+
   /** Preference-pair construction for DPO/RLHF-style tuning: near-duplicate
     * document pairs where the two sides differ in quality score become
     * (chosen, rejected) training pairs — the same content expressed better

@@ -2688,6 +2688,94 @@ SELECT doc_id, n_words, mean_word_len_micro, frac_alpha_micro, stopword_count,
        fail_rule IS NULL AS keep, fail_rule
 FROM gv ORDER BY doc_id"""
 
+  /** Mirrors TrainPrep.packAudit: the packSequences layout CTEs, then one
+    * shard-keyed integer audit (ceiling division, boundary counts). */
+  def packAudit(maxTokens: Int = 512, docsPerShard: Int = 1000): String = s"""
+WITH $toksCte,
+t AS (
+  SELECT doc_id,
+         CAST(FLOOR(doc_id / $docsPerShard) AS BIGINT) AS shard,
+         len(toks)::BIGINT AS n_tokens
+  FROM toks
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+  FROM t
+),
+p AS (
+  SELECT shard, n_tokens,
+         prior - (prior // $maxTokens) * $maxTokens AS pack_offset
+  FROM c
+),
+a AS (
+  SELECT shard, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN pack_offset + n_tokens > $maxTokens THEN 1 ELSE 0 END)
+              AS BIGINT) AS straddle_docs
+  FROM p GROUP BY shard
+)
+SELECT shard, n_docs,
+       CAST((total_tokens + ${maxTokens - 1}) // $maxTokens AS BIGINT) AS n_packs,
+       total_tokens,
+       CAST((total_tokens + ${maxTokens - 1}) // $maxTokens * $maxTokens - total_tokens
+            AS BIGINT) AS tail_waste_tokens,
+       CAST(total_tokens * 1000000
+            // NULLIF((total_tokens + ${maxTokens - 1}) // $maxTokens * $maxTokens, 0)
+            AS BIGINT) AS fill_micro,
+       straddle_docs,
+       CAST(straddle_docs * 1000000 // NULLIF(n_docs, 0) AS BIGINT) AS straddle_micro
+FROM a ORDER BY shard"""
+
+  /** Mirrors Curation.dataCard: source-keyed volume/quality/distinct-hash
+    * censuses + per-language micro-floored entropy terms. */
+  val dataCard: String = s"""
+WITH $toksCte,
+q AS (
+  SELECT t.doc_id,
+         ROUND(LEAST(len(toks), 200)::DOUBLE / 200.0 *
+               (1.0 - ROUND(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                            / NULLIF(length(d.text), 0), 4)), 4) AS quality_score,
+         len(toks)::BIGINT AS n_toks
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+),
+vol AS (
+  SELECT d.source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(q.n_toks) AS BIGINT) AS n_tokens,
+         COUNT(DISTINCT md5(d.text)) AS n_distinct,
+         CAST(SUM(CAST(ROUND(q.quality_score * 10000) AS BIGINT)) AS BIGINT) AS q4_sum,
+         COUNT(q.quality_score) AS q_n
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  GROUP BY d.source
+),
+lc AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+lt AS (
+  SELECT source, lang, c, SUM(c) OVER (PARTITION BY source) AS n
+  FROM lc
+),
+terms AS (
+  SELECT source,
+         CAST(floor(-(c::DOUBLE / n) * ln(c::DOUBLE / n) * 1e6) AS BIGINT) AS term_micro
+  FROM lt
+),
+ent AS (
+  SELECT source, CAST(SUM(term_micro) AS BIGINT) AS lang_entropy_micro,
+         COUNT(*) AS n_langs
+  FROM terms GROUP BY source
+)
+SELECT vol.source, vol.n_docs, vol.n_tokens,
+       CAST((vol.n_docs - vol.n_distinct) * 1000000 // NULLIF(vol.n_docs, 0) AS BIGINT)
+         AS dup_share_micro,
+       CAST(vol.q4_sum * 100 // NULLIF(vol.q_n, 0) AS BIGINT) AS mean_quality_micro,
+       ent.n_langs, ent.lang_entropy_micro
+FROM vol JOIN ent ON ent.source = vol.source
+ORDER BY vol.source"""
+
   /** Mirrors TextOps.rakeKeywords: stopword-run phrase candidates, integer
     * deg·10⁶ div freq word scores, ordered reassembly, top-k per doc. */
   def rakeKeywords(k: Int = 3): String = s"""

@@ -371,6 +371,51 @@ class RoundTenOpsSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[String]("phrase") === "shuffle partition tuning"))
   }
 
+  test("packAudit: hand-checked fill, tail waste, and straddle counts") {
+    import spark.implicits._
+    // one shard, maxTokens=10: docs of 6, 6, 6 tokens -> total 18, 2 packs,
+    // tail waste 2, fill 18/20; doc2 starts at offset 6 (6+6>10 straddles),
+    // doc3 starts at offset 12-10=2 (2+6<=10 fits)
+    val docs = Seq(
+      (1L, (1 to 6).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 6).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 6).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TrainPrep.packAudit(docs, maxTokens = 10, docsPerShard = 1000)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("total_tokens") === 18L)
+    assert(r.getAs[Long]("n_packs") === 2L)
+    assert(r.getAs[Long]("tail_waste_tokens") === 2L)
+    assert(r.getAs[Long]("fill_micro") === 18L * 1000000L / 20L)
+    assert(r.getAs[Long]("straddle_docs") === 1L)
+  }
+
+  test("dataCard: volume, duplication share, and language entropy reconcile") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "web"),
+      (2L, "alpha beta gamma", "en", "web"),  // exact dup of 1
+      (3L, "delta epsilon", "fr", "web"),
+      (4L, "zeta eta theta iota", "en", "wiki"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = graft.operators.Curation.dataCard(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("web").getAs[Long]("n_docs") === 3L)
+    assert(r("web").getAs[Long]("n_tokens") === 8L)
+    // 3 docs, 2 distinct -> dup share 1/3
+    assert(r("web").getAs[Long]("dup_share_micro") === 1000000L / 3L)
+    assert(r("wiki").getAs[Long]("dup_share_micro") === 0L)
+    // web langs: en 2/3, fr 1/3 -> entropy = -(2/3)ln(2/3)-(1/3)ln(1/3)
+    val expEnt = (math.floor(-(2.0 / 3) * math.log(2.0 / 3) * 1e6) +
+      math.floor(-(1.0 / 3) * math.log(1.0 / 3) * 1e6)).toLong
+    assert(r("web").getAs[Long]("lang_entropy_micro") === expEnt)
+    assert(r("web").getAs[Long]("n_langs") === 2L)
+    // single-lang source: entropy exactly 0 (p=1 -> -1*ln(1) = 0)
+    assert(r("wiki").getAs[Long]("lang_entropy_micro") === 0L)
+  }
+
   test("preferencePairs: equal-quality near-dups are dropped, not tie-broken") {
     import spark.implicits._
     val docs = Seq(
