@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 216
+  val GatedQueryCount: Int = 217
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -362,6 +362,8 @@ object SparkEntry {
 
     // training-data pipeline: similarity search over embeddings
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    // filtered vector search: label predicate pre-filters into a keyed join
+    "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), nPlanes = 4)),
     // per-label embedding scatter: cohesion + nearest-other confusability
     "embed_label_scatter" -> ((s, d) =>
@@ -797,6 +799,7 @@ object SparkEntry {
     "text_top_tokens" -> OracleSqlText.topTokens,
     "dedup_winnow_pairs" -> OracleSqlText.winnowPairs,
     "ann_cosine_topk" -> OracleSqlText.annTopK,
+    "ann_filtered_topk" -> OracleSqlText.annFilteredTopK(),
     "ann_lsh_topk" -> OracleSqlText.annLshTopK,
     "ann_rrf_fusion" -> OracleSqlText.annRrfFusion(),
     "search_bm25_topk" -> OracleSqlText.bm25TopK(),

@@ -65,6 +65,43 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Filtered vector search — the production ANN shape ([[bruteForceTopK]]
+    * with a metadata predicate): top-k cosine among corpus vectors sharing
+    * the query's label only. The load-bearing difference is WHERE the
+    * filter sits: pre-filtering turns the all-scan keyless join into a
+    * label-KEYED join (pinned), so each query scores one label partition's
+    * worth of candidates, not the corpus — exactly the cost model a
+    * label-partitioned/IVF-filtered index gives at scale. Post-filtering
+    * (score everything, discard) would also return too FEW results when
+    * the filter is selective — the classic filtered-ANN bug.
+    *
+    * Exact baseline semantics; the approximate scale path composes the
+    * same predicate into the IVF/LSH variants' candidate stages. */
+  def filteredTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val withNorm = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      l2Norm(col("embedding")).as("norm"))
+    val queries = broadcast(
+      withNorm.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("label"),
+          col("embedding").as("q_emb"), col("norm").as("q_norm")))
+    val scored = queries.join(
+        withNorm.select(col("vec_id").as("neighbor_id"), col("label"),
+          col("embedding"), col("norm")),
+        Seq("label"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        round(dotProduct(col("q_emb"), col("embedding")) /
+          safeDenom(col("q_norm") * col("norm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+      .select(col("query_id"), col("label").cast("long").as("label"),
+        col("neighbor_id"), col("cosine_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** All pairs at or above a cosine threshold (embedding near-dedup), as a
     * BLOCKED all-pairs scorer — the distributed-GEMM shape, not a row-level
     * join. Vectors are packed into `blocks` groups (one shuffle, linear in

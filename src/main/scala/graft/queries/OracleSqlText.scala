@@ -544,6 +544,23 @@ WHERE rank <= $k ORDER BY query_id, rank"""
 
   val annTopK: String = cosTopKSql(5)
 
+  /** Mirrors Similarity.filteredTopK: the brute-force oracle with the
+    * label predicate in the join — candidates are the query's label
+    * partition only. */
+  def annFilteredTopK(k: Int = 5, nQueries: Int = 5): String = s"""
+WITH q AS (SELECT vec_id AS query_id, label, embedding AS q_emb
+           FROM embeddings WHERE vec_id < $nQueries),
+scored AS (
+  SELECT q.query_id, CAST(q.label AS BIGINT) AS label, e.vec_id AS neighbor_id,
+         ${cosSql("q.q_emb", "e.embedding")} AS cosine_sim
+  FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.query_id
+)
+SELECT query_id, label, neighbor_id, cosine_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored) t
+WHERE rank <= $k ORDER BY query_id, rank"""
+
   /** Mirrors Similarity.rrfFusion: the two ANN oracles as derived tables,
     * integer micro-unit contributions (1e6 // (kRrf+rank)), full join on
     * (query, neighbor), re-rank with neighbor_id tie-break. */

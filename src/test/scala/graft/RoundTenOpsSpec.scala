@@ -416,6 +416,27 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(r("wiki").getAs[Long]("lang_entropy_micro") === 0L)
   }
 
+  test("filteredTopK: every neighbor shares the query's label; results differ from unfiltered") {
+    import spark.implicits._
+    // labels 0/1 alternate; vectors in label 1 are deliberately closer to
+    // query 1 than same-label ones are -> unfiltered search would cross
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(base, i.toFloat / 20, 1.0f) ++ Array.fill(61)(0.0f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", col("label").cast("int"))
+    val r = graft.operators.Similarity.filteredTopK(rows, nQueries = 2, k = 3).collect()
+    r.foreach { row =>
+      val q = row.getAs[Long]("query_id")
+      assert(row.getAs[Long]("label") === q % 2,
+        "neighbor label must equal the query's label")
+      assert(row.getAs[Long]("neighbor_id") % 2 === q % 2,
+        "a cross-label neighbor leaked through the filter")
+    }
+    assert(r.map(_.getAs[Long]("query_id")).distinct.sorted.sameElements(Seq(0L, 1L)))
+  }
+
   test("preferencePairs: equal-quality near-dups are dropped, not tie-broken") {
     import spark.implicits._
     val docs = Seq(
