@@ -2886,7 +2886,7 @@ FROM rules ORDER BY rule_id"""
   /** Mirrors Multimodal.hardNegativePairs: the phash CTE of [[mmPhashDedup]],
     * 8-bit band candidates, xor+bit_count Hamming, per-anchor top-k.
     * Constants render from the same (bits, bandBits, maxHamming, k). */
-  def mmHardNegatives(bits: Int = 32, bandBits: Int = 8,
+  def mmHardNegatives(bits: Int = 48, bandBits: Int = 12,
       maxHamming: Int = 8, k: Int = 5): String = {
     val nBands = bits / bandBits
     val mask = (1 << bandBits) - 1
@@ -2906,7 +2906,7 @@ h AS (
                        bytes[((kk * n) // $bits) + 1 : ((kk + 1) * n) // $bits]), 0)
                      AS BIGINT) * n
                    > total * (((kk + 1) * n) // $bits - (kk * n) // $bits)
-                THEN 1 << kk ELSE 0 END)), 0) AS BIGINT) AS phash32
+                THEN (1::BIGINT << kk) ELSE 0 END)), 0) AS BIGINT) AS phash32
   FROM t
 ),
 bands AS (
