@@ -159,11 +159,12 @@ object Multimodal {
     * items by phash Hamming distance — the negatives that actually teach a
     * contrastive objective something (random negatives are trivially far).
     *
-    * Candidates come from 8-bit Hamming-LSH bands over the 32-bit hash
-    * (two hashes within Hamming 3 of each other ALWAYS share an intact
-    * band — pigeonhole over 4 bands — so close negatives are found
-    * exactly, not probabilistically; distances up to `maxHamming` are kept
-    * best-effort via shared bands). Identical hashes (Hamming 0) are the
+    * Candidates come from `bandBits`-bit Hamming-LSH bands over the
+    * `bits`-bit hash (bits/bandBits bands; by pigeonhole, two hashes
+    * within Hamming < bits/bandBits of each other ALWAYS share an intact
+    * band — so the closest negatives are found exactly, not
+    * probabilistically; distances up to `maxHamming` are kept best-effort
+    * via shared bands). Identical hashes (Hamming 0) are the
     * DUPLICATE set — [[phashGroups]]' business, excluded here so a dup
     * never becomes a training negative (the classic false-negative
     * poisoning bug in contrastive pipelines).

@@ -919,9 +919,10 @@ object Similarity {
     * Exactness: each float coordinate quantizes to integer micro-units
     * (floor(x·10⁶) — float→double widening is exact, so both engines see
     * identical integers), then all five sufficient statistics are integer
-    * sums — per-row xᵢ·xⱼ ≤ 1.6·10¹¹, corpus sums fit a long at 100× and
-    * combine as DECIMAL(38,0) ↔ HUGEINT; doubles appear only in the final
-    * fixed tree. Order-free by construction.
+    * sums — |x| reaches 1.0, so a per-row xᵢ·xⱼ reaches 10¹² and the
+    * product sums accumulate in DECIMAL(38,0) ↔ HUGEINT from the first
+    * row (a long sum would wrap silently past ~9·10⁶ rows); doubles
+    * appear only in the final fixed tree. Order-free by construction.
     *
     * Scale shape: one narrow pair fan-out (a constant 36-entry Generate per
     * row for kDims=8 — no join, no second corpus pass) into a map-side-
@@ -945,12 +946,15 @@ object Similarity {
           xm(i).as("xi"), xm(j).as("xj"))
       }: _*)).as("p"))
       .select(col("p.dim_i"), col("p.dim_j"), col("p.xi"), col("p.xj"))
+    // products go through decimal(38,0): |x| reaches 1.0 (1e6 micro), so a
+    // per-row product is up to 1e12 and a long sum would silently wrap past
+    // ~9e6 rows — the DuckDB twin's SUM already promotes to HUGEINT
     val a = exploded.groupBy("dim_i", "dim_j").agg(
       count(lit(1)).as("n"),
       sum(col("xi")).as("sx"), sum(col("xj")).as("sy"),
-      sum(col("xi") * col("xj")).as("sxy"),
-      sum(col("xi") * col("xi")).as("sxx"),
-      sum(col("xj") * col("xj")).as("syy"))
+      sum(col("xi").cast(dec) * col("xj")).as("sxy"),
+      sum(col("xi").cast(dec) * col("xi")).as("sxx"),
+      sum(col("xj").cast(dec) * col("xj")).as("syy"))
     val nDec = col("n").cast(dec)
     def d(c: Column) = c.cast(dec)
     val num = nDec * d(col("sxy")) - d(col("sx")) * d(col("sy"))
@@ -973,9 +977,16 @@ object Similarity {
     * half consumes [[embeddingCovariance]] on the driver.
     *
     * Determinism: the per-dim mean/variance come from the same
-    * micro-quantized integer sums as [[embeddingCovariance]]; each z-value
-    * evaluates on a fixed double tree from exact integers and quantizes to
-    * integer micro BEFORE the audit sums — order-free on both engines.
+    * micro-quantized integer sums as [[embeddingCovariance]], and the
+    * z quantization is EXACT INTEGER end-to-end — no double tree. With
+    * V = n·sxx − sx² (population variance scaled by n²), sd = √V/n, so
+    * z·1e6 = (n·xm − sx)·1e6 / √V. We take S = isqrt(V) exactly (double
+    * seed + one-step correction: at V ≤ 1e29 the seed is within ±1 of
+    * ⌊√V⌋ since cast+sqrt error < 0.1) and define
+    * z_micro = floor_div((n·xm − sx)·1e6, S) in decimal arithmetic —
+    * bit-identical on any engine with exact integer ops. (The double-tree
+    * formulation this replaced was the round-8 red row: floor() at a
+    * boundary flipped between engines.)
     *
     * Scale shape: one kDims-entry Generate per row into a combinable
     * (dim) census for the stats; the stats table (kDims rows) broadcasts
@@ -991,21 +1002,33 @@ object Similarity {
       .select((col("pos")).cast("long").as("dim"),
         floor(col("x").cast("double") * 1e6).cast("long").as("xm")))
     melted.count() // stats pass and transform pass share one fan-out
+    val dec = "decimal(38,0)"
     val stats = melted.groupBy("dim").agg(
       count(lit(1)).as("n"), sum(col("xm")).as("sx"),
-      sum(col("xm").cast("decimal(38,0)") * col("xm")).as("sxx"))
-    // z = (x − mean)/stddev on the micro scale (scale cancels), population
-    // variance from the same exact sums as embeddingCovariance
-    val zm = melted.join(broadcast(stats), "dim")
-      .withColumn("mean", col("sx").cast("double") / col("n"))
-      .withColumn("sd", sqrt(
-        (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) /
-          (col("n").cast("double") * col("n").cast("double"))))
+      sum(col("xm").cast(dec) * col("xm")).as("sxx"))
+    // V = n·sxx − sx² exactly in decimal; S = isqrt(V) via a double seed
+    // corrected by at most one step (seed error < 0.1 at V ≤ 1e29, so the
+    // two CASE arms cover every boundary miss)
+    val withS = stats
+      .withColumn("v",
+        col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx").cast(dec))
+      .withColumn("s0", floor(sqrt(col("v").cast("double"))).cast(dec))
+      .withColumn("isq",
+        when((col("s0") + 1) * (col("s0") + 1) <= col("v"), col("s0") + 1)
+          .when(col("s0") * col("s0") > col("v"), col("s0") - 1)
+          .otherwise(col("s0")))
+    // z_micro = floor_div((n·xm − sx)·1e6, S): subtract the non-negative
+    // remainder first so the decimal division is exact (divisible), giving
+    // true floor semantics for negative numerators on both engines
+    val zm = melted.join(broadcast(withS.select("dim", "n", "sx", "v", "isq")), "dim")
+      .withColumn("a",
+        (col("n").cast(dec) * col("xm") - col("sx").cast(dec)) * lit(1000000L).cast(dec))
       .withColumn("z_micro",
         // a zero-variance dim standardizes to 0 by convention (no crash,
         // no engine-divergent inf) — the audit then reads var_z = 0
-        when(col("sd") === 0.0, lit(0L)).otherwise(
-          floor((col("xm").cast("double") - col("mean")) / col("sd") * 1e6).cast("long")))
+        when(col("v") === 0, lit(0L)).otherwise(
+          ((col("a") - (col("a") % col("isq") + col("isq")) % col("isq")) /
+            col("isq")).cast("long")))
     zm.groupBy("dim")
       .agg(count(lit(1)).as("n"),
         sum(col("z_micro")).as("sz"),

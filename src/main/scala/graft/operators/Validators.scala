@@ -460,23 +460,6 @@ object Validators {
       .orderBy("event_type")
   }
 
-  /** Exact Gini concentration coefficient of `value` per event type — the
-    * whale-ness readout that drives sampling design (a revenue stream with
-    * G ≈ 0.9 needs whale-guarded stratification; G ≈ 0.3 doesn't), reported
-    * in exact integer micro-units.
-    *
-    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending sort — but
-    * computed WITHOUT sorting the corpus: group to a (type, value) census
-    * first, then each equal-value run contributes its rank-arithmetic
-    * series c·(cumBefore·cnt + cnt·(cnt+1)/2) — rank order within a run is
-    * a permutation of fixed ranks, so the sum is tie-invariant and the
-    * whole statistic is pure integer arithmetic (cents in, DECIMAL(38,0) ↔
-    * HUGEINT combination, integer division at the end — numerator is
-    * provably ≥ 0 so floor = truncate on both engines).
-    *
-    * Scale shape: ONE map-side-combinable corpus census onto the (type,
-    * distinct-value) domain; the rank window runs over that census, not
-    * the corpus — the [[ksProfile]] discipline. Zero corpus sorts. */
   /** Rules-as-data contract check over the documents table — the ingest
     * firewall pattern: every rule is a (rule_id, observed, bound) row with
     * pass = observed ≤ bound, so downstream alerting reads ONE uniform
@@ -525,6 +508,23 @@ object Validators {
       .orderBy("rule_id")
   }
 
+  /** Exact Gini concentration coefficient of `value` per event type — the
+    * whale-ness readout that drives sampling design (a revenue stream with
+    * G ≈ 0.9 needs whale-guarded stratification; G ≈ 0.3 doesn't), reported
+    * in exact integer micro-units.
+    *
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending sort — but
+    * computed WITHOUT sorting the corpus: group to a (type, value) census
+    * first, then each equal-value run contributes its rank-arithmetic
+    * series c·(cumBefore·cnt + cnt·(cnt+1)/2) — rank order within a run is
+    * a permutation of fixed ranks, so the sum is tie-invariant and the
+    * whole statistic is pure integer arithmetic (cents in, DECIMAL(38,0) ↔
+    * HUGEINT combination, integer division at the end — numerator is
+    * provably ≥ 0 so floor = truncate on both engines).
+    *
+    * Scale shape: ONE map-side-combinable corpus census onto the (type,
+    * distinct-value) domain; the rank window runs over that census, not
+    * the corpus — the [[ksProfile]] discipline. Zero corpus sorts. */
   def giniProfile(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"

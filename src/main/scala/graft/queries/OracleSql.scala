@@ -2031,8 +2031,10 @@ SELECT n_a, n_b, conv_a, conv_b,
 FROM d"""
 
   /** Mirrors Similarity.embeddingStandardize: same clean-vector guard and
-    * micro quantization as the covariance census, the identical sd tree,
-    * zero-variance convention, micro-quantized z audit sums. */
+    * micro quantization as the covariance census, and the same EXACT
+    * INTEGER z derivation — V = n·sxx − sx², S = isqrt(V) (double seed,
+    * one-step correction), z_micro = floor_div((n·xm − sx)·1e6, S) — so
+    * both engines compute identical integers with no double tree. */
   def embeddingStandardize(kDims: Int = 8): String = s"""
 WITH clean AS (
   SELECT * FROM embeddings
@@ -2046,20 +2048,32 @@ m AS (
   FROM clean e, generate_series(1, $kDims) g(i)
 ),
 st AS (
-  SELECT dim, COUNT(*) AS n, SUM(xm) AS sx, SUM(xm * xm) AS sxx
+  SELECT dim, COUNT(*) AS n, SUM(xm) AS sx,
+         SUM(CAST(xm AS HUGEINT) * xm) AS sxx
   FROM m GROUP BY dim
 ),
-sd AS (
-  SELECT dim, n, sx::DOUBLE / n AS mean,
-         sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx) / (n::DOUBLE * n::DOUBLE)) AS sd
+vv AS (
+  SELECT dim, n, sx,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS v
   FROM st
 ),
+isq AS (
+  SELECT dim, n, sx, v,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+              WHEN s0 * s0 > v THEN s0 - 1
+              ELSE s0 END AS s
+  FROM (SELECT *, CAST(floor(sqrt(v::DOUBLE)) AS HUGEINT) AS s0 FROM vv)
+),
 z AS (
-  SELECT m.dim,
-         CASE WHEN sd.sd = 0 THEN CAST(0 AS BIGINT)
-              ELSE CAST(floor((m.xm::DOUBLE - sd.mean) / sd.sd * 1e6) AS BIGINT)
+  SELECT dim,
+         CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((a - (a % s + s) % s) // s AS BIGINT)
          END AS z_micro
-  FROM m JOIN sd ON sd.dim = m.dim
+  FROM (
+    SELECT m.dim, i.v, i.s,
+           (CAST(i.n AS HUGEINT) * m.xm - i.sx) * 1000000 AS a
+    FROM m JOIN isq i ON i.dim = m.dim
+  )
 )
 SELECT dim, COUNT(*) AS n,
        ROUND(CAST(SUM(z_micro) AS BIGINT)::DOUBLE / COUNT(*) / 1e6, 6) AS mean_z,

@@ -2884,7 +2884,7 @@ FROM rules ORDER BY rule_id"""
   }
 
   /** Mirrors Multimodal.hardNegativePairs: the phash CTE of [[mmPhashDedup]],
-    * 8-bit band candidates, xor+bit_count Hamming, per-anchor top-k.
+    * bandBits-bit band candidates, xor+bit_count Hamming, per-anchor top-k.
     * Constants render from the same (bits, bandBits, maxHamming, k). */
   def mmHardNegatives(bits: Int = 48, bandBits: Int = 12,
       maxHamming: Int = 8, k: Int = 5): String = {
