@@ -24,19 +24,31 @@ object Bench {
   /** Load gate (round-6 verdict #1): a bench recorded on a contended box is
     * worse than no bench — r6's artifact showed uniform 10–30× phantom
     * slowdowns that only a judge re-run could adjudicate. Wait (up to
-    * `maxWaitSec`) for the 1-minute load to drop below `maxLoad` before any
-    * timer starts; if it never does, proceed but stamp the artifact
-    * `"load_gate":"bypassed"` so a reader discounts it without forensics.
+    * `maxWaitSec`) for BOTH the 1-minute AND 5-minute load averages to
+    * drop below `maxLoad` before any timer starts (round-8 lesson: a
+    * cooled 1-min average over a still-hot 5-min average — 1.76/2.66 —
+    * passed the old gate and inflated cold totals ~60%); if they never
+    * do, proceed but stamp the artifact `"load_gate":"bypassed"` so a
+    * reader discounts it without forensics. Returns the gate verdict plus
+    * the two averages observed at gate exit, which the artifact stamps as
+    * `load_gate_1m`/`load_gate_5m` so a reader can re-adjudicate without
+    * trusting the boolean.
     */
-  private def awaitIdle(maxLoad: Double, maxWaitSec: Int): String = {
-    val deadline = System.nanoTime() + maxWaitSec * 1e9.toLong
-    var load = loadavg().split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
-    while (load > maxLoad && System.nanoTime() < deadline) {
-      System.err.println(f"[bench] load $load%.2f > $maxLoad%.1f — waiting for idle box")
-      Thread.sleep(15000)
-      load = loadavg().split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
+  private def awaitIdle(maxLoad: Double, maxWaitSec: Int): (String, Double, Double) = {
+    def sample(): (Double, Double) = {
+      val parts = loadavg().split("\\s+")
+      def at(i: Int) = parts.lift(i).flatMap(_.toDoubleOption).getOrElse(0.0)
+      (at(0), at(1))
     }
-    if (load > maxLoad) "bypassed" else "ok"
+    val deadline = System.nanoTime() + maxWaitSec * 1e9.toLong
+    var (one, five) = sample()
+    while ((one > maxLoad || five > maxLoad) && System.nanoTime() < deadline) {
+      System.err.println(
+        f"[bench] load $one%.2f/$five%.2f (1m/5m) > $maxLoad%.1f — waiting for idle box")
+      Thread.sleep(15000)
+      val s = sample(); one = s._1; five = s._2
+    }
+    (if (one > maxLoad || five > maxLoad) "bypassed" else "ok", one, five)
   }
 
   private[graft] def jstr(s: String): String = "\"" + s.flatMap {
@@ -79,7 +91,7 @@ object Bench {
     // production runs (driver, BENCH_FULL) leave it unset and get the suite.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val loadGate = awaitIdle(
+    val (loadGate, gate1m, gate5m) = awaitIdle(
       sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "2.0").toDouble,
       sys.env.getOrElse("SPARK_GRAFT_MAX_WAIT_SEC", "600").toInt)
     val spark = SparkSession.builder()
@@ -166,6 +178,7 @@ object Bench {
     val envJson =
       s"""{"load_before":${jstr(loadBefore)},"load_after":${jstr(loadAfter)},""" +
         s""""load_gate":${jstr(loadGate)},""" +
+        s""""load_gate_1m":${sec(gate1m)},"load_gate_5m":${sec(gate5m)},""" +
         s""""jvm_cpus":${Runtime.getRuntime.availableProcessors()}}"""
     // Full per-query detail goes to a file: the driver's artifact keeps only
     // the last ~2000 chars of stdout, so a 70+-entry map printed inline gets

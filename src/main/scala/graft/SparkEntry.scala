@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 217
+  val GatedQueryCount: Int = 218
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -42,6 +42,11 @@ object SparkEntry {
         (m, h, BalanceAnalytics.currentBalances(h))
       })
     }
+
+  // Snapshot-index paths already built this JVM (dedup_incremental_indexed):
+  // the write-once/parquet-many index shape means a path, once built, is
+  // valid for the session — the inputs under a testdata dir are immutable.
+  private val incrIdxBuilt = scala.collection.mutable.Set.empty[String]
 
   private def txns(s: SparkSession, dir: String): DataFrame = Tables.transactions(s, dir)
   private def matched(s: SparkSession, dir: String): DataFrame = stages(s, dir)._1
@@ -284,17 +289,26 @@ object SparkEntry {
     }),
     // the production daily-crawl path: the existing corpus's ranked prefix
     // index is a write-once parquet snapshot and only the NEW batch is
-    // shingled per call (verdict r7 #6). The gate rebuilds the snapshot
-    // each run so it stays self-contained; the final output must
-    // hash-match the rebuild-path dedup_incremental — same oracle SQL
-    // (exact verification erases the two paths' different-but-both-
-    // lossless candidate orders).
+    // shingled per call (verdict r7 #6). The snapshot build runs ONCE per
+    // (JVM, sfDir) — a session memo, same discipline as the staged
+    // pipeline caches — so the bench's cold line prices build+probe and
+    // its warm line prices the probe alone, the recurring cost the
+    // daily-crawl user actually pays (verdict r8 #4). Verify still builds
+    // fresh per run (new JVM), keeping the gate self-contained; the final
+    // output must hash-match the rebuild-path dedup_incremental — same
+    // oracle SQL (exact verification erases the two paths' different-but-
+    // both-lossless candidate orders).
     "dedup_incremental_indexed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val isNew = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
       val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         "graft_incr_idx_" + Integer.toHexString(d.hashCode)).toString
-      Dedup.buildIncrementalIndex(docs.filter(!isNew), idx)
+      incrIdxBuilt.synchronized {
+        if (!incrIdxBuilt.contains(idx)) {
+          Dedup.buildIncrementalIndex(docs.filter(!isNew), idx)
+          incrIdxBuilt += idx
+        }
+      }
       Dedup.incrementalNearDupsIndexed(docs.filter(isNew), idx)
     }),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -678,6 +692,12 @@ object SparkEntry {
       graft.streaming.StreamingFifo.replayLedgerLateBounded(txns(s, d))
         .orderBy(matchedOrder: _*)),
 
+    // the bounded replay's drop counter, gated: the oracle hardcodes
+    // n_drop_late = 0 (the one-chunk bound admits every delayed row), so a
+    // pruning/bound regression fails the hash gate observably
+    "streaming_bounded_audit" -> ((s, d) =>
+      graft.streaming.StreamingFifo.replayLedgerLateBoundedAudit(txns(s, d))),
+
     // streaming analytics replayed the same way: the windowed rollup must
     // equal the batch tumbling GROUP BY once the watermark closes every
     // window; streaming dedup must pass exactly one survivor per hash
@@ -706,10 +726,12 @@ object SparkEntry {
       graft.operators.Skew.saltedSum(Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")
         .orderBy("l_returnflag")),
 
-    // training-data pipeline: multimodal binary plumbing (decode is stubbed)
+    // training-data pipeline: REAL image decode (ImageIO) over synthesized
+    // PNG payloads; the oracle recomputes the expected pixel stats
+    // analytically from doc_id, so the hash gate proves the codec round-trip
     "mm_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.withMedia(Tables.documents(s, d)))
-        .select("doc_id", "n_bytes", "content_md5").orderBy("doc_id")),
+      Multimodal.extractFeatures(Multimodal.withImagePayloads(Tables.documents(s, d)))
+        .orderBy("doc_id")),
     // perceptual-hash near-dup grouping over the binary payload
     "mm_phash_dedup" -> ((s, d) =>
       Multimodal.phashGroups(Multimodal.withMedia(Tables.documents(s, d)))),
@@ -870,6 +892,7 @@ object SparkEntry {
     "streaming_match" -> OracleSql.fifoMatch,
     "streaming_late_match" -> OracleSql.fifoMatch,
     "streaming_late_match_bounded" -> OracleSql.fifoMatch,
+    "streaming_bounded_audit" -> OracleSql.streamingBoundedAudit,
     "streaming_rollup" -> OracleSql.streamingRollup,
     "streaming_dedup" -> OracleSqlText.streamingDedup,
     "streaming_sessions" -> OracleSql.streamingSessions,

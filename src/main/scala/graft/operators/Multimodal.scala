@@ -7,16 +7,19 @@ import org.apache.spark.sql.functions._
   * `binary` columns with a typed metadata struct; decode / feature-extract
   * runs executor-side over partitions of raw bytes.
   *
-  * The decode step itself is a clearly-marked STUB (no codec libraries in
-  * this environment): it derives deterministic fake features from the bytes.
-  * Everything around it — schema, binary encoding, partition-wise typed
-  * traversal, batch shape — is the real production plumbing and is tested.
+  * The image decode is REAL: `javax.imageio.ImageIO` (JDK-bundled — zero
+  * added dependencies) decodes PNG payloads executor-side and the emitted
+  * features are actual width/height/pixel statistics. The gate closes the
+  * loop without the oracle ever decoding a byte: fixture payloads are
+  * deterministic functions of `doc_id` ([[withImagePayloads]]), so DuckDB
+  * recomputes the expected stats analytically and a hash match proves the
+  * whole encode → PNG bytes → decode → stats path byte-exact.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, media: Array[Byte])
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, content_md5: String,
-      features: Array[Float])
+  case class ImageFeatures(doc_id: Long, img_w: Long, img_h: Long,
+      px_sum: Long, px_min: Long, px_max: Long)
 
   /** Attach an opaque binary payload + metadata struct. Here the payload is
     * the UTF-8 text bytes; in production it is the image/audio blob column
@@ -29,36 +32,81 @@ object Multimodal {
         lit("text/plain").as("format"),
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")).as("media_meta"))
 
-  /** Executor-side feature extraction over the binary column, one partition
-    * at a time (the `mapPartitions` shape lets a real implementation
-    * amortize codec/model initialization per partition).
-    *
-    * STUB: `fakeDecode` stands in for the real image/audio decoder — it
-    * emits 4 deterministic floats derived from the payload bytes. Replace
-    * with a codec call; the signature and batch shape stay the same. */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    implicit val inEnc = Encoders.product[MediaRow]
-    implicit val outEnc = Encoders.product[MediaFeatures]
-    media.select("doc_id", "media").as[MediaRow]
-      .mapPartitions { rows =>
-        // per-partition init (real codecs/models would be loaded here, once)
-        val digest = java.security.MessageDigest.getInstance("MD5")
-        rows.map { r =>
-          val md5hex = digest.digest(r.media).map("%02x".format(_)).mkString
-          MediaFeatures(r.doc_id, r.media.length.toLong, md5hex, fakeDecode(r.media))
+  /** Attach a REAL PNG payload per document, synthesized executor-side as a
+    * pure function of `doc_id`: a w×h grayscale gradient with
+    * w = 4 + doc_id mod 5, h = 3 + doc_id mod 4, and
+    * pixel(x,y) = (doc_id·31 + 7x + 13y) mod 256, encoded through
+    * `ImageIO.write(_, "png", _)`. In production this column is the blob
+    * column of the source table; the synthetic path exists so the decode
+    * gate has payloads whose expected statistics an oracle can derive
+    * WITHOUT a codec. PNG is lossless, so decode must return these exact
+    * pixels — any drift in the codec round-trip breaks the hash gate. */
+  def withImagePayloads(docs: DataFrame): DataFrame = {
+    implicit val outEnc = Encoders.product[MediaRow]
+    docs.select(col("doc_id")).as[Long](Encoders.scalaLong)
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory encode, no temp files
+        ids.map { id =>
+          val w = 4 + java.lang.Math.floorMod(id, 5L).toInt
+          val h = 3 + java.lang.Math.floorMod(id, 4L).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = java.lang.Math.floorMod(id * 31 + 7L * x + 13L * y, 256L).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRow(id, bos.toByteArray)
         }
       }
       .toDF()
   }
 
-  /** STUB decoder — deterministic fake features in place of a real codec. */
-  private def fakeDecode(bytes: Array[Byte]): Array[Float] = {
-    val n = bytes.length
-    Array(
-      n.toFloat,
-      if (n > 0) bytes(0).toFloat else 0f,
-      if (n > 0) bytes(n - 1).toFloat else 0f,
-      bytes.foldLeft(0)((a, b) => (a + (b & 0xff)) % 9973).toFloat)
+  /** Executor-side REAL image decode over the binary column, one partition
+    * at a time (the `mapPartitions` shape amortizes codec initialization —
+    * here `ImageIO.setUseCache(false)` so decode never touches disk; a
+    * model-based extractor would load its weights in the same spot).
+    * Decodes each payload with `javax.imageio.ImageIO` and emits the
+    * dimensions plus exact integer pixel statistics over the gray channel
+    * (the fixtures write r=g=b; a natural-image corpus would luma-weight).
+    * Integer stats, not float means, so the output is engine-exact and
+    * combinable downstream. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[ImageFeatures]
+    media.select("doc_id", "media").as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L; var mn = 255L; var mx = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (img.getRGB(x, y) & 0xff).toLong
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(r.doc_id, w.toLong, h.toLong, sum, mn, mx)
+        }
+      }
+      .toDF()
   }
 
   case class ResizedMedia(doc_id: Long, media: Array[Byte], orig_bytes: Long)

@@ -97,6 +97,16 @@ current_balances AS (
     """SELECT TRANS_ID, TCTYPE, CREATEDAT, CUSTOMERID, AMOUNT, REDEEMID
 FROM matched ORDER BY CUSTOMERID, CREATEDAT, TRANS_ID""")
 
+  /** Twin of StreamingFifo.replayLedgerLateBoundedAudit: the batch matcher
+    * is ground truth for ledger volume and match count, and the expected
+    * beyond-bound drop count is EXACTLY zero (the replay delays rows one
+    * chunk; the bound admits one chunk) — hardcoded so a nonzero counter
+    * on the Spark side is a hash failure, not a silent curiosity. */
+  val streamingBoundedAudit: String = pipelined(
+    """SELECT COUNT(*) AS n_txns, COUNT(REDEEMID) AS n_matched,
+       CAST(0 AS BIGINT) AS n_drop_late
+FROM matched""")
+
   val balanceHistory: String = pipelined(
     """SELECT customer_id, transaction_date, transaction_id, transaction_type,
        transaction_amount, cumulative_earned, cumulative_spent, cumulative_expired,

@@ -1332,12 +1332,30 @@ SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, b.nn_lower_id, b.nn_lower_sim,
 FROM cells c LEFT JOIN best b USING (vec_id)
 ORDER BY vec_id"""
 
-  /** Multimodal plumbing oracle: byte length + content hash of the binary
-    * payload (the Spark side synthesizes `media = encode(text)`; real decode
-    * is a stubbed executor-side function — see Multimodal.scala). */
+  /** Image-decode oracle: DuckDB cannot decode a PNG, but it doesn't have
+    * to — the fixture pixels are a pure function of doc_id
+    * (Multimodal.withImagePayloads: w = 4 + id mod 5, h = 3 + id mod 4,
+    * pixel = (31·id + 7x + 13y) mod 256), so the expected decode output is
+    * recomputed analytically here. The Spark side gets these numbers by
+    * actually round-tripping ImageIO PNG bytes; a hash match therefore
+    * certifies the real codec path, which is exactly what a stored-
+    * expected-values gate is for. The tiny fixed 8×6 grid is filtered per
+    * doc (w ≤ 8, h ≤ 6 by construction). */
   val mmFeatures: String = """
-SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
-FROM documents ORDER BY doc_id"""
+WITH px AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+vals AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id * 31 + 7 * gx.x + 13 * gy.y) % 256 AS v
+  FROM px d
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) gx
+  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y) gy
+  WHERE gx.x < d.w AND gy.y < d.h
+)
+SELECT doc_id, w AS img_w, h AS img_h,
+       CAST(SUM(v) AS BIGINT) AS px_sum, MIN(v) AS px_min, MAX(v) AS px_max
+FROM vals GROUP BY doc_id, w, h ORDER BY doc_id"""
 
   /** Resize oracle: the stride-downsample byte math of Multimodal.resize in
     * SQL. Valid because the corpus is pure ASCII (byte i == char i, checked

@@ -283,6 +283,17 @@ object StreamingFifo {
     * same `fifo_match` SQL). */
   def replayLedgerLate(txns: DataFrame, batches: Int = 3,
       lateness: Option[java.time.Duration] = None): DataFrame = {
+    val log = replayLateLog(txns, batches, lateness)
+    graft.operators.FifoMatcher.renameToSpec(txns)
+      .join(standingMatches(log), Seq("TRANS_ID"), "left")
+      .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")
+  }
+
+  /** The raw correction log of a delayed replay — the shared substrate of
+    * the late-ledger gates and the drops audit (which needs the log's
+    * `drop_late` rows, not just the folded ledger). */
+  private def replayLateLog(txns: DataFrame, batches: Int,
+      lateness: Option[java.time.Duration]): DataFrame = {
     val spark = txns.sparkSession
     implicit val txEnc = Encoders.product[Tx]
     val src = txns
@@ -294,10 +305,7 @@ object StreamingFifo {
         col("transaction_type") === "earned")
     val events = matchStreamEventTime(
       FileReplay.stream(spark, src.schema, dirs).as[Tx], lateness)
-    val log = FileReplay.runToParquet(events.toDF(), dirs)
-    graft.operators.FifoMatcher.renameToSpec(txns)
-      .join(standingMatches(log), Seq("TRANS_ID"), "left")
-      .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")
+    FileReplay.runToParquet(events.toDF(), dirs)
   }
 
   /** [[replayLedgerLate]] with the lateness bound ENGAGED at exactly one
@@ -310,18 +318,41 @@ object StreamingFifo {
     * ⌈span/batches⌉ + 1 µs from a 2-value min/max aggregate — a driver-side
     * scalar, the same boundary class as the replay chunker's own range
     * probe. */
-  def replayLedgerLateBounded(txns: DataFrame, batches: Int = 3): DataFrame = {
+  def replayLedgerLateBounded(txns: DataFrame, batches: Int = 3): DataFrame =
+    replayLedgerLate(txns, batches, oneChunkLateness(txns, batches))
+
+  /** The ⌈span/batches⌉ + 1 µs lateness bound shared by the bounded ledger
+    * gate and its drops audit — a 2-value min/max aggregate, driver-side
+    * scalar (the same boundary class as the replay chunker's range probe). */
+  private def oneChunkLateness(txns: DataFrame,
+      batches: Int): Option[java.time.Duration] = {
     import org.apache.spark.sql.functions.{max, min}
     val mm = txns.agg(min(col("timestamp")), max(col("timestamp"))).head()
-    val lateness =
-      if (mm.isNullAt(0)) None
-      else {
-        val lo = toMicros(mm.getAs[java.time.LocalDateTime](0))
-        val hi = toMicros(mm.getAs[java.time.LocalDateTime](1))
-        val chunk = (hi - lo) / batches + 2 // ⌈span/batches⌉ + 1 µs margin
-        Some(java.time.Duration.of(chunk, java.time.temporal.ChronoUnit.MICROS))
-      }
-    replayLedgerLate(txns, batches, lateness)
+    if (mm.isNullAt(0)) None
+    else {
+      val lo = toMicros(mm.getAs[java.time.LocalDateTime](0))
+      val hi = toMicros(mm.getAs[java.time.LocalDateTime](1))
+      val chunk = (hi - lo) / batches + 2 // ⌈span/batches⌉ + 1 µs margin
+      Some(java.time.Duration.of(chunk, java.time.temporal.ChronoUnit.MICROS))
+    }
+  }
+
+  /** One-row audit of the bounded late replay, gating the drop COUNTER
+    * itself (verdict r8 stretch #8): `n_drop_late` counts the log's
+    * beyond-bound `drop_late` events, and the DuckDB twin hardcodes 0 —
+    * the replay delays rows exactly one chunk and the bound admits a full
+    * chunk, so ANY nonzero drop count (a pruning bug, a bound
+    * mis-derivation, a chunker regression) fails the hash gate instead of
+    * hiding inside a still-correct-looking ledger. `n_txns`/`n_matched`
+    * pin the ledger volume the drops are audited against. */
+  def replayLedgerLateBoundedAudit(txns: DataFrame, batches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val log = replayLateLog(txns, batches, oneChunkLateness(txns, batches))
+    val ledger = graft.operators.FifoMatcher.renameToSpec(txns)
+      .join(standingMatches(log), Seq("TRANS_ID"), "left")
+    ledger.agg(count(lit(1)).as("n_txns"), count(col("REDEEMID")).as("n_matched"))
+      .crossJoin(log.filter(col("ACTION") === "drop_late")
+        .agg(count(lit(1)).as("n_drop_late")))
   }
 
   /** Replay a batch transaction table through [[matchStream]] in

@@ -363,16 +363,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"ADC recall $recall vs exact L2")
   }
 
-  test("multimodal plumbing round-trips binary with deterministic features") {
-    val media = Multimodal.withMedia(corpus)
+  test("multimodal image decode: real PNG round-trip matches the analytic pixels") {
+    val media = Multimodal.withImagePayloads(corpus)
     assert(media.schema("media").dataType.typeName === "binary")
+    // payloads must be genuine PNGs (magic bytes), not passthrough buffers
+    val payload = media.filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .collect().head.getAs[Array[Byte]]("media")
+    assert(payload.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
     val feats = Multimodal.extractFeatures(media).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(feats(1L).getAs[Long]("n_bytes") === 43L)
-    assert(feats(1L).getAs[String]("content_md5") === feats(4L).getAs[String]("content_md5"))
-    val f1 = feats(1L).getSeq[Float](feats(1L).fieldIndex("features"))
-    assert(f1.length === 4)
-    assert(f1.head === 43f)
+    // decode output must equal the fixture formula, computed independently
+    for (id <- feats.keys) {
+      val w = 4 + java.lang.Math.floorMod(id, 5L).toInt
+      val h = 3 + java.lang.Math.floorMod(id, 4L).toInt
+      val pix = for { y <- 0 until h; x <- 0 until w }
+        yield java.lang.Math.floorMod(id * 31 + 7L * x + 13L * y, 256L)
+      val r = feats(id)
+      assert(r.getAs[Long]("img_w") === w.toLong, s"doc $id width")
+      assert(r.getAs[Long]("img_h") === h.toLong, s"doc $id height")
+      assert(r.getAs[Long]("px_sum") === pix.sum, s"doc $id pixel sum")
+      assert(r.getAs[Long]("px_min") === pix.min, s"doc $id pixel min")
+      assert(r.getAs[Long]("px_max") === pix.max, s"doc $id pixel max")
+    }
   }
 
   test("multimodal resize and frame sampling keep schema and determinism") {
