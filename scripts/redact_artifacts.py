@@ -17,6 +17,11 @@ import re, sys, pathlib
 PATTERNS = [
     (re.compile(r"[a-z0-9.-]*artifactory[a-z0-9.-]*\.[a-z]{2,6}"),
      "<internal-mirror-host>"),
+    # the split-string concatenation form ("artifactory" + ".<domain>") that
+    # GITLOG quotes re-import from an old revision of this very script —
+    # recoverable, so still a leak; matched by shape, never by domain
+    (re.compile(r'\\?"artifactory\\?"\s*\+\s*\\?"\.[a-z0-9.-]+\\?"'),
+     '"<internal-mirror-host>"'),
 ]
 
 TARGETS = ["LEAKCHECK.json", "ADVICE.md", "VERDICT.md"]
