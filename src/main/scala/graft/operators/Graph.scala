@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over pair tables (the dedup near-dup graph being the
@@ -20,10 +20,15 @@ object Graph {
     * undirected pair graph has degree ≥ 1, so there is no dangling-mass
     * term. A FIXED `iters` power iterations (not convergence-tested) keeps
     * the computation a pure function of the input — the DuckDB oracle
-    * unrolls the same rounds as CTEs. Each iteration's rank is rounded to
-    * 12 decimals: like the Lloyd-means and running-balance rounding
-    * elsewhere, this pins the cross-engine (and cross-partitioning) result
-    * of a float sum whose association order is engine-internal.
+    * unrolls the same rounds as CTEs. Rank state is EXACT INTEGER
+    * pico-units (10⁻¹²) end to end (round-9 verdict #6, retiring the
+    * previous round-to-12-decimals double sums): contributions are
+    * floor_div(rank_pico, deg), their per-node sum is an exact integer
+    * sum (order-free by construction, where a rounded double sum merely
+    * pinned the order at 12 dp), the damping multiply is a rational
+    * dm/10⁶ in integer arithmetic, and the only float op left is the
+    * final /1e12 display division. Mass leaks < 1 pico per floor — a few
+    * ×10⁻¹² per iteration globally, invisible at the 8-dp output.
     *
     * Plan shape per iteration: one keyed join (ranks ⨝ out-edges on src —
     * AQE broadcasts the rank side when small), one keyed aggregate
@@ -55,21 +60,31 @@ object Graph {
     outEdges.count()
     val nn = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
 
+    // floor_div for non-negative integers, exact through decimal (the pico
+    // products reach ~8.5e17 — past double's 2^53 but comfortable in
+    // decimal(38,0); all quantities here are ≥ 0 so trunc = floor)
+    val dec = "decimal(38,0)"
+    def floorDiv(x: Column, y: Column): Column =
+      ((x.cast(dec) - x.cast(dec) % y.cast(dec)) / y.cast(dec)).cast("long")
+    val Pico = 1000000000000L
+    val dm = math.round(damping * 1e6) // damping as a rational dm/1e6
+
     var ranks = deg.select("id").crossJoin(nn)
-      .select(col("id"), (lit(1.0) / col("n_nodes")).as("rank"))
+      .select(col("id"), floorDiv(lit(Pico), col("n_nodes")).as("rank_pico"))
     for (_ <- 1 to iters) {
       val contribs = ranks.join(outEdges, ranks("id") === outEdges("src"))
-        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .select(col("dst"), floorDiv(col("rank_pico"), col("deg")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
       ranks = deg.select("id").join(contribs, col("id") === col("dst"), "left")
         .crossJoin(nn)
         .select(col("id"),
-          round((lit(1.0) - lit(damping)) / col("n_nodes") +
-            lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("rank"))
+          (floorDiv(lit((1000000L - dm) * Pico), lit(1000000L) * col("n_nodes")) +
+            floorDiv(lit(dm) * coalesce(col("s"), lit(0L)), lit(1000000L)))
+            .as("rank_pico"))
     }
     deg.join(ranks, Seq("id"))
       .select(col("id").as("doc_id"), col("deg").as("degree"),
-        round(col("rank"), 8).as("pagerank"))
+        round(col("rank_pico").cast("double") / lit(1e12), 8).as("pagerank"))
       .orderBy("doc_id")
   }
 

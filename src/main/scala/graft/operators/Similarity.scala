@@ -266,15 +266,38 @@ object Similarity {
       .withColumn("cell", (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
   }
 
+  /** Micro quantization of a float component for a centroid mean: NaN is
+    * nulled out (excluded from the mean rather than poisoning it — same
+    * CASE in the oracle), everything else floors to integer micro, which
+    * float→double widening makes identical on both engines. */
+  private[operators] def compMicro(comp: Column): Column =
+    when(isnan(comp.cast("double")), lit(null).cast("long"))
+      .otherwise(floor(comp.cast("double") * 1e6).cast("long"))
+
+  /** mean = floor_div(Σ micro, count) / 1e6, all in exact decimal integer
+    * arithmetic plus ONE deterministic IEEE division — the order-free
+    * replacement for ROUND(AVG(double), 6) centroid means (round-9 verdict
+    * #6: avg's partial-sum association order is engine-internal, the class
+    * of nondeterminism that produced the round-8 embed_standardize red
+    * row). A group whose comps were all NaN means NULL. */
+  private[operators] def microMean(sm: Column, cnt: Column): Column = {
+    val dec = "decimal(38,0)"
+    val s = sm.cast(dec)
+    val c = cnt.cast(dec)
+    when(cnt === 0, lit(null).cast("double"))
+      .otherwise(((s - (s % c + c) % c) / c).cast("double") / 1e6)
+  }
+
   /** Deterministic k-means training (shared quantizer of [[ivfTopK]] and
     * [[semDedup]]): init from the `nCentroids` lowest vec_ids, refine with
     * `iters` Lloyd rounds (distributed assign, centroid means collected —
     * nCentroids×dim doubles, driver-side by design, exactly like MLlib's
-    * k-means driver state). Means are rounded to 6 decimals BEFORE the
-    * float cast so the centroid values are invariant to double-summation
-    * order — the property that lets the DuckDB oracle (which unrolls the
-    * same Lloyd rounds in SQL) reproduce them bit-for-bit. A corpus
-    * smaller than nCentroids yields fewer centroids, never phantom
+    * k-means driver state). Means are exact integer-micro
+    * ([[microMean]] — floor_div of micro-quantized sums) BEFORE the float
+    * cast, so the centroid values are invariant to summation order by
+    * construction — the property that lets the DuckDB oracle (which
+    * unrolls the same Lloyd rounds in SQL) reproduce them bit-for-bit. A
+    * corpus smaller than nCentroids yields fewer centroids, never phantom
     * all-zero cells (the oracle's init CTE only has the actual rows). */
   private[operators] def lloydCentroids(emb: DataFrame, nCentroids: Int,
       iters: Int): IndexedSeq[Seq[Float]] = {
@@ -285,7 +308,10 @@ object Similarity {
       val assigned = withCell(emb, centroids)
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "comp")))
-        .groupBy("cell", "pos").agg(round(avg(col("comp")), 6).as("mean"))
+        .select(col("cell"), col("pos"), compMicro(col("comp")).as("xm"))
+        .groupBy("cell", "pos")
+        .agg(sum(col("xm").cast("decimal(38,0)")).as("sm"), count(col("xm")).as("cnt"))
+        .withColumn("mean", microMean(col("sm"), col("cnt")))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("mean").cast("float")).as("centroid"))
@@ -394,10 +420,11 @@ object Similarity {
     * re-bound per subspace — eager Column analysis captures each binding,
     * the [[pqCodes]] coding-pass pattern), then a single (subspace, cell,
     * pos) aggregation computes every codebook's means. Per-(s, cell, pos)
-    * ROUND(AVG, 6) means and first-min tie-breaks are exactly the
-    * per-subspace computation, so codes are bit-identical to the unbatched
-    * form and the DuckDB oracle is untouched. Driver state stays
-    * m × k × subDim floats — the MLlib k-means shape. */
+    * exact integer-micro means ([[microMean]]) and first-min tie-breaks
+    * are exactly the per-subspace computation, so codes are bit-identical
+    * to the unbatched form and the DuckDB oracle renders the same
+    * arithmetic. Driver state stays m × k × subDim floats — the MLlib
+    * k-means shape. */
   private def pqBooks(emb: DataFrame, m: Int, subDim: Int, k: Int,
       iters: Int): Seq[IndexedSeq[Seq[Float]]] = {
     val spark = emb.sparkSession
@@ -423,7 +450,10 @@ object Similarity {
             slice(col("embedding"), s * subDim + 1, subDim).as("sub"))): _*)).as("e"))
         .select(col("e.s").as("s"), col("e.cell").as("cell"),
           posexplode(col("e.sub")).as(Seq("pos", "comp")))
-        .groupBy("s", "cell", "pos").agg(round(avg(col("comp")), 6).as("mean"))
+        .select(col("s"), col("cell"), col("pos"), compMicro(col("comp")).as("xm"))
+        .groupBy("s", "cell", "pos")
+        .agg(sum(col("xm").cast("decimal(38,0)")).as("sm"), count(col("xm")).as("cnt"))
+        .withColumn("mean", microMean(col("sm"), col("cnt")))
         .groupBy("s", "cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
         .select(col("s"), col("cell"),
@@ -640,7 +670,10 @@ object Similarity {
     emb.count() // fill once: centroid build and scoring both read it
     val cents = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
-      .groupBy("label", "pos").agg(round(avg(col("comp")), 6).as("mean"))
+      .select(col("label"), col("pos"), compMicro(col("comp")).as("xm"))
+      .groupBy("label", "pos")
+      .agg(sum(col("xm").cast("decimal(38,0)")).as("sm"), count(col("xm")).as("cnt"))
+      .withColumn("mean", microMean(col("sm"), col("cnt")))
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
       .select(col("label"),

@@ -752,16 +752,17 @@ SELECT doc_id, source, avg_logprob,
             ELSE ((rk - 1) * 10000) // (n_src - 1) END >= ${10000 - keepBp} AS keep
 FROM r ORDER BY doc_id"""
 
-  /** Mirrors Similarity.labelScatter: ROUND(AVG,6)::FLOAT centroids (the
-    * Lloyd convention), rounded-6 index-order cosines micro-quantized
-    * before the per-label mean, |labels|² between-centroid stage. */
+  /** Mirrors Similarity.labelScatter: exact integer-micro centroids (the
+    * Lloyd convention, [[microMeanBody]]), rounded-6 index-order cosines
+    * micro-quantized before the per-label mean, |labels|² between-centroid
+    * stage. */
   val labelScatter: String = s"""
 WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
 comp AS (
   SELECT label, unnest(embedding) AS comp, generate_subscripts(embedding, 1) AS pos
   FROM e
 ),
-cm AS (SELECT label, pos, ROUND(AVG(comp), 6)::FLOAT AS mean FROM comp GROUP BY 1, 2),
+cm AS (${microMeanBody("label, pos", "comp")}),
 cents AS (SELECT label, list(mean ORDER BY pos) AS centroid FROM cm GROUP BY 1),
 w0 AS (
   SELECT e.label, ${cosSql("e.embedding", "c.centroid")} AS cos0
@@ -1078,6 +1079,27 @@ ORDER BY e.type_a, e.type_b"""
     * engines), empty cells keep their previous centroid. Mirrors
     * Similarity.ivfTopK arithmetic exactly: index-order double accumulation
     * for cc and dots, score = cc − 2·dot. */
+  /** Exact integer-micro mean body shared by every Lloyd-style centroid
+    * build (round-9 verdict #6 — retires ROUND(AVG(double), 6), whose
+    * partial-sum order is engine-internal): NaN comps null out of the
+    * census, each comp floors to integer micro, the mean is
+    * floor_div(sum, count) in integer arithmetic (everything non-negative
+    * or exactly divisible, so `//` is floor), and one deterministic /1e6
+    * denormalizes. `src` must be an aliased relation exposing ($keys,
+    * comp). Twin: Similarity.compMicro/microMean. */
+  private def microMeanBody(keys: String, src: String): String = s"""
+  SELECT $keys,
+         CASE WHEN cnt = 0 THEN NULL
+              ELSE (((sm - ((sm % cnt + cnt) % cnt)) // cnt)::DOUBLE / 1000000.0)::FLOAT
+         END AS mean
+  FROM (
+    SELECT $keys, SUM(xm) AS sm, COUNT(xm) AS cnt
+    FROM (SELECT $keys,
+                 CASE WHEN isnan(comp::DOUBLE) THEN NULL
+                      ELSE CAST(floor(comp::DOUBLE * 1e6) AS BIGINT) END AS xm
+          FROM $src q0) q
+    GROUP BY $keys) g"""
+
   /** The shared deterministic-k-means CTE chain (init from lowest vec_ids,
     * `iters` unrolled Lloyd rounds, final assignment): yields `s${iters+1}`
     * (per-vector per-centroid scores) and `cells` (vec_id, embedding,
@@ -1099,12 +1121,10 @@ a$i AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn FROM s$i) t
   WHERE rn = 1
 ),
-m$i AS (
-  SELECT cell, pos, ROUND(AVG(comp), 6)::FLOAT AS mean FROM (
+m$i AS (${microMeanBody("cell, pos", s"""(
     SELECT cell, unnest(embedding) AS comp,
            unnest(generate_series(1, len(embedding))) AS pos
-    FROM a$i) u
-  GROUP BY cell, pos
+    FROM a$i)""")}
 ),
 c$i AS (
   SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
@@ -1155,12 +1175,10 @@ p${s}a$i AS (
     FROM p${s}s$i) t
   WHERE rn = 1
 ),
-p${s}m$i AS (
-  SELECT cell, pos, ROUND(AVG(comp), 6)::FLOAT AS mean FROM (
+p${s}m$i AS (${microMeanBody("cell, pos", s"""(
     SELECT cell, unnest(embedding) AS comp,
            unnest(generate_series(1, len(embedding))) AS pos
-    FROM p${s}a$i) u
-  GROUP BY cell, pos
+    FROM p${s}a$i)""")}
 ),
 p${s}c$i AS (
   SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
@@ -1457,18 +1475,23 @@ SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""
 
   /** Mirrors Graph.pageRank over the simhash pair graph: the same edge
     * CTEs as [[dedupClusters]], `iters` power iterations unrolled as CTEs
-    * (fixed iteration count is what makes the oracle possible), each
-    * round's rank ROUND(…, 12) exactly like the Spark side. All float
-    * literals go through ::DOUBLE — DuckDB parses bare decimals as
-    * DECIMAL, whose division semantics differ from the double arithmetic
-    * Spark uses. */
+    * (fixed iteration count is what makes the oracle possible). Rank state
+    * is exact integer pico-units like the Spark side (round-9 verdict #6):
+    * floor_div contributions, exact BIGINT/HUGEINT sums, a dm/10⁶
+    * rational damping multiply — everything ≥ 0 so `//` is floor — and a
+    * single /1e12 display division at the end. */
   def pageRank(damping: Double = 0.85, iters: Int = 5): String = {
+    val dm = math.round(damping * 1e6) // damping as a rational dm/1e6
+    val tele = (1000000L - dm) * 1000000000000L
     def iterCte(i: Int): String = s"""
 r$i AS (
-  SELECT d.id, ROUND((1.0::DOUBLE - $damping::DOUBLE) / nn.n_nodes
-               + $damping::DOUBLE * COALESCE(c.s, 0.0::DOUBLE), 12) AS rank
+  SELECT d.id,
+         ($tele - $tele % (1000000 * nn.n_nodes)) // (1000000 * nn.n_nodes)
+           + ($dm * COALESCE(c.s, 0) - ($dm * COALESCE(c.s, 0)) % 1000000) // 1000000
+           AS rank_pico
   FROM deg d CROSS JOIN nn
-  LEFT JOIN (SELECT e.dst, SUM(r.rank / e.deg) AS s
+  LEFT JOIN (SELECT e.dst,
+                    SUM((r.rank_pico - r.rank_pico % e.deg) // e.deg) AS s
              FROM r${i - 1} r JOIN out_edges e ON r.id = e.src
              GROUP BY e.dst) c ON c.dst = d.id
 )"""
@@ -1479,9 +1502,11 @@ out_edges AS (
   SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.id = e.src
 ),
 nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
-r0 AS (SELECT id, 1.0::DOUBLE / nn.n_nodes AS rank FROM deg CROSS JOIN nn),
+r0 AS (SELECT id, (1000000000000 - 1000000000000 % nn.n_nodes) // nn.n_nodes AS rank_pico
+       FROM deg CROSS JOIN nn),
 ${(1 to iters).map(iterCte).mkString(",")}
-SELECT d.id AS doc_id, d.deg AS degree, ROUND(r.rank, 8) AS pagerank
+SELECT d.id AS doc_id, d.deg AS degree,
+       ROUND(r.rank_pico::DOUBLE / 1e12, 8) AS pagerank
 FROM deg d JOIN r$iters r ON r.id = d.id
 ORDER BY doc_id"""
   }
