@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 218
+  val GatedQueryCount: Int = 222
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -184,6 +184,10 @@ object SparkEntry {
     // first-order Markov transition matrix of the event stream
     "events_transitions" -> ((s, d) =>
       EventQueries.typeTransitions(Tables.events(s, d))),
+    // long-run occupancy of that chain: damped power iteration in exact
+    // integer pico-units (the PageRank discipline)
+    "events_markov_stationary" -> ((s, d) =>
+      EventQueries.markovStationary(Tables.events(s, d))),
     // chain-style burst suppression per (user, type)
     "events_debounce" -> ((s, d) => EventQueries.debounce(Tables.events(s, d))),
     // interval-overlap (range) join: per-session concurrency via binning
@@ -347,6 +351,9 @@ object SparkEntry {
     "text_rolling_hash" -> ((s, d) => TextOps.rollingHash(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "text_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
+    // Zipf rank-frequency fit over the vocab head: slope ~ -1 is natural
+    // language; flat = templated, cliff = boilerplate (micro-nat OLS)
+    "text_zipf_fit" -> ((s, d) => TextOps.zipfFit(Tables.documents(s, d))),
     "text_vocab_coverage" -> ((s, d) =>
       TextOps.vocabCoverage(Tables.documents(s, d))),
     "text_source_divergence" -> ((s, d) =>
@@ -732,6 +739,14 @@ object SparkEntry {
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.withImagePayloads(Tables.documents(s, d)))
         .orderBy("doc_id")),
+    // aHash near-dup groups over REAL decoded pixels (fixture patterns
+    // repeat every 1280 ids, so groups occur); oracle is analytic
+    "mm_image_ahash" -> ((s, d) =>
+      Multimodal.imageAHashGroups(Multimodal.withImagePayloads(Tables.documents(s, d)))),
+    // real 2x2 average-pool downsample over decoded pixels, stats gated
+    "mm_image_downsample" -> ((s, d) =>
+      Multimodal.poolImages(Multimodal.withImagePayloads(Tables.documents(s, d)))
+        .orderBy("doc_id")),
     // perceptual-hash near-dup grouping over the binary payload
     "mm_phash_dedup" -> ((s, d) =>
       Multimodal.phashGroups(Multimodal.withMedia(Tables.documents(s, d)))),
@@ -783,6 +798,7 @@ object SparkEntry {
     "events_quantiles" -> OracleSql.eventsQuantiles,
     "events_features_trailing" -> OracleSql.trailingFeatures,
     "events_transitions" -> OracleSql.typeTransitions,
+    "events_markov_stationary" -> OracleSql.markovStationary(),
     "events_debounce" -> OracleSql.debounce(),
     "sessions_concurrency" -> OracleSql.sessionsConcurrency,
     "agg_pricing_summary" -> OracleSql.aggPricingSummary,
@@ -819,6 +835,7 @@ object SparkEntry {
     "text_rolling_hash" -> OracleSqlText.rollingHash,
     "text_repetition" -> OracleSqlText.repetitionStats,
     "text_top_tokens" -> OracleSqlText.topTokens,
+    "text_zipf_fit" -> OracleSqlText.zipfFit(),
     "dedup_winnow_pairs" -> OracleSqlText.winnowPairs,
     "ann_cosine_topk" -> OracleSqlText.annTopK,
     "ann_filtered_topk" -> OracleSqlText.annFilteredTopK(),
@@ -874,6 +891,8 @@ object SparkEntry {
     "embed_neardup_exact" -> OracleSqlText.nearDupPairs,
     "dedup_semantic" -> OracleSqlText.semDedup(),
     "mm_features" -> OracleSqlText.mmFeatures,
+    "mm_image_ahash" -> OracleSqlText.mmImageAHash,
+    "mm_image_downsample" -> OracleSqlText.mmImageDownsample,
     "mm_phash_dedup" -> OracleSqlText.mmPhashDedup(),
     "mm_resize" -> OracleSqlText.mmResize,
     "mm_frames" -> OracleSqlText.mmFrames,

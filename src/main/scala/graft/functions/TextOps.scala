@@ -324,6 +324,57 @@ object TextOps {
       .orderBy(col("occurrences").desc, col("token"))
       .limit(k)
 
+  /** Zipf rank-frequency fit over the corpus vocabulary head: OLS of
+    * ln(freq) on ln(rank) for the top `k` tokens, emitted as one AUDIT
+    * row (n_tokens, slope, intercept_ln, r2). Natural language sits near
+    * slope −1 (Zipf 1949); a flat slope flags templated/synthetic text, a
+    * cliff flags boilerplate domination — the corpus-level twin of the
+    * per-doc repetition gates, and a one-glance drift check between crawl
+    * snapshots.
+    *
+    * Determinism: ranks come from the (freq desc, token) total order (the
+    * [[topTokens]] tie-break); each ln evaluates on an EXACT INTEGER and
+    * floors to micro-nats before the census sums (the sourceDivergence
+    * discipline — both engines see identical integers), the five OLS sums
+    * combine as DECIMAL(38,0) ↔ HUGEINT, and the readout is one fixed
+    * double tree of engine-identical values with NULLIF guards for the
+    * degenerate (< 2 ranks / zero-variance) corpus.
+    *
+    * Scale shape: one map-side-combinable token census, a vocab-sized
+    * top-k head (TakeOrderedAndProject — the corpus is never sorted), a
+    * k-row single-partition rank window, a 1-row aggregate. */
+  def zipfFit(docs: DataFrame, k: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val head = withTokens(docs)
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(k)
+    // k-row window: single-partition by design, bounded by the head size
+    val ranked = head.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+    val pts = ranked.select(
+      floor(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+      floor(log(col("freq").cast("double")) * 1e6).cast("long").as("y"))
+    val sums = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("y").cast(dec) * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cov = nD * d("sxy") - d("sx") * d("sy")
+    val varx = nD * d("sxx") - d("sx") * d("sx")
+    val vary = nD * d("syy") - d("sy") * d("sy")
+    val slope = cov / nullif(varx, lit(0.0))
+    sums.select(
+      col("n").as("n_tokens"),
+      round(slope, 6).as("slope"),
+      round((d("sy") - slope * d("sx")) / nD / 1e6, 6).as("intercept_ln"),
+      round(cov * cov / nullif(varx * vary, lit(0.0)), 6).as("r2"))
+  }
+
   /** Per-document top-k characteristic terms by rarity-weighted term
     * frequency — TF-IDF with the LINEAR idf variant score = tf · N/df.
     * The usual ln(N/df) weight needs a transcendental whose libm rounding

@@ -109,6 +109,123 @@ object Multimodal {
       .toDF()
   }
 
+  case class ImageAHash(doc_id: Long, ahash: Long)
+  case class PooledImage(doc_id: Long, out_w: Long, out_h: Long,
+      pool_sum: Long, pool_min: Long, pool_max: Long)
+
+  /** Average-hash over REAL decoded pixels (the decode-path counterpart of
+    * the byte-level [[phashGroups]]): decode the PNG with ImageIO, then
+    * bit i (row-major pixel order) = 1 iff pixel_i · (w·h) > Σ pixels —
+    * the aHash mean comparison as an exact integer cross-multiply, no
+    * division. The fixtures are ≤ 8×6 so the hash is ≤ 48 bits in a long;
+    * a natural-image variant pools to a fixed 8×8 first ([[poolImages]]
+    * is that operator) — same contract, more bits.
+    *
+    * The gate is the decode-proof shape of mm_features: the oracle derives
+    * the expected hash from the fixture formula, Spark derives it from
+    * actually-decoded pixels, and equal-hash dup GROUPS (the pixel pattern
+    * repeats every lcm(5,4,256) = 1280 doc_ids) must agree exactly. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[ImageAHash]
+    media.select("doc_id", "media").as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = new Array[Long](w * h)
+          var i = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(i) = (img.getRGB(x, y) & 0xff).toLong; i += 1; x += 1
+            }
+            y += 1
+          }
+          val total = px.sum
+          val n = (w * h).toLong
+          var hash = 0L
+          i = 0
+          while (i < px.length) {
+            if (px(i) * n > total) hash |= 1L << i
+            i += 1
+          }
+          ImageAHash(r.doc_id, hash)
+        }
+      }
+      .toDF()
+  }
+
+  /** Equal-ahash near-dup groups over [[imageAHash]] — the removed-rows
+    * convention of the other dedup gates (only group members emit). */
+  def imageAHashGroups(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = imageAHash(media)
+    val wnd = Window.partitionBy("ahash")
+    h.withColumn("canonical_doc_id", min(col("doc_id")).over(wnd))
+      .withColumn("group_size", count(lit(1)).over(wnd))
+      .filter(col("group_size") > 1)
+      .select("doc_id", "ahash", "canonical_doc_id", "group_size")
+      .orderBy("doc_id")
+  }
+
+  /** REAL 2×2 average-pool downsample over decoded pixels — the actual
+    * image-resize semantics behind the byte-level [[resize]] stub: decode,
+    * pool each 2×2 block (edge blocks pool what they cover) with
+    * floor_div(block sum, block count), and emit the pooled grid's exact
+    * integer statistics. The oracle replays the same pooling arithmetic on
+    * the fixture formula — decode + pooling both certified by hash. */
+  def poolImages(media: DataFrame): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[PooledImage]
+    media.select("doc_id", "media").as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+          val w = img.getWidth
+          val h = img.getHeight
+          val ow = (w + 1) / 2
+          val oh = (h + 1) / 2
+          var sum = 0L; var mn = 255L; var mx = 0L
+          var oy = 0
+          while (oy < oh) {
+            var ox = 0
+            while (ox < ow) {
+              var bs = 0L; var bn = 0L
+              var dy = 0
+              while (dy < 2) {
+                var dx = 0
+                while (dx < 2) {
+                  val x = ox * 2 + dx; val y = oy * 2 + dy
+                  if (x < w && y < h) {
+                    bs += (img.getRGB(x, y) & 0xff).toLong; bn += 1
+                  }
+                  dx += 1
+                }
+                dy += 1
+              }
+              val v = bs / bn // non-negative: trunc = floor
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              ox += 1
+            }
+            oy += 1
+          }
+          PooledImage(r.doc_id, ow.toLong, oh.toLong, sum, mn, mx)
+        }
+      }
+      .toDF()
+  }
+
   case class ResizedMedia(doc_id: Long, media: Array[Byte], orig_bytes: Long)
 
   /** "Resize" over opaque bytes: deterministic stride-downsample to at most

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -279,6 +279,75 @@ object EventQueries {
         round(col("n_transitions") * 100.0 /
           sum(col("n_transitions")).over(Window.partitionBy("from_type")), 2))
       .orderBy("from_type", "to_type")
+  }
+
+  /** Stationary distribution of the event-type Markov chain — the
+    * long-run occupancy the one-step [[typeTransitions]] matrix implies,
+    * with PageRank-style damping + dangling redistribution so periodic or
+    * absorbing chains still converge (Page et al. 1999 applied to the
+    * behavioral chain): where users SETTLE, vs. where they merely go next.
+    *
+    * Exactness (the Graph.pageRank discipline, round 9): occupancy state
+    * is integer pico-units end to end — per-edge contributions are
+    * floor_div(π_pico · n_ij, n_i) (the transition probability applied as
+    * exact rational arithmetic, never a double P matrix), dangling mass
+    * redistributes by floor_div, damping is the rational dm/10⁶, and the
+    * only float op is the final /1e12 display division. Fixed `iters`
+    * power iterations keep it a pure function of the input for the
+    * unrolled oracle.
+    *
+    * Scale shape: ONE corpus-sized lag window (shared shape with
+    * [[typeTransitions]]) collapses to a |types|² census; every iteration
+    * moves |types|-sized frames — keyed joins, a 1-row dangling aggregate
+    * broadcast — so the chain solve is corpus-size-independent. */
+  def markovStationary(events: DataFrame, damping: Double = 0.85,
+      iters: Int = 5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dec = "decimal(38,0)"
+    def fd(x: Column, y: Column): Column = {
+      val xd = x.cast(dec); val yd = y.cast(dec)
+      ((xd - (xd % yd + yd) % yd) / yd).cast("long")
+    }
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val base = events.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val trans = graft.RunHygiene.track(base
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_ij"))
+      .persist(lvl))
+    trans.count() // every iteration reads the census — fill once
+    val outTotals = trans.groupBy("from_type").agg(sum(col("n_ij")).as("n_i"))
+    val states = graft.RunHygiene.track(
+      base.select(col("event_type").as("state")).distinct().persist(lvl))
+    states.count()
+    val nn = broadcast(states.agg(count(lit(1)).as("n_states")))
+    val Pico = 1000000000000L
+    val dm = math.round(damping * 1e6)
+    var pi = states.crossJoin(nn)
+      .select(col("state"), fd(lit(Pico), col("n_states")).as("pi_pico"))
+    for (_ <- 1 to iters) {
+      val dangling = broadcast(
+        pi.join(outTotals, pi("state") === outTotals("from_type"), "left")
+          .filter(col("n_i").isNull)
+          .agg(coalesce(sum(col("pi_pico")), lit(0L)).as("dang")))
+      val contribs = pi.join(trans, pi("state") === trans("from_type"))
+        .join(outTotals, "from_type")
+        .select(col("to_type").as("state"),
+          fd(col("pi_pico").cast(dec) * col("n_ij"), col("n_i")).as("c"))
+        .groupBy("state").agg(sum(col("c")).as("s"))
+      pi = states.join(contribs, Seq("state"), "left")
+        .crossJoin(nn).crossJoin(dangling)
+        .select(col("state"),
+          (fd(lit((1000000L - dm) * Pico), lit(1000000L) * col("n_states")) +
+            fd(lit(dm) * (coalesce(col("s"), lit(0L)) +
+                fd(col("dang"), col("n_states"))),
+              lit(1000000L))).as("pi_pico"))
+    }
+    pi.join(outTotals, pi("state") === outTotals("from_type"), "left")
+      .select(col("state"), coalesce(col("n_i"), lit(0L)).as("n_out"),
+        round(col("pi_pico").cast("double") / lit(1e12), 8).as("stationary_p"))
+      .orderBy("state")
   }
 
   /** Debounce (burst suppression): per (user, type), events chain into a

@@ -1388,6 +1388,59 @@ FROM w ORDER BY day"""
   /** Mirrors EventQueries.typeTransitions: lag-derived (from, to) pairs
     * with '_start_' for stream heads, share-of-from via the engine-proven
     * `n * 100.0 / SUM() OVER` idiom. */
+  /** Twin of EventQueries.markovStationary: same lag census, unrolled
+    * damped power iterations in exact integer pico-units (HUGEINT on this
+    * side — everything ≥ 0 so `//` is floor), one /1e12 display division. */
+  def markovStationary(damping: Double = 0.85, iters: Int = 5): String = {
+    val dm = math.round(damping * 1e6)
+    val tele = (1000000L - dm) * 1000000000000L
+    def dang = "(dg.dang - dg.dang % nn.n_states) // nn.n_states"
+    def iterCte(i: Int): String = s"""
+p$i AS (
+  SELECT st.state,
+         ($tele - $tele % (1000000 * nn.n_states)) // (1000000 * nn.n_states)
+           + ($dm * (COALESCE(c.s, 0) + $dang)
+              - ($dm * (COALESCE(c.s, 0) + $dang)) % 1000000) // 1000000
+           AS pi_pico
+  FROM states st CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(SUM(p.pi_pico), 0) AS dang
+              FROM p${i - 1} p LEFT JOIN out_totals o ON o.from_type = p.state
+              WHERE o.from_type IS NULL) dg
+  LEFT JOIN (SELECT t.to_type AS state,
+                    SUM((CAST(p.pi_pico AS HUGEINT) * t.n_ij
+                         - (CAST(p.pi_pico AS HUGEINT) * t.n_ij) % o.n_i) // o.n_i) AS s
+             FROM p${i - 1} p
+             JOIN trans t ON t.from_type = p.state
+             JOIN out_totals o ON o.from_type = t.from_type
+             GROUP BY t.to_type) c ON c.state = st.state
+)"""
+    s"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+lagged AS (
+  SELECT LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM e
+),
+trans AS (SELECT from_type, to_type, COUNT(*) AS n_ij FROM lagged
+          WHERE from_type IS NOT NULL GROUP BY 1, 2),
+out_totals AS (SELECT from_type, SUM(n_ij) AS n_i FROM trans GROUP BY 1),
+states AS (SELECT DISTINCT event_type AS state FROM e),
+nn AS (SELECT COUNT(*) AS n_states FROM states),
+p0 AS (SELECT state,
+              (1000000000000 - 1000000000000 % nn.n_states) // nn.n_states AS pi_pico
+       FROM states CROSS JOIN nn),
+${(1 to iters).map(iterCte).mkString(",")}
+SELECT st.state, CAST(COALESCE(o.n_i, 0) AS BIGINT) AS n_out,
+       ROUND(p.pi_pico::DOUBLE / 1e12, 8) AS stationary_p
+FROM states st
+JOIN p$iters p ON p.state = st.state
+LEFT JOIN out_totals o ON o.from_type = st.state
+ORDER BY st.state"""
+  }
+
   val typeTransitions: String = """
 WITH e AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events

@@ -353,6 +353,39 @@ SELECT token, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_frequency
 FROM ex GROUP BY token
 ORDER BY occurrences DESC, token LIMIT 20"""
 
+  /** Twin of TextOps.zipfFit: identical (freq desc, token) rank order,
+    * micro-nat quantization of each ln on exact integers, HUGEINT OLS
+    * sums, and the same double-cast-first expression nesting in the
+    * readout so both engines evaluate one fixed tree. */
+  def zipfFit(k: Int = 1000): String = s"""
+WITH occ AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+census AS (SELECT token, COUNT(*) AS freq FROM occ GROUP BY token
+           ORDER BY freq DESC, token LIMIT $k),
+ranked AS (SELECT freq,
+                  ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+           FROM census),
+pts AS (SELECT CAST(floor(ln(rank::DOUBLE) * 1e6) AS BIGINT) AS x,
+               CAST(floor(ln(freq::DOUBLE) * 1e6) AS BIGINT) AS y
+        FROM ranked),
+s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pts)
+SELECT n AS n_tokens,
+       ROUND((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+             NULLIF(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE, 0.0), 6)
+         AS slope,
+       ROUND((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                            NULLIF(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE, 0.0))
+                           * sx::DOUBLE) / n::DOUBLE / 1e6, 6) AS intercept_ln,
+       ROUND((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) *
+             (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+             NULLIF((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+                    (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE), 0.0), 6)
+         AS r2
+FROM s"""
+
   /** Mirrors TextOps.sourceDivergence: identical expression nesting for
     * the per-term contribution (same double divisions, same `ln`, same
     * ×1e6 quantization) so both engines sum the SAME integers. */
@@ -1359,21 +1392,67 @@ ORDER BY vec_id"""
     * certifies the real codec path, which is exactly what a stored-
     * expected-values gate is for. The tiny fixed 8×6 grid is filtered per
     * doc (w ≤ 8, h ≤ 6 by construction). */
-  val mmFeatures: String = """
-WITH px AS (
+  private val imageFixtureCtes: String = """px AS (
   SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
 ),
 vals AS (
-  SELECT d.doc_id, d.w, d.h,
+  SELECT d.doc_id, d.w, d.h, gx.x AS x, gy.y AS y,
          (d.doc_id * 31 + 7 * gx.x + 13 * gy.y) % 256 AS v
   FROM px d
   CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) gx
   CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y) gy
   WHERE gx.x < d.w AND gy.y < d.h
-)
+)"""
+
+  val mmFeatures: String = s"""
+WITH $imageFixtureCtes
 SELECT doc_id, w AS img_w, h AS img_h,
        CAST(SUM(v) AS BIGINT) AS px_sum, MIN(v) AS px_min, MAX(v) AS px_max
 FROM vals GROUP BY doc_id, w, h ORDER BY doc_id"""
+
+  /** Twin of Multimodal.imageAHashGroups: bit i (row-major) of the aHash
+    * is v·(w·h) > Σv — the same integer cross-multiply the Spark side
+    * computes over pixels it actually DECODED; the group predicate mirrors
+    * mmPhashDedup's removed-rows convention. Fixture pixel patterns repeat
+    * every lcm(5,4,256) = 1280 doc_ids, so groups genuinely occur. */
+  val mmImageAHash: String = s"""
+WITH $imageFixtureCtes,
+t AS (SELECT doc_id, CAST(MAX(w * h) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS total
+      FROM vals GROUP BY doc_id),
+hsh AS (
+  SELECT v.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN v.v * t.n > t.total
+                                THEN CAST(1 AS BIGINT) << (v.y * v.w + v.x)
+                                ELSE 0 END), 0) AS BIGINT) AS ahash
+  FROM vals v JOIN t ON t.doc_id = v.doc_id
+  GROUP BY v.doc_id
+)
+SELECT doc_id, ahash, canonical_doc_id, group_size FROM (
+  SELECT doc_id, ahash,
+         MIN(doc_id) OVER (PARTITION BY ahash) AS canonical_doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS group_size
+  FROM hsh) g
+WHERE group_size > 1 ORDER BY doc_id"""
+
+  /** Twin of Multimodal.poolImages: the same 2×2 floor_div average pool
+    * replayed on the fixture formula (edge blocks pool what they cover —
+    * GROUP BY x//2, y//2 is exactly that windowing). */
+  val mmImageDownsample: String = s"""
+WITH $imageFixtureCtes,
+pooled AS (
+  SELECT doc_id, x // 2 AS ox, y // 2 AS oy,
+         CAST(SUM(v) AS BIGINT) // COUNT(*) AS pv
+  FROM vals GROUP BY doc_id, x // 2, y // 2
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(pv) AS BIGINT) AS pool_sum,
+         MIN(pv) AS pool_min, MAX(pv) AS pool_max
+  FROM pooled GROUP BY doc_id
+)
+SELECT p.doc_id, (p.w + 1) // 2 AS out_w, (p.h + 1) // 2 AS out_h,
+       a.pool_sum, a.pool_min, a.pool_max
+FROM px p JOIN agg a USING (doc_id) ORDER BY p.doc_id"""
 
   /** Resize oracle: the stride-downsample byte math of Multimodal.resize in
     * SQL. Valid because the corpus is pure ASCII (byte i == char i, checked
