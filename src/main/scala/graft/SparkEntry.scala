@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 222
+  val GatedQueryCount: Int = 225
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -203,6 +203,15 @@ object SparkEntry {
       RelationalQueries.aggPricingSummary(Tables.lineitem(s, d))),
     "agg_pricing_filtered" -> ((s, d) =>
       RelationalQueries.aggPricingFiltered(Tables.lineitem(s, d), "1998-09-02 00:00:00")),
+    // TPC-H Q3 shape: pushed date/segment predicates, broadcast dim,
+    // exact-integer revenue ranking, TakeOrdered top-k
+    "join_top_unshipped" -> ((s, d) =>
+      RelationalQueries.topUnshippedOrders(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d))),
+    // TPC-H Q13 shape: zero-inclusive order-count distribution via left join
+    "agg_order_count_dist" -> ((s, d) =>
+      RelationalQueries.orderCountDistribution(Tables.customer(s, d),
+        Tables.orders(s, d))),
     "join_semi_big_orders" -> ((s, d) =>
       RelationalQueries.customersWithBigOrders(Tables.customer(s, d), Tables.orders(s, d), 400000.0)),
     "join_anti_no_orders" -> ((s, d) =>
@@ -647,6 +656,11 @@ object SparkEntry {
     // near-dup clusters over the simhash pair graph (min-label propagation)
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.simhashPairs(Tables.documents(s, d)))),
+    // the same components by alternating large-star/small-star (Kiveris
+    // 2014) — O(log²) rounds over the edge set, no label frame; the unique
+    // fixpoint means the SAME oracle hash-gates both formulations
+    "dedup_clusters_star" -> ((s, d) =>
+      Dedup.dedupClustersStar(Dedup.simhashPairs(Tables.documents(s, d)))),
     // quality-aware survivor selection: each cluster keeps its cleanest
     // member; emitted rows are the removed docs with survivor pointers
     "dedup_keep_best" -> ((s, d) => {
@@ -803,6 +817,8 @@ object SparkEntry {
     "sessions_concurrency" -> OracleSql.sessionsConcurrency,
     "agg_pricing_summary" -> OracleSql.aggPricingSummary,
     "agg_pricing_filtered" -> OracleSql.aggPricingFiltered,
+    "join_top_unshipped" -> OracleSql.topUnshippedOrders(),
+    "agg_order_count_dist" -> OracleSql.orderCountDistribution,
     "join_semi_big_orders" -> OracleSql.customersWithBigOrders,
     "join_anti_no_orders" -> OracleSql.customersWithoutOrders,
     "join_revenue_by_nation" -> OracleSql.revenueByNation,
@@ -897,6 +913,7 @@ object SparkEntry {
     "mm_resize" -> OracleSqlText.mmResize,
     "mm_frames" -> OracleSqlText.mmFrames,
     "dedup_clusters" -> OracleSqlText.dedupClusters,
+    "dedup_clusters_star" -> OracleSqlText.dedupClusters,
     "dedup_keep_best" -> OracleSqlText.dedupKeepBest,
     "graph_pagerank" -> OracleSqlText.pageRank(),
     "graph_link_prediction" -> OracleSql.linkPrediction(),

@@ -576,10 +576,18 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nb_label")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nb_label")).as("nb_min"))
+      // localCheckpoint, not persist: `next` references `labels` twice
+      // (through neighborMin and directly), so lineage DOUBLES per round —
+      // a high-diameter component (a near-dup chain from a drifting
+      // template) makes the logical plan exponential in rounds and the
+      // driver OOMs on plan handling alone long before data is a problem
+      // (caught round 9 by the 12-node-chain spec; clique-shaped graphs
+      // converge at init and never exposed it). Checkpointing truncates
+      // lineage to the materialized blocks each round.
       val next = graft.RunHygiene.track(labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
-        .persist(lvl))
+        .localCheckpoint(true))
       val changed = next.filter(col("cluster_id") =!= col("prev")).count()
       cached.unpersist()
       cached = next
@@ -595,6 +603,90 @@ object Dedup {
         s"dedupClusters did not converge within $maxIter rounds — component diameter exceeds maxIter")
     edges.unpersist()
     labels.orderBy("doc_id")
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the second formulation of [[dedupClusters]]' fixpoint,
+    * gated through the SAME oracle because min-label components are the
+    * unique answer regardless of the algorithm that reaches it (the
+    * FIFO-matcher three-formulation discipline applied to graphs).
+    *
+    * Why carry both: min-label propagation converges in O(diameter)
+    * rounds and every round moves the FULL label frame; the alternating
+    * algorithm converges in O(log² n) rounds and each round REWIRES the
+    * edge set toward a star forest — high-diameter chain/mesh components
+    * (near-dup chains from drifting templates) cost it logarithmic rounds
+    * where propagation pays the diameter. This is the 100-TB CC standard.
+    *
+    * Round shape: large-star connects each node's strictly-larger
+    * neighbors to its neighborhood minimum (after it, every edge points
+    * larger → smaller); small-star re-points each larger-endpoint
+    * neighborhood at its minimum. Both are one keyed aggregate + one
+    * keyed join over the edge frame — no label frame exists at all until
+    * the final star-forest readout. Convergence = empty symmetric
+    * difference of consecutive edge sets (two keyed anti-joins), checked
+    * on materialized frames. */
+  def dedupClustersStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = graft.RunHygiene.track(pairs.persist(lvl))
+    p.count()
+    val nodes = graft.RunHygiene.track(
+      p.select(col("doc_a").as("id")).unionByName(p.select(col("doc_b").as("id")))
+        .distinct().persist(lvl))
+    nodes.count()
+    // edges oriented larger → smaller from the start (hi, lo)
+    var e = graft.RunHygiene.track(
+      p.select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+          least(col("doc_a"), col("doc_b")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct().persist(lvl))
+    e.count()
+    p.unpersist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star over the FULL neighborhood: m = min(N⁺(u)); every
+      // neighbor v > u re-points at m
+      val bidir = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = bidir.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      val afterLarge = bidir.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star over the (now all-smaller) neighborhoods of each hi:
+      // every member of N ∪ {hi} re-points at the minimum.
+      // localCheckpoint (not persist): each round's plan references the
+      // previous frame FOUR times (bidir twice, the pair explode twice),
+      // so lineage grows ~4× per round — a dozen rounds of a high-diameter
+      // chain make the logical tree exponential and plan stringification
+      // alone OOMs. Checkpointing truncates lineage to the materialized
+      // blocks; determinism is unaffected (same rows, same ops).
+      val smins = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
+      val next = graft.RunHygiene.track(afterLarge.join(smins, "hi")
+        .select(explode(array(
+          struct(col("lo").as("a"), col("m").as("b")),
+          struct(col("hi").as("a"), col("m").as("b")))).as("x"))
+        .select(col("x.a").as("hi"), col("x.b").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .localCheckpoint(true))
+      val changed =
+        next.join(e, Seq("hi", "lo"), "left_anti").count() +
+          e.join(next, Seq("hi", "lo"), "left_anti").count()
+      e.unpersist()
+      e = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClustersStar did not converge within $maxIter rounds")
+    // converged: e is a star forest (each hi points at its component min);
+    // roots carry their own id
+    val parent = e.groupBy(col("hi").as("doc_id")).agg(min(col("lo")).as("cluster_id"))
+    nodes.join(parent, nodes("id") === parent("doc_id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** Quality-aware survivor selection over near-dup clusters: instead of

@@ -556,6 +556,36 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus"""
 
+  /** Twin of RelationalQueries.topUnshippedOrders: the same cents ×
+    * (100−pct) exact-integer revenue and full tie-break, so the top-k set
+    * and order are engine-independent. */
+  def topUnshippedOrders(segment: String = "BUILDING",
+      asOf: String = "1997-06-30", k: Int = 10): String = s"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+                      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                  AS BIGINT)::DOUBLE / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '$asOf 00:00:00'
+  AND o_orderdate < TIMESTAMP '$asOf 00:00:00'
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = '$segment')
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT $k"""
+
+  /** Twin of RelationalQueries.orderCountDistribution (Q13 shape): the
+    * zero-order cohort comes from the LEFT join. */
+  val orderCountDistribution: String = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
   val revenueByNation: String = """
 SELECT r_name AS region, n_name AS nation,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,

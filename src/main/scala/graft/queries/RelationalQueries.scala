@@ -49,6 +49,50 @@ object RelationalQueries {
     aggPricingSummary(lineitem.filter(
       col("l_shipdate") <= lit(maxShipDate).cast("timestamp_ntz")))
 
+  /** Shipping-priority pick list (TPC-H Q3 shape): segment-filtered
+    * customers ⋈ their still-open orders ⋈ lineitems shipping after the
+    * cutoff, per-order revenue, top `k`. Both date predicates and the
+    * segment equality push to the parquet scans; the customer side
+    * broadcasts (segment-filtered dimension); the per-order rollup
+    * shuffles once on the join key; the top-k is TakeOrderedAndProject.
+    *
+    * Revenue is EXACT: prices quantize to integer cents and discounts to
+    * integer basis-hundredths before the sum (cents × (100−pct) per row,
+    * one integer rollup, /10⁴ at display) — the order-free discipline,
+    * not a rounded double sum, so the top-k ranking can never flip on
+    * engine summation order. */
+  def topUnshippedOrders(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, segment: String = "BUILDING",
+      asOf: String = "1997-06-30", k: Int = 10): DataFrame = {
+    val cut = lit(asOf).cast("timestamp_ntz")
+    val revInt = sum(
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+    lineitem.filter(col("l_shipdate") > cut)
+      .join(orders.filter(col("o_orderdate") < cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(revInt.cast("double") / 10000.0, 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed exactly N orders, INCLUDING the zero-order cohort —
+    * the left join that a naive GROUP BY silently drops. One outer join
+    * keyed on custkey, a per-customer count, then a distribution rollup
+    * over the (small) count domain. Pure integer arithmetic — exact by
+    * construction. */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   /** Customers with at least one high-value order — left semi join
     * (existence only, no row multiplication, build side streams). */
   def customersWithBigOrders(customer: DataFrame, orders: DataFrame,

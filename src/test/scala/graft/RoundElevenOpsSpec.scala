@@ -99,6 +99,24 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(r("purchase").getAs[Long]("n_out") === 80L) // 2 purchase->purchase per user
   }
 
+  test("dedupClustersStar: chain, clique, and singleton-pair components match propagation") {
+    import spark.implicits._
+    // a 12-node chain (diameter 11 — the shape that punishes propagation),
+    // a 4-clique, and an isolated pair
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val clique = Seq((20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L), (22L, 23L))
+    val pair = Seq((40L, 41L))
+    val pairs = (chain ++ clique ++ pair).toDF("doc_a", "doc_b")
+    val star = graft.operators.Dedup.dedupClustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = graft.operators.Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop, "both formulations must reach the same fixpoint")
+    assert((1L to 12L).forall(star(_) == 1L))
+    assert((20L to 23L).forall(star(_) == 20L))
+    assert(star(40L) === 40L && star(41L) === 40L)
+  }
+
   test("markovStationary: a dangling state still receives teleport mass") {
     import spark.implicits._
     // single transition a -> b; b has no outgoing row (dangling)
