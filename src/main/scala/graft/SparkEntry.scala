@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 225
+  val GatedQueryCount: Int = 229
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -212,6 +212,23 @@ object SparkEntry {
     "agg_order_count_dist" -> ((s, d) =>
       RelationalQueries.orderCountDistribution(Tables.customer(s, d),
         Tables.orders(s, d))),
+    // TPC-H Q18 shape: HAVING on the pre-join rollup shrinks the fact side
+    // to the quantity tail before any join
+    "join_large_volume" -> ((s, d) =>
+      RelationalQueries.largeVolumeOrders(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d))),
+    // TPC-H Q14 shape: one conditional integer rollup; share is exact bp
+    "agg_promo_share" -> ((s, d) =>
+      RelationalQueries.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d))),
+    // TPC-H Q22 shape: above-mean membership via integer cross-multiply,
+    // anti join for the idle cohort
+    "join_idle_rich" -> ((s, d) =>
+      RelationalQueries.idleRichCustomers(Tables.customer(s, d),
+        Tables.orders(s, d), Tables.nation(s, d))),
+    // RANGE frame over event time: trailing 90-day spend per customer,
+    // one sorted pass per partition — never the quadratic self-join form
+    "window_trailing_spend" -> ((s, d) =>
+      RelationalQueries.trailingSpend(Tables.orders(s, d))),
     "join_semi_big_orders" -> ((s, d) =>
       RelationalQueries.customersWithBigOrders(Tables.customer(s, d), Tables.orders(s, d), 400000.0)),
     "join_anti_no_orders" -> ((s, d) =>
@@ -819,6 +836,10 @@ object SparkEntry {
     "agg_pricing_filtered" -> OracleSql.aggPricingFiltered,
     "join_top_unshipped" -> OracleSql.topUnshippedOrders(),
     "agg_order_count_dist" -> OracleSql.orderCountDistribution,
+    "join_large_volume" -> OracleSql.largeVolumeOrders(),
+    "agg_promo_share" -> OracleSql.promoRevenueShare(),
+    "join_idle_rich" -> OracleSql.idleRichCustomers,
+    "window_trailing_spend" -> OracleSql.trailingSpend(),
     "join_semi_big_orders" -> OracleSql.customersWithBigOrders,
     "join_anti_no_orders" -> OracleSql.customersWithoutOrders,
     "join_revenue_by_nation" -> OracleSql.revenueByNation,

@@ -574,6 +574,75 @@ GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, o_orderkey
 LIMIT $k"""
 
+  /** Twin of RelationalQueries.largeVolumeOrders (Q18 shape): integral
+    * quantities quantize to BIGINT before the sum, so threshold and
+    * ranking are exact. */
+  def largeVolumeOrders(minQty: Long = 300L, k: Int = 20): String = s"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > $minQty
+) t
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT $k"""
+
+  /** Twin of RelationalQueries.promoRevenueShare (Q14 shape): one
+    * conditional integer rollup; share_bp is the integer basis-point
+    * floor (`//` on positives ≡ Spark's `div`). */
+  def promoRevenueShare(from: String = "1997-01-01",
+      until: String = "1998-01-01"): String = s"""
+SELECT ROUND(CAST(promo_units AS DOUBLE) / 10000.0, 2) AS promo_revenue,
+       ROUND(CAST(total_units AS DOUBLE) / 10000.0, 2) AS total_revenue,
+       CAST(promo_units * 10000 // total_units AS BIGINT) AS share_bp
+FROM (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) ELSE 0 END) AS BIGINT)
+      AS promo_units,
+    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+             (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+      AS total_units
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '$from 00:00:00'
+    AND l_shipdate <  TIMESTAMP '$until 00:00:00'
+) t"""
+
+  /** Twin of RelationalQueries.idleRichCustomers (Q22 shape): the
+    * above-mean membership is the integer cross-multiplication
+    * `bal·n > Σ` — the mean never materializes on either engine. */
+  val idleRichCustomers: String = """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS pos_sum,
+         COUNT(*) AS pos_n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name AS nation, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+         AS totacctbal
+FROM customer CROSS JOIN pos
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * pos_n > pos_sum
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+ORDER BY nation"""
+
+  /** Twin of RelationalQueries.trailingSpend: the same RANGE frame over
+    * epoch seconds (value bounds, peers included → order-free sum). */
+  def trailingSpend(days: Int = 90): String = {
+    val secs = days.toLong * 86400L
+    s"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROUND(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+           RANGE BETWEEN $secs PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0, 2)
+         AS trailing_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey"""
+  }
+
   /** Twin of RelationalQueries.orderCountDistribution (Q13 shape): the
     * zero-order cohort comes from the LEFT join. */
   val orderCountDistribution: String = """

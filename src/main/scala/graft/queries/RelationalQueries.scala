@@ -93,6 +93,105 @@ object RelationalQueries {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
 
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total line
+    * quantity exceeds `minQty`, with customer attribution and top-k.
+    * The per-order quantity rollup shuffles the fact table once on its
+    * natural key and the HAVING filter runs on the aggregate BEFORE any
+    * join — at scale the survivor set is tiny (the quantity tail), so
+    * the subsequent orders/customer joins see thousands of rows, not
+    * billions; AQE is free to broadcast the shrunken side. Quantities
+    * are integral by schema contract and quantize to BIGINT before the
+    * sum, so the threshold comparison and the ranking are exact on both
+    * engines. Top-k is TakeOrderedAndProject, never a global sort. */
+  def largeVolumeOrders(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, minQty: Long = 300L, k: Int = 20): DataFrame =
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Promotion revenue share (TPC-H Q14 shape): what fraction of the
+    * window's discounted revenue came from PROMO-type parts. The date
+    * range pushes to the lineitem scan; the part dimension broadcasts
+    * (explicitly — at any realistic scale parts ≪ lineitems); both the
+    * promo and total sums are the exact cents × (100−pct) integer
+    * discipline folded map-side into ONE aggregate (a conditional sum,
+    * not two passes). The share is the single display-boundary division
+    * of two exact integers — identical operands give an identical IEEE
+    * quotient on both engines — and `share_bp` carries the fully exact
+    * integer basis-point floor alongside it. */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+      from: String = "1997-01-01", until: String = "1998-01-01"): DataFrame = {
+    val unit = floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(until).cast("timestamp_ntz"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", unit).otherwise(lit(0L))).as("promo_units"),
+        sum(unit).as("total_units"))
+      .select(
+        round(col("promo_units").cast("double") / 10000.0, 2).as("promo_revenue"),
+        round(col("total_units").cast("double") / 10000.0, 2).as("total_revenue"),
+        expr("(promo_units * CAST(10000 AS BIGINT)) div total_units").as("share_bp"))
+  }
+
+  /** Idle rich customers (TPC-H Q22 shape, keyed on nation instead of
+    * the phone prefix this corpus lacks): customers whose balance beats
+    * the mean POSITIVE balance yet placed no orders, rolled up per
+    * nation. The global mean is a 1-row aggregate broadcast back as a
+    * scalar (the only cross), the no-orders test is a left anti join on
+    * the order key, and the nation dimension broadcasts. The
+    * above-average comparison is EXACT: balances quantize to integer
+    * cents and the mean never materializes — `bal·n > Σ` by integer
+    * cross-multiplication, the same order-free trick the validator
+    * family uses, so a half-ulp mean can never flip a membership. */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+    val posStats = customer.filter(col("c_acctbal") > 0)
+      .agg(sum(cents).as("pos_sum"), count(lit(1)).as("pos_n"))
+    customer.withColumn("bal_cents", cents)
+      .crossJoin(broadcast(posStats))
+      .filter(col("bal_cents") * col("pos_n") > col("pos_sum"))
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("bal_cents")).cast("double") / 100.0, 2).as("totacctbal"))
+      .orderBy(col("nation"))
+  }
+
+  /** Trailing-window spend per customer: for every order, the running
+    * sum of that customer's spend over the preceding `days` days — a
+    * RANGE frame over event time (value-based bounds, peers included),
+    * not a ROWS frame, so same-day orders always count together
+    * regardless of intra-day order. One shuffle on the partition key;
+    * the frame is evaluated in a single sorted pass per customer with a
+    * sliding two-pointer, O(n) per partition — no self-join against the
+    * date range, which is the naive formulation's quadratic trap. Spend
+    * quantizes to cents before the frame sum, and a RANGE frame's output
+    * is order-free within peer groups by construction, so the gate
+    * hashes exactly. Ordering key is epoch seconds on both engines. */
+  def trailingSpend(orders: DataFrame, days: Int = 90): DataFrame = {
+    // NTZ → epoch seconds via a UTC timestamp cast (session TZ is pinned
+    // UTC by Tables.ensureConf; DuckDB's epoch() makes the same choice)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-days.toLong * 86400L, 0L)
+    orders.withColumn("price_cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round((sum(col("price_cents")).over(w)).cast("double") / 100.0, 2)
+          .as("trailing_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** Customers with at least one high-value order — left semi join
     * (existence only, no row multiplication, build side streams). */
   def customersWithBigOrders(customer: DataFrame, orders: DataFrame,

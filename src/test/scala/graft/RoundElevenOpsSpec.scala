@@ -117,6 +117,61 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(star(40L) === 40L && star(41L) === 40L)
   }
 
+  test("trailingSpend: RANGE frame includes same-day peers and expires old orders") {
+    import spark.implicits._
+    val ts = (s: String) => java.time.LocalDateTime.parse(s + "T00:00")
+    val orders = Seq(
+      // customer 1: two same-day orders (peers must BOTH count in each
+      // other's frame), a third inside 90 days, a fourth beyond it
+      (1L, 101L, "2020-01-01", 10.00),
+      (1L, 102L, "2020-01-01", 5.00),
+      (1L, 103L, "2020-03-01", 2.00),
+      (1L, 104L, "2020-07-01", 1.00),
+      (2L, 201L, "2020-01-01", 7.00)
+    ).map { case (c, o, d, p) => (c, o, ts(d), p) }
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    val r = graft.queries.RelationalQueries.trailingSpend(orders).collect()
+      .map(x => x.getAs[Long]("o_orderkey") -> x.getAs[Double]("trailing_spend")).toMap
+    assert(r(101L) === 15.00 && r(102L) === 15.00) // peers see each other
+    assert(r(103L) === 17.00)                      // Jan 1 still inside 90 days of Mar 1
+    assert(r(104L) === 1.00)                       // everything else expired
+    assert(r(201L) === 7.00)
+  }
+
+  test("idleRichCustomers: exactly-at-mean is excluded; order placers are excluded") {
+    import spark.implicits._
+    // positive balances 100 and 300 → mean 200; cust 3 sits exactly at it
+    val customer = Seq(
+      (1L, "a", 1, 100.0), (2L, "b", 1, 300.0), (3L, "c", 1, 200.0),
+      (4L, "d", 2, 250.0), (5L, "e", 2, -50.0)
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val orders = Seq((10L, 2L)).toDF("o_orderkey", "o_custkey")
+    val nation = Seq((1, "ALPHA"), (2, "BETA")).toDF("n_nationkey", "n_name")
+    // mean of positives = (100+300+200+250)/4 = 212.5; rich = {2: 300, 4: 250};
+    // cust 2 placed an order → only cust 4 survives
+    val r = graft.queries.RelationalQueries.idleRichCustomers(customer, orders, nation)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq === Seq(("BETA", 1L, 250.00)))
+  }
+
+  test("largeVolumeOrders: strict threshold, exact integer ranking") {
+    import spark.implicits._
+    val ts = java.time.LocalDateTime.parse("2020-01-01T00:00")
+    val lineitem = Seq(
+      (1L, 150.0), (1L, 150.0),          // order 1: 300 — NOT > 300
+      (2L, 200.0), (2L, 101.0),          // order 2: 301
+      (3L, 400.0)                        // order 3: 400
+    ).toDF("l_orderkey", "l_quantity")
+    val orders = Seq((1L, 10L, ts), (2L, 11L, ts), (3L, 12L, ts))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    val customer = Seq((10L, "x"), (11L, "y"), (12L, "z")).toDF("c_custkey", "c_name")
+    val r = graft.queries.RelationalQueries.largeVolumeOrders(lineitem, orders, customer)
+      .collect().map(x => (x.getAs[Long]("o_orderkey"), x.getAs[Long]("total_qty")))
+    assert(r.toSeq === Seq((3L, 400L), (2L, 301L)))
+  }
+
   test("markovStationary: a dangling state still receives teleport mass") {
     import spark.implicits._
     // single transition a -> b; b has no outgoing row (dangling)
