@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 229
+  val GatedQueryCount: Int = 230
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -464,6 +464,10 @@ object SparkEntry {
     // mergeable covariance/correlation census over leading embedding dims
     "embed_covariance" -> ((s, d) =>
       Similarity.embeddingCovariance(Tables.embeddings(s, d))),
+    // principal direction by exact-integer power iteration: one census
+    // sees the data; the 500-round K x K iteration is a driver boundary
+    "embed_pca_power" -> ((s, d) =>
+      Similarity.embeddingPcaPower(Tables.embeddings(s, d))),
     // cohort LTV matrix: first-activity month x age, cumulative value/user
     "events_cohort_ltv" -> ((s, d) => EventQueries.cohortLtv(Tables.events(s, d))),
     // sample-ratio-mismatch guard: integer chi2 vs the 50/50 null
@@ -902,6 +906,7 @@ object SparkEntry {
     "train_preference_pairs" -> OracleSqlText.preferencePairs,
     "profile_gini" -> OracleSql.giniProfile,
     "embed_covariance" -> OracleSql.embeddingCovariance(),
+    "embed_pca_power" -> OracleSql.embeddingPcaPower(),
     "events_cohort_ltv" -> OracleSql.cohortLtv,
     "events_ab_srm" -> OracleSql.abSrmCheck,
     "text_kn_bigram" -> OracleSqlText.knBigramLogProb,

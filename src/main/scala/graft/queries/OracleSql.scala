@@ -2127,6 +2127,68 @@ FROM agg ORDER BY event_type"""
 
   /** Mirrors Similarity.embeddingCovariance: micro-quantized coordinates,
     * exact integer sufficient statistics, the identical final double tree. */
+  /** Twin of Similarity.embeddingPcaPower: replays the IDENTICAL integer
+    * power-iteration trajectory in a recursive CTE. C is carried as a
+    * flat K² list in the recursion state and the matvec is nested list
+    * lambdas — NOT a join: a correlated subquery against a materialized
+    * CTE inside a recursive term silently yields NULL in DuckDB (probed),
+    * and re-inlining the census per round is 10× slower. HUGEINT `//`
+    * truncates toward zero, matching Scala BigInt division exactly. */
+  def embeddingPcaPower(kDims: Int = 8, iters: Int = 500): String = s"""
+WITH RECURSIVE p AS (
+  SELECT i.i AS dim_i, j.j AS dim_j
+  FROM generate_series(0, ${kDims - 1}) i(i), generate_series(0, ${kDims - 1}) j(j)
+),
+clean AS (
+  SELECT * FROM embeddings
+  WHERE len(embedding) >= $kDims
+    AND len(list_filter(embedding[1:$kDims],
+                        x -> x IS NULL OR isnan(x::DOUBLE))) = 0
+),
+a AS (
+  SELECT p.dim_i, p.dim_j, COUNT(*) AS n,
+         SUM(CAST(floor(e.embedding[p.dim_i + 1]::DOUBLE * 1e6) AS BIGINT)) AS sx,
+         SUM(CAST(floor(e.embedding[p.dim_j + 1]::DOUBLE * 1e6) AS BIGINT)) AS sy,
+         SUM(CAST(floor(e.embedding[p.dim_i + 1]::DOUBLE * 1e6) AS HUGEINT) *
+             CAST(floor(e.embedding[p.dim_j + 1]::DOUBLE * 1e6) AS BIGINT)) AS sxy
+  FROM clean e, p
+  GROUP BY 1, 2
+),
+cmat AS (
+  SELECT list(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
+              ORDER BY dim_i, dim_j) AS c
+  FROM a
+),
+it(iter, v, c) AS (
+  SELECT 0, (SELECT list(CAST(1000000 AS HUGEINT)) FROM range($kDims)),
+         (SELECT c FROM cmat)
+  UNION ALL
+  SELECT iter + 1,
+         list_transform(raw, x -> CASE WHEN mx = 0 THEN CAST(0 AS HUGEINT)
+                                       ELSE x * 1000000 // mx END),
+         c
+  FROM (
+    SELECT iter, c,
+           list_transform(generate_series(1, $kDims), i ->
+             list_aggregate(list_transform(generate_series(1, $kDims), j ->
+               c[(i - 1) * $kDims + j] * v[j]), 'sum')) AS raw
+    FROM it WHERE iter < $iters
+  ) t,
+  LATERAL (SELECT list_aggregate(list_transform(raw, y -> abs(y)), 'max') AS mx) u
+),
+fin AS (SELECT v FROM it WHERE iter = $iters),
+signfix AS (
+  SELECT COALESCE((SELECT CASE WHEN v[k] < 0 THEN -1 ELSE 1 END
+                   FROM (SELECT unnest(generate_series(1, $kDims)) AS k) q, fin
+                   WHERE v[k] <> 0 ORDER BY k LIMIT 1), 1) AS sgn
+)
+SELECT CAST(d.k - 1 AS BIGINT) AS dim,
+       CAST(sgn * v[d.k] AS BIGINT) AS v_micro,
+       ROUND(CAST(sgn * v[d.k] AS DOUBLE) / 1e6, 6) AS loading
+FROM fin, signfix, (SELECT unnest(generate_series(1, $kDims)) AS k) d
+WHERE EXISTS (SELECT 1 FROM clean)
+ORDER BY dim"""
+
   def embeddingCovariance(kDims: Int = 8): String = s"""
 WITH p AS (
   SELECT i.i AS dim_i, j.j AS dim_j

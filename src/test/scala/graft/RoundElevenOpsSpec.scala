@@ -172,6 +172,33 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(r.toSeq === Seq((3L, 400L), (2L, 301L)))
   }
 
+  test("embeddingPcaPower: rank-1 covariance recovers the axis, sign-fixed") {
+    import spark.implicits._
+    // vectors k·0.25·u for u = (−1, 2, 0, …): dyadic scales quantize to
+    // exact micro integers, so C = α·uuᵀ exactly and the fixpoint is the
+    // axis normalized to max-abs 1e6; the first nonzero component starts
+    // negative, so the sign fix must flip the whole vector
+    val u = Array(-1f, 2f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val emb = (1 to 4).map { k =>
+      (k.toLong, u.map(_ * 0.25f * k), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Similarity.embeddingPcaPower(emb).collect()
+      .map(x => x.getAs[Long]("dim") -> x.getAs[Long]("v_micro")).toMap
+    assert(r(0L) === 500000L && r(1L) === -1000000L)
+    assert((2L to 7L).forall(r(_) == 0L))
+  }
+
+  test("embeddingPcaPower: constant corpus yields the zero vector; empty yields no rows") {
+    import spark.implicits._
+    val const = (1 to 3).map(k => (k.toLong, Array.fill(8)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rc = graft.operators.Similarity.embeddingPcaPower(const).collect()
+    assert(rc.length === 8 && rc.forall(_.getAs[Long]("v_micro") === 0L))
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.operators.Similarity.embeddingPcaPower(empty).collect().isEmpty)
+  }
+
   test("markovStationary: a dangling state still receives teleport mass") {
     import spark.implicits._
     // single transition a -> b; b has no outgoing row (dangling)
