@@ -22,10 +22,42 @@ factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 os.makedirs(dst, exist_ok=True)
 for p in glob.glob(f'{src}/*.parquet'):
     if os.path.basename(p) not in ('documents.parquet', 'events.parquet',
-                                   'embeddings.parquet'):
+                                   'embeddings.parquet', 'lineitem.parquet',
+                                   'orders.parquet', 'customer.parquet'):
         shutil.copy(p, dst)
 
 con = duckdb.connect()
+# The TPC-H fact/bridge tables scale with per-replica key offsets that keep
+# every FK consistent (lineitem->orders->customer); part/supplier/nation
+# stay fixed-size, matching how dimensions grow far slower than facts. Each
+# replica repeats the value distribution, so per-replica aggregates tie —
+# fine for timing SHAPE, which is what the audit reads.
+con.execute(f"""
+COPY (
+  SELECT l_orderkey + k * 1000000000 AS l_orderkey,
+         l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM read_parquet('{src}/lineitem.parquet')
+  CROSS JOIN (SELECT unnest(generate_series(0, {factor - 1})) AS k)
+) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+COPY (
+  SELECT o_orderkey + k * 1000000000 AS o_orderkey,
+         o_custkey + k * 100000000 AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('{src}/orders.parquet')
+  CROSS JOIN (SELECT unnest(generate_series(0, {factor - 1})) AS k)
+) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+COPY (
+  SELECT c_custkey + k * 100000000 AS c_custkey,
+         c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM read_parquet('{src}/customer.parquet')
+  CROSS JOIN (SELECT unnest(generate_series(0, {factor - 1})) AS k)
+) TO '{dst}/customer.parquet' (FORMAT PARQUET)
+""")
 con.execute(f"""
 COPY (
   SELECT doc_id + k * 100000000 AS doc_id,

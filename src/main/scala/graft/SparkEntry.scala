@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 230
+  val GatedQueryCount: Int = 232
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -782,6 +782,16 @@ object SparkEntry {
     "mm_image_downsample" -> ((s, d) =>
       Multimodal.poolImages(Multimodal.withImagePayloads(Tables.documents(s, d)))
         .orderBy("doc_id")),
+    // REAL audio decode (javax.sound WAV/PCM16) over synthesized payloads;
+    // the oracle recomputes clip stats analytically from doc_id, proving
+    // the encode -> WAV bytes -> decode -> stats path sample-exact
+    "mm_audio_features" -> ((s, d) =>
+      Multimodal.audioFeatures(Multimodal.withAudioPayloads(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+    // frame-level energies (20 ms hop) over decoded samples, top-3 loudest
+    // per clip -- the audio analog of video frame-sampling
+    "mm_audio_frames" -> ((s, d) =>
+      Multimodal.audioTopFrames(Multimodal.withAudioPayloads(Tables.documents(s, d)))),
     // perceptual-hash near-dup grouping over the binary payload
     "mm_phash_dedup" -> ((s, d) =>
       Multimodal.phashGroups(Multimodal.withMedia(Tables.documents(s, d)))),
@@ -933,6 +943,8 @@ object SparkEntry {
     "embed_neardup_exact" -> OracleSqlText.nearDupPairs,
     "dedup_semantic" -> OracleSqlText.semDedup(),
     "mm_features" -> OracleSqlText.mmFeatures,
+    "mm_audio_features" -> OracleSqlText.mmAudioFeatures,
+    "mm_audio_frames" -> OracleSqlText.mmAudioTopFrames,
     "mm_image_ahash" -> OracleSqlText.mmImageAHash,
     "mm_image_downsample" -> OracleSqlText.mmImageDownsample,
     "mm_phash_dedup" -> OracleSqlText.mmPhashDedup(),

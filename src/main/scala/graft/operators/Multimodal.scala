@@ -161,6 +161,136 @@ object Multimodal {
       .toDF()
   }
 
+  case class AudioFeatures(doc_id: Long, n_samples: Long, duration_ms: Long,
+      energy: Long, zero_cross: Long, peak: Long)
+  case class AudioFrame(doc_id: Long, frame: Long, frame_energy: Long)
+
+  /** Attach a REAL WAV payload per document, synthesized executor-side as
+    * a pure function of `doc_id`: PCM16 mono at 8 kHz,
+    * n = 800 + (doc_id mod 5)·80 samples,
+    * s_k = ((doc_id·31 + 17k) mod 2003) − 1001 — an integer pseudo-noise
+    * waveform, chosen over a sinusoid so the oracle's closed form needs no
+    * transcendentals. Encoded through `javax.sound.sampled.AudioSystem`
+    * (JDK-bundled, headless-safe file IO — the audio analog of the
+    * ImageIO decision above, still zero added dependencies). PCM is
+    * lossless, so decode must return these exact samples; in production
+    * this column is the source table's audio blob. */
+  def withAudioPayloads(docs: DataFrame): DataFrame = {
+    implicit val outEnc = Encoders.product[MediaRow]
+    docs.select(col("doc_id")).as[Long](Encoders.scalaLong)
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        ids.map { id =>
+          val n = 800 + java.lang.Math.floorMod(id, 5L).toInt * 80
+          val pcm = new Array[Byte](n * 2)
+          var k = 0
+          while (k < n) {
+            val s = (java.lang.Math.floorMod(id * 31 + 17L * k, 2003L) - 1001L).toInt
+            pcm(2 * k) = (s & 0xff).toByte
+            pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+            k += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRow(id, bos.toByteArray)
+        }
+      }
+      .toDF()
+  }
+
+  /** Decode a WAV payload to PCM16 samples; the container/format checks
+    * fail loudly on anything but signed little-endian 16-bit mono (the
+    * fixture contract — a production corpus would resample here). */
+  private def decodePcm16(media: Array[Byte], docId: Long): (Array[Int], Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(media))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian && fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"unsupported audio format for doc $docId: $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      out(k) = ((bytes(2 * k + 1) << 8) | (bytes(2 * k) & 0xff)).toShort.toInt
+      k += 1
+    }
+    (out, fmt.getSampleRate.toLong)
+  }
+
+  /** REAL audio decode + clip-level features over the binary column:
+    * `AudioSystem.getAudioInputStream` parses the WAV container and the
+    * PCM frames are re-assembled into samples executor-side; the emitted
+    * stats are pure integers over the decoded samples (energy = Σs²,
+    * strict-sign zero crossings, peak |s|) — engine-exact and combinable.
+    * The gate is the decode-proof shape of mm_features: the oracle derives
+    * the same stats analytically from the fixture formula without decoding
+    * a byte, so a hash match proves the encode → WAV bytes → decode →
+    * stats path sample-exact. Per-partition `mapPartitions`, bounded
+    * memory per clip; at 100 TB this is the canonical scan-speed decode
+    * pass (no shuffle until the gate's output sort). */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[AudioFeatures]
+    media.select("doc_id", "media").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (s, sr) = decodePcm16(r.media, r.doc_id)
+          var energy = 0L; var zc = 0L; var peak = 0L
+          var k = 0
+          while (k < s.length) {
+            val v = s(k).toLong
+            energy += v * v
+            val a = if (v < 0) -v else v
+            if (a > peak) peak = a
+            if (k >= 1 && v * s(k - 1) < 0L) zc += 1
+            k += 1
+          }
+          AudioFeatures(r.doc_id, s.length.toLong,
+            s.length.toLong * 1000L / sr, energy, zc, peak)
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame-level energies over decoded samples (frame = hop = `frameLen`
+    * samples, 20 ms at 8 kHz) with the top `k` loudest frames per clip —
+    * the audio analog of video frame-sampling: a curation pipeline keeps
+    * the informative frames, not the whole clip. The per-clip fan-out is
+    * ≤ ceil(n/frameLen) rows (bounded per row), the top-k is a per-doc
+    * rank window keyed on doc_id, and ties break deterministically by
+    * frame index. Edge frames pool what they cover. */
+  def audioTopFrames(media: DataFrame, frameLen: Int = 160, k: Int = 3): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[AudioFrame]
+    val frames = media.select("doc_id", "media").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (s, _) = decodePcm16(r.media, r.doc_id)
+          (0 until (s.length + frameLen - 1) / frameLen).map { f =>
+            var e = 0L
+            var i = f * frameLen
+            val end = math.min(i + frameLen, s.length)
+            while (i < end) { e += s(i).toLong * s(i); i += 1 }
+            AudioFrame(r.doc_id, f.toLong, e)
+          }
+        }
+      }
+      .toDF()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("frame_energy").desc, col("frame"))
+    frames.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("frame"), col("frame_energy"),
+        col("rk").cast("long").as("loudness_rank"))
+      .orderBy("doc_id", "loudness_rank")
+  }
+
   /** Equal-ahash near-dup groups over [[imageAHash]] — the removed-rows
     * convention of the other dedup gates (only group members emit). */
   def imageAHashGroups(media: DataFrame): DataFrame = {

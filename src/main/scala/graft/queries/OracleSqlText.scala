@@ -1454,6 +1454,55 @@ SELECT p.doc_id, (p.w + 1) // 2 AS out_w, (p.h + 1) // 2 AS out_h,
        a.pool_sum, a.pool_min, a.pool_max
 FROM px p JOIN agg a USING (doc_id) ORDER BY p.doc_id"""
 
+  /** Audio fixture CTEs: the closed form of Multimodal.withAudioPayloads'
+    * waveform — n = 800 + (doc_id mod 5)·80 samples,
+    * s_k = ((doc_id·31 + 17k) mod 2003) − 1001 — so expected features are
+    * derivable without decoding a byte. `sp` is the previous sample for
+    * the zero-crossing census (NULL at k = 0: s·NULL < 0 is never true,
+    * matching the Spark side's k ≥ 1 guard). */
+  private val audioFixtureCtes: String = """au AS (
+  SELECT doc_id, 800 + (doc_id % 5) * 80 AS n FROM documents
+),
+smp AS (
+  SELECT a.doc_id, a.n, g.k,
+         ((a.doc_id * 31 + g.k * 17) % 2003) - 1001 AS s,
+         CASE WHEN g.k >= 1
+              THEN ((a.doc_id * 31 + (g.k - 1) * 17) % 2003) - 1001 END AS sp
+  FROM au a
+  CROSS JOIN (SELECT unnest(generate_series(0, 1119)) AS k) g
+  WHERE g.k < a.n
+)"""
+
+  /** Twin of Multimodal.audioFeatures: the fixture formula's expected
+    * clip stats — a hash match proves the PCM16 WAV encode → decode →
+    * stats path sample-exact (the decode-proof shape of mmFeatures for
+    * the audio modality). */
+  val mmAudioFeatures: String = s"""
+WITH $audioFixtureCtes
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(MAX(n) // 8 AS BIGINT) AS duration_ms,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN s * sp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak
+FROM smp GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Twin of Multimodal.audioTopFrames: 160-sample frame energies from
+    * the fixture formula, top-3 per clip by (energy desc, frame). */
+  val mmAudioTopFrames: String = s"""
+WITH $audioFixtureCtes,
+fr AS (
+  SELECT doc_id, k // 160 AS frame, CAST(SUM(s * s) AS BIGINT) AS frame_energy
+  FROM smp GROUP BY doc_id, k // 160
+),
+rk AS (
+  SELECT doc_id, frame, frame_energy,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY frame_energy DESC, frame) AS BIGINT) AS loudness_rank
+  FROM fr
+)
+SELECT doc_id, CAST(frame AS BIGINT) AS frame, frame_energy, loudness_rank
+FROM rk WHERE loudness_rank <= 3 ORDER BY doc_id, loudness_rank"""
+
   /** Resize oracle: the stride-downsample byte math of Multimodal.resize in
     * SQL. Valid because the corpus is pure ASCII (byte i == char i, checked
     * across all SFs), so substr-by-char reconstructs the exact byte the

@@ -172,6 +172,41 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(r.toSeq === Seq((3L, 400L), (2L, 301L)))
   }
 
+  test("audioFeatures: decoded-sample stats match the fixture formula independently") {
+    val media = Multimodal.withAudioPayloads(docs((1L, "a"), (7L, "b"), (1283L, "c")))
+    val r = Multimodal.audioFeatures(media).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_samples"), x.getAs[Long]("duration_ms"),
+         x.getAs[Long]("energy"), x.getAs[Long]("zero_cross"),
+         x.getAs[Long]("peak"))).toMap
+    // expectations computed independently (python wave round-trip probe)
+    assert(r(1L) === ((880L, 110L, 294119191L, 13L, 1001L)))
+    assert(r(7L) === ((960L, 120L, 322504517L, 16L, 1001L)))
+    assert(r(1283L) === ((1040L, 130L, 348524857L, 18L, 1001L)))
+  }
+
+  test("audioTopFrames: at most k frames per clip, energies descending, ties by frame") {
+    val media = Multimodal.withAudioPayloads(docs((1L, "a"), (9L, "b")))
+    val rows = Multimodal.audioTopFrames(media).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { fs =>
+      val sorted = fs.sortBy(_.getAs[Long]("loudness_rank"))
+      val en = sorted.map(_.getAs[Long]("frame_energy"))
+      assert(en.zip(en.tail).forall { case (a, b) => a >= b })
+    }
+    // frame energies must re-derive from the fixture formula
+    val f0 = rows.filter(r => r.getAs[Long]("doc_id") == 1L)
+      .map(r => r.getAs[Long]("frame") -> r.getAs[Long]("frame_energy")).toMap
+    f0.foreach { case (f, e) =>
+      val exp = (f * 160 until math.min((f + 1) * 160, 880L)).map { k =>
+        val s = java.lang.Math.floorMod(1L * 31 + 17L * k, 2003L) - 1001L
+        s * s
+      }.sum
+      assert(e === exp, s"frame $f")
+    }
+  }
+
   test("embeddingPcaPower: rank-1 covariance recovers the axis, sign-fixed") {
     import spark.implicits._
     // vectors k·0.25·u for u = (−1, 2, 0, …): dyadic scales quantize to
