@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 232
+  val GatedQueryCount: Int = 235
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -632,6 +632,16 @@ object SparkEntry {
     "layout_zorder_stats" -> ((s, d) =>
       graft.sources.ZOrder.zorderStats(Tables.orders(s, d))),
 
+    // storage-format fidelity: sink→scan roundtrips digested against the
+    // parquet oracle (DuckDB never reads the format — a hash match proves
+    // the format preserved every value; see FormatRoundtrip scaladoc)
+    "source_orc_roundtrip" -> ((s, d) =>
+      graft.sources.FormatRoundtrip.orcRoundtrip(s, d)),
+    "source_csv_roundtrip" -> ((s, d) =>
+      graft.sources.FormatRoundtrip.csvRoundtrip(s, d)),
+    "source_json_roundtrip" -> ((s, d) =>
+      graft.sources.FormatRoundtrip.jsonRoundtrip(s, d)),
+
     // deterministic corpus sampling: exact-count stratified + weighted mix
     // fixed-size global uniform sample (distributed reservoir replacement)
     "sample_uniform_topk" -> ((s, d) =>
@@ -1009,6 +1019,9 @@ object SparkEntry {
     "balance_avg_daily" -> OracleSql.avgDailyBalance,
     "sketch_quantile" -> OracleSqlText.hashSampleQuantiles(),
     "layout_zorder_stats" -> OracleSql.zorderStats(),
+    "source_orc_roundtrip" -> OracleSql.formatRoundtripFull,
+    "source_csv_roundtrip" -> OracleSql.formatRoundtripText,
+    "source_json_roundtrip" -> OracleSql.formatRoundtripText,
     "sample_uniform_topk" -> OracleSqlText.uniformSample(),
     "sample_stratified" -> OracleSqlText.stratifiedSample(),
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),

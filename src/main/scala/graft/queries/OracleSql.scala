@@ -2342,4 +2342,42 @@ SELECT cohort_day,
        ROUND(rev_cents / 100.0, 2) AS revenue,
        CAST(cum_cents * 1000000 // (n_users * 100) AS BIGINT) AS ltv_micro
 FROM cum ORDER BY cohort_day, age_days"""
+
+  /** Digest twin for `source_orc_roundtrip`: the identical per-priority
+    * digest computed straight from the source parquet. DuckDB has no ORC
+    * reader — a hash match therefore proves the Spark ORC sink+scan
+    * preserved every key, cent, char and day (see
+    * sources/FormatRoundtrip.scala). Sums promote to HUGEINT ↔ the Spark
+    * side's DECIMAL(38,0); cents derive from the identical IEEE
+    * FLOOR(price*100). */
+  def formatRoundtripFull: String = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       SUM(CAST(o_orderkey AS HUGEINT)) AS key_sum,
+       SUM(CAST(o_custkey AS HUGEINT)) AS cust_sum,
+       SUM(CAST(FLOOR(o_totalprice * 100) AS HUGEINT)) AS cents_sum,
+       SUM(CAST(LENGTH(o_orderstatus) AS HUGEINT)) AS status_chars,
+       MIN(STRFTIME(o_orderdate, '%Y-%m-%d')) AS d_min,
+       MAX(STRFTIME(o_orderdate, '%Y-%m-%d')) AS d_max
+FROM orders GROUP BY 1 ORDER BY 1"""
+
+  /** Digest twin for `source_csv_roundtrip` / `source_json_roundtrip`: the
+    * text-safe projection (longs + strings only — doubles are reduced to
+    * cents *before* serialization, see FormatRoundtrip scaladoc) digested
+    * from the source parquet. */
+  def formatRoundtripText: String = """
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         STRFTIME(o_orderdate, '%Y-%m-%d') AS order_day
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       SUM(CAST(o_orderkey AS HUGEINT)) AS key_sum,
+       SUM(CAST(cents AS HUGEINT)) AS cents_sum,
+       SUM(CAST(LENGTH(o_orderstatus) AS HUGEINT)) AS status_chars,
+       MIN(order_day) AS d_min,
+       MAX(order_day) AS d_max
+FROM t GROUP BY 1 ORDER BY 1"""
 }

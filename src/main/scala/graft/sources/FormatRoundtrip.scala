@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sink→scan roundtrip gates for the non-parquet storage formats Spark
+  * bundles (ORC is a built-in datasource backed by /opt/spark/jars/orc-core;
+  * CSV and JSON-lines are core). The reference pipeline's source matrix is
+  * xlsx→parquet→csv/json (reference: src/thrive_cash_processing_dag.py — the
+  * staging writes at :257 and the csv/json report sinks); a 100 TB curation
+  * stack additionally needs format-conversion jobs (e.g. parquet→ORC for a
+  * downstream Hive/Trino consumer, parquet→JSONL for a labeling vendor), and
+  * the property that matters is round-trip *fidelity*: every value written
+  * must come back exactly.
+  *
+  * Each gate here writes `orders` (or a text-safe projection of it) through
+  * the format under test, reads it back, and reduces the result to a small
+  * per-priority digest of exact-integer sums and string min/max. The DuckDB
+  * oracle computes the same digest straight from the source parquet — so a
+  * hash match proves the format preserved every row, key, char, cent and day
+  * through the sink and the scan, without the oracle ever needing to read the
+  * format itself (DuckDB has no ORC reader).
+  *
+  * Scale: the write is per-partition parallel with no shuffle (a 100 TB
+  * conversion is a map-only job); the digest is one map-side-combinable
+  * aggregate over a handful of groups. Digest sums use DECIMAL(38,0) ↔
+  * HUGEINT so they cannot overflow at any corpus size. Cents are derived as
+  * `floor(price * 100)` — the identical IEEE double multiply+floor on both
+  * engines — *before* any text serialization, so the CSV/JSON paths carry
+  * only longs and strings (text round-trips of raw doubles are not
+  * guaranteed digit-exact and are deliberately avoided).
+  */
+object FormatRoundtrip {
+
+  /** Staging root: one subdirectory per (format, source-dir) pair so sf0.001
+    * / sf0.01 / stress runs in one JVM never clobber each other. Inputs under
+    * a testdata dir are immutable, but the write is mode(overwrite) anyway so
+    * a re-run is self-healing. */
+  private def stagingDir(fmt: String, sourceDir: String): String =
+    s"/tmp/graft_roundtrip/${fmt}_${java.lang.Integer.toHexString(sourceDir.hashCode)}"
+
+  /** orders with the timestamp normalized to µs TIMESTAMP_NTZ (the engine's
+    * wall-clock convention — see [[Tables]] scaladoc), so the ORC writer
+    * stores a zone-free value and the read-back cannot shift across JVM
+    * timezones. */
+  private def ordersNtz(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("o_orderdate", col("o_orderdate").cast(TimestampNTZType))
+
+  /** Text-safe projection for the CSV/JSON paths: longs and strings only
+    * (cents and day derived up front, see object scaladoc). */
+  private def ordersTextSafe(spark: SparkSession, dir: String): DataFrame =
+    ordersNtz(spark, dir).select(
+      col("o_orderkey"),
+      col("o_orderstatus"),
+      col("o_orderpriority"),
+      floor(col("o_totalprice") * lit(100)).cast(LongType).as("cents"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+
+  private val textSafeSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_orderpriority", StringType),
+    StructField("cents", LongType),
+    StructField("order_day", StringType)))
+
+  private val big = DecimalType(38, 0)
+
+  /** Per-priority digest of the full-fidelity (ORC) roundtrip. */
+  private def fullDigest(df: DataFrame): DataFrame =
+    df.groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_orderkey").cast(big)).as("key_sum"),
+        sum(col("o_custkey").cast(big)).as("cust_sum"),
+        sum(floor(col("o_totalprice") * lit(100)).cast(big)).as("cents_sum"),
+        sum(length(col("o_orderstatus")).cast(big)).as("status_chars"),
+        min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("d_min"),
+        max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("d_max"))
+      .orderBy("o_orderpriority")
+
+  /** Per-priority digest of the text-safe (CSV/JSON) roundtrip. */
+  private def textDigest(df: DataFrame): DataFrame =
+    df.groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_orderkey").cast(big)).as("key_sum"),
+        sum(col("cents").cast(big)).as("cents_sum"),
+        sum(length(col("o_orderstatus")).cast(big)).as("status_chars"),
+        min(col("order_day")).as("d_min"),
+        max(col("order_day")).as("d_max"))
+      .orderBy("o_orderpriority")
+
+  /** Digest computed straight from the source parquet — the in-engine
+    * reference the roundtrip digests must equal (FormatRoundtripSpec). */
+  def directFullDigest(spark: SparkSession, dir: String): DataFrame =
+    fullDigest(ordersNtz(spark, dir))
+
+  /** Text-safe counterpart of [[directFullDigest]]. */
+  def directTextDigest(spark: SparkSession, dir: String): DataFrame =
+    textDigest(ordersTextSafe(spark, dir))
+
+  /** parquet → ORC → digest. Full-schema write (longs, strings, double,
+    * TIMESTAMP_NTZ), exercising ORC's typed columnar path end to end. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = stagingDir("orc", dir)
+    ordersNtz(spark, dir).write.mode("overwrite").orc(path)
+    fullDigest(spark.read.orc(path))
+  }
+
+  /** parquet → headered CSV → digest. Read back with an explicit schema
+    * (schema-on-read, no inference pass — at 100 TB an inference scan would
+    * double the read). */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = stagingDir("csv", dir)
+    ordersTextSafe(spark, dir).write.mode("overwrite")
+      .option("header", "true").csv(path)
+    textDigest(
+      spark.read.schema(textSafeSchema).option("header", "true").csv(path))
+  }
+
+  /** parquet → JSON lines → digest. Explicit schema on the read for the same
+    * reason as CSV; JSONL is the interchange format labeling vendors and
+    * open-data releases actually consume. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = stagingDir("json", dir)
+    ordersTextSafe(spark, dir).write.mode("overwrite").json(path)
+    textDigest(spark.read.schema(textSafeSchema).json(path))
+  }
+}
