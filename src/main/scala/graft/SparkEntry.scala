@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 235
+  val GatedQueryCount: Int = 236
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -641,6 +641,10 @@ object SparkEntry {
       graft.sources.FormatRoundtrip.csvRoundtrip(s, d)),
     "source_json_roundtrip" -> ((s, d) =>
       graft.sources.FormatRoundtrip.jsonRoundtrip(s, d)),
+    // hive-partitioned layout + partition-pruned scan (PartitionFilters,
+    // not row-group pushdown — the plan pin is in FormatRoundtripSpec)
+    "layout_partitioned_prune" -> ((s, d) =>
+      graft.sources.FormatRoundtrip.partitionedPrune(s, d)),
 
     // deterministic corpus sampling: exact-count stratified + weighted mix
     // fixed-size global uniform sample (distributed reservoir replacement)
@@ -1022,6 +1026,7 @@ object SparkEntry {
     "source_orc_roundtrip" -> OracleSql.formatRoundtripFull,
     "source_csv_roundtrip" -> OracleSql.formatRoundtripText,
     "source_json_roundtrip" -> OracleSql.formatRoundtripText,
+    "layout_partitioned_prune" -> OracleSql.formatRoundtripPruned,
     "sample_uniform_topk" -> OracleSqlText.uniformSample(),
     "sample_stratified" -> OracleSqlText.stratifiedSample(),
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),

@@ -2350,7 +2350,15 @@ FROM cum ORDER BY cohort_day, age_days"""
     * sources/FormatRoundtrip.scala). Sums promote to HUGEINT ↔ the Spark
     * side's DECIMAL(38,0); cents derive from the identical IEEE
     * FLOOR(price*100). */
-  def formatRoundtripFull: String = """
+  def formatRoundtripFull: String = roundtripDigestSql("")
+
+  /** Twin for `layout_partitioned_prune`: the same digest restricted to the
+    * partitions the pruned Spark scan keeps (FormatRoundtrip.prunedPriorities
+    * — the IN list below must stay in sync with it). */
+  def formatRoundtripPruned: String =
+    roundtripDigestSql("WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')")
+
+  private def roundtripDigestSql(where: String): String = s"""
 SELECT o_orderpriority,
        COUNT(*) AS n,
        SUM(CAST(o_orderkey AS HUGEINT)) AS key_sum,
@@ -2359,7 +2367,7 @@ SELECT o_orderpriority,
        SUM(CAST(LENGTH(o_orderstatus) AS HUGEINT)) AS status_chars,
        MIN(STRFTIME(o_orderdate, '%Y-%m-%d')) AS d_min,
        MAX(STRFTIME(o_orderdate, '%Y-%m-%d')) AS d_max
-FROM orders GROUP BY 1 ORDER BY 1"""
+FROM orders $where GROUP BY 1 ORDER BY 1"""
 
   /** Digest twin for `source_csv_roundtrip` / `source_json_roundtrip`: the
     * text-safe projection (longs + strings only — doubles are reduced to

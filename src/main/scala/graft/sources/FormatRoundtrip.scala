@@ -128,4 +128,30 @@ object FormatRoundtrip {
     ordersTextSafe(spark, dir).write.mode("overwrite").json(path)
     textDigest(spark.read.schema(textSafeSchema).json(path))
   }
+
+  /** The partition values [[partitionedPruneScan]] keeps — chosen so the
+    * scan must skip the other three priority directories entirely. */
+  val prunedPriorities: Seq[String] = Seq("1-URGENT", "2-HIGH")
+
+  /** Hive-partitioned write + partition-pruned read: `orders` laid out as
+    * `o_orderpriority=<v>/` directories, then scanned with an IN filter on
+    * the partition column. At 100 TB this is THE layout primitive — a query
+    * touching 2 of N partitions must read 2/N of the bytes, enforced at
+    * file-listing time (the filter lands in the scan's `PartitionFilters`,
+    * not in row-group `PushedFilters` — FormatRoundtripSpec pins that plan
+    * shape). Listing cost is ∝ partitions touched, not corpus size. */
+  def partitionedPruneScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = stagingDir("part", dir)
+    ordersNtz(spark, dir).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(path)
+    spark.read.parquet(path)
+      .where(col("o_orderpriority").isin(prunedPriorities.map(lit): _*))
+  }
+
+  /** Gated digest of the pruned scan — equality with the DuckDB twin (the
+    * same digest over `WHERE o_orderpriority IN (...)` on the source
+    * parquet) proves the partitioned layout lost nothing and the pruned
+    * read returned exactly the kept partitions. */
+  def partitionedPrune(spark: SparkSession, dir: String): DataFrame =
+    fullDigest(partitionedPruneScan(spark, dir))
 }

@@ -27,4 +27,18 @@ class FormatRoundtripSpec extends AnyFunSuite {
     assert(rows(FormatRoundtrip.csvRoundtrip(spark, sf)) === directText)
     assert(rows(FormatRoundtrip.jsonRoundtrip(spark, sf)) === directText)
   }
+
+  test("partitioned scan prunes at listing time: filter in PartitionFilters, not PushedFilters") {
+    val scan = FormatRoundtrip.partitionedPruneScan(spark, sf)
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("o_orderpriority"),
+      s"expected o_orderpriority in PartitionFilters:\n$p")
+    val pushed = raw"PushedFilters: \[([^\]]*)\]".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(";")
+    assert(!pushed.contains("o_orderpriority"),
+      s"partition column must not appear in row-group PushedFilters: [$pushed]")
+    // only the two kept partitions survive the listing
+    val kept = scan.select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
+    assert(kept.toSeq === FormatRoundtrip.prunedPriorities.sorted)
+  }
 }
