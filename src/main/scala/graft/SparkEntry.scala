@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 236
+  val GatedQueryCount: Int = 238
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -645,6 +645,16 @@ object SparkEntry {
     // not row-group pushdown — the plan pin is in FormatRoundtripSpec)
     "layout_partitioned_prune" -> ((s, d) =>
       graft.sources.FormatRoundtrip.partitionedPrune(s, d)),
+    // two ingest batches, two schemas, one mergeSchema read: lang is
+    // non-null exactly where batch 2 wrote it
+    "source_schema_evolution" -> ((s, d) =>
+      graft.sources.FormatRoundtrip.schemaEvolution(s, d)),
+    // EXECUTED small-file compaction (one broadcast-join + one exchange
+    // rewrite, one file per planned bin; file-count pin in PhysicalOpsSpec)
+    "layout_compaction_exec" -> ((s, d) =>
+      graft.operators.Physical.compactionExecDigest(
+        s, Tables.documents(s, d),
+        s"/tmp/graft_roundtrip/compact_${java.lang.Integer.toHexString(d.hashCode)}")),
 
     // deterministic corpus sampling: exact-count stratified + weighted mix
     // fixed-size global uniform sample (distributed reservoir replacement)
@@ -1027,6 +1037,8 @@ object SparkEntry {
     "source_csv_roundtrip" -> OracleSql.formatRoundtripText,
     "source_json_roundtrip" -> OracleSql.formatRoundtripText,
     "layout_partitioned_prune" -> OracleSql.formatRoundtripPruned,
+    "source_schema_evolution" -> OracleSql.schemaEvolution,
+    "layout_compaction_exec" -> OracleSql.compactionExecDigest,
     "sample_uniform_topk" -> OracleSqlText.uniformSample(),
     "sample_stratified" -> OracleSqlText.stratifiedSample(),
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),

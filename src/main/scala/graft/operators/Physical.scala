@@ -91,13 +91,8 @@ object Physical {
     * listing provides. */
   def compactionPlan(files: DataFrame, partCol: String, idCol: String,
       sizeCol: String, targetBytes: Long = 4096L, openCost: Long = 128L): DataFrame = {
-    val w = Window.partitionBy("part").orderBy("file_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val planned = files.select(
-        col(partCol).as("part"), col(idCol).as("file_id"),
-        (col(sizeCol).cast("long") + openCost).as("sz"))
-      .withColumn("cum", sum("sz").over(w))
-      .withColumn("bin", expr(s"(cum - sz) div ${targetBytes}L"))
+    val planned =
+      binAssignments(files, partCol, idCol, sizeCol, targetBytes, openCost)
     planned.groupBy("part", "bin")
       .agg(count(lit(1)).as("n_files"), sum("sz").as("bin_bytes"),
         min("file_id").as("first_file_id"), max("file_id").as("last_file_id"))
@@ -105,5 +100,82 @@ object Physical {
         col("bin_bytes").cast("long").as("bin_bytes"),
         col("first_file_id"), col("last_file_id"))
       .orderBy("part", "bin")
+  }
+
+  /** Per-file bin assignment — the pre-rollup form of [[compactionPlan]]
+    * (same packing rule), used by the executed rewrite. Returns
+    * (part, file_id, sz, cum, bin). */
+  def binAssignments(files: DataFrame, partCol: String, idCol: String,
+      sizeCol: String, targetBytes: Long, openCost: Long): DataFrame = {
+    val w = Window.partitionBy("part").orderBy("file_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files.select(
+        col(partCol).as("part"), col(idCol).as("file_id"),
+        (col(sizeCol).cast("long") + openCost).as("sz"))
+      .withColumn("cum", sum("sz").over(w))
+      .withColumn("bin", expr(s"(cum - sz) div ${targetBytes}L"))
+  }
+
+  /** EXECUTED small-file compaction — the OPTIMIZE primitive, not just its
+    * plan. Stages `documents` as many small parquet files, inventories them
+    * (a driver file listing: at 100 TB this row-per-file table comes from
+    * the lake's metadata layer and is orders of magnitude smaller than the
+    * data), runs the same packing rule as [[compactionPlan]], then rewrites
+    * in ONE distributed job: rows join their file's bin via a broadcast of
+    * the metadata-sized plan, one hash exchange on `bin` co-locates each
+    * output file's rows, and `partitionBy("bin")` writes exactly one file
+    * per bin (a bin's rows live in exactly one task). The gated digest of
+    * the compacted table against the source-parquet twin proves the rewrite
+    * byte-lossless; PhysicalOpsSpec asserts the file count actually dropped
+    * to the planned bin count. No driver loop over bins, no per-bin job —
+    * cost is one scan + one shuffle of the small-file bytes, which is how
+    * OPTIMIZE must behave when "small files" still total terabytes. */
+  def compactionExec(spark: SparkSession, docs: DataFrame,
+      stagingRoot: String, smallFiles: Int = 48,
+      targetBytes: Long = 1L << 18): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val smallPath = s"$stagingRoot/small"
+    val compactPath = s"$stagingRoot/compact"
+    docs.repartition(smallFiles, col("doc_id"))
+      .write.mode("overwrite").parquet(smallPath)
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(smallPath), spark.sparkContext.hadoopConfiguration)
+    val inventory = fs.listStatus(new org.apache.hadoop.fs.Path(smallPath))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen))
+      .sortBy(_._1).toSeq
+      .toDF("file_id", "bytes")
+      .withColumn("part", lit("all"))
+
+    val assign = binAssignments(
+        inventory, "part", "file_id", "bytes", targetBytes, openCost = 4096L)
+      .select("file_id", "bin")
+
+    spark.read.parquet(smallPath)
+      .withColumn("file_id", regexp_extract(input_file_name(), "[^/]+$", 0))
+      .join(broadcast(assign), "file_id")
+      .drop("file_id")
+      .repartition(col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(compactPath)
+
+    (spark.read.parquet(compactPath).drop("bin"), assign)
+  }
+
+  /** Gated digest of the compacted table (per-source exact sums incl. full
+    * text length — a changed byte anywhere changes the hash). */
+  def compactionExecDigest(spark: SparkSession, docs: DataFrame,
+      stagingRoot: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (compacted, _) = compactionExec(spark, docs, stagingRoot)
+    compacted.groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("doc_id").cast(big)).as("id_sum"),
+        sum(col("n_chars").cast(big)).as("char_sum"),
+        sum(length(col("text")).cast(big)).as("text_chars"),
+        min(col("lang")).as("lang_min"),
+        max(col("lang")).as("lang_max"))
+      .orderBy("source")
   }
 }

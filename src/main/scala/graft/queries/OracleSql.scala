@@ -2358,6 +2358,38 @@ FROM cum ORDER BY cohort_day, age_days"""
   def formatRoundtripPruned: String =
     roundtripDigestSql("WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')")
 
+  /** Twin for `source_schema_evolution`: batch 2 (odd doc_ids) carried the
+    * new `lang` column, batch 1 did not — the CASE reproduces the
+    * mergeSchema null-fill the Spark scan must perform. */
+  def schemaEvolution: String = """
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n,
+       SUM(CAST(doc_id AS HUGEINT)) AS id_sum,
+       SUM(CAST(n_chars AS HUGEINT)) AS char_sum,
+       COUNT(lang) AS n_lang,
+       MIN(lang) AS lang_min,
+       MAX(lang) AS lang_max
+FROM t GROUP BY 1 ORDER BY 1"""
+
+  /** Twin for `layout_compaction_exec`: the full-table digest straight from
+    * the source parquet — equality proves the small-file staging + binned
+    * rewrite lost and altered nothing (text length folds every byte of the
+    * payload into the hash). */
+  def compactionExecDigest: String = """
+SELECT source,
+       COUNT(*) AS n,
+       SUM(CAST(doc_id AS HUGEINT)) AS id_sum,
+       SUM(CAST(n_chars AS HUGEINT)) AS char_sum,
+       SUM(CAST(LENGTH(text) AS HUGEINT)) AS text_chars,
+       MIN(lang) AS lang_min,
+       MAX(lang) AS lang_max
+FROM documents GROUP BY 1 ORDER BY 1"""
+
   private def roundtripDigestSql(where: String): String = s"""
 SELECT o_orderpriority,
        COUNT(*) AS n,

@@ -154,4 +154,35 @@ object FormatRoundtrip {
     * read returned exactly the kept partitions. */
   def partitionedPrune(spark: SparkSession, dir: String): DataFrame =
     fullDigest(partitionedPruneScan(spark, dir))
+
+  /** Schema-evolution merge read: two ingest batches land in the same
+    * table directory with different schemas (the second batch adds a
+    * `lang` column — the canonical "pipeline v2 started emitting a new
+    * field" event in a long-lived 100 TB lake), and the scan reconciles
+    * them with `mergeSchema`, null-filling the column for the old batch.
+    * The digest counts non-null `lang` per source, so the gate proves the
+    * merge read sees the new column exactly where it was written and
+    * NULL exactly where it wasn't — no silent column drop, no misaligned
+    * fill. Schema merge is a footer-metadata operation (cost ∝ files, not
+    * bytes); the data read stays columnar and pruned. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = stagingDir("evo", dir)
+    val docs = Tables.documents(spark, dir)
+    docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(path)
+    docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .write.mode("append").parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("doc_id").cast(big)).as("id_sum"),
+        sum(col("n_chars").cast(big)).as("char_sum"),
+        count(col("lang")).as("n_lang"),
+        min(col("lang")).as("lang_min"),
+        max(col("lang")).as("lang_max"))
+      .orderBy("source")
+  }
 }

@@ -230,4 +230,23 @@ class PhysicalOpsSpec extends AnyFunSuite {
     assert(r(3L).getAs[String]("fail_rule") === "too_few_words")
     assert(r(3L).getAs[Long]("frac_alpha_micro") === 1000000L)
   }
+
+  test("compactionExec: output file count equals the planned bin count and shrinks") {
+    val root = "/tmp/graft_spec_compact"
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (compacted, assign) = Physical.compactionExec(spark, docs, root)
+    val plannedBins = assign.select("bin").distinct().count()
+    def parquetFiles(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(p), spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    assert(parquetFiles(s"$root/compact") === plannedBins)
+    assert(plannedBins < parquetFiles(s"$root/small"),
+      "compaction must reduce the file count")
+    assert(compacted.count() === docs.count())
+  }
 }
