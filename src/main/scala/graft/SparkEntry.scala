@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 238
+  val GatedQueryCount: Int = 239
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -493,6 +493,20 @@ object SparkEntry {
     "train_data_card" -> ((s, d) =>
       graft.operators.Curation.dataCard(Tables.documents(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    // probe-only top-k against the persisted cell-partitioned IVF index
+    // (build amortized per session, like dedup_incremental_indexed; the
+    // probe reads only the probed cell partitions — PartitionFilters)
+    "ann_ivf_indexed" -> ((s, d) => {
+      val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_ivf_idx_" + Integer.toHexString(d.hashCode)).toString
+      incrIdxBuilt.synchronized {
+        if (!incrIdxBuilt.contains(idx)) {
+          Similarity.buildIvfIndex(Tables.embeddings(s, d), idx)
+          incrIdxBuilt += idx
+        }
+      }
+      Similarity.ivfIndexedTopK(Tables.embeddings(s, d), idx)
+    }),
     // scalar-quantization (SQ8) ANN: per-dim envelope codes, integer dot
     "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(Tables.embeddings(s, d))),
     // Matryoshka two-stage: prefix-dim shortlist, exact full-dim rerank
@@ -955,6 +969,9 @@ object SparkEntry {
     // the quantizer is deterministic (lowest-vec_id init, fixed Lloyd
     // rounds, order-invariant rounded means) — the oracle unrolls it in SQL
     "ann_ivf_topk" -> OracleSqlText.annIvfTopK(),
+    // the indexed probe replays ivfTopK bit-for-bit (shared quantizer,
+    // parquet float round-trip is exact) — same oracle by construction
+    "ann_ivf_indexed" -> OracleSqlText.annIvfTopK(),
     "ann_sq_topk" -> OracleSqlText.annSqTopK(),
     "ann_matryoshka_topk" -> OracleSqlText.annMatryoshkaTopK(),
     "ann_recall_eval" -> OracleSqlText.annRecallEval(),

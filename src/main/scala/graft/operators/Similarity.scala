@@ -615,6 +615,81 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Build the PERSISTED form of [[ivfTopK]]'s index: the trained centroid
+    * table plus the postings laid out as a `cell=<n>/` hive-partitioned
+    * parquet tree — inverted lists AS partitions, so a probe's cell filter
+    * prunes at file-listing time and reads only the probed lists' bytes.
+    * Write-once/probe-many: the Lloyd training (the expensive part) is paid
+    * at build, mirroring [[graft.operators.Dedup.buildIncrementalIndex]]'s
+    * write-once discipline for the daily-ingest user. Same deterministic
+    * quantizer as [[ivfTopK]] ([[lloydCentroids]]); floats/doubles
+    * round-trip parquet bit-exactly, so the probe path reproduces
+    * [[ivfTopK]]'s output hash-for-hash (they share the oracle). */
+  def buildIvfIndex(embeddings: DataFrame, indexDir: String,
+      nCentroids: Int = 8, iters: Int = 3): Unit = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
+    val centroids = lloydCentroids(emb, nCentroids, iters)
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    withCell(emb, centroids)
+      .withColumn("norm", l2Norm(col("embedding")))
+      .drop("dists")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
+  /** Probe-only IVF top-k against a [[buildIvfIndex]] tree. The centroid
+    * read is nCentroids×dim (driver-bounded, MLlib-style); each query's
+    * probe list comes from the same argsort as [[ivfTopK]]; the postings
+    * scan carries `cell IN (probed)` so only the probed partitions are
+    * listed or read (the recurring cost the production user pays — the
+    * build is amortized away). Queries are taken from the source table,
+    * as in production where they arrive from outside the index. */
+  def ivfIndexedTopK(embeddings: DataFrame, indexDir: String,
+      nQueries: Int = 5, k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val centroids: IndexedSeq[Seq[Float]] =
+      spark.read.parquet(s"$indexDir/centroids")
+        .orderBy("cell").select("centroid").collect()
+        .map(_.getSeq[Float](0).toIndexedSeq.asInstanceOf[Seq[Float]])
+        .toIndexedSeq
+    val k2 = centroids.length
+    val probe = math.min(nProbe, k2)
+    val probeCells: Column = slice(
+      transform(
+        array_sort(transform(sequence(lit(0), lit(k2 - 1)),
+          i => struct(element_at(col("dists"), i + 1).as("d"), i.as("cell")))),
+        s => s.getField("cell")),
+      1, probe)
+    val queries0 = withCell(
+        embeddings.filter(col("vec_id") < nQueries).select("vec_id", "embedding"),
+        centroids)
+      .withColumn("norm", l2Norm(col("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), explode(probeCells).as("cell"))
+    // nQueries×nProbe cell ids — driver-bounded by construction, and the
+    // reason the postings scan below can partition-prune
+    val probedCells = queries0.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val postings = spark.read.parquet(s"$indexDir/cells")
+      .where(col("cell").isin(probedCells: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("norm"), col("cell").cast("int").as("cell"))
+    val scored = broadcast(queries0).join(postings, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        round(dotProduct(col("q_emb"), col("embedding")) / safeDenom(col("q_norm") * col("norm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Bucketed ANN: same output shape as [[bruteForceTopK]] but each query
     * only scores its own LSH bucket — the recall/throughput trade at scale. */
   def lshTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5, nPlanes: Int = 4): DataFrame = {

@@ -406,4 +406,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(frames.find(_.getAs[Int]("frame_index") == 4).get.getAs[Long]("n_bytes") === 3L)
     assert(frames.forall(_.getAs[String]("frame_md5").length === 32))
   }
+
+  test("ivf indexed probe: replays ivfTopK exactly and prunes to the probed cell partitions") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = "/tmp/graft_spec_ivf_idx"
+    Similarity.buildIvfIndex(emb, idx)
+    val indexed = Similarity.ivfIndexedTopK(emb, idx)
+    assert(indexed.collect().toSeq === Similarity.ivfTopK(emb).collect().toSeq)
+    val p = indexed.queryExecution.executedPlan.toString
+    val postingsScans = p.linesIterator.filter(_.contains(s"$idx/cells")).mkString("\n")
+    assert(postingsScans.contains("PartitionFilters") && postingsScans.contains("cell"),
+      s"postings scan must carry a cell partition filter:\n$p")
+  }
 }
