@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 239
+  val GatedQueryCount: Int = 241
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -225,6 +225,17 @@ object SparkEntry {
     "join_idle_rich" -> ((s, d) =>
       RelationalQueries.idleRichCustomers(Tables.customer(s, d),
         Tables.orders(s, d), Tables.nation(s, d))),
+    // TPC-H Q7 shape: one dimension joined twice (supplier's vs customer's
+    // nation), both broadcast and pre-filtered to the pair
+    "join_nation_volume" -> ((s, d) =>
+      RelationalQueries.nationTradeVolume(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d))),
+    // TPC-H Q4 shape: correlated EXISTS as a keyed left-semi join with a
+    // non-equi date residual
+    "join_late_semi" -> ((s, d) =>
+      RelationalQueries.latePriorityOrders(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
     // RANGE frame over event time: trailing 90-day spend per customer,
     // one sorted pass per partition — never the quadratic self-join form
     "window_trailing_spend" -> ((s, d) =>
@@ -890,6 +901,8 @@ object SparkEntry {
     "agg_order_count_dist" -> OracleSql.orderCountDistribution,
     "join_large_volume" -> OracleSql.largeVolumeOrders(),
     "agg_promo_share" -> OracleSql.promoRevenueShare(),
+    "join_nation_volume" -> OracleSql.nationTradeVolume(),
+    "join_late_semi" -> OracleSql.latePriorityOrders(),
     "join_idle_rich" -> OracleSql.idleRichCustomers,
     "window_trailing_spend" -> OracleSql.trailingSpend(),
     "join_semi_big_orders" -> OracleSql.customersWithBigOrders,

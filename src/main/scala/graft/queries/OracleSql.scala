@@ -591,6 +591,47 @@ LIMIT $k"""
   /** Twin of RelationalQueries.promoRevenueShare (Q14 shape): one
     * conditional integer rollup; share_bp is the integer basis-point
     * floor (`//` on positives ≡ Spark's `div`). */
+  /** Mirrors RelationalQueries.nationTradeVolume (TPC-H Q7 shape): the same
+    * nation dimension aliased twice, exact integer units, one division for
+    * the readable revenue. */
+  def nationTradeVolume(nationA: String = "NATION_1",
+      nationB: String = "NATION_2"): String = s"""
+WITH f AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS unit
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('$nationA', '$nationB')
+    AND n2.n_name IN ('$nationA', '$nationB')
+    AND n1.n_name <> n2.n_name
+)
+SELECT supp_nation, cust_nation, l_year,
+       COUNT(*) AS n_lines,
+       SUM(CAST(unit AS HUGEINT)) AS volume_units,
+       ROUND(CAST(SUM(CAST(unit AS HUGEINT)) AS DOUBLE) / 10000.0, 2) AS revenue
+FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** Mirrors RelationalQueries.latePriorityOrders (TPC-H Q4 shape): the
+    * correlated EXISTS the Spark side realizes as a keyed left-semi join
+    * with a non-equi date residual. */
+  def latePriorityOrders(graceDays: Int = 60, from: String = "1995-01-01",
+      until: String = "1998-01-01"): String = s"""
+SELECT o_orderpriority, COUNT(*) AS late_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '$from 00:00:00'
+  AND o_orderdate <  TIMESTAMP '$until 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL $graceDays DAY)
+GROUP BY 1 ORDER BY 1"""
+
   def promoRevenueShare(from: String = "1997-01-01",
       until: String = "1998-01-01"): String = s"""
 SELECT ROUND(CAST(promo_units AS DOUBLE) / 10000.0, 2) AS promo_revenue,

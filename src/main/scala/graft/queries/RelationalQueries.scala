@@ -142,6 +142,68 @@ object RelationalQueries {
         expr("(promo_units * CAST(10000 AS BIGINT)) div total_units").as("share_bp"))
   }
 
+  /** Nation-pair trade volume (TPC-H Q7 shape): revenue flowing between
+    * two named nations, by supplier→customer direction and ship year. The
+    * distinct plan feature is the SAME dimension joined TWICE under
+    * different roles (supplier's nation, customer's nation) — both
+    * broadcast, both pre-filtered to the two nations of interest so each
+    * dim join also acts as a fact filter (the lineitem rows that survive
+    * are only those touching the pair, long before the group-by). Revenue
+    * uses the exact integer unit recipe (cents × (100−disc_pct), summed as
+    * DECIMAL(38,0) ↔ HUGEINT — overflow-proof at any corpus size); the
+    * readable `revenue` column derives from ONE division of that exact sum.
+    * Shape at 100 TB: fact scan → two broadcast hash joins and two keyed
+    * shuffles (orders, customer) → 2×2×years-sized rollup. */
+  def nationTradeVolume(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val unit = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+      .cast("decimal(38,0)")
+    val pair = Seq(nationA, nationB)
+    val suppNation = broadcast(nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val custNation = broadcast(nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nk"))
+      .join(custNation, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(unit).as("volume_units"))
+      .withColumn("revenue",
+        round(col("volume_units").cast("double") / 10000.0, 2))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Late-shipment priority census (TPC-H Q4 shape): orders in a date
+    * window having AT LEAST ONE line shipped more than `graceDays` after
+    * the order date, counted by priority. The distinct plan feature is the
+    * correlated EXISTS realized as a LEFT SEMI join whose condition mixes
+    * the equi key with a non-equi cross-table date predicate — the semi
+    * join stays keyed on l_orderkey (one shuffle pair), the date
+    * comparison rides along as the join residual, and the fact side never
+    * duplicates orders no matter how many lines are late. */
+  def latePriorityOrders(lineitem: DataFrame, orders: DataFrame,
+      graceDays: Int = 60, from: String = "1995-01-01",
+      until: String = "1998-01-01"): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp_ntz") &&
+        col("o_orderdate") < lit(until).cast("timestamp_ntz"))
+      .join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $graceDays DAYS"),
+        "leftsemi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("late_orders"))
+      .orderBy("o_orderpriority")
+
   /** Idle rich customers (TPC-H Q22 shape, keyed on nation instead of
     * the phone prefix this corpus lacks): customers whose balance beats
     * the mean POSITIVE balance yet placed no orders, rolled up per
