@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 241
+  val GatedQueryCount: Int = 242
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -518,6 +518,24 @@ object SparkEntry {
       }
       Similarity.ivfIndexedTopK(Tables.embeddings(s, d), idx)
     }),
+    // index MAINTENANCE: quantizer frozen on the ~87% "existing" split,
+    // the md5-split new batch appended to the same cell partitions; the
+    // probe sees build+append postings as one tree
+    "ann_ivf_indexed_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val isNew =
+        substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) < "2"
+      val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_ivf_app_" + Integer.toHexString(d.hashCode)).toString
+      incrIdxBuilt.synchronized {
+        if (!incrIdxBuilt.contains(idx)) {
+          Similarity.buildIvfIndex(emb.filter(!isNew), idx)
+          Similarity.appendToIvfIndex(emb.filter(isNew), idx)
+          incrIdxBuilt += idx
+        }
+      }
+      Similarity.ivfIndexedTopK(emb, idx)
+    }),
     // scalar-quantization (SQ8) ANN: per-dim envelope codes, integer dot
     "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(Tables.embeddings(s, d))),
     // Matryoshka two-stage: prefix-dim shortlist, exact full-dim rerank
@@ -985,6 +1003,7 @@ object SparkEntry {
     // the indexed probe replays ivfTopK bit-for-bit (shared quantizer,
     // parquet float round-trip is exact) — same oracle by construction
     "ann_ivf_indexed" -> OracleSqlText.annIvfTopK(),
+    "ann_ivf_indexed_append" -> OracleSqlText.annIvfIndexedAppend(),
     "ann_sq_topk" -> OracleSqlText.annSqTopK(),
     "ann_matryoshka_topk" -> OracleSqlText.annMatryoshkaTopK(),
     "ann_recall_eval" -> OracleSqlText.annRecallEval(),

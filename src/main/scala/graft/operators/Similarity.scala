@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -641,6 +641,36 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
   }
 
+  /** The persisted quantizer state, back in [[lloydCentroids]] form —
+    * nCentroids×dim floats, the MLlib-scale driver boundary every probe
+    * and append pays once. */
+  private def readCentroids(spark: SparkSession,
+      indexDir: String): IndexedSeq[Seq[Float]] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").select("centroid").collect()
+      .map(_.getSeq[Float](0).toIndexedSeq.asInstanceOf[Seq[Float]])
+      .toIndexedSeq
+
+  /** Index MAINTENANCE: assign a new ingest batch to the FROZEN centroids
+    * and append its postings under the same `cell=<n>/` partitions — the
+    * daily-embedding-ingest shape. No retraining, no touch of existing
+    * postings files (parquet append writes new files only): cost ∝ the
+    * batch, never the corpus, exactly like
+    * [[graft.operators.Dedup.buildIncrementalIndex]]'s probe discipline.
+    * Because appended vectors get the same nearest-centroid assignment the
+    * build would have given them, probe results over the appended tree are
+    * bit-identical to an index built over the union with these centroids —
+    * the property the `ann_ivf_indexed_append` gate verifies cross-engine. */
+  def appendToIvfIndex(newBatch: DataFrame, indexDir: String): Unit = {
+    val spark = newBatch.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val centroids = readCentroids(spark, indexDir)
+    withCell(newBatch.select("vec_id", "embedding"), centroids)
+      .withColumn("norm", l2Norm(col("embedding")))
+      .drop("dists")
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
   /** Probe-only IVF top-k against a [[buildIvfIndex]] tree. The centroid
     * read is nCentroids×dim (driver-bounded, MLlib-style); each query's
     * probe list comes from the same argsort as [[ivfTopK]]; the postings
@@ -652,11 +682,7 @@ object Similarity {
       nQueries: Int = 5, k: Int = 5, nProbe: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.VectorExpressions.register(spark)
-    val centroids: IndexedSeq[Seq[Float]] =
-      spark.read.parquet(s"$indexDir/centroids")
-        .orderBy("cell").select("centroid").collect()
-        .map(_.getSeq[Float](0).toIndexedSeq.asInstanceOf[Seq[Float]])
-        .toIndexedSeq
+    val centroids: IndexedSeq[Seq[Float]] = readCentroids(spark, indexDir)
     val k2 = centroids.length
     val probe = math.min(nProbe, k2)
     val probeCells: Column = slice(

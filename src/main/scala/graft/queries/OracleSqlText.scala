@@ -1138,17 +1138,18 @@ ORDER BY e.type_a, e.type_b"""
     * (per-vector per-centroid scores) and `cells` (vec_id, embedding,
     * cell). Used by [[annIvfTopK]] and [[semDedup]] — one quantizer, two
     * operators, zero drift. */
-  private def ivfCellsCtes(nCentroids: Int, iters: Int, dim: Int): String = {
-    def scoresCte(i: Int, prev: String) = s"""
+  private def ivfCellsCtes(nCentroids: Int, iters: Int, dim: Int,
+      trainSrc: String = "embeddings"): String = {
+    def scoresCte(i: Int, prev: String, src: String = "embeddings") = s"""
 s$i AS (
   SELECT e.vec_id, e.embedding, c.cell,
          list_sum(list_transform(generate_series(1, $dim),
                   d -> c.centroid[d]::DOUBLE * c.centroid[d]::DOUBLE))
          - 2.0 * list_sum(list_transform(generate_series(1, $dim),
                   d -> e.embedding[d]::DOUBLE * c.centroid[d]::DOUBLE)) AS score
-  FROM embeddings e CROSS JOIN $prev c
+  FROM $src e CROSS JOIN $prev c
 )"""
-    def lloydCtes(i: Int): String = s"""${scoresCte(i, s"c${i - 1}")},
+    def lloydCtes(i: Int): String = s"""${scoresCte(i, s"c${i - 1}", trainSrc)},
 a$i AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn FROM s$i) t
@@ -1167,7 +1168,7 @@ c$i AS (
 )"""
     s"""c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS centroid
-  FROM embeddings ORDER BY vec_id LIMIT $nCentroids
+  FROM $trainSrc ORDER BY vec_id LIMIT $nCentroids
 ),
 ${(1 to iters).map(lloydCtes).mkString(",")},
 ${scoresCte(iters + 1, s"c$iters")},
@@ -1316,6 +1317,38 @@ WHERE rank <= $kTop ORDER BY query_id, rank"""
       nProbe: Int = 2, iters: Int = 3, dim: Int = 64): String = {
     s"""
 WITH ${ivfCellsCtes(nCentroids, iters, dim)},
+probe AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+    FROM s${iters + 1} WHERE vec_id < $nQueries) t
+  WHERE rn <= $nProbe
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         ${cosSql("p.q_emb", "c.embedding")} AS cosine_sim
+  FROM probe p JOIN cells c USING (cell)
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored) t
+WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** Mirrors the `ann_ivf_indexed_append` gate: the quantizer trains ONLY on
+    * the "existing" split (md5 first hex digit of vec_id >= '2', ~87%), the
+    * final assignment covers every vector — exactly what build-then-append
+    * produces, since appended vectors are assigned to the frozen centroids.
+    * Everything else (probe, scoring, tie-breaks) is [[annIvfTopK]]. */
+  def annIvfIndexedAppend(nQueries: Int = 5, k: Int = 5, nCentroids: Int = 8,
+      nProbe: Int = 2, iters: Int = 3, dim: Int = 64): String = {
+    s"""
+WITH train AS (
+  SELECT * FROM embeddings
+  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) >= '2'
+),
+${ivfCellsCtes(nCentroids, iters, dim, trainSrc = "train")},
 probe AS (
   SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
