@@ -28,6 +28,46 @@ class FormatRoundtripSpec extends AnyFunSuite {
     assert(rows(FormatRoundtrip.jsonRoundtrip(spark, sf)) === directText)
   }
 
+  test("csv and json survive hostile strings: quotes, commas, newlines, unicode, empty, null") {
+    import org.apache.spark.sql.types._
+    val hostile = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "\"quoted\" and , both"),
+      (4L, "line\nbreak\r\nand tab\there"),
+      (5L, "unicode: é中文 😀"),
+      (6L, ""),
+      (7L, null))
+    import spark.implicits._
+    val df = hostile.toDF("id", "s")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+
+    val csvPath = "/tmp/graft_spec_hostile_csv"
+    df.write.mode("overwrite").option("header", "true").csv(csvPath)
+    // multiLine: embedded newlines live inside quoted fields — without it
+    // the reader would split record 4 in two (the option a production
+    // export must set whenever free text is in play)
+    val csvBack = spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true").csv(csvPath)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // CSV cannot distinguish empty string from null (both serialize to an
+    // empty field) — the documented lossy corner; everything else exact
+    for ((id, s) <- hostile if id != 6L && id != 7L)
+      assert(csvBack(id) === s, s"csv row $id")
+    assert(csvBack(6L) == null || csvBack(6L) == "", "csv empty-string corner")
+    assert(csvBack(7L) == null, "csv null")
+
+    val jsonPath = "/tmp/graft_spec_hostile_json"
+    df.write.mode("overwrite").json(jsonPath)
+    val jsonBack = spark.read.schema(schema).json(jsonPath)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // JSON escapes everything and keeps the empty/null distinction —
+    // the reason JSONL is the interchange format for free text
+    for ((id, s) <- hostile if id != 7L) assert(jsonBack(id) === s, s"json row $id")
+    assert(jsonBack(7L) == null, "json null")
+  }
+
   test("partitioned scan prunes at listing time: filter in PartitionFilters, not PushedFilters") {
     val scan = FormatRoundtrip.partitionedPruneScan(spark, sf)
     val p = scan.queryExecution.executedPlan.toString
