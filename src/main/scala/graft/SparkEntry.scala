@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 242
+  val GatedQueryCount: Int = 244
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -472,6 +472,9 @@ object SparkEntry {
       graft.operators.TrainPrep.preferencePairs(Tables.documents(s, d))),
     // exact Gini concentration per event type from the value census
     "profile_gini" -> ((s, d) => Validators.giniProfile(Tables.events(s, d))),
+    // lang × source mutual information: the axis-confounding audit
+    "profile_mutual_info" -> ((s, d) =>
+      Validators.mutualInfoProfile(Tables.documents(s, d))),
     // mergeable covariance/correlation census over leading embedding dims
     "embed_covariance" -> ((s, d) =>
       Similarity.embeddingCovariance(Tables.embeddings(s, d))),
@@ -538,6 +541,8 @@ object SparkEntry {
     }),
     // scalar-quantization (SQ8) ANN: per-dim envelope codes, integer dot
     "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(Tables.embeddings(s, d))),
+    // binary-quantization ANN: 1-bit/dim sign words, Hamming shortlist, rerank
+    "ann_bq_topk" -> ((s, d) => Similarity.bqTopK(Tables.embeddings(s, d))),
     // Matryoshka two-stage: prefix-dim shortlist, exact full-dim rerank
     "ann_matryoshka_topk" -> ((s, d) => Similarity.matryoshkaTopK(Tables.embeddings(s, d))),
     // standing recall@k audit of every approximate path vs the exact ranking
@@ -984,6 +989,7 @@ object SparkEntry {
     "text_nb_langid" -> OracleSqlText.nbLangConfusion,
     "train_preference_pairs" -> OracleSqlText.preferencePairs,
     "profile_gini" -> OracleSql.giniProfile,
+    "profile_mutual_info" -> OracleSql.mutualInfoProfile,
     "embed_covariance" -> OracleSql.embeddingCovariance(),
     "embed_pca_power" -> OracleSql.embeddingPcaPower(),
     "events_cohort_ltv" -> OracleSql.cohortLtv,
@@ -1005,6 +1011,7 @@ object SparkEntry {
     "ann_ivf_indexed" -> OracleSqlText.annIvfTopK(),
     "ann_ivf_indexed_append" -> OracleSqlText.annIvfIndexedAppend(),
     "ann_sq_topk" -> OracleSqlText.annSqTopK(),
+    "ann_bq_topk" -> OracleSqlText.annBqTopK(),
     "ann_matryoshka_topk" -> OracleSqlText.annMatryoshkaTopK(),
     "ann_recall_eval" -> OracleSqlText.annRecallEval(),
     "embed_kmeans" -> OracleSqlText.embedKmeans(),

@@ -958,7 +958,8 @@ object Similarity {
       ("lsh", lshTopK(embeddings, nQueries, k, nPlanes = 4)),
       ("matryoshka", matryoshkaTopK(embeddings, nQueries, k)),
       ("pq", pqTopK(embeddings, nQueries, k)),
-      ("sq", sqTopK(embeddings, nQueries, k)))
+      ("sq", sqTopK(embeddings, nQueries, k)),
+      ("bq", bqTopK(embeddings, nQueries, k)))
     methods.map { case (name, df) =>
       df.select(col("query_id"), col("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
@@ -1041,6 +1042,84 @@ object Similarity {
       .filter(col("rank") <= k)
       .withColumn("rank", col("rank").cast("long"))
       .select("query_id", "neighbor_id", "sq_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Binary-quantization (BQ) approximate top-k — the fourth member of the
+    * compression family (after IVF, PQ, SQ8): each of the leading `dim`
+    * dimensions collapses to ONE bit (above / below the corpus per-dim
+    * mean), packed into `dim/32` 32-bit words riding in BIGINTs; candidate
+    * generation is a Hamming-distance scan (`bit_count(w ^ qw)` summed
+    * over words), and the Hamming-top-`shortlist` per query reranks by
+    * exact cosine — the two-stage retrieve-then-rerank shape production
+    * binary indexes (1-bit RaBitQ-style) use.
+    *
+    * Determinism: the threshold test is pure integer cross-multiplication
+    * — bit_i = (xmᵢ · n > Σxmᵢ) with xm = floor(x·10⁶) — in
+    * DECIMAL(38,0) ↔ HUGEINT (a long product would wrap only past
+    * n ≈ 9·10¹² rows, but the decimal discipline removes the cliff
+    * entirely); words pack with shifts ≤ 2³¹ so no signed-bit wrap
+    * semantics are ever exercised on either engine; `bit_count`/`xor`
+    * agree on BIGINT; the rerank is the shared rounded-cosine contract.
+    * Vectors shorter than `dim` or carrying null/NaN coordinates leave
+    * the index (the standard clean-vector guard), identically on both
+    * engines — queries included, so both sides rank the same probe set.
+    *
+    * 100 TB: 64-dim float32 = 256 B/vector becomes 8 B of words — a 32×
+    * scan-bandwidth reduction, and the Hamming kernel is two XOR+popcount
+    * instructions per candidate (the cheapest distance that exists). The
+    * mean census is one map-side-combinable aggregate; the packed words
+    * are computed in ONE corpus pass against a broadcast 1-row stats
+    * frame (the sqTopK envelope pattern — zero driver state); only the
+    * `shortlist`-bounded rerank touches float vectors. At cluster scale
+    * the words column is stored next to the vectors so the scan reads 8
+    * bytes/row until the rerank's semi-join pulls the shortlisted few. */
+  def bqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      dim: Int = 64, shortlist: Int = 20): DataFrame = {
+    require(dim % 32 == 0 && dim > 0, s"dim must be a positive multiple of 32, got $dim")
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val emb = embeddings.select("vec_id", "embedding")
+    val clean = emb.filter(size(col("embedding")) >= dim &&
+      !exists(slice(col("embedding"), 1, dim),
+        x => x.isNull || isnan(x.cast("double"))))
+    val stats = clean
+      .select(posexplode(slice(col("embedding"), 1, dim)).as(Seq("d", "x")))
+      .select(col("d"), floor(col("x").cast("double") * 1e6).cast("long").as("xm"))
+      .groupBy("d").agg(sum(col("xm").cast("decimal(38,0)")).as("sx"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(d, sx))), p -> p.sx)").as("sxs"))
+      .crossJoin(clean.agg(count(lit(1)).cast("decimal(38,0)").as("n")))
+    val nWords = dim / 32
+    val wordCols = (0 until nWords).map { w =>
+      expr(
+        s"""aggregate(sequence(0, 31), 0L, (acc, i) ->
+           |  acc + CASE WHEN CAST(floor(CAST(element_at(embedding, ${w * 32} + i + 1)
+           |                                  AS DOUBLE) * 1e6) AS DECIMAL(38,0)) * n
+           |                 > element_at(sxs, ${w * 32} + i + 1)
+           |             THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin).as(s"w$w")
+    }
+    val coded = clean.crossJoin(broadcast(stats))
+      .select(col("vec_id") +: col("embedding") +: wordCols: _*)
+    val queries = broadcast(coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +: col("embedding").as("q_emb") +:
+        (0 until nWords).map(w => col(s"w$w").as(s"q_w$w")): _*))
+    val hamming = (0 until nWords)
+      .map(w => expr(s"bit_count(w$w ^ q_w$w)").cast("long"))
+      .reduce(_ + _)
+    val scored = queries.join(
+        coded.withColumnRenamed("vec_id", "neighbor_id"),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", hamming)
+    val ws = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    val short = scored.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlist)
+      .withColumn("cosine_sim",
+        round(dotProduct(col("q_emb"), col("embedding")) /
+          safeDenom(l2Norm(col("q_emb")) * l2Norm(col("embedding"))), 6))
+    val wr = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    short.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "hamming", "cosine_sim", "rank")
       .orderBy("query_id", "rank")
   }
 

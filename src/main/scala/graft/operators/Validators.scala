@@ -553,4 +553,54 @@ object Validators {
           "AS BIGINT)").as("gini_micro"))
       .orderBy("event_type")
   }
+
+  /** Mutual information between the two categorical audit axes of the
+    * corpus (language × source) — the redundancy readout a mixing plan
+    * consumes: MI ≈ 0 means sources are language-balanced (lang tells you
+    * nothing about source), high NMI means the axes are confounded and a
+    * per-source cap silently becomes a per-language cap. Reported with the
+    * three Shannon entropies it derives from (MI = H(lang) + H(source) −
+    * H(lang, source) — the identity keeps every term a plain categorical
+    * entropy) and the sqrt-normalized NMI.
+    *
+    * Determinism: the [[graft.functions.TextOps.tokenEntropy]] discipline —
+    * each −p·ln p term is an IEEE-fixed tree of two exact integers (count,
+    * total), quantized to integer micro-nats BEFORE the sum, so all three
+    * entropies are exact integer sums and MI is exact integer arithmetic on
+    * them; the single 4-dp NMI readout is the only trailing double, with a
+    * degenerate (single-category) axis nulling via the NULLIF guard both
+    * engines share.
+    *
+    * Shape: one narrow (lang, source) projection staged once, three
+    * map-side-combinable censuses onto tiny key domains (|langs|,
+    * |sources|, |langs×sources|), each crossed with a broadcast 1-row
+    * total. Nothing pairwise, nothing driver-resident: at 100 TB this is
+    * three cheap keyed aggregates over a two-column scan. */
+  def mutualInfoProfile(docs: DataFrame): DataFrame = {
+    val base = graft.RunHygiene.stage(docs.select("lang", "source"))
+    base.count() // three censuses + the total read it
+    val n = broadcast(base.agg(count(lit(1)).as("n_docs")))
+    def entropy(keys: String*): DataFrame = {
+      val census = base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      val p = col("c").cast("double") / col("n_docs")
+      census.crossJoin(n)
+        .withColumn("micro", round(-(p * log(p)) * 1000000).cast("long"))
+        .agg(count(lit(1)).as("n_cats"), sum(col("micro")).as("h_micro"))
+    }
+    val hl = entropy("lang")
+      .select(col("n_cats").as("n_lang"), col("h_micro").as("h_lang_micro"))
+    val hs = entropy("source")
+      .select(col("n_cats").as("n_source"), col("h_micro").as("h_source_micro"))
+    val hj = entropy("lang", "source")
+      .select(col("n_cats").as("n_pairs"), col("h_micro").as("h_joint_micro"))
+    n.crossJoin(hl).crossJoin(hs).crossJoin(hj)
+      .withColumn("mi_micro",
+        col("h_lang_micro") + col("h_source_micro") - col("h_joint_micro"))
+      .withColumn("nmi",
+        round(col("mi_micro").cast("double") /
+          Similarity.safeDenom(sqrt(col("h_lang_micro").cast("double") *
+            col("h_source_micro").cast("double"))), 4))
+      .select("n_docs", "n_lang", "n_source", "n_pairs", "h_lang_micro",
+        "h_source_micro", "h_joint_micro", "mi_micro", "nmi")
+  }
 }

@@ -2166,6 +2166,40 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
             // NULLIF(CAST(n AS HUGEINT) * CAST(t AS HUGEINT), 0) AS BIGINT) AS gini_micro
 FROM agg ORDER BY event_type"""
 
+  /** Mirrors Validators.mutualInfoProfile: three categorical entropy
+    * censuses (lang / source / joint), each term −p·ln p the identical
+    * IEEE tree of exact integers rounded to micro-nats before the BIGINT
+    * sum; MI by the entropy identity, one NULLIF-guarded 4-dp NMI. */
+  val mutualInfoProfile: String = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+hl AS (
+  SELECT COUNT(*) AS n_lang,
+         SUM(CAST(ROUND(-((c::DOUBLE / n_docs) * ln(c::DOUBLE / n_docs))
+                        * 1000000) AS BIGINT)) AS h_lang_micro
+  FROM (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1), n
+),
+hs AS (
+  SELECT COUNT(*) AS n_source,
+         SUM(CAST(ROUND(-((c::DOUBLE / n_docs) * ln(c::DOUBLE / n_docs))
+                        * 1000000) AS BIGINT)) AS h_source_micro
+  FROM (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1), n
+),
+hj AS (
+  SELECT COUNT(*) AS n_pairs,
+         SUM(CAST(ROUND(-((c::DOUBLE / n_docs) * ln(c::DOUBLE / n_docs))
+                        * 1000000) AS BIGINT)) AS h_joint_micro
+  FROM (SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2), n
+)
+SELECT n_docs, n_lang, n_source, n_pairs,
+       CAST(h_lang_micro AS BIGINT) AS h_lang_micro,
+       CAST(h_source_micro AS BIGINT) AS h_source_micro,
+       CAST(h_joint_micro AS BIGINT) AS h_joint_micro,
+       CAST(h_lang_micro + h_source_micro - h_joint_micro AS BIGINT) AS mi_micro,
+       ROUND((h_lang_micro + h_source_micro - h_joint_micro)::DOUBLE
+             / NULLIF(sqrt(h_lang_micro::DOUBLE * h_source_micro::DOUBLE), 0),
+             4) AS nmi
+FROM n, hl, hs, hj"""
+
   /** Mirrors Similarity.embeddingCovariance: micro-quantized coordinates,
     * exact integer sufficient statistics, the identical final double tree. */
   /** Twin of Similarity.embeddingPcaPower: replays the IDENTICAL integer

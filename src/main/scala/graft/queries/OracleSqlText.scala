@@ -2778,6 +2778,70 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored) t
 WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Mirrors Similarity.bqTopK: per-dim mean-sign bits decided by integer
+    * cross-multiplication (xm·n > Σxm in HUGEINT ↔ Spark DECIMAL(38,0)),
+    * packed into dim/32 32-bit words (shifts ≤ 2³¹ — no signed-bit wrap on
+    * either engine), Hamming shortlist via bit_count(xor), exact rounded-
+    * cosine rerank. The clean-vector guard applies to queries too, so both
+    * engines rank the same probe set. */
+  def annBqTopK(nQueries: Int = 5, k: Int = 5, dim: Int = 64,
+      shortlist: Int = 20): String = {
+    val nWords = dim / 32
+    val wordExprs = (0 until nWords).map { w =>
+      s"""CAST(list_sum(list_transform(generate_series(0, 31), i ->
+         |  CASE WHEN CAST(floor(embedding[${w * 32} + i + 1]::DOUBLE * 1e6) AS HUGEINT) * n
+         |            > sxs[${w * 32} + i + 1]
+         |       THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS w$w""".stripMargin
+    }.mkString(",\n         ")
+    val hammingExpr = (0 until nWords)
+      .map(w => s"CAST(bit_count(xor(c.w$w, q.q_w$w)) AS BIGINT)")
+      .mkString(" + ")
+    s"""
+WITH ce AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE len(embedding) >= $dim
+    AND len(list_filter(embedding[1:$dim],
+                        x -> x IS NULL OR isnan(x::DOUBLE))) = 0
+),
+st AS (
+  SELECT d, SUM(CAST(floor(x::DOUBLE * 1e6) AS BIGINT))::HUGEINT AS sx
+  FROM (SELECT generate_subscripts(embedding[1:$dim], 1) AS d,
+               unnest(embedding[1:$dim]) AS x
+        FROM ce)
+  GROUP BY d
+),
+b AS (SELECT list(sx ORDER BY d) AS sxs,
+             (SELECT COUNT(*)::HUGEINT FROM ce) AS n FROM st),
+coded AS (
+  SELECT vec_id, embedding,
+         $wordExprs
+  FROM ce, b
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+             ${(0 until nWords).map(w => s"w$w AS q_w$w").mkString(", ")}
+      FROM coded WHERE vec_id < $nQueries),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.embedding, q.q_emb,
+         $hammingExpr AS hamming
+  FROM q JOIN coded c ON c.vec_id <> q.query_id
+),
+sl AS (
+  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY hamming, neighbor_id) AS srn FROM scored) t
+  WHERE srn <= $shortlist
+),
+rr AS (
+  SELECT query_id, neighbor_id, hamming,
+         ${cosSql("q_emb", "embedding")} AS cosine_sim
+  FROM sl
+)
+SELECT query_id, neighbor_id, hamming, cosine_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM rr) t
+WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** Mirrors Similarity.matryoshkaTopK: prefix-dim cosine shortlist, exact
     * full-dim rerank, both with the shared rounded-cosine tie-break
     * contract. */
@@ -2816,7 +2880,8 @@ WHERE rank <= $k ORDER BY query_id, rank"""
       "lsh" -> annLshTopK,
       "matryoshka" -> annMatryoshkaTopK(nQueries, k),
       "pq" -> annPqTopK(nQueries, k),
-      "sq" -> annSqTopK(nQueries, k))
+      "sq" -> annSqTopK(nQueries, k),
+      "bq" -> annBqTopK(nQueries, k))
     val rows = methods.map { case (m, sql) =>
       s"""SELECT '$m' AS method,
        CAST((SELECT COUNT(*) FROM ($sql) am
