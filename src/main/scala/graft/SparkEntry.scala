@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 244
+  val GatedQueryCount: Int = 248
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -233,6 +233,23 @@ object SparkEntry {
         Tables.nation(s, d))),
     // TPC-H Q4 shape: correlated EXISTS as a keyed left-semi join with a
     // non-equi date residual
+    // TPC-H Q10 shape: quarter + R-flag pushed to both fact scans, top-k
+    // lost-revenue customers, exact-integer ranking
+    "join_returned_custs" -> ((s, d) =>
+      RelationalQueries.returnedItemCustomers(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    // TPC-H Q15 shape: revenue view + scalar-max equality join, max
+    // decided on the exact integer unit
+    "join_top_supplier" -> ((s, d) =>
+      RelationalQueries.topSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    // TPC-H Q17 shape: correlated per-part avg threshold via integer
+    // cross-multiply, brand-pruned census
+    "agg_small_qty_revenue" -> ((s, d) =>
+      RelationalQueries.smallQuantityRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // TPC-H Q19 shape: OR-of-conjunctions residual over a brand-pruned
+    // broadcast join, per-branch counts pinned
+    "agg_disjunctive_revenue" -> ((s, d) =>
+      RelationalQueries.disjunctiveRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
     "join_late_semi" -> ((s, d) =>
       RelationalQueries.latePriorityOrders(Tables.lineitem(s, d),
         Tables.orders(s, d))),
@@ -926,6 +943,10 @@ object SparkEntry {
     "agg_promo_share" -> OracleSql.promoRevenueShare(),
     "join_nation_volume" -> OracleSql.nationTradeVolume(),
     "join_late_semi" -> OracleSql.latePriorityOrders(),
+    "join_returned_custs" -> OracleSql.returnedItemCustomers(),
+    "join_top_supplier" -> OracleSql.topSupplier(),
+    "agg_small_qty_revenue" -> OracleSql.smallQuantityRevenue(),
+    "agg_disjunctive_revenue" -> OracleSql.disjunctiveRevenue(),
     "join_idle_rich" -> OracleSql.idleRichCustomers,
     "window_trailing_spend" -> OracleSql.trailingSpend(),
     "join_semi_big_orders" -> OracleSql.customersWithBigOrders,

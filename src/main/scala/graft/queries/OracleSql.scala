@@ -632,6 +632,83 @@ WHERE o_orderdate >= TIMESTAMP '$from 00:00:00'
       AND l_shipdate > o_orderdate + INTERVAL $graceDays DAY)
 GROUP BY 1 ORDER BY 1"""
 
+  /** Twin of RelationalQueries.returnedItemCustomers (TPC-H Q10 shape):
+    * same exact-integer revenue, same c_custkey tie-break. */
+  def returnedItemCustomers(from: String = "1997-01-01",
+      until: String = "1997-04-01", k: Int = 20): String = s"""
+SELECT c_custkey, c_name, n_name AS nation,
+       ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+                      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                  AS BIGINT)::DOUBLE / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '$from 00:00:00'
+  AND o_orderdate < TIMESTAMP '$until 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT $k"""
+
+  /** Twin of RelationalQueries.topSupplier (TPC-H Q15 shape): the max
+    * equality runs on the exact integer unit; division only at display. */
+  def topSupplier(from: String = "1997-01-01",
+      until: String = "1997-04-01"): String = s"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS rev_unit
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '$from 00:00:00'
+    AND l_shipdate < TIMESTAMP '$until 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       ROUND(rev_unit::DOUBLE / 10000.0, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_unit = (SELECT MAX(rev_unit) FROM rev)
+ORDER BY s_suppkey"""
+
+  /** Twin of RelationalQueries.smallQuantityRevenue (TPC-H Q17 shape):
+    * membership via the same integer cross-multiplication qty·5·n < sum. */
+  def smallQuantityRevenue(brand: String = "Brand#23"): String = s"""
+WITH bl AS (
+  SELECT l_partkey, CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = '$brand')),
+census AS (
+  SELECT l_partkey AS t_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+         COUNT(*) AS n_lines
+  FROM bl GROUP BY l_partkey)
+SELECT ROUND((CAST(SUM(cents) AS BIGINT)::DOUBLE / 100.0) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS qualifying_lines
+FROM bl JOIN census ON l_partkey = t_partkey
+WHERE qty * 5 * n_lines < sum_qty"""
+
+  /** Twin of RelationalQueries.disjunctiveRevenue (TPC-H Q19 shape):
+    * identical three-branch disjunction and per-branch counts. */
+  def disjunctiveRevenue(): String = """
+WITH j AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+         (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS unit,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty, p_brand, p_size
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')),
+f AS (
+  SELECT *,
+    (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND qty BETWEEN 1  AND 11) AS b1,
+    (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND qty BETWEEN 10 AND 20) AS b2,
+    (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND qty BETWEEN 20 AND 30) AS b3
+  FROM j)
+SELECT ROUND(CAST(SUM(unit) AS BIGINT)::DOUBLE / 10000.0, 2) AS revenue,
+       CAST(SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS branch1_lines,
+       CAST(SUM(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT) AS branch2_lines,
+       CAST(SUM(CASE WHEN b3 THEN 1 ELSE 0 END) AS BIGINT) AS branch3_lines
+FROM f
+WHERE b1 OR b2 OR b3"""
+
   def promoRevenueShare(from: String = "1997-01-01",
       until: String = "1998-01-01"): String = s"""
 SELECT ROUND(CAST(promo_units AS DOUBLE) / 10000.0, 2) AS promo_revenue,

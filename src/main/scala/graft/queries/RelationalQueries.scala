@@ -665,4 +665,115 @@ object RelationalQueries {
       .select("nation", "yr", "rev_cents", "prev_cents", "yoy_bp")
       .orderBy("nation", "yr")
   }
+
+  /** Returned-item reporting (TPC-H Q10 shape): customers who returned
+    * goods in one quarter, ranked by lost revenue, top `k`. The quarter
+    * predicate pushes to the orders scan and the R-flag equality to the
+    * lineitem scan BEFORE the join, so the join sees one quarter × one
+    * flag of the fact side; nation broadcasts; the per-customer rollup
+    * shuffles once on custkey. Revenue is the exact cents × (100−pct)
+    * integer discipline, so the top-k set and order cannot flip on
+    * summation order; ties break on c_custkey. At 100 TB the quarter
+    * filter is the partition-pruning dimension (orders parquet
+    * hive-partitioned by month prunes ~96% of the scan — the
+    * sink_partitioned_scan gate demonstrates exactly that layout). */
+  def returnedItemCustomers(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame,
+      from: String = "1997-01-01", until: String = "1997-04-01",
+      k: Int = 20): DataFrame = {
+    val unit = floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderdate") >= lit(from).cast("timestamp_ntz") &&
+          col("o_orderdate") < lit(until).cast("timestamp_ntz")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+      .agg(round(sum(unit).cast("double") / 10000.0, 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Top-revenue supplier (TPC-H Q15 shape): per-supplier revenue over a
+    * shipping quarter, then the supplier(s) achieving the global maximum —
+    * the classic view + scalar-subquery-equality. The quarter pushes to
+    * the scan; the rollup shuffles once on suppkey; the max is a 1-row
+    * broadcast crossed back against the rollup (no second scan of the
+    * fact). Revenue stays an exact integer inside BOTH the rollup and the
+    * max-equality comparison — the display division happens only after
+    * the equality — so "the max" is a well-defined integer on both
+    * engines and ties (multiple suppliers at the max) all surface,
+    * ordered by suppkey. */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+      from: String = "1997-01-01", until: String = "1997-04-01"): DataFrame = {
+    val unit = floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(until).cast("timestamp_ntz"))
+      .groupBy(col("l_suppkey")).agg(sum(unit).as("rev_unit"))
+    val best = broadcast(rev.agg(max(col("rev_unit")).as("best_unit")))
+    rev.crossJoin(best).filter(col("rev_unit") === col("best_unit"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_unit").cast("double") / 10000.0, 2).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Small-quantity-order revenue (TPC-H Q17 shape): lines of one brand
+    * whose quantity falls below 20% of that part's average line quantity —
+    * the correlated-scalar-per-group shape. The per-part average is NEVER
+    * a double: the membership test `qty < 0.2 · (sum/n)` is the integer
+    * cross-multiplication `qty · 5 · n < sum` (quantities integral by
+    * schema contract, quantized to BIGINT), so it is exact on both
+    * engines. The brand predicate prunes FIRST via a broadcast semi-join
+    * — the per-part census runs over only the brand's lines, not the
+    * catalog — and the census joins back on partkey (one keyed shuffle
+    * pair at scale; AQE broadcasts the census side, which is bounded by
+    * the brand's part count). Output is the single yearly-average row:
+    * exact integer cents / 100 / 7, display divisions only. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#23"): DataFrame = {
+    val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val qty = floor(col("l_quantity") + 0.5).cast("long")
+    val brandLines = lineitem.join(
+      broadcast(part.filter(col("p_brand") === brand).select("p_partkey")),
+      col("l_partkey") === col("p_partkey"), "left_semi")
+    val census = brandLines.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(qty).as("sum_qty"), count(lit(1)).as("n_lines"))
+    brandLines.join(census, col("l_partkey") === col("t_partkey"))
+      .filter(qty * lit(5L) * col("n_lines") < col("sum_qty"))
+      .agg(round((sum(cents).cast("double") / 100.0) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("qualifying_lines"))
+  }
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): an OR of three
+    * (brand, size-range, quantity-range) conjunctions across the
+    * part ⋈ lineitem join — the shape that punishes engines that cannot
+    * factor disjunctions. The brand IN-list (the union of the branches'
+    * brand terms) prunes the broadcast dimension to three brands BEFORE
+    * the join, so the fact side probes a tiny hash relation; the residual
+    * OR evaluates post-join inside whole-stage codegen. Output: one
+    * exact-revenue row plus per-branch line counts, so the gate pins each
+    * disjunct, not just their union. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val unit = floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+    val qty = floor(col("l_quantity") + 0.5).cast("long")
+    val b1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      qty.between(1L, 11L)
+    val b2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      qty.between(10L, 20L)
+    val b3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+      qty.between(20L, 30L)
+    lineitem.join(
+        broadcast(part.filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .agg(round(sum(unit).cast("double") / 10000.0, 2).as("revenue"),
+        sum(when(b1, 1L).otherwise(0L)).as("branch1_lines"),
+        sum(when(b2, 1L).otherwise(0L)).as("branch2_lines"),
+        sum(when(b3, 1L).otherwise(0L)).as("branch3_lines"))
+  }
 }
