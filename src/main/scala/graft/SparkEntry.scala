@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 248
+  val GatedQueryCount: Int = 254
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -250,6 +250,32 @@ object SparkEntry {
     // broadcast join, per-branch counts pinned
     "agg_disjunctive_revenue" -> ((s, d) =>
       RelationalQueries.disjunctiveRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // TPC-H Q8 shape: nation dim in two roles, conditional share rollup,
+    // exact basis-point floor
+    "agg_market_share" -> ((s, d) =>
+      RelationalQueries.marketShare(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), Tables.part(s, d))),
+    // TPC-H Q9 shape: name-filtered parts, supplier-nation profit by year,
+    // exact integer profit (retail-cost substitution, no partsupp table)
+    "agg_nation_profit" -> ((s, d) =>
+      RelationalQueries.nationProfit(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.part(s, d))),
+    // TPC-H Q11 shape: HAVING vs scalar subquery as integer cross-multiply
+    "agg_value_concentration" -> ((s, d) =>
+      RelationalQueries.supplierValueConcentration(Tables.lineitem(s, d),
+        Tables.supplier(s, d))),
+    // TPC-H Q16 shape: NOT-IN exclusion + COUNT DISTINCT census
+    "agg_supplier_variety" -> ((s, d) =>
+      RelationalQueries.supplierVariety(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d))),
+    // TPC-H Q20 shape: nested-aggregate threshold -> distinct -> dim join
+    "join_surge_suppliers" -> ((s, d) =>
+      RelationalQueries.surgeSuppliers(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    // TPC-H Q2 shape: correlated min via per-part min-rank window
+    "join_min_price_supplier" -> ((s, d) =>
+      RelationalQueries.minPriceSupplier(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d))),
     "join_late_semi" -> ((s, d) =>
       RelationalQueries.latePriorityOrders(Tables.lineitem(s, d),
         Tables.orders(s, d))),
@@ -944,6 +970,12 @@ object SparkEntry {
     "join_nation_volume" -> OracleSql.nationTradeVolume(),
     "join_late_semi" -> OracleSql.latePriorityOrders(),
     "join_returned_custs" -> OracleSql.returnedItemCustomers(),
+    "agg_market_share" -> OracleSql.marketShare(),
+    "agg_nation_profit" -> OracleSql.nationProfit(),
+    "agg_value_concentration" -> OracleSql.supplierValueConcentration(),
+    "agg_supplier_variety" -> OracleSql.supplierVariety(),
+    "join_surge_suppliers" -> OracleSql.surgeSuppliers(),
+    "join_min_price_supplier" -> OracleSql.minPriceSupplier(),
     "join_top_supplier" -> OracleSql.topSupplier(),
     "agg_small_qty_revenue" -> OracleSql.smallQuantityRevenue(),
     "agg_disjunctive_revenue" -> OracleSql.disjunctiveRevenue(),

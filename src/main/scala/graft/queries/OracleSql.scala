@@ -709,6 +709,128 @@ SELECT ROUND(CAST(SUM(unit) AS BIGINT)::DOUBLE / 10000.0, 2) AS revenue,
 FROM f
 WHERE b1 OR b2 OR b3"""
 
+  /** Twin of RelationalQueries.marketShare (TPC-H Q8 shape): same
+    * conditional integer rollup and exact basis-point floor. */
+  def marketShare(custRegion: String = "EUROPE", partType: String = "PROMO",
+      suppNation: String = "NATION_3"): String = s"""
+WITH f AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+         (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS unit,
+         n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = '$partType')
+    AND o_custkey IN (
+      SELECT c_custkey FROM customer
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      WHERE r_name = '$custRegion'))
+SELECT yr,
+       ROUND(CAST(nation_units AS BIGINT)::DOUBLE / 10000.0, 2) AS nation_revenue,
+       ROUND(CAST(total_units AS BIGINT)::DOUBLE / 10000.0, 2) AS total_revenue,
+       CAST(nation_units * 10000 // total_units AS BIGINT) AS share_bp
+FROM (
+  SELECT yr,
+         SUM(CASE WHEN supp_nation = '$suppNation' THEN unit ELSE 0 END) AS nation_units,
+         SUM(unit) AS total_units
+  FROM f GROUP BY yr)
+ORDER BY yr"""
+
+  /** Twin of RelationalQueries.nationProfit (TPC-H Q9 shape): profit as
+    * the exact integer at the shared 10⁻⁴ scale — no rounded double
+    * (profit sums land on .xx5 boundaries where the engines' rounding
+    * disagrees). */
+  def nationProfit(nameToken: String = "widget"): String = s"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(SUM(
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+         (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) -
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 100 *
+         CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+         AS profit_units
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%$nameToken%'
+GROUP BY n_name, yr
+ORDER BY nation, yr DESC"""
+
+  /** Twin of RelationalQueries.supplierValueConcentration (TPC-H Q11
+    * shape): threshold via value·n > 2·total integer cross-multiply. */
+  def supplierValueConcentration(): String = """
+WITH rollup AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem GROUP BY l_suppkey),
+t AS (
+  SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents, COUNT(*) AS n_suppliers
+  FROM rollup)
+SELECT s_suppkey, s_name, value_cents,
+       CAST(value_cents * 10000 // total_cents AS BIGINT) AS share_bp
+FROM rollup CROSS JOIN t
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE value_cents * n_suppliers > total_cents * 2
+ORDER BY value_cents DESC, s_suppkey"""
+
+  /** Twin of RelationalQueries.supplierVariety (TPC-H Q16 shape): same
+    * below-mean exclusion via integer cross-multiply, NOT IN, and
+    * COUNT(DISTINCT). */
+  def supplierVariety(sizes: Seq[Int] = Seq(1, 9, 14, 19, 23, 36, 45, 49)): String = s"""
+WITH stats AS (
+  SELECT CAST(SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         COUNT(*) AS n_supp
+  FROM supplier),
+bad AS (
+  SELECT s_suppkey FROM supplier CROSS JOIN stats
+  WHERE CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) * n_supp < sum_cents)
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (${sizes.mkString(", ")})
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** Twin of RelationalQueries.surgeSuppliers (TPC-H Q20 shape): the
+    * same qty_year·2 > qty_total integer test over the composite census. */
+  def surgeSuppliers(yr: Int = 1997): String = s"""
+WITH census AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty_total,
+         CAST(SUM(CASE WHEN year(l_shipdate) = $yr
+                       THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS qty_year
+  FROM lineitem GROUP BY l_suppkey, l_partkey)
+SELECT DISTINCT s_suppkey, s_name
+FROM census JOIN supplier ON l_suppkey = s_suppkey
+WHERE qty_year * 2 > qty_total
+ORDER BY s_suppkey"""
+
+  /** Twin of RelationalQueries.minPriceSupplier (TPC-H Q2 shape): same
+    * per-part min-rank with the (cents, suppkey) tie-break. */
+  def minPriceSupplier(size: Int = 15): String = s"""
+WITH j AS (
+  SELECT l_partkey, p_name, l_suppkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS line_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT), l_suppkey) AS rn
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = $size)
+SELECT l_partkey AS p_partkey, p_name, s_name, n_name AS nation,
+       line_cents AS min_cents
+FROM j
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+ORDER BY p_partkey"""
+
   def promoRevenueShare(from: String = "1997-01-01",
       until: String = "1998-01-01"): String = s"""
 SELECT ROUND(CAST(promo_units AS DOUBLE) / 10000.0, 2) AS promo_revenue,

@@ -776,4 +776,183 @@ object RelationalQueries {
         sum(when(b2, 1L).otherwise(0L)).as("branch2_lines"),
         sum(when(b3, 1L).otherwise(0L)).as("branch3_lines"))
   }
+
+  /** National market share (TPC-H Q8 shape): within one customer region
+    * and one part type, the share of yearly revenue supplied by one
+    * nation. The nation dimension appears TWICE (customer's region
+    * membership, supplier's identity) — both broadcast; the part-type
+    * filter prunes the broadcast part dim BEFORE the join so the fact
+    * probes only the type's parts. The share is a conditional integer
+    * rollup inside ONE aggregate (never two passes), and `share_bp` is
+    * the exact integer basis-point floor — the displayed doubles derive
+    * from single divisions of exact integers. At 100 TB: fact scan → 3
+    * broadcast joins + 1 keyed orders join → years-sized rollup. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame, part: DataFrame,
+      custRegion: String = "EUROPE", partType: String = "PROMO",
+      suppNation: String = "NATION_3"): DataFrame = {
+    val unit = floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+    val custInRegion = customer
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === custRegion)),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .select("c_custkey")
+    val suppNat = supplier
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === partType).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(custInRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(
+        sum(when(col("supp_nation") === suppNation, unit).otherwise(lit(0L)))
+          .as("nation_units"),
+        sum(unit).as("total_units"))
+      .select(col("yr"),
+        round(col("nation_units").cast("double") / 10000.0, 2).as("nation_revenue"),
+        round(col("total_units").cast("double") / 10000.0, 2).as("total_revenue"),
+        expr("(nation_units * CAST(10000 AS BIGINT)) div total_units").as("share_bp"))
+      .orderBy("yr")
+  }
+
+  /** Product-line profit (TPC-H Q9 shape): per supplier nation and order
+    * year, revenue minus cost for parts whose name matches a token. Cost
+    * substitutes the part's retail price × quantity for the reference
+    * schema's supplycost (no partsupp table in this corpus) — the shape
+    * (fact ⋈ name-filtered part ⋈ supplier-nation, profit expression
+    * inside the rollup) is identical. Profit is reported as the exact
+    * integer at the shared 10⁻⁴ scale: cents×(100−pct) −
+    * retail_cents×100×qty — never a rounded double, because signed
+    * profit sums (unlike the positive revenue rollups) routinely land on
+    * .xx5 display boundaries where Spark's decimal-string HALF_UP and
+    * DuckDB's binary-double rounding disagree by one cent. The name
+    * filter prunes the broadcast part dim before the join; orders joins
+    * keyed for the year. */
+  def nationProfit(lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
+      nation: DataFrame, part: DataFrame, nameToken: String = "widget"): DataFrame = {
+    val revenue = floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+    val cost = floor(col("p_retailprice") * 100 + 0.5).cast("long") * lit(100L) *
+      floor(col("l_quantity") + 0.5).cast("long")
+    lineitem
+      .join(broadcast(part.filter(col("p_name").contains(nameToken))
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(revenue - cost).as("profit_units"))
+      .select(col("nation"), col("yr"), col("profit_units"))
+      .orderBy(col("nation"), col("yr").desc)
+  }
+
+  /** Supplier value concentration (TPC-H Q11 shape): suppliers whose
+    * shipped-value share exceeds twice the mean share — the GROUP BY +
+    * HAVING-against-a-scalar-subquery shape. The threshold comparison is
+    * the integer cross-multiplication `value · n_suppliers > 2 · total`
+    * (never a double fraction), with the per-supplier rollup computed
+    * ONCE and staged: the global total and supplier count derive from the
+    * rollup itself (domain-sized), so the fact scans once. Output is the
+    * concentration tail ordered by exact value. "Twice the mean" makes
+    * the predicate scale-invariant — the TPC-H form's 0.0001/SF fraction
+    * expresses the same intent of a corpus-relative threshold. */
+  def supplierValueConcentration(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rollup = graft.RunHygiene.stage(
+      lineitem.groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("value_cents")))
+    val totals = broadcast(rollup.agg(
+      sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("n_suppliers")))
+    rollup.crossJoin(totals)
+      .filter(col("value_cents") * col("n_suppliers") > col("total_cents") * lit(2L))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("value_cents"),
+        expr("(value_cents * CAST(10000 AS BIGINT)) div total_cents").as("share_bp"))
+      .orderBy(col("value_cents").desc, col("s_suppkey"))
+  }
+
+  /** Supplier variety census (TPC-H Q16 shape): how many distinct
+    * suppliers ship each (brand, type, size) combination, EXCLUDING a
+    * disqualified supplier set — the NOT-IN + COUNT DISTINCT shape. The
+    * exclusion (suppliers with below-mean account balance, the corpus's
+    * stand-in for the reference's complaint filter) is an anti-join
+    * against a broadcast subquery whose threshold is the integer
+    * cross-multiplication `acctbal_cents · n < sum_cents`; sizes restrict
+    * to an IN-list so the census domain is bounded. One distinct-agg
+    * shuffle on the composite key; part broadcasts. */
+  def supplierVariety(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+      sizes: Seq[Int] = Seq(1, 9, 14, 19, 23, 36, 45, 49)): DataFrame = {
+    val balCents = floor(col("s_acctbal") * 100 + 0.5).cast("long")
+    val stats = broadcast(supplier.agg(
+      sum(balCents).as("sum_cents"), count(lit(1)).as("n_supp")))
+    val disqualified = supplier.crossJoin(stats)
+      .filter(balCents * col("n_supp") < col("sum_cents"))
+      .select(col("s_suppkey").as("bad_suppkey"))
+    lineitem
+      .join(broadcast(part.filter(col("p_size").isin(sizes.map(Integer.valueOf): _*))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(disqualified), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Surge suppliers (TPC-H Q20 shape): suppliers for whom some part
+    * shipped MORE in one year than in all other years combined — the
+    * nested-aggregate semi-join chain (per-(supplier, part) census →
+    * threshold → DISTINCT suppliers → dimension join). The year test is
+    * exact integers: `qty_year · 2 > qty_total` with quantities quantized
+    * to BIGINT. The census shuffles the fact once on the composite key;
+    * everything after is domain-sized. */
+  def surgeSuppliers(lineitem: DataFrame, supplier: DataFrame,
+      yr: Int = 1997): DataFrame = {
+    val qty = floor(col("l_quantity") + 0.5).cast("long")
+    lineitem.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(qty).as("qty_total"),
+        sum(when(year(col("l_shipdate")) === yr, qty).otherwise(lit(0L))).as("qty_year"))
+      .filter(col("qty_year") * lit(2L) > col("qty_total"))
+      .select("l_suppkey").distinct()
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Cheapest-line supplier per part (TPC-H Q2 shape): for each part of
+    * one size, the supplier(s) that recorded the minimum line price —
+    * the correlated-min-subquery-then-rejoin shape, realized as a
+    * per-part min-rank window (rn = 1 with suppkey tie-break) so the
+    * fact scans once instead of twice. Prices compare as exact integer
+    * cents, so "the minimum" and its ties are engine-independent; the
+    * size filter prunes the broadcast part dim before the join. Output
+    * is per-part (one row per part, deterministic tie-break), bounded by
+    * the size's part count — the same output discipline as the
+    * reference query's TOP 100. */
+  def minPriceSupplier(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, size: Int = 15): DataFrame = {
+    val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("line_cents"), col("l_suppkey"))
+    lineitem
+      .join(broadcast(part.filter(col("p_size") === size).select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("p_name"), col("l_suppkey"), cents.as("line_cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_name"),
+        col("s_name"), col("n_name").as("nation"), col("line_cents").as("min_cents"))
+      .orderBy("p_partkey")
+  }
 }

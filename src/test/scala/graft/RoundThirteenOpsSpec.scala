@@ -85,4 +85,103 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("branch3_lines") === 1L)
     assert(r.getAs[Double]("revenue") === 700.0)
   }
+
+  test("marketShare: nation share is the exact basis-point floor per year") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (1L, 1L, 1L, 300.0, 0.0),  // supplier 1 (NATION_3): 300
+      (1L, 2L, 1L, 100.0, 0.0),  // supplier 2 (NATION_4): 100
+      (1L, 1L, 2L, 999.0, 0.0)   // non-PROMO part: excluded
+    ).toDF("l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount")
+    val orders = Seq((1L, 10L, ts("1996-06-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    val customer = Seq((10L, 3L)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((1L, 3L), (2L, 4L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((3L, "NATION_3", 3L), (4L, "NATION_4", 3L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((3L, "EUROPE")).toDF("r_regionkey", "r_name")
+    val part = Seq((1L, "PROMO"), (2L, "LARGE")).toDF("p_partkey", "p_type")
+    val r = RelationalQueries.marketShare(lineitem, orders, customer, supplier,
+      nation, region, part).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("yr") === 1996L)
+    assert(r.head.getAs[Double]("nation_revenue") === 300.0)
+    assert(r.head.getAs[Double]("total_revenue") === 400.0)
+    assert(r.head.getAs[Long]("share_bp") === 7500L)
+  }
+
+  test("nationProfit: exact integer units, negative profit preserved") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (1L, 1L, 1L, 2.0, 100.0, 0.0),  // rev 100, cost 2*50=100 -> 0
+      (2L, 1L, 1L, 10.0, 100.0, 0.0)  // rev 100, cost 10*50=500 -> -400
+    ).toDF("l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+      "l_extendedprice", "l_discount")
+    val orders = Seq((1L, ts("1996-06-01")), (2L, ts("1997-06-01")))
+      .toDF("o_orderkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    val supplier = Seq((1L, 3L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((3L, "N3")).toDF("n_nationkey", "n_name")
+    val part = Seq((1L, "large widget", 50.0))
+      .toDF("p_partkey", "p_name", "p_retailprice")
+    val r = RelationalQueries.nationProfit(lineitem, orders, supplier, nation, part)
+      .collect().map(x => (x.getAs[Long]("yr"), x.getAs[Long]("profit_units")))
+    // yr DESC within nation; units at 1e-4 scale: 0 and -400 dollars
+    assert(r.toSeq === Seq((1997L, -4000000L), (1996L, 0L)))
+  }
+
+  test("supplierValueConcentration: strict 2x-mean cross-multiplied threshold") {
+    import spark.implicits._
+    val lineitem = Seq((1L, 500.0), (2L, 50.0), (3L, 50.0))
+      .toDF("l_suppkey", "l_extendedprice")
+    val supplier = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("s_suppkey", "s_name")
+    val r = RelationalQueries.supplierValueConcentration(lineitem, supplier)
+      .collect().map(x => (x.getAs[Long]("s_suppkey"), x.getAs[Long]("share_bp")))
+    // total 600_00 cents, n 3: only 500_00*3 > 1200_00; share 8333 bp
+    assert(r.toSeq === Seq((1L, 8333L)))
+  }
+
+  test("supplierVariety: below-mean-balance suppliers excluded from the census") {
+    import spark.implicits._
+    val lineitem = Seq((1L, 1L), (1L, 2L), (1L, 3L))
+      .toDF("l_partkey", "l_suppkey")
+    val part = Seq((1L, "Brand#1", "PROMO", 9)).toDF("p_partkey", "p_brand", "p_type", "p_size")
+    // mean 400: suppliers 1 (100) and 2 (300) fall below, only 3 (800) counts
+    val supplier = Seq((1L, 100.0), (2L, 300.0), (3L, 800.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val r = RelationalQueries.supplierVariety(lineitem, part, supplier).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("supplier_cnt") === 1L)
+  }
+
+  test("surgeSuppliers: strict majority of lifetime quantity in the year") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (1L, 1L, 6.0, ts("1997-05-01")), (1L, 1L, 4.0, ts("1996-05-01")), // 60% in 1997
+      (2L, 2L, 5.0, ts("1997-05-01")), (2L, 2L, 5.0, ts("1996-05-01"))  // exactly half: out
+    ).toDF("l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp_ntz"))
+    val supplier = Seq((1L, "s1"), (2L, "s2")).toDF("s_suppkey", "s_name")
+    val r = RelationalQueries.surgeSuppliers(lineitem, supplier)
+      .collect().map(_.getAs[Long]("s_suppkey"))
+    assert(r.toSeq === Seq(1L))
+  }
+
+  test("minPriceSupplier: min decided on exact cents, tie broken by suppkey") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (1L, 7L, 19.99), (1L, 3L, 19.99), (1L, 9L, 25.0), // tie at 1999 cents -> suppkey 3
+      (2L, 5L, 10.0)                                     // wrong size part: absent
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val part = Seq((1L, "cold bolt", 15), (2L, "hot bolt", 14))
+      .toDF("p_partkey", "p_name", "p_size")
+    val supplier = Seq((3L, "s3", 1L), (5L, "s5", 1L), (7L, "s7", 1L), (9L, "s9", 1L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((1L, "N1")).toDF("n_nationkey", "n_name")
+    val r = RelationalQueries.minPriceSupplier(lineitem, part, supplier, nation).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("s_name") === "s3")
+    assert(r.head.getAs[Long]("min_cents") === 1999L)
+  }
 }
