@@ -761,7 +761,7 @@ GROUP BY n_name, yr
 ORDER BY nation, yr DESC"""
 
   /** Twin of RelationalQueries.supplierValueConcentration (TPC-H Q11
-    * shape): threshold via value·n > 2·total integer cross-multiply. */
+    * shape): threshold via value·n·20 > 21·total integer cross-multiply. */
   def supplierValueConcentration(): String = """
 WITH rollup AS (
   SELECT l_suppkey,
@@ -775,7 +775,7 @@ SELECT s_suppkey, s_name, value_cents,
        CAST(value_cents * 10000 // total_cents AS BIGINT) AS share_bp
 FROM rollup CROSS JOIN t
 JOIN supplier ON l_suppkey = s_suppkey
-WHERE value_cents * n_suppliers > total_cents * 2
+WHERE value_cents * n_suppliers * 20 > total_cents * 21
 ORDER BY value_cents DESC, s_suppkey"""
 
   /** Twin of RelationalQueries.supplierVariety (TPC-H Q16 shape): same

@@ -857,15 +857,17 @@ object RelationalQueries {
   }
 
   /** Supplier value concentration (TPC-H Q11 shape): suppliers whose
-    * shipped-value share exceeds twice the mean share — the GROUP BY +
+    * shipped-value share exceeds 1.05× the mean share — the GROUP BY +
     * HAVING-against-a-scalar-subquery shape. The threshold comparison is
-    * the integer cross-multiplication `value · n_suppliers > 2 · total`
+    * the integer cross-multiplication `value · n · 20 > 21 · total`
     * (never a double fraction), with the per-supplier rollup computed
     * ONCE and staged: the global total and supplier count derive from the
     * rollup itself (domain-sized), so the fact scans once. Output is the
-    * concentration tail ordered by exact value. "Twice the mean" makes
-    * the predicate scale-invariant — the TPC-H form's 0.0001/SF fraction
-    * expresses the same intent of a corpus-relative threshold. */
+    * concentration tail ordered by exact value. A corpus-relative
+    * threshold expresses the TPC-H form's 0.0001/SF intent; 1.05× is
+    * calibrated to this corpus's near-uniform supplier distribution
+    * (max share ≈ 1.07–1.12× mean) so the tail is non-trivial at every
+    * scale — ~10-16% of suppliers — rather than empty. */
   def supplierValueConcentration(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
     val rollup = graft.RunHygiene.stage(
       lineitem.groupBy(col("l_suppkey"))
@@ -874,7 +876,8 @@ object RelationalQueries {
       sum(col("value_cents")).as("total_cents"),
       count(lit(1)).as("n_suppliers")))
     rollup.crossJoin(totals)
-      .filter(col("value_cents") * col("n_suppliers") > col("total_cents") * lit(2L))
+      .filter(col("value_cents") * col("n_suppliers") * lit(20L) >
+        col("total_cents") * lit(21L))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("value_cents"),
         expr("(value_cents * CAST(10000 AS BIGINT)) div total_cents").as("share_bp"))

@@ -131,14 +131,15 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     assert(r.toSeq === Seq((1997L, -4000000L), (1996L, 0L)))
   }
 
-  test("supplierValueConcentration: strict 2x-mean cross-multiplied threshold") {
+  test("supplierValueConcentration: strict 1.05x-mean cross-multiplied threshold") {
     import spark.implicits._
     val lineitem = Seq((1L, 500.0), (2L, 50.0), (3L, 50.0))
       .toDF("l_suppkey", "l_extendedprice")
     val supplier = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("s_suppkey", "s_name")
     val r = RelationalQueries.supplierValueConcentration(lineitem, supplier)
       .collect().map(x => (x.getAs[Long]("s_suppkey"), x.getAs[Long]("share_bp")))
-    // total 600_00 cents, n 3: only 500_00*3 > 1200_00; share 8333 bp
+    // total 60000 cents, n 3: keep iff v*60 > 60000*21, i.e. v > 21000;
+    // only supplier 1 (50000 cents) clears it; share 8333 bp
     assert(r.toSeq === Seq((1L, 8333L)))
   }
 
