@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 254
+  val GatedQueryCount: Int = 258
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -272,6 +272,16 @@ object SparkEntry {
     // TPC-H Q20 shape: nested-aggregate threshold -> distinct -> dim join
     "join_surge_suppliers" -> ((s, d) =>
       RelationalQueries.surgeSuppliers(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    // TPC-H Q6 shape: join-free filtered scalar — the pushdown microbench
+    "agg_revenue_scalar" -> ((s, d) =>
+      RelationalQueries.revenueScalar(Tables.lineitem(s, d))),
+    // global quartiles WITHOUT a global window: percentile boundaries +
+    // broadcast + conditional rollup (the scale-correct form)
+    "agg_spend_quartiles" -> ((s, d) =>
+      RelationalQueries.spendQuartiles(Tables.orders(s, d))),
+    // per-customer NTILE(4): the window form that distributes
+    "window_quartile_counts" -> ((s, d) =>
+      RelationalQueries.customerSpendQuartiles(Tables.orders(s, d))),
     // TPC-H Q2 shape: correlated min via per-part min-rank window
     "join_min_price_supplier" -> ((s, d) =>
       RelationalQueries.minPriceSupplier(Tables.lineitem(s, d), Tables.part(s, d),
@@ -531,6 +541,9 @@ object SparkEntry {
     "events_ab_srm" -> ((s, d) => EventQueries.abSrmCheck(Tables.events(s, d))),
     // Kneser-Ney bigram LM score (the real perplexity-filter smoothing)
     "text_kn_bigram" -> ((s, d) => TextOps.knBigramLogProb(Tables.documents(s, d))),
+    // held-out KN scoring with three-branch backoff: the production
+    // perplexity-filter shape (train on a split, score unseen text)
+    "text_kn_heldout" -> ((s, d) => TextOps.knHeldoutLogProb(Tables.documents(s, d))),
     // contrastive hard negatives: banded phash Hamming top-k, dups excluded
     "mm_hard_negatives" -> ((s, d) =>
       Multimodal.hardNegativePairs(Multimodal.withMedia(Tables.documents(s, d)))),
@@ -976,6 +989,10 @@ object SparkEntry {
     "agg_supplier_variety" -> OracleSql.supplierVariety(),
     "join_surge_suppliers" -> OracleSql.surgeSuppliers(),
     "join_min_price_supplier" -> OracleSql.minPriceSupplier(),
+    "agg_revenue_scalar" -> OracleSql.revenueScalar(),
+    "agg_spend_quartiles" -> OracleSql.spendQuartiles(),
+    "window_quartile_counts" -> OracleSql.customerSpendQuartiles(),
+    "text_kn_heldout" -> OracleSqlText.knHeldoutLogProb,
     "join_top_supplier" -> OracleSql.topSupplier(),
     "agg_small_qty_revenue" -> OracleSql.smallQuantityRevenue(),
     "agg_disjunctive_revenue" -> OracleSql.disjunctiveRevenue(),

@@ -1061,6 +1061,74 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Held-out Kneser-Ney perplexity scoring — the production filtering
+    * shape ([[knBigramLogProb]] scores the training corpus; real
+    * pipelines train KenLM on a reference corpus and score CRAWLED text,
+    * where unseen events dominate the signal). The md5-stable 81% split
+    * (the [[nbLangConfusion]] discipline) trains the bigram model; the
+    * held-out 19% is scored with full backoff: seen bigrams take the
+    * discounted KN estimate interpolated with the add-one-smoothed
+    * continuation probability, unseen bigrams under a seen context back
+    * off to the scaled continuation term, and unseen contexts fall all
+    * the way to the continuation probability alone. The add-one floor
+    * ((ncont+1)/(nbig+vtypes)) keeps every branch strictly positive, so
+    * no held-out event produces −∞. `oov_bigrams` counts the events that
+    * took either backoff branch — the observable that separates
+    * in-distribution text from novelty.
+    *
+    * Determinism: every branch is a fixed double tree over exact integer
+    * census values, quantized to micro-nats per event BEFORE the per-doc
+    * sum (order-free). Shape: the train-split bigram census is staged
+    * once and feeds all three statistics; the three model frames join the
+    * held-out stream keyed (left joins, coalesce-guarded); the 1-row
+    * (nbig, vtypes) frame broadcasts. At 100 TB train and score are one
+    * shuffle each on the bigram key. */
+  def knHeldoutLogProb(docs: DataFrame): DataFrame = {
+    val tagged = withTokens(docs).withColumn("is_train",
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "d")
+    val bi = graft.RunHygiene.stage(tagged
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("is_train"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("prev"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("cur"))).as("pc"))
+      .select(col("doc_id"), col("is_train"),
+        col("pc.prev").as("prev"), col("pc.cur").as("cur")))
+    bi.count() // one bigram stream feeds the train census and the scoring
+    val c2 = graft.RunHygiene.stage(bi.filter(col("is_train"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("c2")))
+    c2.count() // census read by ctx, cont, and the totals
+    val ctx = c2.groupBy("prev").agg(sum(col("c2")).as("cctx"), count(lit(1)).as("n1w1"))
+    val cont = c2.groupBy("cur").agg(count(lit(1)).as("ncont"))
+    val tot = broadcast(c2.agg(count(lit(1)).as("nbig"))
+      .crossJoin(cont.agg(count(lit(1)).as("vtypes"))))
+    val pc = (coalesce(col("ncont"), lit(0L)) + lit(1L)).cast("double") /
+      (col("nbig") + col("vtypes"))
+    val p = when(col("c2").isNotNull,
+        (col("c2").cast("double") - lit(0.75)) / col("cctx") +
+          ((lit(0.75) * col("n1w1")) / col("cctx")) * pc)
+      .when(col("cctx").isNotNull, ((lit(0.75) * col("n1w1")) / col("cctx")) * pc)
+      .otherwise(pc)
+    bi.filter(!col("is_train"))
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(cont, Seq("cur"), "left")
+      .crossJoin(tot)
+      .select(col("doc_id"),
+        floor(log(p) * lit(1e6)).cast("long").as("micro"),
+        when(col("c2").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("oov_bigrams"),
+        sum(col("micro")).as("sum_micro"),
+        min(col("micro")).as("min_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"),
+        round(col("sum_micro").cast("double") / col("n_bigrams") / lit(1e6), 4)
+          .as("avg_heldout_logprob"),
+        round(col("min_micro").cast("double") / lit(1e6), 4).as("min_heldout_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Trained multinomial Naive Bayes language classifier, evaluated as a
     * confusion matrix over a held-out split — the closed-form analogue of
     * the fastText-style classifiers production pipelines train for

@@ -812,6 +812,58 @@ FROM census JOIN supplier ON l_suppkey = s_suppkey
 WHERE qty_year * 2 > qty_total
 ORDER BY s_suppkey"""
 
+  /** Twin of RelationalQueries.revenueScalar (TPC-H Q6 shape): same
+    * integer discount band and exact revenue units. */
+  def revenueScalar(from: String = "1997-01-01", until: String = "1998-01-01",
+      minPct: Int = 5, maxPct: Int = 7, maxQty: Int = 24): String = s"""
+SELECT revenue_units,
+       ROUND(revenue_units::DOUBLE / 10000.0, 2) AS revenue,
+       qualifying_lines
+FROM (
+  SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_units,
+         COUNT(*) AS qualifying_lines
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '$from 00:00:00'
+    AND l_shipdate < TIMESTAMP '$until 00:00:00'
+    AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN $minPct AND $maxPct
+    AND CAST(floor(l_quantity + 0.5) AS BIGINT) < $maxQty)"""
+
+  /** Twin of RelationalQueries.spendQuartiles: quantile_cont matches
+    * Spark's percentile interpolation on integer cents; `<=` boundary. */
+  def spendQuartiles(): String = """
+WITH o AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+b AS (
+  SELECT quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.5) AS q2,
+         quantile_cont(cents, 0.75) AS q3
+  FROM o)
+SELECT quartile, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+FROM (
+  SELECT cents,
+         CAST(CASE WHEN cents <= q1 THEN 1 WHEN cents <= q2 THEN 2
+                   WHEN cents <= q3 THEN 3 ELSE 4 END AS BIGINT) AS quartile
+  FROM o CROSS JOIN b)
+GROUP BY quartile ORDER BY quartile"""
+
+  /** Twin of RelationalQueries.customerSpendQuartiles: identical NTILE
+    * bucket sizing and the (cents, orderkey) deterministic order. */
+  def customerSpendQuartiles(): String = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+t AS (
+  SELECT cents,
+         CAST(NTILE(4) OVER (
+           PARTITION BY o_custkey ORDER BY cents, o_orderkey) AS BIGINT)
+           AS quartile
+  FROM o)
+SELECT quartile, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY quartile ORDER BY quartile"""
+
   /** Twin of RelationalQueries.minPriceSupplier (TPC-H Q2 shape): same
     * per-part min-rank with the (cents, suppkey) tie-break. */
   def minPriceSupplier(size: Int = 15): String = s"""

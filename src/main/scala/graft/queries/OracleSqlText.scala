@@ -3234,6 +3234,52 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
 FROM bi JOIN lp USING (prev, cur)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors TextOps.knHeldoutLogProb: md5-stable 81/19 split, train-side
+    * bigram census, held-out scoring with the three-branch backoff and
+    * the add-one continuation floor — identical fixed double trees,
+    * micro-nat floors before the per-doc sum. */
+  val knHeldoutLogProb: String = s"""
+WITH $toksCte,
+tagged AS (
+  SELECT doc_id, toks,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' AS is_train
+  FROM toks),
+bi AS (
+  SELECT doc_id, is_train,
+         unnest(toks[1:len(toks)-1]) AS prev, unnest(toks[2:len(toks)]) AS cur
+  FROM tagged WHERE len(toks) >= 2),
+c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM bi WHERE is_train GROUP BY 1, 2),
+ctx AS (SELECT prev, SUM(c2) AS cctx, COUNT(*) AS n1w1 FROM c2 GROUP BY 1),
+cont AS (SELECT cur, COUNT(*) AS ncont FROM c2 GROUP BY 1),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM c2) AS nbig,
+         (SELECT COUNT(*) FROM cont) AS vtypes),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor(ln(
+           CASE WHEN c.c2 IS NOT NULL THEN
+             (c.c2::DOUBLE - CAST(0.75 AS DOUBLE)) / x.cctx +
+             ((CAST(0.75 AS DOUBLE) * x.n1w1) / x.cctx) *
+               (CAST(COALESCE(n.ncont, 0) + 1 AS DOUBLE) / (t.nbig + t.vtypes))
+           WHEN x.cctx IS NOT NULL THEN
+             ((CAST(0.75 AS DOUBLE) * x.n1w1) / x.cctx) *
+               (CAST(COALESCE(n.ncont, 0) + 1 AS DOUBLE) / (t.nbig + t.vtypes))
+           ELSE CAST(COALESCE(n.ncont, 0) + 1 AS DOUBLE) / (t.nbig + t.vtypes)
+           END) * 1000000.0) AS BIGINT) AS micro,
+         CASE WHEN c.c2 IS NULL THEN 1 ELSE 0 END AS oov
+  FROM bi b
+  LEFT JOIN c2 c ON b.prev = c.prev AND b.cur = c.cur
+  LEFT JOIN ctx x ON b.prev = x.prev
+  LEFT JOIN cont n ON b.cur = n.cur
+  CROSS JOIN tot t
+  WHERE NOT b.is_train)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(oov) AS BIGINT) AS oov_bigrams,
+       ROUND(CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+         AS avg_heldout_logprob,
+       ROUND(CAST(MIN(micro) AS DOUBLE) / 1000000.0, 4) AS min_heldout_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   /** Mirrors TrainPrep.preferencePairs: the simhash equal-sketch pair graph
     * joined twice against the ROUND(4)-pinned quality kernel; strict
     * inequality picks chosen/rejected. */

@@ -930,6 +930,76 @@ object RelationalQueries {
       .orderBy("s_suppkey")
   }
 
+  /** Forecast-revenue scalar (TPC-H Q6 shape): one filtered full-scan
+    * aggregate with NO join and NO group — the pushdown microbenchmark.
+    * All three predicates (ship-date window, discount band, quantity cap)
+    * reach the parquet scan as PushedFilters, so at 100 TB the scan reads
+    * only row groups whose column statistics intersect the window; the
+    * aggregate is a single map-side-combinable partial sum. The discount
+    * band compares integer basis-hundredths (floor(disc·100+0.5) ∈
+    * [5,7]) and revenue = Σ cents·pct is the exact integer at the 10⁻⁴
+    * scale, reported alongside the single display division. */
+  def revenueScalar(lineitem: DataFrame, from: String = "1997-01-01",
+      until: String = "1998-01-01", minPct: Int = 5, maxPct: Int = 7,
+      maxQty: Int = 24): DataFrame = {
+    val pct = floor(col("l_discount") * 100 + 0.5).cast("long")
+    val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val qty = floor(col("l_quantity") + 0.5).cast("long")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(until).cast("timestamp_ntz") &&
+        pct.between(minPct.toLong, maxPct.toLong) && qty < maxQty.toLong)
+      .agg(sum(cents * pct).as("revenue_units"),
+        count(lit(1)).as("qualifying_lines"))
+      .select(col("revenue_units"),
+        round(col("revenue_units").cast("double") / 10000.0, 2).as("revenue"),
+        col("qualifying_lines"))
+  }
+
+  /** Global spend quartiles — the distributed form: instead of a global
+    * NTILE window (which forces a single-partition total order — the one
+    * shape that canNOT scale), quartile boundaries come from ONE
+    * `percentile` aggregate over exact integer cents (Spark's linear
+    * interpolation matches DuckDB's quantile_cont on integer inputs — a
+    * proven cross-engine contract in this repo), broadcast as a 1-row
+    * frame, and membership is a codegen'd conditional — the whole query
+    * is two corpus scans with no shuffle wider than the 4-row rollup.
+    * Boundary rows tie into the lower bucket on both engines (`<=`). */
+  def spendQuartiles(orders: DataFrame): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    val o = graft.RunHygiene.stage(orders.select(cents.as("cents")))
+    val bounds = broadcast(o.agg(
+      expr("percentile(cents, 0.25)").as("q1"),
+      expr("percentile(cents, 0.5)").as("q2"),
+      expr("percentile(cents, 0.75)").as("q3")))
+    o.crossJoin(bounds)
+      .withColumn("quartile",
+        when(col("cents") <= col("q1"), 1L)
+          .when(col("cents") <= col("q2"), 2L)
+          .when(col("cents") <= col("q3"), 3L)
+          .otherwise(4L))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy("quartile")
+  }
+
+  /** Per-customer spend quartiles via NTILE — the window form that IS
+    * scale-correct, because the partition key (custkey) distributes: each
+    * customer's orders rank within their own partition (deterministic
+    * (cents, orderkey) order), NTILE(4) splits them with the standard
+    * ceil-then-floor bucket sizing both engines share, and the rollup
+    * reads per-(bucket) totals. Integer cents end-to-end. */
+  def customerSpendQuartiles(orders: DataFrame): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy(col("cents"), col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderkey"), cents.as("cents"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy("quartile")
+  }
+
   /** Cheapest-line supplier per part (TPC-H Q2 shape): for each part of
     * one size, the supplier(s) that recorded the minimum line price —
     * the correlated-min-subquery-then-rejoin shape, realized as a

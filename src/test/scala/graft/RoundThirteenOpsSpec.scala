@@ -185,4 +185,61 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     assert(r.head.getAs[String]("s_name") === "s3")
     assert(r.head.getAs[Long]("min_cents") === 1999L)
   }
+
+  test("revenueScalar: discount band inclusive, quantity cap exclusive") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (100.0, 0.05, 1.0, ts("1997-06-01")),  // in: pct 5
+      (100.0, 0.07, 23.0, ts("1997-06-01")), // in: pct 7, qty 23
+      (100.0, 0.04, 1.0, ts("1997-06-01")),  // out: pct 4
+      (100.0, 0.06, 24.0, ts("1997-06-01")), // out: qty 24
+      (100.0, 0.06, 1.0, ts("1998-01-01"))   // out: date
+    ).toDF("l_extendedprice", "l_discount", "l_quantity", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp_ntz"))
+    val r = RelationalQueries.revenueScalar(lineitem).collect().head
+    // units: 10000*5 + 10000*7 = 120000 -> $12.00
+    assert(r.getAs[Long]("revenue_units") === 120000L)
+    assert(r.getAs[Double]("revenue") === 12.0)
+    assert(r.getAs[Long]("qualifying_lines") === 2L)
+  }
+
+  test("spendQuartiles: interpolated boundaries, ties into the lower bucket") {
+    import spark.implicits._
+    val orders = Seq(10.0, 20.0, 30.0, 40.0).toDF("o_totalprice")
+    val r = RelationalQueries.spendQuartiles(orders).collect()
+      .map(x => (x.getAs[Long]("quartile"), x.getAs[Long]("n_orders"),
+        x.getAs[Long]("min_cents")))
+    // boundaries at 1750/2500/3250 cents: one order per quartile
+    assert(r.toSeq === Seq((1L, 1L, 1000L), (2L, 1L, 2000L),
+      (3L, 1L, 3000L), (4L, 1L, 4000L)))
+  }
+
+  test("customerSpendQuartiles: NTILE ceil-then-floor sizing within a customer") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0), (1L, 4L, 40.0), (1L, 5L, 50.0)
+    ).toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val r = RelationalQueries.customerSpendQuartiles(orders).collect()
+      .map(x => (x.getAs[Long]("quartile"), x.getAs[Long]("n_orders")))
+    // 5 rows into 4 tiles: sizes 2,1,1,1 (first bucket takes the remainder)
+    assert(r.toSeq === Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("knHeldoutLogProb: shared text scores oov-free; unique text is all-OOV") {
+    import graft.functions.TextOps
+    import spark.implicits._
+    // 16 docs of identical text: whatever side of the md5 split each doc
+    // lands on, every held-out bigram was seen in training
+    val shared = (1L to 16L).map(i => (i, "a b a b c")).toDF("doc_id", "text")
+    val rs = TextOps.knHeldoutLogProb(shared).collect()
+    assert(rs.nonEmpty, "the md5 split must leave some docs held out")
+    assert(rs.forall(_.getAs[Long]("oov_bigrams") === 0L))
+    val avgs = rs.map(_.getAs[Double]("avg_heldout_logprob")).distinct
+    assert(avgs.length === 1, s"identical docs must score identically: ${avgs.toSeq}")
+    // per-doc-unique vocabularies: every held-out bigram is unseen
+    val unique = (1L to 16L).map(i => (i, s"u${i}x u${i}y u${i}z")).toDF("doc_id", "text")
+    val ru = TextOps.knHeldoutLogProb(unique).collect()
+    assert(ru.nonEmpty)
+    assert(ru.forall(x => x.getAs[Long]("oov_bigrams") === x.getAs[Long]("n_bigrams")))
+  }
 }
