@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 258
+  val GatedQueryCount: Int = 262
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -286,6 +286,22 @@ object SparkEntry {
     "join_min_price_supplier" -> ((s, d) =>
       RelationalQueries.minPriceSupplier(Tables.lineitem(s, d), Tables.part(s, d),
         Tables.supplier(s, d), Tables.nation(s, d))),
+    // TPC-H Q5 shape: six-table join, local-supplier equality folded into
+    // the join condition, region-pruned broadcast dims
+    "join_local_supplier_volume" -> ((s, d) =>
+      RelationalQueries.localSupplierVolume(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+    // TPC-H Q12 shape: high/low priority split as conditional counts
+    // inside ONE rollup, lateness as the join residual
+    "agg_late_priority_census" -> ((s, d) =>
+      RelationalQueries.lateLinePriorityCensus(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS collapsed to one keyed rollup
+    // (n_supp > 1 ∧ n_late = 1) — one fact shuffle instead of three scans
+    "join_waiting_suppliers" -> ((s, d) =>
+      RelationalQueries.waitingSuppliers(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.supplier(s, d))),
     "join_late_semi" -> ((s, d) =>
       RelationalQueries.latePriorityOrders(Tables.lineitem(s, d),
         Tables.orders(s, d))),
@@ -544,6 +560,9 @@ object SparkEntry {
     // held-out KN scoring with three-branch backoff: the production
     // perplexity-filter shape (train on a split, score unseen text)
     "text_kn_heldout" -> ((s, d) => TextOps.knHeldoutLogProb(Tables.documents(s, d))),
+    // DSIR hashed-ngram importance weights (Xie et al. 2023): O(buckets)
+    // model, one-pass dual census, integer micro-nat per-doc sums
+    "text_dsir_weights" -> ((s, d) => TextOps.dsirWeights(Tables.documents(s, d))),
     // contrastive hard negatives: banded phash Hamming top-k, dups excluded
     "mm_hard_negatives" -> ((s, d) =>
       Multimodal.hardNegativePairs(Multimodal.withMedia(Tables.documents(s, d)))),
@@ -989,10 +1008,14 @@ object SparkEntry {
     "agg_supplier_variety" -> OracleSql.supplierVariety(),
     "join_surge_suppliers" -> OracleSql.surgeSuppliers(),
     "join_min_price_supplier" -> OracleSql.minPriceSupplier(),
+    "join_local_supplier_volume" -> OracleSql.localSupplierVolume(),
+    "agg_late_priority_census" -> OracleSql.lateLinePriorityCensus(),
+    "join_waiting_suppliers" -> OracleSql.waitingSuppliers(),
     "agg_revenue_scalar" -> OracleSql.revenueScalar(),
     "agg_spend_quartiles" -> OracleSql.spendQuartiles(),
     "window_quartile_counts" -> OracleSql.customerSpendQuartiles(),
     "text_kn_heldout" -> OracleSqlText.knHeldoutLogProb,
+    "text_dsir_weights" -> OracleSqlText.dsirWeights(),
     "join_top_supplier" -> OracleSql.topSupplier(),
     "agg_small_qty_revenue" -> OracleSql.smallQuantityRevenue(),
     "agg_disjunctive_revenue" -> OracleSql.disjunctiveRevenue(),

@@ -1197,4 +1197,59 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang_actual", "lang_pred")
   }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023, arXiv:2302.03169 — public method): score every raw
+    * document by how much more likely its hashed-unigram profile is under
+    * the TARGET distribution (here: the `targetLang` slice, the "looks
+    * like the domain I want" proxy) than under the RAW corpus
+    * distribution. log w(doc) = Σ_tokens λ[h(token)], with λ[b] the
+    * add-one-smoothed log-ratio ln(p_target[b]) − ln(p_raw[b]) over
+    * `buckets` hash buckets. Hashing into a FIXED feature space is the
+    * published method's trick that makes the model size O(buckets) —
+    * independent of vocabulary — so the λ table always broadcasts, even
+    * at 100 TB.
+    *
+    * Determinism: bucket = md5-hash32(token) % buckets (the engine's one
+    * portable hash); both bucket censuses are exact integer counts folded
+    * in ONE pass (conditional sum — never two scans); each λ[b] is a
+    * fixed double expression of exact integers floored to integer
+    * micro-nats BEFORE the per-doc sum (the KL/micro-nat discipline), so
+    * per-doc totals are order-free integers on both engines; the readable
+    * per-token average is one division chain of engine-identical values.
+    *
+    * Scale shape: one tokenize pass staged (census + join-back both read
+    * it), a buckets-sized rollup, a 2-value total, and a broadcast join
+    * back — no shuffle wider than the occurrence stream's doc_id rollup.
+    * Output: (doc_id, n_tokens, logratio_micro, avg_logratio), one row
+    * per non-empty doc; downstream resampling is [[graft.operators.Sampling.weightedTopK]]
+    * over `logratio_micro`. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+      buckets: Int = 256): DataFrame = {
+    val hash32 = conv(substring(md5(col("token").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val occ = graft.RunHygiene.stage(
+      docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
+        .select(col("doc_id"), col("lang"), (hash32 % buckets).as("bucket")))
+    occ.count() // fill once: the census and the join-back both read it
+    val census = occ.groupBy("bucket").agg(
+      count(lit(1)).as("r_cnt"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_cnt"))
+    val totals = census.agg(sum(col("r_cnt")).as("r_tot"), sum(col("t_cnt")).as("t_tot"))
+    val lam = census.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor((log((col("t_cnt") + 1).cast("double") /
+                 (col("t_tot") + buckets).cast("double")) -
+               log((col("r_cnt") + 1).cast("double") /
+                 (col("r_tot") + buckets).cast("double"))) * 1e6)
+          .cast("long").as("lam_micro"))
+    occ.join(broadcast(lam), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lam_micro")).as("logratio_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("logratio_micro"),
+        round(col("logratio_micro").cast("double") / col("n_tokens") / lit(1e6), 4)
+          .as("avg_logratio"))
+      .orderBy("doc_id")
+  }
 }

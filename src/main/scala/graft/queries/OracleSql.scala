@@ -883,6 +883,65 @@ JOIN nation ON s_nationkey = n_nationkey
 WHERE rn = 1
 ORDER BY p_partkey"""
 
+  /** Twin of RelationalQueries.localSupplierVolume (TPC-H Q5 shape): the
+    * local-supplier equality in the join, exact integer units summed as
+    * HUGEINT ↔ Spark DECIMAL(38,0), one display division. */
+  def localSupplierVolume(regionName: String = "EUROPE",
+      from: String = "1995-01-01", until: String = "1999-01-01"): String = s"""
+SELECT n_name AS nation, COUNT(*) AS n_lines,
+       SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+                (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT))
+         AS volume_units,
+       ROUND(CAST(SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+                (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT))
+             AS DOUBLE) / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '$regionName'
+  AND o_orderdate >= TIMESTAMP '$from 00:00:00'
+  AND o_orderdate <  TIMESTAMP '$until 00:00:00'
+GROUP BY 1 ORDER BY volume_units DESC, nation"""
+
+  /** Twin of RelationalQueries.lateLinePriorityCensus (TPC-H Q12 shape,
+    * linestatus-as-shipmode adaptation): conditional split inside one
+    * rollup, lateness as the join residual. */
+  def lateLinePriorityCensus(graceDays: Int = 60, from: String = "1996-01-01",
+      until: String = "1998-01-01"): String = s"""
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '$from 00:00:00'
+  AND l_shipdate <  TIMESTAMP '$until 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL $graceDays DAY
+GROUP BY 1 ORDER BY 1"""
+
+  /** Twin of RelationalQueries.waitingSuppliers (TPC-H Q21 shape): the
+    * exists/not-exists pair expressed as the same per-order rollup the
+    * Spark side uses (n_supp > 1 ∧ n_late = 1), so both engines decide
+    * membership from identical integer counts. */
+  def waitingSuppliers(graceDays: Int = 60): String = s"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL $graceDays DAY
+               THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL $graceDays DAY
+             THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name"""
+
   def promoRevenueShare(from: String = "1997-01-01",
       until: String = "1998-01-01"): String = s"""
 SELECT ROUND(CAST(promo_units AS DOUBLE) / 10000.0, 2) AS promo_revenue,

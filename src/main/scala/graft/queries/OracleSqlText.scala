@@ -3362,4 +3362,33 @@ fin AS (
 SELECT lang AS lang_actual, m_lang AS lang_pred, COUNT(*) AS n_docs
 FROM fin WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Mirrors TextOps.dsirWeights: hashed-unigram bucket censuses in one
+    * pass, add-one log-ratio floored to micro-nats per bucket, integer
+    * per-doc sums. Same md5-hash32 bucket, same double expression. */
+  def dsirWeights(targetLang: String = "en", buckets: Int = 256): String = s"""
+WITH occ0 AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+occ AS (
+  SELECT doc_id, lang,
+         CAST((${hex8IntSql("token")}) % $buckets AS BIGINT) AS bucket
+  FROM occ0),
+census AS (
+  SELECT bucket, COUNT(*) AS r_cnt,
+         CAST(SUM(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+  FROM occ GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(r_cnt) AS BIGINT) AS r_tot, CAST(SUM(t_cnt) AS BIGINT) AS t_tot
+  FROM census),
+lam AS (
+  SELECT bucket,
+         CAST(floor((ln((t_cnt + 1)::DOUBLE / (t_tot + $buckets)::DOUBLE) -
+                     ln((r_cnt + 1)::DOUBLE / (r_tot + $buckets)::DOUBLE)) * 1e6)
+              AS BIGINT) AS lam_micro
+  FROM census CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(lam_micro) AS BIGINT) AS logratio_micro,
+       ROUND(CAST(SUM(lam_micro) AS BIGINT)::DOUBLE / COUNT(*) / 1e6, 4) AS avg_logratio
+FROM occ JOIN lam USING (bucket)
+GROUP BY doc_id ORDER BY doc_id"""
+
 }

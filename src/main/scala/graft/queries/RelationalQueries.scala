@@ -1028,4 +1028,102 @@ object RelationalQueries {
         col("s_name"), col("n_name").as("nation"), col("line_cents").as("min_cents"))
       .orderBy("p_partkey")
   }
+
+  /** Local-supplier volume (TPC-H Q5 shape): revenue per nation within one
+    * customer region and order-date window, counting ONLY lines where the
+    * supplier sits in the customer's own nation — the six-table join whose
+    * distinguishing feature is the non-key equality `c_nationkey =
+    * s_nationkey` folded INTO the supplier join condition rather than a
+    * post-join filter, so mismatched pairs never materialize. nation and
+    * region broadcast pre-filtered to the region (each dim join doubles as
+    * a fact filter); the date window pushes to the orders scan. Revenue is
+    * the exact cents × (100−pct) integer unit summed as DECIMAL(38,0) —
+    * the ordering key `volume_units` can never flip on summation order;
+    * the readable `revenue` is one display division. At 100 TB: fact scan
+    * → two keyed shuffles (orders, customer) + three broadcast joins →
+    * nations-sized rollup. */
+  def localSupplierVolume(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String = "EUROPE",
+      from: String = "1995-01-01", until: String = "1999-01-01"): DataFrame = {
+    val unit = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+      .cast("decimal(38,0)")
+    val regionNations = broadcast(nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name"))
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lit(from).cast("timestamp_ntz") &&
+        col("o_orderdate") < lit(until).cast("timestamp_ntz")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(regionNations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lines"), sum(unit).as("volume_units"))
+      .withColumn("revenue",
+        round(col("volume_units").cast("double") / 10000.0, 2))
+      .orderBy(col("volume_units").desc, col("nation"))
+  }
+
+  /** Late-line priority census by line status (TPC-H Q12 shape, adapted:
+    * this corpus has no l_shipmode/receiptdate, so the "mode" axis is
+    * l_linestatus and "late" is shipdate > orderdate + grace — the same
+    * adaptation the Q4/Q21 shapes use). The signature plan feature is the
+    * conditional split INSIDE the aggregate: one join, one rollup, and the
+    * high/low priority classification as two codegen'd conditional counts
+    * — never two passes or a pivot join. The ship-date window pushes to
+    * the fact scan; the non-equi lateness predicate rides the keyed join
+    * as a residual. Pure integer counts — exact by construction. */
+  def lateLinePriorityCensus(lineitem: DataFrame, orders: DataFrame,
+      graceDays: Int = 60, from: String = "1996-01-01",
+      until: String = "1998-01-01"): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(until).cast("timestamp_ntz"))
+      .join(orders,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $graceDays DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Suppliers who kept orders waiting (TPC-H Q21 shape, same lateness
+    * adaptation as Q4/Q12): on finished multi-supplier orders, the
+    * supplier whose line was the ONLY late one. The textbook form is a
+    * correlated EXISTS (another supplier touched the order) plus NOT
+    * EXISTS (another supplier was late) — two extra scans of the largest
+    * table. Here both collapse into ONE keyed rollup: per order, count
+    * distinct suppliers, count distinct LATE suppliers, and carry the
+    * late supplier's key; `n_supp > 1 ∧ n_late = 1` is exactly the
+    * exists/not-exists pair, decided with one shuffle of the fact table
+    * instead of three. The per-supplier census joins the (tiny) survivor
+    * set to the broadcast supplier dim. Counts are integers; the output
+    * ranks by waiting count with a name tie-break — exact end-to-end. */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, graceDays: Int = 60): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $graceDays DAYS")
+    lineitem
+      .join(orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy("late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
 }

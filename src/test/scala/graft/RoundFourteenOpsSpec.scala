@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.RelationalQueries
+
+/** Round-14 additions: the last three classic TPC-H shapes — local-supplier
+  * volume (Q5), the late-line priority census (Q12, linestatus adaptation),
+  * and waiting suppliers (Q21, exists/not-exists as one keyed rollup). */
+class RoundFourteenOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String) = java.time.LocalDateTime.parse(s + "T00:00")
+
+  test("localSupplierVolume: only same-nation customer/supplier pairs count") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (1L, 7L, 100.0, 0.0),  // counted: cust nation 1 == supp nation 1
+      (2L, 8L, 900.0, 0.0),  // dropped: cust nation 1, supp nation 2
+      (3L, 7L, 500.0, 0.0)   // dropped: order outside window
+    ).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val orders = Seq(
+      (1L, 10L, ts("1996-06-01")), (2L, 10L, ts("1996-06-01")),
+      (3L, 10L, ts("1999-01-01"))  // boundary: until is exclusive
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    val customer = Seq((10L, 1)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((7L, 1), (8L, 2)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((1, "N1", 0), (2, "N2", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0, "EUROPE"), (1, "ASIA")).toDF("r_regionkey", "r_name")
+    val r = RelationalQueries.localSupplierVolume(
+      lineitem, orders, customer, supplier, nation, region).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("nation") === "N1")
+    assert(r.head.getAs[java.math.BigDecimal]("volume_units").longValueExact === 1000000L)
+    assert(r.head.getAs[Double]("revenue") === 100.0)
+  }
+
+  test("lateLinePriorityCensus: lateness residual and the high/low split") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (1L, "F", ts("1996-06-01")),  // late (order 1996-01-01 + 60d), high
+      (2L, "F", ts("1996-06-01")),  // late, low priority
+      (3L, "O", ts("1996-02-15")),  // NOT late (46 days)
+      (4L, "O", ts("1995-12-01"))   // outside the ship-date window
+    ).toDF("l_orderkey", "l_linestatus", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp_ntz"))
+    val orders = Seq(
+      (1L, "1-URGENT", ts("1996-01-01")), (2L, "5-LOW", ts("1996-01-01")),
+      (3L, "2-HIGH", ts("1996-01-01")), (4L, "2-HIGH", ts("1995-08-01"))
+    ).toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    val r = RelationalQueries.lateLinePriorityCensus(lineitem, orders).collect()
+      .map(x => (x.getAs[String]("l_linestatus"),
+        x.getAs[Long]("high_line_count"), x.getAs[Long]("low_line_count")))
+    assert(r.toSeq === Seq(("F", 1L, 1L)))
+  }
+
+  test("waitingSuppliers: sole late supplier on a multi-supplier F order") {
+    import spark.implicits._
+    val lineitem = Seq(
+      // order 1: supp 7 late, supp 8 on time -> 7 waits
+      (1L, 7L, ts("1996-06-01")), (1L, 8L, ts("1996-01-15")),
+      // order 2: both late -> nobody counted (not-exists branch)
+      (2L, 7L, ts("1996-06-01")), (2L, 8L, ts("1996-06-01")),
+      // order 3: single-supplier order -> excluded (exists branch)
+      (3L, 7L, ts("1996-06-01")),
+      // order 4: late but order not finished -> excluded
+      (4L, 7L, ts("1996-06-01")), (4L, 8L, ts("1996-01-15"))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp_ntz"))
+    val orders = Seq(
+      (1L, "F", ts("1996-01-01")), (2L, "F", ts("1996-01-01")),
+      (3L, "F", ts("1996-01-01")), (4L, "O", ts("1996-01-01"))
+    ).toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    val supplier = Seq((7L, "s7"), (8L, "s8")).toDF("s_suppkey", "s_name")
+    val r = RelationalQueries.waitingSuppliers(lineitem, orders, supplier).collect()
+      .map(x => (x.getAs[String]("s_name"), x.getAs[Long]("numwait")))
+    assert(r.toSeq === Seq(("s7", 1L)))
+  }
+
+  test("dsirWeights: target-heavy tokens score above raw-only tokens") {
+    import graft.functions.TextOps
+    import spark.implicits._
+    // target (en) speaks 'alpha beta', raw-only (zz) speaks 'gamma delta';
+    // a mixed doc sits between the pure ones
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "alpha beta alpha beta", "en"),
+      (3L, "gamma delta gamma delta", "zz"),
+      (4L, "gamma delta gamma delta", "zz"),
+      (5L, "alpha beta gamma delta", "zz")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.dsirWeights(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("logratio_micro")).toMap
+    assert(r.size === 5)
+    assert(r(1L) === r(2L), "identical docs must score identically")
+    assert(r(1L) > r(5L) && r(5L) > r(3L),
+      s"target-like > mixed > raw-only, got $r")
+    // doc 5 has 2 target-ish + 2 raw-only tokens: exactly the average of
+    // the pure docs' sums (same bucket lambdas, integer arithmetic)
+    assert(r(5L) === (r(1L) + r(3L)) / 2)
+  }
+}
