@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 262
+  val GatedQueryCount: Int = 264
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -453,6 +453,10 @@ object SparkEntry {
       graft.operators.BpeLearn.merges(Tables.documents(s, d))),
     "text_bpe_apply" -> ((s, d) =>
       graft.operators.BpeLearn.applied(Tables.documents(s, d))),
+    // tokenizer fertility per language (Rust et al. 2021): symbols/word +
+    // chars/symbol under the learned merges -- the vocab-rebalance signal
+    "text_bpe_fertility" -> ((s, d) =>
+      graft.operators.BpeLearn.fertilityByLang(Tables.documents(s, d))),
     "text_winnow_fingerprints" -> ((s, d) => TextOps.winnowFingerprints(Tables.documents(s, d))),
     "text_rolling_hash" -> ((s, d) => TextOps.rollingHash(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
@@ -768,6 +772,10 @@ object SparkEntry {
     // not row-group pushdown — the plan pin is in FormatRoundtripSpec)
     "layout_partitioned_prune" -> ((s, d) =>
       graft.sources.FormatRoundtrip.partitionedPrune(s, d)),
+    // dynamic partition pruning: hive-partitioned fact x tier-filtered dim,
+    // qualifying directories decided at RUNTIME from the dim's broadcast
+    "layout_dpp_join" -> ((s, d) =>
+      graft.sources.FormatRoundtrip.dppJoin(s, d)),
     // two ingest batches, two schemas, one mergeSchema read: lang is
     // non-null exactly where batch 2 wrote it
     "source_schema_evolution" -> ((s, d) =>
@@ -1033,6 +1041,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleSqlText.ngramJaccard,
     "text_bpe_merges" -> OracleSqlText.bpeMerges(),
     "text_bpe_apply" -> OracleSqlText.bpeApply(),
+    "text_bpe_fertility" -> OracleSqlText.bpeFertility(),
     "dedup_incremental" -> OracleSqlText.incrementalNearDups,
     "dedup_incremental_indexed" -> OracleSqlText.incrementalNearDups,
     "dedup_minhash_lsh" -> OracleSqlText.minhashLsh,
@@ -1186,6 +1195,7 @@ object SparkEntry {
     "source_csv_roundtrip" -> OracleSql.formatRoundtripText,
     "source_json_roundtrip" -> OracleSql.formatRoundtripText,
     "layout_partitioned_prune" -> OracleSql.formatRoundtripPruned,
+    "layout_dpp_join" -> OracleSql.dppJoin,
     "source_schema_evolution" -> OracleSql.schemaEvolution,
     "layout_compaction_exec" -> OracleSql.compactionExecDigest,
     "sample_uniform_topk" -> OracleSqlText.uniformSample(),

@@ -124,4 +124,35 @@ object BpeLearn {
         round(col("n_symbols").cast("double") / col("n_tokens"), 4))
       .orderBy("doc_id")
   }
+
+  /** Tokenizer fertility per language — the multilingual tokenizer-audit
+    * metric (public: Rust et al. 2021, "How Good is Your Tokenizer?"):
+    * symbols-per-word under the learned merge table, plus chars-per-symbol
+    * (the compression the token budget actually buys). A language whose
+    * fertility is far above the corpus norm is being tokenized into
+    * fragments — it will consume a disproportionate share of any fixed
+    * token budget and train worse; this rollup is the observable that
+    * drives vocab re-balancing.
+    *
+    * Shape: the learn/apply stages are [[applied]] (keyed pair-count
+    * rollups per round, driver state = the merge table only); the audit
+    * adds one doc_id-keyed join back to the documents dim and a
+    * languages-sized rollup. All sums are exact integers; the two
+    * readable ratios are single division chains of engine-identical
+    * values. Output: one row per language. */
+  def fertilityByLang(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val (_, seqs) = learn(docs, rounds)
+    seqs.select(col("doc_id"), col("n_tokens"), size(toksOf(col("s"))).as("n_sym"))
+      .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_words"),
+        sum(col("n_sym")).as("n_symbols"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_symbols"),
+        col("n_chars"),
+        round(col("n_symbols").cast("double") / col("n_words"), 4).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_symbols"), 4).as("chars_per_symbol"))
+      .orderBy("lang")
+  }
 }

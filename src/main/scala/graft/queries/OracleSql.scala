@@ -2743,6 +2743,17 @@ FROM cum ORDER BY cohort_day, age_days"""
   def formatRoundtripPruned: String =
     roundtripDigestSql("WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')")
 
+  /** Twin for `layout_dpp_join`: the same tier dimension as a VALUES
+    * table, joined and filtered on the non-partition attribute — the
+    * digest must equal the Spark side's runtime-pruned read. */
+  def dppJoin: String =
+    roundtripDigestSql("""
+JOIN (VALUES ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'),
+             ('3-MEDIUM', 'standard'), ('4-NOT SPECIFIED', 'standard'),
+             ('5-LOW', 'deferred')) AS tiers(priority, tier)
+  ON o_orderpriority = priority
+WHERE tier = 'expedite'""")
+
   /** Twin for `source_schema_evolution`: batch 2 (odd doc_ids) carried the
     * new `lang` column, batch 1 did not — the CASE reproduces the
     * mergeSchema null-fill the Spark scan must perform. */

@@ -2734,6 +2734,28 @@ SELECT doc_id, n_tokens,
 FROM s$rounds ORDER BY doc_id"""
   }
 
+  /** Mirrors BpeLearn.fertilityByLang: the same unrolled merge rounds,
+    * then a language-keyed rollup of words/symbols/chars with the two
+    * ratio divisions on identical integer sums. */
+  def bpeFertility(rounds: Int = 6): String = {
+    val S = BpeSep
+    bpeSql(rounds) + s""",
+app AS (
+  SELECT doc_id, n_tokens,
+         len(string_split(s[2:len(s)-1], '$S$S')) AS n_sym
+  FROM s$rounds)
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(a.n_tokens) AS BIGINT) AS n_words,
+       CAST(SUM(a.n_sym) AS BIGINT) AS n_symbols,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(a.n_sym) AS BIGINT)::DOUBLE
+             / CAST(SUM(a.n_tokens) AS BIGINT), 4) AS fertility,
+       ROUND(CAST(SUM(d.n_chars) AS BIGINT)::DOUBLE
+             / CAST(SUM(a.n_sym) AS BIGINT), 4) AS chars_per_symbol
+FROM app a JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Mirrors Similarity.sqTopK (asymmetric SQ8/ADC): per-dimension
     * [min,max] envelope census → linear uint8 quantization (floor + clamp
     * — floor because the two engines disagree on round-half rules) →

@@ -81,4 +81,14 @@ class FormatRoundtripSpec extends AnyFunSuite {
     val kept = scan.select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
     assert(kept.toSeq === FormatRoundtrip.prunedPriorities.sorted)
   }
+
+  test("dpp join: runtime dynamicpruning expression lands in the fact's PartitionFilters") {
+    val scan = FormatRoundtrip.dppJoinScan(spark, sf)
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression on the partitioned fact scan:\n$p")
+    // and the join result is exactly the expedite tier
+    val kept = scan.select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
+    assert(kept.toSeq === Seq("1-URGENT", "2-HIGH"))
+  }
 }

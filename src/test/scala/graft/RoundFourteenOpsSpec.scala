@@ -103,4 +103,25 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     // the pure docs' sums (same bucket lambdas, integer arithmetic)
     assert(r(5L) === (r(1L) + r(3L)) / 2)
   }
+
+  test("fertilityByLang: merged language compresses; unmergeable language stays at 1.0") {
+    import graft.operators.BpeLearn
+    import spark.implicits._
+    // lang aa: 'x y' repeated -> the (x,y) merge wins, halving symbols;
+    // lang bb: all-distinct tokens -> nothing merges, fertility 1.0
+    val docs = Seq(
+      (1L, "x y x y x y x y", "aa", 15L),
+      (2L, "x y x y x y x y", "aa", 15L),
+      (3L, "q0 q1 q2 q3", "bb", 11L),
+      (4L, "r0 r1 r2 r3", "bb", 11L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val r = BpeLearn.fertilityByLang(docs).collect()
+      .map(x => x.getAs[String]("lang") ->
+        ((x.getAs[Long]("n_words"), x.getAs[Long]("n_symbols"),
+          x.getAs[Double]("fertility")))).toMap
+    assert(r("aa")._1 === 16L)
+    assert(r("aa")._2 < 16L, s"the xy merge must compress lang aa: $r")
+    assert(r("aa")._3 < 1.0)
+    assert(r("bb") === ((8L, 8L, 1.0)), s"distinct tokens cannot merge: $r")
+  }
 }
