@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 264
+  val GatedQueryCount: Int = 266
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -360,6 +360,9 @@ object SparkEntry {
     "events_rfm" -> ((s, d) => EventQueries.rfmSegments(Tables.events(s, d))),
     // A/B readout: hash-bucketed variants, conversion + revenue lift
     "events_ab_lift" -> ((s, d) => EventQueries.abLift(Tables.events(s, d))),
+    // CUPED variance-reduced readout (Deng et al. 2013): pre-period spend
+    // as control covariate, theta from exact HUGEINT moment forms
+    "events_ab_cuped" -> ((s, d) => EventQueries.cupedLift(Tables.events(s, d))),
     // PSI drift monitor: reference-binned distribution shift per type
     "events_psi_drift" -> ((s, d) => EventQueries.psiDrift(Tables.events(s, d))),
     // seasonal-naive forecast backtest: per-weekday MAE/bias in cents
@@ -846,6 +849,10 @@ object SparkEntry {
     // PageRank over the same graph: duplicate-cluster hub scores
     "graph_pagerank" -> ((s, d) =>
       graft.operators.Graph.pageRank(Dedup.simhashPairs(Tables.documents(s, d)))),
+    // bounded-round k-core peel over the same near-dup graph: the dense
+    // template-family nucleus (survivors of R "degree < k drops" rounds)
+    "graph_kcore" -> ((s, d) =>
+      graft.operators.Graph.kCore(Dedup.simhashPairs(Tables.documents(s, d)))),
     // RA link prediction over the co-purchase part graph (exact integer
     // RA). Edges require support >= 2 (co-purchased in two+ orders):
     // single-co-occurrence noise edges make Σ deg(z)² — the two-hop cost
@@ -1136,6 +1143,7 @@ object SparkEntry {
     "dedup_clusters_star" -> OracleSqlText.dedupClusters,
     "dedup_keep_best" -> OracleSqlText.dedupKeepBest,
     "graph_pagerank" -> OracleSqlText.pageRank(),
+    "graph_kcore" -> OracleSqlText.kCore(),
     "graph_link_prediction" -> OracleSql.linkPrediction(),
     "dedup_substring_spans" -> OracleSqlText.substringSpans(),
     "sketch_kmv_distinct" -> OracleSqlText.sketchKmvDistinct,
@@ -1212,6 +1220,7 @@ object SparkEntry {
     "graph_triangles" -> OracleSql.basketTriangles(),
     "events_rfm" -> OracleSql.rfmSegments,
     "events_ab_lift" -> OracleSql.abLift,
+    "events_ab_cuped" -> OracleSql.cupedLift(),
     "events_psi_drift" -> OracleSql.psiDrift(),
     "timeseries_forecast_snaive" -> OracleSql.forecastBacktest(),
     "events_attribution" -> OracleSql.lastTouchAttribution(),

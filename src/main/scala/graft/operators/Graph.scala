@@ -88,6 +88,61 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Bounded-round k-core peel (Seidman 1983's coreness; the synchronized
+    * peeling round is Matula–Beck's algorithm parallelized — the standard
+    * distributed formulation): `rounds` rounds of "drop every node whose
+    * degree among still-alive nodes is < k". Survivors approximate the
+    * k-core from above, monotonically tightening each round; a FIXED round
+    * count (not a fixpoint test) keeps the output a pure function of the
+    * input so the DuckDB oracle can unroll the identical rounds as CTEs —
+    * the [[pageRank]] discipline. On the dedup near-dup graph the k-core
+    * is the dense template-family nucleus: nodes that survive peeling sit
+    * in tangles of mutual near-duplicates, the first candidates for
+    * wholesale removal where pagerank merely ranks hubs.
+    *
+    * Plan shape per round: two keyed LEFT SEMI joins restrict the
+    * (persisted, bidirectional) edge frame to alive×alive, one keyed
+    * count per src = degree, one filter — all shuffles keyed on node id,
+    * state between rounds is ONE id frame, localCheckpoint'd so lineage
+    * stays flat (the [[graft.operators.Dedup.dedupClusters]] lesson — the
+    * alive frame feeds two semi-joins, doubling lineage per round
+    * otherwise). Pure integer arithmetic — exact by construction.
+    *
+    * Output: survivors after `rounds` with their within-survivor degree
+    * (0 when the final round peeled all the node's neighbors but not the
+    * node — the next round WOULD drop it; the bounded contract reports it
+    * honestly). */
+  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = graft.RunHygiene.track(pairs.persist(lvl))
+    p.count() // fill once: both union branches read it
+    val edges = graft.RunHygiene.track(
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct()
+        .persist(lvl))
+    edges.count() // every round reads edges — materialize once
+    p.unpersist()
+    def aliveEdges(alive: DataFrame): DataFrame = edges
+      .join(alive.select(col("id").as("src")), Seq("src"), "leftsemi")
+      .join(alive.select(col("id").as("dst")), Seq("dst"), "leftsemi")
+    var alive = graft.RunHygiene.track(
+      edges.select(col("src").as("id")).distinct().localCheckpoint(true))
+    for (_ <- 1 to rounds) {
+      alive = graft.RunHygiene.track(
+        aliveEdges(alive)
+          .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("id")
+          .localCheckpoint(true))
+    }
+    val degF = aliveEdges(alive)
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+    alive.join(degF, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .orderBy("doc_id")
+  }
+
   /** Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) over an
     * undirected pair graph: for node pairs NOT yet linked, score
     * RA(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/deg(z), emitted as the top `k`

@@ -1093,4 +1093,71 @@ object EventQueries {
         expr("cum_cents * 1000000L div (n_users * 100)").as("ltv_micro"))
       .orderBy("cohort_day", "age_days")
   }
+
+  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013 — the industry-standard experimentation technique): use
+    * each user's PRE-period spend X as a control covariate for their
+    * post-period spend Y, reporting Y' = Y − θ(X − mean X) per variant
+    * with θ = cov(X,Y)/var(X). Pre-period behavior is independent of the
+    * treatment, so the adjustment shifts no true effect but removes the
+    * between-user variance X explains — the experiment reaches
+    * significance with (1 − ρ²)× the sample a raw readout needs.
+    *
+    * Determinism: X and Y are exact integer cents per user; θ's
+    * numerator/denominator are the textbook n·Σxy − Σx·Σy forms computed
+    * in DECIMAL(38,0) ↔ HUGEINT (exact at any corpus size — the
+    * embeddingCovariance discipline); θ, the adjusted means, and ρ² are
+    * fixed double expression trees over those exact integers, written
+    * identically in the oracle, with one ROUND at the readout.
+    *
+    * Scale shape: one user-keyed rollup of the event stream (the only
+    * corpus-wide shuffle), a 1-row global census broadcast back over the
+    * 2-row variant rollup. Nothing driver-side, nothing quadratic.
+    *
+    * Output: one row per variant — n, raw mean_y, mean_y_adj, with the
+    * shared theta/rho2 audit columns repeated. */
+  def cupedLift(events: DataFrame, cut: String = "2024-01-16 00:00:00"): DataFrame = {
+    val hv = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val cents = coalesce(round(col("value") * 100).cast("long"), lit(0L))
+    val cutTs = lit(cut).cast("timestamp_ntz")
+    val dec = "decimal(38,0)"
+    val perUser = events.groupBy("user_id").agg(
+        sum(when(col("ts") < cutTs && col("event_type") === "purchase", cents)
+          .otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cutTs && col("event_type") === "purchase", cents)
+          .otherwise(0L)).as("y"))
+      .withColumn("variant", when(pmod(hv, lit(2)) === 0, "A").otherwise("B"))
+    val g = graft.RunHygiene.stage(perUser)
+    g.count() // fill once: global census and variant rollup both read it
+    val globals = broadcast(g.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy")))
+    val num = col("n").cast(dec) * col("sxy") - col("sx") * col("sy")
+    val denX = col("n").cast(dec) * col("sxx") - col("sx") * col("sx")
+    val denY = col("n").cast(dec) * col("syy") - col("sy") * col("sy")
+    g.groupBy("variant").agg(
+        count(lit(1)).as("n_v"),
+        sum(col("x").cast(dec)).as("sx_v"),
+        sum(col("y").cast(dec)).as("sy_v"))
+      .crossJoin(globals)
+      .withColumn("theta",
+        when(denX === lit(0).cast(dec), lit(0.0))
+          .otherwise(num.cast("double") / denX.cast("double")))
+      .withColumn("rho2",
+        when(denX === lit(0).cast(dec) || denY === lit(0).cast(dec), lit(0.0))
+          .otherwise((num.cast("double") / denX.cast("double")) *
+            (num.cast("double") / denY.cast("double"))))
+      .select(col("variant"), col("n_v"),
+        round(col("sy_v").cast("double") / col("n_v"), 4).as("mean_y"),
+        round(col("sy_v").cast("double") / col("n_v") -
+          col("theta") * (col("sx_v").cast("double") / col("n_v") -
+            col("sx").cast("double") / col("n")), 4).as("mean_y_adj"),
+        round(col("theta"), 6).as("theta"),
+        round(col("rho2"), 6).as("rho2"))
+      .orderBy("variant")
+  }
 }

@@ -1810,6 +1810,54 @@ SELECT n_users_a, n_users_b, conv_a_bp, conv_b_bp,
        cents_b // NULLIF(n_users_b, 0) AS cents_per_user_b
 FROM b"""
 
+  /** Mirrors EventQueries.cupedLift: per-user pre/post cents, HUGEINT
+    * n·Σxy − Σx·Σy moment forms, the same fixed double trees for θ, the
+    * adjusted means and ρ², one ROUND at the readout. */
+  def cupedLift(cut: String = "2024-01-16 00:00:00"): String = s"""
+WITH pu AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '$cut' AND event_type = 'purchase'
+                       THEN COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '$cut' AND event_type = 'purchase'
+                       THEN COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0)
+                       ELSE 0 END) AS BIGINT) AS y,
+         CASE WHEN (${OracleSqlText.hex8IntSql("user_id::VARCHAR")}) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+  FROM pu
+),
+v AS (
+  SELECT variant, COUNT(*) AS n_v,
+         SUM(CAST(x AS HUGEINT)) AS sx_v, SUM(CAST(y AS HUGEINT)) AS sy_v
+  FROM pu GROUP BY 1
+),
+t AS (
+  SELECT v.*, g.n, g.sx,
+         g.n * g.sxy - g.sx * g.sy AS num,
+         g.n * g.sxx - g.sx * g.sx AS denx,
+         g.n * g.syy - g.sy * g.sy AS deny
+  FROM v CROSS JOIN g
+)
+SELECT variant, n_v,
+       ROUND(sy_v::DOUBLE / n_v, 4) AS mean_y,
+       ROUND(sy_v::DOUBLE / n_v
+             - (CASE WHEN denx = 0 THEN 0.0 ELSE num::DOUBLE / denx::DOUBLE END)
+               * (sx_v::DOUBLE / n_v - sx::DOUBLE / n), 4) AS mean_y_adj,
+       ROUND(CASE WHEN denx = 0 THEN 0.0
+                  ELSE num::DOUBLE / denx::DOUBLE END, 6) AS theta,
+       ROUND(CASE WHEN denx = 0 OR deny = 0 THEN 0.0
+                  ELSE (num::DOUBLE / denx::DOUBLE) * (num::DOUBLE / deny::DOUBLE)
+             END, 6) AS rho2
+FROM t ORDER BY variant"""
+
   /** Mirrors EventQueries.dailyEwma: list_prepend(0.0) left fold
     * acc ← (acc+x)/2 over the chronological trailing window (dyadic
     * weights are exact in doubles; fold order fixes the rounding

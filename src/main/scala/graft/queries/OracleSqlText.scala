@@ -1634,6 +1634,33 @@ reach(doc_id, r) AS (
 )
 SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors Graph.kCore over the simhash pair graph: the same edge CTEs,
+    * `rounds` peel rounds unrolled (fixed rounds make the oracle possible,
+    * as with pageRank), survivor degrees coalesced to 0. */
+  def kCore(k: Int = 2, rounds: Int = 4): String = {
+    def peel(i: Int): String = s""",
+d$i AS (
+  SELECT e.src AS id, COUNT(*) AS deg
+  FROM edges e
+  JOIN a${i - 1} x ON x.id = e.src
+  JOIN a${i - 1} y ON y.id = e.dst
+  GROUP BY 1),
+a$i AS (SELECT id FROM d$i WHERE deg >= $k)"""
+    s"""
+WITH $simhashGraphCtes,
+a0 AS (SELECT DISTINCT src AS id FROM edges)
+${(1 to rounds).map(peel).mkString}
+SELECT a.id AS doc_id, COALESCE(f.deg, 0) AS core_deg
+FROM a$rounds a
+LEFT JOIN (
+  SELECT e.src AS id, COUNT(*) AS deg
+  FROM edges e
+  JOIN a$rounds x ON x.id = e.src
+  JOIN a$rounds y ON y.id = e.dst
+  GROUP BY 1) f ON f.id = a.id
+ORDER BY doc_id"""
+  }
+
   /** Mirrors Graph.pageRank over the simhash pair graph: the same edge
     * CTEs as [[dedupClusters]], `iters` power iterations unrolled as CTEs
     * (fixed iteration count is what makes the oracle possible). Rank state

@@ -124,4 +124,54 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     assert(r("aa")._3 < 1.0)
     assert(r("bb") === ((8L, 8L, 1.0)), s"distinct tokens cannot merge: $r")
   }
+
+  test("kCore: chain peels off round by round; the triangle core survives") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // triangle 1-2-3 with a tail 3-4-5: round 1 drops 5, round 2 drops 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val r = Graph.kCore(pairs, k = 2, rounds = 4).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("core_deg")))
+    assert(r.toSeq === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore bounded-round honesty: a survivor whose neighbors all peeled reports degree 0") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // path 1-2-3 with k=2: round 1 peels the endpoints, leaving node 2
+    // alive with no surviving neighbor — one more round WOULD drop it
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val r = Graph.kCore(pairs, k = 2, rounds = 1).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("core_deg")))
+    assert(r.toSeq === Seq((2L, 0L)))
+    assert(Graph.kCore(pairs, k = 2, rounds = 2).collect().isEmpty)
+  }
+
+  test("cupedLift: with y = x the covariate explains everything — both variants collapse to the global mean") {
+    import graft.queries.EventQueries
+    import spark.implicits._
+    // each user spends v in the pre period and v again in the post period:
+    // theta = 1, rho2 = 1, and the adjusted post mean loses ALL between-user
+    // variance — whatever md5 variant split falls out, both rows must show
+    // the identical global mean
+    val rows = (1L to 40L).flatMap { u =>
+      Seq((u, "2024-01-10 00:00:00", "purchase", u * 3.0),
+          (u, "2024-01-20 00:00:00", "purchase", u * 3.0))
+    }
+    val events = rows.toDF("user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val r = EventQueries.cupedLift(events).collect()
+    assert(r.length === 2)
+    assert(r.map(_.getAs[String]("variant")).toSeq === Seq("A", "B"))
+    assert(r.forall(_.getAs[Double]("theta") === 1.0))
+    assert(r.forall(_.getAs[Double]("rho2") === 1.0))
+    val adj = r.map(_.getAs[Double]("mean_y_adj")).distinct
+    assert(adj.length === 1, s"adjusted means must coincide: ${adj.toSeq}")
+    // global mean of y: sum(300·u)/40 = 300·20.5 = 6150 cents
+    assert(adj.head === 6150.0)
+    // the RAW means differ across variants (the noise CUPED removes)
+    val raw = r.map(_.getAs[Double]("mean_y")).distinct
+    assert(raw.length === 2)
+  }
 }
