@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 266
+  val GatedQueryCount: Int = 268
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -570,6 +570,10 @@ object SparkEntry {
     // DSIR hashed-ngram importance weights (Xie et al. 2023): O(buckets)
     // model, one-pass dual census, integer micro-nat per-doc sums
     "text_dsir_weights" -> ((s, d) => TextOps.dsirWeights(Tables.documents(s, d))),
+    // DSIR importance RESAMPLING: Gumbel-top-k in log space (Kool et al.
+    // 2019) over the hashed-ngram log-weights -- the published method end
+    // to end (score, then draw without replacement proportional to exp(logw))
+    "sample_dsir_resample" -> ((s, d) => TextOps.dsirResample(Tables.documents(s, d))),
     // contrastive hard negatives: banded phash Hamming top-k, dups excluded
     "mm_hard_negatives" -> ((s, d) =>
       Multimodal.hardNegativePairs(Multimodal.withMedia(Tables.documents(s, d)))),
@@ -917,6 +921,10 @@ object SparkEntry {
     // streaming sketch maintenance: per-window HLL registers as state
     "streaming_hll_rollup" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replayHllRollup(Tables.events(s, d))),
+    // streaming frequency sketch: per-window CMS counters as state
+    // (additive merges across micro-batches = the single-pass sketch)
+    "streaming_cms_topk" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.replayCmsTopk(Tables.events(s, d))),
     // first-crossing threshold alerts (custom keyed state + fired latch)
     "streaming_alerts" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replayThresholdAlerts(Tables.events(s, d))),
@@ -1031,6 +1039,7 @@ object SparkEntry {
     "window_quartile_counts" -> OracleSql.customerSpendQuartiles(),
     "text_kn_heldout" -> OracleSqlText.knHeldoutLogProb,
     "text_dsir_weights" -> OracleSqlText.dsirWeights(),
+    "sample_dsir_resample" -> OracleSqlText.dsirResample(),
     "join_top_supplier" -> OracleSql.topSupplier(),
     "agg_small_qty_revenue" -> OracleSql.smallQuantityRevenue(),
     "agg_disjunctive_revenue" -> OracleSql.disjunctiveRevenue(),
@@ -1163,6 +1172,7 @@ object SparkEntry {
     "streaming_join" -> OracleSql.streamingJoin,
     "streaming_hll_rollup" ->
       OracleSqlText.sketchHllByWindow(graft.operators.Sketches.hllScale()),
+    "streaming_cms_topk" -> OracleSqlText.streamingCmsTopk(),
     "merge_balance_upsert" -> OracleSql.balanceUpsert(Params.AsOf),
     "agg_salted_sum" -> OracleSql.aggSaltedSum,
     "train_splits" -> OracleSqlText.trainSplits(),

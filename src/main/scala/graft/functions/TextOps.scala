@@ -1252,4 +1252,42 @@ object TextOps {
           .as("avg_logratio"))
       .orderBy("doc_id")
   }
+
+  /** DSIR importance RESAMPLING — the second half of the published method
+    * ([[dsirWeights]] scores; this draws): a without-replacement sample of
+    * `k` docs with probability ∝ exp(log w) via the Gumbel-top-k trick
+    * (Kool, van Hoof & Welling 2019 — public; equivalent to
+    * Efraimidis–Spirakis but stated in log space, which matters here
+    * because doc log-weights span hundreds of nats and exp(log w) would
+    * overflow doubles): key = log w + Gumbel(0,1), take the k largest.
+    *
+    * Determinism: u = (md5-hash32(doc_id) + 0.5)/2³² — strictly inside
+    * (0,1) so the double Gumbel −ln(−ln u) is always finite; the key is
+    * one fixed double expression of the exact integer log-weight and u,
+    * written identically in the oracle, with doc_id the total tie-break.
+    * The emitted key is floored to integer nanos so the gate compares
+    * integers.
+    *
+    * Scale shape: [[dsirWeights]]' rollup, then orderBy(key).limit(k) —
+    * TakeOrderedAndProject (per-partition heaps + a k·partitions driver
+    * merge), never a global sort. The rank window after the limit orders
+    * k rows, not the corpus. */
+  def dsirResample(docs: DataFrame, targetLang: String = "en",
+      buckets: Int = 256, k: Int = 100): DataFrame = {
+    val hashId = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val keyed = dsirWeights(docs, targetLang, buckets)
+      .select(col("doc_id"), col("logratio_micro"),
+        ((hashId + lit(0.5)) / lit(4294967296.0)).as("u"))
+      .withColumn("gkey",
+        col("logratio_micro").cast("double") / lit(1e6) - log(-log(col("u"))))
+    keyed
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("logratio_micro"),
+        floor(col("gkey") * 1e9).cast("long").as("gkey_nano"),
+        row_number().over(Window.orderBy(col("gkey").desc, col("doc_id")))
+          .cast("long").as("sample_rank"))
+      .orderBy("sample_rank")
+  }
 }

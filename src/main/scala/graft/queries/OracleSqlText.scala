@@ -2249,6 +2249,36 @@ FROM probes JOIN counters USING (j, bucket)
 GROUP BY token, occurrences
 ORDER BY occurrences DESC, token"""
 
+  /** Mirrors StreamingAnalytics.replayCmsTopk: the per-hour single-pass
+    * CMS — equal to the streamed micro-batch build by counter additivity.
+    * Same salted md5 bucket family as [[cmsTokenCounts]]. */
+  def streamingCmsTopk(d: Int = 4, w: Int = 64): String = s"""
+WITH rows_ AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, j,
+         (${hex8IntSql("j::VARCHAR || '_' || event_type")}) % $w AS bucket
+  FROM events CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1})) AS j)
+),
+counters AS (
+  SELECT window_start, j, bucket, COUNT(*) AS c FROM rows_ GROUP BY 1, 2, 3
+),
+exact AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+         COUNT(*) AS occurrences
+  FROM events GROUP BY 1, 2
+),
+probes AS (
+  SELECT window_start, event_type, occurrences, j,
+         (${hex8IntSql("j::VARCHAR || '_' || event_type")}) % $w AS bucket
+  FROM exact CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1})) AS j)
+)
+SELECT p.window_start, p.event_type, p.occurrences,
+       MIN(c.c) AS cms_estimate,
+       MIN(c.c) - p.occurrences AS overestimate
+FROM probes p JOIN counters c
+  ON c.window_start = p.window_start AND c.j = p.j AND c.bucket = p.bucket
+GROUP BY 1, 2, 3
+ORDER BY 1, 2"""
+
   /** Mirrors Dedup.substringSpans: positional L-token window hashes →
     * multi-doc census (MIN≠MAX on doc_id, the same expand-free form the
     * Spark side uses) → exact gram verification per (hv, gram) → per-doc
@@ -3439,5 +3469,24 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        ROUND(CAST(SUM(lam_micro) AS BIGINT)::DOUBLE / COUNT(*) / 1e6, 4) AS avg_logratio
 FROM occ JOIN lam USING (bucket)
 GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Mirrors TextOps.dsirResample: the weights query as a derived table,
+    * the same (hash32+0.5)/2³² uniform and Gumbel-top-k key, integer-nano
+    * key readout. */
+  def dsirResample(targetLang: String = "en", buckets: Int = 256,
+      k: Int = 100): String = s"""
+WITH w AS (SELECT doc_id, logratio_micro FROM (${dsirWeights(targetLang, buckets)}) t),
+keyed AS (
+  SELECT doc_id, logratio_micro,
+         logratio_micro::DOUBLE / 1e6
+           - ln(-ln(((${hex8IntSql("doc_id::VARCHAR")}) + 0.5) / 4294967296.0))
+           AS gkey
+  FROM w)
+SELECT doc_id, logratio_micro,
+       CAST(floor(gkey * 1e9) AS BIGINT) AS gkey_nano,
+       ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS sample_rank
+FROM keyed
+ORDER BY gkey DESC, doc_id
+LIMIT $k"""
 
 }

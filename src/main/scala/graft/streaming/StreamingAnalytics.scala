@@ -236,6 +236,70 @@ object StreamingAnalytics {
       .orderBy("window_start")
   }
 
+  /** Streaming windowed Count-Min counters: the per-window d×w COUNTER
+    * TABLE maintained as ordinary watermarked streaming state —
+    * `groupBy(window, j, bucket).agg(COUNT)` is just a windowed
+    * aggregation, and counters are ADDITIVE, so micro-batch partials
+    * merge into exactly the single-pass sketch (the
+    * [[windowedHllRegisters]] associativity story with + instead of
+    * register-MAX — together they cover the two canonical mergeable
+    * sketches at ingest time: distincts and frequencies). State per
+    * window is ≤ d·w counter rows regardless of event volume; append
+    * mode emits each window's closed counters once the watermark passes.
+    * The heavy-hitter readout is a batch pass over the emitted counters
+    * ([[replayCmsTopk]]). */
+  def windowedCmsCounters(events: DataFrame, windowLength: String = "1 hour",
+      lateness: String = "30 minutes", d: Int = 4, w: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .select(col("ts"),
+        explode(array((0 until d).map(lit): _*)).as("j"),
+        col("event_type"))
+      .select(col("ts"), col("j"),
+        pmod(graft.operators.Sketches.hash32(
+          concat_ws("_", col("j"), col("event_type"))), lit(w.toLong)).as("bucket"))
+      .groupBy(window(col("ts"), windowLength), col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"), col("j"), col("bucket"), col("c"))
+
+  /** Correctness-gate replay of [[windowedCmsCounters]]: same harness as
+    * [[replayHllRollup]] (shared staged chunks, flush sentinels,
+    * horizon-filtered far-future sentinel windows), the MIN-of-d readout
+    * applied batch-side at each window's exact per-type counts. Oracle:
+    * the per-hour single-pass CMS in SQL — equal by counter additivity.
+    * `overestimate ≥ 0` is the CMS one-sided-error contract, visible
+    * per row. */
+  def replayCmsTopk(events: DataFrame, batches: Int = 3, d: Int = 4,
+      w: Int = 64): DataFrame = {
+    val spark = events.sparkSession
+    val src = eventReplaySrc(events)
+    val dirs = stagedShared(src, batches, eventSentinels)
+    val streamed = windowedCmsCounters(
+      FileReplay.stream(spark, src.schema, dirs)
+        .withColumn("ts", col("ts").cast("timestamp")))
+    val counters = FileReplay.runToParquet(streamed, dirs, tag = "_cms")
+    val horizon = broadcast(events.agg(max(col("ts")).as("mx")))
+    val live = counters.crossJoin(horizon)
+      .filter(col("window_start").cast("timestamp_ntz") <= col("mx"))
+      .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("j"), col("bucket"), col("c"))
+    val exact = events
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("occurrences"))
+    val probes = exact.select(col("window_start"), col("event_type"),
+        col("occurrences"), explode(array((0 until d).map(lit): _*)).as("j"))
+      .withColumn("bucket", pmod(graft.operators.Sketches.hash32(
+        concat_ws("_", col("j"), col("event_type"))), lit(w.toLong)))
+    probes.join(broadcast(live), Seq("window_start", "j", "bucket"))
+      .groupBy("window_start", "event_type", "occurrences")
+      .agg(min(col("c")).as("cms_estimate"))
+      .select(col("window_start"), col("event_type"), col("occurrences"),
+        col("cms_estimate"),
+        (col("cms_estimate") - col("occurrences")).as("overestimate"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Watermarked stream-stream interval join — conversion attribution at
     * ingest time: each purchase joins the same user's views from the
     * trailing `horizon`. Both sides carry watermarks and the join

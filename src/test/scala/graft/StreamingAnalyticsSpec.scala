@@ -183,4 +183,45 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       assert(out.head.getAs[Long]("cum_cents") === 100L, "fires AT the crossing row")
     } finally query.stop()
   }
+
+  test("replayCmsTopk: streamed counters equal the batch sketch; overestimate is one-sided") {
+    import spark.implicits._
+    val ldt = (h: Int, m: Int) => java.time.LocalDateTime.of(2024, 1, 1, h, m)
+    val events = Seq(
+      (ldt(0, 10), "click", 1L, 1.0), (ldt(0, 40), "click", 2L, 1.0),
+      (ldt(0, 50), "view", 3L, 1.0), (ldt(1, 5), "click", 4L, 1.0),
+      (ldt(1, 30), "view", 5L, 1.0), (ldt(1, 45), "view", 6L, 1.0))
+      .toDF("ts", "event_type", "user_id", "value")
+    val r = StreamingAnalytics.replayCmsTopk(events, batches = 2).collect()
+    val byKey = r.map(x => (x.getAs[java.time.LocalDateTime]("window_start"),
+      x.getAs[String]("event_type")) ->
+      (x.getAs[Long]("occurrences"), x.getAs[Long]("cms_estimate"),
+        x.getAs[Long]("overestimate"))).toMap
+    assert(byKey.keySet === Set((ldt(0, 0), "click"), (ldt(0, 0), "view"),
+      (ldt(1, 0), "click"), (ldt(1, 0), "view")))
+    assert(byKey((ldt(0, 0), "click"))._1 === 2L)
+    assert(byKey((ldt(1, 0), "view"))._1 === 2L)
+    // CMS can only over-count, and with 2 types in 64 buckets it's exact here
+    assert(r.forall(_.getAs[Long]("overestimate") >= 0L))
+    assert(r.forall(x => x.getAs[Long]("cms_estimate") === x.getAs[Long]("occurrences")))
+  }
+
+  test("dsirResample: deterministic Gumbel-top-k, keys descending, rank dense") {
+    import graft.functions.TextOps
+    import spark.implicits._
+    val docs = (1L to 30L)
+      .map(i => (i, if (i % 3 == 0) "alpha beta" else "gamma delta", if (i % 3 == 0) "en" else "zz"))
+      .toDF("doc_id", "text", "lang")
+    val a = TextOps.dsirResample(docs, k = 10).collect()
+    val b = TextOps.dsirResample(docs, k = 10).collect()
+    assert(a.length === 10)
+    assert(a.map(_.getAs[Long]("sample_rank")).toSeq === (1L to 10L))
+    val keys = a.map(_.getAs[Long]("gkey_nano"))
+    assert(keys.zip(keys.tail).forall { case (x, y) => x >= y }, "keys must descend")
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "no rand(): identical draws")
+    // target-language docs carry strictly higher log-weights; with 10 of 30
+    // slots the en docs (10 of them) should dominate the sample
+    val enIds = a.map(_.getAs[Long]("doc_id")).count(_ % 3 == 0)
+    assert(enIds >= 7, s"importance resampling must favor target-like docs, got $enIds/10")
+  }
 }
