@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 268
+  val GatedQueryCount: Int = 269
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -639,6 +639,9 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     // first-class k-means clustering (the IVF quantizer's labels + sizes)
     "embed_kmeans" -> ((s, d) => Similarity.kmeansClusters(Tables.embeddings(s, d))),
+    // embedding-space outlier screen: exact integer micro^2 distance to the
+    // assigned centroid, global far-tail flag (the CLIP-filtering shape)
+    "embed_outlier_dist" -> ((s, d) => Similarity.outlierScreen(Tables.embeddings(s, d))),
     // cluster-balanced diversity sample: hash-rank cap per semantic cluster
     "sample_diversity" -> ((s, d) => Similarity.diversitySample(Tables.embeddings(s, d))),
     // class-balanced downsampling: every class capped at the minority size
@@ -1133,6 +1136,7 @@ object SparkEntry {
     "ann_matryoshka_topk" -> OracleSqlText.annMatryoshkaTopK(),
     "ann_recall_eval" -> OracleSqlText.annRecallEval(),
     "embed_kmeans" -> OracleSqlText.embedKmeans(),
+    "embed_outlier_dist" -> OracleSqlText.embedOutliers(),
     "embed_pq_codes" -> OracleSqlText.embedPqCodes(),
     "ann_pq_topk" -> OracleSqlText.annPqTopK(),
     "sample_diversity" -> OracleSqlText.sampleDiversity(),

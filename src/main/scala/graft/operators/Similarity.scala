@@ -350,6 +350,62 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Embedding-space outlier screen — the curation move behind
+    * CLIP-style filtering and embedding-based contamination pruning
+    * (public practice: distance-to-centroid pruning in DataComp/SemDeDup
+    * -adjacent pipelines): assign every vector to its k-means centroid,
+    * measure the EXACT integer micro² squared distance to it, and flag
+    * the global far tail (top `tailBp` basis points) — vectors that sit
+    * far from every semantic cluster are mojibake, mislabeled modalities,
+    * or adversarial junk, and they are the first candidates for removal.
+    *
+    * Determinism: the quantizer is the engine's standard Lloyd
+    * construction ([[lloydCentroids]] — integer-micro means); distance is
+    * Σ (xm − cm)² over per-component integer micros (NaN components null
+    * out and drop from the sum on both engines — partial distance, same
+    * rows), an order-free exact integer; the tail threshold is one
+    * `percentile` over those integers (the proven cross-engine percentile
+    * contract) and membership is a strict > on exact values.
+    *
+    * Scale shape: Lloyd training (driver state = nCentroids×dim), one
+    * assignment pass with the codegen'd score kernel, one narrow
+    * component rollup keyed on vec_id with the 8×64 centroid-component
+    * table broadcast, a 1-row threshold broadcast back. Nothing pairwise,
+    * nothing driver-side beyond the centroids.
+    *
+    * Output: (vec_id, cluster, dist2_micro2, is_outlier), ordered by
+    * vec_id. */
+  def outlierScreen(embeddings: DataFrame, nCentroids: Int = 8,
+      iters: Int = 3, tailBp: Int = 500): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
+    val cents = lloydCentroids(emb, nCentroids, iters)
+    val centComps = cents.zipWithIndex.flatMap { case (c, cell) =>
+      c.zipWithIndex.map { case (v, p) =>
+        (cell, p.toLong + 1L,
+          if (v.isNaN) None else Some(math.floor(v.toDouble * 1e6).toLong))
+      }
+    }
+    val centsDf = broadcast(centComps.toDF("cell", "pos", "cm"))
+    val d2 = withCell(emb, cents)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), col("cell"), (col("pos0") + 1).cast("long").as("pos"),
+        compMicro(col("x")).as("xm"))
+      .join(centsDf, Seq("cell", "pos"))
+      .groupBy("vec_id", "cell")
+      .agg(sum((col("xm") - col("cm")) * (col("xm") - col("cm"))).as("dist2_micro2"))
+    val thr = broadcast(d2.agg(
+      expr(s"percentile(dist2_micro2, ${1.0 - tailBp / 10000.0})").as("thr")))
+    d2.crossJoin(thr)
+      .select(col("vec_id"), col("cell").cast("long").as("cluster"),
+        col("dist2_micro2"),
+        (col("dist2_micro2") > col("thr")).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   /** Cluster-balanced diversity sample: up to `perCluster` vectors per
     * k-means cluster, chosen by the engine's portable id-hash rank — the
     * embedding-space counterpart of [[Sampling.capPerGroup]]'s domain

@@ -1376,6 +1376,34 @@ sz AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell)
 SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cluster, CAST(sz.n AS BIGINT) AS cluster_size
 FROM cells c JOIN sz USING (cell) ORDER BY vec_id"""
 
+  /** Mirrors Similarity.outlierScreen: the shared quantizer CTEs, exact
+    * integer micro² distance to the assigned (FLOAT-cast) centroid with
+    * NaN components nulled on both sides, quantile_cont tail threshold,
+    * strict > membership. */
+  def embedOutliers(nCentroids: Int = 8, iters: Int = 3, dim: Int = 64,
+      tailBp: Int = 500): String = s"""
+WITH ${ivfCellsCtes(nCentroids, iters, dim)},
+comps AS (
+  SELECT cl.vec_id, cl.cell,
+         unnest(generate_series(1, len(cl.embedding))) AS pos,
+         unnest(cl.embedding) AS x
+  FROM cells cl),
+terms AS (
+  SELECT c.vec_id, c.cell,
+         (CASE WHEN isnan(c.x) THEN NULL
+               ELSE CAST(floor(c.x::DOUBLE * 1e6) AS BIGINT) END
+          - CASE WHEN isnan(ct.centroid[c.pos]::DOUBLE) THEN NULL
+                 ELSE CAST(floor(ct.centroid[c.pos]::DOUBLE * 1e6) AS BIGINT) END)
+           AS df
+  FROM comps c JOIN c$iters ct ON ct.cell = c.cell),
+d2 AS (
+  SELECT vec_id, cell, CAST(SUM(df * df) AS BIGINT) AS dist2_micro2
+  FROM terms GROUP BY 1, 2),
+thr AS (SELECT quantile_cont(dist2_micro2, ${1.0 - tailBp / 10000.0}) AS thr FROM d2)
+SELECT vec_id, CAST(cell AS BIGINT) AS cluster, dist2_micro2,
+       dist2_micro2 > thr AS is_outlier
+FROM d2 CROSS JOIN thr ORDER BY vec_id"""
+
   /** Mirrors Similarity.diversitySample: hash-rank cap per k-means
     * cluster over the same quantizer CTEs. */
   def sampleDiversity(perCluster: Int = 10, nCentroids: Int = 8,

@@ -174,4 +174,22 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     val raw = r.map(_.getAs[Double]("mean_y")).distinct
     assert(raw.length === 2)
   }
+
+  test("outlierScreen: the one far vector carries the flag; the cluster does not") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // 19 vectors hugging the origin, one far away on axis 0
+    val rows = (1L to 19L).map { i =>
+      (i, Array.tabulate(64)(d => if (d == 0) 0.001f * i else 0f).toSeq)
+    } :+ (20L, Array.tabulate(64)(d => if (d == 0) 0.9f else 0f).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+    val r = Similarity.outlierScreen(emb, nCentroids = 1, iters = 1, tailBp = 500)
+      .collect()
+    assert(r.length === 20)
+    val flagged = r.filter(_.getAs[Boolean]("is_outlier")).map(_.getAs[Long]("vec_id"))
+    assert(flagged.toSeq === Seq(20L), s"only the far vector is the tail: ${flagged.toSeq}")
+    val d = r.map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("dist2_micro2")).toMap
+    assert(d(20L) > d.filterKeys(_ != 20L).values.max * 100,
+      "the far vector's exact integer distance dominates")
+  }
 }
