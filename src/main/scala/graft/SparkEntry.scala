@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 269
+  val GatedQueryCount: Int = 271
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -329,6 +329,12 @@ object SparkEntry {
     // explicit GROUPING SETS: the two independent margins from one scan
     "orders_grouping_sets" -> ((s, d) =>
       RelationalQueries.ordersGroupingSets(Tables.orders(s, d))),
+    // UNPIVOT/melt surface: metric columns -> (metric, value) rows via Expand
+    "orders_unpivot" -> ((s, d) =>
+      RelationalQueries.ordersUnpivot(Tables.orders(s, d))),
+    // percent_rank/cume_dist over a tie-free total order (exact rationals)
+    "window_order_percentiles" -> ((s, d) =>
+      RelationalQueries.orderPercentiles(Tables.orders(s, d))),
     "orders_cube" -> ((s, d) => RelationalQueries.ordersCube(Tables.orders(s, d))),
     // per-column table profile (rows / nulls / distincts) in one pass
     "profile_orders" -> ((s, d) => RelationalQueries.profileColumns(
@@ -1206,6 +1212,8 @@ object SparkEntry {
       OracleSql.eventsPivotMonthly(EventQueries.EventTypes),
     "orders_rollup" -> OracleSql.ordersRollup,
     "orders_grouping_sets" -> OracleSql.ordersGroupingSets,
+    "orders_unpivot" -> OracleSql.ordersUnpivot,
+    "window_order_percentiles" -> OracleSql.orderPercentiles(),
     "orders_cube" -> OracleSql.ordersCube,
     "profile_orders" -> OracleSql.profileOrders,
     "timeseries_gapfill" -> OracleSql.gapFillDaily,

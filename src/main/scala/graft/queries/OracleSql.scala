@@ -2791,6 +2791,42 @@ FROM cum ORDER BY cohort_day, age_days"""
   def formatRoundtripPruned: String =
     roundtripDigestSql("WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')")
 
+  /** Twin of RelationalQueries.ordersUnpivot: the UNION ALL long form —
+    * the explicit spelling of what unpivot/melt does. */
+  val ordersUnpivot: String = """
+WITH d AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM d
+UNION ALL
+SELECT o_orderpriority, 'cents_sum', cents_sum FROM d
+UNION ALL
+SELECT o_orderpriority, 'n_custs', n_custs FROM d
+ORDER BY o_orderpriority, metric"""
+
+  /** Twin of RelationalQueries.orderPercentiles: tie-free total order
+    * makes PERCENT_RANK/CUME_DIST exact rational functions of row_number
+    * on both engines. */
+  def orderPercentiles(mod: Int = 97): String = s"""
+WITH r AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+           ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey)
+           AS pr,
+         CUME_DIST() OVER (PARTITION BY o_orderpriority
+           ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey)
+           AS cd
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, cents,
+       ROUND(pr, 6) AS pct_rank, ROUND(cd, 6) AS cume
+FROM r WHERE o_orderkey % $mod = 0 ORDER BY o_orderkey"""
+
   /** Twin for `layout_dpp_join`: the same tier dimension as a VALUES
     * table, joined and filtered on the non-partition attribute — the
     * digest must equal the Spark side's runtime-pruned read. */

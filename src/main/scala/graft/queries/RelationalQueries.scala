@@ -1095,6 +1095,47 @@ object RelationalQueries {
       .orderBy("l_linestatus")
   }
 
+  /** UNPIVOT surface (`Dataset.unpivot`, the melt/stack operator): the
+    * per-priority digest's metric COLUMNS rotated into (metric, value)
+    * ROWS — the long-form reshape every BI export and metrics warehouse
+    * ingests. Spark plans unpivot as an Expand (each input row emits one
+    * row per value column, no shuffle, no join); the rollup before it is
+    * one map-side-combinable aggregate, so the whole query is scan →
+    * aggregate → expand. All values are exact integers widened to one
+    * shared LONG type (unpivot requires a common value type — the same
+    * contract SQL's UNION ALL twin makes explicit). */
+  def ordersUnpivot(orders: DataFrame): DataFrame = {
+    val digest = orders.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n_orders"),
+      sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"),
+      countDistinct(col("o_custkey")).as("n_custs"))
+    digest.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("cents_sum"), col("n_custs")),
+        "metric", "value")
+      .orderBy("o_orderpriority", "metric")
+  }
+
+  /** percent_rank / cume_dist surface: each order's standing within its
+    * priority class by exact spend cents. Both statistics are single
+    * divisions of engine-identical integers once the ORDER BY is made
+    * total — (cents, orderkey) has no ties, so cume_dist degenerates to
+    * row_number/n and percent_rank to (row_number−1)/(n−1) on BOTH
+    * engines, the property that makes the doubles bit-identical. The
+    * `mod`-sampled readout bounds output to ~1/mod of the corpus while
+    * still exercising every partition's full window. One keyed exchange;
+    * the sample predicate runs after ranking (it must — ranks are over
+    * the whole class). */
+  def orderPercentiles(orders: DataFrame, mod: Int = 97): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("cents"), col("o_orderkey"))
+    orders.select(col("o_orderkey"), col("o_orderpriority"), cents.as("cents"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .filter(pmod(col("o_orderkey"), lit(mod)) === 0)
+      .orderBy("o_orderkey")
+  }
+
   /** Suppliers who kept orders waiting (TPC-H Q21 shape, same lateness
     * adaptation as Q4/Q12): on finished multi-supplier orders, the
     * supplier whose line was the ONLY late one. The textbook form is a

@@ -192,4 +192,36 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     assert(d(20L) > d.filterKeys(_ != 20L).values.max * 100,
       "the far vector's exact integer distance dominates")
   }
+
+  test("ordersUnpivot: three metric rows per priority, values preserved") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 10L, "1-URGENT", 10.0), (2L, 10L, "1-URGENT", 20.0),
+      (3L, 11L, "5-LOW", 5.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    val r = RelationalQueries.ordersUnpivot(orders).collect()
+      .map(x => (x.getAs[String]("o_orderpriority"), x.getAs[String]("metric"),
+        x.getAs[Long]("value")))
+    assert(r.toSeq === Seq(
+      ("1-URGENT", "cents_sum", 3000L), ("1-URGENT", "n_custs", 1L),
+      ("1-URGENT", "n_orders", 2L),
+      ("5-LOW", "cents_sum", 500L), ("5-LOW", "n_custs", 1L),
+      ("5-LOW", "n_orders", 1L)))
+  }
+
+  test("orderPercentiles: tie-free order makes the rationals exact") {
+    import spark.implicits._
+    // keys chosen so % 97 == 0 keeps them all
+    val orders = (1L to 4L).map(i => (i * 97L, "X", i * 10.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val r = RelationalQueries.orderPercentiles(orders).collect()
+      .map(x => (x.getAs[Long]("o_orderkey"), x.getAs[Double]("pct_rank"),
+        x.getAs[Double]("cume")))
+    assert(r.toSeq === Seq(
+      (97L, 0.0, 0.25), (194L, round6(1.0 / 3), 0.5),
+      (291L, round6(2.0 / 3), 0.75), (388L, 1.0, 1.0)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
