@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 271
+  val GatedQueryCount: Int = 272
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -934,6 +934,9 @@ object SparkEntry {
     // (additive merges across micro-batches = the single-pass sketch)
     "streaming_cms_topk" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replayCmsTopk(Tables.events(s, d))),
+    // trailing-24h distincts per hour by register MERGE (never a rescan)
+    "sketch_hll_sliding" -> ((s, d) =>
+      graft.operators.Sketches.hllSlidingDistinct(Tables.events(s, d))),
     // first-crossing threshold alerts (custom keyed state + fired latch)
     "streaming_alerts" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replayThresholdAlerts(Tables.events(s, d))),
@@ -1183,6 +1186,8 @@ object SparkEntry {
     "streaming_hll_rollup" ->
       OracleSqlText.sketchHllByWindow(graft.operators.Sketches.hllScale()),
     "streaming_cms_topk" -> OracleSqlText.streamingCmsTopk(),
+    "sketch_hll_sliding" ->
+      OracleSqlText.sketchHllSliding(graft.operators.Sketches.hllScale()),
     "merge_balance_upsert" -> OracleSql.balanceUpsert(Params.AsOf),
     "agg_salted_sum" -> OracleSql.aggSaltedSum,
     "train_splits" -> OracleSqlText.trainSplits(),

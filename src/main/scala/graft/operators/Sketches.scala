@@ -132,6 +132,69 @@ object Sketches {
     hllEstimate(hllMerge(perShard), df, keyCol, b)
   }
 
+  /** Trailing-window distinct users per hour by HLL register merge — the
+    * "distinct users, last 24 h, every hour" dashboard query, answered by
+    * MERGING the hourly ≤m-row register tables instead of re-scanning 24
+    * hours of events per readout (the [[hllMerge]] associativity applied
+    * across TIME; [[graft.streaming.StreamingAnalytics.windowedHllRegisters]]
+    * maintains the same hourly tables at ingest). Each hourly register row
+    * fans out to the `windowHours` readout hours it participates in — a
+    * ×W fan-out of SKETCH rows (hours × m × W, kilobytes at any corpus
+    * size), then one (hour, bucket) MAX and the raw estimator. The exact
+    * side rides along for the gate by fanning out the distinct
+    * (hour, user) pairs the same way — the audit a production pipeline
+    * drops, and the cost the sketch path exists to avoid.
+    *
+    * Pure integer register arithmetic; the estimator is the engine's
+    * power-of-two-exact raw form; rel_error is the integer-bp floor (the
+    * round-of-division boundary lesson from the streaming HLL gate).
+    * Output: one row per hour with ≥1 event — (window_h = hours since
+    * epoch of the READOUT hour, m, n_buckets_set, est_distinct,
+    * exact_distinct, rel_error). */
+  def hllSlidingDistinct(events: DataFrame, windowHours: Int = 24,
+      b: Int = 6): DataFrame = {
+    val remBits = 32 - b
+    val rmax = remBits + 1
+    val m = 1 << b
+    val scale = hllScale(b)
+    val hourly = events
+      .select((unix_timestamp(date_trunc("hour", col("ts")).cast("timestamp")) / 3600L)
+          .cast("long").as("h"),
+        hash32(col("user_id")).as("hv"),
+        col("user_id"))
+    val regs = hourly
+      .select(col("h"), shiftright(col("hv"), remBits).as("bucket"),
+        col("hv").bitwiseAND(lit((1L << remBits) - 1)).as("rem"))
+      .select(col("h"), col("bucket"),
+        when(col("rem") === 0, lit(rmax))
+          .otherwise(lit(rmax) - length(bin(col("rem")))).cast("long").as("rank"))
+      .groupBy("h", "bucket").agg(max(col("rank")).as("r"))
+    val liveHours = broadcast(hourly.select("h").distinct())
+    val merged = regs
+      .select(explode(sequence(col("h"), col("h") + lit(windowHours - 1))).as("window_h"),
+        col("bucket"), col("r"))
+      .join(liveHours.withColumnRenamed("h", "window_h"), Seq("window_h"), "leftsemi")
+      .groupBy("window_h", "bucket").agg(max(col("r")).as("r"))
+      .groupBy("window_h").agg(
+        count(lit(1)).as("n_buckets_set"),
+        sum(expr(s"shiftleft(cast(1 as bigint), cast($rmax - r as int))")).as("s_present"))
+    val exact = hourly.select("h", "user_id").distinct()
+      .select(explode(sequence(col("h"), col("h") + lit(windowHours - 1))).as("window_h"),
+        col("user_id"))
+      .join(liveHours.withColumnRenamed("h", "window_h"), Seq("window_h"), "leftsemi")
+      .groupBy("window_h").agg(countDistinct(col("user_id")).as("exact_distinct"))
+    merged.join(exact, Seq("window_h"))
+      .select(col("window_h"), lit(m.toLong).as("m"), col("n_buckets_set"),
+        round(lit(scale) /
+          (col("s_present") + (lit(m.toLong) - col("n_buckets_set")) * (1L << rmax)), 2)
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("rel_error",
+        expr("(abs(cast(round(est_distinct * 100) as bigint) - exact_distinct * 100) * 10000) " +
+          "div (exact_distinct * 100)").cast("double") / 10000.0)
+      .orderBy("window_h")
+  }
+
   /** Raw-estimator readout over a merged register table (see
     * [[hllDistinct]] for why the estimator is the raw, un-bias-corrected
     * form: it pins bit-for-bit across engines). */

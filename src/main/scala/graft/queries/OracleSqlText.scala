@@ -2488,6 +2488,53 @@ SELECT window_start, m, n_buckets_set, est_distinct, exact_distinct,
 FROM r2 ORDER BY window_start"""
   }
 
+  /** Mirrors Sketches.hllSlidingDistinct: hourly register tables fanned
+    * out to their trailing readout hours, (hour, bucket) MAX merge, the
+    * same power-of-two-exact raw estimator and integer-bp error. */
+  def sketchHllSliding(scale: Double, windowHours: Int = 24, b: Int = 6): String = {
+    val m = 1 << b
+    val div = 1L << (32 - b)
+    val rmax = 32 - b + 1
+    val fill = 1L << rmax
+    s"""
+WITH h0 AS (
+  SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+         user_id, (${hex8IntSql("user_id::VARCHAR")}) AS hv
+  FROM events),
+regs AS (
+  SELECT h, hv // $div AS bucket,
+         MAX(CASE WHEN hv % $div = 0 THEN $rmax
+                  ELSE $rmax - length(bin(hv % $div)) END) AS r
+  FROM h0 GROUP BY 1, 2),
+live AS (SELECT DISTINCT h FROM h0),
+fan AS (
+  SELECT unnest(generate_series(h, h + ${windowHours - 1})) AS window_h, bucket, r
+  FROM regs),
+mg AS (
+  SELECT f.window_h, f.bucket, MAX(f.r) AS r
+  FROM fan f JOIN live l ON l.h = f.window_h GROUP BY 1, 2),
+s AS (
+  SELECT window_h, COUNT(*) AS n_buckets_set,
+         CAST(SUM(1::BIGINT << CAST($rmax - r AS INTEGER)) AS BIGINT) AS s_present
+  FROM mg GROUP BY 1),
+pairs AS (SELECT DISTINCT h, user_id FROM h0),
+fanx AS (
+  SELECT unnest(generate_series(h, h + ${windowHours - 1})) AS window_h, user_id
+  FROM pairs),
+e AS (
+  SELECT f.window_h, COUNT(DISTINCT f.user_id) AS exact_distinct
+  FROM fanx f JOIN live l ON l.h = f.window_h GROUP BY 1),
+r2 AS (
+  SELECT s.window_h, CAST($m AS BIGINT) AS m, n_buckets_set,
+         ROUND($scale / (s_present + ($m - n_buckets_set) * $fill), 2) AS est_distinct,
+         exact_distinct
+  FROM s JOIN e USING (window_h))
+SELECT window_h, m, n_buckets_set, est_distinct, exact_distinct,
+       ((ABS(CAST(ROUND(est_distinct * 100, 0) AS BIGINT) - exact_distinct * 100) * 10000)
+        // (exact_distinct * 100))::DOUBLE / 10000.0 AS rel_error
+FROM r2 ORDER BY window_h"""
+  }
+
   /** Mirrors Sampling.capPerGroup over (source, doc_id) — the same md5
     * rank order as every sampling oracle. */
   def capPerSource(cap: Int = 10): String = s"""

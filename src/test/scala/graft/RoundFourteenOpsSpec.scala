@@ -224,4 +224,24 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("hllSlidingDistinct: the trailing merge equals the single-pass sketch over the union") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val ldt = (h: Int) => java.time.LocalDateTime.of(2024, 1, 1, h, 30)
+    // 60 users spread over 3 hours, all inside one 24h window
+    val events = (1L to 60L).map(u => (ldt((u % 3).toInt), u))
+      .toDF("ts", "user_id")
+    val sliding = Sketches.hllSlidingDistinct(events).collect()
+    assert(sliding.length === 3, "one readout row per live hour")
+    val last = sliding.maxBy(_.getAs[Long]("window_h"))
+    assert(last.getAs[Long]("exact_distinct") === 60L)
+    // merge associativity: the last hour's trailing estimate IS the
+    // single-pass estimate over all 60 users
+    val single = Sketches.hllDistinct(events, "user_id").collect().head
+    assert(last.getAs[Double]("est_distinct") === single.getAs[Double]("est_distinct"))
+    // the first hour's window sees only its own users (20 of them)
+    val first = sliding.minBy(_.getAs[Long]("window_h"))
+    assert(first.getAs[Long]("exact_distinct") === 20L)
+  }
 }
