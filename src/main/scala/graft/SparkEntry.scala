@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 272
+  val GatedQueryCount: Int = 273
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -369,6 +369,8 @@ object SparkEntry {
     // CUPED variance-reduced readout (Deng et al. 2013): pre-period spend
     // as control covariate, theta from exact HUGEINT moment forms
     "events_ab_cuped" -> ((s, d) => EventQueries.cupedLift(Tables.events(s, d))),
+    // difference-in-differences: baseline-imbalance-corrected effect
+    "events_ab_did" -> ((s, d) => EventQueries.didLift(Tables.events(s, d))),
     // PSI drift monitor: reference-binned distribution shift per type
     "events_psi_drift" -> ((s, d) => EventQueries.psiDrift(Tables.events(s, d))),
     // seasonal-naive forecast backtest: per-weekday MAE/bias in cents
@@ -1248,6 +1250,7 @@ object SparkEntry {
     "events_rfm" -> OracleSql.rfmSegments,
     "events_ab_lift" -> OracleSql.abLift,
     "events_ab_cuped" -> OracleSql.cupedLift(),
+    "events_ab_did" -> OracleSql.didLift(),
     "events_psi_drift" -> OracleSql.psiDrift(),
     "timeseries_forecast_snaive" -> OracleSql.forecastBacktest(),
     "events_attribution" -> OracleSql.lastTouchAttribution(),

@@ -1116,6 +1116,48 @@ object EventQueries {
     *
     * Output: one row per variant — n, raw mean_y, mean_y_adj, with the
     * shared theta/rho2 audit columns repeated. */
+  /** Difference-in-differences readout (Card & Krueger 1994's design,
+    * the standard quasi-experimental estimator): the treatment effect as
+    * (B_post − B_pre) − (A_post − A_pre) over per-user pre/post spend —
+    * the pre-period difference nets out any assignment imbalance the way
+    * a raw post comparison cannot (the parallel-trends assumption made
+    * operational). Completes the experimentation family: lift (raw), SRM
+    * (assignment audit), power (sizing), CUPED (variance reduction), DiD
+    * (baseline-imbalance correction).
+    *
+    * Determinism: per-user cents are exact integers, the four cohort
+    * means are single divisions of exact integer sums, and the DiD is a
+    * fixed double tree over them — identical on both engines, one ROUND
+    * at the readout. One user-keyed rollup, a 1-row output. */
+  def didLift(events: DataFrame, cut: String = "2024-01-16 00:00:00"): DataFrame = {
+    val hv = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val cents = coalesce(round(col("value") * 100).cast("long"), lit(0L))
+    val cutTs = lit(cut).cast("timestamp_ntz")
+    val perUser = events.groupBy("user_id").agg(
+        sum(when(col("ts") < cutTs && col("event_type") === "purchase", cents)
+          .otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cutTs && col("event_type") === "purchase", cents)
+          .otherwise(0L)).as("y"))
+      .withColumn("variant", when(pmod(hv, lit(2)) === 0, "A").otherwise("B"))
+    def mean(sm: Column, n: Column): Column = sm.cast("double") / n
+    perUser.agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "A", col("x")).otherwise(0L)).as("sx_a"),
+        sum(when(col("variant") === "A", col("y")).otherwise(0L)).as("sy_a"),
+        sum(when(col("variant") === "B", col("x")).otherwise(0L)).as("sx_b"),
+        sum(when(col("variant") === "B", col("y")).otherwise(0L)).as("sy_b"))
+      .select(col("n_a"), col("n_b"),
+        round(mean(col("sx_a"), col("n_a")), 4).as("mean_pre_a"),
+        round(mean(col("sy_a"), col("n_a")), 4).as("mean_post_a"),
+        round(mean(col("sx_b"), col("n_b")), 4).as("mean_pre_b"),
+        round(mean(col("sy_b"), col("n_b")), 4).as("mean_post_b"),
+        round((mean(col("sy_b"), col("n_b")) - mean(col("sx_b"), col("n_b"))) -
+          (mean(col("sy_a"), col("n_a")) - mean(col("sx_a"), col("n_a"))), 4)
+          .as("did_cents"))
+  }
+
   def cupedLift(events: DataFrame, cut: String = "2024-01-16 00:00:00"): DataFrame = {
     val hv = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")

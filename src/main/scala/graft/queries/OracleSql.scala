@@ -1810,6 +1810,40 @@ SELECT n_users_a, n_users_b, conv_a_bp, conv_b_bp,
        cents_b // NULLIF(n_users_b, 0) AS cents_per_user_b
 FROM b"""
 
+  /** Mirrors EventQueries.didLift: the same per-user pre/post rollup as
+    * the CUPED twin, four cohort means as single divisions, the DiD as
+    * the identical fixed double tree. */
+  def didLift(cut: String = "2024-01-16 00:00:00"): String = s"""
+WITH pu AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '$cut' AND event_type = 'purchase'
+                       THEN COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '$cut' AND event_type = 'purchase'
+                       THEN COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0)
+                       ELSE 0 END) AS BIGINT) AS y,
+         CASE WHEN (${OracleSqlText.hex8IntSql("user_id::VARCHAR")}) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN variant = 'A' THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         CAST(SUM(CASE WHEN variant = 'A' THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         CAST(SUM(CASE WHEN variant = 'B' THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         CAST(SUM(CASE WHEN variant = 'B' THEN y ELSE 0 END) AS BIGINT) AS sy_b
+  FROM pu
+)
+SELECT n_a, n_b,
+       ROUND(sx_a::DOUBLE / n_a, 4) AS mean_pre_a,
+       ROUND(sy_a::DOUBLE / n_a, 4) AS mean_post_a,
+       ROUND(sx_b::DOUBLE / n_b, 4) AS mean_pre_b,
+       ROUND(sy_b::DOUBLE / n_b, 4) AS mean_post_b,
+       ROUND((sy_b::DOUBLE / n_b - sx_b::DOUBLE / n_b)
+             - (sy_a::DOUBLE / n_a - sx_a::DOUBLE / n_a), 4) AS did_cents
+FROM v"""
+
   /** Mirrors EventQueries.cupedLift: per-user pre/post cents, HUGEINT
     * n·Σxy − Σx·Σy moment forms, the same fixed double trees for θ, the
     * adjusted means and ρ², one ROUND at the readout. */

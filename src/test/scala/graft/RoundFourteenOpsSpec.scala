@@ -225,6 +225,26 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("didLift: a uniform pre-period shift cancels; the true post effect survives") {
+    import graft.queries.EventQueries
+    import spark.implicits._
+    // every user spends u*2 pre and u*2 + 100 post: whatever the md5 split,
+    // each cohort's post-pre difference is exactly 100 cents -> DiD = 0.
+    val base = (1L to 40L).flatMap { u =>
+      Seq((u, "2024-01-10 00:00:00", "purchase", u * 2.0 / 100.0),
+          (u, "2024-01-20 00:00:00", "purchase", (u * 2.0 + 100.0) / 100.0))
+    }
+    val events = base.toDF("user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val r = EventQueries.didLift(events).collect().head
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === 40L)
+    assert(r.getAs[Double]("did_cents") === 0.0,
+      "equal within-user shifts must cancel in the double difference")
+    // the rounded means are re-subtracted HERE in the test, so allow the
+    // half-ulp the 4-dp rounding reintroduces (did_cents itself is exact)
+    assert(math.abs(r.getAs[Double]("mean_post_a") - r.getAs[Double]("mean_pre_a") - 100.0) < 1e-9)
+  }
+
   test("hllSlidingDistinct: the trailing merge equals the single-pass sketch over the union") {
     import graft.operators.Sketches
     import spark.implicits._
