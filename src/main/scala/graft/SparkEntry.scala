@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 273
+  val GatedQueryCount: Int = 274
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -671,6 +671,11 @@ object SparkEntry {
     // composed onto the v3 skeleton
     "curation_pipeline_v4" -> ((s, d) =>
       graft.operators.Curation.curateV4(Tables.documents(s, d))),
+    // v5: the MODEL-derived gates composed -- DSIR distribution-match
+    // floor + embedding-geometry outlier removal over the canon corpus
+    "curation_pipeline_v5" -> ((s, d) =>
+      graft.operators.Curation.curateV5(Tables.documents(s, d),
+        Tables.embeddings(s, d))),
     // v3: round-7 signals (containment drop, C4 verdicts, PII ceiling,
     // per-source cap) composed onto the canonicalize-first skeleton
     "curation_pipeline_v3" -> ((s, d) =>
@@ -1109,6 +1114,7 @@ object SparkEntry {
     "join_interval_events" -> OracleSql.intervalClicksBeforePurchase(),
     "events_bot_screen" -> OracleSql.botScreen(),
     "curation_pipeline_v4" -> OracleSqlText.curationV4(),
+    "curation_pipeline_v5" -> OracleSqlText.curationV5(),
     "train_shard_manifest" -> OracleSqlText.shardManifest(),
     "text_gopher_rules" -> OracleSqlText.gopherRules,
     "dedup_cdc_chunks" -> OracleSqlText.cdcChunks(),

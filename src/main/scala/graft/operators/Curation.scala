@@ -268,4 +268,52 @@ object Curation {
         col("mean_quality_micro"), col("n_langs"), col("lang_entropy_micro"))
       .orderBy("source")
   }
+
+  /** Curation v5 — the round-9 signals composed: exact-dedup
+    * canonicalization → DSIR target-likeness floor (drop the bottom
+    * `dropBp` basis points by hashed-ngram importance weight — the
+    * data-selection cut the published method exists for) → embedding-
+    * space outlier removal (left join on the vector id; a doc without a
+    * vector passes — the honest join semantics of a corpus where only
+    * part of the data is embedded). Where v1–v4 gate on HEURISTIC
+    * signals (quality rules, PII, containment), v5 gates on the two
+    * MODEL-derived signals: distribution match and embedding geometry.
+    *
+    * Determinism: the canon window, the integer DSIR weights, and the
+    * outlier screen are each individually gated operators; the floor is
+    * one `percentile` over exact integer log-weights (≥ keeps the
+    * boundary), and every join is keyed on the id.
+    *
+    * Scale shape: the constituents' shapes (each documented where it
+    * lives) plus one 1-row threshold broadcast and two keyed joins —
+    * composition adds nothing quadratic.
+    *
+    * Output: the kept manifest (doc_id, source, logratio_micro), ordered
+    * by doc_id. */
+  def curateV5(docs: DataFrame, embeddings: DataFrame,
+      dropBp: Int = 2500): DataFrame = {
+    val byContent = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
+    val canon = graft.RunHygiene.stage(docs
+      .select("doc_id", "text", "lang", "source")
+      .withColumn("_canon", min(col("doc_id")).over(byContent))
+      .filter(col("doc_id") === col("_canon"))
+      .select("doc_id", "text", "lang", "source"))
+    canon.count() // read by the weights pass and the final manifest join
+    val w = graft.RunHygiene.stage(
+      TextOps.dsirWeights(canon).select("doc_id", "logratio_micro"))
+    w.count() // read by the threshold census and the manifest join
+    val thr = broadcast(w.agg(
+      expr(s"percentile(logratio_micro, ${dropBp / 10000.0})").as("q_floor")))
+    val outl = Similarity.outlierScreen(embeddings)
+      .select(col("vec_id").as("doc_id"), col("is_outlier"))
+    canon.select("doc_id", "source")
+      .join(w, Seq("doc_id"))
+      .crossJoin(thr)
+      .join(outl, Seq("doc_id"), "left")
+      .filter(col("logratio_micro") >= col("q_floor") &&
+        !coalesce(col("is_outlier"), lit(false)))
+      .select(col("doc_id"), col("source"), col("logratio_micro"))
+      .orderBy("doc_id")
+  }
 }

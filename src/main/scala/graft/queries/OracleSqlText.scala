@@ -3516,12 +3516,12 @@ fin AS (
 SELECT lang AS lang_actual, m_lang AS lang_pred, COUNT(*) AS n_docs
 FROM fin WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
 
-  /** Mirrors TextOps.dsirWeights: hashed-unigram bucket censuses in one
-    * pass, add-one log-ratio floored to micro-nats per bucket, integer
-    * per-doc sums. Same md5-hash32 bucket, same double expression. */
-  def dsirWeights(targetLang: String = "en", buckets: Int = 256): String = s"""
-WITH occ0 AS (
-  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+  /** The DSIR weight CTE chain over `src` (yields `wts`: doc_id,
+    * n_tokens, logratio_micro) — shared by [[dsirWeights]],
+    * [[dsirResample]] and the v5 curation twin. */
+  private[queries] def dsirCtes(targetLang: String = "en", buckets: Int = 256,
+      src: String = "documents"): String = s"""occ0 AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM $src),
 occ AS (
   SELECT doc_id, lang,
          CAST((${hex8IntSql("token")}) % $buckets AS BIGINT) AS bucket
@@ -3538,12 +3538,43 @@ lam AS (
          CAST(floor((ln((t_cnt + 1)::DOUBLE / (t_tot + $buckets)::DOUBLE) -
                      ln((r_cnt + 1)::DOUBLE / (r_tot + $buckets)::DOUBLE)) * 1e6)
               AS BIGINT) AS lam_micro
-  FROM census CROSS JOIN tot)
-SELECT doc_id, COUNT(*) AS n_tokens,
-       CAST(SUM(lam_micro) AS BIGINT) AS logratio_micro,
-       ROUND(CAST(SUM(lam_micro) AS BIGINT)::DOUBLE / COUNT(*) / 1e6, 4) AS avg_logratio
-FROM occ JOIN lam USING (bucket)
-GROUP BY doc_id ORDER BY doc_id"""
+  FROM census CROSS JOIN tot),
+wts AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(lam_micro) AS BIGINT) AS logratio_micro
+  FROM occ JOIN lam USING (bucket)
+  GROUP BY doc_id)"""
+
+  /** Mirrors TextOps.dsirWeights: hashed-unigram bucket censuses in one
+    * pass, add-one log-ratio floored to micro-nats per bucket, integer
+    * per-doc sums. Same md5-hash32 bucket, same double expression. */
+  def dsirWeights(targetLang: String = "en", buckets: Int = 256): String = s"""
+WITH ${dsirCtes(targetLang, buckets)}
+SELECT doc_id, n_tokens, logratio_micro,
+       ROUND(logratio_micro::DOUBLE / n_tokens / 1e6, 4) AS avg_logratio
+FROM wts ORDER BY doc_id"""
+
+  /** Mirrors Curation.curateV5: canon window, the DSIR weight chain over
+    * canon, quantile floor, and the outlier screen as a derived table —
+    * each piece the same SQL its own gate runs. */
+  def curationV5(targetLang: String = "en", buckets: Int = 256,
+      dropBp: Int = 2500, nCentroids: Int = 8, iters: Int = 3,
+      dim: Int = 64, tailBp: Int = 500): String = s"""
+WITH canon AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS _c FROM documents) t
+  WHERE doc_id = _c),
+${dsirCtes(targetLang, buckets, "canon")},
+thr AS (SELECT quantile_cont(logratio_micro, ${dropBp / 10000.0}) AS q_floor FROM wts),
+outl AS (SELECT vec_id AS doc_id, is_outlier
+         FROM (${embedOutliers(nCentroids, iters, dim, tailBp)}) z)
+SELECT c.doc_id, c.source, w.logratio_micro
+FROM canon c
+JOIN wts w USING (doc_id)
+CROSS JOIN thr
+LEFT JOIN outl o USING (doc_id)
+WHERE w.logratio_micro >= thr.q_floor AND NOT COALESCE(o.is_outlier, FALSE)
+ORDER BY doc_id"""
 
   /** Mirrors TextOps.dsirResample: the weights query as a derived table,
     * the same (hash32+0.5)/2³² uniform and Gumbel-top-k key, integer-nano

@@ -245,6 +245,29 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("mean_post_a") - r.getAs[Double]("mean_pre_a") - 100.0) < 1e-9)
   }
 
+  test("curateV5: the DSIR floor drops off-target docs; the embedding outlier drops too") {
+    import graft.operators.Curation
+    import spark.implicits._
+    // 20 on-target en docs + 4 off-target zz docs with per-doc vocabularies
+    val docs = ((1L to 20L).map(i => (i, s"alpha beta gamma u$i", "en", "s")) ++
+      (21L to 24L).map(i => (i, s"q$i r$i t$i w$i", "zz", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    // embeddings aligned on id: ids 1-8 seed spread centroids; ids 9-24
+    // pile onto centroid 8's position so the quantizer cannot give the
+    // off-axis outlier (doc 18, dim-1 displacement) a private cell — it
+    // shares cell 8 with 16 near points and sits far from their mean
+    val emb = (1L to 24L).map { i =>
+      (i, Array.tabulate(64) { d =>
+        val dim0 = if (i <= 8L) 0.1f * i else 0.8f
+        if (d == 0) dim0 else if (d == 1 && i == 18L) 0.9f else 0f
+      }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val kept = Curation.curateV5(docs, emb).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!(21L to 24L).exists(kept), s"off-target zz docs must fall below the floor: $kept")
+    assert(!kept.contains(18L), s"the embedding outlier must be dropped: $kept")
+    assert(kept.size >= 15 && kept.subsetOf((1L to 20L).toSet), s"kept: $kept")
+  }
+
   test("hllSlidingDistinct: the trailing merge equals the single-pass sketch over the union") {
     import graft.operators.Sketches
     import spark.implicits._
