@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 274
+  val GatedQueryCount: Int = 275
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -496,6 +496,8 @@ object SparkEntry {
     "dedup_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(Tables.documents(s, d))),
     // standing recall/precision audit: banded LSH vs the exact prefix join
     "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecallEval(Tables.documents(s, d))),
+    // per-decile S-curve calibration: measured detection vs 1-(1-s^r)^b
+    "dedup_lsh_scurve" -> ((s, d) => Dedup.lshScurve(Tables.documents(s, d))),
     // leakage audit: near-dup pairs straddling splits, per method (safe = 0)
     "train_leakage_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1119,6 +1121,7 @@ object SparkEntry {
     "text_gopher_rules" -> OracleSqlText.gopherRules,
     "dedup_cdc_chunks" -> OracleSqlText.cdcChunks(),
     "dedup_lsh_recall" -> OracleSqlText.dedupLshRecall,
+    "dedup_lsh_scurve" -> OracleSqlText.dedupLshScurve,
     "train_leakage_audit" -> OracleSqlText.leakageAudit(),
     "search_phrase_topk" -> OracleSqlText.phraseTopK(),
     "profile_corr" -> OracleSql.corrProfile,

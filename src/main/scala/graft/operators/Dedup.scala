@@ -901,6 +901,48 @@ object Dedup {
         expr("n_common * 1000000L div nullif(n_lsh, 0L)").as("precision_micro"))
   }
 
+  /** LSH S-curve calibration audit — [[lshRecallEval]]'s aggregate recall
+    * broken out by Jaccard decile and set against the ANALYTIC banding
+    * curve P(detect | s) = 1 − (1 − s^r)^b (Leskovec–Rajaraman–Ullman's
+    * textbook S-curve for b bands of r rows): per decile of true
+    * similarity, the measured detection rate in integer bp next to the
+    * curve's prediction at the decile midpoint. This is the calibration
+    * table that justifies a (b, r) choice — a decile whose measured rate
+    * sits far below the curve means the signature family or the banding
+    * is broken, long before aggregate recall notices.
+    *
+    * Determinism: constituents are the two gated operators; the decile
+    * comes from the ROUND(4)-pinned jaccard; the analytic curve is a pure
+    * multiplication chain (s³ via s·s·s, (1−s³)⁴ via two squarings — no
+    * pow/libm), floored to integer bp. The b = 4, r = 3 powers are
+    * hard-wired into that chain, so the parameters are asserted to match.
+    *
+    * Output: one row per populated decile — (decile, n_pairs, n_detected,
+    * detect_bp, analytic_bp). */
+  def lshScurve(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    require(bands == 4 && rowsPerBand == 3,
+      "the analytic multiplication chain is specialized to b=4, r=3")
+    val exact = graft.RunHygiene.stage(
+      ngramJaccard(docs, n, threshold).select("doc_a", "doc_b", "jaccard"))
+    exact.count() // read by the join and the rollup
+    val lsh = minhashLsh(docs, n, bands, rowsPerBand, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    val g = exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .withColumn("decile",
+        least(floor(col("jaccard") * 10), lit(9L)).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_detected"))
+    val s = (col("decile").cast("double") + lit(0.5)) / lit(10.0)
+    val q = lit(1.0) - s * s * s
+    val q2 = q * q
+    g.select(col("decile"), col("n_pairs"), col("n_detected"),
+        expr("n_detected * 10000 div n_pairs").as("detect_bp"),
+        floor((lit(1.0) - q2 * q2) * 10000).cast("long").as("analytic_bp"))
+      .orderBy("decile")
+  }
+
   /** The chunk census over [[cdcChunkRows]]: chunks seen ≥ 2 times (the
     * dedup signal) with occurrence and document counts. */
   def cdcChunks(docs: DataFrame, window: Int, divisor: Int): DataFrame =

@@ -2788,6 +2788,27 @@ SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
        CAST((SELECT COUNT(*) FROM cm) * 1000000
             // NULLIF((SELECT COUNT(*) FROM ls), 0) AS BIGINT) AS precision_micro"""
 
+  /** Mirrors Dedup.lshScurve: the two dedup oracles as derived tables,
+    * decile from the ROUND(4) jaccard, the same pow-free multiplication
+    * chain for the analytic banding curve. */
+  val dedupLshScurve: String = s"""
+WITH ex AS (SELECT doc_a, doc_b, jaccard FROM ($ngramJaccard) tx),
+ls AS (SELECT doc_a, doc_b FROM ($minhashLsh) tl),
+m AS (
+  SELECT ex.jaccard, CASE WHEN ls.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ex LEFT JOIN ls USING (doc_a, doc_b)),
+g AS (
+  SELECT LEAST(CAST(floor(jaccard * 10) AS BIGINT), 9) AS decile,
+         COUNT(*) AS n_pairs, CAST(SUM(hit) AS BIGINT) AS n_detected
+  FROM m GROUP BY 1),
+g2 AS (SELECT *, (CAST(decile AS DOUBLE) + 0.5) / 10.0 AS s FROM g),
+g3 AS (SELECT *, (1.0 - s * s * s) AS q FROM g2),
+g4 AS (SELECT *, q * q AS q2 FROM g3)
+SELECT decile, n_pairs, n_detected,
+       n_detected * 10000 // n_pairs AS detect_bp,
+       CAST(floor((1.0 - q2 * q2) * 10000) AS BIGINT) AS analytic_bp
+FROM g4 ORDER BY decile"""
+
   /** Mirrors TrainPrep.leakageAudit: simhash pairs × both split oracles,
     * straddle counts per method. */
   def leakageAudit(valPct: Int = 10, testPct: Int = 10): String = {

@@ -245,6 +245,23 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("mean_post_a") - r.getAs[Double]("mean_pre_a") - 100.0) < 1e-9)
   }
 
+  test("lshScurve: exact-duplicate shingle sets land in decile 9, fully detected") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val text = "a b c d e f g h i j k l"
+    val docs = Seq((1L, text), (2L, text), (3L, "z y x w v u t s r q p o"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshScurve(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("decile") === 9L)
+    assert(row.getAs[Long]("n_pairs") === 1L && row.getAs[Long]("n_detected") === 1L)
+    assert(row.getAs[Long]("detect_bp") === 10000L)
+    // the analytic curve at the decile midpoint s = 0.95, b = 4, r = 3
+    val s = 0.95; val q = 1.0 - s * s * s
+    assert(row.getAs[Long]("analytic_bp") === math.floor((1.0 - q * q * q * q) * 10000).toLong)
+  }
+
   test("curateV5: the DSIR floor drops off-target docs; the embedding outlier drops too") {
     import graft.operators.Curation
     import spark.implicits._
