@@ -31,9 +31,33 @@ def compare(name, spark_df, duck_df):
     a, b = normalize(spark_df), normalize(duck_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
-    dt = [c for c in a.columns if str(a[c].dtype) != str(b[c].dtype)]
+    # dtype drift is a FAILURE, not a warning: the round-9 driver rejected 10
+    # value-exact queries whose DuckDB twin left an uncast HUGEINT (pandas
+    # object/float) where Spark emitted long/decimal — this local gate said
+    # "OK" and let them ship. Only int64<->int32-style width pairs within the
+    # same kind are tolerated (both hash identically via value repr).
+    import datetime
+    def kindof(col):
+        s = str(col.dtype)
+        if s.startswith("int") or s.startswith("uint"):
+            return "i"
+        if s.startswith("datetime64"):
+            return "M"
+        if s == "object":
+            vals = col.dropna()
+            # Spark DATE parquet -> pandas object of datetime.date, DuckDB
+            # DATE -> datetime64[us]: hash-equal in the driver (9 green r9
+            # rows carry exactly this pairing), so same kind
+            if len(vals) and all(isinstance(v, datetime.date) and
+                                 not isinstance(v, datetime.datetime)
+                                 for v in vals.head(100)):
+                return "M"
+        return s
+    dt = [c for c in a.columns if str(a[c].dtype) != str(b[c].dtype)
+          and kindof(a[c]) != kindof(b[c])]
     if dt:
-        print(f"    [dtype warn] {[(c, str(a[c].dtype), str(b[c].dtype)) for c in dt]}")
+        return ("DTYPE MISMATCH "
+                f"{[(c, str(a[c].dtype), str(b[c].dtype)) for c in dt]}")
     if len(a) != len(b):
         return f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
     exact = True

@@ -19,9 +19,16 @@ PATTERNS = [
      "<internal-mirror-host>"),
     # the split-string concatenation form ("artifactory" + ".<domain>") that
     # GITLOG quotes re-import from an old revision of this very script —
-    # recoverable, so still a leak; matched by shape, never by domain
-    (re.compile(r'\\?"artifactory\\?"\s*\+\s*\\?"\.[a-z0-9.-]+\\?"'),
+    # recoverable, so still a leak; matched by shape, never by domain.
+    # GITLOG nesting stacks backslashes ( \\\" , \\\\\\\" ... ), so quote
+    # escapes are matched as ANY run of backslashes before the quote.
+    (re.compile(r'(?:\\)*"artifactory(?:\\)*"\s*\+\s*(?:\\)*"\.[a-z0-9.-]+(?:\\)*"'),
      '"<internal-mirror-host>"'),
+    # ...and the bare tail of that concatenation when the leading quote pair
+    # was already masked in an outer GITLOG layer: + "\.<domain>" right after
+    # a masked token
+    (re.compile(r'<internal-mirror-host>(?:\\)*"\s*\+\s*(?:\\)*"\.[a-z0-9.-]+(?:\\)*"'),
+     '<internal-mirror-host>"'),
 ]
 
 TARGETS = ["LEAKCHECK.json", "ADVICE.md", "VERDICT.md"]

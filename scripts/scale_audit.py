@@ -27,17 +27,26 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASE = "/root/testdata/sf0.1"
-TABLES = 10  # parquet files per complete corpus dir
+# the exact table set scaledata.py produces (scaled + copied) — a corpus dir
+# is complete only when EVERY one of these exists; counting arbitrary
+# entries let a half-built dir from a crashed run taint the scaling rows
+EXPECTED = {f"{t}.parquet" for t in (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")}
 
 
 def ensure_corpus(factor: int) -> str:
     dst = f"/tmp/sf{factor}x"
-    if len([f for f in os.listdir(dst)] if os.path.isdir(dst) else []) >= TABLES:
+    have = set(os.listdir(dst)) if os.path.isdir(dst) else set()
+    if EXPECTED <= have:
         return dst
     print(f"[scale_audit] building {dst} (factor {factor})...", flush=True)
     subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "scaledata.py"), dst,
          str(factor)], check=True)
+    missing = EXPECTED - set(os.listdir(dst))
+    if missing:
+        raise RuntimeError(f"scaledata left {dst} incomplete: {sorted(missing)}")
     return dst
 
 

@@ -67,4 +67,14 @@ object RunHygiene {
     val drained = synchronized { sweep(); pool.remove(spark) }
     if (drained != null) drained.foreach(_.unpersist(blocking = false))
   }
+
+  /** Collision-proof key for staging/index paths derived from a source
+    * dir: 64 bits of the md5 of the ABSOLUTE path. The previous
+    * `Integer.toHexString(dir.hashCode)` key was 32 bits of a weak string
+    * hash — a collision between two source dirs in one JVM would have
+    * silently reused another dataset's staging tree with no error. */
+  def pathKey(sourceDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(sourceDir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
 }

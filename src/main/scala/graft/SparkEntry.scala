@@ -423,7 +423,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val isNew = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
       val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_incr_idx_" + Integer.toHexString(d.hashCode)).toString
+        "graft_incr_idx_" + graft.RunHygiene.pathKey(d)).toString
       incrIdxBuilt.synchronized {
         if (!incrIdxBuilt.contains(idx)) {
           Dedup.buildIncrementalIndex(docs.filter(!isNew), idx)
@@ -608,7 +608,7 @@ object SparkEntry {
     // probe reads only the probed cell partitions — PartitionFilters)
     "ann_ivf_indexed" -> ((s, d) => {
       val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_ivf_idx_" + Integer.toHexString(d.hashCode)).toString
+        "graft_ivf_idx_" + graft.RunHygiene.pathKey(d)).toString
       incrIdxBuilt.synchronized {
         if (!incrIdxBuilt.contains(idx)) {
           Similarity.buildIvfIndex(Tables.embeddings(s, d), idx)
@@ -625,7 +625,7 @@ object SparkEntry {
       val isNew =
         substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) < "2"
       val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_ivf_app_" + Integer.toHexString(d.hashCode)).toString
+        "graft_ivf_app_" + graft.RunHygiene.pathKey(d)).toString
       incrIdxBuilt.synchronized {
         if (!incrIdxBuilt.contains(idx)) {
           Similarity.buildIvfIndex(emb.filter(!isNew), idx)
@@ -810,7 +810,7 @@ object SparkEntry {
     "layout_compaction_exec" -> ((s, d) =>
       graft.operators.Physical.compactionExecDigest(
         s, Tables.documents(s, d),
-        s"/tmp/graft_roundtrip/compact_${java.lang.Integer.toHexString(d.hashCode)}")),
+        s"/tmp/graft_roundtrip/compact_${graft.RunHygiene.pathKey(d)}")),
 
     // deterministic corpus sampling: exact-count stratified + weighted mix
     // fixed-size global uniform sample (distributed reservoir replacement)

@@ -164,62 +164,23 @@ object Dedup {
     * against the corpus, never corpus². In production the existing side's
     * ranked prefix index is write-once per snapshot (append-stable: document
     * frequencies drift slowly and the order only needs consistency, so a
-    * snapshot's index serves until the next compaction); here it is rebuilt
-    * per call because the gate's corpus is the input table itself. */
+    * snapshot's index serves until the next compaction); here the snapshot
+    * is rebuilt per call — as a RUN-SCOPED [[buildIncrementalIndex]] the
+    * probe then reads, so the rebuild path and the persisted-index path are
+    * ONE machine and the rebuild prices exactly build + probe. (The retired
+    * union-order implementation ranked dfreq with an un-combinable
+    * count-over-window across the full exploded union — measured ~2× the
+    * build+probe cost at sf0.1 for the identical verified output; the
+    * shared order was the union's rather than the snapshot's, but the
+    * prefix filter is lossless under ANY shared total order and exact
+    * verification erases the candidate-set difference.) */
   def incrementalNearDups(newDocs: DataFrame, existing: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.HashExpressions.registerIntersect(newDocs.sparkSession)
-    graft.functions.TextExpressions.register(newDocs.sparkSession, n)
-    // ONE tokenize+shingle pass over the tagged union (staging each side
-    // separately ran the kernel twice and doubled the stage writes)
-    val union = graft.RunHygiene.stage(
-      newDocs.select(col("doc_id"), col("text"), lit(true).as("is_new"))
-        .unionByName(existing.select(col("doc_id"), col("text"), lit(false).as("is_new")))
-        .select(col("doc_id"), col("is_new"),
-          call_function(s"word_ngrams_distinct_$n", TextOps.tokens(col("text"))).as("sh"))
-        .filter(size(col("sh")) > 0))
-    val wShingle = Window.partitionBy("shingle")
-    val wDoc = Window.partitionBy("is_new", "doc_id").orderBy("dfreq", "shingle")
-    val prefix = graft.RunHygiene.stage(
-      union.select(col("is_new"), col("doc_id"), size(col("sh")).as("sz"),
-          explode(col("sh")).as("shingle"))
-        .withColumn("dfreq", count(lit(1)).over(wShingle))
-        .withColumn("rn", row_number().over(wDoc))
-        .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-        .select("is_new", "doc_id", "shingle", "sz", "rn"))
-    prefix.count() // materialized before fan-out to both join sides
-    val overlapReq = ceil(lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz")))
-    val overlapUb = least(col("a.rn"), col("b.rn")) - 1 +
-      least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1
-    val aIsSmall = col("a.sz") <= col("b.sz") // ties: either side qualifies
-    val smallRn = when(aIsSmall, col("a.rn")).otherwise(col("b.rn"))
-    val smallSz = when(aIsSmall, col("a.sz")).otherwise(col("b.sz"))
-    val indexBound =
-      smallRn <= smallSz - ceil(lit(2 * threshold / (1 + threshold)) * smallSz) + 1
-    val candidates = prefix.filter(col("is_new")).as("a")
-      .join(prefix.filter(!col("is_new")).as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          least(col("a.sz"), col("b.sz")) >=
-            ceil(lit(threshold) * greatest(col("a.sz"), col("b.sz"))) &&
-          overlapUb >= overlapReq && indexBound)
-      .select(col("a.doc_id").as("new_doc_id"), col("b.doc_id").as("existing_doc_id"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .distinct()
-    val sortedN = union.filter(col("is_new")).select(col("doc_id").as("new_doc_id"),
-      array_sort(col("sh")).as("sh_a"))
-    val sortedE = union.filter(!col("is_new")).select(col("doc_id").as("existing_doc_id"),
-      array_sort(col("sh")).as("sh_b"))
-    candidates
-      .join(sortedN, Seq("new_doc_id"))
-      .join(sortedE, Seq("existing_doc_id"))
-      .withColumn("inter", call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
-      .withColumn("jaccard_raw",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard_raw") >= threshold)
-      .select(col("new_doc_id"), col("existing_doc_id"),
-        round(col("jaccard_raw"), 4).as("jaccard"))
-      .orderBy("new_doc_id", "existing_doc_id")
+    val runIdx = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_incr_rebuild_" + java.util.UUID.randomUUID.toString.take(8)).toString
+    buildIncrementalIndex(existing, runIdx, n, threshold)
+    incrementalNearDupsIndexed(newDocs, runIdx, n, threshold)
   }
 
   /** Write-once ranked prefix index of an EXISTING corpus snapshot — the
@@ -425,7 +386,19 @@ object Dedup {
     * With 4 bands × 3 rows, a pair at Jaccard 0.8 is caught with
     * probability 1-(1-0.8³)⁴ ≈ 0.96; at 0.3 almost never — the classic
     * LSH S-curve. The banding join shuffles on band keys only.
-    */
+    *
+    * The (4, 3) DEFAULT is the point the MEASURED curve picked, not just
+    * the textbook one: the standing [[lshScurve]] calibration gate breaks
+    * detection out by true-Jaccard decile, and on this corpus family every
+    * true pair sits in the top decile (sf0.01: 25/25 detected, decile 9,
+    * measured 10000 bp vs 9995 analytic — PLANS.md round-10 row). Where
+    * the near-dup mass lives, the (4,3) curve is ≥ 0.9995; trading toward
+    * (6,2) would buy recall in deciles 4-6 that hold zero true pairs here,
+    * while its 2-row band keys inflate low-similarity candidate volume
+    * (P(collide | s=0.2) rises 0.6% → 21.7%) — pure verify-stage cost. If
+    * a future corpus shows sub-0.9 duplicate mass, [[lshScurve]]'s decile
+    * table is the evidence that re-picks (b, r); with the 12-hash
+    * signature the menu is (2,6) (3,4) (4,3) (6,2) (12,1). */
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)

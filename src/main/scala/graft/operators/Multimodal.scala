@@ -469,13 +469,14 @@ object Multimodal {
     * window (WindowGroupLimit keeps it bounded per group).
     *
     * Band geometry is the scale lever: candidates per band grow as
-    * n²/2^bandBits, so the band space must outgrow the corpus. The first
-    * cut (32-bit hash, 8-bit bands = 256 values) measured 674 s at 500k
-    * docs — the 256-value space saturates and every bucket goes quadratic;
-    * 48-bit/12-bit (4096 values per band, same 4-band pigeonhole: any pair
-    * within Hamming 3 still shares an intact band) cuts candidate volume
-    * 16× and is the default. At larger corpora, widen again (62/15 fits
-    * the long) — geometry, not algorithm, is the knob. */
+    * n²/2^bandBits, so the band space must outgrow the corpus. The
+    * CURRENT geometry is 48-bit/12-bit — 4096 values per band, 4-band
+    * pigeonhole (any pair within Hamming 3 shares an intact band). The
+    * retired 32-bit/8-bit first cut is kept here only as the measurement
+    * that set the default: its 256-value band space saturated and every
+    * bucket went quadratic (674 s at 500k docs); 48/12 cuts candidate
+    * volume 16×. At larger corpora, widen again (62/15 fits the long) —
+    * geometry, not algorithm, is the knob. */
   def hardNegativePairs(media: DataFrame, bits: Int = 48, bandBits: Int = 12,
       maxHamming: Int = 8, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -171,9 +171,9 @@ object Physical {
     compacted.groupBy("source")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("doc_id").cast(big)).as("id_sum"),
-        sum(col("n_chars").cast(big)).as("char_sum"),
-        sum(length(col("text")).cast(big)).as("text_chars"),
+        sum(col("doc_id").cast(big)).cast("long").as("id_sum"),
+        sum(col("n_chars").cast(big)).cast("long").as("char_sum"),
+        sum(length(col("text")).cast(big)).cast("long").as("text_chars"),
         min(col("lang")).as("lang_min"),
         max(col("lang")).as("lang_max"))
       .orderBy("source")

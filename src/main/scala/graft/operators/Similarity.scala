@@ -1298,15 +1298,26 @@ object Similarity {
         when(col("v") === 0, lit(0L)).otherwise(
           ((col("a") - (col("a") % col("isq") + col("isq")) % col("isq")) /
             col("isq")).cast("long")))
+    // Audit stats stay INTEGER through the gate boundary: mean_z_micro =
+    // floor_div(Σz_micro, n) (micro units — must sit at ~0) and
+    // var_z_micro = floor_div(Σz_micro², n·1e6) (micro units — must sit at
+    // ~1e6). ROUND(double) at the boundary was the round-8/9 red row: the
+    // engines' float paths disagree on half-way digits; floor_div on exact
+    // decimals cannot. Remainder-subtraction before the division makes the
+    // numerator exactly divisible, so decimal division = true floor even
+    // for negative Σz.
+    val sdec = col("sz").cast(dec)
+    val ndec = col("n").cast(dec)
+    val edec = (col("n") * lit(1000000L)).cast(dec)
     zm.groupBy("dim")
       .agg(count(lit(1)).as("n"),
-        sum(col("z_micro")).as("sz"),
-        // z² sums pass 2⁶³ at a few tens of millions of rows — DECIMAL ↔
-        // HUGEINT
+        // z and z² sums pass 2⁶³ at a few tens of millions of rows —
+        // DECIMAL ↔ HUGEINT
+        sum(col("z_micro").cast("decimal(38,0)")).as("sz"),
         sum(col("z_micro").cast("decimal(38,0)") * col("z_micro")).as("szz"))
       .select(col("dim"), col("n"),
-        round(col("sz").cast("double") / col("n") / 1e6, 6).as("mean_z"),
-        round((col("szz").cast("double") / col("n")) / 1e12, 6).as("var_z"))
+        ((sdec - (sdec % ndec + ndec) % ndec) / ndec).cast("long").as("mean_z_micro"),
+        ((col("szz") - (col("szz") % edec + edec) % edec) / edec).cast("long").as("var_z_micro"))
       .orderBy("dim")
   }
 

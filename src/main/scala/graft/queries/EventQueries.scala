@@ -1094,28 +1094,6 @@ object EventQueries {
       .orderBy("cohort_day", "age_days")
   }
 
-  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
-    * WSDM 2013 — the industry-standard experimentation technique): use
-    * each user's PRE-period spend X as a control covariate for their
-    * post-period spend Y, reporting Y' = Y − θ(X − mean X) per variant
-    * with θ = cov(X,Y)/var(X). Pre-period behavior is independent of the
-    * treatment, so the adjustment shifts no true effect but removes the
-    * between-user variance X explains — the experiment reaches
-    * significance with (1 − ρ²)× the sample a raw readout needs.
-    *
-    * Determinism: X and Y are exact integer cents per user; θ's
-    * numerator/denominator are the textbook n·Σxy − Σx·Σy forms computed
-    * in DECIMAL(38,0) ↔ HUGEINT (exact at any corpus size — the
-    * embeddingCovariance discipline); θ, the adjusted means, and ρ² are
-    * fixed double expression trees over those exact integers, written
-    * identically in the oracle, with one ROUND at the readout.
-    *
-    * Scale shape: one user-keyed rollup of the event stream (the only
-    * corpus-wide shuffle), a 1-row global census broadcast back over the
-    * 2-row variant rollup. Nothing driver-side, nothing quadratic.
-    *
-    * Output: one row per variant — n, raw mean_y, mean_y_adj, with the
-    * shared theta/rho2 audit columns repeated. */
   /** Difference-in-differences readout (Card & Krueger 1994's design,
     * the standard quasi-experimental estimator): the treatment effect as
     * (B_post − B_pre) − (A_post − A_pre) over per-user pre/post spend —
@@ -1158,6 +1136,28 @@ object EventQueries {
           .as("did_cents"))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013 — the industry-standard experimentation technique): use
+    * each user's PRE-period spend X as a control covariate for their
+    * post-period spend Y, reporting Y' = Y − θ(X − mean X) per variant
+    * with θ = cov(X,Y)/var(X). Pre-period behavior is independent of the
+    * treatment, so the adjustment shifts no true effect but removes the
+    * between-user variance X explains — the experiment reaches
+    * significance with (1 − ρ²)× the sample a raw readout needs.
+    *
+    * Determinism: X and Y are exact integer cents per user; θ's
+    * numerator/denominator are the textbook n·Σxy − Σx·Σy forms computed
+    * in DECIMAL(38,0) ↔ HUGEINT (exact at any corpus size — the
+    * embeddingCovariance discipline); θ, the adjusted means, and ρ² are
+    * fixed double expression trees over those exact integers, written
+    * identically in the oracle, with one ROUND at the readout.
+    *
+    * Scale shape: one user-keyed rollup of the event stream (the only
+    * corpus-wide shuffle), a 1-row global census broadcast back over the
+    * 2-row variant rollup. Nothing driver-side, nothing quadratic.
+    *
+    * Output: one row per variant — n, raw mean_y, mean_y_adj, with the
+    * shared theta/rho2 audit columns repeated. */
   def cupedLift(events: DataFrame, cut: String = "2024-01-16 00:00:00"): DataFrame = {
     val hv = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")

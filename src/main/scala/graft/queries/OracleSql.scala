@@ -613,7 +613,7 @@ WITH f AS (
 )
 SELECT supp_nation, cust_nation, l_year,
        COUNT(*) AS n_lines,
-       SUM(CAST(unit AS HUGEINT)) AS volume_units,
+       CAST(SUM(CAST(unit AS HUGEINT)) AS BIGINT) AS volume_units,
        ROUND(CAST(SUM(CAST(unit AS HUGEINT)) AS DOUBLE) / 10000.0, 2) AS revenue
 FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
@@ -889,9 +889,9 @@ ORDER BY p_partkey"""
   def localSupplierVolume(regionName: String = "EUROPE",
       from: String = "1995-01-01", until: String = "1999-01-01"): String = s"""
 SELECT n_name AS nation, COUNT(*) AS n_lines,
-       SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+       CAST(SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
                 (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT))
-         AS volume_units,
+         AS BIGINT) AS volume_units,
        ROUND(CAST(SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
                 (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT))
              AS DOUBLE) / 10000.0, 2) AS revenue
@@ -912,10 +912,10 @@ GROUP BY 1 ORDER BY volume_units DESC, nation"""
   def lateLinePriorityCensus(graceDays: Int = 60, from: String = "1996-01-01",
       until: String = "1998-01-01"): String = s"""
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '$from 00:00:00'
   AND l_shipdate <  TIMESTAMP '$until 00:00:00'
@@ -2766,11 +2766,16 @@ z AS (
     FROM m JOIN isq i ON i.dim = m.dim
   )
 )
-SELECT dim, COUNT(*) AS n,
-       ROUND(CAST(SUM(z_micro) AS BIGINT)::DOUBLE / COUNT(*) / 1e6, 6) AS mean_z,
-       ROUND((SUM(CAST(z_micro AS HUGEINT) * z_micro)::DOUBLE / COUNT(*)) / 1e12, 6)
-         AS var_z
-FROM z GROUP BY dim ORDER BY dim"""
+SELECT dim, n,
+       CAST((sz - (sz % n + n) % n) // n AS BIGINT) AS mean_z_micro,
+       CAST((szz - (szz % e + e) % e) // e AS BIGINT) AS var_z_micro
+FROM (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(z_micro AS HUGEINT)) AS sz,
+         SUM(CAST(z_micro AS HUGEINT) * z_micro) AS szz,
+         CAST(COUNT(*) AS HUGEINT) * 1000000 AS e
+  FROM z GROUP BY dim
+) ORDER BY dim"""
 
   /** Mirrors EventQueries.cohortLtv: day cohort axis (DATE subtraction),
     * cents revenue, domain-sized cumulative window, exact micro per-user
@@ -2883,8 +2888,8 @@ WITH t AS (
 )
 SELECT source,
        COUNT(*) AS n,
-       SUM(CAST(doc_id AS HUGEINT)) AS id_sum,
-       SUM(CAST(n_chars AS HUGEINT)) AS char_sum,
+       CAST(SUM(CAST(doc_id AS HUGEINT)) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(n_chars AS HUGEINT)) AS BIGINT) AS char_sum,
        COUNT(lang) AS n_lang,
        MIN(lang) AS lang_min,
        MAX(lang) AS lang_max
@@ -2897,9 +2902,9 @@ FROM t GROUP BY 1 ORDER BY 1"""
   def compactionExecDigest: String = """
 SELECT source,
        COUNT(*) AS n,
-       SUM(CAST(doc_id AS HUGEINT)) AS id_sum,
-       SUM(CAST(n_chars AS HUGEINT)) AS char_sum,
-       SUM(CAST(LENGTH(text) AS HUGEINT)) AS text_chars,
+       CAST(SUM(CAST(doc_id AS HUGEINT)) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(n_chars AS HUGEINT)) AS BIGINT) AS char_sum,
+       CAST(SUM(CAST(LENGTH(text) AS HUGEINT)) AS BIGINT) AS text_chars,
        MIN(lang) AS lang_min,
        MAX(lang) AS lang_max
 FROM documents GROUP BY 1 ORDER BY 1"""
@@ -2907,10 +2912,10 @@ FROM documents GROUP BY 1 ORDER BY 1"""
   private def roundtripDigestSql(where: String): String = s"""
 SELECT o_orderpriority,
        COUNT(*) AS n,
-       SUM(CAST(o_orderkey AS HUGEINT)) AS key_sum,
-       SUM(CAST(o_custkey AS HUGEINT)) AS cust_sum,
-       SUM(CAST(FLOOR(o_totalprice * 100) AS HUGEINT)) AS cents_sum,
-       SUM(CAST(LENGTH(o_orderstatus) AS HUGEINT)) AS status_chars,
+       CAST(SUM(CAST(o_orderkey AS HUGEINT)) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_custkey AS HUGEINT)) AS BIGINT) AS cust_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS HUGEINT)) AS BIGINT) AS cents_sum,
+       CAST(SUM(CAST(LENGTH(o_orderstatus) AS HUGEINT)) AS BIGINT) AS status_chars,
        MIN(STRFTIME(o_orderdate, '%Y-%m-%d')) AS d_min,
        MAX(STRFTIME(o_orderdate, '%Y-%m-%d')) AS d_max
 FROM orders $where GROUP BY 1 ORDER BY 1"""
@@ -2928,9 +2933,9 @@ WITH t AS (
 )
 SELECT o_orderpriority,
        COUNT(*) AS n,
-       SUM(CAST(o_orderkey AS HUGEINT)) AS key_sum,
-       SUM(CAST(cents AS HUGEINT)) AS cents_sum,
-       SUM(CAST(LENGTH(o_orderstatus) AS HUGEINT)) AS status_chars,
+       CAST(SUM(CAST(o_orderkey AS HUGEINT)) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS cents_sum,
+       CAST(SUM(CAST(LENGTH(o_orderstatus) AS HUGEINT)) AS BIGINT) AS status_chars,
        MIN(order_day) AS d_min,
        MAX(order_day) AS d_max
 FROM t GROUP BY 1 ORDER BY 1"""

@@ -179,6 +179,9 @@ object RelationalQueries {
         sum(unit).as("volume_units"))
       .withColumn("revenue",
         round(col("volume_units").cast("double") / 10000.0, 2))
+      // accumulate in DECIMAL(38,0); the EMITTED sum is LONG (the gate
+      // boundary type every green twin uses — CAST(SUM AS BIGINT))
+      .withColumn("volume_units", col("volume_units").cast("long"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -1066,6 +1069,8 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_lines"), sum(unit).as("volume_units"))
       .withColumn("revenue",
         round(col("volume_units").cast("double") / 10000.0, 2))
+      // DECIMAL(38,0) accumulation, LONG at the gate boundary
+      .withColumn("volume_units", col("volume_units").cast("long"))
       .orderBy(col("volume_units").desc, col("nation"))
   }
 

@@ -36,9 +36,11 @@ object FormatRoundtrip {
   /** Staging root: one subdirectory per (format, source-dir) pair so sf0.001
     * / sf0.01 / stress runs in one JVM never clobber each other. Inputs under
     * a testdata dir are immutable, but the write is mode(overwrite) anyway so
-    * a re-run is self-healing. */
+    * a re-run is self-healing. Keyed by a strong digest of the absolute
+    * path ([[graft.RunHygiene.pathKey]]) — a 32-bit hashCode collision
+    * would have silently crossed two datasets' staging trees. */
   private def stagingDir(fmt: String, sourceDir: String): String =
-    s"/tmp/graft_roundtrip/${fmt}_${java.lang.Integer.toHexString(sourceDir.hashCode)}"
+    s"/tmp/graft_roundtrip/${fmt}_${graft.RunHygiene.pathKey(sourceDir)}"
 
   /** orders with the timestamp normalized to µs TIMESTAMP_NTZ (the engine's
     * wall-clock convention — see [[Tables]] scaladoc), so the ORC writer
@@ -67,27 +69,32 @@ object FormatRoundtrip {
 
   private val big = DecimalType(38, 0)
 
-  /** Per-priority digest of the full-fidelity (ORC) roundtrip. */
+  /** Per-priority digest of the full-fidelity (ORC) roundtrip. Sums
+    * accumulate in DECIMAL(38,0) (overflow-proof at any corpus size) and
+    * are EMITTED as LONG — the gate boundary type every green twin uses
+    * (`CAST(SUM(...) AS BIGINT)`); per-priority digests of this corpus
+    * shape fit int64 with 9 orders of magnitude to spare. */
   private def fullDigest(df: DataFrame): DataFrame =
     df.groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("o_orderkey").cast(big)).as("key_sum"),
-        sum(col("o_custkey").cast(big)).as("cust_sum"),
-        sum(floor(col("o_totalprice") * lit(100)).cast(big)).as("cents_sum"),
-        sum(length(col("o_orderstatus")).cast(big)).as("status_chars"),
+        sum(col("o_orderkey").cast(big)).cast("long").as("key_sum"),
+        sum(col("o_custkey").cast(big)).cast("long").as("cust_sum"),
+        sum(floor(col("o_totalprice") * lit(100)).cast(big)).cast("long").as("cents_sum"),
+        sum(length(col("o_orderstatus")).cast(big)).cast("long").as("status_chars"),
         min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("d_min"),
         max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("d_max"))
       .orderBy("o_orderpriority")
 
-  /** Per-priority digest of the text-safe (CSV/JSON) roundtrip. */
+  /** Per-priority digest of the text-safe (CSV/JSON) roundtrip — same
+    * DECIMAL accumulation / LONG boundary as [[fullDigest]]. */
   private def textDigest(df: DataFrame): DataFrame =
     df.groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("o_orderkey").cast(big)).as("key_sum"),
-        sum(col("cents").cast(big)).as("cents_sum"),
-        sum(length(col("o_orderstatus")).cast(big)).as("status_chars"),
+        sum(col("o_orderkey").cast(big)).cast("long").as("key_sum"),
+        sum(col("cents").cast(big)).cast("long").as("cents_sum"),
+        sum(length(col("o_orderstatus")).cast(big)).cast("long").as("status_chars"),
         min(col("order_day")).as("d_min"),
         max(col("order_day")).as("d_max"))
       .orderBy("o_orderpriority")
@@ -209,7 +216,12 @@ object FormatRoundtrip {
     * fill. Schema merge is a footer-metadata operation (cost ∝ files, not
     * bytes); the data read stays columnar and pruned. */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val path = stagingDir("evo", dir)
+    // Fresh RUN-SCOPED subdir per invocation: the overwrite-then-append
+    // pair below is not atomic, so two concurrent invocations sharing one
+    // directory could interleave (one run's overwrite racing the other's
+    // append doubles batch 2). A per-run path makes the gate re-entrant;
+    // stale runs are overwritten space, not correctness hazards.
+    val path = s"${stagingDir("evo", dir)}/run_${java.util.UUID.randomUUID.toString.take(8)}"
     val docs = Tables.documents(spark, dir)
     docs.where(pmod(col("doc_id"), lit(2)) === 0)
       .select("doc_id", "source", "n_chars")
@@ -221,8 +233,8 @@ object FormatRoundtrip {
       .groupBy("source")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("doc_id").cast(big)).as("id_sum"),
-        sum(col("n_chars").cast(big)).as("char_sum"),
+        sum(col("doc_id").cast(big)).cast("long").as("id_sum"),
+        sum(col("n_chars").cast(big)).cast("long").as("char_sum"),
         count(col("lang")).as("n_lang"),
         min(col("lang")).as("lang_min"),
         max(col("lang")).as("lang_max"))

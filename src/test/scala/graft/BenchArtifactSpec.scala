@@ -10,12 +10,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * without a SparkSession or a bench. */
 class BenchArtifactSpec extends AnyFunSuite {
 
-  // Mirrors main's envJson shape, including the round-9 gate stamps: the
-  // gate requires BOTH the 1m and 5m averages under the bar, and the two
-  // observed values land in the artifact so a reader can re-adjudicate.
+  // Mirrors main's envJson shape, including the round-9/10 gate stamps: the
+  // gate requires BOTH the 1m and 5m averages under the bar (at run start
+  // AND re-armed before the warm pass), and the observed values land in the
+  // artifact so a reader can re-adjudicate.
   private val env =
     """{"load_before":"0.5 0.4 0.3","load_after":"1.0 0.6 0.4","load_gate":"ok",""" +
-      """"load_gate_1m":0.500,"load_gate_5m":0.400,"jvm_cpus":32}"""
+      """"load_gate_1m":0.500,"load_gate_5m":0.400,""" +
+      """"warm_gate":"ok","warm_gate_1m":0.600,"warm_gate_5m":0.700,"jvm_cpus":32}"""
 
   private def render(
       timings: Seq[(String, Double)] = Seq("_pipeline_materialize" -> 1.5, "q1" -> 2.0, "q2" -> 0.25),
@@ -29,7 +31,8 @@ class BenchArtifactSpec extends AnyFunSuite {
     for (key <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
         "\"queries\":{", "\"warm_total\":", "\"warm_rerun\":{", "\"warm_errors\":{",
         "\"env\":{", "\"errors\":{", "\"sf\":", "\"load_gate\":",
-        "\"load_gate_1m\":", "\"load_gate_5m\":"))
+        "\"load_gate_1m\":", "\"load_gate_5m\":",
+        "\"warm_gate\":", "\"warm_gate_1m\":", "\"warm_gate_5m\":"))
       assert(js.contains(key), s"missing $key in $js")
   }
 

@@ -33,7 +33,7 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
       lineitem, orders, customer, supplier, nation, region).collect()
     assert(r.length === 1)
     assert(r.head.getAs[String]("nation") === "N1")
-    assert(r.head.getAs[java.math.BigDecimal]("volume_units").longValueExact === 1000000L)
+    assert(r.head.getAs[Long]("volume_units") === 1000000L)
     assert(r.head.getAs[Double]("revenue") === 100.0)
   }
 

@@ -276,12 +276,13 @@ class RoundTenOpsSpec extends AnyFunSuite {
     val r = graft.operators.Similarity.embeddingStandardize(rows, kDims = 3)
       .collect().map(x => x.getLong(0) -> x).toMap
     assert(r.size === 3)
-    // varying dim: mean ~0 (floor-quantization bias < 1e-5), var ~1
-    assert(math.abs(r(0L).getAs[Double]("mean_z")) < 1e-4)
-    assert(math.abs(r(0L).getAs[Double]("var_z") - 1.0) < 1e-4)
+    // varying dim: mean ~0 (floor-quantization bias, < 100 micro = 1e-4)
+    // and var ~1 (±1e-4) — the audit now emits exact INTEGER micro units
+    assert(math.abs(r(0L).getAs[Long]("mean_z_micro")) < 100L)
+    assert(math.abs(r(0L).getAs[Long]("var_z_micro") - 1000000L) < 100L)
     // constant dims: z = 0 by convention, so mean and var audit to exactly 0
-    assert(r(1L).getAs[Double]("mean_z") === 0.0)
-    assert(r(1L).getAs[Double]("var_z") === 0.0)
+    assert(r(1L).getAs[Long]("mean_z_micro") === 0L)
+    assert(r(1L).getAs[Long]("var_z_micro") === 0L)
   }
 
   test("contractCheck: a clean corpus passes every rule; violations are counted, not crashed") {
