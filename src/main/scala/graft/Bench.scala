@@ -116,6 +116,9 @@ object Bench {
     try {
       SparkEntry.queries("fifo_match")(spark, sfDir).count()
       SparkEntry.queries("balance_history")(spark, sfDir).count()
+      // shared curation prefix (canon + C4/containment/PII censuses):
+      // ETL-once/query-many exactly like the matched ledger above
+      SparkEntry.materializeCurationShared(spark, sfDir)
     } catch { case _: Throwable => }
     val materializeSec = (System.nanoTime() - tMat0) / 1e9
     // session-lived stage caches live in SparkEntry (never registered with

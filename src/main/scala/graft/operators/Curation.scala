@@ -124,37 +124,75 @@ object Curation {
     * rank — every shuffle keyed, nothing quadratic.
     *
     * Output: kept docs as (doc_id, source, n_tokens, sample_rank ≤ cap). */
-  def curateV3(docs: DataFrame, tau: Double = 0.8, maxPii: Int = 2,
-      cap: Int = 10): DataFrame = {
+  /** The stage prefix curateV3/V4/V5 SHARE: the exact-dedup canonical
+    * corpus plus the three doc-keyed censuses v3 and v4 both consume (C4
+    * verdict+sizes, the containment loser set at `tau`, the PII count).
+    * Extracted so a session can build the prefix ONCE and run every
+    * downstream pipeline against it — the `stages()` memo pattern
+    * (round-9 verdict #7: each vN gate rebuilding the identical prefix
+    * per call is recomputed work, and it grows with every composed
+    * pipeline added).
+    *
+    * `sessionLived = false` (the default — standalone operator calls)
+    * registers the frames with [[graft.RunHygiene]] so the caller's
+    * post-action drain releases them; `true` (the bench/verify session
+    * caches in SparkEntry) plain-persists them so they survive the
+    * per-query drains for the session's lifetime. */
+  final case class CurationShared(canon: DataFrame, c4: DataFrame,
+      contained: DataFrame, pii: DataFrame)
+
+  def sharedStages(docs: DataFrame, tau: Double = 0.8,
+      sessionLived: Boolean = false): CurationShared = {
+    def hold(df: DataFrame): DataFrame =
+      if (sessionLived)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else graft.RunHygiene.stage(df)
     val byContent = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text").cast("binary")))
-    // staged: containment, C4, and scrub each scan the canonical corpus
-    val canon = graft.RunHygiene.stage(docs.select("doc_id", "text", "source")
+    // staged: containment, C4, and scrub each scan the canonical corpus.
+    // lang rides along for v5 (harmless to v3/v4 — every consumer selects
+    // its columns explicitly); a lang-less corpus gets a NULL column, the
+    // honest value, rather than a required-column error
+    val docsL =
+      if (docs.columns.contains("lang")) docs
+      else docs.withColumn("lang", lit(null).cast("string"))
+    val canon = hold(docsL.select("doc_id", "text", "lang", "source")
       .withColumn("_canon", min(col("doc_id")).over(byContent))
       .filter(col("doc_id") === col("_canon"))
-      .select("doc_id", "text", "source"))
+      .select("doc_id", "text", "lang", "source"))
     canon.count()
-    val c4 = TextOps.c4Filters(canon).select("doc_id", "n_tokens", "keep")
+    val c4 = hold(TextOps.c4Filters(canon).select("doc_id", "n_tokens", "keep"))
+    c4.count() // read by the containment sizes AND two downstream joins
     // doc-in-doc drop rule: the CONTAINED (smaller) side loses — its
     // content is inside the keeper; equal sizes are near-identical docs
     // and fall back to the keep-lowest-id convention
     val sizes = c4.select("doc_id", "n_tokens")
-    val contained = Dedup.containmentPairs(canon, threshold = tau)
+    val contained = hold(Dedup.containmentPairs(canon, threshold = tau)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_tokens").as("ta")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_tokens").as("tb")), Seq("doc_b"))
       .select(when(col("ta") < col("tb"), col("doc_a"))
         .when(col("tb") < col("ta"), col("doc_b"))
         .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val pii = TextOps.scrubStats(canon).select(col("doc_id"),
-      (col("n_urls") + col("n_emails") + col("n_blocklist")).as("n_pii"))
-    val survivors = canon.select("doc_id", "source")
-      .join(c4, Seq("doc_id"))
-      .join(pii, Seq("doc_id"))
-      .join(contained, Seq("doc_id"), "left_anti")
+      .distinct())
+    val pii = hold(TextOps.scrubStats(canon).select(col("doc_id"),
+      (col("n_urls") + col("n_emails") + col("n_blocklist")).as("n_pii")))
+    CurationShared(canon, c4, contained, pii)
+  }
+
+  def curateV3(docs: DataFrame, tau: Double = 0.8, maxPii: Int = 2,
+      cap: Int = 10): DataFrame =
+    curateV3Shared(sharedStages(docs, tau), maxPii, cap)
+
+  /** [[curateV3]] against an already-built shared prefix. */
+  def curateV3Shared(sh: CurationShared, maxPii: Int = 2,
+      cap: Int = 10): DataFrame = {
+    val survivors = sh.canon.select("doc_id", "source")
+      .join(sh.c4, Seq("doc_id"))
+      .join(sh.pii, Seq("doc_id"))
+      .join(sh.contained, Seq("doc_id"), "left_anti")
       .filter(col("keep") && col("n_pii") <= maxPii)
     Sampling.capPerGroup(survivors, "source", cap)
-      .join(c4.select("doc_id", "n_tokens"), Seq("doc_id"))
+      .join(sh.c4.select("doc_id", "n_tokens"), Seq("doc_id"))
       .select(col("doc_id"), col("grp").as("source"), col("n_tokens"), col("sample_rank"))
       .orderBy("source", "sample_rank")
   }
@@ -174,50 +212,39 @@ object Curation {
     * nothing quadratic; the share is exact BIGINT micro-units. Output
     * schema unchanged from v3 (doc_id, source, n_tokens, sample_rank). */
   def curateV4(docs: DataFrame, tau: Double = 0.8, maxPii: Int = 2,
+      cap: Int = 10, maxDupShareMicro: Long = 600000L): DataFrame =
+    curateV4Shared(sharedStages(docs, tau), maxPii, cap, maxDupShareMicro)
+
+  /** [[curateV4]] against an already-built shared prefix: only the two
+    * v4-specific censuses (Gopher verdicts, CDC dup-chunk share) are
+    * computed here. */
+  def curateV4Shared(sh: CurationShared, maxPii: Int = 2,
       cap: Int = 10, maxDupShareMicro: Long = 600000L): DataFrame = {
-    val byContent = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("text").cast("binary")))
-    val canon = graft.RunHygiene.stage(docs.select("doc_id", "text", "source")
-      .withColumn("_canon", min(col("doc_id")).over(byContent))
-      .filter(col("doc_id") === col("_canon"))
-      .select("doc_id", "text", "source"))
-    canon.count()
-    val c4 = TextOps.c4Filters(canon).select("doc_id", "n_tokens", "keep")
-    val gopher = TextOps.gopherRules(canon)
+    val gopher = TextOps.gopherRules(sh.canon)
       .select(col("doc_id"), col("keep").as("g_keep"))
-    val sizes = c4.select("doc_id", "n_tokens")
-    val contained = Dedup.containmentPairs(canon, threshold = tau)
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_tokens").as("ta")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_tokens").as("tb")), Seq("doc_b"))
-      .select(when(col("ta") < col("tb"), col("doc_a"))
-        .when(col("tb") < col("ta"), col("doc_b"))
-        .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val pii = TextOps.scrubStats(canon).select(col("doc_id"),
-      (col("n_urls") + col("n_emails") + col("n_blocklist")).as("n_pii"))
     // CDC boilerplate share: chars inside chunks shared across canon docs
-    val chunkRows = graft.RunHygiene.stage(Dedup.cdcChunkRows(canon))
+    val chunkRows = graft.RunHygiene.stage(Dedup.cdcChunkRows(sh.canon))
     chunkRows.count() // census + ride-back both read it
     val crossDoc = chunkRows.groupBy("chunk")
       .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
     val dupChars = chunkRows.join(crossDoc.select("chunk"), Seq("chunk"))
       .groupBy("doc_id").agg(sum(length(col("chunk"))).as("dup_chars"))
-    val dupShare = canon.select(col("doc_id"), length(col("text")).as("len"))
+    val dupShare = sh.canon.select(col("doc_id"), length(col("text")).as("len"))
       .join(dupChars, Seq("doc_id"), "left")
       .select(col("doc_id"), expr(
         // empty doc: no chars, no duplicated chars — share 0, not a crash
         "coalesce(coalesce(dup_chars, 0L) * 1000000L div nullif(len, 0), 0L)")
         .as("dup_share_micro"))
-    val survivors = canon.select("doc_id", "source")
-      .join(c4, Seq("doc_id"))
+    val survivors = sh.canon.select("doc_id", "source")
+      .join(sh.c4, Seq("doc_id"))
       .join(gopher, Seq("doc_id"))
-      .join(pii, Seq("doc_id"))
+      .join(sh.pii, Seq("doc_id"))
       .join(dupShare, Seq("doc_id"))
-      .join(contained, Seq("doc_id"), "left_anti")
+      .join(sh.contained, Seq("doc_id"), "left_anti")
       .filter(col("keep") && col("g_keep") && col("n_pii") <= maxPii &&
         col("dup_share_micro") <= maxDupShareMicro)
     Sampling.capPerGroup(survivors, "source", cap)
-      .join(c4.select("doc_id", "n_tokens"), Seq("doc_id"))
+      .join(sh.c4.select("doc_id", "n_tokens"), Seq("doc_id"))
       .select(col("doc_id"), col("grp").as("source"), col("n_tokens"), col("sample_rank"))
       .orderBy("source", "sample_rank")
   }
@@ -300,6 +327,17 @@ object Curation {
       .filter(col("doc_id") === col("_canon"))
       .select("doc_id", "text", "lang", "source"))
     canon.count() // read by the weights pass and the final manifest join
+    curateV5Canon(canon, embeddings, dropBp)
+  }
+
+  /** [[curateV5]] against an already-canonicalized corpus (the shared
+    * prefix's `canon` — v5 consumes only that member). */
+  def curateV5Shared(sh: CurationShared, embeddings: DataFrame,
+      dropBp: Int = 2500): DataFrame =
+    curateV5Canon(sh.canon, embeddings, dropBp)
+
+  private def curateV5Canon(canon: DataFrame, embeddings: DataFrame,
+      dropBp: Int): DataFrame = {
     val w = graft.RunHygiene.stage(
       TextOps.dsirWeights(canon).select("doc_id", "logratio_micro"))
     w.count() // read by the threshold census and the manifest join
