@@ -91,4 +91,36 @@ class FormatRoundtripSpec extends AnyFunSuite {
     val kept = scan.select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
     assert(kept.toSeq === Seq("1-URGENT", "2-HIGH"))
   }
+
+  test("schema evolution is re-entrant: two concurrent invocations both digest clean") {
+    // The gate's overwrite-then-append pair is not atomic; before the
+    // run-scoped subdir fix, two concurrent runs sharing one directory
+    // could interleave (one run's overwrite racing the other's append
+    // doubles batch 2). Deliberately race two invocations end-to-end and
+    // require BOTH to produce the reference digest.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Seq(
+      Future(rows(FormatRoundtrip.schemaEvolution(spark, sf))),
+      Future(rows(FormatRoundtrip.schemaEvolution(spark, sf))))
+    val results = Await.result(Future.sequence(runs), 5.minutes)
+    // the reference digest straight from the source parquet — a doubled
+    // append batch (the interleave symptom) shows up in EVERY column here
+    import org.apache.spark.sql.functions._
+    val expected = rows(graft.sources.Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("doc_id").cast("decimal(38,0)")).cast("long").as("id_sum"),
+        sum(col("n_chars").cast("decimal(38,0)")).cast("long").as("char_sum"),
+        count(when(pmod(col("doc_id"), lit(2)) === 1, col("lang"))).as("n_lang"),
+        min(when(pmod(col("doc_id"), lit(2)) === 1, col("lang"))).as("lang_min"),
+        max(when(pmod(col("doc_id"), lit(2)) === 1, col("lang"))).as("lang_max"))
+      .orderBy("source"))
+    assert(results(0) === expected)
+    assert(results(1) === expected)
+    // and a sequential re-run (fresh run dir) still matches
+    assert(rows(FormatRoundtrip.schemaEvolution(spark, sf)) === expected)
+  }
 }
