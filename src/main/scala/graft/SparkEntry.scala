@@ -456,6 +456,27 @@ object SparkEntry {
       }
       Dedup.incrementalNearDupsIndexed(docs.filter(isNew), idx)
     }),
+    // index LIFECYCLE end-to-end: snapshot built on the ~50% base split,
+    // a day's survivor batch APPENDED under the frozen snapshot order,
+    // then COMPACTED (dfreq refreshed from the index's own arrays tree,
+    // prefixes re-ranked, trees swapped) — the probe against the
+    // compacted index must hash-match the same oracle as the rebuild
+    // path (exact verification erases the order difference)
+    "dedup_incremental_compacted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_incr_cmp_" + graft.RunHygiene.pathKey(d)).toString
+      incrIdxBuilt.synchronized {
+        if (!incrIdxBuilt.contains(idx)) {
+          Dedup.buildIncrementalIndex(docs.filter(h >= "8"), idx)
+          Dedup.appendToIncrementalIndex(docs.filter(h >= "4" && h < "8"), idx)
+          Dedup.compactIncrementalIndex(s, idx)
+          incrIdxBuilt += idx
+        }
+      }
+      Dedup.incrementalNearDupsIndexed(docs.filter(h < "4"), idx)
+    }),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     // asymmetric containment: doc-in-doc duplication Jaccard misses
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
@@ -1105,6 +1126,10 @@ object SparkEntry {
     "text_bpe_fertility" -> OracleSqlText.bpeFertility(),
     "dedup_incremental" -> OracleSqlText.incrementalNearDups,
     "dedup_incremental_indexed" -> OracleSqlText.incrementalNearDups,
+    // build->append->compact lifecycle path; same pairs, same oracle (the
+    // twin splits new(<'4') vs existing(>='4') — base/append is an index-
+    // side implementation detail the exact verify erases)
+    "dedup_incremental_compacted" -> OracleSqlText.incrementalNearDups,
     "dedup_minhash_lsh" -> OracleSqlText.minhashLsh,
     "dedup_containment" -> OracleSqlText.containmentPairs(),
     "text_simhash" -> OracleSqlText.simhash,

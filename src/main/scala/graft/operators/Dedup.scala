@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -219,6 +219,92 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/prefix")
     sh.select(col("doc_id"), size(col("sh")).as("sz"), array_sort(col("sh")).as("shs"))
       .write.mode("overwrite").parquet(s"$path/arrays")
+  }
+
+  /** Index MAINTENANCE, part 1: append a survivor batch to a snapshot
+    * index under the snapshot's FROZEN (dfreq, shingle) order — the
+    * daily-crawl write path (the [[graft.operators.Similarity]] IVF
+    * append discipline: quantizer frozen, postings extended). The batch's
+    * shingles rank with the snapshot frequency, unseen shingles at
+    * frequency ZERO rank first — the same rarest-first extension the
+    * probe path uses, so every index doc (base or appended) and every
+    * probe rank under ONE total order and the prefix filter stays
+    * lossless (Bayardo et al.: any shared total order works). dfreq/ is
+    * deliberately NOT touched: refreshing it here would re-rank nothing
+    * but future writes and silently break the ALREADY-WRITTEN base
+    * prefixes' order consistency — frequency refresh is exactly what
+    * [[compactIncrementalIndex]] is for. Batches must be doc_id-disjoint
+    * from the snapshot (the caller's dedup contract).
+    *
+    * Cost: shingle the batch, one broadcast-shaped dfreq lookup join, one
+    * batch-keyed rank window, two parquet appends — all ∝ batch size,
+    * never corpus. */
+  def appendToIncrementalIndex(newDocs: DataFrame, path: String, n: Int = 3,
+      threshold: Double = 0.5): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = newDocs.sparkSession
+    graft.functions.TextExpressions.register(spark, n)
+    val dfreq = spark.read.parquet(s"$path/dfreq")
+    val sh = graft.RunHygiene.stage(
+      newDocs.select(col("doc_id"),
+          call_function(s"word_ngrams_distinct_$n", TextOps.tokens(col("text"))).as("sh"))
+        .filter(size(col("sh")) > 0))
+    sh.count() // prefix write and arrays write share one shingle pass
+    val wDoc = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
+    sh.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+      .join(dfreq, Seq("shingle"), "left")
+      .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("doc_id", "shingle", "sz", "rn")
+      .write.mode("append").parquet(s"$path/prefix")
+    sh.select(col("doc_id"), size(col("sh")).as("sz"), array_sort(col("sh")).as("shs"))
+      .write.mode("append").parquet(s"$path/arrays")
+  }
+
+  /** Index MAINTENANCE, part 2: the COMPACTION the snapshot scaladocs
+    * promise ("a snapshot's index serves until the next compaction").
+    * After enough appends the frozen order drifts from the true corpus
+    * frequencies — appended-only shingles all sit at rank-first zero, so
+    * prefixes over-select and candidate volume creeps up. Compaction
+    * re-derives dfreq from the index's OWN arrays/ tree (no re-tokenize —
+    * the sorted shingle sets are already materialized), re-ranks every
+    * prefix under the refreshed order, and swaps the dfreq/ and prefix/
+    * trees in place; arrays/ needs no rewrite. The refreshed order is
+    * again ONE total order shared by all docs and future probes, so
+    * losslessness is preserved by construction.
+    *
+    * The swap is two directory renames (delete-old + rename-next per
+    * tree) — concurrent PROBES between the two renames could read a
+    * mixed order and, losslessly-but-wastefully, a superset candidate
+    * set; production would swap a manifest pointer instead. Cost: one
+    * scan of arrays/, one shingle-keyed aggregate, one doc-keyed rank
+    * window — the build's cost without the tokenize pass. */
+  def compactIncrementalIndex(spark: SparkSession, path: String,
+      threshold: Double = 0.5): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val arrays = graft.RunHygiene.stage(spark.read.parquet(s"$path/arrays"))
+    arrays.count() // dfreq census + re-rank both explode it
+    val exploded = arrays.select(col("doc_id"), col("sz"), explode(col("shs")).as("shingle"))
+    exploded.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+      .write.mode("overwrite").parquet(s"$path/dfreq_next")
+    val dfreqBack = spark.read.parquet(s"$path/dfreq_next")
+    val wDoc = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
+    exploded.join(dfreqBack, Seq("shingle"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("doc_id", "shingle", "sz", "rn")
+      .write.mode("overwrite").parquet(s"$path/prefix_next")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    def swap(tree: String): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$path/$tree")
+      val next = new org.apache.hadoop.fs.Path(s"$path/${tree}_next")
+      fs.delete(cur, true)
+      if (!fs.rename(next, cur))
+        throw new IllegalStateException(s"compaction swap failed for $tree under $path")
+    }
+    swap("dfreq"); swap("prefix")
   }
 
   /** [[incrementalNearDups]] against a PERSISTED snapshot index

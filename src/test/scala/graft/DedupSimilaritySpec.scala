@@ -88,6 +88,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(indexed.map(p => (p._1, p._2)) === List((4L, 1L), (4L, 2L)))
   }
 
+  test("index lifecycle: append under the frozen order, compact refreshes it, probe unchanged") {
+    import org.apache.spark.sql.functions.col
+    val newBatch = corpus.filter(col("doc_id") >= 4L)      // docs 4, 5
+    val base = corpus.filter(col("doc_id") === 1L)          // snapshot: doc 1
+    val appended = corpus.filter(col("doc_id") === 2L || col("doc_id") === 3L)
+    def probe(idx: String) = Dedup.incrementalNearDupsIndexed(newBatch, idx)
+      .collect()
+      .map(r => (r.getAs[Long]("new_doc_id"), r.getAs[Long]("existing_doc_id"),
+        r.getAs[Double]("jaccard"))).toList
+    val idx = java.nio.file.Files.createTempDirectory("graft_cmp_spec_").toString
+    Dedup.buildIncrementalIndex(base, idx)
+    Dedup.appendToIncrementalIndex(appended, idx)
+    // doc 3's shingles exist only in the APPEND batch: under the frozen
+    // snapshot order they carry dfreq 0 (rank-first) and no dfreq/ row
+    val dfreqBefore = spark.read.parquet(s"$idx/dfreq")
+      .collect().map(_.getAs[String]("shingle")).toSet
+    assert(!dfreqBefore.exists(_.contains("spark")),
+      "append must NOT touch the frozen dfreq tree")
+    // the probe against the appended (pre-compaction) index is already
+    // complete: cross-side pairs (4,1) exact and (4,2) near
+    val before = probe(idx)
+    assert(before.map(p => (p._1, p._2)) === List((4L, 1L), (4L, 2L)))
+    Dedup.compactIncrementalIndex(spark, idx)
+    // compaction re-derives dfreq from the index's own arrays tree — the
+    // appended docs' shingles now carry their true frequencies
+    val dfreqAfter = spark.read.parquet(s"$idx/dfreq")
+      .collect().map(_.getAs[String]("shingle")).toSet
+    assert(dfreqAfter.exists(_.contains("spark")),
+      "compaction must refresh dfreq from the full index")
+    // and the probe result is bit-identical across the swap (both orders
+    // are lossless; exact verification erases the difference)
+    assert(probe(idx) === before)
+    // equal to the from-scratch rebuild over base+appended as well
+    val rebuilt = Dedup.incrementalNearDups(newBatch, corpus.filter(col("doc_id") < 4L))
+      .collect()
+      .map(r => (r.getAs[Long]("new_doc_id"), r.getAs[Long]("existing_doc_id"),
+        r.getAs[Double]("jaccard"))).toList
+    assert(probe(idx) === rebuilt)
+  }
+
   test("minhash LSH finds the same dups as exact jaccard here") {
     val lsh = Dedup.minhashLsh(corpus)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
