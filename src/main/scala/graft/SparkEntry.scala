@@ -856,6 +856,17 @@ object SparkEntry {
       graft.operators.Physical.compactionExecDigest(
         s, Tables.documents(s, d),
         s"/tmp/graft_roundtrip/compact_${graft.RunHygiene.pathKey(d)}")),
+    // z-order clustering key: exact 256-bucket quantization + Morton
+    // interleave, twin replays the arithmetic bit-for-bit
+    "layout_zorder_keys" -> ((s, d) =>
+      graft.operators.Physical.zorderKeys(Tables.orders(s, d))),
+    // EXECUTED z-order rewrite (OPTIMIZE ZORDER): range exchange + sort
+    // on the Morton key; digest equality proves losslessness, the
+    // per-file span contrast vs a 1-dim sort is pinned in PhysicalOpsSpec
+    "layout_zorder_exec" -> ((s, d) =>
+      graft.operators.Physical.zorderExecDigest(
+        s, Tables.orders(s, d),
+        s"/tmp/graft_roundtrip/zorder_${graft.RunHygiene.pathKey(d)}")),
 
     // deterministic corpus sampling: exact-count stratified + weighted mix
     // fixed-size global uniform sample (distributed reservoir replacement)
@@ -1293,6 +1304,10 @@ object SparkEntry {
     "layout_dpp_join" -> OracleSql.dppJoin,
     "source_schema_evolution" -> OracleSql.schemaEvolution,
     "layout_compaction_exec" -> OracleSql.compactionExecDigest,
+    "layout_zorder_keys" -> OracleSql.zorderKeys(),
+    // the z-ordered rewrite must digest identically to the source table —
+    // same twin as the full-fidelity format roundtrip
+    "layout_zorder_exec" -> OracleSql.formatRoundtripFull,
     "sample_uniform_topk" -> OracleSqlText.uniformSample(),
     "sample_stratified" -> OracleSqlText.stratifiedSample(),
     "sample_weighted_mix" -> OracleSqlText.weightedMix(),

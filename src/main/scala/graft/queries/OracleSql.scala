@@ -2909,6 +2909,36 @@ SELECT source,
        MAX(lang) AS lang_max
 FROM documents GROUP BY 1 ORDER BY 1"""
 
+  /** Twin of Physical.zorderKeys: identical min/max integer quantization
+    * to 256 buckets per dimension and the identical explicit Morton
+    * bit-interleave sum (>>, &, and power-of-two multipliers — exact
+    * integer arithmetic on both engines). */
+  def zorderKeys(mod: Long = 7): String = {
+    val interleave = (0 until 8).map(i =>
+      s"((bx >> $i) & 1) * ${1L << (2 * i)} + ((by >> $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+    s"""
+WITH b AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+m AS (
+  SELECT MIN(cents) AS minc, MAX(cents) AS maxc,
+         MIN(o_custkey) AS mink, MAX(o_custkey) AS maxk
+  FROM b
+),
+k AS (
+  SELECT o_orderkey,
+         (cents - minc) * 256 // (maxc - minc + 1) AS bx,
+         (o_custkey - mink) * 256 // (maxk - mink + 1) AS by
+  FROM b, m
+)
+SELECT o_orderkey, bx, by,
+       CAST($interleave AS BIGINT) AS zkey
+FROM k WHERE o_orderkey % $mod = 0 ORDER BY o_orderkey"""
+  }
+
   private def roundtripDigestSql(where: String): String = s"""
 SELECT o_orderpriority,
        COUNT(*) AS n,

@@ -74,7 +74,7 @@ object FormatRoundtrip {
     * are EMITTED as LONG — the gate boundary type every green twin uses
     * (`CAST(SUM(...) AS BIGINT)`); per-priority digests of this corpus
     * shape fit int64 with 9 orders of magnitude to spare. */
-  private def fullDigest(df: DataFrame): DataFrame =
+  private[graft] def fullDigest(df: DataFrame): DataFrame =
     df.groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n"),

@@ -249,4 +249,34 @@ class PhysicalOpsSpec extends AnyFunSuite {
       "compaction must reduce the file count")
     assert(compacted.count() === docs.count())
   }
+
+  test("zorder layout clusters BOTH dims per file; a 1-dim sort leaves the other spanning") {
+    val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_zspec_").toString
+    val z = Physical.zorderExec(spark, orders, root, nFiles = 16)
+      .withColumn("f", input_file_name())
+    // per-file bucket spans in each dimension
+    def spans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val r = df.groupBy("f").agg(
+          (max("bx") - min("bx")).as("sx"), (max("by") - min("by")).as("sy"))
+        .agg(avg("sx"), avg("sy")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (zx, zy) = spans(z)
+    // contrast layout: same files, same bucket columns, but sorted on the
+    // ONE price dimension — the second dimension must span ~everything
+    val linPath = s"$root/linear"
+    Physical.zorderKeys(orders, mod = 1)
+      .repartitionByRange(16, col("bx"), col("o_orderkey"))
+      .sortWithinPartitions("bx", "o_orderkey")
+      .write.mode("overwrite").parquet(linPath)
+    val (lx, ly) = spans(spark.read.parquet(linPath).withColumn("f", input_file_name()))
+    // z-order: BOTH dims clustered (each file covers a rectangle, not a
+    // stripe); the linear layout clusters bx but its by span stays ~full
+    assert(zx < 128 && zy < 128, s"zorder spans not clustered: bx $zx, by $zy")
+    assert(lx < 64, s"price-sorted layout must cluster bx tightly, got $lx")
+    assert(ly > 200, s"price-sorted layout should leave by unclustered, got $ly")
+    assert(zx + zy < lx + ly,
+      s"zorder must beat the 1-dim layout on total span: $zx+$zy vs $lx+$ly")
+  }
 }
