@@ -1009,6 +1009,13 @@ object SparkEntry {
     // snapshot + delta MERGE (the batch upsert / full-outer surface)
     "merge_balance_upsert" -> ((s, d) =>
       graft.operators.SnapshotMerge.balanceUpsert(txns(s, d), Params.AsOf)),
+    // incremental ADDITIVE-rollup maintenance: merge(rollup(base),
+    // rollup(delta)) must equal the from-scratch recompute — the
+    // materialized-view identity, checked cross-engine (the oracle IS the
+    // one-pass recompute)
+    "merge_rollup_maintain" -> ((s, d) =>
+      graft.operators.SnapshotMerge.rollupMaintain(
+        Tables.events(s, d), "2024-01-16 00:00:00")),
 
     // two-stage salted aggregation gated against the plain GROUP BY
     "agg_salted_sum" -> ((s, d) =>
@@ -1260,6 +1267,7 @@ object SparkEntry {
     "sketch_hll_sliding" ->
       OracleSqlText.sketchHllSliding(graft.operators.Sketches.hllScale()),
     "merge_balance_upsert" -> OracleSql.balanceUpsert(Params.AsOf),
+    "merge_rollup_maintain" -> OracleSql.rollupMaintain(),
     "agg_salted_sum" -> OracleSql.aggSaltedSum,
     "train_splits" -> OracleSqlText.trainSplits(),
     "train_splits_safe" -> OracleSqlText.leakageSafeSplits(),

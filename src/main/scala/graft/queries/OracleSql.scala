@@ -1145,6 +1145,37 @@ ORDER BY step"""
 
   /** Mirrors SnapshotMerge.balanceUpsert: full-outer join + coalesce —
     * the MERGE INTO lowering. */
+  /** Twin of SnapshotMerge.rollupMaintain — deliberately NOT a replay of
+    * the merge: the ONE-PASS RECOMPUTE over all rows (with FILTER
+    * aggregates deriving the base/delta presence for `status`). A hash
+    * match therefore proves the maintenance identity itself:
+    * merge(rollup(base), rollup(delta)) = rollup(all). Cents fix-up and
+    * NULL/NaN nulling identical to the Spark side; the sum emits BIGINT
+    * per the gate-boundary law. */
+  def rollupMaintain(cutoff: String = "2024-01-16 00:00:00"): String = s"""
+WITH c AS (
+  SELECT event_type, ts,
+         CASE WHEN value IS NULL OR isnan(value) THEN NULL
+              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         STRFTIME(ts, '%Y-%m-%d') AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS cents_sum,
+         MIN(cents) AS cents_min,
+         MAX(cents) AS cents_max,
+         COUNT(*) FILTER (WHERE ts < TIMESTAMP '$cutoff') AS n_base,
+         COUNT(*) FILTER (WHERE ts >= TIMESTAMP '$cutoff') AS n_delta
+  FROM c GROUP BY 1, 2
+)
+SELECT event_type, day, n, cents_sum, cents_min, cents_max,
+       CASE WHEN n_base = 0 THEN 'new'
+            WHEN n_delta = 0 THEN 'carried'
+            ELSE 'updated' END AS status
+FROM g ORDER BY event_type, day"""
+
   def balanceUpsert(cutoff: String): String = s"""
 WITH $txnsCte,
 s AS (

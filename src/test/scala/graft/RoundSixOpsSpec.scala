@@ -335,4 +335,52 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(r(2L) === ((2L, 0L, 0.0)))
     assert(r(3L) === ((3L, 3L, 1.0)))
   }
+
+  test("rollupMaintain: merged rollup equals recompute; statuses name the delta shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // key A: rows both sides -> updated; min from base, max from delta
+      (1L, ts("2024-01-10 01:00:00"), 1L, "A", 1.00),
+      (2L, ts("2024-01-10 02:00:00"), 1L, "A", 5.00),
+      (3L, ts("2024-01-20 03:00:00"), 1L, "A", 9.00),
+      // key B: base only -> carried
+      (4L, ts("2024-01-10 04:00:00"), 2L, "B", 2.50),
+      // key C: delta only -> new
+      (5L, ts("2024-01-20 05:00:00"), 3L, "C", 4.00),
+      // key D: base only, all-NaN values -> carried, NULL sum/min/max but n counts
+      (6L, ts("2024-01-10 06:00:00"), 4L, "D", Double.NaN))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val rows = graft.operators.SnapshotMerge.rollupMaintain(events, "2024-01-16 00:00:00")
+      .collect().map(x => (x.getAs[String]("event_type"), x.getAs[String]("day")) -> x).toMap
+    // day axis: base keys land on 01-10, delta keys on 01-20; A spans both
+    assert(rows.size === 5) // (A,10) (A,20) (B,10) (C,20) (D,10)
+    val aBase = rows(("A", "2024-01-10"))
+    assert(aBase.getAs[Long]("n") === 2L && aBase.getAs[String]("status") === "carried")
+    assert(aBase.getAs[Long]("cents_sum") === 600L)
+    val aDelta = rows(("A", "2024-01-20"))
+    assert(aDelta.getAs[String]("status") === "new" && aDelta.getAs[Long]("cents_sum") === 900L)
+    assert(rows(("B", "2024-01-10")).getAs[String]("status") === "carried")
+    assert(rows(("C", "2024-01-20")).getAs[String]("status") === "new")
+    val d = rows(("D", "2024-01-10"))
+    assert(d.getAs[Long]("n") === 1L)
+    assert(d.isNullAt(d.fieldIndex("cents_sum")) && d.isNullAt(d.fieldIndex("cents_min")))
+    // the identity itself: merged == one rollup over everything
+    val direct = events
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        when(col("value").isNull || isnan(col("value")), lit(null).cast("long"))
+          .otherwise(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("cents").as("cents_min"), max("cents").as("cents_max"))
+      .orderBy("event_type", "day")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getAs[Any]("n"),
+        x.getAs[Any]("cents_sum"), x.getAs[Any]("cents_min"), x.getAs[Any]("cents_max")))
+    val merged = graft.operators.SnapshotMerge.rollupMaintain(events, "2024-01-16 00:00:00")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getAs[Any]("n"),
+        x.getAs[Any]("cents_sum"), x.getAs[Any]("cents_min"), x.getAs[Any]("cents_max")))
+    assert(merged.toSeq === direct.toSeq)
+  }
 }
