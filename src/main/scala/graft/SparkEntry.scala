@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 275
+  val GatedQueryCount: Int = 279
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
