@@ -179,26 +179,21 @@ object Physical {
       .orderBy("source")
   }
 
-  /** Bits per z-order dimension: 256 buckets each, 16-bit Morton key. */
-  private val ZBits = 8
-
-  /** The Morton bit-interleave as an explicit 2·ZBits-term sum — no lambda
-    * (stays inside whole-stage codegen) and trivially replayed by the
-    * DuckDB twin as the same arithmetic. */
-  private def mortonExpr(bx: String, by: String): Column =
-    expr((0 until ZBits).map(i =>
-      s"(shiftright($bx, $i) & 1) * ${1L << (2 * i)}L + " +
-        s"(shiftright($by, $i) & 1) * ${1L << (2 * i + 1)}L").mkString(" + "))
-
   /** All orders rows with their z-order clustering key over the
     * (o_totalprice, o_custkey) plane: each dimension min/max-quantized to
     * 256 integer buckets (exact integer arithmetic off the cents fix-up —
     * the 1-row bounds census rides a broadcast crossJoin), then Morton
-    * bit-interleaved into one 16-bit key. Interleaving is what makes ONE
-    * sort key cluster BOTH dimensions: consecutive zkey values differ in
-    * low-order bits of either dimension, so a file holding a zkey range
-    * covers a small rectangle of the plane instead of a thin full-width
-    * stripe — the property multi-dimensional file skipping needs. */
+    * bit-interleaved into one 16-bit key via the SHARED
+    * [[graft.sources.ZOrder.zValue]] kernel (that module owns the curve
+    * and the bucket-rectangle STATS gate; this one adds the quantization
+    * of a continuous dimension and the EXECUTED rewrite). For 8-bit
+    * bucket ids the mask-doubling spread is bit-identical to the explicit
+    * Σ((b≫i)&1)·2^{2i(+1)} sum the DuckDB twin replays. Interleaving is
+    * what makes ONE sort key cluster BOTH dimensions: consecutive zkey
+    * values differ in low-order bits of either dimension, so a file
+    * holding a zkey range covers a small rectangle of the plane instead
+    * of a thin full-width stripe — the property multi-dimensional file
+    * skipping needs. */
   private def zorderAll(orders: DataFrame): DataFrame = {
     val withDims = orders.withColumn("cents",
       floor(col("o_totalprice") * 100 + 0.5).cast("long"))
@@ -208,7 +203,7 @@ object Physical {
     withDims.crossJoin(broadcast(bounds))
       .withColumn("bx", expr("(cents - minc) * 256 div (maxc - minc + 1)"))
       .withColumn("by", expr("(o_custkey - mink) * 256 div (maxk - mink + 1)"))
-      .withColumn("zkey", mortonExpr("bx", "by"))
+      .withColumn("zkey", graft.sources.ZOrder.zValue(col("bx"), col("by")))
       .drop("cents", "minc", "maxc", "mink", "maxk")
   }
 
