@@ -21,17 +21,23 @@ PATTERNS = [
     # GITLOG quotes re-import from an old revision of this very script —
     # recoverable, so still a leak; matched by shape, never by domain.
     # GITLOG nesting stacks backslashes ( \\\" , \\\\\\\" ... ), so quote
-    # escapes are matched as ANY run of backslashes before the quote.
-    (re.compile(r'(?:\\)*"artifactory(?:\\)*"\s*\+\s*(?:\\)*"\.[a-z0-9.-]+(?:\\)*"'),
-     '"<internal-mirror-host>"'),
+    # escapes are matched as ANY run of backslashes before the quote. The
+    # replacement PRESERVES the matched backslash runs via capture groups —
+    # emitting bare quotes inside a nested-JSON string value would leave the
+    # artifact unbalanced and corrupt it (round-10 advice).
+    (re.compile(r'((?:\\)*")artifactory(?:\\)*"\s*\+\s*(?:\\)*"\.[a-z0-9.-]+((?:\\)*")'),
+     r'\1<internal-mirror-host>\2'),
     # ...and the bare tail of that concatenation when the leading quote pair
     # was already masked in an outer GITLOG layer: + "\.<domain>" right after
-    # a masked token
-    (re.compile(r'<internal-mirror-host>(?:\\)*"\s*\+\s*(?:\\)*"\.[a-z0-9.-]+(?:\\)*"'),
-     '<internal-mirror-host>"'),
+    # a masked token — again keeping the trailing escape run intact.
+    (re.compile(r'<internal-mirror-host>(?:\\)*"\s*\+\s*(?:\\)*"\.[a-z0-9.-]+((?:\\)*")'),
+     r'<internal-mirror-host>\1'),
 ]
 
-TARGETS = ["LEAKCHECK.json", "ADVICE.md", "VERDICT.md"]
+TARGETS = ["LEAKCHECK.json", "ADVICE.md", "VERDICT.md",
+           "BENCH_FULL.json", "BENCH_PARTIAL.json"] + sorted(
+    str(p.name) for p in pathlib.Path(__file__).resolve().parent.parent
+    .glob("BENCH_r*.json"))
 
 def main():
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -45,6 +51,16 @@ def main():
         for rx, repl in PATTERNS:
             out = rx.sub(repl, out)
         if out != text:
+            # never swap a parsing artifact for a corrupt one: a redaction
+            # that breaks a .json target aborts that file (round-10 advice)
+            if name.endswith(".json"):
+                import json
+                try:
+                    json.loads(out)
+                except Exception as e:
+                    print(f"REFUSING {name}: redacted form no longer parses ({e})",
+                          file=sys.stderr)
+                    return 1
             p.write_text(out)
             changed.append(name)
     print("redacted:", changed if changed else "nothing to do")
