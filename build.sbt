@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g, not 8g: the full bench runs 280+ queries cold + warm in ONE
+  // local[32] JVM on a 128 GiB box. At 8g the warm pass ran with an old
+  // gen full of cold-pass survivors, and the allocation-heaviest lines
+  // (shingle explode / LSH banding) degraded into full-GC storms — the
+  // round-10 artifact's 13–30 s warm phantoms. Bench's per-line warm_diag
+  // records GC seconds so a recurrence is self-adjudicating.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -45,16 +45,26 @@ def compare(name, spark_df, duck_df):
             return "M"
         if s == "object":
             vals = col.dropna()
+            # an all-NULL object column carries no kind evidence at all:
+            # treat it as wildcard so a sparse date column paired with a
+            # datetime64 twin doesn't hard-fail on dtype while every value
+            # hashes equal (round-10 advice)
+            if not len(vals):
+                return "*"
             # Spark DATE parquet -> pandas object of datetime.date, DuckDB
             # DATE -> datetime64[us]: hash-equal in the driver (9 green r9
-            # rows carry exactly this pairing), so same kind
-            if len(vals) and all(isinstance(v, datetime.date) and
-                                 not isinstance(v, datetime.datetime)
-                                 for v in vals.head(100)):
+            # rows carry exactly this pairing), so same kind. Sample both
+            # ends, not just the head — a column whose first 100 non-nulls
+            # happen to be dates must not classify on that prefix alone.
+            sample = list(vals.head(100)) + list(vals.tail(100))
+            if all(isinstance(v, datetime.date) and
+                   not isinstance(v, datetime.datetime)
+                   for v in sample):
                 return "M"
         return s
     dt = [c for c in a.columns if str(a[c].dtype) != str(b[c].dtype)
-          and kindof(a[c]) != kindof(b[c])]
+          and kindof(a[c]) != kindof(b[c])
+          and "*" not in (kindof(a[c]), kindof(b[c]))]
     if dt:
         return ("DTYPE MISMATCH "
                 f"{[(c, str(a[c].dtype), str(b[c].dtype)) for c in dt]}")

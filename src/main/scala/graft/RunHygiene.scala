@@ -62,11 +62,75 @@ object RunHygiene {
 
   /** Unpersist every stage table registered since the last drain.
     * Double-unpersist (an operator already cleaned up internally) is a
-    * no-op, and frames persisted by a failed query drain safely. */
+    * no-op, and frames persisted by a failed query drain safely. Run-scoped
+    * scratch directories registered via [[scratch]] are deleted here too —
+    * after the query's action, so the lazy read that materialized them has
+    * already happened. */
   def drainStages(spark: org.apache.spark.sql.SparkSession): Unit = {
     val drained = synchronized { sweep(); pool.remove(spark) }
     if (drained != null) drained.foreach(_.unpersist(blocking = false))
+    val dirs = scratchLock.synchronized {
+      val (mine, rest) = scratchPool.partition(_._1 eq spark)
+      scratchPool = rest
+      mine.map(_._2)
+    }
+    dirs.foreach(deleteRecursively)
   }
+
+  // ---- run-scoped scratch directories --------------------------------
+  // Operators that stage a per-run UUID directory (incremental-dedup
+  // rebuild index, schema-evolution run dir, executed layout rewrites)
+  // register it here; the runner's drain deletes it once the query's
+  // action completes. Fresh UUID paths are never overwritten, so without
+  // this every bench/verify round leaked the full staged tree into
+  // java.io.tmpdir (round-10 advice measured 9+ GB of it). A JVM shutdown
+  // hook sweeps whatever a drain never reached (spec JVMs don't drain).
+  private val scratchLock = new Object
+  private var scratchPool =
+    List.empty[(org.apache.spark.sql.SparkSession, java.nio.file.Path)]
+  private lazy val shutdownHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val dirs = scratchLock.synchronized {
+        val d = scratchPool.map(_._2) ++ exitPool
+        scratchPool = Nil; exitPool = Nil; d
+      }
+      dirs.foreach(deleteRecursively)
+    }))
+
+  /** Register a run-scoped scratch directory for deletion at the next
+    * [[drainStages]] of `spark` (or JVM exit, whichever comes first).
+    * Returns the path unchanged so call sites stay one-liners. */
+  def scratch(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    shutdownHookInstalled
+    scratchLock.synchronized {
+      scratchPool = (spark, java.nio.file.Paths.get(path)) :: scratchPool
+    }
+    path
+  }
+
+  /** Register a SESSION-MEMOIZED scratch directory for deletion at JVM
+    * exit only — never by a per-query drain. For staged trees a session
+    * cache hands to multiple later queries (the shared streaming chunk
+    * sets): draining those after the first consumer would hand the second
+    * consumer a deleted path. Bounded by the memo's own key space. */
+  def scratchAtExit(path: String): String = {
+    shutdownHookInstalled
+    scratchLock.synchronized {
+      exitPool = java.nio.file.Paths.get(path) :: exitPool
+    }
+    path
+  }
+  private var exitPool = List.empty[java.nio.file.Path]
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () })
+        finally walk.close()
+      }
+    } catch { case _: Throwable => () } // cleanup must never fail a run
 
   /** Collision-proof key for staging/index paths derived from a source
     * dir: 64 bits of the md5 of the ABSOLUTE path. The previous

@@ -65,8 +65,8 @@ object SparkEntry {
     }
 
   /** Bench's materialize hook: fill the session-lived curation prefix up
-    * front so its one-time cost lands on the `_pipeline_materialize` line
-    * instead of whichever curation gate happens to run first. */
+    * front so its one-time cost lands on its own `_curation_materialize`
+    * line instead of whichever curation gate happens to run first. */
   def materializeCurationShared(s: SparkSession, dir: String): Unit = {
     val sh = curationShared(s, dir)
     sh.contained.count(); sh.pii.count()

@@ -176,9 +176,13 @@ object Dedup {
     * verification erases the candidate-set difference.) */
   def incrementalNearDups(newDocs: DataFrame, existing: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val runIdx = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_incr_rebuild_" + java.util.UUID.randomUUID.toString.take(8)).toString
+    // run-scoped UUID tree, registered for end-of-query cleanup: fresh UUID
+    // paths are never overwritten, so un-registered they leak the full
+    // staged index into tmpdir on every call (round-10 advice)
+    val runIdx = graft.RunHygiene.scratch(existing.sparkSession,
+      java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_incr_rebuild_" + java.util.UUID.randomUUID.toString.take(8)).toString)
     buildIncrementalIndex(existing, runIdx, n, threshold)
     incrementalNearDupsIndexed(newDocs, runIdx, n, threshold)
   }
@@ -197,6 +201,50 @@ object Dedup {
     * Build cost is the one-time analogue of the rebuild path's existing
     * side: one tokenize+shingle pass, one shingle-keyed aggregate, one
     * doc-keyed rank window — all shuffle-bounded, nothing quadratic. */
+  // ---- index manifest -------------------------------------------------
+  // The live (dfreq, prefix) trees are resolved through ONE generation
+  // pointer in `manifest.json`; compaction writes the next generation's
+  // trees beside the live ones and swaps by ATOMIC manifest rewrite
+  // (round-10 verdict #3 — the previous delete+rename pair could expose a
+  // mixed order to a concurrent probe). A reader resolves the generation
+  // ONCE per probe, so it sees one consistent order; the PREVIOUS
+  // generation is retained through each compaction, so a probe that
+  // resolved just before the swap keeps reading intact trees. On an
+  // object store the same pointer is a conditional PUT; here the paths
+  // are filesystem-local and java.nio's ATOMIC_MOVE is the rename(2)
+  // guarantee. `arrays/` is generation-free: append-only, never ranked.
+
+  private def manifestFile(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "manifest.json")
+
+  /** Live generation per the manifest; -1 means a pre-manifest legacy
+    * layout (un-suffixed trees) — still readable, never written anew. */
+  private[graft] def indexGeneration(path: String): Int = {
+    val mp = manifestFile(path)
+    if (!java.nio.file.Files.exists(mp)) -1
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      """"generation"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(s"corrupt index manifest at $mp"))
+    }
+  }
+
+  private[graft] def treePath(path: String, tree: String, gen: Int): String =
+    if (gen < 0) s"$path/$tree" else s"$path/${tree}_g$gen"
+
+  /** The live tree path a probe should read right now — spec/debug hook. */
+  def resolvedTreePath(path: String, tree: String): String =
+    if (tree == "arrays") s"$path/arrays"
+    else treePath(path, tree, indexGeneration(path))
+
+  private def writeManifest(path: String, gen: Int): Unit = {
+    val tmp = java.nio.file.Paths.get(path, s"manifest.json.tmp_g$gen")
+    java.nio.file.Files.write(tmp, s"""{"generation":$gen}""".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, manifestFile(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def buildIncrementalIndex(existing: DataFrame, path: String, n: Int = 3,
       threshold: Double = 0.5): Unit = {
     import org.apache.spark.sql.expressions.Window
@@ -209,16 +257,18 @@ object Dedup {
     val exploded = sh.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("shingle"))
     exploded.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
-      .write.mode("overwrite").parquet(s"$path/dfreq")
-    val dfreqBack = existing.sparkSession.read.parquet(s"$path/dfreq")
+      .write.mode("overwrite").parquet(treePath(path, "dfreq", 0))
+    val dfreqBack = existing.sparkSession.read.parquet(treePath(path, "dfreq", 0))
     val wDoc = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
     exploded.join(dfreqBack, Seq("shingle"))
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("doc_id", "shingle", "sz", "rn")
-      .write.mode("overwrite").parquet(s"$path/prefix")
+      .write.mode("overwrite").parquet(treePath(path, "prefix", 0))
     sh.select(col("doc_id"), size(col("sh")).as("sz"), array_sort(col("sh")).as("shs"))
       .write.mode("overwrite").parquet(s"$path/arrays")
+    // manifest last: the index is live only once its trees are complete
+    writeManifest(path, 0)
   }
 
   /** Index MAINTENANCE, part 1: append a survivor batch to a snapshot
@@ -244,7 +294,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val spark = newDocs.sparkSession
     graft.functions.TextExpressions.register(spark, n)
-    val dfreq = spark.read.parquet(s"$path/dfreq")
+    // resolve the live generation ONCE: the batch ranks under, and its
+    // prefixes append to, one consistent tree pair
+    val gen = indexGeneration(path)
+    val dfreq = spark.read.parquet(treePath(path, "dfreq", gen))
     val sh = graft.RunHygiene.stage(
       newDocs.select(col("doc_id"),
           call_function(s"word_ngrams_distinct_$n", TextOps.tokens(col("text"))).as("sh"))
@@ -257,7 +310,7 @@ object Dedup {
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("doc_id", "shingle", "sz", "rn")
-      .write.mode("append").parquet(s"$path/prefix")
+      .write.mode("append").parquet(treePath(path, "prefix", gen))
     sh.select(col("doc_id"), size(col("sh")).as("sz"), array_sort(col("sh")).as("shs"))
       .write.mode("append").parquet(s"$path/arrays")
   }
@@ -274,37 +327,41 @@ object Dedup {
     * again ONE total order shared by all docs and future probes, so
     * losslessness is preserved by construction.
     *
-    * The swap is two directory renames (delete-old + rename-next per
-    * tree) — concurrent PROBES between the two renames could read a
-    * mixed order and, losslessly-but-wastefully, a superset candidate
-    * set; production would swap a manifest pointer instead. Cost: one
-    * scan of arrays/, one shingle-keyed aggregate, one doc-keyed rank
-    * window — the build's cost without the tokenize pass. */
+    * The swap is ONE atomic manifest rewrite (round-10 verdict #3): the
+    * next generation's trees are written beside the live ones, the
+    * pointer flips, and the PREVIOUS generation is retained so a probe
+    * that resolved the old generation just before the flip still reads
+    * intact, order-consistent trees — no reader can ever observe a mixed
+    * dfreq/prefix pairing. Generations older than the previous one are
+    * pruned (bounded at two on disk). Cost: one scan of arrays/, one
+    * shingle-keyed aggregate, one doc-keyed rank window — the build's
+    * cost without the tokenize pass. */
   def compactIncrementalIndex(spark: SparkSession, path: String,
       threshold: Double = 0.5): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val gen = indexGeneration(path)
+    val next = gen + 1 // legacy (-1) compacts into generation 0
     val arrays = graft.RunHygiene.stage(spark.read.parquet(s"$path/arrays"))
     arrays.count() // dfreq census + re-rank both explode it
     val exploded = arrays.select(col("doc_id"), col("sz"), explode(col("shs")).as("shingle"))
     exploded.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
-      .write.mode("overwrite").parquet(s"$path/dfreq_next")
-    val dfreqBack = spark.read.parquet(s"$path/dfreq_next")
+      .write.mode("overwrite").parquet(treePath(path, "dfreq", next))
+    val dfreqBack = spark.read.parquet(treePath(path, "dfreq", next))
     val wDoc = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
     exploded.join(dfreqBack, Seq("shingle"))
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("doc_id", "shingle", "sz", "rn")
-      .write.mode("overwrite").parquet(s"$path/prefix_next")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
-    def swap(tree: String): Unit = {
-      val cur = new org.apache.hadoop.fs.Path(s"$path/$tree")
-      val next = new org.apache.hadoop.fs.Path(s"$path/${tree}_next")
-      fs.delete(cur, true)
-      if (!fs.rename(next, cur))
-        throw new IllegalStateException(s"compaction swap failed for $tree under $path")
+      .write.mode("overwrite").parquet(treePath(path, "prefix", next))
+    writeManifest(path, next) // the atomic swap — readers flip here
+    // prune generations older than the retained previous one
+    val stale = next - 2
+    if (stale >= -1) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+      for (tree <- Seq("dfreq", "prefix"))
+        fs.delete(new org.apache.hadoop.fs.Path(treePath(path, tree, stale)), true)
     }
-    swap("dfreq"); swap("prefix")
   }
 
   /** [[incrementalNearDups]] against a PERSISTED snapshot index
@@ -334,8 +391,13 @@ object Dedup {
     val spark = newDocs.sparkSession
     graft.functions.HashExpressions.registerIntersect(spark)
     graft.functions.TextExpressions.register(spark, n)
-    val dfreq = spark.read.parquet(s"$indexPath/dfreq")
-    val exPrefix = spark.read.parquet(s"$indexPath/prefix")
+    // ONE manifest read fixes the generation for the whole probe: dfreq
+    // and prefix always come from the same tree pair, and a compaction
+    // that swaps mid-probe cannot mix orders (the resolved generation's
+    // trees are retained through the next swap)
+    val gen = indexGeneration(indexPath)
+    val dfreq = spark.read.parquet(treePath(indexPath, "dfreq", gen))
+    val exPrefix = spark.read.parquet(treePath(indexPath, "prefix", gen))
     val exArrays = spark.read.parquet(s"$indexPath/arrays")
     val sh = graft.RunHygiene.stage(
       newDocs.select(col("doc_id"),

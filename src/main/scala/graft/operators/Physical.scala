@@ -229,7 +229,12 @@ object Physical {
     * the compactionExec cost shape, nothing quadratic. */
   def zorderExec(spark: SparkSession, orders: DataFrame,
       stagingRoot: String, nFiles: Int = 16): DataFrame = {
-    val out = s"$stagingRoot/zorder"
+    // run-scoped subdir (round-10 advice): the overwrite-then-read-back
+    // pair on a fixed path could interleave under concurrent invocation —
+    // same non-atomicity class as schemaEvolution's fix. Registered for
+    // end-of-query cleanup so fresh run dirs don't accumulate.
+    val out = graft.RunHygiene.scratch(spark,
+      s"$stagingRoot/zorder_run_${java.util.UUID.randomUUID.toString.take(8)}")
     zorderAll(orders)
       .withColumn("o_orderdate",
         col("o_orderdate").cast(org.apache.spark.sql.types.TimestampNTZType))

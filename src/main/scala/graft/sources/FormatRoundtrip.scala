@@ -220,8 +220,11 @@ object FormatRoundtrip {
     // pair below is not atomic, so two concurrent invocations sharing one
     // directory could interleave (one run's overwrite racing the other's
     // append doubles batch 2). A per-run path makes the gate re-entrant;
-    // stale runs are overwritten space, not correctness hazards.
-    val path = s"${stagingDir("evo", dir)}/run_${java.util.UUID.randomUUID.toString.take(8)}"
+    // registered with RunHygiene so the runner's drain (or JVM exit)
+    // deletes it — fresh UUID paths are never overwritten, so without
+    // registration every round leaked them (round-10 advice).
+    val path = graft.RunHygiene.scratch(spark,
+      s"${stagingDir("evo", dir)}/run_${java.util.UUID.randomUUID.toString.take(8)}")
     val docs = Tables.documents(spark, dir)
     docs.where(pmod(col("doc_id"), lit(2)) === 0)
       .select("doc_id", "source", "n_chars")

@@ -31,9 +31,12 @@ import org.apache.spark.sql.types.StructType
   * oldest-mtime-first when `maxFilesPerTrigger` is set.
   *
   * The replay root (chunks + sink output + checkpoint) lives under
-  * `java.io.tmpdir` and is deliberately left on disk: the batch frames
-  * returned by [[runToParquet]] read the sink files lazily, so nothing may
-  * delete them while the calling query is still consumable.
+  * `java.io.tmpdir` and must outlive the staging call: the batch frames
+  * returned by [[runToParquet]] read the sink files lazily. It is
+  * registered with [[graft.RunHygiene.scratch]], so the runner's
+  * end-of-query drain (which only fires AFTER the calling query's action)
+  * or JVM exit deletes it — un-registered, every bench/verify round leaked
+  * the full replay tree per streaming gate (round-11: 905 stale roots).
   */
 object FileReplay {
 
@@ -58,8 +61,13 @@ object FileReplay {
     * and all rows land in the last chunk — still event-ordered, just fewer
     * effective batches. */
   def stageChunks(df: DataFrame, tsCol: String, batches: Int,
-      sentinels: Seq[DataFrame] = Nil): ReplayDirs = {
+      sentinels: Seq[DataFrame] = Nil, ephemeral: Boolean = true): ReplayDirs = {
+    // ephemeral (per-call) roots die at the caller's end-of-query drain;
+    // session-memoized roots (stagedShared) must survive to later
+    // consumers and die only at JVM exit
     val dirs = ReplayDirs(Files.createTempDirectory("graft_replay_"))
+    if (ephemeral) graft.RunHygiene.scratch(df.sparkSession, dirs.root.toString)
+    else graft.RunHygiene.scratchAtExit(dirs.root.toString)
     Files.createDirectories(dirs.in)
     val mm = df.agg(min(col(tsCol)), max(col(tsCol))).head()
     val chunks: Seq[DataFrame] =
@@ -91,6 +99,7 @@ object FileReplay {
   def stageChunksDelayed(df: DataFrame, tsCol: String, batches: Int,
       delay: org.apache.spark.sql.Column): ReplayDirs = {
     val dirs = ReplayDirs(Files.createTempDirectory("graft_replay_"))
+    graft.RunHygiene.scratch(df.sparkSession, dirs.root.toString)
     Files.createDirectories(dirs.in)
     val mm = df.agg(min(col(tsCol)), max(col(tsCol))).head()
     val chunked =

@@ -33,7 +33,7 @@ object StreamingAnalytics {
     synchronized {
       val key = (src.sparkSession, src.queryExecution.analyzed.canonicalized, batches)
       chunkCache.getOrElseUpdate(key,
-        FileReplay.stageChunks(src, "ts", batches, sentinels(src)))
+        FileReplay.stageChunks(src, "ts", batches, sentinels(src), ephemeral = false))
     }
 
   /** Number of distinct staged chunk sets this session — visible to the

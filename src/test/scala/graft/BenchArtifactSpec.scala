@@ -30,10 +30,37 @@ class BenchArtifactSpec extends AnyFunSuite {
     val js = render()
     for (key <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
         "\"queries\":{", "\"warm_total\":", "\"warm_rerun\":{", "\"warm_errors\":{",
+        "\"warm_diag\":{", "\"warm_over2x\":[",
         "\"env\":{", "\"errors\":{", "\"sf\":", "\"load_gate\":",
         "\"load_gate_1m\":", "\"load_gate_5m\":",
         "\"warm_gate\":", "\"warm_gate_1m\":", "\"warm_gate_5m\":"))
       assert(js.contains(key), s"missing $key in $js")
+  }
+
+  test("warm contract: over means >2x cold AND >2s floor, or >10s outright") {
+    // sub-second jitter never flags
+    assert(!Bench.warmOver(cold = 0.2, warm = 0.9))
+    // >2x but under the 2s absolute floor never flags
+    assert(!Bench.warmOver(cold = 0.8, warm = 1.9))
+    // the r10 phantom shapes DO flag
+    assert(Bench.warmOver(cold = 2.78, warm = 29.56))
+    assert(Bench.warmOver(cold = 1.23, warm = 13.01))
+    // >10s flags even when cold was also slow (the self-target is absolute)
+    assert(Bench.warmOver(cold = 9.0, warm = 10.5))
+    // warm <= 2x cold never flags below 10s
+    assert(!Bench.warmOver(cold = 4.0, warm = 7.9))
+  }
+
+  test("warm_diag serializes first + retry evidence; warm_over2x lists names") {
+    val diag = Seq(
+      "slow_q" -> Bench.WarmDiag(29.5, 1.2, 4.5, Some((2.9, 0.1, 0.3))),
+      "noretry_q" -> Bench.WarmDiag(5.0, 0.2, 1.0, None))
+    val js = Bench.renderFullJson(Seq("q1" -> 1.0), Seq("q1" -> 0.9), Nil, Nil,
+      env, "sf", diag, Seq("slow_q"))
+    assert(js.contains(""""slow_q":{"first":29.500,"first_gc":1.200,"first_load":4.500,""" +
+      """"retry":2.900,"retry_gc":0.100,"retry_load":0.300}"""))
+    assert(js.contains(""""noretry_q":{"first":5.000,"first_gc":0.200,"first_load":1.000}"""))
+    assert(js.contains(""""warm_over2x":["slow_q"]"""))
   }
 
   test("totals are the sums of their maps and queries includes materialize") {

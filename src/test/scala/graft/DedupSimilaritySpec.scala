@@ -102,7 +102,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     Dedup.appendToIncrementalIndex(appended, idx)
     // doc 3's shingles exist only in the APPEND batch: under the frozen
     // snapshot order they carry dfreq 0 (rank-first) and no dfreq/ row
-    val dfreqBefore = spark.read.parquet(s"$idx/dfreq")
+    val dfreqBefore = spark.read.parquet(Dedup.resolvedTreePath(idx, "dfreq"))
       .collect().map(_.getAs[String]("shingle")).toSet
     assert(!dfreqBefore.exists(_.contains("spark")),
       "append must NOT touch the frozen dfreq tree")
@@ -110,16 +110,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // complete: cross-side pairs (4,1) exact and (4,2) near
     val before = probe(idx)
     assert(before.map(p => (p._1, p._2)) === List((4L, 1L), (4L, 2L)))
+    // a probe PLAN resolved before the swap — the concurrent-probe shape:
+    // its generation is fixed at construction, and compaction must retain
+    // that generation's trees so the late materialization still reads a
+    // consistent order (round-10 verdict #3)
+    val preSwapProbe = Dedup.incrementalNearDupsIndexed(newBatch, idx)
+    val genBefore = Dedup.indexGeneration(idx)
     Dedup.compactIncrementalIndex(spark, idx)
+    assert(Dedup.indexGeneration(idx) === genBefore + 1,
+      "compaction must advance the manifest generation atomically")
+    // the pre-swap probe materializes AFTER the swap, bit-identical
+    assert(preSwapProbe.collect()
+      .map(r => (r.getAs[Long]("new_doc_id"), r.getAs[Long]("existing_doc_id"),
+        r.getAs[Double]("jaccard"))).toList === before)
     // compaction re-derives dfreq from the index's own arrays tree — the
     // appended docs' shingles now carry their true frequencies
-    val dfreqAfter = spark.read.parquet(s"$idx/dfreq")
+    val dfreqAfter = spark.read.parquet(Dedup.resolvedTreePath(idx, "dfreq"))
       .collect().map(_.getAs[String]("shingle")).toSet
     assert(dfreqAfter.exists(_.contains("spark")),
       "compaction must refresh dfreq from the full index")
     // and the probe result is bit-identical across the swap (both orders
     // are lossless; exact verification erases the difference)
     assert(probe(idx) === before)
+    // a second compaction prunes the stale generation but retains the
+    // previous one (bounded two-generation footprint)
+    Dedup.compactIncrementalIndex(spark, idx)
+    assert(probe(idx) === before)
+    val root = new java.io.File(idx)
+    val treeDirs = root.listFiles().map(_.getName).filter(_.startsWith("dfreq")).sorted
+    assert(treeDirs.length === 2, s"expected two retained dfreq generations, got ${treeDirs.toList}")
     // equal to the from-scratch rebuild over base+appended as well
     val rebuilt = Dedup.incrementalNearDups(newBatch, corpus.filter(col("doc_id") < 4L))
       .collect()

@@ -279,4 +279,48 @@ class PhysicalOpsSpec extends AnyFunSuite {
     assert(zx + zy < lx + ly,
       s"zorder must beat the 1-dim layout on total span: $zx+$zy vs $lx+$ly")
   }
+
+  test("zorder skipping PAYOFF: a box predicate prunes more files than the 1-dim sort") {
+    // The round-10 pin measured the geometry (per-file spans); this one
+    // measures the mechanism the geometry exists for (r10 verdict #4):
+    // min/max file skipping. Per layout, compute each file's (bx, by)
+    // bounding box — exactly the stats a parquet footer carries — and
+    // count the files whose box intersects a quarter-plane box predicate
+    // on (price, customer). The z-layout must read strictly fewer files
+    // AND return the identical rows (skipping is lossless).
+    val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_zskip_").toString
+    val z = Physical.zorderExec(spark, orders, root, nFiles = 16)
+      .withColumn("f", input_file_name())
+    val linPath = s"$root/linear"
+    Physical.zorderKeys(orders, mod = 1)
+      .repartitionByRange(16, col("bx"), col("o_orderkey"))
+      .sortWithinPartitions("bx", "o_orderkey")
+      .write.mode("overwrite").parquet(linPath)
+    val lin = spark.read.parquet(linPath).withColumn("f", input_file_name())
+
+    val boxLo = 64L; val boxHi = 127L // one quarter of each 256-bucket axis
+    def filesHit(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val stats = df.groupBy("f").agg(
+        min("bx").as("bxmin"), max("bx").as("bxmax"),
+        min("by").as("bymin"), max("by").as("bymax"))
+      val hit = stats.filter(col("bxmax") >= boxLo && col("bxmin") <= boxHi &&
+        col("bymax") >= boxLo && col("bymin") <= boxHi).count()
+      (hit, stats.count())
+    }
+    val (zHit, zTotal) = filesHit(z)
+    val (lHit, lTotal) = filesHit(lin)
+    assert(zTotal >= 8 && lTotal >= 8, s"layouts must actually split: $zTotal/$lTotal files")
+    assert(zHit < lHit,
+      s"z-order must prune more files for the box: z reads $zHit/$zTotal, linear $lHit/$lTotal")
+    // a quarter-plane box over a space-filling layout should touch well
+    // under half the files; the stripe layout reads every bx-matching
+    // stripe end-to-end
+    assert(zHit.toDouble / zTotal <= 0.5, s"z-layout read $zHit/$zTotal for a 1/16-area box")
+    // losslessness: both layouts agree on the box rows themselves
+    def boxRows(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("bx").between(boxLo, boxHi) && col("by").between(boxLo, boxHi))
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(boxRows(z) === boxRows(lin), "box contents must be layout-independent")
+  }
 }
