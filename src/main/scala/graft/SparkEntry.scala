@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 279
+  val GatedQueryCount: Int = 280
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -477,6 +477,11 @@ object SparkEntry {
       }
       Dedup.incrementalNearDupsIndexed(docs.filter(h < "4"), idx)
     }),
+    // compaction cadence evidence: the probe's candidate volume per phase
+    // (appended: frozen-order over-selection; compacted: refreshed
+    // baseline) — exact integer counts, twin replays both rank orders
+    "dedup_compaction_cadence" -> ((s, d) =>
+      Dedup.compactionCadence(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     // asymmetric containment: doc-in-doc duplication Jaccard misses
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
@@ -1148,6 +1153,7 @@ object SparkEntry {
     // twin splits new(<'4') vs existing(>='4') — base/append is an index-
     // side implementation detail the exact verify erases)
     "dedup_incremental_compacted" -> OracleSqlText.incrementalNearDups,
+    "dedup_compaction_cadence" -> OracleSqlText.compactionCadence(),
     "dedup_minhash_lsh" -> OracleSqlText.minhashLsh,
     "dedup_containment" -> OracleSqlText.containmentPairs(),
     "text_simhash" -> OracleSqlText.simhash,

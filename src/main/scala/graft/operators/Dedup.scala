@@ -364,6 +364,48 @@ object Dedup {
     }
   }
 
+  /** Compaction CADENCE evidence (round-10 verdict #8): the measurable a
+    * "compact when candidate volume exceeds k× baseline" rule keys on,
+    * computed end-to-end on the real index lifecycle. Splits the corpus
+    * md5-style (base ≥'8', appended ['4','8'), probe <'4'), builds the
+    * snapshot, appends the batch under the FROZEN order, and counts the
+    * probe's prefix-filter candidates per phase:
+    *  - `appended`: appended-only shingles all rank first at frequency
+    *    zero, so prefixes over-select — candidate volume creeps above the
+    *    refreshed baseline (the drift [[appendToIncrementalIndex]]
+    *    documents);
+    *  - `compacted`: after the dfreq refresh + re-rank, the same probe's
+    *    candidate volume is the build-time ratio again.
+    * Emits one row per phase with exact integer counts and a floor-div
+    * micro-ratio, so the DuckDB twin (which replays BOTH rank orders from
+    * scratch) must match bit-for-bit. The pre-compaction probe resolves
+    * generation 0 and stays valid across the in-function swap because the
+    * manifest retains the previous generation. Verified PAIRS are
+    * phase-invariant (both orders are lossless) — that is the existing
+    * `dedup_incremental_compacted` gate; THIS gate prices the waste. */
+  def compactionCadence(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val idx = graft.RunHygiene.scratch(spark,
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_cadence_" + java.util.UUID.randomUUID.toString.take(8)).toString)
+    buildIncrementalIndex(docs.filter(h >= "8"), idx, n, threshold)
+    appendToIncrementalIndex(docs.filter(h >= "4" && h < "8"), idx, n, threshold)
+    val probeDocs = docs.filter(h < "4")
+    val before = indexProbe(probeDocs, idx, n, threshold) // generation 0 (retained)
+    compactIncrementalIndex(spark, idx, threshold)
+    val after = indexProbe(probeDocs, idx, n, threshold) // generation 1
+    def phaseRow(tag: String, p: IndexProbe): DataFrame =
+      p.candidates.agg(count(lit(1)).cast("long").as("n_candidates"))
+        .crossJoin(p.sh.agg(count(lit(1)).cast("long").as("n_probe_docs")))
+        .select(lit(tag).as("phase"), col("n_candidates"), col("n_probe_docs"),
+          expr("n_candidates * 1000000 div nullif(n_probe_docs, 0)")
+            .cast("long").as("cand_per_doc_micro"))
+    phaseRow("appended", before).unionByName(phaseRow("compacted", after))
+      .orderBy("phase")
+  }
+
   /** [[incrementalNearDups]] against a PERSISTED snapshot index
     * ([[buildIncrementalIndex]]) instead of a rebuilt one — the daily-crawl
     * production path: per batch, only the NEW side is shingled and ranked;
@@ -385,11 +427,18 @@ object Dedup {
     * and exact verification makes the final output IDENTICAL — the
     * `dedup_incremental_indexed` gate hash-matches `dedup_incremental`
     * through the same oracle SQL. */
-  def incrementalNearDupsIndexed(newDocs: DataFrame, indexPath: String, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+  /** A probe's staged shingles and its prefix-filtered candidate pairs
+    * against the index generation that was live at construction time —
+    * the shared substrate of [[incrementalNearDupsIndexed]] (which
+    * verifies the candidates exactly) and the compaction-cadence gate
+    * (which counts them per phase: candidate volume is the measurable the
+    * compaction decision keys on). */
+  private[graft] final case class IndexProbe(sh: DataFrame, candidates: DataFrame)
+
+  private[graft] def indexProbe(newDocs: DataFrame, indexPath: String, n: Int = 3,
+      threshold: Double = 0.5): IndexProbe = {
     import org.apache.spark.sql.expressions.Window
     val spark = newDocs.sparkSession
-    graft.functions.HashExpressions.registerIntersect(spark)
     graft.functions.TextExpressions.register(spark, n)
     // ONE manifest read fixes the generation for the whole probe: dfreq
     // and prefix always come from the same tree pair, and a compaction
@@ -398,7 +447,6 @@ object Dedup {
     val gen = indexGeneration(indexPath)
     val dfreq = spark.read.parquet(treePath(indexPath, "dfreq", gen))
     val exPrefix = spark.read.parquet(treePath(indexPath, "prefix", gen))
-    val exArrays = spark.read.parquet(s"$indexPath/arrays")
     val sh = graft.RunHygiene.stage(
       newDocs.select(col("doc_id"),
           call_function(s"word_ngrams_distinct_$n", TextOps.tokens(col("text"))).as("sh"))
@@ -428,11 +476,20 @@ object Dedup {
       .select(col("a.doc_id").as("new_doc_id"), col("b.doc_id").as("existing_doc_id"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
-    val sortedN = sh.select(col("doc_id").as("new_doc_id"),
+    IndexProbe(sh, candidates)
+  }
+
+  def incrementalNearDupsIndexed(newDocs: DataFrame, indexPath: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    graft.functions.HashExpressions.registerIntersect(spark)
+    val probe = indexProbe(newDocs, indexPath, n, threshold)
+    val exArrays = spark.read.parquet(s"$indexPath/arrays")
+    val sortedN = probe.sh.select(col("doc_id").as("new_doc_id"),
       array_sort(col("sh")).as("sh_a"))
     val sortedE = exArrays.select(col("doc_id").as("existing_doc_id"),
       col("shs").as("sh_b"))
-    candidates
+    probe.candidates
       .join(sortedN, Seq("new_doc_id"))
       .join(sortedE, Seq("existing_doc_id"))
       .withColumn("inter", call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))

@@ -93,6 +93,72 @@ v AS (
 SELECT new_doc_id, existing_doc_id, ROUND(jaccard_raw, 4) AS jaccard
 FROM v WHERE jaccard_raw >= 0.5 ORDER BY new_doc_id, existing_doc_id"""
 
+  /** Mirrors Dedup.compactionCadence: replays BOTH index rank orders from
+    * scratch — the FROZEN order (dfreq over the base snapshot alone,
+    * appended/probe shingles 0-filled) and the REFRESHED one (dfreq over
+    * base ∪ appended) — and counts the probe's prefix-filter candidate
+    * pairs per phase. The prefix rule, size filter, positional overlap
+    * bound and index bound replicate the Spark conditions exactly; the
+    * double literals are interpolated from the SAME Scala constants the
+    * operator uses, so the IEEE arithmetic is engine-identical. */
+  def compactionCadence(threshold: Double = 0.5): String = {
+    val tOver1pt = threshold / (1 + threshold)
+    val t2Over1pt = 2 * threshold / (1 + threshold)
+    def prefixCte(name: String, invSrc: String, dfreqSrc: String): String = s"""
+$name AS (
+  SELECT doc_id, shingle, sz, rn FROM (
+    SELECT i.doc_id, i.shingle, i.sz,
+           ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                              ORDER BY COALESCE(d.dfreq, 0), i.shingle) AS rn
+    FROM $invSrc i LEFT JOIN $dfreqSrc d USING (shingle)) t
+  WHERE rn <= sz - CEIL($threshold * sz) + 1
+)"""
+    def candCte(name: String, probePre: String, existPre: String): String = s"""
+$name AS (
+  SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS existing_doc_id
+  FROM $probePre a JOIN $existPre b USING (shingle)
+  WHERE LEAST(a.sz, b.sz) >= CEIL($threshold * GREATEST(a.sz, b.sz))
+    AND LEAST(a.rn, b.rn) - 1 +
+        LEAST(a.sz - a.rn, b.sz - b.rn) + 1 >= CEIL($tOver1pt * (a.sz + b.sz))
+    AND (CASE WHEN a.sz <= b.sz THEN a.rn ELSE b.rn END) <=
+        (CASE WHEN a.sz <= b.sz THEN a.sz ELSE b.sz END) -
+          CEIL($t2Over1pt * (CASE WHEN a.sz <= b.sz THEN a.sz ELSE b.sz END)) + 1
+)"""
+    s"""
+WITH $toksCte,
+$shinglesCte,
+tagged AS (SELECT doc_id, sh,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+           FROM sh),
+inv_base AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle
+             FROM tagged WHERE h >= '8'),
+inv_exist AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle
+              FROM tagged WHERE h >= '4'),
+inv_probe AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle
+              FROM tagged WHERE h < '4'),
+dfreq0 AS (SELECT shingle, COUNT(*) AS dfreq FROM inv_base GROUP BY 1),
+dfreq1 AS (SELECT shingle, COUNT(*) AS dfreq FROM inv_exist GROUP BY 1),
+${prefixCte("pre_exist0", "inv_exist", "dfreq0")},
+${prefixCte("pre_probe0", "inv_probe", "dfreq0")},
+${prefixCte("pre_exist1", "inv_exist", "dfreq1")},
+${prefixCte("pre_probe1", "inv_probe", "dfreq1")},
+${candCte("cand0", "pre_probe0", "pre_exist0")},
+${candCte("cand1", "pre_probe1", "pre_exist1")},
+n_probe AS (SELECT COUNT(*) AS n_probe_docs FROM tagged WHERE h < '4'),
+counts AS (
+  SELECT 'appended' AS phase,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand0) AS n_candidates,
+         (SELECT CAST(n_probe_docs AS BIGINT) FROM n_probe) AS n_probe_docs
+  UNION ALL
+  SELECT 'compacted',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand1),
+         (SELECT CAST(n_probe_docs AS BIGINT) FROM n_probe))
+SELECT phase, n_candidates, n_probe_docs,
+       CAST(n_candidates * 1000000 // NULLIF(n_probe_docs, 0) AS BIGINT)
+         AS cand_per_doc_micro
+FROM counts ORDER BY phase"""
+  }
+
   /** The containment candidate CTE chain (reads `sh`): inverted index →
     * frequency-ascending prefixes sized by each doc's own set → lossless
     * candidate pairs. Shared by [[containmentPairs]] and [[curationV3]]. */

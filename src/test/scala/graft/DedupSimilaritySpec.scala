@@ -147,6 +147,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(probe(idx) === rebuilt)
   }
 
+  test("compaction cadence: the refreshed order restores the candidate ratio") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = graft.operators.Dedup.compactionCadence(docs).collect()
+      .map(r => r.getAs[String]("phase") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_probe_docs"))).toMap
+    val (candApp, nApp) = rows("appended")
+    val (candCmp, nCmp) = rows("compacted")
+    assert(nApp === nCmp, "probe population is phase-invariant")
+    // the frozen order ranks every appended-only shingle first at dfreq 0,
+    // so pre-compaction prefixes over-select — strictly, on this corpus
+    assert(candCmp < candApp,
+      s"compaction must cut candidate volume: appended $candApp vs compacted $candCmp")
+    // and the restored ratio is the rule's trigger signal: well under half
+    assert(candCmp * 2 < candApp,
+      s"expected a >2x restoration, got $candApp -> $candCmp")
+  }
+
   test("minhash LSH finds the same dups as exact jaccard here") {
     val lsh = Dedup.minhashLsh(corpus)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
