@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 280
+  val GatedQueryCount: Int = 281
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -685,6 +685,26 @@ object SparkEntry {
       }
       Similarity.ivfIndexedTopK(emb, idx)
     }),
+    // index lifecycle end-to-end for the ANN family: build on the ~87%
+    // split, append the md5 batch, then POSTING COMPACTION (one file per
+    // cell behind the atomic generation-manifest swap — semantically
+    // identity, so the probe hash-matches the append gate's own oracle)
+    "ann_ivf_indexed_compacted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val isNew =
+        substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) < "2"
+      val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_ivf_cmp_" + graft.RunHygiene.pathKey(d)).toString
+      incrIdxBuilt.synchronized {
+        if (!incrIdxBuilt.contains(idx)) {
+          Similarity.buildIvfIndex(emb.filter(!isNew), idx)
+          Similarity.appendToIvfIndex(emb.filter(isNew), idx)
+          Similarity.compactIvfIndex(s, idx)
+          incrIdxBuilt += idx
+        }
+      }
+      Similarity.ivfIndexedTopK(emb, idx)
+    }),
     // scalar-quantization (SQ8) ANN: per-dim envelope codes, integer dot
     "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(Tables.embeddings(s, d))),
     // binary-quantization ANN: 1-bit/dim sign words, Hamming shortlist, rerank
@@ -1224,6 +1244,7 @@ object SparkEntry {
     // parquet float round-trip is exact) — same oracle by construction
     "ann_ivf_indexed" -> OracleSqlText.annIvfTopK(),
     "ann_ivf_indexed_append" -> OracleSqlText.annIvfIndexedAppend(),
+    "ann_ivf_indexed_compacted" -> OracleSqlText.annIvfIndexedAppend(),
     "ann_sq_topk" -> OracleSqlText.annSqTopK(),
     "ann_bq_topk" -> OracleSqlText.annBqTopK(),
     "ann_matryoshka_topk" -> OracleSqlText.annMatryoshkaTopK(),

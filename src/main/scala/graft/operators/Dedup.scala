@@ -214,36 +214,21 @@ object Dedup {
   // are filesystem-local and java.nio's ATOMIC_MOVE is the rename(2)
   // guarantee. `arrays/` is generation-free: append-only, never ranked.
 
-  private def manifestFile(path: String): java.nio.file.Path =
-    java.nio.file.Paths.get(path, "manifest.json")
-
-  /** Live generation per the manifest; -1 means a pre-manifest legacy
-    * layout (un-suffixed trees) — still readable, never written anew. */
-  private[graft] def indexGeneration(path: String): Int = {
-    val mp = manifestFile(path)
-    if (!java.nio.file.Files.exists(mp)) -1
-    else {
-      val txt = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
-      """"generation"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-        .getOrElse(throw new IllegalStateException(s"corrupt index manifest at $mp"))
-    }
-  }
+  /** Live generation of an index tree set — [[IndexManifest]] delegates
+    * kept as local names so call sites and specs read naturally. */
+  private[graft] def indexGeneration(path: String): Int =
+    IndexManifest.generation(path)
 
   private[graft] def treePath(path: String, tree: String, gen: Int): String =
-    if (gen < 0) s"$path/$tree" else s"$path/${tree}_g$gen"
+    IndexManifest.treePath(path, tree, gen)
 
   /** The live tree path a probe should read right now — spec/debug hook. */
   def resolvedTreePath(path: String, tree: String): String =
     if (tree == "arrays") s"$path/arrays"
     else treePath(path, tree, indexGeneration(path))
 
-  private def writeManifest(path: String, gen: Int): Unit = {
-    val tmp = java.nio.file.Paths.get(path, s"manifest.json.tmp_g$gen")
-    java.nio.file.Files.write(tmp, s"""{"generation":$gen}""".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, manifestFile(path),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeManifest(path: String, gen: Int): Unit =
+    IndexManifest.write(path, gen)
 
   def buildIncrementalIndex(existing: DataFrame, path: String, n: Int = 3,
       threshold: Double = 0.5): Unit = {

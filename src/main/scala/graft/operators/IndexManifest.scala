@@ -1,0 +1,54 @@
+package graft.operators
+
+/** Generation-pointer manifest shared by the persisted index families
+  * (the incremental-dedup prefix index in [[Dedup]], the cell-partitioned
+  * IVF index in [[Similarity]]). The live tree set is resolved through ONE
+  * `manifest.json` read; maintenance writes the next generation's trees
+  * BESIDE the live ones and swaps by atomic manifest rewrite (java.nio
+  * `ATOMIC_MOVE` — rename(2); on an object store the same pointer is a
+  * conditional PUT). The previous generation is RETAINED through each
+  * swap, so a reader that resolved just before it keeps reading intact
+  * trees; generations older than the previous are pruned by the caller —
+  * bounded two-generation footprint. Generation −1 denotes a pre-manifest
+  * legacy layout (un-suffixed tree names): still readable, never written
+  * anew. */
+object IndexManifest {
+
+  private def manifestFile(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "manifest.json")
+
+  /** Live generation per the manifest; -1 for a legacy layout. */
+  def generation(path: String): Int = {
+    val mp = manifestFile(path)
+    if (!java.nio.file.Files.exists(mp)) -1
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      """"generation"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(s"corrupt index manifest at $mp"))
+    }
+  }
+
+  def treePath(path: String, tree: String, gen: Int): String =
+    if (gen < 0) s"$path/$tree" else s"$path/${tree}_g$gen"
+
+  /** The atomic swap: readers flip generations exactly here. */
+  def write(path: String, gen: Int): Unit = {
+    val tmp = java.nio.file.Paths.get(path, s"manifest.json.tmp_g$gen")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(tmp, s"""{"generation":$gen}""".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, manifestFile(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Prune every `tree` generation at or below `upTo` (−1 prunes the
+    * legacy un-suffixed tree). Cleanup only — failures are non-fatal by
+    * caller convention; this just issues the deletes. */
+  def prune(spark: org.apache.spark.sql.SparkSession, path: String,
+      trees: Seq[String], upTo: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    for (tree <- trees; g <- -1 to upTo)
+      fs.delete(new org.apache.hadoop.fs.Path(treePath(path, tree, g)), true)
+  }
+}

@@ -694,7 +694,10 @@ object Similarity {
     withCell(emb, centroids)
       .withColumn("norm", l2Norm(col("embedding")))
       .drop("dists")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(IndexManifest.treePath(indexDir, "cells", 0))
+    // manifest last: the index is live only once its postings are complete
+    IndexManifest.write(indexDir, 0)
   }
 
   /** The persisted quantizer state, back in [[lloydCentroids]] form —
@@ -724,7 +727,36 @@ object Similarity {
     withCell(newBatch.select("vec_id", "embedding"), centroids)
       .withColumn("norm", l2Norm(col("embedding")))
       .drop("dists")
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+      .write.mode("append").partitionBy("cell")
+      .parquet(IndexManifest.treePath(indexDir, "cells",
+        IndexManifest.generation(indexDir)))
+  }
+
+  /** Index MAINTENANCE, part 2: posting-file compaction. Every append
+    * lands at least one new parquet file per touched `cell=<n>/`
+    * partition, so a daily-ingest index accretes the small-file problem
+    * INSIDE its own postings — footer reads and task setup start to
+    * dominate probes long before data size does (the same economics as
+    * [[Physical.compactionExec]], applied to index postings). Compaction
+    * rewrites the live cells tree with each cell's postings in exactly
+    * one file (one hash exchange on `cell`; a cell's rows land in one
+    * task) and swaps the [[IndexManifest]] generation pointer atomically —
+    * the previous generation is retained, so an in-flight probe that
+    * resolved before the swap keeps reading intact postings. Semantically
+    * IDENTITY: centroids are untouched (re-quantization would change
+    * results — that is a re-BUILD decision the recall audit informs, not
+    * maintenance), row set unchanged, so probe results are bit-identical
+    * across the swap — the `ann_ivf_indexed_compacted` gate hash-matches
+    * the append gate's own oracle. */
+  def compactIvfIndex(spark: SparkSession, indexDir: String): Unit = {
+    val gen = IndexManifest.generation(indexDir)
+    val next = gen + 1
+    spark.read.parquet(IndexManifest.treePath(indexDir, "cells", gen))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(IndexManifest.treePath(indexDir, "cells", next))
+    IndexManifest.write(indexDir, next) // the atomic swap
+    IndexManifest.prune(spark, indexDir, Seq("cells"), next - 2)
   }
 
   /** Probe-only IVF top-k against a [[buildIvfIndex]] tree. The centroid
@@ -756,7 +788,10 @@ object Similarity {
     // nQueries×nProbe cell ids — driver-bounded by construction, and the
     // reason the postings scan below can partition-prune
     val probedCells = queries0.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val postings = spark.read.parquet(s"$indexDir/cells")
+    // ONE manifest read fixes the postings generation for the whole probe
+    // (retained through the next compaction swap — see compactIvfIndex)
+    val postings = spark.read.parquet(IndexManifest.treePath(indexDir, "cells",
+        IndexManifest.generation(indexDir)))
       .where(col("cell").isin(probedCells: _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("norm"), col("cell").cast("int").as("cell"))

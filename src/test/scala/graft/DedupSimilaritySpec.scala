@@ -494,4 +494,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(postingsScans.contains("PartitionFilters") && postingsScans.contains("cell"),
       s"postings scan must carry a cell partition filter:\n$p")
   }
+
+  test("ivf posting compaction: one file per cell, probe bit-identical across the swap") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val isNew = org.apache.spark.sql.functions.substring(
+      org.apache.spark.sql.functions.md5(
+        col("vec_id").cast("string").cast("binary")), 1, 1) < "2"
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfcmp_spec_").toString
+    Similarity.buildIvfIndex(emb.filter(!isNew), idx)
+    Similarity.appendToIvfIndex(emb.filter(isNew), idx)
+    val before = Similarity.ivfIndexedTopK(emb, idx).collect().toSeq
+    // the append left multiple posting files in the touched cells
+    def cellFiles(gen: Int): Map[String, Int] = {
+      val root = new java.io.File(
+        graft.operators.IndexManifest.treePath(idx, "cells", gen))
+      Option(root.listFiles()).toSeq.flatten.filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val genBefore = graft.operators.IndexManifest.generation(idx)
+    assert(cellFiles(genBefore).values.exists(_ > 1),
+      "append must have fragmented at least one cell's postings")
+    // a probe PLAN resolved pre-swap must stay valid after it (retention)
+    val preSwapProbe = Similarity.ivfIndexedTopK(emb, idx)
+    Similarity.compactIvfIndex(spark, idx)
+    val genAfter = graft.operators.IndexManifest.generation(idx)
+    assert(genAfter === genBefore + 1, "compaction must advance the manifest")
+    assert(preSwapProbe.collect().toSeq === before,
+      "pre-swap probe must read the retained generation bit-identically")
+    // fresh probe reads the compacted tree: identical results, 1 file/cell
+    assert(Similarity.ivfIndexedTopK(emb, idx).collect().toSeq === before)
+    val after = cellFiles(genAfter)
+    assert(after.nonEmpty && after.values.forall(_ === 1),
+      s"compacted cells must hold exactly one posting file each: $after")
+  }
 }
