@@ -235,9 +235,16 @@ object Bench {
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
       val s = (System.nanoTime() - t0) / 1e9
+      // GC and load sampled BEFORE the drain: stage unpersist + scratch-tree
+      // deletion must not pollute the query's own collector evidence
+      val gcDelta = gcSec() - g0
+      val ld = math.max(l0, load1m())
       RunHygiene.drainStages(spark)
-      (s, gcSec() - g0, math.max(l0, load1m()), err)
+      (s, gcDelta, ld, err)
     }
+    // a retry that itself FAILS must never surface as a plausible timing —
+    // it lands here and in warm_errors under "<name>:retry"
+    val retryErrBuf = scala.collection.mutable.Buffer.empty[(String, String)]
     val warmRaw: Seq[(String, Double, Option[String])] = results.collect {
       case (name, cold, None) =>
         val (s1, gc1, ld1, err1) = timedRun(name)
@@ -246,16 +253,25 @@ object Bench {
             f"gc $gc1%.1fs, load $ld1%.2f) — retrying once after idle re-gate")
           awaitIdle(sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "2.0").toDouble, 90)
           val (s2, gc2, ld2, err2) = timedRun(name)
-          warmDiagBuf += name -> WarmDiag(s1, gc1, ld1, Some((s2, gc2, ld2)))
-          (name, if (err2.isEmpty) math.min(s1, s2) else s1, err1)
+          if (err2.isEmpty) {
+            warmDiagBuf += name -> WarmDiag(s1, gc1, ld1, Some((s2, gc2, ld2)))
+            (name, math.min(s1, s2), err1)
+          } else {
+            retryErrBuf += s"$name:retry" -> err2.get
+            warmDiagBuf += name -> WarmDiag(s1, gc1, ld1, None)
+            (name, s1, err1)
+          }
         } else {
-          if (err1.isEmpty && s1 > 2.0 * math.max(cold, 1.0))
+          // elevated-but-under-contract lines still carry their evidence:
+          // >1.5x cold and over a second is worth a reader's glance
+          if (err1.isEmpty && s1 > 1.5 * cold && s1 > 1.0)
             warmDiagBuf += name -> WarmDiag(s1, gc1, ld1, None)
           (name, s1, err1)
         }
     }
     val warm: Seq[(String, Double)] = warmRaw.collect { case (n, s, None) => (n, s) }
-    val warmErrPairs = warmRaw.collect { case (n, _, Some(m)) => (n, m) }
+    val warmErrPairs =
+      warmRaw.collect { case (n, _, Some(m)) => (n, m) } ++ retryErrBuf
     val warmOver2x = warm.collect {
       case (n, s) if coldByName.get(n).exists(warmOver(_, s)) => n }
     val loadAfter = loadavg()

@@ -339,14 +339,10 @@ object Dedup {
       .select("doc_id", "shingle", "sz", "rn")
       .write.mode("overwrite").parquet(treePath(path, "prefix", next))
     writeManifest(path, next) // the atomic swap — readers flip here
-    // prune generations older than the retained previous one
-    val stale = next - 2
-    if (stale >= -1) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
-      for (tree <- Seq("dfreq", "prefix"))
-        fs.delete(new org.apache.hadoop.fs.Path(treePath(path, tree, stale)), true)
-    }
+    // prune everything older than the retained previous generation (the
+    // shared helper sweeps from legacy upward, so a crash between a prior
+    // swap and its prune cannot strand a generation forever)
+    IndexManifest.prune(spark, path, Seq("dfreq", "prefix"), next - 2)
   }
 
   /** Compaction CADENCE evidence (round-10 verdict #8): the measurable a
@@ -377,10 +373,12 @@ object Dedup {
         "graft_cadence_" + java.util.UUID.randomUUID.toString.take(8)).toString)
     buildIncrementalIndex(docs.filter(h >= "8"), idx, n, threshold)
     appendToIncrementalIndex(docs.filter(h >= "4" && h < "8"), idx, n, threshold)
-    val probeDocs = docs.filter(h < "4")
-    val before = indexProbe(probeDocs, idx, n, threshold) // generation 0 (retained)
+    // one staged shingle pass serves BOTH phase probes — only the resolved
+    // index generation differs between them
+    val probeSh = stagedShingles(docs.filter(h < "4"), n)
+    val before = indexProbeWith(probeSh, idx, threshold) // generation 0 (retained)
     compactIncrementalIndex(spark, idx, threshold)
-    val after = indexProbe(probeDocs, idx, n, threshold) // generation 1
+    val after = indexProbeWith(probeSh, idx, threshold) // generation 1
     def phaseRow(tag: String, p: IndexProbe): DataFrame =
       p.candidates.agg(count(lit(1)).cast("long").as("n_candidates"))
         .crossJoin(p.sh.agg(count(lit(1)).cast("long").as("n_probe_docs")))
@@ -420,11 +418,27 @@ object Dedup {
     * compaction decision keys on). */
   private[graft] final case class IndexProbe(sh: DataFrame, candidates: DataFrame)
 
+  /** The probe side's staged distinct-shingle frame — factored out so a
+    * caller probing the SAME docs against several index generations (the
+    * cadence gate) tokenizes and stages once, not once per probe. */
+  private[graft] def stagedShingles(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession, n)
+    val sh = graft.RunHygiene.stage(
+      docs.select(col("doc_id"),
+          call_function(s"word_ngrams_distinct_$n", TextOps.tokens(col("text"))).as("sh"))
+        .filter(size(col("sh")) > 0))
+    sh.count()
+    sh
+  }
+
   private[graft] def indexProbe(newDocs: DataFrame, indexPath: String, n: Int = 3,
-      threshold: Double = 0.5): IndexProbe = {
+      threshold: Double = 0.5): IndexProbe =
+    indexProbeWith(stagedShingles(newDocs, n), indexPath, threshold)
+
+  private[graft] def indexProbeWith(sh: DataFrame, indexPath: String,
+      threshold: Double): IndexProbe = {
     import org.apache.spark.sql.expressions.Window
-    val spark = newDocs.sparkSession
-    graft.functions.TextExpressions.register(spark, n)
+    val spark = sh.sparkSession
     // ONE manifest read fixes the generation for the whole probe: dfreq
     // and prefix always come from the same tree pair, and a compaction
     // that swaps mid-probe cannot mix orders (the resolved generation's
@@ -432,11 +446,6 @@ object Dedup {
     val gen = indexGeneration(indexPath)
     val dfreq = spark.read.parquet(treePath(indexPath, "dfreq", gen))
     val exPrefix = spark.read.parquet(treePath(indexPath, "prefix", gen))
-    val sh = graft.RunHygiene.stage(
-      newDocs.select(col("doc_id"),
-          call_function(s"word_ngrams_distinct_$n", TextOps.tokens(col("text"))).as("sh"))
-        .filter(size(col("sh")) > 0))
-    sh.count()
     val wDoc = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
     val newPrefix = sh.select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("shingle"))
