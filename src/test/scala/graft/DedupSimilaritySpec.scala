@@ -523,8 +523,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(genAfter === genBefore + 1, "compaction must advance the manifest")
     assert(preSwapProbe.collect().toSeq === before,
       "pre-swap probe must read the retained generation bit-identically")
-    // fresh probe reads the compacted tree: identical results, 1 file/cell
-    assert(Similarity.ivfIndexedTopK(emb, idx).collect().toSeq === before)
+    // fresh probe reads the compacted tree: identical results, 1 file/cell,
+    // and the partition pruning survives the generation swap
+    val freshProbe = Similarity.ivfIndexedTopK(emb, idx)
+    assert(freshProbe.collect().toSeq === before)
+    val fp = freshProbe.queryExecution.executedPlan.toString
+    val compactedScan = fp.linesIterator
+      .filter(_.contains(s"cells_g$genAfter")).mkString("\n")
+    assert(compactedScan.contains("PartitionFilters") && compactedScan.contains("cell"),
+      s"compacted postings scan must keep the cell partition filter:\n$fp")
     val after = cellFiles(genAfter)
     assert(after.nonEmpty && after.values.forall(_ === 1),
       s"compacted cells must hold exactly one posting file each: $after")

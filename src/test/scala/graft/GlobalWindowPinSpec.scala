@@ -19,6 +19,13 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   * window. Queries where the bounded-input argument is structural rather
   * than an aggregate sit in a named allowlist with the reason spelled out;
   * adding a new corpus-sized global window anywhere fails CI.
+  *
+  * The SAME planning sweep (the expensive part — 281 query plans) also
+  * checks the registry-wide CartesianProduct ban: by repo convention a
+  * deliberate 1-row scalar cross plans as a BroadcastNestedLoopJoin with
+  * an identity-broadcast build, never as CartesianProduct, so any
+  * CartesianProduct in any gated plan is an n×m row join waiting for
+  * scale — except the named sketch-sized allowlist.
   */
 class GlobalWindowPinSpec extends AnyFunSuite {
   import TestSpark._
@@ -56,24 +63,42 @@ class GlobalWindowPinSpec extends AnyFunSuite {
       case _ => false
     }
 
-  test("every unpartitioned window in the registry sits above an aggregation") {
-    val offenders = scala.collection.mutable.Buffer.empty[String]
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-         if !allowlist.contains(name)) {
+  // Queries whose CartesianProduct is over sketch-sized (k-bounded) sides,
+  // with the bound named — everything else must stay keyed or 1-row-BNLJ.
+  private val cartesianAllowlist: Map[String, String] = Map(
+    "sketch_kmv_jaccard" -> ("the |groups|^2 pair roster cross over the " +
+      "k-bounded KMV sketch table (<= k rows per group by construction); " +
+      "corpus-scale work stays keyed — pinned in PlanPinSpec")
+  )
+
+  test("registry sweep: global windows sit above a bound; no corpus-sided cartesians") {
+    val windowOffenders = scala.collection.mutable.Buffer.empty[String]
+    val cartesianOffenders = scala.collection.mutable.Buffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val plan =
         try fn(spark, dir).queryExecution.executedPlan
         catch { case e: Throwable =>
           fail(s"$name failed to plan: ${e.getClass.getSimpleName} ${e.getMessage}") }
-      val bad = collectAll(plan).collect {
-        case w: WindowExec if w.partitionSpec.isEmpty && !hasBoundBeneath(w) => w
-        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !hasBoundBeneath(w) => w
+      val nodes = collectAll(plan)
+      if (!allowlist.contains(name)) {
+        val bad = nodes.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !hasBoundBeneath(w) => w
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !hasBoundBeneath(w) => w
+        }
+        if (bad.nonEmpty)
+          windowOffenders += s"$name: ${bad.head.nodeName} over non-aggregated input"
       }
-      if (bad.nonEmpty)
-        offenders += s"$name: ${bad.head.nodeName} over non-aggregated input"
+      if (!cartesianAllowlist.contains(name) &&
+          nodes.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.CartesianProductExec]))
+        cartesianOffenders += name
       RunHygiene.drainStages(spark)
     }
-    assert(offenders.isEmpty,
+    assert(windowOffenders.isEmpty,
       s"corpus-sized global windows found (partition them or allowlist with a bound):\n" +
-        offenders.mkString("\n"))
+        windowOffenders.mkString("\n"))
+    assert(cartesianOffenders.isEmpty,
+      s"CartesianProduct found (key the join, broadcast the 1-row side, or allowlist " +
+        s"with the size bound): ${cartesianOffenders.mkString(", ")}")
   }
 }
