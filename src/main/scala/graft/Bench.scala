@@ -105,10 +105,13 @@ object Bench {
       warm: Seq[(String, Double)], warmErrors: Seq[(String, String)],
       errors: Seq[(String, String)], envJson: String, sfDir: String,
       warmDiag: Seq[(String, WarmDiag)] = Nil,
-      warmOver2x: Seq[String] = Nil): String = {
+      warmOver2x: Seq[String] = Nil,
+      warmRetryErrors: Seq[(String, String)] = Nil): String = {
     val qs = timings.map { case (k, v) => jstr(k) + ":" + sec(v) }.mkString("{", ",", "}")
     val warmJson = warm.map { case (k, v) => jstr(k) + ":" + sec(v) }.mkString("{", ",", "}")
     val warmErrs = warmErrors
+      .map { case (n, m) => jstr(n) + ":" + jstr(m.take(120)) }.mkString("{", ",", "}")
+    val retryErrs = warmRetryErrors
       .map { case (n, m) => jstr(n) + ":" + jstr(m.take(120)) }.mkString("{", ",", "}")
     val errs = errors
       .map { case (n, m) => jstr(n) + ":" + jstr(m.take(120)) }.mkString("{", ",", "}")
@@ -118,7 +121,7 @@ object Bench {
     val warmTotal = warm.map(_._2).sum
     s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,""" +
       s""""warm_total":${sec(warmTotal)},"warm_rerun":$warmJson,""" +
-      s""""warm_errors":$warmErrs,""" +
+      s""""warm_errors":$warmErrs,"warm_retry_errors":$retryErrs,""" +
       s""""warm_diag":$diag,"warm_over2x":$over,""" +
       s""""env":$envJson,"errors":$errs,"sf":"$sfDir"}"""
   }
@@ -255,9 +258,14 @@ object Bench {
           val (s2, gc2, ld2, err2) = timedRun(name)
           if (err2.isEmpty) {
             warmDiagBuf += name -> WarmDiag(s1, gc1, ld1, Some((s2, gc2, ld2)))
-            (name, math.min(s1, s2), err1)
+            // report the RETRY attempt, not min(s1, s2): a best-of-two
+            // applied only to breached lines biases exactly those lines
+            // optimistically (round-11 advice). The retry ran after an idle
+            // re-gate, so it is the number a clean box produces; the first
+            // attempt's evidence stays in warm_diag.
+            (name, s2, err1)
           } else {
-            retryErrBuf += s"$name:retry" -> err2.get
+            retryErrBuf += name -> err2.get
             warmDiagBuf += name -> WarmDiag(s1, gc1, ld1, None)
             (name, s1, err1)
           }
@@ -270,8 +278,11 @@ object Bench {
         }
     }
     val warm: Seq[(String, Double)] = warmRaw.collect { case (n, s, None) => (n, s) }
-    val warmErrPairs =
-      warmRaw.collect { case (n, _, Some(m)) => (n, m) } ++ retryErrBuf
+    // retry failures stay in their OWN map: folding them into warm_errors
+    // under synthetic "<name>:retry" keys made consumers double-count gates
+    // that also carry a warm_rerun timing (round-11 advice)
+    val warmErrPairs = warmRaw.collect { case (n, _, Some(m)) => (n, m) }
+    val warmRetryErrPairs = retryErrBuf.toSeq
     val warmOver2x = warm.collect {
       case (n, s) if coldByName.get(n).exists(warmOver(_, s)) => n }
     val loadAfter = loadavg()
@@ -297,7 +308,7 @@ object Bench {
     // cut mid-line and the driver's JSON parse fails (rounds 1-4 all record
     // "parsed": null for exactly this reason).
     val fullJson = renderFullJson(timings, warm, warmErrPairs, errPairs, envJson, sfDir,
-      warmDiagBuf.toSeq, warmOver2x)
+      warmDiagBuf.toSeq, warmOver2x, warmRetryErrPairs)
     // A SPARK_GRAFT_ONLY iteration run must never clobber the full-suite
     // grading artifact with an 8-query map — partial runs get their own file.
     val fullPath = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
@@ -316,7 +327,14 @@ object Bench {
     }
     val warmByCost = warm.sortBy(-_._2).map { case (k, v) => jstr(k) + ":" + sec(v) }
     val warmCompact = trimToBudget(warmByCost, 400).mkString("{", ",", "}")
-    val budget = math.max(300, 1450 - errsCompact.length - warmCompact.length - envJson.length)
+    // warm_over2x is capped like errors (5 names + a total) and its printed
+    // length joins the budget subtraction: a mass warm-contract breach —
+    // the very scenario the array diagnoses — must not push the line past
+    // the driver's stdout tail window (round-11 advice); the full list is
+    // in BENCH_FULL.json
+    val overCompact = warmOver2x.take(5).map(jstr).mkString("[", ",", "]")
+    val budget = math.max(300, 1450 - errsCompact.length - warmCompact.length -
+      overCompact.length - envJson.length)
     val byCost = timings.sortBy(-_._2).map { case (k, v) => jstr(k) + ":" + sec(v) }
     val kept = trimToBudget(byCost, budget)
     val qsCompact = kept.mkString("{", ",", "}")
@@ -325,11 +343,12 @@ object Bench {
         s""""queries_total":${timings.size},"queries_shown":${kept.size},""" +
         s""""warm_total":${sec(warmTotal)},"warm_shown":${trimToBudget(warmByCost, 400).size},""" +
         s""""warm_rerun":$warmCompact,""" +
-        s""""warm_over2x":${warmOver2x.map(jstr).mkString("[", ",", "]")},""" +
+        s""""warm_over2x":$overCompact,"warm_over2x_total":${warmOver2x.size},""" +
         s""""warm_retries":${warmDiagBuf.count(_._2.retry.isDefined)},""" +
         s""""env":$envJson,""" +
         s""""full":"$fullPath","errors":$errsCompact,""" +
-        s""""warm_errors":${warmErrPairs.size},"sf":"$sfDir"}"""
+        s""""warm_errors":${warmErrPairs.size},""" +
+        s""""warm_retry_errors":${warmRetryErrPairs.size},"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

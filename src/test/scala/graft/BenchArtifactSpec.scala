@@ -63,6 +63,17 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(js.contains(""""warm_over2x":["slow_q"]"""))
   }
 
+  test("retry failures render in their own warm_retry_errors map, unkeyed by suffix") {
+    val js = Bench.renderFullJson(Seq("q1" -> 1.0), Seq("q1" -> 0.9),
+      Seq("broken_q" -> "boom"), Nil, env, "sf",
+      warmRetryErrors = Seq("flaky_q" -> "retry boom"))
+    // the retry failure must NOT pollute warm_errors (round-11 advice: the
+    // synthetic "<name>:retry" keys made consumers double-count gates)
+    assert(js.contains(""""warm_errors":{"broken_q":"boom"}"""))
+    assert(js.contains(""""warm_retry_errors":{"flaky_q":"retry boom"}"""))
+    assert(!js.contains(":retry\""))
+  }
+
   test("totals are the sums of their maps and queries includes materialize") {
     val js = render()
     assert(js.contains("\"value\":3.750"))
