@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 281
+  val GatedQueryCount: Int = 284
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -566,6 +566,43 @@ object SparkEntry {
     "ann_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(Tables.embeddings(s, d))),
     // lexical retrieval: BM25 over the inverted-index censuses
     "search_bm25_topk" -> ((s, d) => Search.bm25TopK(Tables.documents(s, d))),
+    // the PERSISTED inverted index (third index family, round-11 #3):
+    // postings built on the ~87% split, the md5 batch appended (additive
+    // integer censuses → probe is bit-identical to the full-corpus
+    // computation and shares bm25TopK's oracle); probe reads only the
+    // query terms' posting lists via a pushed term IN (…) filter
+    "search_bm25_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_bm25_idx_" + graft.RunHygiene.pathKey(d)).toString
+      incrIdxBuilt.synchronized {
+        if (!incrIdxBuilt.contains(idx)) {
+          Search.buildBm25Index(docs.filter(h >= "2"), idx)
+          Search.appendToBm25Index(docs.filter(h < "2"), idx)
+          incrIdxBuilt += idx
+        }
+      }
+      Search.bm25IndexedTopK(docs, idx)
+    }),
+    // index lifecycle end-to-end: build + append + COMPACTION (df partials
+    // re-merged, postings re-clustered, atomic generation swap — identity
+    // on integer censuses, so the probe hash-matches the same oracle)
+    "search_bm25_indexed_compacted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_bm25_cmp_" + graft.RunHygiene.pathKey(d)).toString
+      incrIdxBuilt.synchronized {
+        if (!incrIdxBuilt.contains(idx)) {
+          Search.buildBm25Index(docs.filter(h >= "2"), idx)
+          Search.appendToBm25Index(docs.filter(h < "2"), idx)
+          Search.compactBm25Index(s, idx)
+          incrIdxBuilt += idx
+        }
+      }
+      Search.bm25IndexedTopK(docs, idx)
+    }),
     // hybrid retrieval: BM25 lexical × exact-cosine dense, RRF-fused by id
     "search_hybrid_rrf" -> ((s, d) =>
       Search.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
@@ -1005,6 +1042,15 @@ object SparkEntry {
     "streaming_bounded_audit" -> ((s, d) =>
       graft.streaming.StreamingFifo.replayLedgerLateBoundedAudit(txns(s, d))),
 
+    // BOUNDED-STATE matching: idle customers' queues are snapshot to the
+    // log (event-time timeout) and state removed; reappeared customers are
+    // re-folded in batch from snapshot + post-eviction rows — the
+    // reference's "reprocess affected customers" design. The rebuilt
+    // ledger must equal the batch rebuild — same oracle (round-11 #2)
+    "streaming_evicted_match" -> ((s, d) =>
+      graft.streaming.StreamingFifo.replayLedgerEvicting(txns(s, d))
+        .orderBy(matchedOrder: _*)),
+
     // streaming analytics replayed the same way: the windowed rollup must
     // equal the batch tumbling GROUP BY once the watermark closes every
     // window; streaming dedup must pass exactly one survivor per hash
@@ -1199,6 +1245,10 @@ object SparkEntry {
     "ann_lsh_topk" -> OracleSqlText.annLshTopK,
     "ann_rrf_fusion" -> OracleSqlText.annRrfFusion(),
     "search_bm25_topk" -> OracleSqlText.bm25TopK(),
+    // additive integer censuses make the indexed probes bit-identical to
+    // the full-corpus computation — they share bm25TopK's oracle
+    "search_bm25_indexed" -> OracleSqlText.bm25TopK(),
+    "search_bm25_indexed_compacted" -> OracleSqlText.bm25TopK(),
     "search_hybrid_rrf" -> OracleSqlText.hybridRrf(),
     "join_fuzzy_parts" -> OracleSql.fuzzyPartPairs(),
     "er_canonical_names" -> OracleSql.fuzzyCanonicalNames(),
@@ -1284,6 +1334,7 @@ object SparkEntry {
     "streaming_late_match" -> OracleSql.fifoMatch,
     "streaming_late_match_bounded" -> OracleSql.fifoMatch,
     "streaming_bounded_audit" -> OracleSql.streamingBoundedAudit,
+    "streaming_evicted_match" -> OracleSql.fifoMatch,
     "streaming_rollup" -> OracleSql.streamingRollup,
     "streaming_dedup" -> OracleSqlText.streamingDedup,
     "streaming_sessions" -> OracleSql.streamingSessions,

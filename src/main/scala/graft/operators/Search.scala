@@ -65,17 +65,23 @@ object Search {
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(col("toks"))).as("term"))
     val qstats = broadcast(qterms.join(dfCensus, "term").crossJoin(corpus))
+    scoreBm25(tf.join(qstats, "term").join(dl, "doc_id"), k, k1, b)
+  }
 
+  /** The shared BM25 scoring tail: candidates carrying (query_id, doc_id,
+    * tf, dl, df, n_docs, sum_dl) → integer-micro scores → per-query top-k.
+    * ONE expression tree serves the census path ([[bm25TopK]]) and the
+    * persisted-index probe ([[bm25IndexedTopK]]), so the two stay
+    * bit-identical (they share an oracle). */
+  private def scoreBm25(cands: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
-
-    val scored = tf.join(qstats, "term")
+    val scored = cands
       .filter(col("doc_id") =!= col("query_id"))
-      .join(dl, "doc_id")
       .withColumn("avgdl", avgdl)
       .withColumn("idf", idf)
       .withColumn("sat", sat)
@@ -89,6 +95,115 @@ object Search {
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "score_micro", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  // ---- persisted inverted index (the third index family, round-11 #3) ----
+
+  /** Build the PERSISTED inverted index [[bm25IndexedTopK]] probes — the
+    * production search shape at 100 TB, where per-query tf/df censuses
+    * ([[bm25TopK]] recomputes both per call) are paid ONCE at build:
+    *  - `postings_g<N>/` — (term, doc_id, tf, dl): the inverted lists,
+    *    doc length DENORMALIZED into each posting (the classic layout) so
+    *    a probe never joins a corpus-sized doc-length table; range-
+    *    partitioned and sorted by term, so a probe's `term IN (…)` filter
+    *    prunes at row-group granularity and reads only the probed lists.
+    *  - `dfreq_g<N>/` — (term, df) ADDITIVE partials: integer df is
+    *    mergeable, so appends add batch partials and probes SUM per term
+    *    (bounded by query terms × writes); compaction re-merges to one
+    *    row per term.
+    *  - `stats/` — one (n_docs, sum_dl) row per write, append-only like
+    *    the dedup index's `arrays/`: the probe's corpus stats are the sum
+    *    of a writes-count-sized tree, never a corpus scan.
+    * Same [[IndexManifest]] generation-pointer lifecycle as the dedup
+    * prefix index and the IVF postings: build writes generation 0, the
+    * manifest lands last, maintenance swaps atomically.
+    *
+    * Exactness: tf/df/dl/n_docs/sum_dl are exact integers and ADDITIVE
+    * across doc_id-disjoint writes, so build+append over any split of the
+    * corpus reproduces the full-corpus censuses bit-for-bit — the indexed
+    * probe hash-matches [[bm25TopK]]'s own oracle with no new SQL. */
+  def buildBm25Index(docs: DataFrame, indexDir: String): Unit = {
+    writeBm25Generation(docs, indexDir, 0, firstWrite = true)
+    IndexManifest.write(indexDir, 0) // manifest last: live once complete
+  }
+
+  /** Index MAINTENANCE: append a doc_id-disjoint batch — postings and df
+    * partials extend the live generation's trees, one stats row lands.
+    * Cost ∝ batch (tokenize + one batch-keyed aggregate), never corpus. */
+  def appendToBm25Index(newDocs: DataFrame, indexDir: String): Unit =
+    writeBm25Generation(newDocs, indexDir,
+      IndexManifest.generation(indexDir), firstWrite = false)
+
+  private def writeBm25Generation(docs: DataFrame, indexDir: String,
+      gen: Int, firstWrite: Boolean): Unit = {
+    val mode = if (firstWrite) "overwrite" else "append"
+    val toks = graft.RunHygiene.stage(TextOps.withTokens(docs)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl")))
+    toks.count() // postings, df partials and stats share one tokenize pass
+    val tf = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    tf.repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode(mode).parquet(IndexManifest.treePath(indexDir, "postings", gen))
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode(mode).parquet(IndexManifest.treePath(indexDir, "dfreq", gen))
+    // empty docs carry no postings but DO count toward n_docs/sum_dl —
+    // the same census [[bm25TopK]] takes over every doc
+    toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode(mode).parquet(s"$indexDir/stats")
+  }
+
+  /** Index MAINTENANCE, part 2: compaction. Appends accrete df partials
+    * (probe-side sums grow with write count) and small posting files in
+    * arrival order (term-range pruning degrades toward full scans).
+    * Compaction re-merges df to one row per term, rewrites postings
+    * term-clustered, and swaps the [[IndexManifest]] generation pointer
+    * atomically — previous generation retained, in-flight probes keep
+    * reading intact trees. Semantically IDENTITY (integer merges), so
+    * probe results are bit-identical across the swap. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val gen = IndexManifest.generation(indexDir)
+    val next = gen + 1
+    spark.read.parquet(IndexManifest.treePath(indexDir, "postings", gen))
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite")
+      .parquet(IndexManifest.treePath(indexDir, "postings", next))
+    spark.read.parquet(IndexManifest.treePath(indexDir, "dfreq", gen))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .write.mode("overwrite")
+      .parquet(IndexManifest.treePath(indexDir, "dfreq", next))
+    IndexManifest.write(indexDir, next) // the atomic swap
+    IndexManifest.prune(spark, indexDir, Seq("postings", "dfreq"), next - 2)
+  }
+
+  /** Probe-only BM25 top-k against a [[buildBm25Index]] tree. The queries
+    * are tokenized fresh (in production they arrive from outside the
+    * index); their distinct terms — a driver-bounded handful by
+    * construction, the same boundary class as the IVF probe's cell list —
+    * become a pushed `term IN (…)` filter on BOTH index trees, so the
+    * recurring cost is the probed posting lists' bytes, never the corpus.
+    * Resolves ONE manifest generation for the whole probe (retained
+    * through the next compaction swap). */
+  def bm25IndexedTopK(docs: DataFrame, indexDir: String, nQueries: Int = 5,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val gen = IndexManifest.generation(indexDir)
+    val qterms = TextOps.withTokens(docs.filter(col("doc_id") < nQueries))
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(col("toks"))).as("term"))
+    val termList = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val dfAgg = spark.read.parquet(IndexManifest.treePath(indexDir, "dfreq", gen))
+      .where(col("term").isin(termList: _*))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val qstats = broadcast(qterms.join(dfAgg, "term").crossJoin(broadcast(stats)))
+    val postings = spark.read
+      .parquet(IndexManifest.treePath(indexDir, "postings", gen))
+      .where(col("term").isin(termList: _*))
+    scoreBm25(postings.join(qstats, "term"), k, k1, b)
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking

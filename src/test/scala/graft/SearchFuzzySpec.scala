@@ -49,6 +49,42 @@ class SearchFuzzySpec extends AnyFunSuite {
     assert(r(1L) > r(2L), "same tf, longer doc must score lower")
   }
 
+  test("bm25 persisted index: build+append+compact probes ≡ the census path") {
+    val d = docsDf(
+      (0L, "alpha beta"),
+      (1L, "alpha gamma gamma"),
+      (2L, "beta gamma gamma"),
+      (3L, "beta beta gamma"),
+      (4L, "gamma gamma gamma"),
+      (5L, "alpha alpha beta"),
+      (6L, ""), // empty doc: no postings, but counts in n_docs
+      (7L, "beta delta"))
+    val expected = Search.bm25TopK(d, nQueries = 2, k = 3).collect().toSeq
+
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_spec_").toString
+    try {
+      // split by parity: build on evens, append odds — union is the corpus
+      Search.buildBm25Index(d.filter(col("doc_id") % 2 === 0), idx)
+      Search.appendToBm25Index(d.filter(col("doc_id") % 2 === 1), idx)
+      val appended = Search.bm25IndexedTopK(d, idx, nQueries = 2, k = 3).collect().toSeq
+      assert(appended === expected, "append-path probe must equal the census path")
+
+      // compaction is identity; the generation pointer must advance and
+      // the previous generation stay readable (retained through the swap)
+      val genBefore = graft.operators.IndexManifest.generation(idx)
+      Search.compactBm25Index(spark, idx)
+      assert(graft.operators.IndexManifest.generation(idx) === genBefore + 1)
+      val compacted = Search.bm25IndexedTopK(d, idx, nQueries = 2, k = 3).collect().toSeq
+      assert(compacted === expected, "compacted probe must be bit-identical")
+      // df partials re-merged: exactly one row per term in the new tree
+      val dfreq = spark.read.parquet(graft.operators.IndexManifest.treePath(
+        idx, "dfreq", genBefore + 1))
+      assert(dfreq.groupBy("term").count().filter(col("count") > 1).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    }
+  }
+
   // ---- hybrid fusion ----
 
   test("hybridRrf: a doc top in BOTH retrievers outranks single-list docs") {

@@ -181,6 +181,84 @@ class StreamingFifoSpec extends AnyFunSuite {
     assert(ledger.toSeq === batch.toSeq)
   }
 
+  test("idle customers evict via event-time timeout and state is bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def at(min: Int): LocalDateTime = LocalDateTime.of(2024, 3, 1, 0, 0).plusMinutes(min)
+
+    val input = MemoryStream[Tx]
+    val query = StreamingFifo
+      .matchStreamEvicting(input.toDS(), java.time.Duration.ofMinutes(10))
+      .writeStream.format("memory").queryName("fifo_evicting")
+      .outputMode("append").start()
+    try {
+      // batch 1: IDLE1 queues two earned; ACTIVE stays live throughout
+      input.addData(
+        Tx("I1E1", "IDLE1", 10.0, at(0), "earned"),
+        Tx("I1E2", "IDLE1", 10.0, at(1), "earned"),
+        Tx("A1E1", "ACTIVE", 10.0, at(2), "earned"))
+      query.processAllAvailable()
+      // batch 2 advances the watermark past IDLE1's idle horizon (1min+10min)
+      input.addData(Tx("A1S1", "ACTIVE", -5.0, at(30), "spent"))
+      query.processAllAvailable()
+      // batch 3: the timeout fires — IDLE1's queue snapshots to the log
+      input.addData(Tx("A1E2", "ACTIVE", 10.0, at(31), "earned"))
+      query.processAllAvailable()
+
+      val log = spark.table("fifo_evicting").as[StreamingFifo.QueueEvent].collect()
+      val evicted = log.filter(_.ACTION == "evict_earned")
+      assert(evicted.map(e => (e.EARNED_ID, e.POS)).toSet ===
+        Set(("I1E1", 0), ("I1E2", 1)), s"log was ${log.toSeq}")
+      // the snapshot boundary is IDLE1's max folded event time
+      assert(evicted.forall(_.MATCHED_AT === at(1)))
+      // state is BOUNDED: IDLE1's row is gone, only ACTIVE remains
+      val stateRows = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows === 1, s"state rows $stateRows, expected ACTIVE only")
+
+      // a reappearing IDLE1 folds from EMPTY state (provisional output —
+      // the batch rebuild supersedes it): a spent queues, emits nothing
+      input.addData(Tx("I1S1", "IDLE1", -5.0, at(32), "spent"))
+      query.processAllAvailable()
+      assert(!spark.table("fifo_evicting").as[StreamingFifo.QueueEvent].collect()
+        .exists(e => e.ACTION == "match" && e.CUSTOMERID == "IDLE1"))
+    } finally query.stop()
+  }
+
+  test("evicting replay restores snapshots and rebuilds the exact batch ledger") {
+    import spark.implicits._
+    def at(min: Int): LocalDateTime = LocalDateTime.of(2024, 3, 1, 0, 0).plusMinutes(min)
+    val data = Seq(
+      // IDLE1: earned queue evicts mid-replay, two se arrive after — the
+      // rebuild must restore the snapshot and match both
+      Tx("I1E1", "IDLE1", 10.0, at(0), "earned"),
+      Tx("I1E2", "IDLE1", 10.0, at(1), "earned"),
+      Tx("I1S1", "IDLE1", -5.0, at(55), "spent"),
+      Tx("I1X1", "IDLE1", -5.0, at(56), "expired"),
+      // GONE: evicted, never returns — stays unmatched
+      Tx("G1E1", "GONE", 10.0, at(2), "earned"),
+      // PENDING: a pending-se snapshot (the two-sided queue's other side),
+      // matched by an earned arriving after the eviction
+      Tx("P1S1", "PENDING", -5.0, at(3), "spent"),
+      Tx("P1E1", "PENDING", 10.0, at(57), "earned"),
+      // ACTIVE: rows in every chunk — never evicted
+      Tx("A1E1", "ACTIVE", 10.0, at(5), "earned"),
+      Tx("A1S1", "ACTIVE", -5.0, at(20), "spent"),
+      Tx("A1E2", "ACTIVE", 10.0, at(35), "earned"),
+      Tx("A1X1", "ACTIVE", -5.0, at(50), "expired"))
+
+    // evictions must actually FIRE during the replay (both queue sides)
+    val log = StreamingFifo.replayEvictingLog(data.toDF(), batches = 4).collect()
+    val actions = log.map(r => (r.getAs[String]("CUSTOMERID"), r.getAs[String]("ACTION")))
+    assert(actions.contains(("IDLE1", "evict_earned")), s"log: ${actions.toSeq}")
+    assert(actions.contains(("PENDING", "evict_se")), s"log: ${actions.toSeq}")
+
+    val ledger = StreamingFifo.replayLedgerEvicting(data.toDF(), batches = 4)
+      .orderBy("TRANS_ID").collect()
+    val batch = graft.operators.FifoMatcher.matchTransactions(data.toDF())
+      .orderBy("TRANS_ID").collect()
+    assert(ledger.toSeq === batch.toSeq)
+  }
+
   test("replayLedger rebuilds the exact batch ledger across chunked state") {
     import spark.implicits._
     val data = Seq(
