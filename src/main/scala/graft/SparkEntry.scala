@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 284
+  val GatedQueryCount: Int = 285
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -482,7 +482,12 @@ object SparkEntry {
     // baseline) — exact integer counts, twin replays both rank orders
     "dedup_compaction_cadence" -> ((s, d) =>
       Dedup.compactionCadence(Tables.documents(s, d))),
-    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    // banded MinHash with (bands, rows) DERIVED from the threshold by the
+    // solver (picks the measured (4,3) at 0.5 — output unchanged)
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshAuto(Tables.documents(s, d))),
+    // the solver's candidate table: analytic S-curve facts in integer
+    // micro per (bands, rows) factorization + the chosen row (round-11 #5)
+    "dedup_lsh_params" -> ((s, d) => Dedup.lshParamsGate(s)),
     // asymmetric containment: doc-in-doc duplication Jaccard misses
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     "text_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
@@ -1221,6 +1226,7 @@ object SparkEntry {
     "dedup_incremental_compacted" -> OracleSqlText.incrementalNearDups,
     "dedup_compaction_cadence" -> OracleSqlText.compactionCadence(),
     "dedup_minhash_lsh" -> OracleSqlText.minhashLsh,
+    "dedup_lsh_params" -> OracleSqlText.lshParams(),
     "dedup_containment" -> OracleSqlText.containmentPairs(),
     "text_simhash" -> OracleSqlText.simhash,
     "dedup_simhash_pairs" -> OracleSqlText.simhashPairs,

@@ -1115,6 +1115,98 @@ object Dedup {
       .orderBy("decile")
   }
 
+  // ---- LSH parameter solver (round-11 verdict #5) ----
+
+  /** Every (bands, rowsPerBand) factorization a signature length admits —
+    * the menu [[minhashLsh]]'s scaladoc enumerates for the 12-hash
+    * signature: (1,12) (2,6) (3,4) (4,3) (6,2) (12,1). */
+  def lshCandidateParams(signatureLen: Int = MinhashSeeds.length): Seq[(Int, Int)] =
+    (1 to signatureLen).filter(signatureLen % _ == 0)
+      .map(b => (b, signatureLen / b))
+
+  /** x^n by left-associated iterated multiplication: each step is ONE
+    * correctly-rounded IEEE multiply, so the generated DuckDB twin (the
+    * same expansion in SQL text) reproduces every double bit-for-bit —
+    * library pow() carries no cross-engine rounding guarantee. */
+  private def powIter(x: Double, n: Int): Double =
+    (1 to n).foldLeft(1.0)((a, _) => a * x)
+
+  /** The textbook banding S-curve: P(candidate | true similarity s) under
+    * (b, r) banding = 1 − (1 − s^r)^b. */
+  def lshDetectProb(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - powIter(1.0 - powIter(s, rowsPerBand), bands)
+
+  /** One solver candidate, all facts floored to integer micro so the gate
+    * and its DuckDB twin compare exactly: detection probability at the
+    * target similarity, FP mass at target/2 (a clearly-non-dup pair
+    * admitted to the verify stage), FN (miss) mass at (1+target)/2 (a
+    * clearly-dup pair the banding never surfaces), and |P(target) − ½| as
+    * the midpoint error (the S-curve midpoint is where P = ½; parameters
+    * whose midpoint sits at the target split dup from non-dup there). */
+  case class LshParamRow(bands: Long, rows_per_band: Long,
+      detect_at_target_micro: Long, fp_at_low_micro: Long,
+      fn_at_high_micro: Long, midpoint_err_micro: Long,
+      eligible: Long, chosen: Long)
+
+  private[graft] def lshParamRows(threshold: Double,
+      signatureLen: Int = MinhashSeeds.length,
+      maxFpLowMicro: Long = 200000L, maxFnHighMicro: Long = 200000L): Seq[LshParamRow] = {
+    val low = threshold / 2
+    val high = (1.0 + threshold) / 2
+    val base = lshCandidateParams(signatureLen).map { case (b, r) =>
+      val det = math.floor(lshDetectProb(threshold, b, r) * 1000000.0).toLong
+      val fp = math.floor(lshDetectProb(low, b, r) * 1000000.0).toLong
+      // miss mass directly as (1 − s^r)^b — one expression both engines share
+      val fn = math.floor(powIter(1.0 - powIter(high, r), b) * 1000000.0).toLong
+      (b, r, det, fp, fn, math.abs(det - 500000L))
+    }
+    val eligibleKeys = base.filter(c => c._4 <= maxFpLowMicro && c._5 <= maxFnHighMicro)
+    val chosen = if (eligibleKeys.isEmpty) None
+      else Some(eligibleKeys.minBy(c => (c._6, c._1)))
+    base.map { c =>
+      LshParamRow(c._1.toLong, c._2.toLong, c._3, c._4, c._5, c._6,
+        if (c._4 <= maxFpLowMicro && c._5 <= maxFnHighMicro) 1L else 0L,
+        if (chosen.contains(c)) 1L else 0L)
+    }
+  }
+
+  /** Solve (bands, rowsPerBand) for a target Jaccard threshold: among the
+    * signature's factorizations whose FP/FN masses are acceptable, the one
+    * whose S-curve midpoint sits closest to the target (ties → fewer
+    * bands: a smaller banding table). Falls back to the unconstrained
+    * argmin if no candidate meets the masses (a too-short signature). At
+    * the corpus default (0.5, 12 hashes) this picks exactly the measured
+    * (4, 3) the [[lshScurve]] calibration standing gate validated —
+    * the solver derives what round 10 hand-picked. */
+  def solveLshParams(threshold: Double, signatureLen: Int = MinhashSeeds.length,
+      maxFpLowMicro: Long = 200000L, maxFnHighMicro: Long = 200000L): (Int, Int) = {
+    val rows = lshParamRows(threshold, signatureLen, maxFpLowMicro, maxFnHighMicro)
+    val pick = rows.find(_.chosen == 1L)
+      .getOrElse(rows.minBy(r => (r.midpoint_err_micro, r.bands)))
+    (pick.bands.toInt, pick.rows_per_band.toInt)
+  }
+
+  /** [[minhashLsh]] with (bands, rows) DERIVED from the threshold by
+    * [[solveLshParams]] instead of hand-picked — the overload the
+    * standing `dedup_minhash_lsh` gate runs (at threshold 0.5 the solver
+    * returns the same (4, 3), so the gate's output is unchanged and keeps
+    * hash-matching its oracle). */
+  def minhashLshAuto(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val (b, r) = solveLshParams(threshold)
+    minhashLsh(docs, n, b, r, threshold)
+  }
+
+  /** The solver's full candidate table as a one-row-per-factorization
+    * gate (`dedup_lsh_params`): the DuckDB twin recomputes every
+    * probability from the same expanded multiplication chains and
+    * re-derives eligibility and the chosen row with the same integer
+    * logic — a drifted formula, menu, or selection rule fails the hash. */
+  def lshParamsGate(spark: SparkSession, threshold: Double = 0.5,
+      signatureLen: Int = MinhashSeeds.length): DataFrame = {
+    import spark.implicits._
+    lshParamRows(threshold, signatureLen).toDF().orderBy("bands")
+  }
+
   /** The chunk census over [[cdcChunkRows]]: chunks seen ≥ 2 times (the
     * dedup signal) with occurrence and document counts. */
   def cdcChunks(docs: DataFrame, window: Int, divisor: Int): DataFrame =

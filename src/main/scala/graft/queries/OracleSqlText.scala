@@ -214,6 +214,49 @@ FROM v WHERE c_raw >= $threshold ORDER BY doc_a, doc_b"""
     }.mkString("concat_ws('_', ", ", ", ")")
   }
 
+  /** Twin of Dedup.lshParamsGate: every probability is the SAME
+    * left-associated multiplication chain the Scala solver folds (each
+    * step one correctly-rounded IEEE multiply — library pow() carries no
+    * cross-engine guarantee), expanded into SQL text per candidate from
+    * the same menu; eligibility and the chosen row re-derive with the
+    * same integer-micro logic. Literals are ::DOUBLE — a bare 0.5 would
+    * be DECIMAL in DuckDB and the arithmetic would diverge. */
+  def lshParams(threshold: Double = 0.5,
+      signatureLen: Int = graft.operators.Dedup.MinhashSeeds.length,
+      maxFpLowMicro: Long = 200000L, maxFnHighMicro: Long = 200000L): String = {
+    val low = threshold / 2
+    val high = (1.0 + threshold) / 2
+    def prod(x: String, n: Int): String = Seq.fill(n)(x).mkString("(", " * ", ")")
+    val candRows = graft.operators.Dedup.lshCandidateParams(signatureLen)
+      .map { case (b, r) =>
+        val det = s"1.0 - ${prod(s"(1.0 - ${prod(s"CAST($threshold AS DOUBLE)", r)})", b)}"
+        val fp = s"1.0 - ${prod(s"(1.0 - ${prod(s"CAST($low AS DOUBLE)", r)})", b)}"
+        val fnq = prod(s"(1.0 - ${prod(s"CAST($high AS DOUBLE)", r)})", b)
+        s"""  SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         FLOOR(($det) * 1000000)::BIGINT AS detect_at_target_micro,
+         FLOOR(($fp) * 1000000)::BIGINT AS fp_at_low_micro,
+         FLOOR(($fnq) * 1000000)::BIGINT AS fn_at_high_micro"""
+      }.mkString("\n  UNION ALL\n")
+    s"""
+WITH cand AS (
+$candRows
+), scored AS (
+  SELECT bands, rows_per_band, detect_at_target_micro, fp_at_low_micro,
+         fn_at_high_micro,
+         ABS(detect_at_target_micro - 500000) AS midpoint_err_micro,
+         CASE WHEN fp_at_low_micro <= $maxFpLowMicro
+                AND fn_at_high_micro <= $maxFnHighMicro
+              THEN 1 ELSE 0 END AS eligible
+  FROM cand
+)
+SELECT bands, rows_per_band, detect_at_target_micro, fp_at_low_micro,
+       fn_at_high_micro, midpoint_err_micro, CAST(eligible AS BIGINT) AS eligible,
+       CAST(CASE WHEN eligible = 1 AND ROW_NUMBER() OVER (
+              PARTITION BY eligible ORDER BY midpoint_err_micro, bands) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS chosen
+FROM scored ORDER BY bands"""
+  }
+
   val minhashLsh: String = s"""
 WITH $toksCte,
 $shinglesCte,
