@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 285
+  val GatedQueryCount: Int = 286
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -755,6 +755,10 @@ object SparkEntry {
     "ann_matryoshka_topk" -> ((s, d) => Similarity.matryoshkaTopK(Tables.embeddings(s, d))),
     // standing recall@k audit of every approximate path vs the exact ranking
     "ann_recall_eval" -> ((s, d) => Similarity.recallEval(Tables.embeddings(s, d))),
+    // the re-BUILD decision audit (round-11 #4): a norm-collapsed ingest
+    // batch appends to frozen centroids; probe recall before/after vs
+    // brute force, with the measured drop and the rebuild trigger
+    "ann_recall_drift" -> ((s, d) => Similarity.ivfRecallDrift(Tables.embeddings(s, d))),
     // product-quantization codes: per-subspace Lloyd codebooks + recon error
     "embed_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
     // ADC top-k over the PQ codes: distance tables + code-lookup scan
@@ -1305,6 +1309,7 @@ object SparkEntry {
     "ann_bq_topk" -> OracleSqlText.annBqTopK(),
     "ann_matryoshka_topk" -> OracleSqlText.annMatryoshkaTopK(),
     "ann_recall_eval" -> OracleSqlText.annRecallEval(),
+    "ann_recall_drift" -> OracleSqlText.annRecallDrift(),
     "embed_kmeans" -> OracleSqlText.embedKmeans(),
     "embed_outlier_dist" -> OracleSqlText.embedOutliers(),
     "embed_pq_codes" -> OracleSqlText.embedPqCodes(),

@@ -767,8 +767,17 @@ object Similarity {
     * build is amortized away). Queries are taken from the source table,
     * as in production where they arrive from outside the index. */
   def ivfIndexedTopK(embeddings: DataFrame, indexDir: String,
-      nQueries: Int = 5, k: Int = 5, nProbe: Int = 2): DataFrame = {
-    val spark = embeddings.sparkSession
+      nQueries: Int = 5, k: Int = 5, nProbe: Int = 2): DataFrame =
+    ivfIndexedProbe(
+      embeddings.filter(col("vec_id") < nQueries).select("vec_id", "embedding"),
+      indexDir, k, nProbe)
+
+  /** [[ivfIndexedTopK]] with an EXPLICIT query frame (vec_id, embedding) —
+    * the entry the drift audit probes with queries drawn from a new ingest
+    * batch rather than the conventional `vec_id < nQueries` prefix. */
+  private[operators] def ivfIndexedProbe(queries: DataFrame, indexDir: String,
+      k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
     graft.functions.VectorExpressions.register(spark)
     val centroids: IndexedSeq[Seq[Float]] = readCentroids(spark, indexDir)
     val k2 = centroids.length
@@ -779,9 +788,7 @@ object Similarity {
           i => struct(element_at(col("dists"), i + 1).as("d"), i.as("cell")))),
         s => s.getField("cell")),
       1, probe)
-    val queries0 = withCell(
-        embeddings.filter(col("vec_id") < nQueries).select("vec_id", "embedding"),
-        centroids)
+    val queries0 = withCell(queries.select("vec_id", "embedding"), centroids)
       .withColumn("norm", l2Norm(col("embedding")))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), explode(probeCells).as("cell"))
@@ -1059,6 +1066,106 @@ object Similarity {
           lit(nQueries.toLong * k).as("possible"),
           expr(s"hits * 1000000L div ${nQueries.toLong * k}L").as("recall_micro"))
     }.reduce(_.unionAll(_)).orderBy("method")
+  }
+
+  /** [[bruteForceTopK]] with EXPLICIT query and corpus frames — the exact
+    * baseline for probes whose queries are not the corpus's `vec_id <
+    * nQueries` prefix (the drift audit's new-batch queries). Same norm
+    * precompute, scoring tree, and tie-breaks, so results are
+    * bit-identical to the single-frame form on identical inputs. */
+  def bruteForceTopKQueries(queries: DataFrame, corpus: DataFrame,
+      k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("norm"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_norm")))
+    val scored = q.join(
+        withNorm.select(col("vec_id").as("neighbor_id"), col("embedding"), col("norm")),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        round(dotProduct(col("q_emb"), col("embedding")) / safeDenom(col("q_norm") * col("norm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** vec_id offset that keeps the drift audit's synthetic ingest batch
+    * id-disjoint from the corpus. */
+  private[graft] val DriftIdOffset = 10000000L
+
+  /** The re-BUILD decision audit [[compactIvfIndex]]'s scaladoc defers to
+    * (round-11 verdict #4): compaction never re-quantizes, so an index
+    * whose ingest distribution has drifted away from its frozen centroids
+    * degrades silently — this gate makes the degradation a measured,
+    * cross-engine-exact number and emits the rebuild trigger.
+    *
+    * Protocol: build the index over the corpus; append a norm-collapsed
+    * ingest batch (the md5 < '2' split, ids offset, every component ×
+    * 1/16 — a power of two, so the scaling is IEEE-EXACT in float and
+    * cosine-INVARIANT: true neighborhoods persist while L2 assignment
+    * against the frozen centroids funnels the whole batch toward the
+    * smallest-norm cells — the embedding-model-swap shape of drift). Then:
+    *  - `baseline`: recall@k of the indexed probe vs exact brute force,
+    *    conventional queries, pre-drift corpus;
+    *  - `drifted`: the same probe with NEW-BATCH queries against the
+    *    appended index vs exact brute force over corpus ∪ batch.
+    * One row per phase — (hits, possible, recall_micro, drop vs baseline,
+    * rebuild flag at a >10-point drop). The baseline probe is materialized
+    * BEFORE the append (the counts are two driver scalars): both probes
+    * read the same generation tree, which the append extends in place.
+    *
+    * At 100 TB the audit batch is a sample of the day's ingest; the cost
+    * is two k-probe plans plus one brute-force pass over sample-sized
+    * queries — the price of knowing when re-quantization is due. */
+  def ivfRecallDrift(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nCentroids: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
+    emb.count()
+    val idx = graft.RunHygiene.scratch(spark,
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_drift_" + java.util.UUID.randomUUID.toString.take(8)).toString)
+    buildIvfIndex(emb, idx, nCentroids, iters)
+    val isNew =
+      substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) < "2"
+    val shifted = graft.RunHygiene.stage(emb.filter(isNew).select(
+      (col("vec_id") + lit(DriftIdOffset)).as("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") * lit(0.0625)).cast("float")).as("embedding")))
+    shifted.count()
+
+    def hits(probe: DataFrame, exact: DataFrame): Long =
+      probe.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+    // baseline MUST materialize before the append extends the postings tree
+    val baseHits = hits(
+      ivfIndexedProbe(emb.filter(col("vec_id") < nQueries), idx, k, nProbe),
+      bruteForceTopK(emb, nQueries, k))
+    appendToIvfIndex(shifted, idx)
+    val driftQ = shifted.orderBy("vec_id").limit(nQueries)
+    val driftHits = hits(
+      ivfIndexedProbe(driftQ, idx, k, nProbe),
+      bruteForceTopKQueries(driftQ, emb.unionByName(shifted), k))
+
+    val possible = nQueries.toLong * k
+    val baseRecall = baseHits * 1000000L / possible
+    val driftRecall = driftHits * 1000000L / possible
+    import spark.implicits._
+    Seq(
+      ("baseline", baseHits, possible, baseRecall, 0L,
+        0L),
+      ("drifted", driftHits, possible, driftRecall, baseRecall - driftRecall,
+        if (baseRecall - driftRecall > 100000L) 1L else 0L))
+      .toDF("phase", "hits", "possible", "recall_micro",
+        "drop_vs_baseline_micro", "rebuild")
+      .orderBy("phase")
   }
 
   /** Scalar-quantization (SQ8) approximate top-k — the third member of the

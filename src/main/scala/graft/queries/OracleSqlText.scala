@@ -1477,6 +1477,101 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Mirrors Similarity.ivfRecallDrift: the shared quantizer CTEs build
+    * the frozen centroids; the drifted batch (ids offset, components ×
+    * 0.0625 — an exact power-of-two float scaling) is assigned to them
+    * with the same argmin-score/lowest-cell rule; both phases' probes and
+    * exact brute-force rankings replay the annIvfTopK shapes; the final
+    * projection re-derives recall, drop, and the rebuild trigger in the
+    * same integer arithmetic. */
+  def annRecallDrift(nQueries: Int = 5, k: Int = 5, nCentroids: Int = 8,
+      nProbe: Int = 2, iters: Int = 3, dim: Int = 64): String = {
+    val poss = nQueries.toLong * k
+    val off = graft.operators.Similarity.DriftIdOffset
+    def scoreExpr(e: String, c: String): String = s"""
+         list_sum(list_transform(generate_series(1, $dim),
+                  d -> $c.centroid[d]::DOUBLE * $c.centroid[d]::DOUBLE))
+         - 2.0 * list_sum(list_transform(generate_series(1, $dim),
+                  d -> $e.embedding[d]::DOUBLE * $c.centroid[d]::DOUBLE))"""
+    s"""
+WITH ${ivfCellsCtes(nCentroids, iters, dim)},
+bprobe AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+    FROM s${iters + 1} WHERE vec_id < $nQueries) t
+  WHERE rn <= $nProbe),
+btopk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY ${cosSql("p.q_emb", "c.embedding")} DESC, c.vec_id) AS rank
+    FROM bprobe p JOIN cells c USING (cell) WHERE c.vec_id <> p.query_id) t
+  WHERE rank <= $k),
+bexact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id < $nQueries) t
+  WHERE rank <= $k),
+shifted AS (
+  SELECT vec_id + $off AS vec_id,
+         list_transform(embedding, x -> (x::DOUBLE * 0.0625)::FLOAT) AS embedding
+  FROM embeddings
+  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '2'),
+driftq AS (SELECT vec_id, embedding FROM shifted ORDER BY vec_id LIMIT $nQueries),
+scells AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${scoreExpr("e", "c")}, c.cell) AS rn
+    FROM shifted e CROSS JOIN c$iters c) t
+  WHERE rn = 1),
+postings2 AS (
+  SELECT vec_id, embedding, cell FROM cells
+  UNION ALL SELECT vec_id, embedding, cell FROM scells),
+dprobe AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
+    SELECT q.vec_id, q.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${scoreExpr("q", "c")}, c.cell) AS rn
+    FROM driftq q CROSS JOIN c$iters c) t
+  WHERE rn <= $nProbe),
+dtopk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY ${cosSql("p.q_emb", "c.embedding")} DESC, c.vec_id) AS rank
+    FROM dprobe p JOIN postings2 c USING (cell) WHERE c.vec_id <> p.query_id) t
+  WHERE rank <= $k),
+corpus2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM shifted),
+dexact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM driftq q JOIN corpus2 e ON e.vec_id <> q.vec_id) t
+  WHERE rank <= $k),
+ph AS (
+  SELECT 'baseline' AS phase,
+         (SELECT COUNT(*) FROM btopk JOIN bexact USING (query_id, neighbor_id)) AS hits
+  UNION ALL
+  SELECT 'drifted',
+         (SELECT COUNT(*) FROM dtopk JOIN dexact USING (query_id, neighbor_id))),
+r AS (
+  SELECT phase, CAST(hits AS BIGINT) AS hits, CAST($poss AS BIGINT) AS possible,
+         CAST(hits * 1000000 // $poss AS BIGINT) AS recall_micro
+  FROM ph)
+SELECT phase, hits, possible, recall_micro,
+       CAST(b.base_recall - recall_micro AS BIGINT) AS drop_vs_baseline_micro,
+       CAST(CASE WHEN b.base_recall - recall_micro > 100000 THEN 1 ELSE 0 END
+            AS BIGINT) AS rebuild
+FROM r CROSS JOIN (SELECT recall_micro AS base_recall FROM r
+                   WHERE phase = 'baseline') b
+ORDER BY phase"""
+  }
+
   /** Mirrors Similarity.kmeansClusters: the shared Lloyd quantizer CTEs'
     * final assignment plus a per-cluster size census. */
   def embedKmeans(nCentroids: Int = 8, iters: Int = 3, dim: Int = 64): String = s"""
