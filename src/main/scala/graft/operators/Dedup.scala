@@ -231,7 +231,7 @@ object Dedup {
     IndexManifest.write(path, gen)
 
   def buildIncrementalIndex(existing: DataFrame, path: String, n: Int = 3,
-      threshold: Double = 0.5): Unit = {
+      threshold: Double = 0.5): Unit = IndexManifest.withWriterLock(path) {
     import org.apache.spark.sql.expressions.Window
     graft.functions.TextExpressions.register(existing.sparkSession, n)
     val sh = graft.RunHygiene.stage(
@@ -275,7 +275,7 @@ object Dedup {
     * batch-keyed rank window, two parquet appends — all ∝ batch size,
     * never corpus. */
   def appendToIncrementalIndex(newDocs: DataFrame, path: String, n: Int = 3,
-      threshold: Double = 0.5): Unit = {
+      threshold: Double = 0.5): Unit = IndexManifest.withWriterLock(path) {
     import org.apache.spark.sql.expressions.Window
     val spark = newDocs.sparkSession
     graft.functions.TextExpressions.register(spark, n)
@@ -322,7 +322,7 @@ object Dedup {
     * shingle-keyed aggregate, one doc-keyed rank window — the build's
     * cost without the tokenize pass. */
   def compactIncrementalIndex(spark: SparkSession, path: String,
-      threshold: Double = 0.5): Unit = {
+      threshold: Double = 0.5): Unit = IndexManifest.withWriterLock(path) {
     import org.apache.spark.sql.expressions.Window
     val gen = indexGeneration(path)
     val next = gen + 1 // legacy (-1) compacts into generation 0

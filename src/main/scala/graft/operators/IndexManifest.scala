@@ -41,6 +41,42 @@ object IndexManifest {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Serialize index WRITERS (appenders and compactors) on one index
+    * tree. The generation pointer protects READERS across a swap, but two
+    * concurrent writers can still interleave destructively: an append
+    * landing between a compaction's source read and its swap is absent
+    * from the next generation's derived trees, so probes miss those docs
+    * until a later compaction re-derives them — silent, reader-visible
+    * loss. The lock is an atomic create-exclusive marker file
+    * (`open(O_CREAT|O_EXCL)` — the portable single-filesystem mutex; on
+    * an object store the same role is a conditional PUT / lease).
+    * Bounded deterministic backoff; a lock still held past the budget
+    * throws LOUDLY naming the file rather than proceeding unserialized —
+    * a crashed writer's stale lock is an operator decision, not something
+    * to silently bulldoze (the crash may still be mid-write). */
+  def withWriterLock[T](path: String, maxWaitMs: Long = 120000L)(body: => T): T = {
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    val lock = dir.resolve(".writer_lock")
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      try {
+        java.nio.file.Files.createFile(lock)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"index writer lock $lock held past ${maxWaitMs}ms — " +
+                "a concurrent writer is stuck or crashed mid-write; " +
+                "verify and remove the lock file manually")
+          Thread.sleep(50L)
+      }
+    }
+    try body finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
   /** Prune every `tree` generation at or below `upTo` (−1 prunes the
     * legacy un-suffixed tree). Cleanup only — failures are non-fatal by
     * caller convention; this just issues the deletes. */

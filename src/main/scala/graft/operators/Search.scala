@@ -122,17 +122,20 @@ object Search {
     * across doc_id-disjoint writes, so build+append over any split of the
     * corpus reproduces the full-corpus censuses bit-for-bit — the indexed
     * probe hash-matches [[bm25TopK]]'s own oracle with no new SQL. */
-  def buildBm25Index(docs: DataFrame, indexDir: String): Unit = {
-    writeBm25Generation(docs, indexDir, 0, firstWrite = true)
-    IndexManifest.write(indexDir, 0) // manifest last: live once complete
-  }
+  def buildBm25Index(docs: DataFrame, indexDir: String): Unit =
+    IndexManifest.withWriterLock(indexDir) {
+      writeBm25Generation(docs, indexDir, 0, firstWrite = true)
+      IndexManifest.write(indexDir, 0) // manifest last: live once complete
+    }
 
   /** Index MAINTENANCE: append a doc_id-disjoint batch — postings and df
     * partials extend the live generation's trees, one stats row lands.
     * Cost ∝ batch (tokenize + one batch-keyed aggregate), never corpus. */
   def appendToBm25Index(newDocs: DataFrame, indexDir: String): Unit =
-    writeBm25Generation(newDocs, indexDir,
-      IndexManifest.generation(indexDir), firstWrite = false)
+    IndexManifest.withWriterLock(indexDir) {
+      writeBm25Generation(newDocs, indexDir,
+        IndexManifest.generation(indexDir), firstWrite = false)
+    }
 
   private def writeBm25Generation(docs: DataFrame, indexDir: String,
       gen: Int, firstWrite: Boolean): Unit = {
@@ -162,7 +165,7 @@ object Search {
     * reading intact trees. Semantically IDENTITY (integer merges), so
     * probe results are bit-identical across the swap. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String): Unit = IndexManifest.withWriterLock(indexDir) {
     val gen = IndexManifest.generation(indexDir)
     val next = gen + 1
     spark.read.parquet(IndexManifest.treePath(indexDir, "postings", gen))

@@ -682,7 +682,8 @@ object Similarity {
     * round-trip parquet bit-exactly, so the probe path reproduces
     * [[ivfTopK]]'s output hash-for-hash (they share the oracle). */
   def buildIvfIndex(embeddings: DataFrame, indexDir: String,
-      nCentroids: Int = 8, iters: Int = 3): Unit = {
+      nCentroids: Int = 8, iters: Int = 3): Unit =
+      IndexManifest.withWriterLock(indexDir) {
     val spark = embeddings.sparkSession
     graft.functions.VectorExpressions.register(spark)
     val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
@@ -720,7 +721,8 @@ object Similarity {
     * build would have given them, probe results over the appended tree are
     * bit-identical to an index built over the union with these centroids —
     * the property the `ann_ivf_indexed_append` gate verifies cross-engine. */
-  def appendToIvfIndex(newBatch: DataFrame, indexDir: String): Unit = {
+  def appendToIvfIndex(newBatch: DataFrame, indexDir: String): Unit =
+      IndexManifest.withWriterLock(indexDir) {
     val spark = newBatch.sparkSession
     graft.functions.VectorExpressions.register(spark)
     val centroids = readCentroids(spark, indexDir)
@@ -748,7 +750,8 @@ object Similarity {
     * maintenance), row set unchanged, so probe results are bit-identical
     * across the swap — the `ann_ivf_indexed_compacted` gate hash-matches
     * the append gate's own oracle. */
-  def compactIvfIndex(spark: SparkSession, indexDir: String): Unit = {
+  def compactIvfIndex(spark: SparkSession, indexDir: String): Unit =
+      IndexManifest.withWriterLock(indexDir) {
     val gen = IndexManifest.generation(indexDir)
     val next = gen + 1
     spark.read.parquet(IndexManifest.treePath(indexDir, "cells", gen))

@@ -1,0 +1,146 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IndexManifest}
+
+/** Concurrent index WRITERS (round-11 stretch #8): the generation pointer
+  * already protects readers across a swap; these tests pin that the
+  * writer lock serializes appenders racing a compaction — the daily-ingest
+  * multi-writer reality — so no appended batch is ever lost from the live
+  * generation's derived trees. */
+class ManifestRaceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base = docs(
+    (0L, "the quick brown fox jumps over the lazy dog tonight"),
+    (1L, "spark plans are declarative and catalyst optimizes them well"),
+    (2L, "completely unrelated filler text about nothing in particular"))
+  private val batches = Seq(
+    docs((10L, "the quick brown fox jumps over the lazy dog today")),
+    docs((11L, "spark plans are declarative and catalyst optimizes them badly")),
+    docs((12L, "the quick brown fox jumps over the lazy dog tonight ok")))
+  private val probe = docs(
+    (20L, "the quick brown fox jumps over the lazy dog tonight"),
+    (21L, "spark plans are declarative and catalyst optimizes them well"))
+
+  private def tempIdx(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
+
+  private def cleanup(paths: String*): Unit = paths.foreach { p =>
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+  }
+
+  test("appenders racing a compaction serialize — no appended doc is lost") {
+    val raced = tempIdx("race")
+    val serial = tempIdx("serial")
+    try {
+      Dedup.buildIncrementalIndex(base, raced)
+      val pool = Executors.newFixedThreadPool(4)
+      val start = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val tasks: Seq[Runnable] = batches.map(b => new Runnable {
+        def run(): Unit = {
+          start.await()
+          try Dedup.appendToIncrementalIndex(b, raced)
+          catch { case t: Throwable => errs.add(t) }
+        }
+      }) :+ (new Runnable {
+        def run(): Unit = {
+          start.await()
+          try Dedup.compactIncrementalIndex(spark, raced)
+          catch { case t: Throwable => errs.add(t) }
+        }
+      })
+      tasks.foreach(pool.submit)
+      start.countDown() // release everyone at once — maximal interleaving
+      pool.shutdown()
+      assert(pool.awaitTermination(300, TimeUnit.SECONDS), "racing writers hung")
+      assert(errs.isEmpty, s"racing writers failed: ${errs}")
+
+      // the lock must leave no writer marker behind
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(raced, ".writer_lock")))
+
+      // every doc (base + every appended batch) is in arrays AND in the
+      // LIVE generation's prefix tree — the loss mode being pinned is an
+      // append vanishing from the compacted generation's derived trees
+      val allIds = Set(0L, 1L, 2L, 10L, 11L, 12L)
+      val arraysIds = spark.read.parquet(s"$raced/arrays")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(arraysIds === allIds)
+      val gen = IndexManifest.generation(raced)
+      val prefixIds = spark.read
+        .parquet(IndexManifest.treePath(raced, "prefix", gen))
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(prefixIds === allIds,
+        s"generation $gen prefix tree lost docs: ${allIds -- prefixIds}")
+
+      // probe parity with a serially-built index: verified pairs are
+      // rank-order-invariant, so any interleaving must yield the same set
+      Dedup.buildIncrementalIndex(base, serial)
+      batches.foreach(b => Dedup.appendToIncrementalIndex(b, serial))
+      Dedup.compactIncrementalIndex(spark, serial)
+      val racedPairs = Dedup.incrementalNearDupsIndexed(probe, raced)
+        .collect().map(_.toSeq).toSet
+      val serialPairs = Dedup.incrementalNearDupsIndexed(probe, serial)
+        .collect().map(_.toSeq).toSet
+      assert(racedPairs === serialPairs)
+      assert(racedPairs.nonEmpty, "planted near-dups must surface")
+    } finally cleanup(raced, serial)
+  }
+
+  test("two compactions racing advance the generation serially, both trees complete") {
+    val idx = tempIdx("race2c")
+    try {
+      Dedup.buildIncrementalIndex(base, idx)
+      batches.foreach(b => Dedup.appendToIncrementalIndex(b, idx))
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (1 to 2).foreach { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            try Dedup.compactIncrementalIndex(spark, idx)
+            catch { case t: Throwable => errs.add(t) }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(300, TimeUnit.SECONDS), "racing compactions hung")
+      assert(errs.isEmpty, s"racing compactions failed: ${errs}")
+      // serialized: 0 → 1 → 2, no lost or skipped generation
+      assert(IndexManifest.generation(idx) === 2)
+      // both retained generations' trees are complete and identical in
+      // content (compaction is idempotent on an unchanged corpus)
+      val g1 = spark.read.parquet(IndexManifest.treePath(idx, "prefix", 1))
+        .collect().map(_.toSeq).toSet
+      val g2 = spark.read.parquet(IndexManifest.treePath(idx, "prefix", 2))
+        .collect().map(_.toSeq).toSet
+      assert(g1 === g2)
+      assert(g1.nonEmpty)
+    } finally cleanup(idx)
+  }
+
+  test("a stale writer lock fails loudly instead of proceeding unserialized") {
+    val idx = tempIdx("stale")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(idx, ".writer_lock"))
+      val e = intercept[IllegalStateException] {
+        IndexManifest.withWriterLock(idx, maxWaitMs = 200L) { fail("must not enter") }
+      }
+      assert(e.getMessage.contains(".writer_lock"))
+    } finally cleanup(idx)
+  }
+}
