@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 286
+  val GatedQueryCount: Int = 287
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -91,6 +91,10 @@ object SparkEntry {
       FifoMatcher.matchRankJoin(txns(s, d)).orderBy(matchedOrder: _*)),
     "fifo_match_queue" -> ((s, d) =>
       FifoMatcher.matchQueue(txns(s, d)).orderBy(matchedOrder: _*)),
+    // the whale-tolerant two-stage distributed rank (bucket + prefix-sum
+    // offsets) must be row-identical to the primary window — same oracle
+    "fifo_match_salted" -> ((s, d) =>
+      FifoMatcher.matchTransactionsSalted(txns(s, d)).orderBy(matchedOrder: _*)),
 
     // §2.5 W4 cumulative balance analytics
     "balance_history" -> ((s, d) =>
@@ -1146,6 +1150,7 @@ object SparkEntry {
     "fifo_match" -> OracleSql.fifoMatch,
     "fifo_match_rankjoin" -> OracleSql.fifoMatch,
     "fifo_match_queue" -> OracleSql.fifoMatch,
+    "fifo_match_salted" -> OracleSql.fifoMatch,
     "balance_history" -> OracleSql.balanceHistory,
     "current_balances" -> OracleSql.currentBalances,
     "q01_balance_asof" -> OracleSql.q1,

@@ -90,6 +90,66 @@ object FifoMatcher {
       .drop("is_earned", "rk")
   }
 
+  /** Whale-tolerant formulation (round-11 verdict #6): the primary plan's
+    * rank window partitions by (CUSTOMERID, side), so ONE whale customer
+    * bounds one task — measured at a 19%-of-corpus whale on 20M rows:
+    * max rank-window task 5.6 s vs 1.9 s median (2.9×), wall +67%
+    * (WhaleSkewMain; PLANS.md). This variant computes the SAME global
+    * per-(customer, side) rank as a two-stage distributed rank:
+    *
+    *  1. rows bucket by fixed CREATEDAT ranges (one 2-value min/max
+    *     aggregate — a driver scalar), so a whale's history splits across
+    *     `buckets` tasks; ties in CREATEDAT share a bucket by
+    *     construction, so bucket order extends row order;
+    *  2. row_number within (customer, side, bucket);
+    *  3. per-bucket counts (customers × 2 × buckets rows — tiny) take a
+    *     prefix-sum window, and global rank = local rank + offset. The
+    *     offsets join reuses the rank window's own (customer, side,
+    *     bucket) hash partitioning — no extra corpus exchange.
+    *
+    * The pairing window partitions by (CUSTOMERID, rk) — at most two rows
+    * per partition, whale-immune already. Output ≡ [[matchTransactions]]
+    * row-for-row (gated as `fifo_match_salted` against the same oracle).
+    * Limitation: a whale whose rows share ONE timestamp still lands in
+    * one bucket — range-salting bounds time-spread whales, which is the
+    * shape customer activity takes. */
+  def matchTransactionsSalted(txns: DataFrame, buckets: Int = 16): DataFrame = {
+    val t = renameToSpec(txns)
+    val mm = t.agg(min(col("CREATEDAT")), max(col("CREATEDAT"))).head()
+    if (mm.isNullAt(0)) matchTransactions(txns) else {
+      val epoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+      def mic(x: java.time.LocalDateTime): Long =
+        java.time.temporal.ChronoUnit.MICROS.between(epoch, x)
+      val lo = mic(mm.getAs[java.time.LocalDateTime](0))
+      val hi = mic(mm.getAs[java.time.LocalDateTime](1))
+      val span = hi - lo + 1
+      val bucket = expr(
+        s"cast(((unix_micros(cast(CREATEDAT as timestamp)) - ${lo}L) * " +
+          s"${buckets}L) div ${span}L as int)")
+      val ranked = t
+        .withColumn("is_earned", col("TCTYPE") === "earned")
+        .withColumn("bkt", bucket)
+        .withColumn("lrk", row_number().over(
+          Window.partitionBy(col("CUSTOMERID"), col("is_earned"), col("bkt"))
+            .orderBy(col("CREATEDAT"), col("TRANS_ID"))))
+      val offsets = ranked.groupBy("CUSTOMERID", "is_earned", "bkt")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.partitionBy("CUSTOMERID", "is_earned").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("CUSTOMERID", "is_earned", "bkt", "off")
+      val withRk = ranked.join(offsets, Seq("CUSTOMERID", "is_earned", "bkt"))
+        .withColumn("rk", (col("lrk") + col("off")).cast("int"))
+      val pair = Window.partitionBy("CUSTOMERID", "rk")
+      withRk
+        .withColumn("REDEEMID",
+          when(col("is_earned"),
+            max(when(!col("is_earned"), col("TRANS_ID"))).over(pair))
+            .otherwise(lit(null).cast(StringType)))
+        .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")
+    }
+  }
+
   /** Alternate formulation: two ranked branches + left equi-join on
     * (CUSTOMERID, rank) — the exact shape the reference names as its own
     * billion-row migration path (reference: README.md:696). Kept as a

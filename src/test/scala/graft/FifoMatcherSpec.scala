@@ -16,7 +16,10 @@ class FifoMatcherSpec extends AnyFunSuite {
   private val impls: Seq[(String, DataFrame => DataFrame)] = Seq(
     "windowed" -> FifoMatcher.matchTransactions,
     "rankJoin" -> FifoMatcher.matchRankJoin,
-    "queue" -> FifoMatcher.matchQueue)
+    "queue" -> FifoMatcher.matchQueue,
+    // whale-tolerant two-stage rank; buckets=3 so the tiny fixtures
+    // actually straddle bucket boundaries
+    "salted" -> ((df: DataFrame) => FifoMatcher.matchTransactionsSalted(df, buckets = 3)))
 
   private def forAllImpls(input: DataFrame)(check: (String, Map[String, Option[String]]) => Unit): Unit =
     impls.foreach { case (name, impl) => check(name, redeemMap(impl(input))) }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Whale-customer skew evidence for the matcher family (r11 verdict #6):
+  * the FIFO window partitions by CUSTOMERID, so one whale customer bounds
+  * one task. This main replicates the sf transactions `mult`× (distinct
+  * ids), remaps ~19% of all rows (md5 cut) onto ONE customer, runs the
+  * primary windowed matcher on the balanced and whale variants, and
+  * prints wall time plus the per-stage task-duration spread (max vs
+  * median) from a task-end listener — the measurable PLANS.md cites.
+  * Usage: sbt "Test/runMain graft.WhaleSkewMain <sfDir> [mult]". */
+object WhaleSkewMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(20)
+
+    val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null && e.taskMetrics != null)
+          taskMs.add((e.stageId, e.taskInfo.duration))
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    val base = graft.sources.Tables.transactions(spark, sfDir)
+    // mult× replication with distinct ids: the id suffix keeps every
+    // (timestamp, id) sort key unique; timestamps unchanged
+    val big = (0 until mult).map { i =>
+      base.withColumn("transaction_id", concat(col("transaction_id"), lit(s"_r$i")))
+    }.reduce(_ unionByName _)
+    val whaleCut = substring(md5(col("transaction_id").cast("binary")), 1, 1) < "3"
+    val whale = big.withColumn("customer_id",
+      when(whaleCut, lit("WHALE")).otherwise(col("customer_id")))
+
+    def run(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val staged = graft.RunHygiene.stage(df)
+      staged.count() // isolate the matcher from the synthesis cost
+      taskMs.clear()
+      val t0 = System.nanoTime()
+      // aggregate over REDEEMID so the optimizer cannot elide the windows
+      // (a bare count() drops the unreferenced Window operators entirely)
+      val n = graft.operators.FifoMatcher.matchTransactions(staged)
+        .agg(count(col("REDEEMID"))).head().getLong(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val byStage = {
+        import scala.jdk.CollectionConverters._
+        taskMs.asScala.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      }
+      println(f"[whale] $tag%-9s rows=$n%9d wall=$wall%6.2f s")
+      byStage.toSeq.sortBy(-_._2.max).take(3).foreach { case (sid, ds) =>
+        val med = ds(ds.size / 2)
+        println(f"[whale]   stage $sid%5d tasks=${ds.size}%3d " +
+          f"max=${ds.max}%6d ms median=$med%6d ms spread=${ds.max.toDouble / math.max(1L, med)}%5.1fx")
+      }
+      RunHygiene.drainStages(spark)
+    }
+    // first run absorbs session init; report the labeled runs
+    run("warmup", big)
+    run("balanced", big)
+    run("whale", whale)
+    // the two-stage distributed rank on the same whale corpus: the whale's
+    // history splits across buckets, so the max task shrinks toward median
+    def runSalted(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val staged = graft.RunHygiene.stage(df)
+      staged.count()
+      taskMs.clear()
+      val t0 = System.nanoTime()
+      val n = graft.operators.FifoMatcher.matchTransactionsSalted(staged)
+        .agg(count(col("REDEEMID"))).head().getLong(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val byStage = {
+        import scala.jdk.CollectionConverters._
+        taskMs.asScala.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      }
+      println(f"[whale] $tag%-9s rows=$n%9d wall=$wall%6.2f s")
+      byStage.toSeq.sortBy(-_._2.max).take(3).foreach { case (sid, ds) =>
+        val med = ds(ds.size / 2)
+        println(f"[whale]   stage $sid%5d tasks=${ds.size}%3d " +
+          f"max=${ds.max}%6d ms median=$med%6d ms spread=${ds.max.toDouble / math.max(1L, med)}%5.1fx")
+      }
+      RunHygiene.drainStages(spark)
+    }
+    runSalted("w-salted", whale)
+    spark.stop()
+  }
+}
