@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 287
+  val GatedQueryCount: Int = 290
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -95,6 +95,12 @@ object SparkEntry {
     // offsets) must be row-identical to the primary window — same oracle
     "fifo_match_salted" -> ((s, d) =>
       FifoMatcher.matchTransactionsSalted(txns(s, d)).orderBy(matchedOrder: _*)),
+    // census-priced dispatch between the primary and salted plans — both
+    // branches row-identical, so the adaptive form shares the oracle
+    "fifo_match_adaptive" -> ((s, d) =>
+      FifoMatcher.matchTransactionsAdaptive(txns(s, d)).orderBy(matchedOrder: _*)),
+    // the dispatch decision itself, oracle-gated in exact ppm integers
+    "fifo_skew_decision" -> ((s, d) => FifoMatcher.skewDecision(txns(s, d))),
 
     // §2.5 W4 cumulative balance analytics
     "balance_history" -> ((s, d) =>
@@ -871,6 +877,9 @@ object SparkEntry {
     // Count-Min frequency sketch read out at the exact top-k tokens
     "sketch_cms_tokens" -> ((s, d) =>
       graft.operators.Sketches.cmsTokenCounts(Tables.documents(s, d))),
+    // two-pass exact heavy hitters behind a Misra–Gries candidate sketch
+    "sketch_heavy_hitters" -> ((s, d) =>
+      graft.operators.Sketches.heavyHitters(Tables.events(s, d), "user_id", "event_id")),
     // n-gram novelty: share of a doc's distinct shingles unique to it
     "text_novelty" -> ((s, d) => TextOps.noveltyStats(Tables.documents(s, d))),
     // token-length histogram: the corpus-shape summary for packing/curriculum
@@ -1151,6 +1160,8 @@ object SparkEntry {
     "fifo_match_rankjoin" -> OracleSql.fifoMatch,
     "fifo_match_queue" -> OracleSql.fifoMatch,
     "fifo_match_salted" -> OracleSql.fifoMatch,
+    "fifo_match_adaptive" -> OracleSql.fifoMatch,
+    "fifo_skew_decision" -> OracleSql.fifoSkewDecision,
     "balance_history" -> OracleSql.balanceHistory,
     "current_balances" -> OracleSql.currentBalances,
     "q01_balance_asof" -> OracleSql.q1,
@@ -1377,6 +1388,7 @@ object SparkEntry {
     "sketch_hll_by_type" ->
       OracleSqlText.sketchHllByType(graft.operators.Sketches.hllScale()),
     "sketch_cms_tokens" -> OracleSqlText.cmsTokenCounts(),
+    "sketch_heavy_hitters" -> OracleSqlText.heavyHitters(),
     "text_novelty" -> OracleSqlText.noveltyStats,
     "text_length_histogram" -> OracleSqlText.lengthHistogram(),
     "text_unigram_logprob" -> OracleSqlText.unigramLogProb,

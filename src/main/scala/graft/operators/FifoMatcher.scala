@@ -150,6 +150,52 @@ object FifoMatcher {
     }
   }
 
+  /** Whale-dispatch threshold: a customer holding more than this share of
+    * all rows (in ppm — 50000 = 5%) makes the salted two-stage rank the
+    * cheaper plan. Priced from WhaleSkewMain (PLANS.md): at a 19% whale
+    * the primary's straggler task costs +67% wall while the salted
+    * overhead is a tiny counts aggregate + reused-partitioning join; at
+    * balanced data the salted form loses ~40%. The crossover sits where
+    * one customer's rank-window task outgrows a fair share — conservative
+    * at 5% (≈1.6 fair shares on 32 slots, hours-long straggler at
+    * 1000-executor scale). */
+  val WhaleShareMicro = 50000L
+
+  /** The census the dispatcher reads: one count-only aggregate
+    * (map-side combinable, reduced state = |customers| rows collapsing to
+    * a 2-value scalar) emitting total rows, the largest single customer's
+    * rows, its integer-exact share in ppm, and the variant the threshold
+    * selects. Kept as a relational output so the decision itself is
+    * oracle-gated (the compaction-cadence pattern applied to skew). */
+  def skewDecision(txns: DataFrame,
+      whaleShareMicro: Long = WhaleShareMicro): DataFrame =
+    renameToSpec(txns)
+      .groupBy("CUSTOMERID").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("total_rows"), max(col("c")).as("max_customer_rows"))
+      .select(col("total_rows"), col("max_customer_rows"),
+        expr("max_customer_rows * 1000000 div total_rows").as("share_ppm"),
+        (col("max_customer_rows") * 1000000L >
+          col("total_rows") * whaleShareMicro).as("whale"))
+      .withColumn("variant",
+        when(col("whale"), lit("salted")).otherwise(lit("primary")))
+
+  /** Adaptive formulation: run [[skewDecision]]'s census (two driver
+    * scalars off one count aggregate — the stratified sampler's precedent
+    * for a cheap pre-pass that prices a plan choice), then dispatch to
+    * [[matchTransactionsSalted]] iff a whale customer crosses
+    * [[WhaleShareMicro]], else the cheaper [[matchTransactions]]. Both
+    * branches are row-identical (gated against the same oracle), so the
+    * dispatch changes cost only, never output. */
+  def matchTransactionsAdaptive(txns: DataFrame,
+      whaleShareMicro: Long = WhaleShareMicro): DataFrame = {
+    val r = renameToSpec(txns)
+      .groupBy("CUSTOMERID").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")), max(col("c"))).head()
+    val whale = !r.isNullAt(0) &&
+      r.getLong(1) * 1000000L > r.getLong(0) * whaleShareMicro
+    if (whale) matchTransactionsSalted(txns) else matchTransactions(txns)
+  }
+
   /** Alternate formulation: two ranked branches + left equi-join on
     * (CUSTOMERID, rank) — the exact shape the reference names as its own
     * billion-row migration path (reference: README.md:696). Kept as a

@@ -496,4 +496,74 @@ object Sketches {
       .select(col("n_members"), col("n_nonmembers"), col("n_bits_set"),
         col("n_fp"), expr("n_fp * 10000 div nullif(n_nonmembers, 0)").as("fp_bp"))
   }
+
+  /** Exact heavy hitters by two passes over one staged census, with a
+    * Misra–Gries candidate sketch between them — the mergeable-summaries
+    * construction (Agarwal et al., PODS'12): a per-shard frequency table
+    * truncated at its (k+1)-th largest count is a valid MG summary, and
+    * summing summaries then truncating again keeps the total
+    * underestimate ≤ n/(k+1). So every key with true frequency
+    * > n/(k+1) survives into the candidate set (no false negatives),
+    * and the second pass reads EXACT counts for only those ≤ shards×k
+    * candidates — the 100 TB shape: pass 1 is one map-side-combinable
+    * census whose reduced state is ≤ k rows per shard, pass 2 is a
+    * broadcast semi-join of a bounded candidate list, and nothing
+    * key-cardinality-sized ever sits in memory.
+    *
+    * Shards are deterministic md5 buckets of `idCol` (the occurrence
+    * identity, NOT the counted key — keys spread across shards like rows
+    * spread across executors), so the DuckDB oracle replays the sketch
+    * bit-for-bit: same per-shard ranks, same truncations, same merged
+    * estimates. Reported rows are keys with occurrences·(k+1) > n — a
+    * guaranteed subset of the candidates — with the exact count, the
+    * sketch's lower-bound estimate, its (provably ≤ n/(k+1))
+    * underestimate, and the integer-exact share in ppm.
+    *
+    * Output: (keyCol, occurrences, mg_estimate, underestimate,
+    * share_ppm) ordered by occurrences desc, key. */
+  def heavyHitters(df: DataFrame, keyCol: String, idCol: String,
+      k: Int = 128, nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // One shard×key census feeds the sketch, the exact pass, and n.
+    val per = graft.RunHygiene.stage(
+      df.select(pmod(hash32(col(idCol)), lit(nShards.toLong)).as("shard"),
+          col(keyCol).as("key"))
+        .groupBy("shard", "key").agg(count(lit(1)).as("c")))
+    per.count() // fill once: sketch, exact counts, and total all read it
+    val byShard = Window.partitionBy("shard").orderBy(col("c").desc, col("key"))
+    // rank ≤ k+1 up front: rows ranked deeper have c ≤ t_s, so their
+    // summary contribution is ≤ 0 and they can never survive the filter —
+    // and the early rank limit plans as WindowGroupLimit (per-shard
+    // top-(k+1) heaps), so the window never materializes a
+    // key-cardinality-sized shard census.
+    val ranked = per.withColumn("rk", row_number().over(byShard))
+      .filter(col("rk") <= k + 1)
+    val thr = ranked.filter(col("rk") === k + 1)
+      .select(col("shard"), col("c").as("t_s"))
+    val merged = ranked.join(broadcast(thr), Seq("shard"), "left")
+      .withColumn("mgc", col("c") - coalesce(col("t_s"), lit(0L)))
+      .filter(col("mgc") > 0)
+      .groupBy("key").agg(sum(col("mgc")).as("m"))
+    // Global truncation threshold: the (k+1)-th largest merged count —
+    // TakeOrderedAndProject over ≤ shards×k summary rows, never a global
+    // window; 0 when fewer than k+1 keys survive the shard summaries.
+    val tg = merged.orderBy(col("m").desc, col("key")).limit(k + 1)
+      .agg(when(count(lit(1)) < k + 1, lit(0L)).otherwise(min(col("m"))).as("t_g"))
+    val cands = merged.crossJoin(broadcast(tg))
+      .withColumn("mg_estimate", col("m") - col("t_g"))
+      .filter(col("mg_estimate") > 0)
+      .select("key", "mg_estimate")
+    // Exact pass: the candidate list prunes BEFORE the key aggregate, so
+    // the verification reduce state is ≤ |candidates|, not |keys|.
+    val exact = per.join(broadcast(cands.select("key")), Seq("key"), "leftsemi")
+      .groupBy("key").agg(sum(col("c")).as("occurrences"))
+    val total = per.agg(sum(col("c")).as("n"))
+    exact.join(broadcast(cands), Seq("key"))
+      .crossJoin(broadcast(total))
+      .filter(col("occurrences") * (k + 1) > col("n"))
+      .select(col("key").as(keyCol), col("occurrences"), col("mg_estimate"),
+        (col("occurrences") - col("mg_estimate")).as("underestimate"),
+        expr("occurrences * 1000000 div n").as("share_ppm"))
+      .orderBy(col("occurrences").desc, col(keyCol))
+  }
 }

@@ -97,6 +97,24 @@ current_balances AS (
     """SELECT TRANS_ID, TCTYPE, CREATEDAT, CUSTOMERID, AMOUNT, REDEEMID
 FROM matched ORDER BY CUSTOMERID, CREATEDAT, TRANS_ID""")
 
+  /** Twin of FifoMatcher.skewDecision: the whale census + dispatch rule,
+    * replayed in exact integer arithmetic (ppm share via floor division,
+    * threshold from the same WhaleShareMicro constant the Spark
+    * dispatcher reads — interpolated so the two sides cannot drift). */
+  val fifoSkewDecision: String = {
+    val thr = graft.operators.FifoMatcher.WhaleShareMicro
+    s"""WITH $txnsCte,
+census AS (SELECT customer_id, COUNT(*) AS c FROM txns GROUP BY 1),
+agg AS (SELECT CAST(SUM(c) AS BIGINT) AS total_rows,
+               CAST(MAX(c) AS BIGINT) AS max_customer_rows FROM census)
+SELECT total_rows, max_customer_rows,
+       (max_customer_rows * 1000000) // total_rows AS share_ppm,
+       max_customer_rows * 1000000 > total_rows * $thr AS whale,
+       CASE WHEN max_customer_rows * 1000000 > total_rows * $thr
+            THEN 'salted' ELSE 'primary' END AS variant
+FROM agg"""
+  }
+
   /** Twin of StreamingFifo.replayLedgerLateBoundedAudit: the batch matcher
     * is ground truth for ledger volume and match count, and the expected
     * beyond-bound drop count is EXACTLY zero (the replay delays rows one

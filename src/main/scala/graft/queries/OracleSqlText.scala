@@ -2481,6 +2481,50 @@ FROM probes JOIN counters USING (j, bucket)
 GROUP BY token, occurrences
 ORDER BY occurrences DESC, token"""
 
+  /** Mirrors Sketches.heavyHitters over events.user_id: the Misra–Gries
+    * mergeable-summary construction replayed shard-for-shard — same md5
+    * occurrence sharding, same per-shard (k+1)-th-largest truncation,
+    * same merged truncation, same exact verification pass and integer
+    * filter. Every constant renders from the Spark call's (k, nShards). */
+  def heavyHitters(k: Int = 128, nShards: Int = 16): String = s"""
+WITH per AS (
+  SELECT (${hex8IntSql("event_id::VARCHAR")}) % $nShards AS shard,
+         user_id AS key, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT shard, key, c,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY c DESC, key) AS rk
+  FROM per
+),
+thr AS (SELECT shard, c AS t_s FROM ranked WHERE rk = ${k + 1}),
+merged AS (
+  SELECT key, CAST(SUM(mgc) AS BIGINT) AS m FROM (
+    SELECT r.key, r.c - COALESCE(t.t_s, 0) AS mgc
+    FROM ranked r LEFT JOIN thr t USING (shard)
+  ) WHERE mgc > 0 GROUP BY 1
+),
+tg AS (
+  SELECT CASE WHEN COUNT(*) < ${k + 1} THEN CAST(0 AS BIGINT)
+              ELSE CAST(MIN(m) AS BIGINT) END AS t_g
+  FROM (SELECT m, key FROM merged ORDER BY m DESC, key LIMIT ${k + 1})
+),
+cand AS (
+  SELECT key, m - t_g AS mg_estimate FROM merged CROSS JOIN tg
+  WHERE m - t_g > 0
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per),
+exact AS (
+  SELECT key, CAST(SUM(c) AS BIGINT) AS occurrences FROM per
+  WHERE key IN (SELECT key FROM cand) GROUP BY 1
+)
+SELECT e.key AS user_id, e.occurrences, c.mg_estimate,
+       e.occurrences - c.mg_estimate AS underestimate,
+       (e.occurrences * 1000000) // n AS share_ppm
+FROM exact e JOIN cand c USING (key) CROSS JOIN tot
+WHERE e.occurrences * ${k + 1} > n
+ORDER BY occurrences DESC, user_id"""
+
   /** Mirrors StreamingAnalytics.replayCmsTopk: the per-hour single-pass
     * CMS — equal to the streamed micro-batch build by counter additivity.
     * Same salted md5 bucket family as [[cmsTokenCounts]]. */
