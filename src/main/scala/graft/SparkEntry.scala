@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 290
+  val GatedQueryCount: Int = 291
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -1092,6 +1092,10 @@ object SparkEntry {
     // (additive merges across micro-batches = the single-pass sketch)
     "streaming_cms_topk" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replayCmsTopk(Tables.events(s, d))),
+    // streaming top-k sketch: bounded Misra–Gries state per shard, exact
+    // batch verify — order/segmentation cancel out of the gated report
+    "streaming_heavy_hitters" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.replayHeavyHitters(Tables.events(s, d))),
     // trailing-24h distincts per hour by register MERGE (never a rescan)
     "sketch_hll_sliding" -> ((s, d) =>
       graft.operators.Sketches.hllSlidingDistinct(Tables.events(s, d))),
@@ -1369,6 +1373,7 @@ object SparkEntry {
     "streaming_hll_rollup" ->
       OracleSqlText.sketchHllByWindow(graft.operators.Sketches.hllScale()),
     "streaming_cms_topk" -> OracleSqlText.streamingCmsTopk(),
+    "streaming_heavy_hitters" -> OracleSqlText.streamingHeavyHitters(),
     "sketch_hll_sliding" ->
       OracleSqlText.sketchHllSliding(graft.operators.Sketches.hllScale()),
     "merge_balance_upsert" -> OracleSql.balanceUpsert(Params.AsOf),

@@ -2525,6 +2525,21 @@ FROM exact e JOIN cand c USING (key) CROSS JOIN tot
 WHERE e.occurrences * ${k + 1} > n
 ORDER BY occurrences DESC, user_id"""
 
+  /** Twin of StreamingAnalytics.replayHeavyHitters: the plain batch
+    * heavy-hitter SQL. The streamed MG candidate pass is provably a
+    * superset of {key : freq > n/(k+1)} under ANY arrival order, chunking
+    * or shard count (segment summaries merge with total truncation error
+    * ≤ n/(k+1)), and the exact verify restores exact counts — so the
+    * gated report reduces to GROUP BY + HAVING on both engines. */
+  def streamingHeavyHitters(k: Int = 128): String = s"""
+WITH tot AS (SELECT COUNT(*) AS n FROM events)
+SELECT user_id, COUNT(*) AS occurrences,
+       (COUNT(*) * 1000000) // n AS share_ppm
+FROM events CROSS JOIN tot
+GROUP BY user_id, n
+HAVING COUNT(*) * ${k + 1} > n
+ORDER BY occurrences DESC, user_id"""
+
   /** Mirrors StreamingAnalytics.replayCmsTopk: the per-hour single-pass
     * CMS — equal to the streamed micro-batch build by counter additivity.
     * Same salted md5 bucket family as [[cmsTokenCounts]]. */

@@ -460,4 +460,113 @@ object StreamingAnalytics {
       .select("user_id", "alert_ts", "cum_cents")
       .orderBy("user_id")
   }
+
+  /** One md5 shard's streaming Misra–Gries state: ≤ k (key, count)
+    * entries, the fixed-size top-k summary — the third canonical
+    * mergeable sketch at ingest time next to the HLL registers
+    * (distincts) and CMS counters (frequencies). */
+  case class MgState(keys: Array[Long], counts: Array[Long])
+  case class MgRow(shard: Int, wm_ts: java.sql.Timestamp, user_id: Long)
+  case class MgEntry(shard: Int, user_id: Long, mgc: Long)
+
+  /** Streaming Misra–Gries top-k candidates per md5(user_id) shard:
+    * `flatMapGroupsWithState` holds ≤ k counters per shard — O(shards·k)
+    * TOTAL state at ANY key cardinality, where a windowed count would
+    * hold every distinct key — and emits each shard's summary when its
+    * event-time idle timeout fires (the far-future flush sentinel drives
+    * the final emission, the [[matchStreamEvicting]] machinery).
+    *
+    * A mid-stream flush (a shard idle past `idle`) is MERGE-SAFE: MG
+    * summaries of stream segments sum to a valid summary of the whole
+    * (truncation error adds across segments, staying ≤ n/(k+1) total —
+    * Agarwal et al., PODS'12), so every key with true frequency
+    * > n/(k+1) still survives into the union of emitted summaries. The
+    * decrement step is the textbook O(k) loop (bounded by k=128 per
+    * non-resident row); a production build amortizes it with the shared
+    * offset trick. */
+  def mgTopkStream(events: DataFrame, k: Int = 128, nShards: Int = 16,
+      idle: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[MgEntry] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders => E}
+    implicit val stateEnc = E.product[MgState]
+    implicit val outEnc = E.product[MgEntry]
+    implicit val rowEnc = E.product[MgRow]
+    implicit val keyEnc = E.scalaInt
+    val idleMs = math.max(1L, idle.toMillis)
+    // Sentinel rows (user_id < 0) must pass THROUGH the watermark node —
+    // they are what advances event time past every shard's idle timeout
+    // for the final flush — but must never touch a data shard's state or
+    // its timer, so they route to the reserved shard −1, whose group
+    // keeps no state and sets no timeout.
+    events
+      .select(
+        when(col("user_id") < 0, lit(-1)).otherwise(
+          pmod(graft.operators.Sketches.hash32(col("user_id")),
+            lit(nShards.toLong))).cast("int").as("shard"),
+        col("ts").cast("timestamp").as("wm_ts"),
+        col("user_id"))
+      .as[MgRow]
+      .withWatermark("wm_ts", "0 seconds")
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (shard: Int, rows: Iterator[MgRow], state: GroupState[MgState]) =>
+          if (shard < 0) {
+            rows.foreach(_ => ()) // drain; no state, no timer, no output
+            Iterator.empty
+          } else if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            st.keys.indices.sortBy(i => st.keys(i))
+              .map(i => MgEntry(shard, st.keys(i), st.counts(i))).iterator
+          } else {
+            val m = scala.collection.mutable.LongMap.empty[Long]
+            state.getOption.foreach(s =>
+              s.keys.indices.foreach(i => m(s.keys(i)) = s.counts(i)))
+            var lastMs = Long.MinValue
+            rows.foreach { r =>
+              lastMs = math.max(lastMs, r.wm_ts.getTime)
+              val cur = m.getOrElse(r.user_id, 0L)
+              if (cur > 0L) m(r.user_id) = cur + 1L
+              else if (m.size < k) m(r.user_id) = 1L
+              else m.keys.toArray.foreach { kk =>
+                val v = m(kk) - 1L
+                if (v == 0L) m.remove(kk) else m(kk) = v
+              }
+            }
+            val (ks, cs) = m.toArray.sortBy(_._1).unzip
+            state.update(MgState(ks, cs))
+            state.setTimeoutTimestamp(
+              math.max(lastMs + idleMs, state.getCurrentWatermarkMs + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Correctness-gate replay of [[mgTopkStream]] + the exact second pass:
+    * stream the shared chunk set through the bounded-state MG fold,
+    * collect the emitted per-shard summaries as the candidate list
+    * (≤ segments·shards·k rows), then verify IN BATCH — exact counts for
+    * candidates only (broadcast semi-join before the aggregate), keep
+    * keys with occurrences·(k+1) > n. The merge-safety bound above makes
+    * the final report ORDER- AND SEGMENTATION-INVARIANT, so the oracle
+    * is the plain batch heavy-hitter SQL — arrival order, chunking, and
+    * shard count all cancel out of the gated output. */
+  def replayHeavyHitters(events: DataFrame, batches: Int = 3, k: Int = 128,
+      nShards: Int = 16): DataFrame = {
+    val spark = events.sparkSession
+    val src = eventReplaySrc(events)
+    val dirs = stagedShared(src, batches, eventSentinels)
+    val streamed = mgTopkStream(
+      FileReplay.stream(spark, src.schema, dirs), k, nShards)
+    val cands = FileReplay.runToParquet(streamed.toDF(), dirs, tag = "_mg")
+      .select(col("user_id")).distinct()
+    val occ = events.join(broadcast(cands), Seq("user_id"), "leftsemi")
+      .groupBy("user_id").agg(count(lit(1)).as("occurrences"))
+    val total = broadcast(events.agg(count(lit(1)).as("n")))
+    occ.crossJoin(total)
+      .filter(col("occurrences") * (k + 1) > col("n"))
+      .select(col("user_id"), col("occurrences"),
+        expr("occurrences * 1000000 div n").as("share_ppm"))
+      .orderBy(col("occurrences").desc, col("user_id"))
+  }
 }

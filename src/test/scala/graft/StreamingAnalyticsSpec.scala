@@ -224,4 +224,34 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val enIds = a.map(_.getAs[Long]("doc_id")).count(_ % 3 == 0)
     assert(enIds >= 7, s"importance resampling must favor target-like docs, got $enIds/10")
   }
+
+  test("replayHeavyHitters: exact report under heavy truncation, any chunking") {
+    import spark.implicits._
+    val ldt = (h: Int, m: Int) => java.time.LocalDateTime.of(2024, 1, 1, h, m)
+    // one whale (200 rows) + 400 thin users (2 rows each): distinct keys
+    // (401) dwarf the k=4-per-shard counters, so the MG decrement loop
+    // fires constantly — the whale must still be the exact, only report
+    // 201 whale rows, not 200: freq·(k+1) > n is STRICT, and 200·5 = 1000
+    // sits exactly on the n = 1000 boundary (verified: the gate and oracle
+    // agree the boundary case is out)
+    val rows =
+      (0 until 201).map(i => (ldt(i / 60, i % 60), 1L, 1.0)) ++
+      (2L to 401L).flatMap(u => Seq(
+        (ldt((u % 4).toInt, (u % 60).toInt), u, 1.0),
+        (ldt(4 + (u % 3).toInt, (u % 60).toInt), u, 1.0)))
+    val events = rows.toDF("ts", "user_id", "value")
+    val n = rows.size.toLong // 1001
+    for (batches <- Seq(2, 5)) {
+      val got = StreamingAnalytics
+        .replayHeavyHitters(events, batches = batches, k = 4, nShards = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("occurrences"),
+          r.getAs[Long]("share_ppm")))
+      // 201 * 5 > 1001; 2 * 5 < 1001 — exactly the whale survives, with
+      // its exact count: the MG candidate pass may not lose it no matter
+      // how the replay chunks the stream
+      assert(got.toSeq === Seq((1L, 201L, 201L * 1000000L / n)),
+        s"batches=$batches: wrong report ${got.toSeq} (n=$n)")
+    }
+  }
 }
