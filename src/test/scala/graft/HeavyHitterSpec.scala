@@ -107,4 +107,31 @@ class HeavyHitterSpec extends AnyFunSuite {
     val empty = tx()
     assert(FifoMatcher.matchTransactionsAdaptive(empty).collect().isEmpty)
   }
+
+  test("property: report == brute-force heavy hitters on arbitrary skews") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val genStream: Gen[List[Long]] = for {
+      nKeys <- Gen.choose(1, 40)
+      n <- Gen.choose(1, 300)
+      // Zipf-ish pull toward low keys so some runs have hitters, some none
+      keys <- Gen.listOfN(n, Gen.frequency(
+        (6, Gen.choose(1L, 3L)), (3, Gen.choose(1L, 10L)),
+        (1, Gen.choose(1L, nKeys.toLong))))
+    } yield keys
+    val prop = Prop.forAll(genStream) { keys =>
+      val k = 8
+      val df = keys.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("event_id", "user_id")
+      val got = Sketches.heavyHitters(df, "user_id", "event_id", k = k, nShards = 4)
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("occurrences"))
+        .toMap
+      val n = keys.size.toLong
+      val brute = keys.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 * (k + 1) > n).toMap
+      got == brute
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
