@@ -246,7 +246,9 @@ object Bench {
       (s, gcDelta, ld, err)
     }
     // a retry that itself FAILS must never surface as a plausible timing —
-    // it lands here and in warm_errors under "<name>:retry"
+    // it lands here and is reported in the separate warm_retry_errors map
+    // (keyed by plain gate name; warm_errors carries first-attempt
+    // failures only)
     val retryErrBuf = scala.collection.mutable.Buffer.empty[(String, String)]
     val warmRaw: Seq[(String, Double, Option[String])] = results.collect {
       case (name, cold, None) =>

@@ -48,6 +48,29 @@ object SparkEntry {
   // valid for the session — the inputs under a testdata dir are immutable.
   private val incrIdxBuilt = scala.collection.mutable.Set.empty[String]
 
+  /** Shared body of the two persisted-BM25 gates: build on the ~87% md5
+    * split, append the rest (additive integer censuses → the probe is
+    * bit-identical to the full-corpus computation and shares bm25TopK's
+    * oracle), optionally compact, probe. ONE definition so the two gates
+    * cannot drift in split fraction or once-guard. */
+  private def bm25IndexedGate(s: SparkSession, d: String, tag: String,
+      compact: Boolean): DataFrame = {
+    import graft.operators.Search
+    val docs = Tables.documents(s, d)
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_${tag}_" + graft.RunHygiene.pathKey(d)).toString
+    incrIdxBuilt.synchronized {
+      if (!incrIdxBuilt.contains(idx)) {
+        Search.buildBm25Index(docs.filter(h >= "2"), idx)
+        Search.appendToBm25Index(docs.filter(h < "2"), idx)
+        if (compact) Search.compactBm25Index(s, idx)
+        incrIdxBuilt += idx
+      }
+    }
+    Search.bm25IndexedTopK(docs, idx)
+  }
+
   // Shared curation prefix (canon corpus + C4/containment/PII censuses),
   // built once per (session, dir) — v3/v4/v5 each rebuilt the identical
   // prefix per call, and the recompute grew with every composed pipeline
@@ -586,38 +609,11 @@ object SparkEntry {
     // integer censuses → probe is bit-identical to the full-corpus
     // computation and shares bm25TopK's oracle); probe reads only the
     // query terms' posting lists via a pushed term IN (…) filter
-    "search_bm25_indexed" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_bm25_idx_" + graft.RunHygiene.pathKey(d)).toString
-      incrIdxBuilt.synchronized {
-        if (!incrIdxBuilt.contains(idx)) {
-          Search.buildBm25Index(docs.filter(h >= "2"), idx)
-          Search.appendToBm25Index(docs.filter(h < "2"), idx)
-          incrIdxBuilt += idx
-        }
-      }
-      Search.bm25IndexedTopK(docs, idx)
-    }),
+    "search_bm25_indexed" -> ((s, d) => bm25IndexedGate(s, d, "idx", compact = false)),
     // index lifecycle end-to-end: build + append + COMPACTION (df partials
     // re-merged, postings re-clustered, atomic generation swap — identity
     // on integer censuses, so the probe hash-matches the same oracle)
-    "search_bm25_indexed_compacted" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft_bm25_cmp_" + graft.RunHygiene.pathKey(d)).toString
-      incrIdxBuilt.synchronized {
-        if (!incrIdxBuilt.contains(idx)) {
-          Search.buildBm25Index(docs.filter(h >= "2"), idx)
-          Search.appendToBm25Index(docs.filter(h < "2"), idx)
-          Search.compactBm25Index(s, idx)
-          incrIdxBuilt += idx
-        }
-      }
-      Search.bm25IndexedTopK(docs, idx)
-    }),
+    "search_bm25_indexed_compacted" -> ((s, d) => bm25IndexedGate(s, d, "cmp", compact = true)),
     // hybrid retrieval: BM25 lexical × exact-cosine dense, RRF-fused by id
     "search_hybrid_rrf" -> ((s, d) =>
       Search.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),

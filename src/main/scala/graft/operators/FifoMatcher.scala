@@ -188,11 +188,11 @@ object FifoMatcher {
     * dispatch changes cost only, never output. */
   def matchTransactionsAdaptive(txns: DataFrame,
       whaleShareMicro: Long = WhaleShareMicro): DataFrame = {
-    val r = renameToSpec(txns)
-      .groupBy("CUSTOMERID").agg(count(lit(1)).as("c"))
-      .agg(sum(col("c")), max(col("c"))).head()
-    val whale = !r.isNullAt(0) &&
-      r.getLong(1) * 1000000L > r.getLong(0) * whaleShareMicro
+    // the dispatcher reads the SAME census the fifo_skew_decision gate
+    // oracle-checks — one rule, one place; a null whale flag (empty
+    // input) dispatches primary
+    val r = skewDecision(txns, whaleShareMicro).select("whale").head()
+    val whale = !r.isNullAt(0) && r.getBoolean(0)
     if (whale) matchTransactionsSalted(txns) else matchTransactions(txns)
   }
 

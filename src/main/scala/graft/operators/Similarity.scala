@@ -44,26 +44,10 @@ object Similarity {
     * The query side is broadcast; the corpus side streams. Norms are
     * precomputed per vector (once per row, not once per pair) — the division
     * sequence is unchanged so results stay bit-identical to the naive form. */
-  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
-    graft.functions.VectorExpressions.register(embeddings.sparkSession)
-    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("norm"))
-    val queries = broadcast(
-      withNorm.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("norm").as("q_norm")))
-    val scored = queries.join(
-        withNorm.select(col("vec_id").as("neighbor_id"), col("embedding"), col("norm")),
-        col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim",
-        round(dotProduct(col("q_emb"), col("embedding")) / safeDenom(col("q_norm") * col("norm")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .withColumn("rank", col("rank").cast("long"))
-      .select("query_id", "neighbor_id", "cosine_sim", "rank")
-      .orderBy("query_id", "rank")
-  }
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame =
+    // one scoring tree for both baselines: the prefix-query form IS the
+    // explicit-frames form with the prefix filter as the query frame
+    bruteForceTopKQueries(embeddings.filter(col("vec_id") < nQueries), embeddings, k)
 
   /** Filtered vector search — the production ANN shape ([[bruteForceTopK]]
     * with a metadata predicate): top-k cosine among corpus vectors sharing

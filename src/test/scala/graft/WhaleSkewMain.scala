@@ -40,14 +40,18 @@ object WhaleSkewMain {
     val whale = big.withColumn("customer_id",
       when(whaleCut, lit("WHALE")).otherwise(col("customer_id")))
 
-    def run(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    // one measurement discipline for every variant: PLANS.md compares the
+    // primary and salted numbers, so both MUST come from the same block
+    def run(tag: String, df: org.apache.spark.sql.DataFrame,
+        matcher: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          graft.operators.FifoMatcher.matchTransactions): Unit = {
       val staged = graft.RunHygiene.stage(df)
       staged.count() // isolate the matcher from the synthesis cost
       taskMs.clear()
       val t0 = System.nanoTime()
       // aggregate over REDEEMID so the optimizer cannot elide the windows
       // (a bare count() drops the unreferenced Window operators entirely)
-      val n = graft.operators.FifoMatcher.matchTransactions(staged)
+      val n = matcher(staged)
         .agg(count(col("REDEEMID"))).head().getLong(0)
       val wall = (System.nanoTime() - t0) / 1e9
       val byStage = {
@@ -68,27 +72,7 @@ object WhaleSkewMain {
     run("whale", whale)
     // the two-stage distributed rank on the same whale corpus: the whale's
     // history splits across buckets, so the max task shrinks toward median
-    def runSalted(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val staged = graft.RunHygiene.stage(df)
-      staged.count()
-      taskMs.clear()
-      val t0 = System.nanoTime()
-      val n = graft.operators.FifoMatcher.matchTransactionsSalted(staged)
-        .agg(count(col("REDEEMID"))).head().getLong(0)
-      val wall = (System.nanoTime() - t0) / 1e9
-      val byStage = {
-        import scala.jdk.CollectionConverters._
-        taskMs.asScala.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-      }
-      println(f"[whale] $tag%-9s rows=$n%9d wall=$wall%6.2f s")
-      byStage.toSeq.sortBy(-_._2.max).take(3).foreach { case (sid, ds) =>
-        val med = ds(ds.size / 2)
-        println(f"[whale]   stage $sid%5d tasks=${ds.size}%3d " +
-          f"max=${ds.max}%6d ms median=$med%6d ms spread=${ds.max.toDouble / math.max(1L, med)}%5.1fx")
-      }
-      RunHygiene.drainStages(spark)
-    }
-    runSalted("w-salted", whale)
+    run("w-salted", whale, graft.operators.FifoMatcher.matchTransactionsSalted(_))
     spark.stop()
   }
 }
