@@ -133,6 +133,9 @@ class ManifestRaceSpec extends AnyFunSuite {
   }
 
   test("a stale writer lock fails loudly instead of proceeding unserialized") {
+    // legacy semantics retained: with the default staleAfterMs (10 s) far
+    // past this waiter's 200 ms budget, the stale lock is never aged into
+    // reclaim — the waiter must throw, not bulldoze
     val idx = tempIdx("stale")
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
@@ -141,6 +144,65 @@ class ManifestRaceSpec extends AnyFunSuite {
         IndexManifest.withWriterLock(idx, maxWaitMs = 200L) { fail("must not enter") }
       }
       assert(e.getMessage.contains(".writer_lock"))
+    } finally cleanup(idx)
+  }
+
+  test("a crashed writer's heartbeat-dead lock is reclaimed, not wedged") {
+    // round-12 verdict #7: a SIGKILLed appender must not wedge daily ingest
+    // until a human removes the file. The lock's bytes stay frozen (no
+    // heartbeat), so a waiter that watches them past staleAfterMs reclaims
+    // and proceeds.
+    val idx = tempIdx("reclaim")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
+      // a crashed pre-heartbeat writer: empty lock file, no beats ever
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(idx, ".writer_lock"))
+      var entered = false
+      IndexManifest.withWriterLock(idx, maxWaitMs = 30000L,
+        heartbeatMs = 50L, staleAfterMs = 300L) { entered = true }
+      assert(entered, "waiter must reclaim the heartbeat-dead lock and enter")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(idx, ".writer_lock")),
+        "reclaimed-then-released lock must not linger")
+    } finally cleanup(idx)
+  }
+
+  test("a LIVE slow writer keeps beating and is never reclaimed") {
+    // mutual exclusion against a holder whose body outlasts the waiter's
+    // staleness horizon: the heartbeat keeps the lock observably live, so
+    // the waiter blocks until release instead of reclaiming mid-write
+    val idx = tempIdx("live")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
+      val inBody = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val holderUp = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(2)
+      pool.submit(new Runnable {
+        def run(): Unit =
+          IndexManifest.withWriterLock(idx, heartbeatMs = 50L) {
+            inBody.set(true); holderUp.countDown()
+            Thread.sleep(1500L) // >> waiter's 400 ms staleness horizon
+            order.add("holder-done"); inBody.set(false)
+          }
+      })
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          holderUp.await()
+          IndexManifest.withWriterLock(idx, maxWaitMs = 30000L,
+            heartbeatMs = 50L, staleAfterMs = 400L) {
+            if (inBody.get()) overlap.set(true)
+            order.add("waiter-entered")
+          }
+        }
+      })
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS), "lock test hung")
+      assert(!overlap.get(), "waiter entered while the live holder was mid-write")
+      assert(order.toArray.toSeq === Seq("holder-done", "waiter-entered"))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(idx, ".writer_lock")))
     } finally cleanup(idx)
   }
 }
