@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 291
+  val GatedQueryCount: Int = 292
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -765,6 +765,11 @@ object SparkEntry {
     // batch appends to frozen centroids; probe recall before/after vs
     // brute force, with the measured drop and the rebuild trigger
     "ann_recall_drift" -> ((s, d) => Similarity.ivfRecallDrift(Tables.embeddings(s, d))),
+    // the EXECUTED rebuild behind that trigger (round-12 #2): spherical
+    // re-quantization under the writer lock, same drift queries re-probed
+    // against the swapped generation — the rebuilt row's drop returns
+    // under the 100000-micro trigger
+    "ann_rebuild_recovery" -> ((s, d) => Similarity.ivfRebuildRecovery(Tables.embeddings(s, d))),
     // product-quantization codes: per-subspace Lloyd codebooks + recon error
     "embed_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
     // ADC top-k over the PQ codes: distance tables + code-lookup scan
@@ -1326,6 +1331,7 @@ object SparkEntry {
     "ann_matryoshka_topk" -> OracleSqlText.annMatryoshkaTopK(),
     "ann_recall_eval" -> OracleSqlText.annRecallEval(),
     "ann_recall_drift" -> OracleSqlText.annRecallDrift(),
+    "ann_rebuild_recovery" -> OracleSqlText.annRebuildRecovery(),
     "embed_kmeans" -> OracleSqlText.embedKmeans(),
     "embed_outlier_dist" -> OracleSqlText.embedOutliers(),
     "embed_pq_codes" -> OracleSqlText.embedPqCodes(),

@@ -241,13 +241,33 @@ object Similarity {
   // recompiled per round — the dominant cost of the training loop).
   // Scores live in ONE projected column so the argmin/argsort below
   // reference an attribute. Shared by [[ivfTopK]] and [[semDedup]].
-  private def withCell(df: DataFrame, cents: IndexedSeq[Seq[Float]]): DataFrame = {
+  private def withCell(df: DataFrame, cents: IndexedSeq[Seq[Float]]): DataFrame =
+    withCellOn(df, cents, col("embedding"))
+
+  /** [[withCell]] with an explicit scoring column — the spherical index
+    * variants assign on the UNIT vector while postings keep the raw one. */
+  private def withCellOn(df: DataFrame, cents: IndexedSeq[Seq[Float]],
+      scoreCol: Column): DataFrame = {
     val flat = new Array[Float](cents.length * 64)
     cents.zipWithIndex.foreach { case (c, i) => c.copyToArray(flat, i * 64) }
     graft.functions.VectorExpressions.registerCentroidScores(
       df.sparkSession, flat, cents.length, 64)
-    df.withColumn("dists", call_function("ivf_scores", col("embedding")))
+    df.withColumn("dists", call_function("ivf_scores", scoreCol))
       .withColumn("cell", (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+  }
+
+  /** Exact unit-normalization: each component divides by the index-order
+    * double L2 norm and casts back to float. Degenerate vectors (zero or
+    * NaN norm) keep their RAW embedding — same CASE in the DuckDB twin, so
+    * they land in the tie-break cell identically on both engines. Because
+    * norm, division, and the float cast are all correctly-rounded IEEE,
+    * a power-of-two scaled vector (the drift model's ×1/16 batch)
+    * normalizes BIT-IDENTICALLY to its original — the property that makes
+    * the spherical rebuild's recall recovery provable, not hopeful. */
+  private[operators] def unitized(emb: Column): Column = {
+    val nrm = l2Norm(emb)
+    when(nrm.isNull || isnan(nrm) || nrm === 0, emb)
+      .otherwise(transform(emb, x => (x.cast("double") / nrm).cast("float")))
   }
 
   /** Micro quantization of a float component for a centroid mean: NaN is
@@ -674,7 +694,8 @@ object Similarity {
     val centroids = lloydCentroids(emb, nCentroids, iters)
     import spark.implicits._
     centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toDF("cell", "centroid")
+      .map { case (c, i) => (i, c.toArray, false) }
+      .toDF("cell", "centroid", "spherical")
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     withCell(emb, centroids)
       .withColumn("norm", l2Norm(col("embedding")))
@@ -686,14 +707,36 @@ object Similarity {
   }
 
   /** The persisted quantizer state, back in [[lloydCentroids]] form —
-    * nCentroids×dim floats, the MLlib-scale driver boundary every probe
-    * and append pays once. */
+    * nCentroids×dim floats plus the assignment-space flag, the MLlib-scale
+    * driver boundary every probe and append pays once. Centroid trees are
+    * GENERATION-VERSIONED once a rebuild has re-quantized ([[treePath]]
+    * `centroids_g<n>`); resolution walks down from the live postings
+    * generation to the newest centroid tree at or below it (append and
+    * compaction bump the generation without retraining, so the centroid
+    * tree usually sits a few generations behind its postings), falling
+    * back to the un-suffixed build-time tree. Old centroid trees are
+    * model-sized and retained — a reader that pinned generation g−1
+    * before a rebuild's swap still resolves g−1-consistent centroids. */
+  private def readCentroidsAndMetric(spark: SparkSession,
+      indexDir: String): (IndexedSeq[Seq[Float]], Boolean) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(indexDir), spark.sparkContext.hadoopConfiguration)
+    val tree = (IndexManifest.generation(indexDir) to 0 by -1).iterator
+      .map(g => IndexManifest.treePath(indexDir, "centroids", g))
+      .find(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      .getOrElse(s"$indexDir/centroids")
+    val df = spark.read.parquet(tree).orderBy("cell")
+    val spherical = df.columns.contains("spherical")
+    val rows = (if (spherical) df.select("centroid", "spherical")
+                else df.select("centroid")).collect()
+    val cents = rows.map(_.getSeq[Float](0).toIndexedSeq.asInstanceOf[Seq[Float]])
+      .toIndexedSeq
+    (cents, spherical && rows.headOption.exists(_.getBoolean(1)))
+  }
+
   private def readCentroids(spark: SparkSession,
       indexDir: String): IndexedSeq[Seq[Float]] =
-    spark.read.parquet(s"$indexDir/centroids")
-      .orderBy("cell").select("centroid").collect()
-      .map(_.getSeq[Float](0).toIndexedSeq.asInstanceOf[Seq[Float]])
-      .toIndexedSeq
+    readCentroidsAndMetric(spark, indexDir)._1
 
   /** Index MAINTENANCE: assign a new ingest batch to the FROZEN centroids
     * and append its postings under the same `cell=<n>/` partitions — the
@@ -709,13 +752,68 @@ object Similarity {
       IndexManifest.withWriterLock(indexDir) {
     val spark = newBatch.sparkSession
     graft.functions.VectorExpressions.register(spark)
-    val centroids = readCentroids(spark, indexDir)
-    withCell(newBatch.select("vec_id", "embedding"), centroids)
+    val (centroids, spherical) = readCentroidsAndMetric(spark, indexDir)
+    val scoreCol = if (spherical) unitized(col("embedding")) else col("embedding")
+    withCellOn(newBatch.select("vec_id", "embedding"), centroids, scoreCol)
       .withColumn("norm", l2Norm(col("embedding")))
       .drop("dists")
       .write.mode("append").partitionBy("cell")
       .parquet(IndexManifest.treePath(indexDir, "cells",
         IndexManifest.generation(indexDir)))
+  }
+
+  /** Index RE-BUILD — the executable path behind [[ivfRecallDrift]]'s
+    * `rebuild` flag (round-12 verdict #2): under the writer lock, re-learn
+    * the quantizer over the LIVE postings row set (original corpus ∪ every
+    * appended batch — read back from the current generation's cell tree,
+    * where floats round-trip parquet bit-exactly), write the generation+1
+    * centroid AND posting trees beside the live ones, swap the manifest
+    * atomically, and prune stale posting generations. Centroid trees are
+    * retained (model-sized), so a reader that pinned the previous
+    * generation keeps resolving its own quantizer.
+    *
+    * `spherical = true` re-quantizes in UNIT space — Lloyd over
+    * [[unitized]] vectors, assignment (build-side and probe-side) on the
+    * unit vector, postings and scoring still on the raw one. This is the
+    * production remedy for the NORM-DRIFT failure mode the audit measures:
+    * L2 cells on raw vectors stratify by magnitude, so a norm-shifted
+    * batch's queries probe magnitude-cells while their true COSINE
+    * neighbors live elsewhere — re-learning raw-L2 centroids cannot fix a
+    * metric mismatch. In unit space L2-argmin IS cosine-argmax
+    * (‖u−c‖² = 2 − 2·cos), and the drift batch's unit vectors are
+    * bit-identical to their originals' (power-of-two scaling), so the
+    * rebuilt index provably restores the pre-drift probe structure —
+    * `ann_rebuild_recovery` gates the recovery cross-engine-exact.
+    * `spherical = false` is the plain re-quantization for
+    * distribution-shift drift where magnitudes still carry signal. */
+  def rebuildIvfIndex(spark: SparkSession, indexDir: String,
+      nCentroids: Int = 8, iters: Int = 3, spherical: Boolean = false): Unit =
+      IndexManifest.withWriterLock(indexDir) {
+    graft.functions.VectorExpressions.register(spark)
+    val gen = IndexManifest.generation(indexDir)
+    val next = gen + 1
+    val rows = graft.RunHygiene.stage(
+      spark.read.parquet(IndexManifest.treePath(indexDir, "cells", gen))
+        .select("vec_id", "embedding"))
+    rows.count() // training passes and the re-assignment all read it
+    val trainFrame =
+      if (spherical) rows.select(col("vec_id"), unitized(col("embedding")).as("embedding"))
+      else rows
+    val centroids = lloydCentroids(trainFrame, nCentroids, iters)
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toArray, spherical) }
+      .toDF("cell", "centroid", "spherical")
+      .write.mode("overwrite")
+      .parquet(IndexManifest.treePath(indexDir, "centroids", next))
+    val scoreCol = if (spherical) unitized(col("embedding")) else col("embedding")
+    withCellOn(rows, centroids, scoreCol)
+      .withColumn("norm", l2Norm(col("embedding")))
+      .drop("dists")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(IndexManifest.treePath(indexDir, "cells", next))
+    IndexManifest.write(indexDir, next) // the atomic swap
+    IndexManifest.prune(spark, indexDir, Seq("cells"), next - 2)
   }
 
   /** Index MAINTENANCE, part 2: posting-file compaction. Every append
@@ -766,7 +864,7 @@ object Similarity {
       k: Int = 5, nProbe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.VectorExpressions.register(spark)
-    val centroids: IndexedSeq[Seq[Float]] = readCentroids(spark, indexDir)
+    val (centroids, spherical) = readCentroidsAndMetric(spark, indexDir)
     val k2 = centroids.length
     val probe = math.min(nProbe, k2)
     val probeCells: Column = slice(
@@ -775,7 +873,11 @@ object Similarity {
           i => struct(element_at(col("dists"), i + 1).as("d"), i.as("cell")))),
         s => s.getField("cell")),
       1, probe)
-    val queries0 = withCell(queries.select("vec_id", "embedding"), centroids)
+    // a spherical (rebuilt) index assigns queries on the unit vector —
+    // scoring below stays rounded cosine over the raw embeddings
+    val queryScoreCol = if (spherical) unitized(col("embedding")) else col("embedding")
+    val queries0 = withCellOn(queries.select("vec_id", "embedding"), centroids,
+        queryScoreCol)
       .withColumn("norm", l2Norm(col("embedding")))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), explode(probeCells).as("cell"))
@@ -1152,6 +1254,97 @@ object Similarity {
         if (baseRecall - driftRecall > 100000L) 1L else 0L))
       .toDF("phase", "hits", "possible", "recall_micro",
         "drop_vs_baseline_micro", "rebuild")
+      .orderBy("phase")
+  }
+
+  /** The EXECUTED rebuild the drift audit calls for (round-12 verdict #2):
+    * replay [[ivfRecallDrift]]'s protocol — build, norm-collapsed append,
+    * baseline and drifted probes — then actually run
+    * [[rebuildIvfIndex]](spherical = true) and probe the SAME drift
+    * queries against the re-quantized generation.
+    *
+    * The recovery yardstick is the `twin` phase, not `baseline`: the
+    * conventional `vec_id < nQueries` baseline queries are a DIFFERENT
+    * population from the md5-sampled drift batch (at gate scale their
+    * planted near-dup structure differs), so "back to baseline" would
+    * compare recall across query sets. The apples-to-apples pre-drift
+    * operating point for the drifted directions is their own undrifted
+    * TWINS probed against the pre-drift index — after a correct rebuild,
+    * a norm-shifted query must perform like its twin did, because its
+    * unit vector IS the twin's (power-of-two scaling) and the spherical
+    * quantizer sees only unit vectors. `recovered` = the rebuilt probe
+    * within the 100000-micro trigger tolerance of the twin yardstick (or
+    * better); `rebuild_due` keeps the drift gate's baseline-drop trigger
+    * on the drifted row. All counts integer-exact; the DuckDB twin
+    * replays both Lloyd chains (raw-L2 build, unit-space rebuild)
+    * verbatim. */
+  def ivfRebuildRecovery(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nCentroids: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
+    emb.count()
+    val idx = graft.RunHygiene.scratch(spark,
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_rebuild_" + java.util.UUID.randomUUID.toString.take(8)).toString)
+    buildIvfIndex(emb, idx, nCentroids, iters)
+    val isNew =
+      substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) < "2"
+    val shifted = graft.RunHygiene.stage(emb.filter(isNew).select(
+      (col("vec_id") + lit(DriftIdOffset)).as("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") * lit(0.0625)).cast("float")).as("embedding")))
+    shifted.count()
+
+    def hits(probe: DataFrame, exact: DataFrame): Long =
+      probe.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+    val driftQ = graft.RunHygiene.stage(shifted.orderBy("vec_id").limit(nQueries))
+    driftQ.count()
+    // the drift queries' undrifted twins — same directions, original scale
+    val twinQ = graft.RunHygiene.stage(emb.join(
+      driftQ.select((col("vec_id") - lit(DriftIdOffset)).as("vec_id")),
+      Seq("vec_id"), "left_semi"))
+    twinQ.count()
+    // both pre-drift probes materialize BEFORE the append extends the tree
+    val baseHits = hits(
+      ivfIndexedProbe(emb.filter(col("vec_id") < nQueries), idx, k, nProbe),
+      bruteForceTopK(emb, nQueries, k))
+    val twinHits = hits(
+      ivfIndexedProbe(twinQ, idx, k, nProbe),
+      bruteForceTopKQueries(twinQ, emb, k))
+    appendToIvfIndex(shifted, idx)
+    val dExact = graft.RunHygiene.stage(
+      bruteForceTopKQueries(driftQ, emb.unionByName(shifted), k))
+    dExact.count() // shared by the drifted AND rebuilt probes' recall
+    val driftHits = hits(ivfIndexedProbe(driftQ, idx, k, nProbe), dExact)
+    rebuildIvfIndex(spark, idx, nCentroids, iters, spherical = true)
+    val rebuiltHits = hits(ivfIndexedProbe(driftQ, idx, k, nProbe), dExact)
+
+    val possible = nQueries.toLong * k
+    val baseRecall = baseHits * 1000000L / possible
+    val twinRecall = twinHits * 1000000L / possible
+    val driftRecall = driftHits * 1000000L / possible
+    val rebuiltRecall = rebuiltHits * 1000000L / possible
+    import spark.implicits._
+    Seq(
+      ("baseline", baseHits, possible, baseRecall, 0L, 0L, 0L, 0L),
+      ("twin", twinHits, possible, twinRecall,
+        baseRecall - twinRecall, 0L, 0L, 0L),
+      ("drifted", driftHits, possible, driftRecall,
+        baseRecall - driftRecall,
+        if (baseRecall - driftRecall > 100000L) 1L else 0L,
+        twinRecall - driftRecall, 0L),
+      ("rebuilt", rebuiltHits, possible, rebuiltRecall,
+        baseRecall - rebuiltRecall,
+        if (baseRecall - rebuiltRecall > 100000L) 1L else 0L,
+        twinRecall - rebuiltRecall,
+        if (twinRecall - rebuiltRecall <= 100000L) 1L else 0L))
+      .toDF("phase", "hits", "possible", "recall_micro",
+        "drop_vs_baseline_micro", "rebuild_due", "drop_vs_twin_micro",
+        "recovered")
       .orderBy("phase")
   }
 

@@ -1248,9 +1248,11 @@ ORDER BY e.type_a, e.type_b"""
     * cell). Used by [[annIvfTopK]] and [[semDedup]] — one quantizer, two
     * operators, zero drift. */
   private def ivfCellsCtes(nCentroids: Int, iters: Int, dim: Int,
-      trainSrc: String = "embeddings"): String = {
-    def scoresCte(i: Int, prev: String, src: String = "embeddings") = s"""
-s$i AS (
+      trainSrc: String = "embeddings", assignSrc: String = "embeddings",
+      prefix: String = ""): String = {
+    val p = prefix
+    def scoresCte(i: Int, prev: String, src: String = assignSrc) = s"""
+${p}s$i AS (
   SELECT e.vec_id, e.embedding, c.cell,
          list_sum(list_transform(generate_series(1, $dim),
                   d -> c.centroid[d]::DOUBLE * c.centroid[d]::DOUBLE))
@@ -1258,33 +1260,33 @@ s$i AS (
                   d -> e.embedding[d]::DOUBLE * c.centroid[d]::DOUBLE)) AS score
   FROM $src e CROSS JOIN $prev c
 )"""
-    def lloydCtes(i: Int): String = s"""${scoresCte(i, s"c${i - 1}", trainSrc)},
-a$i AS (
+    def lloydCtes(i: Int): String = s"""${scoresCte(i, s"${p}c${i - 1}", trainSrc)},
+${p}a$i AS (
   SELECT vec_id, embedding, cell FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn FROM s$i) t
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn FROM ${p}s$i) t
   WHERE rn = 1
 ),
-m$i AS (${microMeanBody("cell, pos", s"""(
+${p}m$i AS (${microMeanBody("cell, pos", s"""(
     SELECT cell, unnest(embedding) AS comp,
            unnest(generate_series(1, len(embedding))) AS pos
-    FROM a$i)""")}
+    FROM ${p}a$i)""")}
 ),
-c$i AS (
+${p}c$i AS (
   SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
-  FROM c${i - 1} p
-  LEFT JOIN (SELECT cell, list(mean ORDER BY pos) AS centroid FROM m$i GROUP BY cell) n
+  FROM ${p}c${i - 1} p
+  LEFT JOIN (SELECT cell, list(mean ORDER BY pos) AS centroid FROM ${p}m$i GROUP BY cell) n
     USING (cell)
 )"""
-    s"""c0 AS (
+    s"""${p}c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS centroid
   FROM $trainSrc ORDER BY vec_id LIMIT $nCentroids
 ),
 ${(1 to iters).map(lloydCtes).mkString(",")},
-${scoresCte(iters + 1, s"c$iters")},
-cells AS (
+${scoresCte(iters + 1, s"${p}c$iters")},
+${p}cells AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
-    FROM s${iters + 1}) t
+    FROM ${p}s${iters + 1}) t
   WHERE rn = 1
 )"""
   }
@@ -1569,6 +1571,171 @@ SELECT phase, hits, possible, recall_micro,
             AS BIGINT) AS rebuild
 FROM r CROSS JOIN (SELECT recall_micro AS base_recall FROM r
                    WHERE phase = 'baseline') b
+ORDER BY phase"""
+  }
+
+  /** Mirrors Similarity.ivfRebuildRecovery: the annRecallDrift protocol
+    * (frozen-centroid build, norm-collapsed append, baseline + drifted
+    * probes) followed by the EXECUTED spherical rebuild — a second Lloyd
+    * chain (prefix `rb`) over corpus2 in UNIT space (each vector divided
+    * by its index-order double L2 norm and cast back to FLOAT; zero/NaN
+    * norms keep the raw vector, the Spark `unitized` CASE verbatim),
+    * postings re-assigned by unit-space argmin, drift queries assigned by
+    * their unit vectors, scoring still the rounded cosine on raw
+    * embeddings. The rebuilt row's drop must come back under the 100000-
+    * micro trigger — the IvfRebuildSpec pins that, this twin pins the
+    * arithmetic cross-engine. */
+  def annRebuildRecovery(nQueries: Int = 5, k: Int = 5, nCentroids: Int = 8,
+      nProbe: Int = 2, iters: Int = 3, dim: Int = 64): String = {
+    val poss = nQueries.toLong * k
+    val off = graft.operators.Similarity.DriftIdOffset
+    def scoreExpr(emb: String, c: String): String = s"""
+         list_sum(list_transform(generate_series(1, $dim),
+                  d -> $c.centroid[d]::DOUBLE * $c.centroid[d]::DOUBLE))
+         - 2.0 * list_sum(list_transform(generate_series(1, $dim),
+                  d -> $emb[d]::DOUBLE * $c.centroid[d]::DOUBLE))"""
+    def unitExpr(src: String): String = s"""
+  SELECT vec_id, embedding AS raw_emb,
+         CASE WHEN nrm IS NULL OR nrm = 0 OR isnan(nrm) THEN embedding
+              ELSE list_transform(embedding, x -> (x::DOUBLE / nrm)::FLOAT)
+         END AS embedding
+  FROM (SELECT vec_id, embedding,
+               sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        FROM $src) t0"""
+    s"""
+WITH ${ivfCellsCtes(nCentroids, iters, dim)},
+bprobe AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+    FROM s${iters + 1} WHERE vec_id < $nQueries) t
+  WHERE rn <= $nProbe),
+btopk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY ${cosSql("p.q_emb", "c.embedding")} DESC, c.vec_id) AS rank
+    FROM bprobe p JOIN cells c USING (cell) WHERE c.vec_id <> p.query_id) t
+  WHERE rank <= $k),
+bexact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id < $nQueries) t
+  WHERE rank <= $k),
+shifted AS (
+  SELECT vec_id + $off AS vec_id,
+         list_transform(embedding, x -> (x::DOUBLE * 0.0625)::FLOAT) AS embedding
+  FROM embeddings
+  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '2'),
+driftq AS (SELECT vec_id, embedding FROM shifted ORDER BY vec_id LIMIT $nQueries),
+twinq AS (SELECT vec_id - $off AS vec_id FROM driftq),
+tprobe AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+    FROM s${iters + 1} WHERE vec_id IN (SELECT vec_id FROM twinq)) t
+  WHERE rn <= $nProbe),
+ttopk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY ${cosSql("p.q_emb", "c.embedding")} DESC, c.vec_id) AS rank
+    FROM tprobe p JOIN cells c USING (cell) WHERE c.vec_id <> p.query_id) t
+  WHERE rank <= $k),
+texact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id IN (SELECT vec_id FROM twinq)) t
+  WHERE rank <= $k),
+scells AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${scoreExpr("e.embedding", "c")}, c.cell) AS rn
+    FROM shifted e CROSS JOIN c$iters c) t
+  WHERE rn = 1),
+postings2 AS (
+  SELECT vec_id, embedding, cell FROM cells
+  UNION ALL SELECT vec_id, embedding, cell FROM scells),
+dprobe AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
+    SELECT q.vec_id, q.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${scoreExpr("q.embedding", "c")}, c.cell) AS rn
+    FROM driftq q CROSS JOIN c$iters c) t
+  WHERE rn <= $nProbe),
+dtopk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY ${cosSql("p.q_emb", "c.embedding")} DESC, c.vec_id) AS rank
+    FROM dprobe p JOIN postings2 c USING (cell) WHERE c.vec_id <> p.query_id) t
+  WHERE rank <= $k),
+corpus2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM shifted),
+dexact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM driftq q JOIN corpus2 e ON e.vec_id <> q.vec_id) t
+  WHERE rank <= $k),
+u2 AS (${unitExpr("corpus2")}),
+${ivfCellsCtes(nCentroids, iters, dim, trainSrc = "u2", assignSrc = "u2",
+      prefix = "rb")},
+rbpost AS (
+  SELECT c2.vec_id, c2.embedding, rb.cell
+  FROM corpus2 c2 JOIN rbcells rb USING (vec_id)),
+uq AS (${unitExpr("driftq")}),
+rprobe AS (
+  SELECT vec_id AS query_id, raw_emb AS q_emb, cell FROM (
+    SELECT q.vec_id, q.raw_emb, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${scoreExpr("q.embedding", "c")}, c.cell) AS rn
+    FROM uq q CROSS JOIN rbc$iters c) t
+  WHERE rn <= $nProbe),
+rtopk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY ${cosSql("p.q_emb", "c.embedding")} DESC, c.vec_id) AS rank
+    FROM rprobe p JOIN rbpost c USING (cell) WHERE c.vec_id <> p.query_id) t
+  WHERE rank <= $k),
+ph AS (
+  SELECT 'baseline' AS phase,
+         (SELECT COUNT(*) FROM btopk JOIN bexact USING (query_id, neighbor_id)) AS hits
+  UNION ALL
+  SELECT 'twin',
+         (SELECT COUNT(*) FROM ttopk JOIN texact USING (query_id, neighbor_id))
+  UNION ALL
+  SELECT 'drifted',
+         (SELECT COUNT(*) FROM dtopk JOIN dexact USING (query_id, neighbor_id))
+  UNION ALL
+  SELECT 'rebuilt',
+         (SELECT COUNT(*) FROM rtopk JOIN dexact USING (query_id, neighbor_id))),
+r AS (
+  SELECT phase, CAST(hits AS BIGINT) AS hits, CAST($poss AS BIGINT) AS possible,
+         CAST(hits * 1000000 // $poss AS BIGINT) AS recall_micro
+  FROM ph)
+SELECT phase, hits, possible, recall_micro,
+       CAST(b.base_recall - recall_micro AS BIGINT) AS drop_vs_baseline_micro,
+       CAST(CASE WHEN phase IN ('drifted', 'rebuilt')
+                  AND b.base_recall - recall_micro > 100000
+                 THEN 1 ELSE 0 END AS BIGINT) AS rebuild_due,
+       CAST(CASE WHEN phase IN ('drifted', 'rebuilt')
+                 THEN t.twin_recall - recall_micro ELSE 0 END
+            AS BIGINT) AS drop_vs_twin_micro,
+       CAST(CASE WHEN phase = 'rebuilt'
+                  AND t.twin_recall - recall_micro <= 100000
+                 THEN 1 ELSE 0 END AS BIGINT) AS recovered
+FROM r
+CROSS JOIN (SELECT recall_micro AS base_recall FROM r WHERE phase = 'baseline') b
+CROSS JOIN (SELECT recall_micro AS twin_recall FROM r WHERE phase = 'twin') t
 ORDER BY phase"""
   }
 

@@ -1,0 +1,110 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexManifest, Similarity}
+
+/** The executable IVF rebuild (round-12 verdict #2): ivfRecallDrift's
+  * `rebuild` flag now has a re-quantization path, and these tests pin the
+  * three claims the gate alone can't: the recovery actually happens (not
+  * just hashes cross-engine), the rebuilt generation is semantically a
+  * fresh build over the live row set, and the swap serializes with racing
+  * appenders so no batch is lost across a rebuild.
+  */
+class IvfRebuildSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def emb = graft.sources.Tables
+    .embeddings(spark, "/root/testdata/sf0.001")
+
+  private def tempIdx(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
+
+  private def cleanup(paths: String*): Unit = paths.foreach { p =>
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+  }
+
+  test("norm drift triggers the rebuild and the spherical rebuild recovers") {
+    val rows = Similarity.ivfRebuildRecovery(emb).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("drifted").getAs[Long]("rebuild_due") === 1L,
+      "the drift protocol must actually trip the rebuild trigger")
+    assert(rows("rebuilt").getAs[Long]("recovered") === 1L,
+      "the rebuilt probe must come back within tolerance of the twin yardstick")
+    // the yardstick is honest: recovery is measured against the same
+    // directions' undrifted twins, and the rebuilt probe must not sit
+    // below them by more than the trigger tolerance
+    assert(rows("rebuilt").getAs[Long]("drop_vs_twin_micro") <= 100000L)
+  }
+
+  test("rebuild equals a fresh build over the live row set, behind one generation bump") {
+    val idx = tempIdx("rb_eq")
+    val fresh = tempIdx("rb_fresh")
+    try {
+      val isNew =
+        substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) < "2"
+      Similarity.buildIvfIndex(emb.filter(!isNew), idx)
+      Similarity.appendToIvfIndex(emb.filter(isNew), idx)
+      val genBefore = IndexManifest.generation(idx)
+      Similarity.rebuildIvfIndex(spark, idx) // plain re-quantization
+      assert(IndexManifest.generation(idx) === genBefore + 1)
+      // a fresh plain build over the same union trains the same Lloyd
+      // (lowest-id init, same rounds) — probes must be row-identical
+      Similarity.buildIvfIndex(emb, fresh)
+      val viaRebuild = Similarity.ivfIndexedTopK(emb, idx)
+        .collect().map(_.toSeq).toSeq
+      val viaFresh = Similarity.ivfIndexedTopK(emb, fresh)
+        .collect().map(_.toSeq).toSeq
+      assert(viaRebuild === viaFresh)
+      assert(viaRebuild.nonEmpty)
+    } finally cleanup(idx, fresh)
+  }
+
+  test("appends racing a rebuild serialize — every batch lands in a live generation") {
+    val idx = tempIdx("rb_race")
+    try {
+      val base = emb.filter(col("vec_id") < 40)
+      val batches = Seq(
+        emb.filter(col("vec_id") >= 40 && col("vec_id") < 60),
+        emb.filter(col("vec_id") >= 60 && col("vec_id") < 80))
+      Similarity.buildIvfIndex(base, idx)
+      val pool = Executors.newFixedThreadPool(3)
+      val start = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val tasks: Seq[Runnable] = batches.map(b => new Runnable {
+        def run(): Unit = {
+          start.await()
+          try Similarity.appendToIvfIndex(b, idx)
+          catch { case t: Throwable => errs.add(t) }
+        }
+      }) :+ (new Runnable {
+        def run(): Unit = {
+          start.await()
+          try Similarity.rebuildIvfIndex(spark, idx, spherical = true)
+          catch { case t: Throwable => errs.add(t) }
+        }
+      })
+      tasks.foreach(pool.submit)
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(300, TimeUnit.SECONDS), "racing writers hung")
+      assert(errs.isEmpty, s"racing writers failed: ${errs}")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(idx, ".writer_lock")))
+      // every id (base + both batches) is present in the LIVE generation's
+      // postings — the loss mode pinned is an append vanishing behind the
+      // rebuild's swap
+      val want = (0L until 80L).toSet
+        .intersect(emb.select("vec_id").collect().map(_.getLong(0)).toSet)
+      val gen = IndexManifest.generation(idx)
+      val got = spark.read
+        .parquet(IndexManifest.treePath(idx, "cells", gen))
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(got === want,
+        s"generation $gen postings lost ids: ${want -- got}")
+    } finally cleanup(idx)
+  }
+}
