@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 292
+  val GatedQueryCount: Int = 293
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -1074,6 +1074,15 @@ object SparkEntry {
       graft.streaming.StreamingFifo.replayLedgerEvicting(txns(s, d))
         .orderBy(matchedOrder: _*)),
 
+    // late-data correction AND idle-customer eviction COMPOSED (round-12
+    // #3 — the last NoTimeout matcher bounded): delayed rows re-pair
+    // affected customers, idle customers snapshot to the correction log
+    // and restore relationally on reappearance, and the folded ledger
+    // must still equal the batch rebuild — same oracle
+    "streaming_evicted_late_match" -> ((s, d) =>
+      graft.streaming.StreamingFifo.replayLedgerLateEvicting(txns(s, d))
+        .orderBy(matchedOrder: _*)),
+
     // streaming analytics replayed the same way: the windowed rollup must
     // equal the batch tumbling GROUP BY once the watermark closes every
     // window; streaming dedup must pass exactly one survivor per hash
@@ -1368,6 +1377,7 @@ object SparkEntry {
     "streaming_late_match_bounded" -> OracleSql.fifoMatch,
     "streaming_bounded_audit" -> OracleSql.streamingBoundedAudit,
     "streaming_evicted_match" -> OracleSql.fifoMatch,
+    "streaming_evicted_late_match" -> OracleSql.fifoMatch,
     "streaming_rollup" -> OracleSql.streamingRollup,
     "streaming_dedup" -> OracleSqlText.streamingDedup,
     "streaming_sessions" -> OracleSql.streamingSessions,

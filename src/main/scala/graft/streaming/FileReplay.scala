@@ -97,7 +97,8 @@ object FileReplay {
     * when-chain over the range boundaries), so staging stays one Spark
     * job per chunk with no driver-side rows. */
   def stageChunksDelayed(df: DataFrame, tsCol: String, batches: Int,
-      delay: org.apache.spark.sql.Column): ReplayDirs = {
+      delay: org.apache.spark.sql.Column,
+      sentinels: Seq[DataFrame] = Nil): ReplayDirs = {
     val dirs = ReplayDirs(Files.createTempDirectory("graft_replay_"))
     graft.RunHygiene.scratch(df.sparkSession, dirs.root.toString)
     Files.createDirectories(dirs.in)
@@ -117,6 +118,11 @@ object FileReplay {
     val base = System.currentTimeMillis()
     (0 until batches).foreach { k =>
       writeChunk(chunked.filter(col("_chunk") === k).drop("_chunk"), dirs.in, k, base)
+    }
+    // sentinel chunks ride strictly after the data chunks, exactly as in
+    // stageChunks — watermark-flush rows for event-time timeouts
+    sentinels.zipWithIndex.foreach { case (c, i) =>
+      writeChunk(c, dirs.in, batches + i, base)
     }
     dirs
   }

@@ -392,46 +392,92 @@ object StreamingAnalytics {
   final case class Alert(user_id: Long, alert_ts: java.time.LocalDateTime,
       cum_cents: Long)
 
+  /** One micro-batch of the alert fold, extracted pure so the expiry spec
+    * can drive state transitions directly ([[StreamingFifo]]'s
+    * foldEventTimeBatch pattern): rows fold in (ts, event_type, cents)
+    * order — the oracle's own running-sum order. */
+  private[graft] def foldAlertBatch(uid: Long, st0: Option[RunningState],
+      rows: Seq[CentsEvent], thresholdCents: Long): (RunningState, Seq[Alert]) = {
+    val ldtOrd = Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _)
+    val sorted = rows.sortBy(e => (e.ts, e.event_type, e.cents))(
+      Ordering.Tuple3(ldtOrd, Ordering.String, Ordering.Long))
+    var st = st0.getOrElse(RunningState(0L, fired = false))
+    val out = Seq.newBuilder[Alert]
+    sorted.foreach { e =>
+      val cum = st.cents + e.cents
+      if (!st.fired && cum >= thresholdCents) {
+        out += Alert(uid, e.ts, cum)
+        st = RunningState(cum, fired = true)
+      } else st = RunningState(cum, st.fired)
+    }
+    (st, out.result())
+  }
+
+  /** The wm-typed alert row ([[StreamingFifo.TxWm]]'s cast discipline:
+    * watermarks need TIMESTAMP, the corpus is NTZ). */
+  final case class CentsEventWm(ts: java.time.LocalDateTime, event_type: String,
+      user_id: Long, cents: Long, wm_ts: java.sql.Timestamp)
+
   /** Real-time limit/fraud alerting: emit ONE alert per user, the first
     * time their running value total reaches `thresholdCents` — the
     * monotone-state pattern (running aggregate + fired latch) that
     * windowed aggregation cannot express because the trigger condition
     * spans the user's whole history, not a window.
     *
-    * State per user is two fields (running cents, fired) — O(users),
-    * keyed on user_id like every other per-user operator; emission
-    * happens inline in the batch the crossing occurs, so no watermark or
-    * flush machinery is needed (NoTimeout; alerts are append-only by
-    * construction). Rows are folded in (ts, event_type, cents) order
-    * within each batch — the same total order as the oracle's running
-    * sum, so the crossing row is engine-deterministic; across batches the
-    * event-time-range chunking preserves that order globally.
-    */
-  def thresholdAlerts(events: Dataset[CentsEvent],
-      thresholdCents: Long): Dataset[Alert] = {
+    * State per user is two fields (running cents, fired), keyed on
+    * user_id like every other per-user operator; emission happens inline
+    * in the batch the crossing occurs. BOUNDED (round-12 verdict #3 —
+    * this was the last NoTimeout holdout): a user idle past `horizon`
+    * (event time, watermark-driven) has their counter EXPIRE —
+    * `state.remove()` on the event-time timeout, so total state is
+    * O(users active within the horizon), not O(users ever seen).
+    *
+    * Re-arm semantics, documented as the operator's contract: expiry
+    * resets the running total to zero AND re-arms the fired latch, so a
+    * user who reappears after a quiet horizon starts a fresh limit
+    * session and may alert once per idle-separated session — the
+    * limit-window-reset semantics fraud ops actually want (a crossing
+    * two years dormant should not be suppressed by a latch from a
+    * forgotten session). With `horizon` beyond the stream's span the
+    * operator degenerates to the historical one-alert-per-user contract,
+    * which is how the hash gate pins it against the batch oracle; the
+    * expiry/re-arm path is spec-pinned with a state-row-count assertion.
+    *
+    * Rows fold in (ts, event_type, cents) order within each batch — the
+    * oracle's running-sum order; across batches the event-time-range
+    * chunking preserves it globally. */
+  def thresholdAlerts(events: Dataset[CentsEvent], thresholdCents: Long,
+      horizon: java.time.Duration): Dataset[Alert] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.{Encoders => E}
     implicit val stateEnc = E.product[RunningState]
     implicit val outEnc = E.product[Alert]
     implicit val keyEnc = E.scalaLong
-    val ldtOrd = Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _)
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[CentsEvent],
+    implicit val wmEnc = E.product[CentsEventWm]
+    val horizonMs = math.max(1L, horizon.toMillis)
+    events
+      .withColumn("wm_ts", col("ts").cast("timestamp")).as[CentsEventWm]
+      .withWatermark("wm_ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[CentsEventWm],
          state: org.apache.spark.sql.streaming.GroupState[RunningState]) =>
-          val sorted = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_type, e.cents))(
-            Ordering.Tuple3(ldtOrd, Ordering.String, Ordering.Long))
-          var st = state.getOption.getOrElse(RunningState(0L, fired = false))
-          val out = Seq.newBuilder[Alert]
-          sorted.foreach { e =>
-            val cum = st.cents + e.cents
-            if (!st.fired && cum >= thresholdCents) {
-              out += Alert(uid, e.ts, cum)
-              st = RunningState(cum, fired = true)
-            } else st = RunningState(cum, st.fired)
+          if (state.hasTimedOut) {
+            // idle past the horizon: the counter expires and the latch
+            // re-arms — the next appearance starts a fresh limit session
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmRows = rows.toIndexedSeq
+            val (st, out) = foldAlertBatch(uid, state.getOption,
+              wmRows.map(w => CentsEvent(w.ts, w.event_type, w.user_id, w.cents)),
+              thresholdCents)
+            state.update(st)
+            val lastMs = wmRows.map(_.wm_ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastMs + horizonMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 
@@ -454,7 +500,12 @@ object StreamingAnalytics {
       .select(col("ts"), col("event_type"), col("user_id"),
         round(col("value") * 100).cast("long").as("cents"))
       .as[CentsEvent](E.product[CentsEvent])
-    val alerts = thresholdAlerts(typed, thresholdCents)
+    // horizon beyond the replay's whole span (data + flush sentinels):
+    // no expiry fires, so the gate pins the historical one-alert-per-user
+    // contract against the batch oracle; the expiry/re-arm path is
+    // spec-pinned (AlertExpirySpec)
+    val alerts = thresholdAlerts(typed, thresholdCents,
+      java.time.Duration.ofDays(3650))
     FileReplay.runToParquet(alerts.toDF(), dirs, tag = "_alerts")
       .filter(col("user_id") >= 0)
       .select("user_id", "alert_ts", "cum_cents")
@@ -493,14 +544,20 @@ object StreamingAnalytics {
     implicit val rowEnc = E.product[MgRow]
     implicit val keyEnc = E.scalaInt
     val idleMs = math.max(1L, idle.toMillis)
-    // Sentinel rows (user_id < 0) must pass THROUGH the watermark node —
-    // they are what advances event time past every shard's idle timeout
-    // for the final flush — but must never touch a data shard's state or
-    // its timer, so they route to the reserved shard −1, whose group
-    // keeps no state and sets no timeout.
+    // Flush-sentinel rows must pass THROUGH the watermark node — they are
+    // what advances event time past every shard's idle timeout for the
+    // final flush — but must never touch a data shard's state or its
+    // timer, so they route to the reserved shard −1, whose group keeps no
+    // state and sets no timeout. Sentinels are identified by their
+    // EXPLICIT marker (the reserved `__flush__` event type AND the
+    // reserved negative user id), never by sign alone: a real negative-id
+    // user is data and hashes into a data shard like any other key
+    // (round-12 advice — sign-only routing silently excluded negative-id
+    // heavy hitters from the candidate pass).
     events
       .select(
-        when(col("user_id") < 0, lit(-1)).otherwise(
+        when(col("event_type") === lit("__flush__") && col("user_id") === lit(-1L),
+          lit(-1)).otherwise(
           pmod(graft.operators.Sketches.hash32(col("user_id")),
             lit(nShards.toLong))).cast("int").as("shard"),
         col("ts").cast("timestamp").as("wm_ts"),

@@ -514,6 +514,244 @@ object StreamingFifo {
       standingKept.map(p => (p._1, p._2, p._3, p._4)), prunedThrough), events.result())
   }
 
+  /** [[EventTimeState]] plus the eviction boundary: `foldedThroughMicros`
+    * is the max event time this incarnation has folded — the cut point the
+    * rebuild uses, exactly [[EvictingQueue]]'s role for the arrival-order
+    * matcher. */
+  case class EvictingEventState(
+      rev: Int,
+      earned: Seq[(Long, String)],
+      se: Seq[(Long, String, String)],
+      standing: Seq[(String, String, String, Long)],
+      prunedThrough: Long,
+      foldedThroughMicros: Long)
+
+  /** [[matchStreamEventTime]] with BOUNDED state (round-12 verdict #3 —
+    * the last NoTimeout matcher): a customer idle past `idle` (event time,
+    * watermark-driven) has its pruned-suffix state SNAPSHOT to the
+    * correction log as `evict_*` rows and removed; [[replayLedgerLateEvicting]]
+    * restores reappeared customers in one relational cogroup from snapshot
+    * + post-eviction rows.
+    *
+    * The lateness bound is MANDATORY here (it is what keeps the snapshot
+    * suffix-sized), and `idle` must exceed it strictly: eviction fires only
+    * once the watermark passes lastFolded + idle, and any later-admitted
+    * row sits above watermark − lateness ≥ lastFolded + (idle − lateness)
+    * — STRICTLY after the snapshot boundary. That strict event-time
+    * separation is what makes the first-eviction cut airtight even though
+    * this operator exists to absorb late data: pre-eviction corrections
+    * carry MATCHED_AT ≤ boundary (pair times never exceed the fold
+    * horizon), post-eviction provisional output carries MATCHED_AT >
+    * boundary, and the first snapshot's entry rows (which carry their own
+    * event times, ≤ boundary) separate from any later incarnation's (all
+    * > boundary) by the same line.
+    *
+    * Snapshot encoding, all in the correction log's own schema:
+    * `evict_earned`/`evict_se` carry the kept suffix entries at their own
+    * event times (the (ts, id) sort key reconstructs queue order — no
+    * position column needed), `evict_standing` the standing suffix pairs,
+    * `evict_pruned` the point of no return, `evict_bound` the boundary;
+    * all at the incarnation's REV, which the restore continues from so
+    * re-fold corrections outrank every kept pre-eviction rev.
+    *
+    * Scale: state is O(events within the lateness window) × O(customers
+    * active within the idle horizon) — both watermark trades, nothing
+    * accretes with customers × time. */
+  def matchStreamEventTimeEvicting(txns: Dataset[Tx],
+      lateness: java.time.Duration,
+      idle: java.time.Duration): Dataset[CorrectionEvent] = {
+    require(idle.compareTo(lateness) > 0,
+      s"idle ($idle) must strictly exceed the lateness bound ($lateness): " +
+        "eviction may only fire once a customer's late window has fully " +
+        "passed, else an admissible late row could land below the snapshot " +
+        "boundary and the rebuild's cut would misclassify it")
+    implicit val stateEnc = Encoders.product[EvictingEventState]
+    implicit val outEnc = Encoders.product[CorrectionEvent]
+    implicit val keyEnc = Encoders.STRING
+    implicit val txWmEnc = Encoders.product[TxWm]
+    val latenessMicros = lateness.toNanos / 1000L
+    val idleMs = math.max(1L, idle.toMillis)
+
+    txns.withColumn("wm_ts", col("timestamp").cast("timestamp")).as[TxWm]
+      .withWatermark("wm_ts", s"$latenessMicros microseconds")
+      .groupByKey(_.customer_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (customerId: String, rows: Iterator[TxWm], state: GroupState[EvictingEventState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val out = Seq.newBuilder[CorrectionEvent]
+            st.earned.foreach { case (ts, id) =>
+              out += CorrectionEvent(customerId, id, "", "", ofMicros(ts),
+                "evict_earned", st.rev)
+            }
+            st.se.foreach { case (ts, id, typ) =>
+              out += CorrectionEvent(customerId, "", id, typ, ofMicros(ts),
+                "evict_se", st.rev)
+            }
+            st.standing.foreach { case (eid, sid, styp, at) =>
+              out += CorrectionEvent(customerId, eid, sid, styp, ofMicros(at),
+                "evict_standing", st.rev)
+            }
+            if (st.prunedThrough > Long.MinValue)
+              out += CorrectionEvent(customerId, "", "", "",
+                ofMicros(st.prunedThrough), "evict_pruned", st.rev)
+            out += CorrectionEvent(customerId, "", "", "",
+              ofMicros(st.foldedThroughMicros), "evict_bound", st.rev)
+            state.remove()
+            out.result().iterator
+          } else {
+            val wmRows = rows.toIndexedSeq
+            val txs = wmRows.map(w =>
+              Tx(w.transaction_id, w.customer_id, w.amount, w.timestamp,
+                w.transaction_type))
+            val prev = state.getOption
+            val inner = prev
+              .map(p => EventTimeState(p.rev, p.earned, p.se, p.standing, p.prunedThrough))
+              .getOrElse(EventTimeState(0, Nil, Nil, Nil, Long.MinValue))
+            val (next, events) =
+              foldEventTimeBatch(customerId, inner, txs, Some(latenessMicros))
+            val foldedThrough = math.max(
+              prev.map(_.foldedThroughMicros).getOrElse(Long.MinValue),
+              txs.map(t => toMicros(t.timestamp)).max)
+            state.update(EvictingEventState(next.rev, next.earned, next.se,
+              next.standing, next.prunedThrough, foldedThrough))
+            val lastMs = wmRows.map(_.wm_ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastMs + idleMs, state.getCurrentWatermarkMs + 1))
+            events.iterator
+          }
+      }
+  }
+
+  /** Replay the DELAYED-rows harness through [[matchStreamEventTimeEvicting]]
+    * and rebuild the full ledger — the gate proving late-data correction
+    * and idle-customer eviction compose losslessly (driver gate:
+    * `streaming_evicted_late_match`, oracle = the batch `fifo_match` SQL).
+    *
+    * Parameters: lateness = one chunk span + margin (admits every delayed
+    * row, zero `drop_late` by construction), idle = two chunk spans
+    * (strictly exceeds lateness; customers quiet for two chunks evict
+    * mid-replay and reappearing delayed rows exercise the restore); a
+    * far-future sentinel row flushes pending timeouts. Timing gives the
+    * strict separation the operator requires even without relying on the
+    * engine's own late-row filtering: a row arriving after its customer's
+    * eviction sits at least one full chunk above the snapshot boundary
+    * (eviction needed the watermark ≥ boundary + idle; the arrival batch's
+    * rows sit within lateness of that watermark).
+    *
+    * Rebuild, per customer — [[replayLedgerEvicting]]'s protocol on the
+    * correction log: (1) never evicted → corrections stand; (2) evicted →
+    * corrections at or before the FIRST boundary stand (pruned pairs'
+    * final adds included — they left state before the snapshot), the first
+    * snapshot re-folds with rows strictly after the boundary through
+    * [[foldEventTimeBatch]] at REV snapshot+1 (outranking every kept
+    * pre-eviction correction per earned id), and post-eviction provisional
+    * output is discarded by the boundary cut. */
+  def replayLedgerLateEvicting(txns: DataFrame, batches: Int = 6): DataFrame = {
+    val src = txns
+      .select("transaction_id", "customer_id", "amount", "timestamp", "transaction_type")
+    val log = replayLateEvictingLog(txns, batches)
+    graft.operators.FifoMatcher.renameToSpec(txns)
+      .join(eventTimeEvictedMatches(src, log), Seq("TRANS_ID"), "left")
+      .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")
+  }
+
+  /** The raw correction-plus-snapshot log of a delayed evicting replay
+    * (sentinel filtered) — split out so the spec can assert evictions and
+    * restores actually fire, not just that the rebuilt ledger matches. */
+  private[graft] def replayLateEvictingLog(txns: DataFrame, batches: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, max => fmax, min => fmin}
+    val spark = txns.sparkSession
+    implicit val txEnc = Encoders.product[Tx]
+    val src = txns
+      .select("transaction_id", "customer_id", "amount", "timestamp", "transaction_type")
+    val mm = src.agg(fmin(col("timestamp")), fmax(col("timestamp"))).head()
+    val (lateness, idle, sentinels) =
+      if (mm.isNullAt(0))
+        (java.time.Duration.ofSeconds(1), java.time.Duration.ofSeconds(2),
+          Seq.empty[DataFrame])
+      else {
+        val lo = toMicros(mm.getAs[java.time.LocalDateTime](0))
+        val hi = toMicros(mm.getAs[java.time.LocalDateTime](1))
+        val chunk = (hi - lo) / batches + 2 // ⌈span/batches⌉ + 1 µs margin
+        val lateness = java.time.Duration.of(chunk,
+          java.time.temporal.ChronoUnit.MICROS)
+        val idle = java.time.Duration.of(chunk * 2,
+          java.time.temporal.ChronoUnit.MICROS)
+        // past every possible timeout (last event + idle) plus the
+        // watermark delay (lateness), so the final watermark advance
+        // flushes all pending evictions
+        val sentinelTs = ofMicros(hi + chunk * 4 + 2000000L)
+        (lateness, idle, Seq(spark.createDataset(
+          Seq(Tx(SentinelId, SentinelId, 0.0, sentinelTs, "earned"))).toDF()))
+      }
+    val dirs = FileReplay.stageChunksDelayed(src, "timestamp", batches,
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("transaction_id")),
+        org.apache.spark.sql.functions.lit(4)) === 0 &&
+        col("transaction_type") === "earned",
+      sentinels)
+    val events = matchStreamEventTimeEvicting(
+      FileReplay.stream(spark, src.schema, dirs).as[Tx], lateness, idle)
+    FileReplay.runToParquet(events.toDF(), dirs)
+      .filter(col("CUSTOMERID") =!= lit(SentinelId))
+  }
+
+  /** The standing (TRANS_ID, REDEEMID) assignment from an evicting
+    * event-time log: kept pre-boundary corrections ∪ the snapshot re-fold
+    * of reappeared customers (see [[replayLedgerLateEvicting]] for the
+    * correctness argument). */
+  private def eventTimeEvictedMatches(src: DataFrame, log: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{min => fmin}
+    implicit val txEnc = Encoders.product[Tx]
+    implicit val ceEnc = Encoders.product[CorrectionEvent]
+    implicit val keyEnc = Encoders.STRING
+    val firstEvict = log.filter(col("ACTION") === "evict_bound")
+      .groupBy("CUSTOMERID").agg(fmin(col("MATCHED_AT")).as("EVICTED_AT"))
+    val corrections = log.filter(col("ACTION").isin("add", "retract"))
+      .join(firstEvict, Seq("CUSTOMERID"), "left")
+      .filter(col("EVICTED_AT").isNull || col("MATCHED_AT") <= col("EVICTED_AT"))
+      .drop("EVICTED_AT")
+    // the FIRST snapshot's rows: every entry/standing/pruned/bound row of
+    // the first incarnation sits at or below the boundary; every later
+    // incarnation's sits strictly above it (post rows only)
+    val snapshot = log.filter(col("ACTION").startsWith("evict"))
+      .join(firstEvict, Seq("CUSTOMERID"))
+      .filter(col("MATCHED_AT") <= col("EVICTED_AT"))
+      .drop("EVICTED_AT")
+    val post = src
+      .join(firstEvict.withColumnRenamed("CUSTOMERID", "customer_id"),
+        Seq("customer_id"))
+      .filter(col("timestamp") > col("EVICTED_AT")).drop("EVICTED_AT")
+    val logCols = log.columns
+    val refold = snapshot.as[CorrectionEvent].groupByKey(_.CUSTOMERID)
+      .cogroup(post.as[Tx].groupByKey(_.customer_id)) { (cid, snapIt, rowIt) =>
+        val rows = rowIt.toIndexedSeq
+        if (rows.isEmpty) Iterator.empty // evicted, never reappeared
+        else {
+          val sn = snapIt.toIndexedSeq
+          val earned = sn.filter(_.ACTION == "evict_earned")
+            .map(e => (toMicros(e.MATCHED_AT), e.EARNED_ID)).sortBy(identity)
+          val se = sn.filter(_.ACTION == "evict_se")
+            .map(e => (toMicros(e.MATCHED_AT), e.REDEEMID, e.REDEEMER_TYPE))
+            .sortBy(s => (s._1, s._2))
+          val standing = sn.filter(_.ACTION == "evict_standing")
+            .map(e => (e.EARNED_ID, e.REDEEMID, e.REDEEMER_TYPE,
+              toMicros(e.MATCHED_AT)))
+          val pruned = sn.filter(_.ACTION == "evict_pruned")
+            .map(e => toMicros(e.MATCHED_AT))
+            .foldLeft(Long.MinValue)(math.max)
+          val rev = sn.map(_.REV).max
+          val st = EventTimeState(rev, earned, se, standing, pruned)
+          // no lateness bound in the batch re-fold: the ≤ prunedThrough
+          // drop check still applies via the restored state
+          foldEventTimeBatch(cid, st, sortTx(rows), None)._2.iterator
+        }
+      }
+    standingMatches(corrections.unionByName(
+      refold.toDF().select(logCols.map(col): _*)))
+  }
+
   /** Fold a [[CorrectionEvent]] log to the standing matches: per earned id,
     * the highest-revision event wins; it must be an "add" for the pair to
     * stand (a same-revision retract+add pair resolves to the add). */

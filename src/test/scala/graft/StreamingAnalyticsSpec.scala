@@ -167,7 +167,8 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val typed = input.toDF().toDF("ts", "event_type", "user_id", "cents")
       .selectExpr("CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_type", "user_id", "cents")
       .as[CentsEvent]
-    val query = graft.streaming.StreamingAnalytics.thresholdAlerts(typed, 100L)
+    val query = graft.streaming.StreamingAnalytics.thresholdAlerts(typed, 100L,
+        horizon = java.time.Duration.ofDays(3650))
       .toDF().writeStream.format("memory").queryName("alerts")
       .outputMode("append").start()
     try {
@@ -253,5 +254,27 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       assert(got.toSeq === Seq((1L, 201L, 201L * 1000000L / n)),
         s"batches=$batches: wrong report ${got.toSeq} (n=$n)")
     }
+  }
+
+  test("a negative-id heavy hitter is data, not a sentinel — it must surface") {
+    // round-12 advice: sign-only sentinel routing sent every negative-id
+    // row to the drained flush shard, silently excluding a negative-id
+    // whale from the MG candidate pass. Sentinels are now matched by
+    // their explicit (__flush__, −1) marker, so this whale must report.
+    import spark.implicits._
+    val ldt = (h: Int, m: Int) => java.time.LocalDateTime.of(2024, 1, 1, h, m)
+    val rows =
+      (0 until 120).map(i => (ldt(i / 60, i % 60), -5L, 1.0)) ++
+      (2L to 101L).flatMap(u => Seq(
+        (ldt((u % 4).toInt, (u % 60).toInt), u, 1.0),
+        (ldt(4 + (u % 3).toInt, (u % 60).toInt), u, 1.0)))
+    val events = rows.toDF("ts", "user_id", "value")
+    val n = rows.size.toLong // 320
+    val got = StreamingAnalytics
+      .replayHeavyHitters(events, batches = 3, k = 4, nShards = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("occurrences")))
+    assert(got.toSeq === Seq((-5L, 120L)),
+      s"negative-id whale missing or wrong: ${got.toSeq} (n=$n)")
   }
 }

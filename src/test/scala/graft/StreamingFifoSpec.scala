@@ -259,6 +259,81 @@ class StreamingFifoSpec extends AnyFunSuite {
     assert(ledger.toSeq === batch.toSeq)
   }
 
+  test("event-time matcher evicts idle customers and bounds state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def at(min: Int): LocalDateTime = LocalDateTime.of(2024, 3, 1, 0, 0).plusMinutes(min)
+
+    val input = MemoryStream[Tx]
+    val query = StreamingFifo
+      .matchStreamEventTimeEvicting(input.toDS(),
+        lateness = java.time.Duration.ofMinutes(10),
+        idle = java.time.Duration.ofMinutes(25))
+      .writeStream.format("memory").queryName("et_evicting")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Tx("I1E1", "IDLE1", 10.0, at(0), "earned"),
+        Tx("I1E2", "IDLE1", 10.0, at(1), "earned"),
+        Tx("A1E1", "ACTIVE", 10.0, at(2), "earned"))
+      query.processAllAvailable()
+      // watermark → 40−10=30 ≥ IDLE1 last(1)+idle(25): timeout armed
+      input.addData(Tx("A1S1", "ACTIVE", -5.0, at(40), "spent"))
+      query.processAllAvailable()
+      // the batch in which IDLE1's timeout fires
+      input.addData(Tx("A1E2", "ACTIVE", 10.0, at(41), "earned"))
+      query.processAllAvailable()
+
+      val log = spark.table("et_evicting")
+        .as[StreamingFifo.CorrectionEvent].collect()
+      val snap = log.filter(_.ACTION == "evict_earned")
+      // snapshot entries carry their OWN event times — the (ts, id) sort
+      // key reconstructs queue order without a position column
+      assert(snap.map(e => (e.EARNED_ID, e.MATCHED_AT)).toSet ===
+        Set(("I1E1", at(0)), ("I1E2", at(1))), s"log was ${log.toSeq}")
+      assert(log.count(e => e.ACTION == "evict_bound" && e.CUSTOMERID == "IDLE1") === 1)
+      // state is BOUNDED: IDLE1's row is gone, only ACTIVE remains
+      val stateRows = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows === 1, s"state rows $stateRows, expected ACTIVE only")
+    } finally query.stop()
+  }
+
+  test("evicting late replay restores snapshots and rebuilds the exact batch ledger") {
+    import spark.implicits._
+    def at(min: Int): LocalDateTime = LocalDateTime.of(2024, 3, 1, 0, 0).plusMinutes(min)
+    val data = Seq(
+      // IDLE1: earned queue evicts mid-replay; an se arrives long after —
+      // the rebuild must restore the snapshot and match it
+      Tx("I1E1", "IDLE1", 10.0, at(0), "earned"),
+      Tx("I1E2", "IDLE1", 10.0, at(1), "earned"),
+      Tx("I1S1", "IDLE1", -5.0, at(110), "spent"),
+      // GONE: evicted, never returns — stays unmatched
+      Tx("G1E1", "GONE", 10.0, at(2), "earned"),
+      // PENDING: a pending-se snapshot, matched by a later earned
+      Tx("P1S1", "PENDING", -5.0, at(3), "spent"),
+      Tx("P1E1", "PENDING", 10.0, at(112), "earned"),
+      // ACTIVE: rows throughout — never evicted; exercises the
+      // correction path (adds/retracts) alongside the eviction path
+      Tx("A1E1", "ACTIVE", 10.0, at(5), "earned"),
+      Tx("A1S1", "ACTIVE", -5.0, at(30), "spent"),
+      Tx("A1E2", "ACTIVE", 10.0, at(60), "earned"),
+      Tx("A1X1", "ACTIVE", -5.0, at(90), "expired"),
+      Tx("A1E3", "ACTIVE", 10.0, at(111), "earned"))
+
+    // evictions must actually FIRE during the replay (both queue sides)
+    val log = StreamingFifo.replayLateEvictingLog(data.toDF(), batches = 4).collect()
+    val actions = log.map(r => (r.getAs[String]("CUSTOMERID"), r.getAs[String]("ACTION")))
+    assert(actions.contains(("IDLE1", "evict_earned")), s"log: ${actions.toSeq}")
+    assert(actions.contains(("PENDING", "evict_se")), s"log: ${actions.toSeq}")
+    assert(actions.contains(("GONE", "evict_bound")), s"log: ${actions.toSeq}")
+
+    val ledger = StreamingFifo.replayLedgerLateEvicting(data.toDF(), batches = 4)
+      .orderBy("TRANS_ID").collect()
+    val batch = graft.operators.FifoMatcher.matchTransactions(data.toDF())
+      .orderBy("TRANS_ID").collect()
+    assert(ledger.toSeq === batch.toSeq)
+  }
+
   test("replayLedger rebuilds the exact batch ledger across chunked state") {
     import spark.implicits._
     val data = Seq(
