@@ -65,31 +65,41 @@ def wait_idle(max_load: float = 2.0, max_wait_sec: int = 600) -> None:
           "inflated", flush=True)
 
 
+# init-absorbing warmup gate: cheap, non-streaming, always present in the
+# registry. It must NOT be the audited query itself: duplicating a
+# streaming gate made the reported (second) line ride the session-memoized
+# staged chunks + persistent checkpoint — processAllAvailable over an
+# exhausted source is a no-op, so the row timed candidate-merge/verify
+# instead of the cold path (the round-12 PLANS.md caveat, retired here).
+WARMUP = "fifo_match"
+
+
 def bench(sf_dir: str, queries: list) -> dict:
-    """Run BenchOne with query[0] duplicated; drop the init-absorbing first
-    line. Returns {name: (seconds, rows)}."""
-    wait_idle()
-    cmd = ["sbt", "-batch",
-           "runMain graft.BenchOne " + " ".join([queries[0]] + queries)]
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    out = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
-                         text=True).stdout
+    """Run each query FIRST-IN-SESSION in its own JVM behind a fixed cheap
+    warmup line (dropped): streaming gates stage fresh chunk/checkpoint
+    roots per run, so the reported line is the full cold path —
+    chunk staging + stream + verify. Returns {name: (seconds, rows)}."""
     rows = {}
-    seen_first = False
-    for line in out.splitlines():
-        parts = line.split()
-        # "name   12.34 s  rows=N" from BenchOne's fixed format
-        if len(parts) == 4 and parts[2] == "s" and parts[3].startswith("rows="):
-            if not seen_first:
-                seen_first = True  # init-absorption line
-                continue
-            rows[parts[0]] = (float(parts[1]), int(parts[3][5:]))
-    missing = [q for q in queries if q not in rows]
-    if missing:
-        print(f"[scale_audit] ERROR: no timing line for {missing}; sbt tail:",
-              flush=True)
-        print("\n".join(out.splitlines()[-15:]))
-        sys.exit(1)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    for q in queries:
+        wait_idle()
+        cmd = ["sbt", "-batch", f"runMain graft.BenchOne {WARMUP} {q}"]
+        out = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                             text=True).stdout
+        seen_first = False
+        for line in out.splitlines():
+            parts = line.split()
+            # "name   12.34 s  rows=N" from BenchOne's fixed format
+            if len(parts) == 4 and parts[2] == "s" and parts[3].startswith("rows="):
+                if not seen_first:
+                    seen_first = True  # init-absorption (warmup) line
+                    continue
+                rows[parts[0]] = (float(parts[1]), int(parts[3][5:]))
+        if q not in rows:
+            print(f"[scale_audit] ERROR: no timing line for {q}; sbt tail:",
+                  flush=True)
+            print("\n".join(out.splitlines()[-15:]))
+            sys.exit(1)
     return rows
 
 
@@ -120,8 +130,9 @@ def main() -> None:
         print("| `" + q + "` | " + " | ".join(f"{s:.1f}" for s in secs)
               + " | " + " | ".join(f"{n:,}" for n in nrow)
               + f" | {ratio:.1f}× |")
-    print("\n(single-run timings, init line dropped, load-gated at <2.0 "
-          "1m+5m; shape over absolutes)")
+    print("\n(single-run timings; each query first-in-session behind a "
+          "dropped fifo_match warmup — streaming gates run the full cold "
+          "path; load-gated at <2.0 1m+5m; shape over absolutes)")
 
 
 if __name__ == "__main__":

@@ -110,25 +110,80 @@ object FifoMatcher {
     * The pairing window partitions by (CUSTOMERID, rk) — at most two rows
     * per partition, whale-immune already. Output ≡ [[matchTransactions]]
     * row-for-row (gated as `fifo_match_salted` against the same oracle).
-    * Limitation: a whale whose rows share ONE timestamp still lands in
-    * one bucket — range-salting bounds time-spread whales, which is the
-    * shape customer activity takes. */
+    *
+    * Equal-timestamp whales (round-12 verdict #6 — the documented hole):
+    * a whale whose rows share ONE CREATEDAT lands entirely in one time
+    * bucket, so range-salting alone cannot split it. A cheap census
+    * (one map-combinable (customer, side, CREATEDAT) count) finds tie
+    * runs larger than a bucket's fair share; each heavy run's bucket is
+    * REFINED by TRANS_ID range — boundaries come from a deterministic
+    * md5-sampled id subset (the RangePartitioner move, with a hash sample
+    * instead of a seeded one), and the composite (time bucket, id
+    * sub-bucket) stays monotone in the matcher's own (CREATEDAT,
+    * TRANS_ID) sort key, which is the only property the two-stage rank
+    * needs. Boundary placement affects LOAD ONLY, never output: rank =
+    * local rank + prefix offset is exact under any monotone bucketing,
+    * so the sampled split cannot perturb the gated result. The heaviest
+    * 64 runs sub-split (bounding the refinement expression); anything
+    * beyond that tail stays time-bucketed. */
   def matchTransactionsSalted(txns: DataFrame, buckets: Int = 16): DataFrame = {
     val t = renameToSpec(txns)
-    val mm = t.agg(min(col("CREATEDAT")), max(col("CREATEDAT"))).head()
+    val mm = t.agg(min(col("CREATEDAT")), max(col("CREATEDAT")),
+      count(lit(1))).head()
     if (mm.isNullAt(0)) matchTransactions(txns) else {
       val epoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
       def mic(x: java.time.LocalDateTime): Long =
         java.time.temporal.ChronoUnit.MICROS.between(epoch, x)
       val lo = mic(mm.getAs[java.time.LocalDateTime](0))
       val hi = mic(mm.getAs[java.time.LocalDateTime](1))
+      val total = mm.getLong(2)
       val span = hi - lo + 1
       val bucket = expr(
         s"cast(((unix_micros(cast(CREATEDAT as timestamp)) - ${lo}L) * " +
           s"${buckets}L) div ${span}L as int)")
-      val ranked = t
-        .withColumn("is_earned", col("TCTYPE") === "earned")
-        .withColumn("bkt", bucket)
+      // ---- equal-timestamp sub-split (see scaladoc) ----
+      val runThreshold = math.max(1L, total / buckets)
+      val sided = t.withColumn("is_earned", col("TCTYPE") === "earned")
+      val heavyRuns = sided
+        .groupBy("CUSTOMERID", "is_earned", "CREATEDAT")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > runThreshold)
+        .orderBy(col("cnt").desc, col("CUSTOMERID"), col("is_earned"), col("CREATEDAT"))
+        .limit(64)
+        .collect()
+        .map(r => (r.getString(0), r.getBoolean(1),
+          r.getAs[java.time.LocalDateTime](2)))
+      val subBoundaries: Seq[((String, Boolean, java.time.LocalDateTime), Seq[String])] =
+        if (heavyRuns.isEmpty) Nil else {
+          import t.sparkSession.implicits._
+          val keys = broadcast(heavyRuns.toSeq.toDF("CUSTOMERID", "is_earned", "CREATEDAT"))
+          // ~1/64 deterministic id sample of the heavy runs, one pass
+          val sampled = sided
+            .join(keys, Seq("CUSTOMERID", "is_earned", "CREATEDAT"), "left_semi")
+            .filter(substring(md5(col("TRANS_ID").cast("binary")), 1, 2) < "04")
+            .select("CUSTOMERID", "is_earned", "CREATEDAT", "TRANS_ID")
+            .collect()
+            .map(r => ((r.getString(0), r.getBoolean(1),
+              r.getAs[java.time.LocalDateTime](2)), r.getString(3)))
+          sampled.groupBy(_._1).view.mapValues { rows =>
+            val s = rows.map(_._2).sorted.toIndexedSeq
+            val m = math.min(buckets - 1, s.size)
+            (1 to m).map(i => s((i * s.size) / (m + 1))).distinct
+          }.toSeq
+        }
+      val subExpr: org.apache.spark.sql.Column = subBoundaries.foldLeft(lit(0)) {
+        case (acc, ((cust, side, ts), bs)) if bs.nonEmpty =>
+          when(col("CUSTOMERID") === lit(cust) && col("is_earned") === lit(side) &&
+            col("CREATEDAT") === lit(ts),
+            bs.map(b => when(col("TRANS_ID") >= lit(b), lit(1)).otherwise(lit(0)))
+              .reduce(_ + _))
+            .otherwise(acc)
+        case (acc, _) => acc
+      }
+      val ranked = sided
+        // composite bucket: (time range, id sub-bucket) — monotone in the
+        // (CREATEDAT, TRANS_ID) sort key; sub = 0 off the heavy runs
+        .withColumn("bkt", bucket * lit(buckets) + subExpr)
         .withColumn("lrk", row_number().over(
           Window.partitionBy(col("CUSTOMERID"), col("is_earned"), col("bkt"))
             .orderBy(col("CREATEDAT"), col("TRANS_ID"))))

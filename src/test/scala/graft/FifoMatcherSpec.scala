@@ -186,6 +186,35 @@ class FifoMatcherSpec extends AnyFunSuite {
     }
   }
 
+  // Round-12 #6: an equal-timestamp whale — a customer whose entire
+  // history shares ONE CREATEDAT — exceeds the heavy-run threshold, so
+  // the salted matcher sub-splits it by sampled TRANS_ID ranges. The
+  // sub-split must be output-invariant: row-identical to the windowed
+  // matcher, with the (CREATEDAT, TRANS_ID) tie-break intact.
+  test("salted matcher sub-splits an equal-timestamp whale, output invariant") {
+    // 120 earned + 60 spent all at one timestamp, plus a normal customer;
+    // ids shuffled so the id tie-break does real work across sub-buckets
+    val order = scala.util.Random.shuffle((0 until 180).toList)
+    val whaleRows = order.map { i =>
+      if (i < 120) (f"WE$i%03d", "WHALE", 1.0, "2024-06-15T12:00:00", "earned")
+      else (f"WS$i%03d", "WHALE", -1.0, "2024-06-15T12:00:00", "spent")
+    }
+    val in = tx(whaleRows ++ Seq(
+      ("E001", "C001", 10.0, "2024-01-01", "earned"),
+      ("S001", "C001", -5.0, "2024-01-02", "spent")): _*)
+    val expected = FifoMatcher.matchTransactions(in)
+      .orderBy("TRANS_ID").collect().map(_.toSeq).toSeq
+    // buckets=4 → heavy-run threshold 182/4=45 < 120: the sub-split engages
+    val salted = FifoMatcher.matchTransactionsSalted(in, buckets = 4)
+      .orderBy("TRANS_ID").collect().map(_.toSeq).toSeq
+    assert(salted === expected)
+    // the FIFO pairing under the tie-break: k-th earned ↔ k-th spent by id
+    val m = redeemMap(FifoMatcher.matchTransactionsSalted(in, buckets = 4))
+    assert(m("WE000") === Some("WS120"))
+    assert(m("WE059") === Some("WS179"))
+    assert(m("WE060") === None) // 60 spent cover the first 60 earned only
+  }
+
   test("empty input produces empty output with correct schema") {
     val in = tx()
     impls.foreach { case (name, impl) =>

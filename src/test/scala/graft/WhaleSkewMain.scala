@@ -66,6 +66,13 @@ object WhaleSkewMain {
       }
       RunHygiene.drainStages(spark)
     }
+    // the round-12 #6 hole: the whale's rows all share ONE timestamp, so
+    // time-range salting alone would land them in a single bucket — the
+    // sampled TRANS_ID sub-split is what splits this shape
+    val oneTs = java.time.LocalDateTime.of(2024, 6, 15, 12, 0)
+    val whale1ts = whale.withColumn("timestamp",
+      when(col("customer_id") === "WHALE", lit(oneTs)).otherwise(col("timestamp")))
+
     // first run absorbs session init; report the labeled runs
     run("warmup", big)
     run("balanced", big)
@@ -73,6 +80,10 @@ object WhaleSkewMain {
     // the two-stage distributed rank on the same whale corpus: the whale's
     // history splits across buckets, so the max task shrinks toward median
     run("w-salted", whale, graft.operators.FifoMatcher.matchTransactionsSalted(_))
+    // equal-timestamp whale: primary (one task bounds it) vs the salted
+    // variant with the id-range sub-split engaged
+    run("1ts-prim", whale1ts)
+    run("1ts-salt", whale1ts, graft.operators.FifoMatcher.matchTransactionsSalted(_))
     spark.stop()
   }
 }
