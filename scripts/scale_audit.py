@@ -65,6 +65,17 @@ def wait_idle(max_load: float = 2.0, max_wait_sec: int = 600) -> None:
           "inflated", flush=True)
 
 
+def settle(max_load: float = 4.0, max_wait_sec: int = 120) -> None:
+    """Between serial same-audit JVMs: wait only for the 1-min average to
+    drop below a loose bar (scheduler settle), never the 5-min trail."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_sec:
+        one, _, _ = os.getloadavg()
+        if one < max_load:
+            return
+        time.sleep(10)
+
+
 # init-absorbing warmup gate: cheap, non-streaming, always present in the
 # registry. It must NOT be the audited query itself: duplicating a
 # streaming gate made the reported (second) line ride the session-memoized
@@ -78,11 +89,18 @@ def bench(sf_dir: str, queries: list) -> dict:
     """Run each query FIRST-IN-SESSION in its own JVM behind a fixed cheap
     warmup line (dropped): streaming gates stage fresh chunk/checkpoint
     roots per run, so the reported line is the full cold path —
-    chunk staging + stream + verify. Returns {name: (seconds, rows)}."""
+    chunk staging + stream + verify. Returns {name: (seconds, rows)}.
+
+    Load gating: the FULL both-averages gate runs once per factor (before
+    the first JVM); between the strictly serial per-query JVMs only a
+    light 1-min settle applies — the previous JVM has exited, so its
+    trailing 5-min average is history, not contention, and re-gating on
+    it would add a ~5-minute self-inflicted cooldown per query."""
     rows = {}
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    wait_idle()
     for q in queries:
-        wait_idle()
+        settle()
         cmd = ["sbt", "-batch", f"runMain graft.BenchOne {WARMUP} {q}"]
         out = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
                              text=True).stdout
@@ -96,10 +114,13 @@ def bench(sf_dir: str, queries: list) -> dict:
                     continue
                 rows[parts[0]] = (float(parts[1]), int(parts[3][5:]))
         if q not in rows:
+            # record the failure and keep going: one broken query must not
+            # discard every other gate's timings (the 100x streaming_dedup
+            # overflow cost a full audit pass before this guard)
             print(f"[scale_audit] ERROR: no timing line for {q}; sbt tail:",
                   flush=True)
-            print("\n".join(out.splitlines()[-15:]))
-            sys.exit(1)
+            print("\n".join(out.splitlines()[-15:]), flush=True)
+            rows[q] = (float("nan"), -1)
     return rows
 
 

@@ -368,7 +368,11 @@ object StreamingAnalytics {
   def replayDedup(docs: DataFrame, batches: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     val src = docs.select(
-      expr("timestampadd(SECOND, CAST(doc_id AS INT), TIMESTAMP_NTZ '2024-01-01 00:00:00')")
+      // MICROSECOND + BIGINT quantity: the SECOND/INT form overflowed at
+      // the 100x corpus (doc_id ~9e9 > Int.MaxValue — found by the cold
+      // scale audit); micros keep the synthesized arrival order identical
+      // and sane (9e9 µs ≈ 2.5 h of spread, not 285 years)
+      expr("timestampadd(MICROSECOND, CAST(doc_id AS BIGINT), TIMESTAMP_NTZ '2024-01-01 00:00:00')")
         .as("ts"),
       col("doc_id"), col("text"))
     val dirs = stagedShared(src, batches, _ => Nil)
