@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 293
+  val GatedQueryCount: Int = 294
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -1112,6 +1112,12 @@ object SparkEntry {
     // first-crossing threshold alerts (custom keyed state + fired latch)
     "streaming_alerts" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replayThresholdAlerts(Tables.events(s, d))),
+    // the same alerts with the expiry horizon ENGAGED: idle counters
+    // expire mid-replay and re-arm; the oracle renders the engine-probed
+    // extra-batch timer semantics (reset iff wm(q-1) >= timer) literally,
+    // so the reset points themselves are cross-engine exact
+    "streaming_alerts_expiring" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.replayThresholdAlertsExpiring(Tables.events(s, d))),
 
     // snapshot + delta MERGE (the batch upsert / full-outer surface)
     "merge_balance_upsert" -> ((s, d) =>
@@ -1472,6 +1478,7 @@ object SparkEntry {
     "text_negative_sampling" -> OracleSqlText.negativeSampling,
     "agg_yoy_revenue" -> OracleSql.yoyRevenue,
     "streaming_alerts" -> OracleSql.thresholdAlerts(),
+    "streaming_alerts_expiring" -> OracleSql.thresholdAlertsExpiring(),
     "events_streaks" -> OracleSql.activityStreaks,
     "train_curriculum" -> OracleSqlText.curriculumBins(),
     "text_tfidf_top_terms" -> OracleSqlText.tfidfTopTerms(),

@@ -1713,6 +1713,92 @@ f AS (
 SELECT user_id, ts AS alert_ts, cum_cents
 FROM f WHERE k = 1 ORDER BY user_id"""
 
+  /** Mirrors StreamingAnalytics.replayThresholdAlertsExpiring: the
+    * engine-probed extra-batch timer semantics rendered literally —
+    * chunk assignment from stageChunks' BOUNDARY table (lo + (span·k)//B,
+    * never a closed-form division: the two disagree at non-divisible
+    * boundaries), watermark per chunk as the running max event-µs floored
+    * to ms, per-(user, batch) timers T = greatest(last_ms + H_ms,
+    * wm(prev−1) + 1) with wm(−1) = 0 (Spark's initial watermark), a reset
+    * before appearance batch q iff q ≥ prev+2 AND wm(q−2) ≥ T(prev) —
+    * the PRE-STAGED-file semantics: the source always has the next chunk
+    * pending, so timers fire only in file batches where the user is
+    * absent, and a group with data is invoked with hasTimedOut = false
+    * even if its timer expired (the exhausted-source probe fires between
+    * any two batches instead; see the operator's scaladoc) — sessions as
+    * the running reset count, and the per-session first crossing of the
+    * running cents sum in (ts, event_type, cents) order. H replicates the
+    * operator's derivation exactly: µs = greatest(1000, span // (2·B)),
+    * ms = greatest(1, µs // 1000) (Duration.toMillis truncates). */
+  def thresholdAlertsExpiring(thresholdCents: Long = 250000L,
+      batches: Int = 24): String = s"""
+WITH e AS (
+  SELECT user_id, ts, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS mic
+  FROM events
+),
+par AS (
+  SELECT min(mic) AS lo, max(mic) - min(mic) + 1 AS sp,
+         GREATEST(1, GREATEST(1000, (max(mic) - min(mic) + 1) // ${2 * batches}) // 1000) AS hms
+  FROM e
+),
+bounds AS (
+  SELECT k, (SELECT lo + (sp * k) // $batches FROM par) AS b
+  FROM range(${batches + 1}) t(k)
+),
+ch AS (
+  SELECT e.*, CAST(max(bd.k) AS INT) AS chunk
+  FROM e JOIN bounds bd ON bd.b <= e.mic AND bd.k < $batches
+  GROUP BY ALL
+),
+cw AS (
+  SELECT k, max(mx) OVER (ORDER BY k) AS cmx
+  FROM (SELECT chunk AS k, max(mic) AS mx FROM ch GROUP BY 1) t
+),
+ub AS (
+  SELECT user_id, chunk, max(mic // 1000) AS last_ms
+  FROM ch GROUP BY 1, 2
+),
+ub2 AS (
+  SELECT user_id, chunk, last_ms,
+         lag(chunk) OVER u AS pchunk, lag(last_ms) OVER u AS plast
+  FROM ub WINDOW u AS (PARTITION BY user_id ORDER BY chunk)
+),
+ub3 AS (
+  SELECT user_id, chunk,
+         CASE WHEN pchunk IS NULL OR chunk - pchunk < 2 THEN 0
+              WHEN COALESCE((SELECT max(cmx) FROM cw WHERE k <= ub2.chunk - 2), 0) // 1000
+                   >= GREATEST(plast + (SELECT hms FROM par),
+                        COALESCE((SELECT max(cmx) FROM cw WHERE k <= ub2.pchunk - 1), 0) // 1000 + 1)
+              THEN 1 ELSE 0 END AS reset
+  FROM ub2
+),
+ss AS (
+  SELECT user_id, chunk,
+         SUM(reset) OVER (PARTITION BY user_id ORDER BY chunk) AS session
+  FROM ub3
+),
+rows2 AS (
+  SELECT ch.user_id, ch.ts, ch.event_type, ch.cents, ss.session
+  FROM ch JOIN ss ON ss.user_id = ch.user_id AND ss.chunk = ch.chunk
+),
+c AS (
+  SELECT user_id, session, ts, cents,
+         CAST(SUM(cents) OVER w AS BIGINT) AS cum_cents,
+         ROW_NUMBER() OVER w AS rn
+  FROM rows2
+  WINDOW w AS (PARTITION BY user_id, session ORDER BY ts, event_type, cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+f AS (
+  SELECT user_id, ts, cum_cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session ORDER BY rn) AS j
+  FROM c WHERE cum_cents >= $thresholdCents
+)
+SELECT user_id, ts AS alert_ts, cum_cents
+FROM f WHERE j = 1 ORDER BY user_id, alert_ts"""
+
   /** Mirrors RelationalQueries.yoyRevenue: per-row cent rounding before
     * the BIGINT sum, sign-split integer basis-point growth (the
     * dailyCusum truncation form), NULL first year. */

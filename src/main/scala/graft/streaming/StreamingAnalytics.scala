@@ -516,6 +516,66 @@ object StreamingAnalytics {
       .orderBy("user_id")
   }
 
+  /** [[replayThresholdAlerts]] with the expiry horizon ENGAGED — the gate
+    * that oracle-pins the re-arm semantics themselves (the unbounded-
+    * horizon gate pins expiry-off batch equivalence; this one pins the
+    * reset). 24 chunks and H = half a chunk span, measured against the
+    * gate corpus so resets actually FIRE (at 3 chunks every user appears
+    * in every batch and no timer can fire mid-replay; at 24 the reset
+    * counts are 6 / 47 / 470 at sf0.001/0.01/0.1 and the alert sets
+    * genuinely diverge from the unbounded gate's 13 / 136 / 1403).
+    *
+    * Cross-engine determinism of WHEN a reset happens — PROBED, not
+    * assumed, and the two probes disagree instructively: with an
+    * exhausted source (MemoryStream between addData calls) Spark runs an
+    * extra no-data micro-batch whenever the watermark advances, firing
+    * timers between any two batches; with PRE-STAGED files the source
+    * always has the next chunk pending, so the only executed batches are
+    * the file batches themselves, and a group WITH data is invoked with
+    * hasTimedOut = false even if its timer expired. Expiry therefore
+    * happens before appearance batch q iff the user was ABSENT in some
+    * batch b' in (p, q) with wm(b'−1) ≥ T(p) — equivalently (watermarks
+    * are monotone) q ≥ p+2 AND wm(q−2) ≥ T(p), where T(p) =
+    * max(lastMs(p) + H_ms, wm(p−1) + 1) is the timer the fold set (clamp
+    * included) and wm(b) is the running max event-time (µs→ms floor)
+    * through chunk b — all integer-exact from the chunk boundaries
+    * stageChunks derives, which the DuckDB twin reproduces literally
+    * (boundary table, not a closed-form div — the two differ at
+    * non-divisible boundaries). Empty chunk files still execute as
+    * batches (every user absent), which the b'-range formulation covers.
+    * Sessions split at resets; the per-session first crossing is the
+    * plain running-sum SQL. */
+  def replayThresholdAlertsExpiring(events: DataFrame, batches: Int = 24,
+      thresholdCents: Long = 250000L): DataFrame = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.{Encoders => E}
+    val src = eventReplaySrc(events)
+    val epoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+    def mic(x: java.time.LocalDateTime): Long =
+      java.time.temporal.ChronoUnit.MICROS.between(epoch, x)
+    val mm = src.agg(min(col("ts")), max(col("ts"))).head()
+    val horizon =
+      if (mm.isNullAt(0)) java.time.Duration.ofSeconds(1)
+      else java.time.Duration.of(
+        math.max(1000L,
+          (mic(mm.getAs[java.time.LocalDateTime](1)) -
+            mic(mm.getAs[java.time.LocalDateTime](0)) + 1) / (2L * batches)),
+        java.time.temporal.ChronoUnit.MICROS)
+    // no flush sentinels: alert emission is inline (no append-mode window
+    // to close), trailing evictions can't change the output, and the
+    // 24-chunk set is dedicated to this gate anyway — two fewer triggers
+    val dirs = stagedShared(src, batches, _ => Nil)
+    val typed = FileReplay.stream(spark, src.schema, dirs)
+      .select(col("ts"), col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[CentsEvent](E.product[CentsEvent])
+    val alerts = thresholdAlerts(typed, thresholdCents, horizon)
+    FileReplay.runToParquet(alerts.toDF(), dirs, tag = "_alerts_exp")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "alert_ts", "cum_cents")
+      .orderBy("user_id", "alert_ts")
+  }
+
   /** One md5 shard's streaming Misra–Gries state: ≤ k (key, count)
     * entries, the fixed-size top-k summary — the third canonical
     * mergeable sketch at ingest time next to the HLL registers
