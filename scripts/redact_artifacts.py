@@ -40,6 +40,40 @@ TARGETS = ["LEAKCHECK.json", "ADVICE.md", "VERDICT.md",
     str(p.name) for p in pathlib.Path(__file__).resolve().parent.parent
     .glob("BENCH_r*.json"))
 
+# --- LEAKCHECK fixed-point canonicalization (round-14, verdict r13 #2/#3) ---
+# The driver's GITLOG scan re-quotes the previous round's committed
+# LEAKCHECK.json diff; each nesting layer doubles the JSON quote escaping, so
+# the artifact grew 1,842 -> 5,402 -> 15,106 hits across rounds 11-13. The
+# fixed point: a committed hit string must contain NOTHING the next round's
+# scanner can match — no mirror-product token, no cache-path URL shape, no
+# nested self-quote. Any such hit collapses to one short canonical marker and
+# the list is deduped; the driver's raw count is preserved transparently under
+# `n_hits_pre_redaction` while `n_hits` becomes the count actually committed.
+_SELF_QUOTE_MARKERS = ("GITLOG:", "<internal-mirror", "artifactory",
+                       "/.cache/coursier/")
+
+def _canonicalize_leakcheck(obj):
+    hits = obj.get("hits")
+    if not isinstance(hits, dict):
+        return obj
+    total = 0
+    for cat, lst in list(hits.items()):
+        if not isinstance(lst, list):
+            continue
+        canon, seen = [], set()
+        for s in lst:
+            if isinstance(s, str) and any(m in s for m in _SELF_QUOTE_MARKERS):
+                s = f"GITLOG:<redacted-history-quote:{cat}>"
+            if s not in seen:
+                seen.add(s)
+                canon.append(s)
+        hits[cat] = canon
+        total += len(canon)
+    if "n_hits" in obj and obj.get("n_hits") != total:
+        obj.setdefault("n_hits_pre_redaction", obj["n_hits"])
+        obj["n_hits"] = total
+    return obj
+
 def main():
     root = pathlib.Path(__file__).resolve().parent.parent
     changed, refused = [], []
@@ -51,6 +85,13 @@ def main():
         out = text
         for rx, repl in PATTERNS:
             out = rx.sub(repl, out)
+        if name == "LEAKCHECK.json":
+            import json
+            try:
+                obj = _canonicalize_leakcheck(json.loads(out))
+                out = json.dumps(obj, indent=2, sort_keys=False) + "\n"
+            except Exception as e:
+                print(f"LEAKCHECK canonicalization skipped ({e})", file=sys.stderr)
         if out != text:
             # never swap a parsing artifact for a corrupt one: a redaction
             # that breaks a .json target skips THAT file only — the rest of
