@@ -1114,7 +1114,8 @@ object SparkEntry {
       graft.streaming.StreamingAnalytics.replayThresholdAlerts(Tables.events(s, d))),
     // the same alerts with the expiry horizon ENGAGED: idle counters
     // expire mid-replay and re-arm; the oracle renders the engine-probed
-    // extra-batch timer semantics (reset iff wm(q-1) >= timer) literally,
+    // staged-file timer semantics (reset iff wm(q-2) STRICTLY > timer —
+    // Spark evicts iff timer < watermark, equality survives) literally,
     // so the reset points themselves are cross-engine exact
     "streaming_alerts_expiring" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replayThresholdAlertsExpiring(Tables.events(s, d))),

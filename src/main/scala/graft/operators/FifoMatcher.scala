@@ -115,17 +115,27 @@ object FifoMatcher {
     * a whale whose rows share ONE CREATEDAT lands entirely in one time
     * bucket, so range-salting alone cannot split it. A cheap census
     * (one map-combinable (customer, side, CREATEDAT) count) finds tie
-    * runs larger than a bucket's fair share; each heavy run's bucket is
-    * REFINED by TRANS_ID range — boundaries come from a deterministic
-    * md5-sampled id subset (the RangePartitioner move, with a hash sample
-    * instead of a seeded one), and the composite (time bucket, id
-    * sub-bucket) stays monotone in the matcher's own (CREATEDAT,
-    * TRANS_ID) sort key, which is the only property the two-stage rank
-    * needs. Boundary placement affects LOAD ONLY, never output: rank =
-    * local rank + prefix offset is exact under any monotone bucketing,
-    * so the sampled split cannot perturb the gated result. The heaviest
-    * 64 runs sub-split (bounding the refinement expression); anything
-    * beyond that tail stays time-bucketed. */
+    * runs larger than a bucket's fair share; each heavy run's TIME BUCKET
+    * is REFINED by composite (CREATEDAT, TRANS_ID) range. Boundaries are
+    * computed DISTRIBUTIVELY (round-13 verdict #4): a deterministic
+    * md5-sampled subset of each run takes an `ntile` per run and only the
+    * per-tile maxima come back — driver bytes O(runs × buckets), a
+    * bounded COUNT, never a fixed RATE of the whale (the old 1/64 id
+    * collect grew linearly with whale size). Each boundary predicate is
+    * `CREATEDAT > ts OR (CREATEDAT = ts AND TRANS_ID >= id)`, scoped to
+    * the run's (customer, side, time bucket) — so rows AFTER a heavy run
+    * inside the same time bucket take the run's max sub-bucket instead of
+    * sub=0, keeping the composite bucket MONOTONE in the matcher's own
+    * (CREATEDAT, TRANS_ID) sort key for every whale shape, including a
+    * burst surrounded by later activity (round-13 ADVICE, high). Runs
+    * sharing a (customer, side, time bucket) merge their boundary sets,
+    * thinned to ≤ buckets−1 so composite bucket ids never cross into the
+    * next time bucket's range. Monotonicity is the only property the
+    * two-stage rank needs: rank = local rank + prefix offset is exact
+    * under any monotone bucketing, so boundary placement affects LOAD
+    * ONLY, never the gated output. The heaviest 64 runs sub-split
+    * (bounding the refinement expression); anything beyond that tail
+    * stays time-bucketed. */
   def matchTransactionsSalted(txns: DataFrame, buckets: Int = 16): DataFrame = {
     val t = renameToSpec(txns)
     val mm = t.agg(min(col("CREATEDAT")), max(col("CREATEDAT")),
@@ -153,30 +163,55 @@ object FifoMatcher {
         .collect()
         .map(r => (r.getString(0), r.getBoolean(1),
           r.getAs[java.time.LocalDateTime](2)))
-      val subBoundaries: Seq[((String, Boolean, java.time.LocalDateTime), Seq[String])] =
-        if (heavyRuns.isEmpty) Nil else {
+      // boundary derivation: per heavy run, ntile the md5 sample INSIDE the
+      // cluster and collect only tile maxima — driver bytes are O(runs ×
+      // buckets) regardless of whale size (round-13 verdict #4)
+      val rawBoundaries: Array[((String, Boolean, java.time.LocalDateTime), String)] =
+        if (heavyRuns.isEmpty) Array.empty else {
           import t.sparkSession.implicits._
           val keys = broadcast(heavyRuns.toSeq.toDF("CUSTOMERID", "is_earned", "CREATEDAT"))
-          // ~1/64 deterministic id sample of the heavy runs, one pass
-          val sampled = sided
+          sided
             .join(keys, Seq("CUSTOMERID", "is_earned", "CREATEDAT"), "left_semi")
             .filter(substring(md5(col("TRANS_ID").cast("binary")), 1, 2) < "04")
             .select("CUSTOMERID", "is_earned", "CREATEDAT", "TRANS_ID")
+            .withColumn("tile", ntile(buckets).over(
+              Window.partitionBy("CUSTOMERID", "is_earned", "CREATEDAT")
+                .orderBy("TRANS_ID")))
+            .filter(col("tile") > 1) // tile 1's min is the run start, not a cut
+            .groupBy("CUSTOMERID", "is_earned", "CREATEDAT", "tile")
+            .agg(min(col("TRANS_ID")).as("b"))
+            .select("CUSTOMERID", "is_earned", "CREATEDAT", "b")
             .collect()
             .map(r => ((r.getString(0), r.getBoolean(1),
               r.getAs[java.time.LocalDateTime](2)), r.getString(3)))
-          sampled.groupBy(_._1).view.mapValues { rows =>
-            val s = rows.map(_._2).sorted.toIndexedSeq
-            val m = math.min(buckets - 1, s.size)
-            (1 to m).map(i => s((i * s.size) / (m + 1))).distinct
-          }.toSeq
         }
+      // merge boundaries per (customer, side, TIME BUCKET): runs sharing a
+      // bucket contribute composite (ts, id) cuts to ONE ordered set,
+      // thinned to ≤ buckets-1 so sub never reaches `buckets` (a composite
+      // bucket id must not cross into the next time bucket's range)
+      def tbOf(ts: java.time.LocalDateTime): Long = ((mic(ts) - lo) * buckets) / span
+      val subBoundaries: Seq[((String, Boolean, Long),
+          Seq[(java.time.LocalDateTime, String)])] =
+        rawBoundaries.groupBy { case ((cust, side, ts), _) => (cust, side, tbOf(ts)) }
+          .view.mapValues { cuts =>
+            val s = cuts.map { case ((_, _, ts), id) => (ts, id) }
+              .distinct.sortBy(identity).toIndexedSeq
+            if (s.size <= buckets - 1) s.toSeq
+            else (1 to buckets - 1).map(i => s((i * s.size) / buckets))
+          }.toSeq
+      // sub = count of cuts at-or-before the row in (CREATEDAT, TRANS_ID)
+      // order, scoped to the row's (customer, side, time bucket): rows
+      // before the first cut get 0, rows past the run (later ts, same
+      // bucket) count EVERY cut — monotone across the whole bucket
       val subExpr: org.apache.spark.sql.Column = subBoundaries.foldLeft(lit(0)) {
-        case (acc, ((cust, side, ts), bs)) if bs.nonEmpty =>
+        case (acc, ((cust, side, tb), bs)) if bs.nonEmpty =>
           when(col("CUSTOMERID") === lit(cust) && col("is_earned") === lit(side) &&
-            col("CREATEDAT") === lit(ts),
-            bs.map(b => when(col("TRANS_ID") >= lit(b), lit(1)).otherwise(lit(0)))
-              .reduce(_ + _))
+            bucket === lit(tb.toInt),
+            bs.map { case (bts, bid) =>
+              when(col("CREATEDAT") > lit(bts) ||
+                (col("CREATEDAT") === lit(bts) && col("TRANS_ID") >= lit(bid)),
+                lit(1)).otherwise(lit(0))
+            }.reduce(_ + _))
             .otherwise(acc)
         case (acc, _) => acc
       }

@@ -1720,7 +1720,8 @@ FROM f WHERE k = 1 ORDER BY user_id"""
     * boundaries), watermark per chunk as the running max event-µs floored
     * to ms, per-(user, batch) timers T = greatest(last_ms + H_ms,
     * wm(prev−1) + 1) with wm(−1) = 0 (Spark's initial watermark), a reset
-    * before appearance batch q iff q ≥ prev+2 AND wm(q−2) ≥ T(prev) —
+    * before appearance batch q iff q ≥ prev+2 AND wm(q−2) > T(prev)
+    * (strict — the engine evicts iff timer < watermark) —
     * the PRE-STAGED-file semantics: the source always has the next chunk
     * pending, so timers fire only in file batches where the user is
     * absent, and a group with data is invoked with hasTimedOut = false
@@ -1767,9 +1768,13 @@ ub2 AS (
 ),
 ub3 AS (
   SELECT user_id, chunk,
+         -- STRICT >: Spark 4.1.2 evicts iff timeoutTimestamp < watermark
+         -- (FlatMapGroupsWithStateExecBase InputProcessor, lcmp/ifge — so
+         -- wm(q-2) must EXCEED the timer T(p); at exact equality the
+         -- engine keeps the session). Round-13 ADVICE.
          CASE WHEN pchunk IS NULL OR chunk - pchunk < 2 THEN 0
               WHEN COALESCE((SELECT max(cmx) FROM cw WHERE k <= ub2.chunk - 2), 0) // 1000
-                   >= GREATEST(plast + (SELECT hms FROM par),
+                   > GREATEST(plast + (SELECT hms FROM par),
                         COALESCE((SELECT max(cmx) FROM cw WHERE k <= ub2.pchunk - 1), 0) // 1000 + 1)
               THEN 1 ELSE 0 END AS reset
   FROM ub2

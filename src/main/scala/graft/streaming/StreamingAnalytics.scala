@@ -534,8 +534,11 @@ object StreamingAnalytics {
     * the file batches themselves, and a group WITH data is invoked with
     * hasTimedOut = false even if its timer expired. Expiry therefore
     * happens before appearance batch q iff the user was ABSENT in some
-    * batch b' in (p, q) with wm(b'−1) ≥ T(p) — equivalently (watermarks
-    * are monotone) q ≥ p+2 AND wm(q−2) ≥ T(p), where T(p) =
+    * batch b' in (p, q) with wm(b'−1) > T(p) — STRICTLY: Spark 4.1.2
+    * evicts iff timeoutTimestamp < watermark
+    * (FlatMapGroupsWithStateExecBase$InputProcessor; at exact equality
+    * the session survives) — equivalently (watermarks are monotone)
+    * q ≥ p+2 AND wm(q−2) > T(p), where T(p) =
     * max(lastMs(p) + H_ms, wm(p−1) + 1) is the timer the fold set (clamp
     * included) and wm(b) is the running max event-time (µs→ms floor)
     * through chunk b — all integer-exact from the chunk boundaries

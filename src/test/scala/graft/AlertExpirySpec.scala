@@ -65,6 +65,55 @@ class AlertExpirySpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  // Round-13 ADVICE (medium): Spark 4.1.2 evicts iff timeoutTimestamp <
+  // watermark — STRICTLY (FlatMapGroupsWithStateExecBase$InputProcessor;
+  // verified in the shipped jar's bytecode, lcmp/ifge). A watermark that
+  // lands EXACTLY on the timer must NOT expire the session; one tick past
+  // it must. The oracle's reset condition mirrors this (strict > in
+  // OracleSql's ub3 CTE) — this probe pins the engine side of that pair.
+  test("watermark exactly AT the timer keeps the session; past it expires") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[CentsEvent]
+    val query = StreamingAnalytics
+      .thresholdAlerts(input.toDS(), thresholdCents = 100L,
+        horizon = java.time.Duration.ofMinutes(10))
+      .writeStream.format("memory").queryName("alert_eq_probe")
+      .outputMode("append").start()
+    try {
+      // IDLE's last event at t=0 → timer T = t0 + 10 min (wm is 0 here,
+      // so the wm+1 clamp is inert)
+      input.addData(CentsEvent(at(0), "spend", 1L, 60L))
+      query.processAllAvailable()
+      // LIVE advances the watermark to EXACTLY T: the no-data extra batch
+      // checks T < wm — equality, so IDLE's state must survive
+      input.addData(CentsEvent(at(10), "spend", 2L, 10L))
+      query.processAllAvailable()
+      // IDLE reappears: 60 carried + 50 = 110 crosses ONLY if the state
+      // survived the equality watermark
+      input.addData(CentsEvent(at(10).plusSeconds(30), "spend", 1L, 50L))
+      query.processAllAvailable()
+      val alerts1 = spark.table("alert_eq_probe").as[Alert].collect()
+        .filter(_.user_id == 1L)
+      assert(alerts1.map(_.cum_cents).toSeq === Seq(110L),
+        "state expired at wm == timer — eviction must be STRICT (timer < wm)")
+
+      // now user 3: last event sets T3, then the watermark moves ONE
+      // second PAST it — the counter must expire (fresh session restarts
+      // from zero, 50 < 100 → no alert)
+      input.addData(CentsEvent(at(20), "spend", 3L, 60L))
+      query.processAllAvailable()
+      input.addData(CentsEvent(at(30).plusSeconds(1), "spend", 2L, 10L))
+      query.processAllAvailable()
+      input.addData(CentsEvent(at(31), "spend", 3L, 50L))
+      query.processAllAvailable()
+      val alerts3 = spark.table("alert_eq_probe").as[Alert].collect()
+        .filter(_.user_id == 3L)
+      assert(alerts3.isEmpty,
+        "counter survived wm > timer — the horizon must expire idle state")
+    } finally query.stop()
+  }
+
   test("a live user under the horizon never expires mid-session") {
     // the fold itself: latch semantics unchanged when state persists
     val (st1, out1) = StreamingAnalytics.foldAlertBatch(7L, None,

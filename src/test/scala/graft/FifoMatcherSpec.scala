@@ -215,6 +215,62 @@ class FifoMatcherSpec extends AnyFunSuite {
     assert(m("WE060") === None) // 60 spent cover the first 60 earned only
   }
 
+  // Round-13 ADVICE (high): the composite (time bucket, id sub-bucket) must
+  // stay monotone in (CREATEDAT, TRANS_ID) for the REALISTIC whale shape —
+  // a burst at one timestamp PLUS surrounding activity whose later
+  // timestamps fall in the SAME time bucket. Pre-fix, those later rows got
+  // sub=0 and sorted BEFORE the run's sub>=1 rows, corrupting the global
+  // rank and the FIFO pairing.
+  test("sub-split stays monotone with later same-bucket activity around the run") {
+    // One year of background activity pins the bucket span; the whale has
+    // a 140-earned burst at noon plus 30 earned one second later and 20
+    // earned one second earlier — all three timestamps share a time bucket
+    // at buckets=4. 90 spent arrive after the burst (same bucket).
+    val order = scala.util.Random.shuffle((0 until 280).toList)
+    val whaleRows = order.map { i =>
+      if (i < 140) (f"WB$i%03d", "WHALE", 1.0, "2024-06-15T12:00:00", "earned")
+      else if (i < 170) (f"WL$i%03d", "WHALE", 1.0, "2024-06-15T12:00:01", "earned")
+      else if (i < 190) (f"WA$i%03d", "WHALE", 1.0, "2024-06-15T11:59:59", "earned")
+      else (f"WS$i%03d", "WHALE", -1.0, "2024-06-15T12:00:02", "spent")
+    }
+    val in = tx(whaleRows ++ Seq(
+      ("E001", "C001", 10.0, "2024-01-01", "earned"),
+      ("S001", "C001", -5.0, "2024-12-31", "spent")): _*)
+    val expected = FifoMatcher.matchTransactions(in)
+      .orderBy("TRANS_ID").collect().map(_.toSeq).toSeq
+    val salted = FifoMatcher.matchTransactionsSalted(in, buckets = 4)
+      .orderBy("TRANS_ID").collect().map(_.toSeq).toSeq
+    assert(salted === expected)
+    // FIFO under the tie-break: the 20 early earned match first, then the
+    // burst's first 70 by id — the 30 late earned and burst tail unmatched
+    val m = redeemMap(FifoMatcher.matchTransactionsSalted(in, buckets = 4))
+    assert(m(f"WA170") === Some("WS190"))
+    assert(m("WB000") === Some("WS210"))
+    assert(m("WB069") === Some("WS279"))
+    assert(m("WB070") === None)
+    assert(m("WL140") === None)
+  }
+
+  // Two heavy runs of the SAME (customer, side) in the SAME time bucket:
+  // the per-bucket boundary sets must merge monotonically (and thin to at
+  // most buckets-1 boundaries) rather than shadow each other.
+  test("sub-split merges two heavy runs sharing a time bucket") {
+    val order = scala.util.Random.shuffle((0 until 260).toList)
+    val rows = order.map { i =>
+      if (i < 100) (f"R1$i%03d", "WHALE", 1.0, "2024-06-15T12:00:00", "earned")
+      else if (i < 200) (f"R2$i%03d", "WHALE", 1.0, "2024-06-15T12:00:05", "earned")
+      else (f"SP$i%03d", "WHALE", -1.0, "2024-06-15T12:00:09", "spent")
+    }
+    val in = tx(rows ++ Seq(
+      ("E001", "C001", 10.0, "2024-01-01", "earned"),
+      ("S001", "C001", -5.0, "2024-12-31", "spent")): _*)
+    val expected = FifoMatcher.matchTransactions(in)
+      .orderBy("TRANS_ID").collect().map(_.toSeq).toSeq
+    val salted = FifoMatcher.matchTransactionsSalted(in, buckets = 4)
+      .orderBy("TRANS_ID").collect().map(_.toSeq).toSeq
+    assert(salted === expected)
+  }
+
   test("empty input produces empty output with correct schema") {
     val in = tx()
     impls.foreach { case (name, impl) =>

@@ -167,6 +167,42 @@ class ManifestRaceSpec extends AnyFunSuite {
     } finally cleanup(idx)
   }
 
+  test("a reclaimed holder fences itself: beats stop, release spares the new lock") {
+    // Round-13 ADVICE (medium): the old design's beat thread rewrote the
+    // SHARED lock in place (WRITE+TRUNCATE), so a paused-then-reclaimed
+    // holder resurrected its own owner string over a NEW holder's lock and
+    // its release then deleted that lock — admitting a third writer. Beats
+    // now live in an owner-unique sidecar and each beat re-reads the lock:
+    // a foreign owner fences the holder. Simulate the reclaim directly:
+    // while A holds the lock, swap in an intruder's lock file; A must
+    // neither overwrite it (no beat resurrect) nor delete it at release.
+    val idx = tempIdx("fence")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
+      val lock = java.nio.file.Paths.get(idx, ".writer_lock")
+      val intruder = """{"owner":"intruder@elsewhere#cafe0000"}"""
+      IndexManifest.withWriterLock(idx, heartbeatMs = 50L) {
+        // a waiter "reclaimed" us and a new holder acquired
+        java.nio.file.Files.write(lock, intruder.getBytes("UTF-8"))
+        // several beat intervals: the fenced beat thread must not
+        // resurrect our owner string over the intruder's
+        Thread.sleep(400L)
+        val txt = new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+        assert(txt === intruder,
+          "beat thread overwrote the new holder's lock — fencing failed")
+      }
+      // release ran: the intruder's lock must survive our exit
+      assert(java.nio.file.Files.exists(lock),
+        "release deleted the new holder's lock — fencing failed")
+      assert(new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+        === intruder)
+      // and our own beat sidecar is swept
+      val beats = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+        .toArray.map(_.toString).filter(_.contains(".writer_lock.beat."))
+      assert(beats.isEmpty, s"beat sidecar leaked: ${beats.mkString(",")}")
+    } finally cleanup(idx)
+  }
+
   test("a LIVE slow writer keeps beating and is never reclaimed") {
     // mutual exclusion against a holder whose body outlasts the waiter's
     // staleness horizon: the heartbeat keeps the lock observably live, so
