@@ -152,53 +152,8 @@ object FifoMatcher {
         s"cast(((unix_micros(cast(CREATEDAT as timestamp)) - ${lo}L) * " +
           s"${buckets}L) div ${span}L as int)")
       // ---- equal-timestamp sub-split (see scaladoc) ----
-      val runThreshold = math.max(1L, total / buckets)
       val sided = t.withColumn("is_earned", col("TCTYPE") === "earned")
-      val heavyRuns = sided
-        .groupBy("CUSTOMERID", "is_earned", "CREATEDAT")
-        .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > runThreshold)
-        .orderBy(col("cnt").desc, col("CUSTOMERID"), col("is_earned"), col("CREATEDAT"))
-        .limit(64)
-        .collect()
-        .map(r => (r.getString(0), r.getBoolean(1),
-          r.getAs[java.time.LocalDateTime](2)))
-      // boundary derivation: per heavy run, ntile the md5 sample INSIDE the
-      // cluster and collect only tile maxima — driver bytes are O(runs ×
-      // buckets) regardless of whale size (round-13 verdict #4)
-      val rawBoundaries: Array[((String, Boolean, java.time.LocalDateTime), String)] =
-        if (heavyRuns.isEmpty) Array.empty else {
-          import t.sparkSession.implicits._
-          val keys = broadcast(heavyRuns.toSeq.toDF("CUSTOMERID", "is_earned", "CREATEDAT"))
-          sided
-            .join(keys, Seq("CUSTOMERID", "is_earned", "CREATEDAT"), "left_semi")
-            .filter(substring(md5(col("TRANS_ID").cast("binary")), 1, 2) < "04")
-            .select("CUSTOMERID", "is_earned", "CREATEDAT", "TRANS_ID")
-            .withColumn("tile", ntile(buckets).over(
-              Window.partitionBy("CUSTOMERID", "is_earned", "CREATEDAT")
-                .orderBy("TRANS_ID")))
-            .filter(col("tile") > 1) // tile 1's min is the run start, not a cut
-            .groupBy("CUSTOMERID", "is_earned", "CREATEDAT", "tile")
-            .agg(min(col("TRANS_ID")).as("b"))
-            .select("CUSTOMERID", "is_earned", "CREATEDAT", "b")
-            .collect()
-            .map(r => ((r.getString(0), r.getBoolean(1),
-              r.getAs[java.time.LocalDateTime](2)), r.getString(3)))
-        }
-      // merge boundaries per (customer, side, TIME BUCKET): runs sharing a
-      // bucket contribute composite (ts, id) cuts to ONE ordered set,
-      // thinned to ≤ buckets-1 so sub never reaches `buckets` (a composite
-      // bucket id must not cross into the next time bucket's range)
-      def tbOf(ts: java.time.LocalDateTime): Long = ((mic(ts) - lo) * buckets) / span
-      val subBoundaries: Seq[((String, Boolean, Long),
-          Seq[(java.time.LocalDateTime, String)])] =
-        rawBoundaries.groupBy { case ((cust, side, ts), _) => (cust, side, tbOf(ts)) }
-          .view.mapValues { cuts =>
-            val s = cuts.map { case ((_, _, ts), id) => (ts, id) }
-              .distinct.sortBy(identity).toIndexedSeq
-            if (s.size <= buckets - 1) s.toSeq
-            else (1 to buckets - 1).map(i => s((i * s.size) / buckets))
-          }.toSeq
+      val subBoundaries = subSplitBoundaries(sided, buckets, lo, span, total)
       // sub = count of cuts at-or-before the row in (CREATEDAT, TRANS_ID)
       // order, scoped to the row's (customer, side, time bucket): rows
       // before the first cut get 0, rows past the run (later ts, same
@@ -238,6 +193,63 @@ object FifoMatcher {
             .otherwise(lit(null).cast(StringType)))
         .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")
     }
+  }
+
+  /** The sub-split's boundary derivation, extracted so WhaleSkewMain can
+    * measure its driver footprint directly (round-13 verdict #4). Census:
+    * one map-combinable (customer, side, CREATEDAT) count finds tie runs
+    * past a bucket's fair share (heaviest 64). Boundaries: per heavy run,
+    * `ntile(buckets)` over a deterministic md5 sample INSIDE the cluster,
+    * collecting only the per-tile minima — driver bytes are O(runs ×
+    * buckets) regardless of whale size (a bounded COUNT, never a fixed
+    * RATE of the whale; the pre-r14 1/64 id collect grew linearly). Runs
+    * sharing a (customer, side, time bucket) merge their composite
+    * (CREATEDAT, TRANS_ID) cuts into ONE ordered set, thinned to ≤
+    * buckets−1 so a composite bucket id never crosses into the next time
+    * bucket's range. */
+  private[graft] def subSplitBoundaries(sided: DataFrame, buckets: Int,
+      lo: Long, span: Long, total: Long):
+      Seq[((String, Boolean, Long), Seq[(java.time.LocalDateTime, String)])] = {
+    val epoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+    def mic(x: java.time.LocalDateTime): Long =
+      java.time.temporal.ChronoUnit.MICROS.between(epoch, x)
+    val runThreshold = math.max(1L, total / buckets)
+    val heavyRuns = sided
+      .groupBy("CUSTOMERID", "is_earned", "CREATEDAT")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > runThreshold)
+      .orderBy(col("cnt").desc, col("CUSTOMERID"), col("is_earned"), col("CREATEDAT"))
+      .limit(64)
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1),
+        r.getAs[java.time.LocalDateTime](2)))
+    val rawBoundaries: Array[((String, Boolean, java.time.LocalDateTime), String)] =
+      if (heavyRuns.isEmpty) Array.empty else {
+        import sided.sparkSession.implicits._
+        val keys = broadcast(heavyRuns.toSeq.toDF("CUSTOMERID", "is_earned", "CREATEDAT"))
+        sided
+          .join(keys, Seq("CUSTOMERID", "is_earned", "CREATEDAT"), "left_semi")
+          .filter(substring(md5(col("TRANS_ID").cast("binary")), 1, 2) < "04")
+          .select("CUSTOMERID", "is_earned", "CREATEDAT", "TRANS_ID")
+          .withColumn("tile", ntile(buckets).over(
+            Window.partitionBy("CUSTOMERID", "is_earned", "CREATEDAT")
+              .orderBy("TRANS_ID")))
+          .filter(col("tile") > 1) // tile 1's min is the run start, not a cut
+          .groupBy("CUSTOMERID", "is_earned", "CREATEDAT", "tile")
+          .agg(min(col("TRANS_ID")).as("b"))
+          .select("CUSTOMERID", "is_earned", "CREATEDAT", "b")
+          .collect()
+          .map(r => ((r.getString(0), r.getBoolean(1),
+            r.getAs[java.time.LocalDateTime](2)), r.getString(3)))
+      }
+    def tbOf(ts: java.time.LocalDateTime): Long = ((mic(ts) - lo) * buckets) / span
+    rawBoundaries.groupBy { case ((cust, side, ts), _) => (cust, side, tbOf(ts)) }
+      .view.mapValues { cuts =>
+        val s = cuts.map { case ((_, _, ts), id) => (ts, id) }
+          .distinct.sortBy(identity).toIndexedSeq
+        if (s.size <= buckets - 1) s.toSeq
+        else (1 to buckets - 1).map(i => s((i * s.size) / buckets))
+      }.toSeq
   }
 
   /** Whale-dispatch threshold: a customer holding more than this share of

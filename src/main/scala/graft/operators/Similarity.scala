@@ -1186,6 +1186,29 @@ object Similarity {
     * id-disjoint from the corpus. */
   private[graft] val DriftIdOffset = 10000000L
 
+  /** Norm collapse used by the RECOVERY gate's drift batch: 2⁻¹⁰, a power
+    * of two (IEEE-exact in float32, unit vectors bit-identical to the
+    * originals'). 2⁻⁴ (the drift AUDIT's factor) proved too shallow to
+    * demonstrate recovery (round-13 verdict #3: the drifted probe already
+    * beat the twin yardstick): at 2⁻⁴ the −2·q·c term in the raw-L2 probe
+    * ranking still carries direction signal, so drifted queries kept
+    * finding their cosine neighbors. At 2⁻¹⁰ the query's dot terms are
+    * negligible against ‖c‖², the probe ranking degenerates to pure
+    * centroid magnitude, and the drifted row genuinely FAILS the twin
+    * tolerance — which is what makes `recovered` falsifiable: without the
+    * spherical rebuild the criterion cannot pass (IvfRebuildSpec pins
+    * drifted-fails + rebuilt-recovers at the gate corpus). */
+  private[graft] val RecoveryDriftScale = 0.0009765625 // 2^-10, exact decimal
+
+  /** md5 first-hex-digit ceiling selecting the recovery gate's drift batch
+    * (shared with the DuckDB twin): '1' → 1/16 of the corpus. Smaller than
+    * the drift AUDIT's 1/8 on purpose — with fewer drifted copies in the
+    * corpus, a drifted query's exact top-k is dominated by ORIGINAL-scale
+    * neighbors, which the norm-collapsed probe (ranking cells by ‖c‖²
+    * alone at 2⁻¹⁰) cannot reach: the drifted row must FAIL the twin
+    * yardstick for the recovery demonstration to be falsifiable. */
+  private[graft] val RecoveryDriftFracHex = "1"
+
   /** The re-BUILD decision audit [[compactIvfIndex]]'s scaladoc defers to
     * (round-11 verdict #4): compaction never re-quantizes, so an index
     * whose ingest distribution has drifted away from its frozen centroids
@@ -1273,13 +1296,26 @@ object Similarity {
     * a norm-shifted query must perform like its twin did, because its
     * unit vector IS the twin's (power-of-two scaling) and the spherical
     * quantizer sees only unit vectors. `recovered` = the rebuilt probe
-    * within the 100000-micro trigger tolerance of the twin yardstick (or
-    * better); `rebuild_due` keeps the drift gate's baseline-drop trigger
-    * on the drifted row. All counts integer-exact; the DuckDB twin
-    * replays both Lloyd chains (raw-L2 build, unit-space rebuild)
-    * verbatim. */
-  def ivfRebuildRecovery(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5,
-      nCentroids: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    * within the 100000-micro trigger tolerance of the twin yardstick AND
+    * at least as good as the drifted probe it replaces — the conjunction
+    * makes the flag falsifiable (round-13 verdict #3: twin-tolerance
+    * alone passed without any rebuild once the drifted probe happened to
+    * beat the yardstick; the [[RecoveryDriftScale]] deepening makes the
+    * drifted row genuinely fail it, so skipping the rebuild now fails
+    * the criterion). `rebuild_due` keeps the drift gate's baseline-drop
+    * trigger on the drifted row. All counts integer-exact; the DuckDB
+    * twin replays both Lloyd chains (raw-L2 build, unit-space rebuild)
+    * verbatim.
+    *
+    * Parameters are the round-14 sweep winner (RecoverySweepMain over an
+    * 8-config grid × 4 corpora — sf0.001/0.01/0.1 + stressdata): at
+    * nCentroids=16 the magnitude trap is sharp (the smallest-norm cells
+    * the collapsed queries probe hold few originals) while nProbe=2 keeps
+    * the twin yardstick honest (370-430k); the drifted row fails the twin
+    * tolerance by 110k-180k micro at every corpus and the rebuild buys
+    * back 200k-290k. */
+  def ivfRebuildRecovery(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 2, iters: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.VectorExpressions.register(spark)
     val emb = graft.RunHygiene.stage(embeddings.select("vec_id", "embedding"))
@@ -1289,11 +1325,12 @@ object Similarity {
         "graft_rebuild_" + java.util.UUID.randomUUID.toString.take(8)).toString)
     buildIvfIndex(emb, idx, nCentroids, iters)
     val isNew =
-      substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) < "2"
+      substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) <
+        RecoveryDriftFracHex
     val shifted = graft.RunHygiene.stage(emb.filter(isNew).select(
       (col("vec_id") + lit(DriftIdOffset)).as("vec_id"),
       transform(col("embedding"),
-        x => (x.cast("double") * lit(0.0625)).cast("float")).as("embedding")))
+        x => (x.cast("double") * lit(RecoveryDriftScale)).cast("float")).as("embedding")))
     shifted.count()
 
     def hits(probe: DataFrame, exact: DataFrame): Long =
@@ -1341,7 +1378,12 @@ object Similarity {
         baseRecall - rebuiltRecall,
         if (baseRecall - rebuiltRecall > 100000L) 1L else 0L,
         twinRecall - rebuiltRecall,
-        if (twinRecall - rebuiltRecall <= 100000L) 1L else 0L))
+        // recovered = within twin tolerance AND no worse than the drifted
+        // probe it replaces (round-13 verdict #3: the old twin-only
+        // criterion was satisfiable by doing nothing once the drifted
+        // probe happened to beat the yardstick)
+        if (twinRecall - rebuiltRecall <= 100000L &&
+          rebuiltRecall >= driftRecall) 1L else 0L))
       .toDF("phase", "hits", "possible", "recall_micro",
         "drop_vs_baseline_micro", "rebuild_due", "drop_vs_twin_micro",
         "recovered")

@@ -1585,10 +1585,13 @@ ORDER BY phase"""
     * embeddings. The rebuilt row's drop must come back under the 100000-
     * micro trigger — the IvfRebuildSpec pins that, this twin pins the
     * arithmetic cross-engine. */
-  def annRebuildRecovery(nQueries: Int = 5, k: Int = 5, nCentroids: Int = 8,
+  def annRebuildRecovery(nQueries: Int = 10, k: Int = 10, nCentroids: Int = 16,
       nProbe: Int = 2, iters: Int = 3, dim: Int = 64): String = {
     val poss = nQueries.toLong * k
     val off = graft.operators.Similarity.DriftIdOffset
+    // shared with the Spark operator (drift-proofing): 2^-10, exact decimal
+    val scale = graft.operators.Similarity.RecoveryDriftScale
+    val frac = graft.operators.Similarity.RecoveryDriftFracHex
     def scoreExpr(emb: String, c: String): String = s"""
          list_sum(list_transform(generate_series(1, $dim),
                   d -> $c.centroid[d]::DOUBLE * $c.centroid[d]::DOUBLE))
@@ -1626,9 +1629,9 @@ bexact AS (
   WHERE rank <= $k),
 shifted AS (
   SELECT vec_id + $off AS vec_id,
-         list_transform(embedding, x -> (x::DOUBLE * 0.0625)::FLOAT) AS embedding
+         list_transform(embedding, x -> (x::DOUBLE * $scale)::FLOAT) AS embedding
   FROM embeddings
-  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '2'),
+  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '$frac'),
 driftq AS (SELECT vec_id, embedding FROM shifted ORDER BY vec_id LIMIT $nQueries),
 twinq AS (SELECT vec_id - $off AS vec_id FROM driftq),
 tprobe AS (
@@ -1732,10 +1735,12 @@ SELECT phase, hits, possible, recall_micro,
             AS BIGINT) AS drop_vs_twin_micro,
        CAST(CASE WHEN phase = 'rebuilt'
                   AND t.twin_recall - recall_micro <= 100000
+                  AND recall_micro >= d.drift_recall
                  THEN 1 ELSE 0 END AS BIGINT) AS recovered
 FROM r
 CROSS JOIN (SELECT recall_micro AS base_recall FROM r WHERE phase = 'baseline') b
 CROSS JOIN (SELECT recall_micro AS twin_recall FROM r WHERE phase = 'twin') t
+CROSS JOIN (SELECT recall_micro AS drift_recall FROM r WHERE phase = 'drifted') d
 ORDER BY phase"""
   }
 

@@ -31,10 +31,21 @@ class BenchArtifactSpec extends AnyFunSuite {
     for (key <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
         "\"queries\":{", "\"warm_total\":", "\"warm_rerun\":{", "\"warm_errors\":{",
         "\"warm_diag\":{", "\"warm_over2x\":[",
+        "\"cold_reps\":{", "\"budget_exceptions\":[",
         "\"env\":{", "\"errors\":{", "\"sf\":", "\"load_gate\":",
         "\"load_gate_1m\":", "\"load_gate_5m\":",
         "\"warm_gate\":", "\"warm_gate_1m\":", "\"warm_gate_5m\":"))
       assert(js.contains(key), s"missing $key in $js")
+  }
+
+  test("cold_reps serializes reps + median; budget exceptions name the contract lines") {
+    val js = Bench.renderFullJson(Seq("q1" -> 1.0), Seq("q1" -> 0.9), Nil, Nil,
+      env, "sf", coldReps = Seq("ann_recall_eval" -> Seq(4.2, 8.5, 4.1)))
+    assert(js.contains(
+      """"ann_recall_eval":{"reps":[4.200,8.500,4.100],"median":4.200}"""), js)
+    // the exception list is the BASELINE.md structural-exception table's
+    // machine-readable twin — a reader of the artifact sees the contract
+    assert(js.contains(""""budget_exceptions":["streaming_alerts_expiring","_curation_materialize"]"""))
   }
 
   test("warm contract: over means >2x cold AND >2s floor, or >10s outright") {

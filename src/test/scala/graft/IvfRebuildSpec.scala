@@ -32,12 +32,25 @@ class IvfRebuildSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r).toMap
     assert(rows("drifted").getAs[Long]("rebuild_due") === 1L,
       "the drift protocol must actually trip the rebuild trigger")
+    // the demonstration is falsifiable ONLY if the drift actually hurts
+    // (round-13 verdict #3): the drifted probe must FAIL the twin
+    // tolerance — this assertion is the no-rebuild red proof, because
+    // `recovered` requires twin_recall − recall ≤ tol, and with the
+    // rebuild skipped the rebuilt probe IS the drifted probe, which this
+    // line pins as failing that bound
+    assert(rows("drifted").getAs[Long]("drop_vs_twin_micro") > 100000L,
+      "drift too shallow: the drifted probe already satisfies the twin " +
+        "tolerance, so `recovered` would pass without any rebuild")
     assert(rows("rebuilt").getAs[Long]("recovered") === 1L,
       "the rebuilt probe must come back within tolerance of the twin yardstick")
     // the yardstick is honest: recovery is measured against the same
     // directions' undrifted twins, and the rebuilt probe must not sit
-    // below them by more than the trigger tolerance
+    // below them by more than the trigger tolerance — and must be at
+    // least as good as the drifted probe it replaces
     assert(rows("rebuilt").getAs[Long]("drop_vs_twin_micro") <= 100000L)
+    assert(rows("rebuilt").getAs[Long]("recall_micro") >=
+      rows("drifted").getAs[Long]("recall_micro"),
+      "the rebuild must not make the drifted probe worse")
   }
 
   test("rebuild equals a fresh build over the live row set, behind one generation bump") {
