@@ -45,7 +45,7 @@ class BenchArtifactSpec extends AnyFunSuite {
       """"ann_recall_eval":{"reps":[4.200,8.500,4.100],"median":4.200}"""), js)
     // the exception list is the BASELINE.md structural-exception table's
     // machine-readable twin — a reader of the artifact sees the contract
-    assert(js.contains(""""budget_exceptions":["streaming_alerts_expiring","_curation_materialize"]"""))
+    assert(js.contains(""""budget_exceptions":["streaming_alerts_expiring","_curation_materialize","ann_rebuild_recovery"]"""))
   }
 
   test("warm contract: over means >2x cold AND >2s floor, or >10s outright") {

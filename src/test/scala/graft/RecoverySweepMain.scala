@@ -16,8 +16,12 @@ object RecoverySweepMain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val configs = Seq(
-      // (nCentroids, nProbe, k, nQueries) — sf0.01 passers from the full grid
-      (16, 2, 10, 10), (16, 1, 10, 10), (4, 1, 10, 10))
+      // (nCentroids, nProbe, k, nQueries): the shipped config. Round-14
+      // grid results (full 8-config sweep on sf0.01, passers re-swept on
+      // all four corpora): nc=16/np=2 is the only config whose drifted row
+      // fails the twin tolerance everywhere; iters=2 was also tried and
+      // fails sf0.01 (twin_gap 60k), so the gate keeps iters=3.
+      (16, 2, 10, 10))
     for ((nc, np, k, nq) <- configs) {
       val rows = graft.operators.Similarity
         .ivfRebuildRecovery(emb, nQueries = nq, k = k, nCentroids = nc, nProbe = np)
