@@ -69,22 +69,30 @@ object FileReplay {
     if (ephemeral) graft.RunHygiene.scratch(df.sparkSession, dirs.root.toString)
     else graft.RunHygiene.scratchAtExit(dirs.root.toString)
     Files.createDirectories(dirs.in)
-    val mm = df.agg(min(col(tsCol)), max(col(tsCol))).head()
-    val chunks: Seq[DataFrame] =
-      if (mm.isNullAt(0)) Seq(df) // empty input: one empty chunk keeps the schema on disk
-      else {
-        val lo = micros(mm.getAs[LocalDateTime](0))
-        val span = micros(mm.getAs[LocalDateTime](1)) - lo + 1
-        (0 until batches).map { k =>
-          val a = fromMicros(lo + span * k / batches)
-          val b = fromMicros(lo + span * (k + 1) / batches)
-          df.filter(col(tsCol) >= lit(a) && col(tsCol) < lit(b))
+    // one chunk-write job per batch re-plans `df` from scratch; persisting
+    // the input for the staging window turns `batches` source scans into
+    // one (order-preserving — cached partitions replay in order, so the
+    // within-chunk row order the order-sensitive folds see is unchanged).
+    // Unpersisted before return: the stream reads the FILES, not the frame.
+    val src = df.persist()
+    try {
+      val mm = src.agg(min(col(tsCol)), max(col(tsCol))).head()
+      val chunks: Seq[DataFrame] =
+        if (mm.isNullAt(0)) Seq(src) // empty input: one empty chunk keeps the schema on disk
+        else {
+          val lo = micros(mm.getAs[LocalDateTime](0))
+          val span = micros(mm.getAs[LocalDateTime](1)) - lo + 1
+          (0 until batches).map { k =>
+            val a = fromMicros(lo + span * k / batches)
+            val b = fromMicros(lo + span * (k + 1) / batches)
+            src.filter(col(tsCol) >= lit(a) && col(tsCol) < lit(b))
+          }
         }
+      val base = System.currentTimeMillis()
+      (chunks ++ sentinels).zipWithIndex.foreach { case (c, k) =>
+        writeChunk(c, dirs.in, k, base)
       }
-    val base = System.currentTimeMillis()
-    (chunks ++ sentinels).zipWithIndex.foreach { case (c, k) =>
-      writeChunk(c, dirs.in, k, base)
-    }
+    } finally src.unpersist()
     dirs
   }
 
@@ -102,28 +110,33 @@ object FileReplay {
     val dirs = ReplayDirs(Files.createTempDirectory("graft_replay_"))
     graft.RunHygiene.scratch(df.sparkSession, dirs.root.toString)
     Files.createDirectories(dirs.in)
-    val mm = df.agg(min(col(tsCol)), max(col(tsCol))).head()
-    val chunked =
-      if (mm.isNullAt(0)) df.withColumn("_chunk", lit(0))
-      else {
-        val lo = micros(mm.getAs[LocalDateTime](0))
-        val span = micros(mm.getAs[LocalDateTime](1)) - lo + 1
-        val bounds = (1 until batches).map(k => fromMicros(lo + span * k / batches))
-        val rangeChunk = bounds.zipWithIndex.foldRight(lit(batches - 1): org.apache.spark.sql.Column) {
-          case ((b, k), rest) => when(col(tsCol) < lit(b), k).otherwise(rest)
+    // same staging-window persist as stageChunks: one source scan, not
+    // `batches` (order-preserving — see the comment there)
+    val src = df.persist()
+    try {
+      val mm = src.agg(min(col(tsCol)), max(col(tsCol))).head()
+      val chunked =
+        if (mm.isNullAt(0)) src.withColumn("_chunk", lit(0))
+        else {
+          val lo = micros(mm.getAs[LocalDateTime](0))
+          val span = micros(mm.getAs[LocalDateTime](1)) - lo + 1
+          val bounds = (1 until batches).map(k => fromMicros(lo + span * k / batches))
+          val rangeChunk = bounds.zipWithIndex.foldRight(lit(batches - 1): org.apache.spark.sql.Column) {
+            case ((b, k), rest) => when(col(tsCol) < lit(b), k).otherwise(rest)
+          }
+          src.withColumn("_chunk",
+            least(lit(batches - 1), rangeChunk + when(delay, 1).otherwise(0)))
         }
-        df.withColumn("_chunk",
-          least(lit(batches - 1), rangeChunk + when(delay, 1).otherwise(0)))
+      val base = System.currentTimeMillis()
+      (0 until batches).foreach { k =>
+        writeChunk(chunked.filter(col("_chunk") === k).drop("_chunk"), dirs.in, k, base)
       }
-    val base = System.currentTimeMillis()
-    (0 until batches).foreach { k =>
-      writeChunk(chunked.filter(col("_chunk") === k).drop("_chunk"), dirs.in, k, base)
-    }
-    // sentinel chunks ride strictly after the data chunks, exactly as in
-    // stageChunks — watermark-flush rows for event-time timeouts
-    sentinels.zipWithIndex.foreach { case (c, i) =>
-      writeChunk(c, dirs.in, batches + i, base)
-    }
+      // sentinel chunks ride strictly after the data chunks, exactly as in
+      // stageChunks — watermark-flush rows for event-time timeouts
+      sentinels.zipWithIndex.foreach { case (c, i) =>
+        writeChunk(c, dirs.in, batches + i, base)
+      }
+    } finally src.unpersist()
     dirs
   }
 
