@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 294
+  val GatedQueryCount: Int = 296
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -875,6 +875,15 @@ object SparkEntry {
     // quantile estimates off the bottom-k-by-hash deterministic sample
     "sketch_quantile" -> ((s, d) =>
       graft.operators.Sketches.hashSampleQuantiles(Tables.events(s, d), "value", "event_id")),
+    // mergeable HDR-histogram quantiles: integer-bit-arithmetic buckets
+    // (no log() — cross-engine exact), bounded relative error, with the
+    // exact quantile riding along for the audit
+    "sketch_hdr_quantiles" -> ((s, d) =>
+      graft.operators.Sketches.hdrQuantiles(Tables.events(s, d), "value", "event_type")),
+    // rolling-window quantiles from MERGED per-day HDR registers — the
+    // percentile-dashboard read-out that never re-touches raw rows
+    "sketch_hdr_sliding" -> ((s, d) =>
+      graft.operators.Sketches.hdrSlidingQuantiles(Tables.events(s, d))),
     // Count-Min frequency sketch read out at the exact top-k tokens
     "sketch_cms_tokens" -> ((s, d) =>
       graft.operators.Sketches.cmsTokenCounts(Tables.documents(s, d))),
@@ -1434,6 +1443,8 @@ object SparkEntry {
     "balance_trend" -> OracleSql.balanceTrend,
     "balance_avg_daily" -> OracleSql.avgDailyBalance,
     "sketch_quantile" -> OracleSqlText.hashSampleQuantiles(),
+    "sketch_hdr_quantiles" -> OracleSqlText.hdrQuantiles(),
+    "sketch_hdr_sliding" -> OracleSqlText.hdrSlidingQuantiles(),
     "layout_zorder_stats" -> OracleSql.zorderStats(),
     "source_orc_roundtrip" -> OracleSql.formatRoundtripFull,
     "source_csv_roundtrip" -> OracleSql.formatRoundtripText,

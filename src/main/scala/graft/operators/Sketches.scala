@@ -345,6 +345,172 @@ object Sketches {
         round(abs(col("kmv_estimate") - col("exact_distinct")) / col("exact_distinct"), 4))
   }
 
+  /** HDR-histogram quantile sketch: MERGEABLE bounded-relative-error
+    * quantiles with ZERO float nondeterminism — the telemetry-percentile
+    * workhorse (HdrHistogram / DDSketch family) next to the sampling
+    * sketch below, which bounds RANK error instead of value error and
+    * cannot merge. Values quantize to integer cents, then to a log2
+    * octave × 2^subBits linear sub-bucket grid computed ENTIRELY from
+    * integer bit arithmetic (octave = binary bit-length − 1; sub-bucket =
+    * the top subBits+1 bits) — no log(), so both engines derive the
+    * identical bucket for every value, unlike a log-gamma DDSketch whose
+    * ceil(log x / log γ) can straddle a bucket boundary across libms.
+    * Values below 2^(subBits+1) get exact unit buckets (the HDR trick).
+    *
+    * The register table (group, bucket, count) is the WHOLE sketch state:
+    * one map-side-combinable aggregation over the corpus, O(#buckets) =
+    * octaves × 2^subBits rows per group regardless of corpus size, and
+    * merging sketches is count addition — per-hour registers sum into
+    * daily percentiles without touching raw data (the 100 TB shape; see
+    * [[hdrSlidingQuantiles]]). Quantile read-out: the lower quantile
+    * (smallest value whose running count reaches ceil(q·n/100), computed
+    * with integer arithmetic `(q*n + 99) div 100`) via a cumulative walk
+    * over the register table — a window over a domain-sized frame, never
+    * the corpus. Estimates are bucket midpoints in integer HALF-cents
+    * (2·lo + width − 1), so the whole gate is integer-exact end to end;
+    * relative error ≤ (width−1)/(2·lo) < 2^−(subBits+1) — 15625 ppm at
+    * subBits=5. The exact quantile rides along for the error audit via
+    * the same walk at unit resolution over the exact cents census (also
+    * domain-sized: the value grid, not the corpus — the two-pass
+    * heavy-hitters precedent). Non-positive cents take the reserved
+    * bucket −1 with estimate 0 (clamp documented; the gate corpora are
+    * non-negative and zeros audit at error 0). Null values are excluded
+    * on both engines. */
+  def hdrQuantiles(df: DataFrame, valueCol: String, typeCol: String,
+      qs: Seq[Int] = Seq(50, 90, 99), subBits: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = subBits
+    val unit = 1L << (s + 1) // below this, buckets are exact
+    val cents = df.filter(col(valueCol).isNotNull)
+      .select(col(typeCol).as("g"),
+        round(col(valueCol) * 100).cast("long").as("c"))
+    val bucketed = cents.withColumn("e",
+        when(col("c") >= 1L, length(expr("bin(c)")) - 1))
+      .withColumn("idx",
+        when(col("c") < 1L, lit(-1L))
+          .when(col("e") <= s, col("c"))
+          .otherwise((col("e") - s) * lit(1L << s) +
+            expr(s"shiftright(c, cast(e - $s as int))")))
+    val regs = bucketed.groupBy("g", "idx").agg(count(lit(1)).as("cnt"))
+    val totals = regs.groupBy("g").agg(sum(col("cnt")).as("n"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("idx")
+    val cum = regs.withColumn("cum", sum(col("cnt")).over(wCum))
+    val qdf = broadcast(qs.toDF("q_pct"))
+    // per (g, q): the FIRST bucket whose running count reaches the target
+    val est = cum.join(totals, Seq("g")).crossJoin(qdf)
+      .filter(col("cum") >= expr("(q_pct * n + 99) div 100"))
+      .groupBy("g", "q_pct", "n")
+      .agg(min(col("idx")).as("idx"))
+      .withColumn("est2",
+        when(col("idx") < 0L, lit(0L))
+          .when(col("idx") < unit, col("idx") * 2) // exact unit bucket
+          .otherwise {
+            // decode: blk = idx div 2^s = e−s+1; m = idx mod 2^s + 2^s;
+            // width = 2^(blk−1); lo = m · width
+            val blk = col("idx") / lit(1L << s) // integral: idx, 2^s longs
+            val m = col("idx") % lit(1L << s) + lit(1L << s)
+            val w = expr(s"shiftleft(1L, cast(idx div ${1L << s} as int) - 1)")
+            m * w * 2 + w - 1
+          })
+    // exact walk at unit resolution over the value grid (domain-sized)
+    val exactRegs = cents.groupBy("g", "c").agg(count(lit(1)).as("cnt"))
+    val exCum = exactRegs.withColumn("cum", sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("c")))
+    val exact = exCum.join(totals, Seq("g")).crossJoin(qdf)
+      .filter(col("cum") >= expr("(q_pct * n + 99) div 100"))
+      .groupBy("g", "q_pct")
+      .agg(min(col("c")).as("c"))
+      .withColumn("exact2", when(col("c") < 0L, lit(0L)).otherwise(col("c") * 2))
+      .drop("c")
+    est.join(exact, Seq("g", "q_pct"))
+      .select(col("g").as("event_type"), col("q_pct").cast("long").as("q_pct"),
+        col("n"), col("est2"), col("exact2"))
+      .withColumn("rel_err_ppm",
+        when(col("exact2") === 0L, lit(0L))
+          .otherwise(expr("abs(est2 - exact2) * 1000000 div exact2")))
+      .withColumn("within_bound", col("rel_err_ppm") <= lit(1000000L >> (s + 1)))
+      .orderBy("event_type", "q_pct")
+  }
+
+  /** Rolling-window quantiles from MERGED per-day HDR registers — the
+    * production read-out [[hdrQuantiles]]'s scaladoc promises: per day d,
+    * the p50/p99 of the trailing `windowDays` days computed ONLY from the
+    * per-day register tables (counts summed per bucket across the window,
+    * then the same integer cumulative walk), never from raw rows. At
+    * 100 TB this is the percentile-dashboard shape: per-shard/hour
+    * sketches land as tiny register tables, and any window over them is
+    * arithmetic on O(#buckets × days) rows. The exact trailing-window
+    * quantile rides along for the audit, from a per-day EXACT value-grid
+    * census merged the same way (domain-sized, corpus-independent).
+    * Output per (day, q_pct): (n_window, est2, exact2, rel_err_ppm,
+    * within_bound) — integer-exact end to end. */
+  def hdrSlidingQuantiles(events: DataFrame, qs: Seq[Int] = Seq(50, 99),
+      windowDays: Int = 3, subBits: Int = 5): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val s = subBits
+    val unit = 1L << (s + 1)
+    val cents = events.filter(col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+    val bucketed = cents.withColumn("e",
+        when(col("c") >= 1L, length(expr("bin(c)")) - 1))
+      .withColumn("idx",
+        when(col("c") < 1L, lit(-1L))
+          .when(col("e") <= s, col("c"))
+          .otherwise((col("e") - s) * lit(1L << s) +
+            expr(s"shiftright(c, cast(e - $s as int))")))
+    // per-day registers — the only corpus-sized pass
+    val dayRegs = bucketed.groupBy("day", "idx").agg(count(lit(1)).as("cnt"))
+    val days = dayRegs.select("day").distinct()
+    // roster of (window end day, member day) pairs — days × windowDays rows
+    val members = days.as("d")
+      .join(days.select(col("day").as("mday")).as("m"),
+        col("mday") <= col("day") &&
+          col("mday") >= date_sub(col("day"), windowDays - 1))
+    // merge = count addition per bucket across the window's member days
+    val merged = members.join(dayRegs.withColumnRenamed("day", "mday"), Seq("mday"))
+      .groupBy("day", "idx").agg(sum(col("cnt")).as("cnt"))
+    val totals = merged.groupBy("day").agg(sum(col("cnt")).as("n_window"))
+    val cum = merged.withColumn("cum", sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("day").orderBy("idx")))
+    val qdf = broadcast(qs.toDF("q_pct"))
+    val est = cum.join(totals, Seq("day")).crossJoin(qdf)
+      .filter(col("cum") >= expr("(q_pct * n_window + 99) div 100"))
+      .groupBy("day", "q_pct", "n_window")
+      .agg(min(col("idx")).as("idx"))
+      .withColumn("est2",
+        when(col("idx") < 0L, lit(0L))
+          .when(col("idx") < unit, col("idx") * 2)
+          .otherwise {
+            val m = col("idx") % lit(1L << s) + lit(1L << s)
+            val w = expr(s"shiftleft(1L, cast(idx div ${1L << s} as int) - 1)")
+            m * w * 2 + w - 1
+          })
+    // exact audit: per-day exact value-grid census merged across the window
+    val dayExact = cents.groupBy("day", "c").agg(count(lit(1)).as("cnt"))
+    val mergedExact = members.join(dayExact.withColumnRenamed("day", "mday"), Seq("mday"))
+      .groupBy("day", "c").agg(sum(col("cnt")).as("cnt"))
+    val exCum = mergedExact.withColumn("cum", sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("day").orderBy("c")))
+    val exact = exCum.join(totals, Seq("day")).crossJoin(qdf)
+      .filter(col("cum") >= expr("(q_pct * n_window + 99) div 100"))
+      .groupBy("day", "q_pct")
+      .agg(min(col("c")).as("c"))
+      .withColumn("exact2", when(col("c") < 0L, lit(0L)).otherwise(col("c") * 2))
+      .drop("c")
+    est.join(exact, Seq("day", "q_pct"))
+      .select(col("day"), col("q_pct").cast("long").as("q_pct"),
+        col("n_window"), col("est2"), col("exact2"))
+      .withColumn("rel_err_ppm",
+        when(col("exact2") === 0L, lit(0L))
+          .otherwise(expr("abs(est2 - exact2) * 1000000 div exact2")))
+      .withColumn("within_bound", col("rel_err_ppm") <= lit(1000000L >> (s + 1)))
+      .orderBy("day", "q_pct")
+  }
+
   /** Deterministic quantile sketch: estimate quantiles from the bottom-k-
     * by-hash row sample (the same md5 order as KMV, so a uniform random
     * sample with a portable, engine-independent identity — where Spark's

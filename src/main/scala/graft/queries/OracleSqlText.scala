@@ -2987,6 +2987,142 @@ FROM r WHERE sample_rank <= $cap ORDER BY grp, sample_rank"""
   /** Mirrors Sketches.hashSampleQuantiles over events.value keyed by
     * event_id: bottom-k by the shared md5 order, nearest-rank-below
     * readout (an element, never an interpolation). */
+  /** Mirrors Sketches.hdrQuantiles: the integer-bit-arithmetic HDR bucket
+    * grid (octave = binary bit-length − 1 via format('{:b}'), sub-bucket =
+    * top subBits+1 bits), register census, integer cumulative walk to the
+    * lower quantile, half-cent midpoint estimates, and the exact walk at
+    * unit resolution for the error audit — every step integer-exact, so
+    * the twin is arithmetic identity, not float luck. */
+  def hdrQuantiles(qs: Seq[Int] = Seq(50, 90, 99), subBits: Int = 5): String = {
+    val s = subBits
+    val m = 1L << s      // sub-buckets per octave
+    val unit = 1L << (s + 1)
+    val bound = 1000000L >> (s + 1)
+    def decode(idxCol: String): String = s"""
+         CASE WHEN $idxCol < 0 THEN 0
+              WHEN $idxCol < $unit THEN $idxCol * 2
+              ELSE (($idxCol % $m) + $m) * (1::BIGINT << CAST($idxCol // $m - 1 AS INT)) * 2
+                   + (1::BIGINT << CAST($idxCol // $m - 1 AS INT)) - 1 END"""
+    s"""
+WITH cents AS (
+  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT g, CASE WHEN c < 1 THEN CAST(-1 AS BIGINT)
+                 WHEN length(format('{:b}', c)) - 1 <= $s THEN c
+                 ELSE (length(format('{:b}', c)) - 1 - $s) * $m
+                      + (c >> CAST(length(format('{:b}', c)) - 1 - $s AS INT)) END AS idx
+  FROM cents
+),
+regs AS (SELECT g, idx, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+tot AS (SELECT g, SUM(cnt) AS n FROM regs GROUP BY 1),
+cm AS (SELECT g, idx, SUM(cnt) OVER (PARTITION BY g ORDER BY idx) AS cum FROM regs),
+q(q_pct) AS (VALUES ${qs.map(q => s"($q)").mkString(", ")}),
+pick AS (
+  SELECT cm.g, q.q_pct, t.n, MIN(cm.idx) AS idx
+  FROM cm JOIN tot t USING (g) CROSS JOIN q
+  WHERE cm.cum >= (q.q_pct * t.n + 99) // 100
+  GROUP BY 1, 2, 3
+),
+est AS (SELECT g, q_pct, n, ${decode("idx")} AS est2 FROM pick),
+xregs AS (SELECT g, c, COUNT(*) AS cnt FROM cents GROUP BY 1, 2),
+xcm AS (SELECT g, c, SUM(cnt) OVER (PARTITION BY g ORDER BY c) AS cum FROM xregs),
+xpick AS (
+  SELECT xcm.g, q.q_pct, MIN(xcm.c) AS c
+  FROM xcm JOIN tot t USING (g) CROSS JOIN q
+  WHERE xcm.cum >= (q.q_pct * t.n + 99) // 100
+  GROUP BY 1, 2
+),
+xact AS (SELECT g, q_pct, CASE WHEN c < 0 THEN 0 ELSE c * 2 END AS exact2 FROM xpick)
+SELECT est.g AS event_type, CAST(est.q_pct AS BIGINT) AS q_pct,
+       CAST(est.n AS BIGINT) AS n, CAST(est.est2 AS BIGINT) AS est2,
+       CAST(xact.exact2 AS BIGINT) AS exact2,
+       CAST(CASE WHEN xact.exact2 = 0 THEN 0
+                 ELSE abs(est.est2 - xact.exact2) * 1000000 // xact.exact2
+            END AS BIGINT) AS rel_err_ppm,
+       (CASE WHEN xact.exact2 = 0 THEN 0
+             ELSE abs(est.est2 - xact.exact2) * 1000000 // xact.exact2
+        END) <= $bound AS within_bound
+FROM est JOIN xact USING (g, q_pct)
+ORDER BY event_type, q_pct"""
+  }
+
+  /** Mirrors Sketches.hdrSlidingQuantiles: per-day register censuses
+    * merged by count addition across each trailing window, the same
+    * integer walks (sketch grid + exact value grid), per window-end day. */
+  def hdrSlidingQuantiles(qs: Seq[Int] = Seq(50, 99), windowDays: Int = 3,
+      subBits: Int = 5): String = {
+    val s = subBits
+    val m = 1L << s
+    val unit = 1L << (s + 1)
+    val bound = 1000000L >> (s + 1)
+    def decode(idxCol: String): String = s"""
+         CASE WHEN $idxCol < 0 THEN 0
+              WHEN $idxCol < $unit THEN $idxCol * 2
+              ELSE (($idxCol % $m) + $m) * (1::BIGINT << CAST($idxCol // $m - 1 AS INT)) * 2
+                   + (1::BIGINT << CAST($idxCol // $m - 1 AS INT)) - 1 END"""
+    s"""
+WITH cents AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT day, CASE WHEN c < 1 THEN CAST(-1 AS BIGINT)
+                   WHEN length(format('{:b}', c)) - 1 <= $s THEN c
+                   ELSE (length(format('{:b}', c)) - 1 - $s) * $m
+                        + (c >> CAST(length(format('{:b}', c)) - 1 - $s AS INT)) END AS idx
+  FROM cents
+),
+dayregs AS (SELECT day, idx, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM dayregs),
+members AS (
+  SELECT d.day, md.day AS mday
+  FROM days d JOIN days md
+    ON md.day <= d.day AND md.day >= d.day - ${windowDays - 1}
+),
+merged AS (
+  SELECT mem.day, r.idx, SUM(r.cnt) AS cnt
+  FROM members mem JOIN dayregs r ON r.day = mem.mday
+  GROUP BY 1, 2
+),
+tot AS (SELECT day, SUM(cnt) AS n_window FROM merged GROUP BY 1),
+cm AS (SELECT day, idx, SUM(cnt) OVER (PARTITION BY day ORDER BY idx) AS cum FROM merged),
+q(q_pct) AS (VALUES ${qs.map(q => s"($q)").mkString(", ")}),
+pick AS (
+  SELECT cm.day, q.q_pct, t.n_window, MIN(cm.idx) AS idx
+  FROM cm JOIN tot t USING (day) CROSS JOIN q
+  WHERE cm.cum >= (q.q_pct * t.n_window + 99) // 100
+  GROUP BY 1, 2, 3
+),
+est AS (SELECT day, q_pct, n_window, ${decode("idx")} AS est2 FROM pick),
+dayexact AS (SELECT day, c, COUNT(*) AS cnt FROM cents GROUP BY 1, 2),
+mergedx AS (
+  SELECT mem.day, x.c, SUM(x.cnt) AS cnt
+  FROM members mem JOIN dayexact x ON x.day = mem.mday
+  GROUP BY 1, 2
+),
+xcm AS (SELECT day, c, SUM(cnt) OVER (PARTITION BY day ORDER BY c) AS cum FROM mergedx),
+xpick AS (
+  SELECT xcm.day, q.q_pct, MIN(xcm.c) AS c
+  FROM xcm JOIN tot t USING (day) CROSS JOIN q
+  WHERE xcm.cum >= (q.q_pct * t.n_window + 99) // 100
+  GROUP BY 1, 2
+),
+xact AS (SELECT day, q_pct, CASE WHEN c < 0 THEN 0 ELSE c * 2 END AS exact2 FROM xpick)
+SELECT est.day AS day, CAST(est.q_pct AS BIGINT) AS q_pct,
+       CAST(est.n_window AS BIGINT) AS n_window, CAST(est.est2 AS BIGINT) AS est2,
+       CAST(xact.exact2 AS BIGINT) AS exact2,
+       CAST(CASE WHEN xact.exact2 = 0 THEN 0
+                 ELSE abs(est.est2 - xact.exact2) * 1000000 // xact.exact2
+            END AS BIGINT) AS rel_err_ppm,
+       (CASE WHEN xact.exact2 = 0 THEN 0
+             ELSE abs(est.est2 - xact.exact2) * 1000000 // xact.exact2
+        END) <= $bound AS within_bound
+FROM est JOIN xact USING (day, q_pct)
+ORDER BY day, q_pct"""
+  }
+
   def hashSampleQuantiles(k: Int = 256, qs: Seq[Int] = Seq(10, 25, 50, 75, 90)): String = s"""
 WITH s AS (
   SELECT value AS v, (${hex8IntSql("event_id::VARCHAR")}) AS hv
