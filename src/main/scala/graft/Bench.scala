@@ -107,10 +107,23 @@ object Bench {
     * adjudication showed in-suite lines are residuals after shared-staging
     * cache reuse). Each gets 3 extra dedicated reps recorded in
     * `cold_reps`, so a judge can separate load-order drift from
-    * regression without a re-run. */
+    * regression without a re-run.
+    *
+    * Round-15 (verdict r14 #5): extended from the ann/dedup six to EVERY
+    * line whose in-suite cold exceeds ~5 s, so the whole expensive tail is
+    * self-adjudicating. The two `_..._materialize` ETL line items also sit
+    * over 5 s but are not `SparkEntry.queries` entries (they time shared
+    * staging, not a re-runnable gate), so they cannot take dedicated reps;
+    * their adjudication stays the in-suite number plus the gates that
+    * consume them. Streaming replay gates re-execute fully per call
+    * (fresh chunks + checkpoint), so their reps are real re-runs, not
+    * cache reads. */
   private[graft] val ColdRepNames = Seq(
     "ann_recall_eval", "ann_recall_drift", "ann_ivf_indexed",
-    "ann_rebuild_recovery", "dedup_clusters_star", "curation_pipeline_v5")
+    "ann_rebuild_recovery", "dedup_clusters_star", "curation_pipeline_v5",
+    "streaming_alerts_expiring", "streaming_evicted_late_match",
+    "streaming_evicted_match", "streaming_join", "streaming_alerts",
+    "dedup_lsh_recall", "graph_kcore")
 
   /** Lines allowed past the 10 s per-line cold budget, with the
     * justification in BASELINE.md's "Structural exceptions" table
@@ -126,7 +139,7 @@ object Bench {
       warmDiag: Seq[(String, WarmDiag)] = Nil,
       warmOver2x: Seq[String] = Nil,
       warmRetryErrors: Seq[(String, String)] = Nil,
-      coldReps: Seq[(String, Seq[Double])] = Nil): String = {
+      coldReps: Seq[(String, Seq[Double], Seq[String])] = Nil): String = {
     val qs = timings.map { case (k, v) => jstr(k) + ":" + sec(v) }.mkString("{", ",", "}")
     val warmJson = warm.map { case (k, v) => jstr(k) + ":" + sec(v) }.mkString("{", ",", "}")
     val warmErrs = warmErrors
@@ -137,10 +150,15 @@ object Bench {
       .map { case (n, m) => jstr(n) + ":" + jstr(m.take(120)) }.mkString("{", ",", "}")
     val diag = warmDiag.map { case (n, d) => jstr(n) + ":" + d.json }.mkString("{", ",", "}")
     val over = warmOver2x.map(jstr).mkString("[", ",", "]")
-    val repsJson = coldReps.map { case (n, rs) =>
+    // A failed rep must never surface as a plausible timing (ADVICE r14):
+    // only SUCCESSFUL reps carry timings and feed the median; failures land
+    // in the line's `errors` array, so a reader can tell "3 clean reps"
+    // from "1 clean rep + 2 crashes" without a re-run.
+    val repsJson = coldReps.map { case (n, rs, es) =>
       val sorted = rs.sorted
       val med = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
-      jstr(n) + ":" + s"""{"reps":[${rs.map(sec).mkString(",")}],"median":${sec(med)}}"""
+      val errArr = es.map(e => jstr(e.take(120))).mkString("[", ",", "]")
+      jstr(n) + ":" + s"""{"reps":[${rs.map(sec).mkString(",")}],"median":${sec(med)},"errors":$errArr}"""
     }.mkString("{", ",", "}")
     val exceptions = BudgetExceptions.map(jstr).mkString("[", ",", "]")
     val total = timings.map(_._2).sum
@@ -245,18 +263,24 @@ object Bench {
     // AFTER the whole cold pass so every rep sees the same (fully warmed)
     // session state — the spread adjudicates in-suite residual vs
     // regression. Skipped on SPARK_GRAFT_ONLY iteration runs.
-    val coldReps: Seq[(String, Seq[Double])] =
+    val coldReps: Seq[(String, Seq[Double], Seq[String])] =
       if (only.isDefined) Nil
       else ColdRepNames.filter(SparkEntry.queries.contains).map { name =>
-        val reps = (1 to 3).map { _ =>
+        val times = Seq.newBuilder[Double]
+        val errs = Seq.newBuilder[String]
+        (1 to 3).foreach { _ =>
           val t0 = System.nanoTime()
-          try SparkEntry.queries(name)(spark, sfDir).count()
-          catch { case _: Throwable => }
-          val s = (System.nanoTime() - t0) / 1e9
+          // NonFatal only (ADVICE r14): an OOM/interrupt must propagate, and
+          // a caught failure records a marker instead of a phantom timing.
+          try {
+            SparkEntry.queries(name)(spark, sfDir).count()
+            times += (System.nanoTime() - t0) / 1e9
+          } catch { case scala.util.control.NonFatal(e) =>
+            errs += s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          }
           RunHygiene.drainStages(spark)
-          s
         }
-        (name, reps.toSeq)
+        (name, times.result(), errs.result())
       }
     // Give the collector one clean slate between passes: 281 cold queries
     // leave the old gen full of dead stage data, and letting the first warm

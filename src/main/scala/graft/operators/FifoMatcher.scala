@@ -119,7 +119,7 @@ object FifoMatcher {
     * is REFINED by composite (CREATEDAT, TRANS_ID) range. Boundaries are
     * computed DISTRIBUTIVELY (round-13 verdict #4): a deterministic
     * md5-sampled subset of each run takes an `ntile` per run and only the
-    * per-tile maxima come back — driver bytes O(runs × buckets), a
+    * per-tile minima come back — driver bytes O(runs × buckets), a
     * bounded COUNT, never a fixed RATE of the whale (the old 1/64 id
     * collect grew linearly with whale size). Each boundary predicate is
     * `CREATEDAT > ts OR (CREATEDAT = ts AND TRANS_ID >= id)`, scoped to
@@ -153,7 +153,7 @@ object FifoMatcher {
           s"${buckets}L) div ${span}L as int)")
       // ---- equal-timestamp sub-split (see scaladoc) ----
       val sided = t.withColumn("is_earned", col("TCTYPE") === "earned")
-      val subBoundaries = subSplitBoundaries(sided, buckets, lo, span, total)
+      val subBoundaries = subSplitBoundaries(sided, buckets, bucket, total)
       // sub = count of cuts at-or-before the row in (CREATEDAT, TRANS_ID)
       // order, scoped to the row's (customer, side, time bucket): rows
       // before the first cut get 0, rows past the run (later ts, same
@@ -206,27 +206,37 @@ object FifoMatcher {
     * sharing a (customer, side, time bucket) merge their composite
     * (CREATEDAT, TRANS_ID) cuts into ONE ordered set, thinned to ≤
     * buckets−1 so a composite bucket id never crosses into the next time
-    * bucket's range. */
+    * bucket's range.
+    *
+    * The run's time-bucket id is computed by the caller-supplied `bucket`
+    * Column — the SAME expression the matcher buckets rows with — and
+    * collected alongside the census (round-14 ADVICE, low): a driver-side
+    * recomputation from naive-LocalDateTime micros disagreed with the
+    * session-timezone-dependent `unix_micros(cast(... as timestamp))`
+    * under a non-UTC session, silently no-oping the sub-split (load-only;
+    * output was never affected). One derivation site, zero tz coupling. */
   private[graft] def subSplitBoundaries(sided: DataFrame, buckets: Int,
-      lo: Long, span: Long, total: Long):
+      bucket: org.apache.spark.sql.Column, total: Long):
       Seq[((String, Boolean, Long), Seq[(java.time.LocalDateTime, String)])] = {
-    val epoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
-    def mic(x: java.time.LocalDateTime): Long =
-      java.time.temporal.ChronoUnit.MICROS.between(epoch, x)
     val runThreshold = math.max(1L, total / buckets)
     val heavyRuns = sided
       .groupBy("CUSTOMERID", "is_earned", "CREATEDAT")
-      .agg(count(lit(1)).as("cnt"))
+      // bucket is functionally determined by CREATEDAT, so max() just
+      // reads the one value through the aggregate
+      .agg(count(lit(1)).as("cnt"), max(bucket.cast("long")).as("tb"))
       .filter(col("cnt") > runThreshold)
       .orderBy(col("cnt").desc, col("CUSTOMERID"), col("is_earned"), col("CREATEDAT"))
       .limit(64)
       .collect()
       .map(r => (r.getString(0), r.getBoolean(1),
-        r.getAs[java.time.LocalDateTime](2)))
+        r.getAs[java.time.LocalDateTime](2), r.getLong(4)))
+    val tbOfRun: Map[(String, Boolean, java.time.LocalDateTime), Long] =
+      heavyRuns.map { case (c, s, ts, tb) => (c, s, ts) -> tb }.toMap
     val rawBoundaries: Array[((String, Boolean, java.time.LocalDateTime), String)] =
       if (heavyRuns.isEmpty) Array.empty else {
         import sided.sparkSession.implicits._
-        val keys = broadcast(heavyRuns.toSeq.toDF("CUSTOMERID", "is_earned", "CREATEDAT"))
+        val keys = broadcast(heavyRuns.toSeq.map { case (c, s, ts, _) => (c, s, ts) }
+          .toDF("CUSTOMERID", "is_earned", "CREATEDAT"))
         sided
           .join(keys, Seq("CUSTOMERID", "is_earned", "CREATEDAT"), "left_semi")
           .filter(substring(md5(col("TRANS_ID").cast("binary")), 1, 2) < "04")
@@ -242,8 +252,7 @@ object FifoMatcher {
           .map(r => ((r.getString(0), r.getBoolean(1),
             r.getAs[java.time.LocalDateTime](2)), r.getString(3)))
       }
-    def tbOf(ts: java.time.LocalDateTime): Long = ((mic(ts) - lo) * buckets) / span
-    rawBoundaries.groupBy { case ((cust, side, ts), _) => (cust, side, tbOf(ts)) }
+    rawBoundaries.groupBy { case ((cust, side, ts), _) => (cust, side, tbOfRun((cust, side, ts))) }
       .view.mapValues { cuts =>
         val s = cuts.map { case ((_, _, ts), id) => (ts, id) }
           .distinct.sortBy(identity).toIndexedSeq

@@ -409,7 +409,6 @@ object Sketches {
           .otherwise {
             // decode: blk = idx div 2^s = e−s+1; m = idx mod 2^s + 2^s;
             // width = 2^(blk−1); lo = m · width
-            val blk = col("idx") / lit(1L << s) // integral: idx, 2^s longs
             val m = col("idx") % lit(1L << s) + lit(1L << s)
             val w = expr(s"shiftleft(1L, cast(idx div ${1L << s} as int) - 1)")
             m * w * 2 + w - 1

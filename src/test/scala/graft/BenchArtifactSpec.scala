@@ -40,12 +40,32 @@ class BenchArtifactSpec extends AnyFunSuite {
 
   test("cold_reps serializes reps + median; budget exceptions name the contract lines") {
     val js = Bench.renderFullJson(Seq("q1" -> 1.0), Seq("q1" -> 0.9), Nil, Nil,
-      env, "sf", coldReps = Seq("ann_recall_eval" -> Seq(4.2, 8.5, 4.1)))
+      env, "sf", coldReps = Seq(("ann_recall_eval", Seq(4.2, 8.5, 4.1), Nil)))
     assert(js.contains(
-      """"ann_recall_eval":{"reps":[4.200,8.500,4.100],"median":4.200}"""), js)
+      """"ann_recall_eval":{"reps":[4.200,8.500,4.100],"median":4.200,"errors":[]}"""), js)
     // the exception list is the BASELINE.md structural-exception table's
     // machine-readable twin — a reader of the artifact sees the contract
     assert(js.contains(""""budget_exceptions":["streaming_alerts_expiring","_curation_materialize","ann_rebuild_recovery"]"""))
+  }
+
+  test("a failed cold rep records an error marker, never a timing (ADVICE r14)") {
+    val js = Bench.renderFullJson(Seq("q1" -> 1.0), Seq("q1" -> 0.9), Nil, Nil,
+      env, "sf", coldReps = Seq(
+        ("flaky_q", Seq(4.2), Seq("SparkException: stage failed"))))
+    // one clean rep, one crash: exactly one timing, median from timings only,
+    // and the crash is visible as a marker
+    assert(js.contains(
+      """"flaky_q":{"reps":[4.200],"median":4.200,"errors":["SparkException: stage failed"]}"""), js)
+  }
+
+  test("cold_reps covers every >5s in-suite line (verdict r14 #5)") {
+    // The expensive tail as recorded in BENCH_FULL r14; the two
+    // `_..._materialize` ETL line items are shared-staging timers, not
+    // re-runnable queries, so they are exempt by construction.
+    for (n <- Seq("streaming_alerts_expiring", "streaming_evicted_late_match",
+        "streaming_evicted_match", "streaming_join", "streaming_alerts",
+        "dedup_lsh_recall", "ann_rebuild_recovery", "dedup_clusters_star"))
+      assert(Bench.ColdRepNames.contains(n), s"cold_reps missing >5s line $n")
   }
 
   test("warm contract: over means >2x cold AND >2s floor, or >10s outright") {

@@ -271,6 +271,63 @@ class FifoMatcherSpec extends AnyFunSuite {
     assert(salted === expected)
   }
 
+  // Round-14 ADVICE (low): the boundary-to-bucket mapping used to be
+  // recomputed driver-side from naive LocalDateTime micros while the
+  // matcher's bucket expr goes through the session-timezone-dependent
+  // unix_micros(cast(... as timestamp)) — under a non-UTC session the two
+  // disagreed and the sub-split silently no-oped (load-only). The bucket id
+  // is now collected from the SAME SQL expression; this pins engagement +
+  // output invariance under an awkward (half-hour-offset) session timezone.
+  test("sub-split engages and stays invariant under a non-UTC session timezone") {
+    val spark = TestSpark.spark
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      val order = scala.util.Random.shuffle((0 until 180).toList)
+      val whaleRows = order.map { i =>
+        if (i < 120) (f"WE$i%03d", "WHALE", 1.0, "2024-06-15T12:00:00", "earned")
+        else (f"WS$i%03d", "WHALE", -1.0, "2024-06-15T12:00:00", "spent")
+      }
+      val in = tx(whaleRows ++ Seq(
+        ("E001", "C001", 10.0, "2024-01-01", "earned"),
+        ("S001", "C001", -5.0, "2024-01-02", "spent")): _*)
+      val expected = FifoMatcher.matchTransactions(in)
+        .orderBy("TRANS_ID").collect().map(_.toSeq).toSeq
+      val salted = FifoMatcher.matchTransactionsSalted(in, buckets = 4)
+        .orderBy("TRANS_ID").collect().map(_.toSeq).toSeq
+      assert(salted === expected)
+      // engagement: boundaries derived with the matcher's own bucket expr
+      // must key to the bucket that expr actually computes for the run
+      import org.apache.spark.sql.functions._
+      val t = in
+      val mm = t.agg(min(col("timestamp")), max(col("timestamp")), count(lit(1))).head()
+      val epoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+      def mic(x: java.time.LocalDateTime): Long =
+        java.time.temporal.ChronoUnit.MICROS.between(epoch, x)
+      val lo = mic(mm.getAs[java.time.LocalDateTime](0))
+      val span = mic(mm.getAs[java.time.LocalDateTime](1)) - lo + 1
+      val bucket = expr(
+        s"cast(((unix_micros(cast(CREATEDAT as timestamp)) - ${lo}L) * 4L) div ${span}L as int)")
+      val sided = t
+        .withColumnRenamed("transaction_id", "TRANS_ID")
+        .withColumnRenamed("transaction_type", "TCTYPE")
+        .withColumnRenamed("timestamp", "CREATEDAT")
+        .withColumnRenamed("customer_id", "CUSTOMERID")
+        .withColumnRenamed("amount", "AMOUNT")
+        .withColumn("is_earned", col("TCTYPE") === "earned")
+      val bs = FifoMatcher.subSplitBoundaries(sided, 4, bucket, mm.getLong(2))
+      assert(bs.nonEmpty, "sub-split must engage on the whale")
+      val sqlBuckets = sided.select(col("CUSTOMERID"), col("is_earned"),
+          bucket.cast("long").as("tb")).distinct().collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSet
+      bs.foreach { case (key, cuts) =>
+        assert(sqlBuckets.contains(key),
+          s"boundary key $key not a bucket the SQL expr computes: $sqlBuckets")
+        assert(cuts.nonEmpty)
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("empty input produces empty output with correct schema") {
     val in = tx()
     impls.foreach { case (name, impl) =>

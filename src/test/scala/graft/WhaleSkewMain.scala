@@ -109,9 +109,11 @@ object WhaleSkewMain {
       val lo = mic(mm.getAs[java.time.LocalDateTime](0))
       val span = mic(mm.getAs[java.time.LocalDateTime](1)) - lo + 1
       val total = mm.getLong(2)
+      val bucket = expr(
+        s"cast(((unix_micros(cast(CREATEDAT as timestamp)) - ${lo}L) * 16L) div ${span}L as int)")
       val sided = t.withColumn("is_earned", col("TCTYPE") === "earned")
       val bs = graft.operators.FifoMatcher.subSplitBoundaries(
-        sided, 16, lo, span, total)
+        sided, 16, bucket, total)
       val nCuts = bs.map(_._2.size).sum
       val bytes = bs.map { case ((cust, _, _), cuts) =>
         cust.length + cuts.map { case (_, id) => 16 + id.length }.sum }.sum
