@@ -21,7 +21,7 @@ object SparkEntry {
     * README.md cites; QueryCountSpec asserts `queries.size`, `oracleSql.size`,
     * and every README mention all equal this constant, so the docs can't
     * drift from the registry again. */
-  val GatedQueryCount: Int = 296
+  val GatedQueryCount: Int = 297
 
   // ---- shared pipeline stages ----
   // The matched ledger and balance history are the reference pipeline's
@@ -1115,6 +1115,12 @@ object SparkEntry {
     // batch verify — order/segmentation cancel out of the gated report
     "streaming_heavy_hitters" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.replayHeavyHitters(Tables.events(s, d))),
+    // streaming quantile sketch: per-day HDR registers as watermarked
+    // windowed state (additive, same shared grid as the batch sketch);
+    // trailing-window percentile read-out over the EMITTED registers —
+    // gated against the sketch_hdr_sliding oracle verbatim
+    "streaming_hdr_rollup" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.replayHdrSliding(Tables.events(s, d))),
     // trailing-24h distincts per hour by register MERGE (never a rescan)
     "sketch_hll_sliding" -> ((s, d) =>
       graft.operators.Sketches.hllSlidingDistinct(Tables.events(s, d))),
@@ -1402,6 +1408,9 @@ object SparkEntry {
       OracleSqlText.sketchHllByWindow(graft.operators.Sketches.hllScale()),
     "streaming_cms_topk" -> OracleSqlText.streamingCmsTopk(),
     "streaming_heavy_hitters" -> OracleSqlText.streamingHeavyHitters(),
+    // the streaming register fold is gated against the BATCH sliding-HDR
+    // oracle verbatim: streaming ≡ batch ≡ DuckDB by count additivity
+    "streaming_hdr_rollup" -> OracleSqlText.hdrSlidingQuantiles(),
     "sketch_hll_sliding" ->
       OracleSqlText.sketchHllSliding(graft.operators.Sketches.hllScale()),
     "merge_balance_upsert" -> OracleSql.balanceUpsert(Params.AsOf),

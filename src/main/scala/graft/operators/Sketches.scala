@@ -376,22 +376,47 @@ object Sketches {
     * bucket −1 with estimate 0 (clamp documented; the gate corpora are
     * non-negative and zeros audit at error 0). Null values are excluded
     * on both engines. */
-  def hdrQuantiles(df: DataFrame, valueCol: String, typeCol: String,
-      qs: Seq[Int] = Seq(50, 90, 99), subBits: Int = 5): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** The HDR grid: log2-octave × 2^subBits linear sub-bucket index from a
+    * LONG cents column named `c` — integer bit arithmetic only (see
+    * [[hdrQuantiles]]). ONE definition shared by the batch sketches and
+    * the streaming register fold ([[graft.streaming.StreamingAnalytics
+    * .windowedHdrRegisters]]) so the grids can never drift. */
+  private[graft] def hdrBucketed(cents: DataFrame, subBits: Int): DataFrame = {
     val s = subBits
-    val unit = 1L << (s + 1) // below this, buckets are exact
-    val cents = df.filter(col(valueCol).isNotNull)
-      .select(col(typeCol).as("g"),
-        round(col(valueCol) * 100).cast("long").as("c"))
-    val bucketed = cents.withColumn("e",
+    cents.withColumn("e",
         when(col("c") >= 1L, length(expr("bin(c)")) - 1))
       .withColumn("idx",
         when(col("c") < 1L, lit(-1L))
           .when(col("e") <= s, col("c"))
           .otherwise((col("e") - s) * lit(1L << s) +
             expr(s"shiftright(c, cast(e - $s as int))")))
+  }
+
+  /** Bucket-midpoint decode in integer half-cents from a column named
+    * `idx` — the read-out twin of [[hdrBucketed]], equally shared. */
+  private[graft] def hdrEst2(subBits: Int): org.apache.spark.sql.Column = {
+    val s = subBits
+    val unit = 1L << (s + 1)
+    when(col("idx") < 0L, lit(0L))
+      .when(col("idx") < unit, col("idx") * 2) // exact unit bucket
+      .otherwise {
+        // decode: blk = idx div 2^s = e−s+1; m = idx mod 2^s + 2^s;
+        // width = 2^(blk−1); lo = m · width
+        val m = col("idx") % lit(1L << s) + lit(1L << s)
+        val w = expr(s"shiftleft(1L, cast(idx div ${1L << s} as int) - 1)")
+        m * w * 2 + w - 1
+      }
+  }
+
+  def hdrQuantiles(df: DataFrame, valueCol: String, typeCol: String,
+      qs: Seq[Int] = Seq(50, 90, 99), subBits: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = subBits
+    val cents = df.filter(col(valueCol).isNotNull)
+      .select(col(typeCol).as("g"),
+        round(col(valueCol) * 100).cast("long").as("c"))
+    val bucketed = hdrBucketed(cents, s)
     val regs = bucketed.groupBy("g", "idx").agg(count(lit(1)).as("cnt"))
     val totals = regs.groupBy("g").agg(sum(col("cnt")).as("n"))
     val wCum = org.apache.spark.sql.expressions.Window
@@ -403,16 +428,7 @@ object Sketches {
       .filter(col("cum") >= expr("(q_pct * n + 99) div 100"))
       .groupBy("g", "q_pct", "n")
       .agg(min(col("idx")).as("idx"))
-      .withColumn("est2",
-        when(col("idx") < 0L, lit(0L))
-          .when(col("idx") < unit, col("idx") * 2) // exact unit bucket
-          .otherwise {
-            // decode: blk = idx div 2^s = e−s+1; m = idx mod 2^s + 2^s;
-            // width = 2^(blk−1); lo = m · width
-            val m = col("idx") % lit(1L << s) + lit(1L << s)
-            val w = expr(s"shiftleft(1L, cast(idx div ${1L << s} as int) - 1)")
-            m * w * 2 + w - 1
-          })
+      .withColumn("est2", hdrEst2(s))
     // exact walk at unit resolution over the value grid (domain-sized)
     val exactRegs = cents.groupBy("g", "c").agg(count(lit(1)).as("cnt"))
     val exCum = exactRegs.withColumn("cum", sum(col("cnt")).over(
@@ -447,22 +463,27 @@ object Sketches {
     * within_bound) — integer-exact end to end. */
   def hdrSlidingQuantiles(events: DataFrame, qs: Seq[Int] = Seq(50, 99),
       windowDays: Int = 3, subBits: Int = 5): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val s = subBits
-    val unit = 1L << (s + 1)
     val cents = events.filter(col("value").isNotNull)
       .select(to_date(col("ts")).as("day"),
         round(col("value") * 100).cast("long").as("c"))
-    val bucketed = cents.withColumn("e",
-        when(col("c") >= 1L, length(expr("bin(c)")) - 1))
-      .withColumn("idx",
-        when(col("c") < 1L, lit(-1L))
-          .when(col("e") <= s, col("c"))
-          .otherwise((col("e") - s) * lit(1L << s) +
-            expr(s"shiftright(c, cast(e - $s as int))")))
     // per-day registers — the only corpus-sized pass
-    val dayRegs = bucketed.groupBy("day", "idx").agg(count(lit(1)).as("cnt"))
+    val dayRegs = hdrBucketed(cents, subBits)
+      .groupBy("day", "idx").agg(count(lit(1)).as("cnt"))
+    hdrSlidingReadout(dayRegs, cents, qs, windowDays, subBits)
+  }
+
+  /** The trailing-window read-out over PER-DAY register tables — shared
+    * verbatim by the batch sketch above and the streaming register fold
+    * ([[graft.streaming.StreamingAnalytics.replayHdrSliding]]), which
+    * differ only in WHERE `dayRegs` comes from (one batch pass vs
+    * watermark-emitted micro-batch partials; equal by count additivity).
+    * `cents` (day, c LONG) feeds only the exact-quantile audit columns —
+    * it is batch-side in both callers. */
+  private[graft] def hdrSlidingReadout(dayRegs: DataFrame, cents: DataFrame,
+      qs: Seq[Int], windowDays: Int, subBits: Int): DataFrame = {
+    val spark = dayRegs.sparkSession
+    import spark.implicits._
+    val s = subBits
     val days = dayRegs.select("day").distinct()
     // roster of (window end day, member day) pairs — days × windowDays rows
     val members = days.as("d")
@@ -480,14 +501,7 @@ object Sketches {
       .filter(col("cum") >= expr("(q_pct * n_window + 99) div 100"))
       .groupBy("day", "q_pct", "n_window")
       .agg(min(col("idx")).as("idx"))
-      .withColumn("est2",
-        when(col("idx") < 0L, lit(0L))
-          .when(col("idx") < unit, col("idx") * 2)
-          .otherwise {
-            val m = col("idx") % lit(1L << s) + lit(1L << s)
-            val w = expr(s"shiftleft(1L, cast(idx div ${1L << s} as int) - 1)")
-            m * w * 2 + w - 1
-          })
+      .withColumn("est2", hdrEst2(s))
     // exact audit: per-day exact value-grid census merged across the window
     val dayExact = cents.groupBy("day", "c").agg(count(lit(1)).as("cnt"))
     val mergedExact = members.join(dayExact.withColumnRenamed("day", "mday"), Seq("mday"))

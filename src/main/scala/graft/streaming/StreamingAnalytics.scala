@@ -25,13 +25,19 @@ object StreamingAnalytics {
   // uses for the matched-ledger stages.
   private val chunkCache = scala.collection.mutable.Map.empty[
     (org.apache.spark.sql.SparkSession,
-     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, String),
     FileReplay.ReplayDirs]
 
+  /** `keyTag` separates chunk sets whose SOURCE plans canonicalize equal
+    * but whose SENTINELS differ (the daily-window HDR gate needs +2 day
+    * flush sentinels where the hour-window gates use +3/+4 h — sharing a
+    * staged set across them would leave the last day unflushed). */
   private def stagedShared(src: DataFrame, batches: Int,
-      sentinels: DataFrame => Seq[DataFrame]): FileReplay.ReplayDirs =
+      sentinels: DataFrame => Seq[DataFrame],
+      keyTag: String = ""): FileReplay.ReplayDirs =
     synchronized {
-      val key = (src.sparkSession, src.queryExecution.analyzed.canonicalized, batches)
+      val key = (src.sparkSession, src.queryExecution.analyzed.canonicalized,
+        batches, keyTag)
       chunkCache.getOrElseUpdate(key,
         FileReplay.stageChunks(src, "ts", batches, sentinels(src), ephemeral = false))
     }
@@ -298,6 +304,78 @@ object StreamingAnalytics {
         col("cms_estimate"),
         (col("cms_estimate") - col("occurrences")).as("overestimate"))
       .orderBy("window_start", "event_type")
+  }
+
+  /** Daily-window flush sentinels for the HDR gate: the hour-gate
+    * sentinels sit at max(ts)+3/+4 h, which can land INSIDE the last real
+    * calendar day (leaving its window unclosed) — these sit two days out,
+    * so the advanced watermark closes every real day and the sentinel's
+    * own day stays horizon-filterable. */
+  private def eventSentinelsDaily(src: DataFrame): Seq[DataFrame] = {
+    val mx = src.agg(max("ts")).head().getAs[java.time.LocalDateTime](0)
+    (0 until 2).map(i => src.sparkSession.range(1).select(
+      lit(mx.plusDays(2).plusHours(i.toLong)).as("ts"),
+      lit("__flush__").as("event_type"),
+      lit(-1L).as("user_id"),
+      lit(0.0).as("value")))
+  }
+
+  /** Streaming per-day HDR-histogram registers — the missing symmetry in
+    * the sketch family (round-14 verdict #6): CMS counters and HLL
+    * registers have watermarked streaming twins; this is the HDR one.
+    * The register table (window, grid bucket, count) is maintained as an
+    * ordinary watermarked windowed aggregation: the grid index is
+    * [[graft.operators.Sketches.hdrBucketed]] — the SAME integer-bit-
+    * arithmetic expression the batch sketch uses, shared so the grids
+    * cannot drift — and counts are ADDITIVE, so micro-batch partials
+    * merge into exactly the single-pass sketch (the CMS additivity story
+    * on the quantile grid). State per window is O(#grid buckets) —
+    * octaves × 2^subBits + 2^(subBits+1) + 1 rows — regardless of event
+    * volume (spec-pinned); append mode emits each day's closed registers
+    * once the watermark passes. No flatMapGroupsWithState needed: a
+    * bounded additive register fold IS a windowed count. */
+  def windowedHdrRegisters(events: DataFrame, windowLength: String = "1 day",
+      lateness: String = "30 minutes", subBits: Int = 5): DataFrame =
+    graft.operators.Sketches.hdrBucketed(
+        events
+          .withWatermark("ts", lateness)
+          .filter(col("value").isNotNull)
+          .select(col("ts"), round(col("value") * 100).cast("long").as("c")),
+        subBits)
+      .groupBy(window(col("ts"), windowLength), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("idx"), col("cnt"))
+
+  /** Correctness-gate replay of [[windowedHdrRegisters]] with the
+    * trailing-window percentile read-out: same harness as
+    * [[replayHllRollup]] (shared staged chunks — keyed separately for the
+    * daily sentinels — horizon-filtered sentinel windows), then
+    * [[graft.operators.Sketches.hdrSlidingReadout]] applied VERBATIM to
+    * the stream-emitted per-day registers: trailing `windowDays` p50/p99
+    * from counts summed per grid bucket across the window's member days,
+    * never from raw rows. The exact-quantile audit columns ride along
+    * batch-side (the [[replayCmsTopk]] precedent — the stream produces
+    * the sketch, the batch side prices its error). Oracle: the SAME SQL
+    * as `sketch_hdr_sliding` — streaming ≡ batch ≡ DuckDB by count
+    * additivity, bit-exact. */
+  def replayHdrSliding(events: DataFrame, batches: Int = 3,
+      qs: Seq[Int] = Seq(50, 99), windowDays: Int = 3,
+      subBits: Int = 5): DataFrame = {
+    val spark = events.sparkSession
+    val src = eventReplaySrc(events)
+    val dirs = stagedShared(src, batches, eventSentinelsDaily, keyTag = "daily")
+    val streamed = windowedHdrRegisters(
+      FileReplay.stream(spark, src.schema, dirs)
+        .withColumn("ts", col("ts").cast("timestamp")), subBits = subBits)
+    val regs = FileReplay.runToParquet(streamed, dirs, tag = "_hdr")
+    val horizon = broadcast(events.agg(max(col("ts")).as("mx")))
+    val dayRegs = regs.crossJoin(horizon)
+      .filter(col("window_start").cast("timestamp_ntz") <= col("mx"))
+      .select(col("window_start").cast("date").as("day"), col("idx"), col("cnt"))
+    val cents = events.filter(col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+    graft.operators.Sketches.hdrSlidingReadout(dayRegs, cents, qs, windowDays, subBits)
   }
 
   /** Watermarked stream-stream interval join — conversion attribution at

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamingAnalytics
@@ -205,6 +206,66 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     // CMS can only over-count, and with 2 types in 64 buckets it's exact here
     assert(r.forall(_.getAs[Long]("overestimate") >= 0L))
     assert(r.forall(x => x.getAs[Long]("cms_estimate") === x.getAs[Long]("occurrences")))
+  }
+
+  test("replayHdrSliding: streamed registers equal the batch sliding sketch bit-for-bit") {
+    import spark.implicits._
+    // 4 days, values spanning unit buckets, octave buckets, zeros (the
+    // reserved −1 bucket) and nulls (excluded on both paths); multiple
+    // chunks so registers really merge across micro-batches
+    val rnd = new scala.util.Random(7)
+    val events = (0 until 400).map { i =>
+      val day = i % 4
+      val v: java.lang.Double =
+        if (i % 37 == 0) null
+        else if (i % 11 == 0) 0.0
+        else rnd.nextInt(5000) / 100.0 + day
+      (java.time.LocalDateTime.of(2024, 3, 1 + day, i % 24, i % 60),
+        "e" + (i % 3), i.toLong % 7, v)
+    }.toDF("ts", "event_type", "user_id", "value")
+    val streamed = StreamingAnalytics.replayHdrSliding(events, batches = 3)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.Sketches.hdrSlidingQuantiles(events)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("windowedHdrRegisters: state is O(grid buckets) per day, not O(events)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // one day of high-volume wide-range traffic, then a next-day flush row:
+    // emitted register rows for the day must stay under the grid bound
+    // (octaves × 2^s sub-buckets + the exact unit buckets + the reserved
+    // −1 bucket) no matter how many events flowed through
+    val input = MemoryStream[(Timestamp, Double)]
+    val query = StreamingAnalytics.windowedHdrRegisters(
+        input.toDF().toDF("ts", "value"), windowLength = "1 day",
+        lateness = "30 minutes")
+      .writeStream.format("memory").queryName("hdr_regs")
+      .outputMode("append").start()
+    try {
+      val rnd = new scala.util.Random(11)
+      val day = (m: Int) => Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+      val n = 20000
+      input.addData((0 until n).map(i =>
+        (day(i % 1440), math.abs(rnd.nextLong() % 100000000L) / 100.0)))
+      query.processAllAvailable()
+      input.addData(Seq((Timestamp.valueOf("2024-01-03 01:00:00"), 1.0)))
+      query.processAllAvailable()
+      input.addData(Seq((Timestamp.valueOf("2024-01-03 02:00:00"), 1.0)))
+      query.processAllAvailable()
+      val regs = spark.table("hdr_regs")
+        .filter(col("window_start") === Timestamp.valueOf("2024-01-01 00:00:00"))
+        .collect()
+      val s = 5
+      val gridBound = (1 << (s + 1)) + (63 - s) * (1 << s) + 1
+      assert(regs.nonEmpty)
+      assert(regs.length <= gridBound,
+        s"${regs.length} register rows for one day exceeds grid bound $gridBound")
+      // and they really summarize all n events
+      assert(regs.map(_.getAs[Long]("cnt")).sum === n.toLong)
+    } finally query.stop()
   }
 
   test("dsirResample: deterministic Gumbel-top-k, keys descending, rank dense") {
