@@ -111,18 +111,25 @@ object Bench {
     *
     * Round-15 (verdict r14 #5): extended from the ann/dedup six to EVERY
     * line whose in-suite cold exceeds ~5 s, so the whole expensive tail is
-    * self-adjudicating. The two `_..._materialize` ETL line items also sit
-    * over 5 s but are not `SparkEntry.queries` entries (they time shared
-    * staging, not a re-runnable gate), so they cannot take dedicated reps;
-    * their adjudication stays the in-suite number plus the gates that
-    * consume them. Streaming replay gates re-execute fully per call
-    * (fresh chunks + checkpoint), so their reps are real re-runs, not
-    * cache reads. */
+    * self-adjudicating. Exempt by construction, with the reason on
+    * record rather than a vacuous number:
+    * - the two `_..._materialize` ETL line items are not
+    *   `SparkEntry.queries` entries (they time shared staging, not a
+    *   re-runnable gate);
+    * - `streaming_alerts`, `streaming_alerts_expiring`, and
+    *   `streaming_join` memoize their replay sink within a session, so a
+    *   dedicated rep reads the parquet back in ~0.3 s and measures
+    *   NOTHING (observed in the round-15 sf1 recording: in-suite 17.3 s,
+    *   reps 0.31/0.33/0.46 s) — publishing that as a "cold rep" would
+    *   misread as 50× in-suite inflation. Their in-suite number is the
+    *   only cold measurement; the expiring gate's structure is priced in
+    *   BASELINE.md's exception table instead.
+    * The evicted-match pair DOES re-execute its stream per call (fresh
+    * sink/checkpoint), so its reps are real. */
   private[graft] val ColdRepNames = Seq(
     "ann_recall_eval", "ann_recall_drift", "ann_ivf_indexed",
     "ann_rebuild_recovery", "dedup_clusters_star", "curation_pipeline_v5",
-    "streaming_alerts_expiring", "streaming_evicted_late_match",
-    "streaming_evicted_match", "streaming_join", "streaming_alerts",
+    "streaming_evicted_late_match", "streaming_evicted_match",
     "dedup_lsh_recall", "graph_kcore")
 
   /** Lines allowed past the 10 s per-line cold budget, with the

@@ -58,14 +58,19 @@ class BenchArtifactSpec extends AnyFunSuite {
       """"flaky_q":{"reps":[4.200],"median":4.200,"errors":["SparkException: stage failed"]}"""), js)
   }
 
-  test("cold_reps covers every >5s in-suite line (verdict r14 #5)") {
-    // The expensive tail as recorded in BENCH_FULL r14; the two
-    // `_..._materialize` ETL line items are shared-staging timers, not
-    // re-runnable queries, so they are exempt by construction.
-    for (n <- Seq("streaming_alerts_expiring", "streaming_evicted_late_match",
-        "streaming_evicted_match", "streaming_join", "streaming_alerts",
+  test("cold_reps covers every re-runnable >5s in-suite line (verdict r14 #5)") {
+    // The expensive tail as recorded in BENCH_FULL r14. Exempt: the two
+    // `_..._materialize` shared-staging timers (not re-runnable queries)
+    // and the three memoizing replay gates (streaming_alerts,
+    // streaming_alerts_expiring, streaming_join), whose re-runs read the
+    // session-memoized sink in ~0.3 s — a vacuous rep would misread as
+    // in-suite inflation (see the ColdRepNames scaladoc).
+    for (n <- Seq("streaming_evicted_late_match", "streaming_evicted_match",
         "dedup_lsh_recall", "ann_rebuild_recovery", "dedup_clusters_star"))
       assert(Bench.ColdRepNames.contains(n), s"cold_reps missing >5s line $n")
+    for (n <- Seq("streaming_alerts", "streaming_alerts_expiring", "streaming_join"))
+      assert(!Bench.ColdRepNames.contains(n),
+        s"$n memoizes its replay sink; a dedicated rep is vacuous")
   }
 
   test("warm contract: over means >2x cold AND >2s floor, or >10s outright") {
