@@ -69,11 +69,14 @@ object BpeLearn {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Run `rounds` merge rounds; returns (merge table rows, final seqs). */
-  private def learn(docs: DataFrame,
-      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var seqs = graft.RunHygiene.track(initialSeqs(docs).persist(lvl))
+  /** Run `rounds` merge rounds; returns (merge table rows, final seqs).
+    * `hold` is the persist discipline ([[graft.operators.Curation.sharedStages]]
+    * pattern): per-query callers register frames with RunHygiene for the
+    * post-action drain; the session memo ([[learnShared]]) plain-persists
+    * so the final sequences survive drains for later consumers. */
+  private def learn(docs: DataFrame, rounds: Int,
+      hold: DataFrame => DataFrame): (Seq[(Long, String, String, Long)], DataFrame) = {
+    var seqs = hold(initialSeqs(docs))
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var done = false
     var r = 0
@@ -90,10 +93,10 @@ object BpeLearn {
         case Some(row) =>
           val (l, rr, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += ((r.toLong, l, rr, cnt))
-          val next = graft.RunHygiene.track(seqs.withColumn("s",
+          val next = hold(seqs.withColumn("s",
             replace(col("s"),
               lit(Sep + l + Sep + Sep + rr + Sep),
-              lit(Sep + l + " " + rr + Sep))).persist(lvl))
+              lit(Sep + l + " " + rr + Sep))))
           next.count()
           seqs.unpersist(blocking = false)
           seqs = next
@@ -103,12 +106,38 @@ object BpeLearn {
     (merges.result(), seqs)
   }
 
+  // The learn loop is deterministic in (docs, rounds) and THREE gates
+  // (text_bpe_merges / text_bpe_apply / text_bpe_fertility) consume the
+  // identical learn — each used to re-run the full 6-round loop (~12 jobs)
+  // per call. Session memo keyed by the canonicalized source plan, the
+  // stagedShared discipline: the merge table and the final sequences are
+  // computed once per (session, corpus, rounds); the final frame is
+  // plain-persisted (never RunHygiene-registered) so per-query drains
+  // leave it cached for the other two gates.
+  private val learnMemo = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    (Seq[(Long, String, String, Long)], DataFrame)]
+
+  private def learnShared(docs: DataFrame,
+      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) =
+    synchronized {
+      val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
+        rounds)
+      learnMemo.getOrElseUpdate(key, {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val r = learn(docs, rounds, df => df.persist(lvl))
+        r._2.count() // materialize before the memo hands it out
+        r
+      })
+    }
+
   /** The learned merge table: (merge_rank, left_sym, right_sym, pair_freq),
     * one row per executed round, ordered by rank. */
   def merges(docs: DataFrame, rounds: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (m, _) = learn(docs, rounds)
+    val (m, _) = learnShared(docs, rounds)
     m.toDF("merge_rank", "left_sym", "right_sym", "pair_freq")
       .orderBy("merge_rank")
   }
@@ -117,7 +146,7 @@ object BpeLearn {
     * n_symbols, compression) — the coverage report a tokenizer-induction
     * run ships with its vocabulary. */
   def applied(docs: DataFrame, rounds: Int = 6): DataFrame = {
-    val (_, seqs) = learn(docs, rounds)
+    val (_, seqs) = learnShared(docs, rounds)
     seqs.select(col("doc_id"), col("n_tokens"),
         size(toksOf(col("s"))).as("n_symbols"))
       .withColumn("compression",
@@ -141,7 +170,7 @@ object BpeLearn {
     * readable ratios are single division chains of engine-identical
     * values. Output: one row per language. */
   def fertilityByLang(docs: DataFrame, rounds: Int = 6): DataFrame = {
-    val (_, seqs) = learn(docs, rounds)
+    val (_, seqs) = learnShared(docs, rounds)
     seqs.select(col("doc_id"), col("n_tokens"), size(toksOf(col("s"))).as("n_sym"))
       .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
       .groupBy("lang")

@@ -720,16 +720,21 @@ object Dedup {
     // p/edges/every round's frame are ALSO registered with RunHygiene: on
     // the non-convergence throw below nothing after it runs, and the
     // runner's drain must still release whatever the loop materialized
-    // (double-unpersist of the frames cleaned up here is a no-op)
-    val p = graft.RunHygiene.track(pairs.persist(lvl))
-    p.count()
+    // (double-unpersist of the frames cleaned up here is a no-op).
+    // An input the CALLER already persisted (the session-shared simhash
+    // pair graph) is used as-is: re-persisting it here and unpersisting
+    // below would silently evict the caller's cache for every later
+    // consumer.
+    val pre = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (pre) pairs else graft.RunHygiene.track(pairs.persist(lvl))
+    if (!pre) p.count()
     val edges = graft.RunHygiene.track(
       p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct()
         .persist(lvl))
     edges.count()
-    p.unpersist()
+    if (!pre) p.unpersist()
     // each round carries prev alongside the new label, so convergence is a
     // filter-count on the just-persisted frame — no second join per round.
     // Init fuses the first propagation hop: label₀ = min(self, neighbors) in
@@ -801,8 +806,11 @@ object Dedup {
     * on materialized frames. */
   def dedupClustersStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val p = graft.RunHygiene.track(pairs.persist(lvl))
-    p.count()
+    // same pre-persisted-input guard as dedupClusters: never evict a
+    // session-shared pair graph
+    val pre = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (pre) pairs else graft.RunHygiene.track(pairs.persist(lvl))
+    if (!pre) p.count()
     val nodes = graft.RunHygiene.track(
       p.select(col("doc_a").as("id")).unionByName(p.select(col("doc_b").as("id")))
         .distinct().persist(lvl))
@@ -813,7 +821,7 @@ object Dedup {
           least(col("doc_a"), col("doc_b")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct().persist(lvl))
     e.count()
-    p.unpersist()
+    if (!pre) p.unpersist()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {

@@ -41,15 +41,18 @@ object Graph {
     * if ever needed). */
   def pageRank(pairs: DataFrame, damping: Double = 0.85, iters: Int = 5): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val p = graft.RunHygiene.track(pairs.persist(lvl))
-    p.count() // fill once: both union branches read it
+    // pre-persisted input (the session-shared simhash pair graph) is used
+    // as-is — re-persist/unpersist here would evict the caller's cache
+    val pre = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (pre) pairs else graft.RunHygiene.track(pairs.persist(lvl))
+    if (!pre) p.count() // fill once: both union branches read it
     val edges = graft.RunHygiene.track(
       p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct()
         .persist(lvl))
     edges.count() // every iteration reads edges — materialize once
-    p.unpersist()
+    if (!pre) p.unpersist()
     val deg = graft.RunHygiene.track(
       edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("id"), col("deg")).persist(lvl))
@@ -114,15 +117,18 @@ object Graph {
     * honestly). */
   def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val p = graft.RunHygiene.track(pairs.persist(lvl))
-    p.count() // fill once: both union branches read it
+    // pre-persisted input (the session-shared simhash pair graph) is used
+    // as-is — re-persist/unpersist here would evict the caller's cache
+    val pre = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (pre) pairs else graft.RunHygiene.track(pairs.persist(lvl))
+    if (!pre) p.count() // fill once: both union branches read it
     val edges = graft.RunHygiene.track(
       p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct()
         .persist(lvl))
     edges.count() // every round reads edges — materialize once
-    p.unpersist()
+    if (!pre) p.unpersist()
     def aliveEdges(alive: DataFrame): DataFrame = edges
       .join(alive.select(col("id").as("src")), Seq("src"), "leftsemi")
       .join(alive.select(col("id").as("dst")), Seq("dst"), "leftsemi")

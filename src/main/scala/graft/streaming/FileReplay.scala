@@ -69,28 +69,40 @@ object FileReplay {
     if (ephemeral) graft.RunHygiene.scratch(df.sparkSession, dirs.root.toString)
     else graft.RunHygiene.scratchAtExit(dirs.root.toString)
     Files.createDirectories(dirs.in)
-    // one chunk-write job per batch re-plans `df` from scratch; persisting
-    // the input for the staging window turns `batches` source scans into
-    // one (order-preserving — cached partitions replay in order, so the
-    // within-chunk row order the order-sensitive folds see is unchanged).
-    // Unpersisted before return: the stream reads the FILES, not the frame.
     val src = df.persist()
     try {
       val mm = src.agg(min(col(tsCol)), max(col(tsCol))).head()
-      val chunks: Seq[DataFrame] =
-        if (mm.isNullAt(0)) Seq(src) // empty input: one empty chunk keeps the schema on disk
-        else {
-          val lo = micros(mm.getAs[LocalDateTime](0))
-          val span = micros(mm.getAs[LocalDateTime](1)) - lo + 1
-          (0 until batches).map { k =>
-            val a = fromMicros(lo + span * k / batches)
-            val b = fromMicros(lo + span * (k + 1) / batches)
-            src.filter(col(tsCol) >= lit(a) && col(tsCol) < lit(b))
-          }
-        }
       val base = System.currentTimeMillis()
-      (chunks ++ sentinels).zipWithIndex.foreach { case (c, k) =>
-        writeChunk(c, dirs.in, k, base)
+      if (mm.isNullAt(0)) {
+        // empty input: one empty chunk keeps the schema on disk
+        writeChunk(src, dirs.in, 0, base)
+        sentinels.zipWithIndex.foreach { case (c, i) =>
+          writeChunk(c, dirs.in, 1 + i, base)
+        }
+      } else {
+        // ONE partitioned write stages every data chunk (was: `batches`
+        // sequential coalesce(1) jobs, each a single-task scan of the whole
+        // input — at 24 batches the staging cost dominated the gate). The
+        // chunk id is the same integer boundary math as the old per-chunk
+        // range filters, so each file holds the identical row SET; only the
+        // within-file row ORDER changes (shuffle-fetch order instead of
+        // cached-partition order), which no consumer observes: every
+        // stateful fold sorts its batch (sortTx / foldAlertBatch), windowed
+        // and sketch aggregations are commutative, the stream-stream join
+        // is multiset-semantic, and the streaming-dedup gate pins survivor
+        // counts, not identities.
+        val lo = micros(mm.getAs[LocalDateTime](0))
+        val span = micros(mm.getAs[LocalDateTime](1)) - lo + 1
+        val bounds = (1 until batches).map(k => fromMicros(lo + span * k / batches))
+        val rangeChunk = bounds.zipWithIndex
+          .foldRight(lit(batches - 1): org.apache.spark.sql.Column) {
+            case ((b, k), rest) => when(col(tsCol) < lit(b), k).otherwise(rest)
+          }
+        writeChunksOneJob(src.withColumn("_chunk", rangeChunk), src, batches,
+          dirs.in, base)
+        sentinels.zipWithIndex.foreach { case (c, i) =>
+          writeChunk(c, dirs.in, batches + i, base)
+        }
       }
     } finally src.unpersist()
     dirs
@@ -128,9 +140,9 @@ object FileReplay {
             least(lit(batches - 1), rangeChunk + when(delay, 1).otherwise(0)))
         }
       val base = System.currentTimeMillis()
-      (0 until batches).foreach { k =>
-        writeChunk(chunked.filter(col("_chunk") === k).drop("_chunk"), dirs.in, k, base)
-      }
+      // same one-job partitioned staging as stageChunks (and the same
+      // within-chunk order argument — the retraction folds sort per batch)
+      writeChunksOneJob(chunked, src, batches, dirs.in, base)
       // sentinel chunks ride strictly after the data chunks, exactly as in
       // stageChunks — watermark-flush rows for event-time timeouts
       sentinels.zipWithIndex.foreach { case (c, i) =>
@@ -138,6 +150,41 @@ object FileReplay {
       }
     } finally src.unpersist()
     dirs
+  }
+
+  /** Stage every data chunk in ONE Spark job: `chunked` carries the chunk
+    * id in `_chunk`; a hash repartition on it puts each chunk's rows in
+    * exactly one task, and `partitionBy` gives one part file per chunk
+    * directory. Chunk values the data never hits produce no directory, so
+    * they are backfilled with schema-only empty files (an empty chunk
+    * still has to EXECUTE as a micro-batch — the expiry gates' absent-user
+    * semantics count it). File naming/mtime discipline matches
+    * [[writeChunk]]. */
+  private def writeChunksOneJob(chunked: DataFrame, schemaSrc: DataFrame,
+      batches: Int, in: Path, base: Long): Unit = {
+    val stage = in.resolve(".stage_all")
+    chunked.repartition(col("_chunk"))
+      .write.partitionBy("_chunk").mode("overwrite").parquet(stage.toString)
+    var emptyTemplate: Option[Path] = None
+    (0 until batches).foreach { k =>
+      val dest = in.resolve(f"chunk_$k%05d.parquet")
+      val dir = stage.resolve(s"_chunk=$k")
+      if (Files.isDirectory(dir)) {
+        val s = Files.list(dir)
+        val part =
+          try s.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+          finally s.close()
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      } else emptyTemplate match {
+        case Some(t) => Files.copy(t, dest, StandardCopyOption.REPLACE_EXISTING)
+        case None =>
+          // first empty chunk pays one tiny job; later ones are file copies
+          writeChunk(schemaSrc.limit(0), in, k, base)
+          emptyTemplate = Some(dest)
+      }
+      dest.toFile.setLastModified(base + k * 2000L)
+    }
+    deleteRecursively(stage)
   }
 
   /** Write one chunk as a single parquet file with mtime base + 2k seconds
