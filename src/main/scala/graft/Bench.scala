@@ -220,12 +220,13 @@ object Bench {
     try SparkEntry.materializeCurationShared(spark, sfDir)
     catch { case _: Throwable => }
     val curationMaterializeSec = (System.nanoTime() - tCur0) / 1e9
-    // shared simhash near-dup pair graph (seven consumer gates): the same
-    // ETL-once/query-many discipline — its own line item
+    // shared dedup frames (simhash pair graph: seven consumer gates;
+    // LSH-audit exact + banded pair frames: four) — the same
+    // ETL-once/query-many discipline, their own line item
     val tSim0 = System.nanoTime()
-    try SparkEntry.materializeSimhashPairs(spark, sfDir)
+    try SparkEntry.materializeDedupShared(spark, sfDir)
     catch { case _: Throwable => }
-    val simhashMaterializeSec = (System.nanoTime() - tSim0) / 1e9
+    val dedupSharedMaterializeSec = (System.nanoTime() - tSim0) / 1e9
     // session-lived stage caches live in SparkEntry (never registered with
     // RunHygiene); each query's own stage persists drain after its action so
     // 70 queries don't accumulate storage churn
@@ -373,7 +374,7 @@ object Bench {
     val loadAfter = loadavg()
     val timings = ("_pipeline_materialize", materializeSec) +:
       ("_curation_materialize", curationMaterializeSec) +:
-      ("_dedup_graph_materialize", simhashMaterializeSec) +:
+      ("_dedup_shared_materialize", dedupSharedMaterializeSec) +:
       results.map(r => (r._1, r._2))
     val errPairs = results.collect { case (n, _, Some(m)) => (n, m) }
     // errors are rare but must never push the line past the tail window:
@@ -381,7 +382,7 @@ object Bench {
     val errsCompact = errPairs.take(5)
       .map { case (n, m) => jstr(n) + ":" + jstr(m.take(120)) }.mkString("{", ",", "}")
     val total = materializeSec + curationMaterializeSec +
-      simhashMaterializeSec + results.map(_._2).sum
+      dedupSharedMaterializeSec + results.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
     val envJson =
       s"""{"load_before":${jstr(loadBefore)},"load_after":${jstr(loadAfter)},""" +

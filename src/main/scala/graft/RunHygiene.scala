@@ -48,6 +48,17 @@ object RunHygiene {
     * the next [[drainStages]]. */
   def stage(df: DataFrame): DataFrame = track(df.persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** True when `df` is already materialized by its owner — persisted, or a
+    * localCheckpoint (LogicalRDD). Operators that persist+unpersist their
+    * input internally must use such a frame AS-IS: re-persisting and then
+    * unpersisting a plan `sameResult` to a session-shared cache entry
+    * REMOVES that entry from the CacheManager (measured: an identity
+    * projection staged by one gate silently killed the shared frame for
+    * every later gate, turning cache hits into full recomputes). */
+  def preMaterialized(df: DataFrame): Boolean =
+    df.storageLevel != StorageLevel.NONE ||
+      df.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
   /** Register an already-persisted frame for the next [[drainStages]]. */
   def track(df: DataFrame): DataFrame = synchronized {
     sweep()

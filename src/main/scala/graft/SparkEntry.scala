@@ -108,21 +108,63 @@ object SparkEntry {
   private val simhashPairsCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  // localCheckpoint(eager), NOT persist: a shared persist lives in the
+  // CacheManager keyed by its logical plan, and any consumer that stages
+  // an identity projection of it (same columns, same order) produces a
+  // sameResult plan whose post-query drain REMOVES the shared entry —
+  // every later consumer then silently recomputes (measured: the scurve
+  // gate's drain killed the shared exact-pairs frame, 0.1 s cache reads
+  // became 2-4 s rebuilds). A checkpoint is frozen RDD blocks outside the
+  // CacheManager; no consumer's unpersist can touch it.
   private def simhashPairsShared(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      simhashPairsCache.getOrElseUpdate((s, dir), {
-        val p = Dedup.simhashPairs(Tables.documents(s, dir))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count()
-        p
-      })
+      simhashPairsCache.getOrElseUpdate((s, dir),
+        Dedup.simhashPairs(Tables.documents(s, dir)).localCheckpoint(true))
     }
 
-  /** Bench's materialize hook for the shared pair graph — its own
-    * `_dedup_graph_materialize` line item, so the one-time cost never
+  // Shared exact prefix-join and banded-LSH pair frames at the gate
+  // parameters (n = 3, threshold = 0.5): four gates consume them —
+  // dedup_ngram_jaccard and dedup_minhash_lsh ARE the frames, and the two
+  // standing audits (dedup_lsh_recall, dedup_lsh_scurve) compare them.
+  // Each audit used to recompute BOTH operators per call; the production
+  // audit shape compares the outputs the pipeline just materialized.
+  private val lshAuditCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+
+  private def sharedPairFrame(s: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame =
+    synchronized {
+      // localCheckpoint, not persist — see simhashPairsShared
+      lshAuditCache.getOrElseUpdate((s, dir, tag), build.localCheckpoint(true))
+    }
+
+  private def ngramJaccardShared(s: SparkSession, dir: String): DataFrame =
+    sharedPairFrame(s, dir, "ngram")(Dedup.ngramJaccard(Tables.documents(s, dir)))
+
+  private def minhashLshShared(s: SparkSession, dir: String): DataFrame =
+    sharedPairFrame(s, dir, "minhash")(Dedup.minhashLshAuto(Tables.documents(s, dir)))
+
+  // Shared co-purchase frames: the unfiltered (part_a, part_b, support)
+  // census from the distinct (order, part) self-join, and the basket_pairs
+  // result built on it — basket_pairs, graph_triangles, and
+  // graph_link_prediction each recomputed the same self-join per call.
+  private def coPurchaseSupportShared(s: SparkSession, dir: String): DataFrame =
+    sharedPairFrame(s, dir, "copurchase")(
+      RelationalQueries.coPurchaseSupport(Tables.lineitem(s, dir)))
+
+  private def basketPairsShared(s: SparkSession, dir: String): DataFrame =
+    sharedPairFrame(s, dir, "basketpairs")(
+      RelationalQueries.basketPairsFrom(Tables.lineitem(s, dir),
+        coPurchaseSupportShared(s, dir)))
+
+  /** Bench's materialize hook for the shared dedup frames (simhash pair
+    * graph + the two LSH-audit pair frames) — their own
+    * `_dedup_shared_materialize` line item, so the one-time cost never
     * lands on whichever consumer gate runs first alphabetically. */
-  def materializeSimhashPairs(s: SparkSession, dir: String): Unit = {
+  def materializeDedupShared(s: SparkSession, dir: String): Unit = {
     simhashPairsShared(s, dir)
+    ngramJaccardShared(s, dir)
+    minhashLshShared(s, dir)
     ()
   }
 
@@ -439,11 +481,10 @@ object SparkEntry {
     "join_tier_lookup" -> ((s, d) =>
       RelationalQueries.tierLookupJoin(Tables.orders(s, d))),
     // market-basket co-occurrence pairs with lift
-    "basket_pairs" -> ((s, d) =>
-      RelationalQueries.basketPairs(Tables.lineitem(s, d))),
+    "basket_pairs" -> ((s, d) => basketPairsShared(s, d)),
     // triangle census + clustering coefficient of the co-purchase graph
     "graph_triangles" -> ((s, d) =>
-      RelationalQueries.basketTriangles(Tables.lineitem(s, d))),
+      RelationalQueries.basketTrianglesFrom(basketPairsShared(s, d))),
     // star-schema referential-integrity sweep (one row per FK edge)
     "profile_fk_orphans" -> ((s, d) =>
       RelationalQueries.fkOrphanProfile(RelationalQueries.FkRelations.map {
@@ -487,7 +528,7 @@ object SparkEntry {
 
     // training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardShared(s, d)),
     // daily-crawl shape: the md5-split "new batch" (~25%) deduped against
     // the "existing corpus" (~75%) — probe volume tracks the batch, not
     // corpus²; oracle is the simple cross-side inverted join
@@ -548,7 +589,7 @@ object SparkEntry {
       Dedup.compactionCadence(Tables.documents(s, d))),
     // banded MinHash with (bands, rows) DERIVED from the threshold by the
     // solver (picks the measured (4,3) at 0.5 — output unchanged)
-    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshAuto(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => minhashLshShared(s, d)),
     // the solver's candidate table: analytic S-curve facts in integer
     // micro per (bands, rows) factorization + the chosen row (round-11 #5)
     "dedup_lsh_params" -> ((s, d) => Dedup.lshParamsGate(s)),
@@ -614,9 +655,11 @@ object SparkEntry {
     // content-defined chunking: shift-invariant boundaries, chunk census
     "dedup_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(Tables.documents(s, d))),
     // standing recall/precision audit: banded LSH vs the exact prefix join
-    "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecallEval(Tables.documents(s, d))),
+    "dedup_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecallEvalFrom(ngramJaccardShared(s, d), minhashLshShared(s, d))),
     // per-decile S-curve calibration: measured detection vs 1-(1-s^r)^b
-    "dedup_lsh_scurve" -> ((s, d) => Dedup.lshScurve(Tables.documents(s, d))),
+    "dedup_lsh_scurve" -> ((s, d) =>
+      Dedup.lshScurveFrom(ngramJaccardShared(s, d), minhashLshShared(s, d))),
     // leakage audit: near-dup pairs straddling splits, per method (safe = 0)
     "train_leakage_audit" -> ((s, d) =>
       graft.operators.TrainPrep.leakageAudit(
@@ -1057,17 +1100,10 @@ object SparkEntry {
     // single-co-occurrence noise edges make Σ deg(z)² — the two-hop cost
     // law — 298M paths at sf0.1 vs 10k with the support floor (measured;
     // a real recommender prunes them for signal reasons anyway).
-    "graph_link_prediction" -> ((s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("pa", "pb")
-      graft.operators.Graph.linkPrediction(e)
-    }),
+    "graph_link_prediction" -> ((s, d) =>
+      graft.operators.Graph.linkPrediction(
+        coPurchaseSupportShared(s, d).filter(col("support") >= 2)
+          .select(col("part_a").as("pa"), col("part_b").as("pb")))),
 
     // incremental (two-delta) matching must equal the full rebuild — the
     // oracle IS the fifo_match SQL

@@ -126,9 +126,13 @@ object BpeLearn {
         rounds)
       learnMemo.getOrElseUpdate(key, {
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val r = learn(docs, rounds, df => df.persist(lvl))
-        r._2.count() // materialize before the memo hands it out
-        r
+        val r = learn(docs, rounds,
+          df => graft.RunHygiene.track(df.persist(lvl)))
+        // the memoized final sequences are a localCheckpoint: frozen RDD
+        // blocks no consumer's unpersist can remove (see
+        // SparkEntry.simhashPairsShared); the loop's tracked persists
+        // drain after the first consuming query as usual
+        (r._1, r._2.localCheckpoint(true))
       })
     }
 

@@ -725,7 +725,7 @@ object Dedup {
     // pair graph) is used as-is: re-persisting it here and unpersisting
     // below would silently evict the caller's cache for every later
     // consumer.
-    val pre = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pre = graft.RunHygiene.preMaterialized(pairs)
     val p = if (pre) pairs else graft.RunHygiene.track(pairs.persist(lvl))
     if (!pre) p.count()
     val edges = graft.RunHygiene.track(
@@ -808,7 +808,7 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // same pre-persisted-input guard as dedupClusters: never evict a
     // session-shared pair graph
-    val pre = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pre = graft.RunHygiene.preMaterialized(pairs)
     val p = if (pre) pairs else graft.RunHygiene.track(pairs.persist(lvl))
     if (!pre) p.count()
     val nodes = graft.RunHygiene.track(
@@ -1065,12 +1065,19 @@ object Dedup {
     * ngramJaccard density escape hatch hands off to exactly this path).
     * Cost: the sum of the two audited operators; the comparison itself is
     * output-sized. */
-  def lshRecallEval(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val exact = graft.RunHygiene.stage(
-      ngramJaccard(docs, n, threshold).select("doc_a", "doc_b"))
+  def lshRecallEval(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame =
+    lshRecallEvalFrom(ngramJaccard(docs, n, threshold),
+      minhashLsh(docs, n, threshold = threshold))
+
+  /** [[lshRecallEval]] over ALREADY-COMPUTED pair frames — the production
+    * audit shape: a pipeline audits the outputs it just materialized, it
+    * never recomputes both operators to compare them. The gate wiring
+    * passes the session-shared frames, so the audit's marginal cost is the
+    * comparison (output-sized), not the two operators. */
+  def lshRecallEvalFrom(exactPairs: DataFrame, lshPairs: DataFrame): DataFrame = {
+    val exact = graft.RunHygiene.stage(exactPairs.select("doc_a", "doc_b"))
     exact.count() // read by the semi-join and its own count
-    val lsh = graft.RunHygiene.stage(
-      minhashLsh(docs, n, threshold = threshold).select("doc_a", "doc_b"))
+    val lsh = graft.RunHygiene.stage(lshPairs.select("doc_a", "doc_b"))
     lsh.count()
     val common = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
@@ -1103,10 +1110,19 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
     require(bands == 4 && rowsPerBand == 3,
       "the analytic multiplication chain is specialized to b=4, r=3")
+    lshScurveFrom(ngramJaccard(docs, n, threshold),
+      minhashLsh(docs, n, bands, rowsPerBand, threshold))
+  }
+
+  /** [[lshScurve]] over already-computed pair frames (the
+    * [[lshRecallEvalFrom]] contract: `lshPairs` must come from the (4, 3)
+    * banding the analytic chain is specialized to — the gate passes the
+    * solver-derived frame, which picks exactly (4, 3) at threshold 0.5). */
+  def lshScurveFrom(exactPairs: DataFrame, lshPairs: DataFrame): DataFrame = {
     val exact = graft.RunHygiene.stage(
-      ngramJaccard(docs, n, threshold).select("doc_a", "doc_b", "jaccard"))
+      exactPairs.select("doc_a", "doc_b", "jaccard"))
     exact.count() // read by the join and the rollup
-    val lsh = minhashLsh(docs, n, bands, rowsPerBand, threshold)
+    val lsh = lshPairs
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     val g = exact.join(lsh, Seq("doc_a", "doc_b"), "left")
       .withColumn("decile",

@@ -43,7 +43,7 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pre-persisted input (the session-shared simhash pair graph) is used
     // as-is — re-persist/unpersist here would evict the caller's cache
-    val pre = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pre = graft.RunHygiene.preMaterialized(pairs)
     val p = if (pre) pairs else graft.RunHygiene.track(pairs.persist(lvl))
     if (!pre) p.count() // fill once: both union branches read it
     val edges = graft.RunHygiene.track(
@@ -119,7 +119,7 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pre-persisted input (the session-shared simhash pair graph) is used
     // as-is — re-persist/unpersist here would evict the caller's cache
-    val pre = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pre = graft.RunHygiene.preMaterialized(pairs)
     val p = if (pre) pairs else graft.RunHygiene.track(pairs.persist(lvl))
     if (!pre) p.count() // fill once: both union branches read it
     val edges = graft.RunHygiene.track(

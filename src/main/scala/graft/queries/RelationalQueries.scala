@@ -488,17 +488,35 @@ object RelationalQueries {
     * pair; item frequencies ride back as joins (AQE broadcasts the
     * frequency side); lift = support·n_orders/(cnt_a·cnt_b) as one double
     * division of exact integers, rounded. */
-  def basketPairs(lineitem: DataFrame, minSupport: Int = 3): DataFrame = {
+  /** The co-purchase support census every basket/graph gate shares: the
+    * UNFILTERED (part_a, part_b, support) table from the distinct
+    * (order, part) self-join — the expensive core that basket_pairs
+    * (support ≥ 3), graph_triangles (via basket_pairs), and
+    * graph_link_prediction (support ≥ 2) each recomputed per call. */
+  def coPurchaseSupport(lineitem: DataFrame): DataFrame = {
     val items = graft.RunHygiene.stage(
       lineitem.select(col("l_orderkey"), col("l_partkey")).distinct())
-    items.count() // read by the pair join (twice) and the frequency census
-    val nOrders = broadcast(items.agg(countDistinct(col("l_orderkey")).as("n_orders")))
-    val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    items.count() // both self-join sides read it
     items.as("a").join(items.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
       .agg(count(lit(1)).as("support"))
+  }
+
+  def basketPairs(lineitem: DataFrame, minSupport: Int = 3): DataFrame =
+    basketPairsFrom(lineitem, coPurchaseSupport(lineitem), minSupport)
+
+  /** [[basketPairs]] over an ALREADY-COMPUTED support census (the session
+    * shares one [[coPurchaseSupport]] across the three consumer gates). */
+  def basketPairsFrom(lineitem: DataFrame, support: DataFrame,
+      minSupport: Int = 3): DataFrame = {
+    val items = graft.RunHygiene.stage(
+      lineitem.select(col("l_orderkey"), col("l_partkey")).distinct())
+    items.count() // read by the frequency census and the order count
+    val nOrders = broadcast(items.agg(countDistinct(col("l_orderkey")).as("n_orders")))
+    val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    support
       .filter(col("support") >= minSupport)
       .join(freq.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), Seq("part_a"))
       .join(freq.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b")), Seq("part_b"))
@@ -562,9 +580,13 @@ object RelationalQueries {
     * aggregate; the clustering coefficient reads out as integer basis
     * points (3·T·10⁴ div W), the engine's exact-ratio idiom, with a
     * wedge-free graph nulling out identically on both engines. */
-  def basketTriangles(lineitem: DataFrame, minSupport: Int = 3): DataFrame = {
+  def basketTriangles(lineitem: DataFrame, minSupport: Int = 3): DataFrame =
+    basketTrianglesFrom(basketPairs(lineitem, minSupport))
+
+  /** [[basketTriangles]] over an already-computed [[basketPairs]] frame. */
+  def basketTrianglesFrom(pairs: DataFrame): DataFrame = {
     val edges = graft.RunHygiene.stage(
-      basketPairs(lineitem, minSupport).select(col("part_a").as("a"), col("part_b").as("b")))
+      pairs.select(col("part_a").as("a"), col("part_b").as("b")))
     edges.count() // read by degree census and three triangle-join branches
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))

@@ -23,7 +23,7 @@ object CacheProbeMain {
     val useShared = args.headOption.contains("shared")
     if (useShared) {
       val t0 = System.nanoTime()
-      SparkEntry.materializeSimhashPairs(spark, sfDir)
+      SparkEntry.materializeDedupShared(spark, sfDir)
       println(f"materialize ${(System.nanoTime() - t0) / 1e9}%6.2f s  ${storage()}")
     }
     import graft.operators.{Dedup, Graph, TrainPrep}
