@@ -59,6 +59,13 @@ object RunHygiene {
     df.storageLevel != StorageLevel.NONE ||
       df.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
 
+  /** [[stage]] unless the frame is already materialized by its owner
+    * (see [[preMaterialized]]) — operators whose stage table may arrive as
+    * a session-shared checkpoint use it AS-IS instead of re-persisting
+    * (and later draining) a copy of frozen blocks. */
+  def stageOrReuse(df: DataFrame): DataFrame =
+    if (preMaterialized(df)) df else stage(df)
+
   /** Register an already-persisted frame for the next [[drainStages]]. */
   def track(df: DataFrame): DataFrame = synchronized {
     sweep()

@@ -92,7 +92,9 @@ object SparkEntry {
     * line instead of whichever curation gate happens to run first. */
   def materializeCurationShared(s: SparkSession, dir: String): Unit = {
     val sh = curationShared(s, dir)
-    sh.contained.count(); sh.pii.count()
+    // canon and c4 are already counted (filled) inside sharedStages;
+    // contained and pii are independent given them — overlap (guide §2.6)
+    buildConcurrently(Seq(() => sh.contained.count(), () => sh.pii.count()))
   }
 
   // Shared simhash near-dup pair graph, built once per (session, dir):
@@ -128,21 +130,55 @@ object SparkEntry {
   // standing audits (dedup_lsh_recall, dedup_lsh_scurve) compare them.
   // Each audit used to recompute BOTH operators per call; the production
   // audit shape compares the outputs the pipeline just materialized.
+  // One lazily-built checkpoint per (session, dir, tag). The map lock only
+  // guards cell CREATION; the build itself runs under the cell's own lazy
+  // lock, so independent shared frames can build CONCURRENTLY (the
+  // materialize hooks overlap them per optimization-guide §2.6 — Spark's
+  // scheduler happily runs several jobs at once, and each build's task
+  // tail backfills the others' idle cores). Two threads demanding the
+  // SAME tag serialize on its cell — single evaluation guaranteed.
+  private final class SharedCell(build: () => DataFrame) {
+    lazy val df: DataFrame = build().localCheckpoint(true)
+  }
+
   private val lshAuditCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), SharedCell]
 
   private def sharedPairFrame(s: SparkSession, dir: String, tag: String)(
-      build: => DataFrame): DataFrame =
-    synchronized {
-      // localCheckpoint, not persist — see simhashPairsShared
-      lshAuditCache.getOrElseUpdate((s, dir, tag), build.localCheckpoint(true))
+      build: => DataFrame): DataFrame = {
+    // localCheckpoint, not persist — see simhashPairsShared
+    val cell = synchronized {
+      lshAuditCache.getOrElseUpdate((s, dir, tag), new SharedCell(() => build))
     }
+    cell.df
+  }
+
+  /** Run independent shared-frame builds concurrently (guide §2.6) and
+    * wait for all; a 2-3-job overlap keeps the driver responsive while
+    * each build's task tail backfills the others' idle cores. Failures
+    * propagate to the caller exactly as the sequential form did. */
+  private def buildConcurrently(builds: Seq[() => Any]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    Await.result(Future.sequence(builds.map(b => Future(b()))), Duration.Inf)
+    ()
+  }
+
+  // ONE tokenize+shingle pass (n = 3) serves the exact prefix-join, the
+  // banded LSH, and the containment screen — each used to re-derive the
+  // identical shingle table from the documents per call (round-16,
+  // guide §1.2). Charged to `_dedup_shared_materialize` with its consumers.
+  private def shinglesShared(s: SparkSession, dir: String): DataFrame =
+    sharedPairFrame(s, dir, "shingles3")(
+      graft.functions.TextOps.withShingles(Tables.documents(s, dir), 3))
 
   private def ngramJaccardShared(s: SparkSession, dir: String): DataFrame =
-    sharedPairFrame(s, dir, "ngram")(Dedup.ngramJaccard(Tables.documents(s, dir)))
+    sharedPairFrame(s, dir, "ngram")(Dedup.ngramJaccardFrom(shinglesShared(s, dir)))
 
   private def minhashLshShared(s: SparkSession, dir: String): DataFrame =
-    sharedPairFrame(s, dir, "minhash")(Dedup.minhashLshAuto(Tables.documents(s, dir)))
+    sharedPairFrame(s, dir, "minhash")(Dedup.minhashLshAutoFrom(shinglesShared(s, dir)))
 
   // Shared co-purchase frames: the unfiltered (part_a, part_b, support)
   // census from the distinct (order, part) self-join, and the basket_pairs
@@ -162,11 +198,71 @@ object SparkEntry {
     * `_dedup_shared_materialize` line item, so the one-time cost never
     * lands on whichever consumer gate runs first alphabetically. */
   def materializeDedupShared(s: SparkSession, dir: String): Unit = {
-    simhashPairsShared(s, dir)
-    ngramJaccardShared(s, dir)
-    minhashLshShared(s, dir)
-    ()
+    // the shared shingle table first (both LSH-family builds consume it),
+    // then the three independent pair builds overlap (guide §2.6)
+    shinglesShared(s, dir)
+    buildConcurrently(Seq(
+      () => simhashPairsShared(s, dir),
+      () => ngramJaccardShared(s, dir),
+      () => minhashLshShared(s, dir)))
   }
+
+  // Shared ANN ranking frames at the gate parameters (nQueries = 5,
+  // k = 5): the seven ranker gates ARE the frames, and the two standing
+  // consumers compare/fuse them — ann_recall_eval re-ran all SEVEN
+  // rankers per call (including the ivf Lloyd training and the m×k PQ
+  // codebook training) and ann_rrf_fusion re-ran two. Round-15's
+  // LSH-audit discipline applied to the retrieval stack: the audit
+  // compares the rankings the session just materialized. Each frame is
+  // queries×k rows — audit-sized; the training memos in Similarity
+  // (lloydMemo / pqBooksMemo) deduplicate the quantizer state the same
+  // way for the gates that share it implicitly (kmeans, outlier screen,
+  // diversity sample, semantic dedup, the indexed builds).
+  private def annExactShared(s: SparkSession, dir: String): DataFrame =
+    sharedPairFrame(s, dir, "ann_exact")(
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir)))
+
+  private def annIvfShared(s: SparkSession, dir: String): DataFrame =
+    sharedPairFrame(s, dir, "ann_ivf")(
+      Similarity.ivfTopK(Tables.embeddings(s, dir)))
+
+  private def annLshShared(s: SparkSession, dir: String): DataFrame =
+    sharedPairFrame(s, dir, "ann_lsh")(
+      Similarity.lshTopK(Tables.embeddings(s, dir), nPlanes = 4))
+
+  private def annMatryoshkaShared(s: SparkSession, dir: String): DataFrame =
+    sharedPairFrame(s, dir, "ann_matryoshka")(
+      Similarity.matryoshkaTopK(Tables.embeddings(s, dir)))
+
+  private def annPqShared(s: SparkSession, dir: String): DataFrame =
+    sharedPairFrame(s, dir, "ann_pq")(
+      Similarity.pqTopK(Tables.embeddings(s, dir)))
+
+  private def annSqShared(s: SparkSession, dir: String): DataFrame =
+    sharedPairFrame(s, dir, "ann_sq")(
+      Similarity.sqTopK(Tables.embeddings(s, dir)))
+
+  private def annBqShared(s: SparkSession, dir: String): DataFrame =
+    sharedPairFrame(s, dir, "ann_bq")(
+      Similarity.bqTopK(Tables.embeddings(s, dir)))
+
+  /** Bench's materialize hook for the shared ANN ranking frames — their
+    * own `_ann_shared_materialize` line item. Also warms the exact JIT/
+    * codegen path of the Lloyd and PQ trainings (the ann gates run first
+    * alphabetically, so before this hook existed the first gates paid the
+    * whole framework warm-up — the round-14/15 "in-suite inflation"). */
+  def materializeAnnShared(s: SparkSession, dir: String): Unit =
+    // all seven rankers are independent (the ivf and pq builds each hold
+    // their own training-memo lock; the rest are pure scans) — overlap
+    // them per guide §2.6
+    buildConcurrently(Seq(
+      () => annExactShared(s, dir),
+      () => annIvfShared(s, dir),
+      () => annLshShared(s, dir),
+      () => annMatryoshkaShared(s, dir),
+      () => annPqShared(s, dir),
+      () => annSqShared(s, dir),
+      () => annBqShared(s, dir)))
 
   private def txns(s: SparkSession, dir: String): DataFrame = Tables.transactions(s, dir)
   private def matched(s: SparkSession, dir: String): DataFrame = stages(s, dir)._1
@@ -594,7 +690,8 @@ object SparkEntry {
     // micro per (bands, rows) factorization + the chosen row (round-11 #5)
     "dedup_lsh_params" -> ((s, d) => Dedup.lshParamsGate(s)),
     // asymmetric containment: doc-in-doc duplication Jaccard misses
-    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairsFrom(shinglesShared(s, d))),
     "text_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
 
@@ -666,15 +763,16 @@ object SparkEntry {
         Tables.documents(s, d), simhashPairsShared(s, d))),
 
     // training-data pipeline: similarity search over embeddings
-    "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "ann_cosine_topk" -> ((s, d) => annExactShared(s, d)),
     // filtered vector search: label predicate pre-filters into a keyed join
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(Tables.embeddings(s, d))),
-    "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), nPlanes = 4)),
+    "ann_lsh_topk" -> ((s, d) => annLshShared(s, d)),
     // per-label embedding scatter: cohesion + nearest-other confusability
     "embed_label_scatter" -> ((s, d) =>
       Similarity.labelScatter(Tables.embeddings(s, d))),
     // reciprocal-rank fusion of the exact and LSH rankings (hybrid retrieval)
-    "ann_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(Tables.embeddings(s, d))),
+    "ann_rrf_fusion" -> ((s, d) =>
+      Similarity.rrfFusionFrom(annExactShared(s, d), annLshShared(s, d))),
     // lexical retrieval: BM25 over the inverted-index censuses
     "search_bm25_topk" -> ((s, d) => Search.bm25TopK(Tables.documents(s, d))),
     // the PERSISTED inverted index (third index family, round-11 #3):
@@ -773,7 +871,7 @@ object SparkEntry {
     // per-source datasheet: volume, dup share, mean quality, lang entropy
     "train_data_card" -> ((s, d) =>
       graft.operators.Curation.dataCard(Tables.documents(s, d))),
-    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "ann_ivf_topk" -> ((s, d) => annIvfShared(s, d)),
     // probe-only top-k against the persisted cell-partitioned IVF index
     // (build amortized per session, like dedup_incremental_indexed; the
     // probe reads only the probed cell partitions — PartitionFilters)
@@ -827,13 +925,17 @@ object SparkEntry {
       Similarity.ivfIndexedTopK(emb, idx)
     }),
     // scalar-quantization (SQ8) ANN: per-dim envelope codes, integer dot
-    "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(Tables.embeddings(s, d))),
+    "ann_sq_topk" -> ((s, d) => annSqShared(s, d)),
     // binary-quantization ANN: 1-bit/dim sign words, Hamming shortlist, rerank
-    "ann_bq_topk" -> ((s, d) => Similarity.bqTopK(Tables.embeddings(s, d))),
+    "ann_bq_topk" -> ((s, d) => annBqShared(s, d)),
     // Matryoshka two-stage: prefix-dim shortlist, exact full-dim rerank
-    "ann_matryoshka_topk" -> ((s, d) => Similarity.matryoshkaTopK(Tables.embeddings(s, d))),
+    "ann_matryoshka_topk" -> ((s, d) => annMatryoshkaShared(s, d)),
     // standing recall@k audit of every approximate path vs the exact ranking
-    "ann_recall_eval" -> ((s, d) => Similarity.recallEval(Tables.embeddings(s, d))),
+    "ann_recall_eval" -> ((s, d) => Similarity.recallEvalFrom(
+      annExactShared(s, d), Seq(
+        ("ivf", annIvfShared(s, d)), ("lsh", annLshShared(s, d)),
+        ("matryoshka", annMatryoshkaShared(s, d)), ("pq", annPqShared(s, d)),
+        ("sq", annSqShared(s, d)), ("bq", annBqShared(s, d))))),
     // the re-BUILD decision audit (round-11 #4): a norm-collapsed ingest
     // batch appends to frozen centroids; probe recall before/after vs
     // brute force, with the measured drop and the rebuild trigger
@@ -846,7 +948,7 @@ object SparkEntry {
     // product-quantization codes: per-subspace Lloyd codebooks + recon error
     "embed_pq_codes" -> ((s, d) => Similarity.pqCodes(Tables.embeddings(s, d))),
     // ADC top-k over the PQ codes: distance tables + code-lookup scan
-    "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
+    "ann_pq_topk" -> ((s, d) => annPqShared(s, d)),
     // first-class k-means clustering (the IVF quantizer's labels + sizes)
     "embed_kmeans" -> ((s, d) => Similarity.kmeansClusters(Tables.embeddings(s, d))),
     // embedding-space outlier screen: exact integer micro^2 distance to the

@@ -57,11 +57,21 @@ object Dedup {
     * regardless of sibling count, at the cost of threshold-boundary
     * exactness. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxCandidateEstimate: Long = 2_000_000_000L): DataFrame =
+    ngramJaccardFrom(TextOps.withShingles(docs, n), threshold, maxCandidateEstimate)
+
+  /** [[ngramJaccard]] over an ALREADY-SHINGLED frame (doc_id, sh) — the
+    * session shares ONE tokenize+shingle pass across the three n=3
+    * consumers (exact prefix-join, banded LSH, containment) instead of
+    * each re-deriving it (round-16, guide §1.2). Expression-identical to
+    * [[ngramJaccard]] on the same shingles. */
+  def ngramJaccardFrom(shingled: DataFrame, threshold: Double = 0.5,
       maxCandidateEstimate: Long = 2_000_000_000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the shingle table feeds candidate generation and verification —
-    // persist so tokenize+shingle runs once
-    val sh = graft.RunHygiene.stage(TextOps.withShingles(docs, n))
+    // staged so tokenize+shingle runs once (reused as-is when the caller
+    // hands in the session-shared checkpoint)
+    val sh = graft.RunHygiene.stageOrReuse(shingled)
     // Prefix build in TWO window passes over the exploded shingle table —
     // df(shingle) as COUNT() OVER (PARTITION BY shingle) replaces the old
     // groupBy+equijoin (same values, one shuffle and one join fewer): shuffle by
@@ -512,10 +522,15 @@ object Dedup {
     * Verification reuses the merge-count kernel with the min-size
     * denominator; the raw value gates the threshold, rounding only the
     * output (the [[ngramJaccard]] boundary-exactness rule). */
-  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame =
+    containmentPairsFrom(TextOps.withShingles(docs, n), threshold)
+
+  /** [[containmentPairs]] over an already-shingled frame — see
+    * [[ngramJaccardFrom]]. */
+  def containmentPairsFrom(shingled: DataFrame, threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.HashExpressions.registerIntersect(docs.sparkSession)
-    val sh = graft.RunHygiene.stage(TextOps.withShingles(docs, n))
+    graft.functions.HashExpressions.registerIntersect(shingled.sparkSession)
+    val sh = graft.RunHygiene.stageOrReuse(shingled)
     // Ranked inverted index in two window passes (the [[ngramJaccard]]
     // build): df(shingle) as COUNT() OVER, rank rn per doc under the global
     // (dfreq, shingle) order. Staged once — it serves BOTH join roles.
@@ -599,10 +614,17 @@ object Dedup {
     * table is the evidence that re-picks (b, r); with the 12-hash
     * signature the menu is (2,6) (3,4) (4,3) (6,2) (12,1). */
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    minhashLshFrom(TextOps.withShingles(docs, n), bands, rowsPerBand, threshold)
+
+  /** [[minhashLsh]] over an already-shingled frame — see
+    * [[ngramJaccardFrom]]. The hv hash column is derived here (it is
+    * minhash-specific), but the tokenize+shingle pass is the shared one. */
+  def minhashLshFrom(shingled: DataFrame, bands: Int = 4, rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    graft.functions.HashExpressions.register(docs.sparkSession)
+    graft.functions.HashExpressions.register(shingled.sparkSession)
     // persisted: read by the banding pass and by both verify join sides
-    val sh = graft.RunHygiene.stage(TextOps.withShingles(docs, n)
+    val sh = graft.RunHygiene.stage(shingled
       .withColumn("hv", transform(col("sh"), x =>
         conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long") % MinhashPrime)))
 
@@ -1218,6 +1240,13 @@ object Dedup {
   def minhashLshAuto(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val (b, r) = solveLshParams(threshold)
     minhashLsh(docs, n, b, r, threshold)
+  }
+
+  /** [[minhashLshAuto]] over an already-shingled frame — see
+    * [[ngramJaccardFrom]]. */
+  def minhashLshAutoFrom(shingled: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val (b, r) = solveLshParams(threshold)
+    minhashLshFrom(shingled, b, r, threshold)
   }
 
   /** The solver's full candidate table as a one-row-per-factorization
