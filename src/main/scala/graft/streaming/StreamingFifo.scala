@@ -34,6 +34,21 @@ import graft.operators.Tx
   */
 object StreamingFifo {
 
+  /** Replay state partition count for the FIFO queue folds. The fold is
+    * O(batch rows) queue arithmetic — trivial compute — so the per-trigger
+    * cost is state-store commits and task scheduling, which scale with the
+    * partition count: the round-16 JIT-controlled interleaved sweep on
+    * the evicted gate (reps 5-8 of an alternating 4/8 sequence, sf0.1,
+    * local[32]) measured 4 -> 6.05/6.14 s vs 8 -> 6.59/6.60 s per call
+    * (16 -> ~9.3 s in the coarse first pass). 4 balances that against
+    * per-partition batch growth at larger corpora; deployments override
+    * with the
+    * `graft.replay.statePartitions` session conf (FileReplay honors it
+    * above this default). The analytics replays keep 8 — their per-batch
+    * fold compute is heavier and 4 measured SLOWER there (round-14
+    * alerts sweep). */
+  private val FifoStateParts = 4
+
   /** Two-sided queue state: unmatched earned AND unmatched spent/expired.
     * Carrying the se side is required for batch-parity — the reference's
     * queue holds the customer's FULL earned list (later-dated earned
@@ -257,7 +272,10 @@ object StreamingFifo {
   def replayLedgerEvicting(txns: DataFrame, batches: Int = 6): DataFrame = {
     val src = txns
       .select("transaction_id", "customer_id", "amount", "timestamp", "transaction_type")
-    val log = replayEvictingLog(txns, batches)
+    // staged: the rebuild reads the sink's ~50 small part files three times
+    // (first-eviction census, surviving matches, snapshot rows) — one scan
+    // instead of three (round-16, guide §1.2/§6 small-file economics)
+    val log = graft.RunHygiene.stage(replayEvictingLog(txns, batches))
     graft.operators.FifoMatcher.renameToSpec(txns)
       .join(evictingMatches(src, log), Seq("TRANS_ID"), "left")
       .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")
@@ -272,6 +290,11 @@ object StreamingFifo {
     implicit val txEnc = Encoders.product[Tx]
     val src = txns
       .select("transaction_id", "customer_id", "amount", "timestamp", "transaction_type")
+    // persisted HERE so the idle-horizon min/max below and stageChunks'
+    // own range probe + partitioned write share one source scan
+    // (stageChunks re-persists the same Dataset — a no-op — and drops the
+    // cache when staging completes)
+    src.persist()
     val mm = src.agg(fmin(col("timestamp")), fmax(col("timestamp"))).head()
     val (idle, sentinels) =
       if (mm.isNullAt(0)) (java.time.Duration.ofSeconds(1), Seq.empty[DataFrame])
@@ -290,7 +313,7 @@ object StreamingFifo {
     val dirs = FileReplay.stageChunks(src, "timestamp", batches, sentinels)
     val events = matchStreamEvicting(
       FileReplay.stream(spark, src.schema, dirs).as[Tx], idle)
-    FileReplay.runToParquet(events.toDF(), dirs)
+    FileReplay.runToParquet(events.toDF(), dirs, statePartitions = FifoStateParts)
       .filter(col("CUSTOMERID") =!= lit(SentinelId))
   }
 
@@ -650,7 +673,8 @@ object StreamingFifo {
   def replayLedgerLateEvicting(txns: DataFrame, batches: Int = 6): DataFrame = {
     val src = txns
       .select("transaction_id", "customer_id", "amount", "timestamp", "transaction_type")
-    val log = replayLateEvictingLog(txns, batches)
+    // staged for the rebuild's three sink scans — see replayLedgerEvicting
+    val log = graft.RunHygiene.stage(replayLateEvictingLog(txns, batches))
     graft.operators.FifoMatcher.renameToSpec(txns)
       .join(eventTimeEvictedMatches(src, log), Seq("TRANS_ID"), "left")
       .select("TRANS_ID", "TCTYPE", "CREATEDAT", "CUSTOMERID", "AMOUNT", "REDEEMID")
@@ -665,6 +689,8 @@ object StreamingFifo {
     implicit val txEnc = Encoders.product[Tx]
     val src = txns
       .select("transaction_id", "customer_id", "amount", "timestamp", "transaction_type")
+    // one source scan for the horizon probe + staging — see replayEvictingLog
+    src.persist()
     val mm = src.agg(fmin(col("timestamp")), fmax(col("timestamp"))).head()
     val (lateness, idle, sentinels) =
       if (mm.isNullAt(0))
@@ -693,7 +719,7 @@ object StreamingFifo {
       sentinels)
     val events = matchStreamEventTimeEvicting(
       FileReplay.stream(spark, src.schema, dirs).as[Tx], lateness, idle)
-    FileReplay.runToParquet(events.toDF(), dirs)
+    FileReplay.runToParquet(events.toDF(), dirs, statePartitions = FifoStateParts)
       .filter(col("CUSTOMERID") =!= lit(SentinelId))
   }
 
@@ -794,7 +820,7 @@ object StreamingFifo {
         col("transaction_type") === "earned")
     val events = matchStreamEventTime(
       FileReplay.stream(spark, src.schema, dirs).as[Tx], lateness)
-    FileReplay.runToParquet(events.toDF(), dirs)
+    FileReplay.runToParquet(events.toDF(), dirs, statePartitions = FifoStateParts)
   }
 
   /** [[replayLedgerLate]] with the lateness bound ENGAGED at exactly one
@@ -866,7 +892,7 @@ object StreamingFifo {
       .select("transaction_id", "customer_id", "amount", "timestamp", "transaction_type")
     val dirs = FileReplay.stageChunks(src, "timestamp", batches)
     val events = matchStream(FileReplay.stream(spark, src.schema, dirs).as[Tx])
-    val log = FileReplay.runToParquet(events.toDF(), dirs)
+    val log = FileReplay.runToParquet(events.toDF(), dirs, statePartitions = FifoStateParts)
       .select(col("EARNED_ID").as("TRANS_ID"), col("REDEEMID"))
     graft.operators.FifoMatcher.renameToSpec(txns)
       .join(log, Seq("TRANS_ID"), "left")

@@ -35,11 +35,16 @@ object StreamingTriggerProbeMain {
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         println(s"[probe] query terminated")
     })
-    (1 to 2).foreach { rep =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(gate)(spark, sfDir).count()
-      println(f"[probe] $gate rep $rep total ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      RunHygiene.drainStages(spark)
+    val parts = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(""))
+    parts.foreach { sp =>
+      if (sp.nonEmpty) spark.conf.set("graft.replay.statePartitions", sp)
+      (1 to 2).foreach { rep =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(gate)(spark, sfDir).count()
+        println(f"[probe] $gate stateParts=${if (sp.isEmpty) "dflt" else sp} " +
+          f"rep $rep total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        RunHygiene.drainStages(spark)
+      }
     }
     spark.stop()
   }
