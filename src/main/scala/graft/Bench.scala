@@ -125,9 +125,18 @@ object Bench {
     *   only cold measurement; the expiring gate's structure is priced in
     *   BASELINE.md's exception table instead.
     * The evicted-match pair DOES re-execute its stream per call (fresh
-    * sink/checkpoint), so its reps are real. */
+    * sink/checkpoint), so its reps are real.
+    *
+    * Round-16: `ann_recall_eval` dropped from the rep list for the same
+    * vacuity reason as the alerts trio — it now audits the session-shared
+    * ranking checkpoints (its re-run is a ~0.1 s frozen-block read, not a
+    * recomputation), so a dedicated rep would misread as 50× in-suite
+    * inflation. `ann_recall_drift` / `ann_rebuild_recovery` stay: they
+    * write fresh scratch indexes, append, and probe per call (and the
+    * recovery gate's spherical retrain reads a UUID scratch path, so it
+    * never memo-hits) — their reps are real recurring cost. */
   private[graft] val ColdRepNames = Seq(
-    "ann_recall_eval", "ann_recall_drift", "ann_ivf_indexed",
+    "ann_recall_drift", "ann_ivf_indexed",
     "ann_rebuild_recovery", "dedup_clusters_star", "curation_pipeline_v5",
     "streaming_evicted_late_match", "streaming_evicted_match",
     "dedup_lsh_recall", "graph_kcore")
@@ -138,7 +147,12 @@ object Bench {
     * silently bending it. */
   private[graft] val BudgetExceptions = Seq(
     "streaming_alerts_expiring", "_curation_materialize",
-    "ann_rebuild_recovery")
+    "ann_rebuild_recovery",
+    // round-16 (verdict #5): the two other one-time shared-staging line
+    // items join the materialize class — priced separately exactly so the
+    // gates they feed stay honest; both usually land well under 10 s but
+    // have breached it under box contention (r15: 12.2 s observed once)
+    "_dedup_shared_materialize", "_ann_shared_materialize")
 
   private[graft] def renderFullJson(timings: Seq[(String, Double)],
       warm: Seq[(String, Double)], warmErrors: Seq[(String, String)],
@@ -208,10 +222,10 @@ object Bench {
     // DAG tasks), so charging them to whichever query runs first would
     // misattribute ~all of the pipeline cost to one arbitrary query.
     val tMat0 = System.nanoTime()
-    try {
-      SparkEntry.queries("fifo_match")(spark, sfDir).count()
-      SparkEntry.queries("balance_history")(spark, sfDir).count()
-    } catch { case _: Throwable => }
+    // fills the same session persists the two gates read; skips the gates'
+    // output orderBy (a sort computed only to be counted — round-16)
+    try SparkEntry.materializePipelineShared(spark, sfDir)
+    catch { case _: Throwable => }
     val materializeSec = (System.nanoTime() - tMat0) / 1e9
     // shared curation prefix (canon + C4/containment/PII censuses):
     // ETL-once/query-many exactly like the matched ledger above — its own
